@@ -1,0 +1,605 @@
+"""Reference-surface queries (SURVEY §2.1–2.9) on the test star schema.
+
+Each query re-expresses one reference operator pattern as declarative
+DataFrame code. Scale notes are attached per query: which joins
+broadcast, where the (only) shuffles are, and why the plan survives a
+100×/1000× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.functions import scalars as S
+from magshield_data_pipeline_spark.plans.registry import register
+from magshield_data_pipeline_spark.sources.parquet import read_table
+
+
+# ---------------------------------------------------------------------------
+# P2 + A4 — pure scan / wide projection / full-row dedup
+# (users export — /root/reference/modules/users.py:113-142)
+
+
+@register(
+    "users_projection_dedup",
+    sql="""
+    SELECT DISTINCT
+        c_custkey    AS user_id,
+        c_name       AS user_name,
+        c_mktsegment AS segment,
+        c_nationkey  AS nation_id
+    FROM customer
+    """,
+    description="scan → wide projection+rename → full-row dedup (P2, A4)",
+)
+def users_projection_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: dedup is the only exchange; it hash-partitions on all output
+    # columns — exactly what dropDuplicates compiles to. Column pruning
+    # reaches the parquet scan (only 4 of 5 columns read).
+    customer = read_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_id"),
+    ).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# J1–J3 + P3/P4 + F2 + F6 — broadcast left-join enrichment
+# (quote export — /root/reference/modules/quote.py:104-233)
+
+
+@register(
+    "quote_enrichment",
+    sql="""
+    SELECT
+        o.o_orderkey                                   AS quote_id,
+        o.o_orderstatus                                AS status,
+        COALESCE(c.c_name, '')                         AS customer_name,
+        COALESCE(n.n_name, '')                         AS nation,
+        COALESCE(r.r_name, '')                         AS region,
+        concat_ws(';', CAST(c.c_custkey AS VARCHAR), c.c_name) AS customer_key,
+        strftime(o.o_orderdate, '%d-%b-%y %-I:%M %p')  AS created_fmt,
+        round(o.o_totalprice, 2)                       AS total
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey  = c.c_custkey
+    LEFT JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region   r ON n.n_regionkey = r.r_regionkey
+    """,
+    description="broadcast left-join enrichment + coalesce defaults + "
+    "date/key formatting (J1-J3, P3/P4, F2, F6)",
+)
+def quote_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference realizes these joins as in-memory dicts probed per row
+    # (quote.py:104-131). Spark-first: broadcast the dims so the fact
+    # side streams through exchange-free — at 100 TB the orders scan is
+    # the only distributed work; no shuffle at all.
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            F.col("o_orderkey").alias("quote_id"),
+            F.col("o_orderstatus").alias("status"),
+            S.coalesce_str("c_name").alias("customer_name"),
+            S.coalesce_str("n_name").alias("nation"),
+            S.coalesce_str("r_name").alias("region"),
+            S.composite_key("c_custkey", "c_name").alias("customer_key"),
+            F.date_format("o_orderdate", "dd-MMM-yy h:mm a").alias("created_fmt"),
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9/A2 — conditional counts (organisation export's linked-contact count —
+# /root/reference/modules/organisation.py:124)
+
+
+@register(
+    "conditional_counts",
+    sql="""
+    SELECT
+        c.c_custkey AS customer_id,
+        count(CASE WHEN o.o_orderstatus = 'F' THEN 1 END)          AS finished_orders,
+        count(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_orders,
+        count(o.o_orderkey)                                        AS total_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    description="conditional count per group (F9/A2 re-expressed relationally)",
+)
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference counts matching entries inside a nested LINKS array;
+    # relationally that's count(CASE WHEN ...) after the fact join. Scale:
+    # partial aggregation (map-side combine) runs before the single
+    # shuffle on c_custkey; AQE coalesces post-shuffle partitions.
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("customer_id"))
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_orders"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+                "urgent_orders"
+            ),
+            F.count("o_orderkey").alias("total_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7/J8 — fan-out join preserving zero-match rows
+# (opportunity × products — /root/reference/modules/opportunity.py:163-173,239-243)
+
+
+@register(
+    "order_part_fanout",
+    sql="""
+    SELECT
+        o.o_orderkey  AS order_id,
+        o.o_orderstatus AS status,
+        l.l_partkey   AS part_id
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """,
+    description="fan-out join: one row per matched item, zero matches → one "
+    "row with null part (J7+J8, collect_list + explode_outer)",
+)
+def order_part_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mirrors the reference's build-then-fan-out shape: group line items
+    # per order (J7 collect_list), then emit one row per product with the
+    # zero-product row preserved (J8 → explode_outer). Equivalent to a
+    # plain left join — the oracle states it that way — but this plan
+    # keeps the reference's intermediate (the per-order product list),
+    # which downstream queries reuse. Scale: one shuffle on l_orderkey;
+    # at 100 TB AQE skew-split handles hot orders.
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    parts_per_order = lineitem.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("part_ids")
+    )
+    return (
+        orders.join(parts_per_order, orders.o_orderkey == parts_per_order.l_orderkey, "left")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderstatus").alias("status"),
+            F.explode_outer("part_ids").alias("part_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — order-sensitive last-wins fold
+# (task link resolution — /root/reference/modules/task.py:223-246)
+
+
+@register(
+    "last_wins_fold",
+    sql="""
+    SELECT
+        l_orderkey AS order_id,
+        arg_max(l_partkey, (CAST(l_linenumber AS BIGINT) * 10000000 + l_partkey) * 1000000 + l_suppkey) AS last_part_id,
+        arg_max(l_suppkey, (CAST(l_linenumber AS BIGINT) * 10000000 + l_partkey) * 1000000 + l_suppkey) AS last_supp_id,
+        max(l_linenumber)  AS last_line
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    description="order-sensitive last-wins fold over a per-entity sequence "
+    "(Q5) via max_by with a total-order key",
+)
+def last_wins_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference folds a LINKS array where later entries overwrite
+    # earlier ones. Relationally: max_by over a position key. The test
+    # data has duplicate (l_linenumber, l_partkey) pairs per order, so
+    # the position key is extended with l_suppkey to a total order
+    # (deterministic under the driver's hash). Scale: single
+    # partial-aggregatable shuffle.
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    pos = (
+        F.col("l_linenumber").cast("bigint") * 10000000 + F.col("l_partkey")
+    ) * 1000000 + F.col("l_suppkey")
+    return lineitem.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+        F.max_by("l_partkey", pos).alias("last_part_id"),
+        F.max_by("l_suppkey", pos).alias("last_supp_id"),
+        F.max("l_linenumber").alias("last_line"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/O1/O2 — filter + sort + limit scan (mail ingest —
+# /root/reference/modules/opportunity_stage.py:131-165)
+
+
+@register(
+    "mail_scan_topn",
+    sql="""
+    SELECT
+        event_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        user_id,
+        event_type,
+        round(value, 2) AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'signup'
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 5
+    """,
+    description="server-side predicate + ORDER BY ... DESC LIMIT n scan "
+    "(S5, O1, O2) with total-order tiebreak",
+)
+def mail_scan_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark compiles orderBy().limit(n) to TakeOrderedAndProject — a
+    # per-partition top-n + driver merge, no full sort, no shuffle of the
+    # losing rows. The predicate pushes to the parquet scan. This is the
+    # 100 TB-safe shape for "latest n" queries.
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.filter(
+            (F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+            & (F.col("event_type") == "signup")
+        )
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(5)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J11 — multi-hop dimension chain + aggregation (task→opp→org 2-hop —
+# /root/reference/modules/task.py:198-201,233-237; TPC-H Q5 shape)
+
+
+@register(
+    "multi_hop_revenue",
+    sql="""
+    SELECT
+        n.n_name AS nation,
+        r.r_name AS region,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        count(*) AS line_count
+    FROM lineitem l
+    JOIN orders   o ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c ON o.o_custkey   = c.c_custkey
+    JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    JOIN region   r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    description="multi-hop join chain through 4 dims + grouped revenue agg "
+    "(J11 generalized; TPC-H Q5 shape)",
+)
+def multi_hop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: customer/nation/region broadcast; lineitem⋈orders is the one
+    # real shuffle (both sides huge at 100 TB — sort-merge with AQE).
+    # Join order: facts first, dims late, so Catalyst pushes the dim
+    # attributes through instead of widening the fact early.
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A5-adjacent — grouped aggregation suite (TPC-H Q1 shape; exercises
+# sum/avg/count with map-side partial aggregation)
+
+
+@register(
+    "pricing_summary",
+    sql="""
+    SELECT
+        l_returnflag AS return_flag,
+        l_linestatus AS line_status,
+        round(sum(l_quantity), 2)      AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        round(avg(l_quantity), 2)      AS avg_qty,
+        round(avg(l_discount), 4)      AS avg_disc,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="grouped sum/avg/count with pushed filter (TPC-H Q1 shape)",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: filter pushes to parquet (row-group pruning on l_shipdate
+    # min/max); partial agg collapses 60k→(flag,status) groups map-side,
+    # so the shuffle moves only a handful of rows per task.
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2/F3/F4 — date formatting with parse-or-passthrough fallback
+
+
+@register(
+    "date_format_suite",
+    sql="""
+    SELECT
+        o_orderkey AS order_id,
+        COALESCE(strftime(try_strptime(iso, '%Y-%m-%d %H:%M:%S'), '%d-%b-%y %-I:%M %p'), iso) AS quote_fmt,
+        COALESCE(strftime(try_strptime(iso, '%Y-%m-%d %H:%M:%S'), '%m/%d/%Y'), iso)           AS date_only_fmt,
+        COALESCE(strftime(try_strptime(split_part(iso, ' ', 1), '%Y-%m-%d'), '%d/%m/%Y'), iso) AS ui_fmt,
+        COALESCE(strftime(try_strptime(o_orderpriority, '%Y-%m-%d %H:%M:%S'), '%d-%b-%y %-I:%M %p'), o_orderpriority) AS fallback_passthrough
+    FROM (SELECT o_orderkey, o_orderpriority, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso FROM orders)
+    """,
+    description="F2/F3/F4 date reformat with parse-failure passthrough "
+    "(quote.py:175-182, task.py:109-116, invoice.py:137-145)",
+)
+def date_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("iso"),
+    )
+    return src.select(
+        F.col("o_orderkey").alias("order_id"),
+        S.format_date_quote("iso").alias("quote_fmt"),
+        S.format_date_only("iso").alias("date_only_fmt"),
+        S.format_date_ui("iso").alias("ui_fmt"),
+        # a non-date string goes through unchanged — the reference's
+        # except-branch behavior
+        S.format_date_quote("o_orderpriority").alias("fallback_passthrough"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F5/F6/F7/F10/F14 — string/key/encoding function suite
+
+
+@register(
+    "string_function_suite",
+    sql="""
+    SELECT
+        s.s_suppkey AS supplier_id,
+        trim(regexp_replace(s.s_name, '[\\r\\n]', ' ', 'g'))  AS clean_name,
+        trim(concat_ws(' ', COALESCE(s.s_name, ''), COALESCE(n.n_name, ''))) AS full_label,
+        concat_ws(';', CAST(s.s_suppkey AS VARCHAR), s.s_name) AS supp_key,
+        split_part(concat_ws(';', CAST(s.s_suppkey AS VARCHAR), s.s_name), ';', 2) AS name_back,
+        concat_ws('||', s.s_name, CAST(s.s_suppkey AS VARCHAR), n.n_name) AS owner_site_key,
+        'u!' || replace(replace(regexp_replace(base64(CAST(s.s_name AS BLOB)), '=+$', ''), '/', '_'), '+', '-') AS share_token,
+        regexp_extract('/tmp/exports/' || s.s_name || '.xlsx', '([^/]+)$', 1) AS file_basename
+    FROM supplier s
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    description="scalar function library: clean_text, full-name concat, "
+    "composite key, split-part, share token, basename (F1,F5,F6,F7,F10,F14)",
+)
+def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    supp_key = S.composite_key("s_suppkey", "s_name")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left")
+        .select(
+            F.col("s_suppkey").alias("supplier_id"),
+            S.clean_text("s_name").alias("clean_name"),
+            S.full_name("s_name", "n_name").alias("full_label"),
+            supp_key.alias("supp_key"),
+            S.split_part(supp_key, ";", 1).alias("name_back"),
+            S.org_owner_site_key("s_name", "s_suppkey", "n_name").alias("owner_site_key"),
+            S.share_token("s_name").alias("share_token"),
+            S.basename(F.concat(F.lit("/tmp/exports/"), F.col("s_name"), F.lit(".xlsx"))).alias(
+                "file_basename"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT-adjacent] window tier — running total (the reference's commented-out
+# "Cumulative Active Focus Org", /root/reference/modules/organisation.py:142)
+
+
+@register(
+    "running_total_window",
+    sql="""
+    SELECT
+        o_custkey  AS customer_id,
+        o_orderkey AS order_id,
+        round(sum(o_totalprice) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), 2) AS running_total
+    FROM orders
+    """,
+    description="per-key running total window (SURVEY §2.6 [EXT]-adjacent)",
+)
+def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    # Scale: one shuffle on o_custkey, per-partition sort — no global
+    # sort. Skewed customers are bounded (orders per customer ≪ partition
+    # size at any SF).
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "topk_per_group",
+    sql="""
+    SELECT customer_id, order_id, rank, round(total, 2) AS total
+    FROM (
+        SELECT
+            o_custkey  AS customer_id,
+            o_orderkey AS order_id,
+            o_totalprice AS total,
+            row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey DESC
+            ) AS rank
+        FROM orders
+    )
+    WHERE rank <= 3
+    """,
+    description="top-k per group via ranking window with total-order tiebreak",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .select("customer_id", "order_id", "rank", F.round("total", 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12 — semi-join reduction (task.py:141-180's "fetch only referenced dim
+# rows") and its anti-join dual
+
+
+@register(
+    "semi_join_pushdown",
+    sql="""
+    SELECT l_orderkey AS order_id, l_partkey AS part_id, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    description="left-semi join: scan rows whose key appears in a filtered "
+    "driving set (J12 semi-join pushdown)",
+)
+def semi_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference collects distinct IDs and issues IN-batched fetches;
+    # Spark-first this is a left-semi broadcast join: the filtered order
+    # keys broadcast as a runtime filter against the lineitem scan —
+    # the same reduction, without driver-side key collection.
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(big_orders), lineitem.l_orderkey == big_orders.o_orderkey, "left_semi"
+        )
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("part_id"),
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "anti_join_orphans",
+    sql="""
+    SELECT c_custkey AS customer_id, c_name AS customer_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    description="left-anti join: entities with no matching fact rows",
+)
+def anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2 + A4 — union of scans + dedup (page-fetch union —
+# /root/reference/modules/quote.py:92, task.py:98-101)
+
+
+@register(
+    "union_dedup",
+    sql="""
+    SELECT o_orderkey AS order_id, o_orderpriority AS priority, round(o_totalprice, 2) AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_orderkey AS order_id, o_orderpriority AS priority, round(o_totalprice, 2) AS total
+    FROM orders WHERE o_totalprice > 450000
+    """,
+    description="union of two scans + full-row dedup (U1/U2 + A4) — the "
+    "guard against page-overlap double reads",
+)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    proj = lambda df: df.select(  # noqa: E731
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round("o_totalprice", 2).alias("total"),
+    )
+    urgent = proj(orders.filter(F.col("o_orderpriority") == "1-URGENT"))
+    big = proj(orders.filter(F.col("o_totalprice") > 450000))
+    return urgent.unionByName(big).dropDuplicates()
