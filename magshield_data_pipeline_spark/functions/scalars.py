@@ -13,6 +13,8 @@ with an optional bs4 fallback.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -106,10 +108,16 @@ def composite_key(id_col: Column | str, name_col: Column | str) -> Column:
 def split_part(c: Column | str, delim: str, index: int) -> Column:
     """F7 — ``val.split(delim)[index]``
     (/root/reference/modules/opportunity.py:230-231). Null-safe: out-of-range
-    or null input yields null (caller coalesces)."""
+    or null input yields null (caller coalesces).
+
+    The delimiter is a *literal* string (Python ``str.split`` semantics),
+    so it is regex-escaped before reaching ``F.split``'s Java-regex
+    parameter — ``'||'`` and ``'.'`` are live delimiters in this codebase
+    (equipment's ``'Name||ID||User'`` keys, equiment.py:104-111).
+    """
     col = F.col(c) if isinstance(c, str) else c
     # getItem is 0-based like Python indexing
-    return F.split(col, delim).getItem(index)
+    return F.split(col, re.escape(delim)).getItem(index)
 
 
 def org_owner_site_key(
@@ -190,8 +198,10 @@ def extract_download_href(html: Column | str, anchor_text: str = "Download Repor
     machine-generated and regular.
     """
     col = F.col(html) if isinstance(html, str) else html
-    pattern = '<a[^>]*href="([^"]*)"[^>]*>[^<]*' + anchor_text
-    return F.regexp_extract(col, pattern, 1)
+    pattern = '<a[^>]*href="([^"]*)"[^>]*>[^<]*' + re.escape(anchor_text)
+    # regexp_extract yields '' on no match; the reference's bs4 path
+    # returns None — nullif restores null-on-miss semantics.
+    return F.nullif(F.regexp_extract(col, pattern, 1), F.lit(""))
 
 
 def url_query_param(url: Column | str, key: str) -> Column:

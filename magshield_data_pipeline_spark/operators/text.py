@@ -16,6 +16,8 @@ Design notes for scale:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -49,12 +51,13 @@ def char_count(text: Column | str) -> Column:
 
 
 def word_match_count(text: Column | str, word: str) -> Column:
-    """Occurrences of *word* as a whole word (case-insensitive)."""
-    return F.regexp_count(F.lower(_col(text)), F.lit(rf"\b{word}\b"))
+    """Occurrences of *word* as a whole word (case-insensitive). The word
+    is matched literally (regex-escaped)."""
+    return F.regexp_count(F.lower(_col(text)), F.lit(rf"\b{re.escape(word)}\b"))
 
 
 def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    pattern = r"\b(" + "|".join(stopwords) + r")\b"
+    pattern = r"\b(" + "|".join(re.escape(w) for w in stopwords) + r")\b"
     return F.regexp_count(F.lower(_col(text)), F.lit(pattern))
 
 
@@ -80,7 +83,7 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     t = F.lower(_col(text))
     out = {}
     for lang, words in LANG_MARKERS.items():
-        pattern = r"\b(" + "|".join(words) + r")\b"
+        pattern = r"\b(" + "|".join(re.escape(w) for w in words) + r")\b"
         out[lang] = F.regexp_count(t, F.lit(pattern))
     return out
 

@@ -73,15 +73,17 @@ def users_projection_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quote_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The reference realizes these joins as in-memory dicts probed per row
-    # (quote.py:104-131). Spark-first: broadcast the dims so the fact
-    # side streams through exchange-free — at 100 TB the orders scan is
-    # the only distributed work; no shuffle at all.
+    # (quote.py:104-131). Spark-first: broadcast the bounded dims
+    # (nation/region) so those joins are exchange-free. Customer is
+    # fact-proportional (150k × sf — it grows with the data), so it gets
+    # NO broadcast hint: at test SFs the size check broadcasts it anyway,
+    # and at 100 TB AQE picks sort-merge instead of OOMing the executors.
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
         .select(
@@ -155,24 +157,21 @@ def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row with null part (J7+J8, collect_list + explode_outer)",
 )
 def order_part_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Mirrors the reference's build-then-fan-out shape: group line items
-    # per order (J7 collect_list), then emit one row per product with the
-    # zero-product row preserved (J8 → explode_outer). Equivalent to a
-    # plain left join — the oracle states it that way — but this plan
-    # keeps the reference's intermediate (the per-order product list),
-    # which downstream queries reuse. Scale: one shuffle on l_orderkey;
-    # at 100 TB AQE skew-split handles hot orders.
+    # The reference builds a per-order product list then fans out one row
+    # per product (J7+J8); relationally that is exactly a plain left join,
+    # and the join is the scale-safe shape: a single sort-merge shuffle on
+    # the join key that AQE can skew-split, with no unbounded
+    # collect_list array on hot orders. (An earlier revision kept the
+    # collect_list+explode_outer intermediate; it was one extra
+    # aggregation stage with a skew hazard AQE cannot split.)
     orders = read_table(spark, sf_dir, "orders")
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    parts_per_order = lineitem.groupBy("l_orderkey").agg(
-        F.collect_list("l_partkey").alias("part_ids")
-    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return (
-        orders.join(parts_per_order, orders.o_orderkey == parts_per_order.l_orderkey, "left")
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
         .select(
             F.col("o_orderkey").alias("order_id"),
             F.col("o_orderstatus").alias("status"),
-            F.explode_outer("part_ids").alias("part_id"),
+            F.col("l_partkey").alias("part_id"),
         )
     )
 
@@ -185,28 +184,38 @@ def order_part_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "last_wins_fold",
     sql="""
+    WITH ranked AS (
+        SELECT
+            l_orderkey, l_partkey, l_suppkey,
+            row_number() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC
+            ) AS rn,
+            max(l_linenumber) OVER (PARTITION BY l_orderkey) AS last_line
+        FROM lineitem
+    )
     SELECT
         l_orderkey AS order_id,
-        arg_max(l_partkey, (CAST(l_linenumber AS BIGINT) * 10000000 + l_partkey) * 1000000 + l_suppkey) AS last_part_id,
-        arg_max(l_suppkey, (CAST(l_linenumber AS BIGINT) * 10000000 + l_partkey) * 1000000 + l_suppkey) AS last_supp_id,
-        max(l_linenumber)  AS last_line
-    FROM lineitem
-    GROUP BY l_orderkey
+        l_partkey  AS last_part_id,
+        l_suppkey  AS last_supp_id,
+        last_line
+    FROM ranked WHERE rn = 1
     """,
     description="order-sensitive last-wins fold over a per-entity sequence "
-    "(Q5) via max_by with a total-order key",
+    "(Q5) via max_by with a lexicographic struct key",
 )
 def last_wins_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The reference folds a LINKS array where later entries overwrite
-    # earlier ones. Relationally: max_by over a position key. The test
-    # data has duplicate (l_linenumber, l_partkey) pairs per order, so
-    # the position key is extended with l_suppkey to a total order
-    # (deterministic under the driver's hash). Scale: single
-    # partial-aggregatable shuffle.
+    # earlier ones. Relationally: max_by over a position key. The key is
+    # a struct compared lexicographically — correct at every SF, unlike a
+    # packed-integer key whose bands silently overflow once partkey
+    # outgrows the multiplier. The test data has duplicate
+    # (l_linenumber, l_partkey) pairs per order, so l_suppkey extends the
+    # key to a total order (deterministic under the driver's hash).
+    # Scale: single partial-aggregatable shuffle (max_by combines
+    # map-side; the oracle's window states the same semantics).
     lineitem = read_table(spark, sf_dir, "lineitem")
-    pos = (
-        F.col("l_linenumber").cast("bigint") * 10000000 + F.col("l_partkey")
-    ) * 1000000 + F.col("l_suppkey")
+    pos = F.struct("l_linenumber", "l_partkey", "l_suppkey")
     return lineitem.groupBy(F.col("l_orderkey").alias("order_id")).agg(
         F.max_by("l_partkey", pos).alias("last_part_id"),
         F.max_by("l_suppkey", pos).alias("last_supp_id"),
@@ -230,7 +239,7 @@ def last_wins_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         round(value, 2) AS value
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'signup'
-    ORDER BY ts DESC, event_id DESC
+    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC
     LIMIT 5
     """,
     description="server-side predicate + ORDER BY ... DESC LIMIT n scan "
@@ -240,7 +249,10 @@ def mail_scan_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark compiles orderBy().limit(n) to TakeOrderedAndProject — a
     # per-partition top-n + driver merge, no full sort, no shuffle of the
     # losing rows. The predicate pushes to the parquet scan. This is the
-    # 100 TB-safe shape for "latest n" queries.
+    # 100 TB-safe shape for "latest n" queries. The oracle orders by
+    # ts truncated to microseconds so both engines sort the same key —
+    # Spark reads the nanosecond parquet column floored to µs
+    # (sources/parquet.py) while DuckDB may keep full ns precision.
     events = read_table(spark, sf_dir, "events")
     return (
         events.filter(
@@ -283,10 +295,13 @@ def mail_scan_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(J11 generalized; TPC-H Q5 shape)",
 )
 def multi_hop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale: customer/nation/region broadcast; lineitem⋈orders is the one
-    # real shuffle (both sides huge at 100 TB — sort-merge with AQE).
-    # Join order: facts first, dims late, so Catalyst pushes the dim
-    # attributes through instead of widening the fact early.
+    # Scale: nation/region broadcast (bounded dims); lineitem⋈orders is
+    # the one real shuffle (both sides huge at 100 TB — sort-merge with
+    # AQE). Customer is fact-proportional, so no forced broadcast — the
+    # planner broadcasts it while it fits and falls back to sort-merge
+    # beyond the threshold. Join order: facts first, dims late, so
+    # Catalyst pushes the dim attributes through instead of widening the
+    # fact early.
     lineitem = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -294,7 +309,7 @@ def multi_hop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
