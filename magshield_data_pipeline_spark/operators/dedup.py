@@ -1,0 +1,225 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.10 [EXT]).
+
+Four tiers, cheapest to most thorough, all built from JVM-side column
+expressions (no Python UDFs — hashing/regex run inside whole-stage
+codegen):
+
+- **exact**: MD5 fingerprint of normalized text → one shuffle on a
+  uniform key; generalizes the reference's full-row ``drop_duplicates``
+  (/root/reference/modules/users.py:142 et al., SURVEY A4) to
+  content-keyed dedup.
+- **MinHash + LSH banding**: per-doc signature of k min-hashes over
+  word shingles, banded into buckets; candidate pairs = docs sharing a
+  band bucket. The bucket join is the only shuffle, and its key is a
+  hash → uniform. This is the 100 TB path: no all-pairs comparison.
+- **SimHash**: bit-majority fingerprint over shingle hashes; equal
+  fingerprints (or small hamming distance) → near-dups. One explode +
+  one groupBy shuffle on doc_id.
+- **exact n-gram Jaccard**: the verification baseline — explode
+  distinct shingles, self-join on shingle, count intersections. Exact
+  but quadratic in the worst case; use LSH at scale (hot shingles skew
+  the join — production would cap shingle document-frequency first).
+
+Hash parity note: every hash here is MD5 (identical hex output in
+Spark and DuckDB), so each operator has an exact SQL oracle twin in
+plans/ext_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from magshield_data_pipeline_spark.operators.text import fingerprint, normalize_text
+
+# MinHash parameters: K hash functions banded into BANDS bands of
+# ROWS_PER_BAND. P(candidate | jaccard j) = 1 - (1 - j^ROWS)^BANDS.
+MINHASH_K = 8
+MINHASH_BANDS = 4
+ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
+
+SIMHASH_BITS = 16  # nibbles of the md5 prefix; production would use 64
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles over normalized text. Documents shorter than
+    *n* words contribute one shingle (the whole text) so every doc has a
+    non-empty shingle set."""
+    words = F.split(normalize_text(text), " ")
+    k = F.size(words)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(k >= n, ngrams).otherwise(F.array(F.array_join(words, " ")))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct (normalized) text — the lowest id wins,
+    making the survivor set deterministic. Scale: one shuffle keyed on
+    the MD5 fingerprint (uniform, skew-free)."""
+    with_fp = df.withColumn("fp", fingerprint(text_col))
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    return (
+        with_fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _seeded_md5(seed: int):
+    # NB: must be a single-parameter lambda — PySpark calls two-parameter
+    # transform lambdas with (element, index), which would shadow the seed.
+    prefix = f"{seed}|"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(text: Column | str, k: int = MINHASH_K) -> list[Column]:
+    """k min-hashes over the shingle set: h_i = min(md5('{i}|' + s)).
+    MD5 with a seed prefix keeps the family deterministic and
+    reproducible in any engine with md5()."""
+    shingles = word_shingles(text)
+    return [
+        F.array_min(F.transform(shingles, _seeded_md5(i))).alias(f"h{i}")
+        for i in range(k)
+    ]
+
+
+def lsh_band_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, bucket) rows: the LSH index. Docs sharing a bucket in
+    any band are near-dup candidates. One row per doc per band."""
+    sig = df.select(F.col(id_col), *minhash_signature(text_col))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.explode(bands).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (doc_a < doc_b) from the LSH
+    index. The self-join shuffles on (band, bucket) — a hash key, so
+    uniform; bucket sizes are tiny for any sane banding, so the join
+    fan-out is bounded."""
+    buckets = lsh_band_buckets(df, text_col, id_col)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bit-majority SimHash fingerprint (SIMHASH_BITS wide, from the md5
+    hex prefix of each shingle). Equal fingerprints → near-dup block key.
+    Plan: explode shingles → per-bit conditional sums in one groupBy on
+    the doc id (single shuffle, partially aggregated map-side). The bit
+    width is a parameter: 16 here so the oracle SQL stays reviewable;
+    production uses 64 with the identical plan shape."""
+    hex_chars = SIMHASH_BITS // 4
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col)).alias("s"),
+    ).select(
+        F.col(id_col), F.substring(F.md5(F.col("s")), 1, hex_chars).alias("h")
+    )
+    sums = []
+    for j in range(SIMHASH_BITS):
+        ci, bi = j // 4, 3 - (j % 4)
+        nibble = F.conv(F.substring(F.col("h"), ci + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nibble, bi).bitwiseAND(F.lit(1))
+        sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    per_doc = exploded.groupBy(id_col).agg(*sums)
+    fp_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << (SIMHASH_BITS - 1 - j))).otherwise(
+            F.lit(0)
+        )
+        fp_expr = term if fp_expr is None else fp_expr + term
+    return per_doc.select(F.col(id_col), fp_expr.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word shingles for every
+    pair sharing at least one shingle; keep pairs ≥ *threshold*.
+
+    This is the exact verifier for the LSH candidates, not the scale
+    path: the shingle self-join is quadratic in bucket size and hot
+    shingles skew it (production caps shingle document-frequency or
+    goes straight to minhash_candidate_pairs)."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col))).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.col("i") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(na, F.col("doc_a") == F.col(f"na.{id_col}"))
+        .join(nb, F.col("doc_b") == F.col(f"nb.{id_col}"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (SURVEY §2.10 [EXT]).
+
+Two tiers:
+
+- **brute-force top-k** (`brute_force_topk`): the correctness baseline.
+  The query set broadcasts (it is always the small side); the corpus
+  streams through one scan computing cosine per (query, vector) pair,
+  then a per-query top-k window. No shuffle of the corpus beyond the
+  window's partition-by-query exchange — at 100 TB the scan dominates
+  and parallelizes perfectly.
+- **IVF (inverted-file) top-k** (`ivf_topk`): the scale path. Vectors
+  are assigned to their nearest centroid once (broadcast centroids, one
+  scan); a query then probes only its own centroid's cluster, cutting
+  compared pairs by ~n_clusters×. Centroid choice is pluggable — here a
+  deterministic subset of the data stands in for k-means output, which
+  keeps the operator oracle-checkable; swap in real centroids without
+  touching the plan shape.
+
+All vector math is JVM-side higher-order functions (zip_with/aggregate
+fold) over `array<double>` — no Python UDFs. Arrays are cast
+float→double first so scores are reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double_vec(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Cosine similarity rounded to *decimals* — rounding BEFORE any
+    ordering is what keeps top-k ranks engine-reproducible (last-ulp
+    float noise cannot flip an order on a rounded key)."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k nearest corpus vectors per query vector by cosine.
+
+    *queries* is broadcast (the small side by construction); self-matches
+    (same id) are excluded. Ties on the rounded score break by vec_id so
+    the result is a total order."""
+    corpus = emb.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    qs = queries.select(
+        F.col(query_id_col), as_double_vec(query_vec_col).alias("qv")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("v"), F.col("qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id, v) — each vector assigned to its
+    highest-cosine centroid (ties → lowest centroid id). Centroids
+    broadcast; one corpus scan."""
+    corpus = emb.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), as_double_vec(vec_col).alias("cv")
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "v",
+        "centroid_id",
+        cosine(F.col("v"), F.col("cv")).alias("cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cscore").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "centroid_id", "v")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the query's own cluster
+    (nprobe=1; raise by joining more clusters per query — plan shape is
+    identical). Returns (query_id, vec_id, score, rank)."""
+    assigned = assign_clusters(emb, centroids, id_col, vec_col)
+    q_assigned = (
+        assign_clusters(
+            queries.select(
+                F.col(query_id_col).alias(id_col), F.col(vec_col)
+            ),
+            centroids,
+            id_col,
+            vec_col,
+        )
+        .select(
+            F.col(id_col).alias(query_id_col),
+            F.col("centroid_id"),
+            F.col("v").alias("qv"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(q_assigned), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("v"), F.col("qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

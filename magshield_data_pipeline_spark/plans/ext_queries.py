@@ -1,2 +1,327 @@
-"""[EXT] scale-tier queries (SURVEY §2.10): dedup, similarity search,
-text analysis, event windows — populated as operators land."""
+"""[EXT] scale-tier queries (SURVEY §2.10): text analysis, dedup,
+similarity search over the driver's ``documents`` / ``embeddings``
+fixtures.
+
+Every query here is the registry twin of an operator in
+``operators/text.py``, ``operators/dedup.py`` or
+``operators/similarity.py``; the oracle SQL strings are generated from
+the SAME constants (stopword list, language markers, minhash seeds) so
+the two sides cannot drift. All hashes are MD5 — bit-identical hex in
+Spark and DuckDB — which is what makes minhash/simhash/fingerprint
+oracle-checkable at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.operators import dedup as D
+from magshield_data_pipeline_spark.operators import similarity as V
+from magshield_data_pipeline_spark.operators import text as T
+from magshield_data_pipeline_spark.plans.registry import register
+from magshield_data_pipeline_spark.sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments (DuckDB). These mirror, fragment by
+# fragment, the column expressions in operators/text.py and dedup.py.
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_WORDS = f"str_split({_NORM}, ' ')"
+# word 3-gram shingles; short docs contribute the whole text as one shingle
+_SHINGLES = (
+    "CASE WHEN len(w) >= 3 "
+    "THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)] "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+
+_STOP_PATTERN = r"\b(" + "|".join(T.STOPWORDS_EN) + r")\b"
+_PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def _lang_score_sql(lang: str) -> str:
+    pattern = r"\b(" + "|".join(T.LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pattern}'))"
+
+
+def _lang_case_sql() -> str:
+    # first language (in code order) achieving the maximum marker count
+    # wins — the exact fold order of operators/text.py::lang_id
+    langs = sorted(T.LANG_MARKERS)  # de, en, es, fr
+    scores = [f"s_{l}" for l in langs]
+    branches = [f"WHEN greatest({', '.join(scores)}) = 0 THEN 'und'"]
+    for i, lang in enumerate(langs[:-1]):
+        rest = scores[i + 1 :]
+        conds = " AND ".join(f"s_{lang} >= {r}" for r in rest)
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    branches.append(f"ELSE '{langs[-1]}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+# ---------------------------------------------------------------------------
+# EXT-4 — text analysis profile (wires operators/text.py)
+
+_PROFILE_SQL = f"""
+WITH m AS (
+    SELECT
+        doc_id,
+        len(regexp_split_to_array(trim(text), '\\s+'))          AS n_tokens,
+        length(text)                                             AS n_chars_computed,
+        len(regexp_extract_all(lower(text), '{_STOP_PATTERN}'))  AS n_stopwords,
+        len(regexp_extract_all(text, '{_PUNCT_PATTERN}'))        AS n_punct,
+        {_lang_score_sql('de')} AS s_de,
+        {_lang_score_sql('en')} AS s_en,
+        {_lang_score_sql('es')} AS s_es,
+        {_lang_score_sql('fr')} AS s_fr,
+        md5({_NORM}) AS fp
+    FROM documents
+)
+SELECT
+    doc_id, n_tokens, n_chars_computed, n_stopwords, n_punct,
+    round((least(n_stopwords / greatest(n_tokens * 1.0, 1.0), 0.4) / 0.4
+           + CASE WHEN n_punct > 0 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN n_chars_computed BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END
+          ) / 3.0, 4) AS quality,
+    {_lang_case_sql()} AS lang_guess,
+    fp
+FROM m
+"""
+
+
+@register(
+    "document_profile",
+    sql=_PROFILE_SQL,
+    description="one-scan text-analysis profile: token/char/stopword/punct "
+    "counts, quality score, n-gram language id, MD5 fingerprint (EXT-4)",
+)
+def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure projection — no shuffle at any scale; every expression is a
+    # JVM-side regexp/hash inside whole-stage codegen.
+    docs = read_table(spark, sf_dir, "documents")
+    return T.document_profile(docs, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# EXT-1 — exact dedup over documents
+
+_EXACT_DEDUP_SQL = f"""
+SELECT doc_id, lang, source, fp FROM (
+    SELECT doc_id, lang, source, md5({_NORM}) AS fp,
+           row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
+"""
+
+
+@register(
+    "exact_dedup_documents",
+    sql=_EXACT_DEDUP_SQL,
+    description="content-keyed exact dedup: one survivor (lowest doc_id) per "
+    "normalized-text MD5 fingerprint (EXT-1; generalizes A4 dropDuplicates)",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: single shuffle keyed on the MD5 fingerprint — uniform by
+    # construction, no skew mitigation needed.
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "lang", "source", "fp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT-2a — MinHash+LSH near-dup candidate pairs
+
+_SIG_COLS = ", ".join(
+    f"list_min([md5('{i}|' || s) for s in sh]) AS h{i}" for i in range(D.MINHASH_K)
+)
+_BUCKET_SELECTS = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{b * D.ROWS_PER_BAND} || h{b * D.ROWS_PER_BAND + 1}) AS bucket FROM sig"
+    for b in range(D.MINHASH_BANDS)
+)
+_MINHASH_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh  AS (SELECT doc_id, {_SHINGLES} AS sh FROM w),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh),
+buckets AS ({_BUCKET_SELECTS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "minhash_near_dup_pairs",
+    sql=_MINHASH_SQL,
+    description=f"MinHash({D.MINHASH_K} hashes, {D.MINHASH_BANDS} bands) + LSH "
+    "banding: candidate near-dup pairs via bucket self-join (EXT-2, scale path)",
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: signature pass is a pure projection; the only shuffle is the
+    # self-join on (band, bucket) — a hash key, uniform, with bounded
+    # bucket sizes. This is how near-dedup avoids all-pairs at 100 TB.
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(docs, text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# EXT-2b — exact n-gram Jaccard pairs (the verifier for the LSH candidates)
+
+_JACCARD_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM w),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i / (x.n + y.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE i / (x.n + y.n - i) >= 0.5
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    sql=_JACCARD_SQL,
+    description="exact word-3-gram Jaccard similarity pairs ≥ 0.5 via shingle "
+    "self-join (EXT-2, exact verifier for the LSH candidates)",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact but join-heavy: shuffles on the shingle string. Hot shingles
+    # skew it at scale — production caps shingle document-frequency or
+    # uses minhash_near_dup_pairs; this query is the correctness anchor.
+    docs = read_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# EXT-2c — SimHash fingerprint
+
+def _simhash_sums_sql() -> str:
+    terms = []
+    for j in range(D.SIMHASH_BITS):
+        ci, bi = j // 4 + 1, 3 - (j % 4)
+        bit = f"(((strpos('0123456789abcdef', substr(h, {ci}, 1)) - 1) >> {bi}) & 1)"
+        terms.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{j}")
+    return ",\n        ".join(terms)
+
+
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {1 << (D.SIMHASH_BITS - 1 - j)} ELSE 0 END"
+    for j in range(D.SIMHASH_BITS)
+)
+_SIMHASH_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM w),
+h  AS (SELECT doc_id, substr(md5(s), 1, {D.SIMHASH_BITS // 4}) AS h FROM sh),
+bits AS (
+    SELECT doc_id,
+        {_simhash_sums_sql()}
+    FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@register(
+    "simhash_fingerprints",
+    sql=_SIMHASH_SQL,
+    description=f"{D.SIMHASH_BITS}-bit SimHash (bit-majority over shingle md5 "
+    "prefixes): equal fingerprints → near-dup block key (EXT-2)",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: explode + one partially-aggregated groupBy on doc_id. Bit
+    # width is a parameter (16 keeps the oracle reviewable; production
+    # uses 64 with the same plan).
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash(docs, text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# EXT-3a — brute-force cosine top-k over embeddings
+
+_TOPK_K = 10
+_BRUTE_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (
+    SELECT query_id, vec_id, round(list_cosine_similarity(v, qv), 6) AS score
+    FROM e CROSS JOIN q WHERE vec_id != query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM s
+) WHERE rank <= {_TOPK_K}
+"""
+
+
+@register(
+    "embedding_topk_cosine",
+    sql=_BRUTE_TOPK_SQL,
+    description=f"brute-force cosine top-{_TOPK_K} per query vector: broadcast "
+    "queries × one corpus scan + per-query ranking window (EXT-3 baseline)",
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the query set broadcasts (small side by construction); the
+    # corpus streams through one scan; the only exchange partitions by
+    # query for the top-k window. Scores are rounded BEFORE ordering so
+    # ranks are reproducible across engines.
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return V.brute_force_topk(emb, queries, k=_TOPK_K)
+
+
+# ---------------------------------------------------------------------------
+# EXT-3b — IVF-bucketed top-k (the scale path)
+
+_IVF_K = 5
+_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+scored_asg AS (
+    SELECT e.vec_id, e.v, centroid_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, centroid_id
+           ) AS arn
+    FROM e CROSS JOIN cents
+),
+asg AS (SELECT vec_id, v, centroid_id FROM scored_asg WHERE arn = 1),
+q AS (SELECT vec_id AS query_id, centroid_id, v AS qv FROM asg WHERE vec_id < 5),
+s AS (
+    SELECT query_id, a.vec_id, round(list_cosine_similarity(a.v, qv), 6) AS score
+    FROM asg a JOIN q USING (centroid_id)
+    WHERE a.vec_id != query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM s
+) WHERE rank <= {_IVF_K}
+"""
+
+
+@register(
+    "embedding_ivf_topk",
+    sql=_IVF_SQL,
+    description=f"IVF top-{_IVF_K}: assign vectors to nearest centroid once, "
+    "then probe only the query's cluster (EXT-3 scale path, nprobe=1)",
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: centroids broadcast; assignment is one corpus scan; the
+    # probe joins only same-cluster pairs, cutting compared pairs by
+    # ~n_clusters×. Deterministic centroid pick (vec_id % 100 == 0)
+    # stands in for k-means output so the operator stays
+    # oracle-checkable; real centroids drop in without a plan change.
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return V.ivf_topk(emb, centroids, queries, k=_IVF_K)

@@ -1,0 +1,147 @@
+"""Unit tests for the [EXT] tier: dedup, similarity, text analysis
+(operators/dedup.py, operators/similarity.py, operators/text.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.operators import dedup as D
+from magshield_data_pipeline_spark.operators import similarity as V
+from magshield_data_pipeline_spark.operators import text as T
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  quick   brown fox jumps over the lazy dog"),  # exact dup of 1 after normalize
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, "ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_word_shingles_basic(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    [row] = df.select(D.word_shingles("text").alias("sh")).collect()
+    assert row.sh == ["a b c", "b c d"]
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    [row] = df.select(D.word_shingles("text").alias("sh")).collect()
+    assert row.sh == ["a b"]
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    out = D.exact_dedup(docs).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in out)
+    # doc 2 normalizes to doc 1's text → only the lower id survives
+    assert ids == [1, 3, 4, 5]
+
+
+def test_minhash_pairs_exact_dups_always_candidates(docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_candidate_pairs(docs).collect()
+    }
+    # identical normalized text ⇒ identical signature ⇒ all bands collide
+    assert (1, 2) in pairs
+    # unrelated text should not collide in any band
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_jaccard_identical_docs_is_one(docs):
+    rows = {(r.doc_a, r.doc_b): r.jaccard for r in D.jaccard_pairs(docs).collect()}
+    assert rows[(1, 2)] == pytest.approx(1.0)
+    # near-dup (one word differs) has high but sub-1 similarity
+    assert (1, 3) in rows and 0.5 <= rows[(1, 3)] < 1.0
+
+
+def test_simhash_equal_for_identical_text(docs):
+    fps = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert fps[1] == fps[2]
+    assert 0 <= fps[1] < (1 << D.SIMHASH_BITS)
+    # different content may collide at 16 bits, but not for these fixtures
+    assert fps[1] != fps[4]
+
+
+@pytest.fixture()
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_brute_force_topk_matches_numpy_ordering(emb):
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = V.brute_force_topk(emb, queries, k=2).collect()
+    assert [(r.vec_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+    assert out[0].score == pytest.approx(round(_cos([1, 0, 0], [0.9, 0.1, 0.0]), 6))
+
+
+def test_brute_force_topk_excludes_self(emb):
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = V.brute_force_topk(emb, queries, k=10).collect()
+    assert all(r.vec_id != 0 for r in out)
+    assert len(out) == 4
+
+
+def test_ivf_assignment_and_probe(emb):
+    # centroids: vec 0 (x-axis) and vec 2 (y-axis)
+    centroids = emb.filter(F.col("vec_id").isin([0, 2]))
+    assigned = {
+        r.vec_id: r.centroid_id
+        for r in V.assign_clusters(emb, centroids).collect()
+    }
+    assert assigned == {0: 0, 1: 0, 2: 2, 3: 2, 4: 2}
+    # vec 4 is anti-parallel to centroid 0: cos=-1 vs centroid 2: cos=0 → joins cluster 2
+    queries = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = V.ivf_topk(emb, centroids, queries, k=3).collect()
+    # query 1 lives in cluster 0 → only vec 0 is probed (3 and 2 are in cluster 2)
+    assert [r.vec_id for r in out] == [0]
+
+
+def test_document_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, quickly.")], ["doc_id", "text"]
+    )
+    [row] = T.document_profile(df).collect()
+    assert row.n_tokens == 6
+    assert row.n_stopwords == 3  # the, and, the
+    assert row.n_punct == 2  # comma + period
+    assert row.lang_guess == "en"
+    assert len(row.fp) == 32
+
+
+def test_lang_id_ties_and_default(spark):
+    df = spark.createDataFrame(
+        [(1, "xyzzy plugh"), (2, "el que los"), (3, "der und ist")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_guess for r in T.document_profile(df).collect()}
+    assert out[1] == "und"
+    assert out[2] == "es"
+    assert out[3] == "de"
