@@ -66,3 +66,4 @@ def oracle_sql() -> dict[str, str]:
 # importing the plan modules populates the registry
 from magshield_data_pipeline_spark.plans import reference_queries  # noqa: E402,F401
 from magshield_data_pipeline_spark.plans import ext_queries  # noqa: E402,F401
+from magshield_data_pipeline_spark.plans import nested_queries  # noqa: E402,F401
