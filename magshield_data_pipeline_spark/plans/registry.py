@@ -67,3 +67,4 @@ def oracle_sql() -> dict[str, str]:
 from magshield_data_pipeline_spark.plans import reference_queries  # noqa: E402,F401
 from magshield_data_pipeline_spark.plans import ext_queries  # noqa: E402,F401
 from magshield_data_pipeline_spark.plans import nested_queries  # noqa: E402,F401
+from magshield_data_pipeline_spark.plans import window_queries  # noqa: E402,F401

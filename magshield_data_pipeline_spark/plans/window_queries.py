@@ -1,0 +1,165 @@
+"""Event-time window queries over ``events`` (SURVEY §2.10 [EXT]):
+tumbling, sliding, session windows; exact + approximate distinct; and a
+Structured Streaming run oracle-checked against the same SQL as batch
+(stream/batch parity via Trigger.AvailableNow).
+
+Window-alignment parity: Spark's ``window()`` aligns to the epoch,
+DuckDB's ``time_bucket`` to 2000-01-01 — both midnight-aligned, so
+hour/minute buckets coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.plans.registry import register
+from magshield_data_pipeline_spark.sources.parquet import read_table
+from magshield_data_pipeline_spark.streaming import windows as W
+
+_TUMBLING_SQL = """
+SELECT
+    strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    event_type,
+    count(*) AS n_events,
+    round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "tumbling_window_rollup",
+    sql=_TUMBLING_SQL,
+    description="tumbling 1-hour event-time windows per event_type (EXT-5)",
+)
+def tumbling_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: single shuffle on (window, event_type) — bounded
+    # cardinality; partial aggregation collapses events map-side.
+    events = read_table(spark, sf_dir, "events")
+    return W.tumbling_counts(events, "1 hour")
+
+
+_SLIDING_SQL = """
+WITH buckets AS (
+    SELECT
+        unnest([time_bucket(INTERVAL '5 minutes', ts),
+                time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws,
+        value
+    FROM events
+)
+SELECT
+    strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+    strftime(ws + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+    count(*) AS n_events,
+    round(sum(value), 2) AS value_sum
+FROM buckets
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "sliding_window_activity",
+    sql=_SLIDING_SQL,
+    description="sliding 10-minute windows every 5 minutes: each event lands "
+    "in width/slide windows (EXT-5)",
+)
+def sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle states the semantics directly: an event belongs to the
+    # two 5-minute-aligned windows that contain it.
+    events = read_table(spark, sf_dir, "events")
+    return W.sliding_user_activity(events, "10 minutes", "5 minutes")
+
+
+_SESSION_SQL = """
+WITH o AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+m AS (
+    -- Spark merges an event at exactly prev+gap into the session
+    -- (boundary inclusive): a new session needs a STRICTLY larger gap
+    SELECT user_id, ts, value,
+           CASE WHEN prev IS NULL OR ts > prev + INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM o
+),
+g AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM m
+)
+SELECT
+    user_id,
+    strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+    strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+    count(*) AS n_events,
+    round(sum(value), 2) AS value_sum
+FROM g GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "session_window_rollup",
+    sql=_SESSION_SQL,
+    description="session windows per user, 30-minute inactivity gap; the "
+    "oracle is the equivalent gaps-and-islands SQL (EXT-5)",
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window end = last event + gap; a new session starts when
+    # the gap to the previous event is >= 30 min (window end exclusive).
+    # Scale: shuffle on user_id; state per open session only when run
+    # as a stream (watermark bounds it).
+    events = read_table(spark, sf_dir, "events")
+    return W.session_windows(events, "30 minutes")
+
+
+@register(
+    "distinct_users_per_type",
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    description="exact distinct-user count per event type (EXT-6 exact twin)",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    sql=None,  # HLL sketches are implementation-specific — rows-only check
+    description="approx_count_distinct (HLL) users per event type (EXT-6); "
+    "sketch values are engine-specific so no SQL oracle, rows-only",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # At 100 TB this replaces the exact twin: no per-key distinct state,
+    # one pass, fixed-size sketches merged map-side.
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "streaming_tumbling_counts",
+    sql=_TUMBLING_SQL,
+    description="Structured Streaming run of the tumbling rollup "
+    "(readStream → watermark → window → memory sink, Trigger.AvailableNow); "
+    "oracle-checked against the SAME SQL as the batch path (EXT-5)",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream/batch parity is the check: the identical transformation
+    # over readStream must produce the batch answer once every available
+    # file is processed.
+    stream = W.read_events_stream(spark, sf_dir)
+    return W.run_available_now(W.tumbling_counts(stream, "1 hour"))

@@ -1,0 +1,127 @@
+"""Event-time windowing over the ``events`` table — batch and streaming.
+
+The reference has no streaming surface (its refresh model is "HTTP
+trigger → full re-extract → overwrite", SURVEY §2.10); this tier is the
+driver-mandated [EXT] extension. Design rule: every windowed
+transformation is written once as a pure ``DataFrame → DataFrame``
+function that works on BOTH a batch frame and a ``readStream`` frame —
+Structured Streaming's unified model makes stream/batch parity a
+property of the code, and the oracle harness checks the streaming path
+against the same DuckDB SQL as the batch path.
+
+Scale posture: windowed aggregations shuffle on (window, key) — bounded
+cardinality per trigger; watermarks bound state so a 100 TB/day stream
+doesn't accumulate unbounded window state. ``Trigger.AvailableNow``
+gives the batch-equivalent "process everything then stop" used here and
+in production backfills.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.sources.parquet import ensure_runtime_confs
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over events.parquet. Schema comes from the static
+    footer read (streaming file sources require an explicit schema); the
+    nanosecond ts column is rebuilt to a microsecond timestamp exactly
+    like the batch reader (sources/parquet.py)."""
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the streaming file source requires a directory basePath; select
+    # just the events file with a glob filter
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows per event_type: count + value sum.
+    Works on batch and streaming frames alike."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding windows (width > slide ⇒ each event lands in
+    width/slide windows): distinct-ish activity per window."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            F.date_format("w.end", _TS_FMT).alias("window_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after *gap* of
+    inactivity. Spark's session_window end = last event + gap."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            # session bounds inherit event-time µs precision (unlike
+            # tumbling/sliding starts, which align to whole boundaries)
+            F.date_format("w.start", _TS_FMT + ".SSSSSS").alias("session_start"),
+            F.date_format("w.end", _TS_FMT + ".SSSSSS").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into an
+    in-memory table and return the materialized result: process every
+    available file, then stop — the streaming equivalent of a batch run
+    (used for backfills and for stream/batch parity checks)."""
+    name = name or f"stream_result_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
