@@ -1,0 +1,92 @@
+"""Round-trip tests for sinks (K1/K2) and the report-ingest pipeline
+(S5-S7, F11/F12/F14)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark import schemas as SCH
+from magshield_data_pipeline_spark import sinks
+from magshield_data_pipeline_spark.sources import reports
+
+
+@pytest.fixture()
+def small_df(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], ["id", "val"]
+    )
+
+
+def test_overwrite_by_name_replaces(spark, small_df, tmp_path):
+    base = str(tmp_path)
+    p1 = sinks.overwrite_by_name(small_df, base, "export.parquet")
+    assert spark.read.parquet(p1).count() == 3
+    # K2: a second write under the same name REPLACES (upsert semantics)
+    p2 = sinks.overwrite_by_name(small_df.filter(F.col("id") == 1), base, "export.parquet")
+    assert p1 == p2
+    assert spark.read.parquet(p2).count() == 1
+
+
+def test_write_excel_empty_skips(spark, small_df, tmp_path):
+    empty = small_df.filter(F.lit(False))
+    assert sinks.write_excel(empty, str(tmp_path / "out.xlsx")) is None
+
+
+def test_write_excel_round_trip(spark, small_df, tmp_path):
+    out = sinks.write_excel(small_df, str(tmp_path / "out.xlsx"))
+    assert out is not None and os.path.exists(out)
+    if out.endswith(".xlsx"):  # openpyxl present
+        import pandas as pd
+
+        assert len(pd.read_excel(out)) == 3
+    else:  # documented CSV fallback in openpyxl-less images
+        assert out.endswith(".csv")
+        assert reports.read_csv(spark, out).count() == 3
+
+
+def test_csv_round_trip_and_sniff(spark, small_df, tmp_path):
+    csv_path = str(tmp_path / "report.data")  # no extension → sniffed
+    small_df.toPandas().to_csv(csv_path, index=False)
+    df = reports.sniff_and_read(spark, csv_path)
+    assert df.count() == 3 and set(df.columns) == {"id", "val"}
+
+
+def test_mail_report_ingest_pipeline(spark):
+    href = "https://r.example.com/redirect?url=https%3A%2F%2Ffiles.example.com%2Freports%2FPipeline%20Report.csv"
+    mail = spark.createDataFrame(
+        [
+            {"message_id": "m1", "receivedDateTime": "2024-02-01 10:00:00",
+             "sender_address": "reports@crm.example", "subject": "Weekly Pipeline Report",
+             "body_html": f'<html><a class="x" href="{href}">Download Report</a></html>'},
+            # newer, matching sender, but wrong subject → filtered after top-n
+            {"message_id": "m2", "receivedDateTime": "2024-02-02 10:00:00",
+             "sender_address": "reports@crm.example", "subject": "Invoice summary",
+             "body_html": "<a href='https://x/other'>Download Report</a>"},
+            # wrong sender → excluded by the scan predicate
+            {"message_id": "m3", "receivedDateTime": "2024-02-03 10:00:00",
+             "sender_address": "spam@other", "subject": "Pipeline Report",
+             "body_html": "<a href='https://x/spam'>Download Report</a>"},
+        ],
+        schema=SCH.MAIL_MESSAGE_SCHEMA,
+    )
+    msg = reports.latest_report_message(
+        mail, "reports@crm.example", "Pipeline Report", "2024-01-20 00:00:00"
+    )
+    [link] = reports.extract_report_link(msg).collect()
+    assert link.message_id == "m1"
+    assert link.href == href
+    assert link.report_url == "https://files.example.com/reports/Pipeline Report.csv"
+    assert link.report_filename == "Pipeline Report.csv"
+
+
+def test_extract_link_null_on_miss(spark):
+    mail = spark.createDataFrame(
+        [{"message_id": "m1", "receivedDateTime": "2024-02-01 00:00:00",
+          "sender_address": "s", "subject": "x", "body_html": "<p>no links</p>"}],
+        schema=SCH.MAIL_MESSAGE_SCHEMA,
+    )
+    [row] = reports.extract_report_link(mail).collect()
+    assert row.href is None  # F11: null on miss (bs4 parity)
