@@ -116,11 +116,7 @@ def organisation_export(orgs: DataFrame) -> DataFrame:
     cf = _cf()
     # P5: bool(cf.get("Active__c", False)) — Python truthiness of the
     # string value: any non-empty string (even 'False') is True
-    focus = F.when(
-        F.element_at(cf, F.lit("Active__c")).isNotNull()
-        & (F.element_at(cf, F.lit("Active__c")) != ""),
-        F.lit(True),
-    ).otherwise(F.lit(False))
+    focus = S.truthy_str(F.element_at(cf, F.lit("Active__c")))
     return orgs.select(
         F.col("ORGANISATION_ID").alias("Organization ID"),
         S.clean_text(S.coalesce_str("ORGANISATION_NAME")).alias("Organization Name"),
@@ -663,7 +659,7 @@ def opportunity_export(
         F.col("PROBABILITY").alias("Probability"),
         ct("_rsn_name").alias("State Reason"),
         # P5: WON → 'TRUE'/'FALSE'
-        F.when(F.col("OPPORTUNITY_STATE") == "WON", "TRUE").otherwise("FALSE").alias("Won"),
+        S.encode_bool_flag(F.col("OPPORTUNITY_STATE") == "WON").alias("Won"),
         trial.alias("Trial?"),
         S.cf_get(mm, "Quantity__c").alias("Opportunity Product Quantity"),
         ct("_pbk_name").alias("Pricebook Name"),

@@ -174,7 +174,34 @@ def conditional_link_count(links: Column | str, object_name: str) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# encoding / url / path (F10–F14)
+# CASE / boolean encoders (P5)
+
+
+def encode_bool_flag(cond: Column) -> Column:
+    """P5 — ``"TRUE" if cond else "FALSE"``
+    (/root/reference/modules/opportunity.py:221)."""
+    return F.when(cond, F.lit("TRUE")).otherwise(F.lit("FALSE"))
+
+
+def truthy_str(c: Column | str) -> Column:
+    """P5 — Python truthiness of a string value:
+    ``bool(cf.get("Active__c", False))``
+    (/root/reference/modules/organisation.py:127). Any non-empty string
+    (including ``'False'``) is True; null/missing/'' is False."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(col.isNotNull() & (col != ""), F.lit(True)).otherwise(F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# encoding / url / path / json (F10–F14)
+
+
+def json_get(c: Column | str, path: str) -> Column:
+    """F13 — JSON field access on a JSON-string column
+    (/root/reference/modules/quote.py:110 consumes point-lookup JSON).
+    ``path`` is a JSONPath like ``$.k``."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.get_json_object(col, path)
 
 
 def share_token(url: Column | str) -> Column:

@@ -420,17 +420,32 @@ def date_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_part(concat_ws(';', CAST(s.s_suppkey AS VARCHAR), s.s_name), ';', 2) AS name_back,
         concat_ws('||', s.s_name, CAST(s.s_suppkey AS VARCHAR), n.n_name) AS owner_site_key,
         'u!' || replace(replace(regexp_replace(base64(CAST(s.s_name AS BLOB)), '=+$', ''), '/', '_'), '+', '-') AS share_token,
-        regexp_extract('/tmp/exports/' || s.s_name || '.xlsx', '([^/]+)$', 1) AS file_basename
+        regexp_extract('/tmp/exports/' || s.s_name || '.xlsx', '([^/]+)$', 1) AS file_basename,
+        array_to_string(list_filter([s.s_name, '', n.n_name], x -> x IS NOT NULL AND x != ''), ' and ') AS joined_nonempty,
+        regexp_extract('<a href="https://ex.example/dl?url=rep%20' || CAST(s.s_suppkey AS VARCHAR) || '.csv">Download Report</a>',
+                       '<a[^>]*href="([^"]*)"[^>]*>[^<]*Download Report', 1) AS report_href,
+        replace(regexp_extract('<a href="https://ex.example/dl?url=rep%20' || CAST(s.s_suppkey AS VARCHAR) || '.csv">Download Report</a>',
+                       '[?&]url=([^"&]*)', 1), '%20', ' ') AS report_url
     FROM supplier s
     LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
     """,
     description="scalar function library: clean_text, full-name concat, "
-    "composite key, split-part, share token, basename (F1,F5,F6,F7,F10,F14)",
+    "composite key, split-part, share token, basename, non-empty array "
+    "join, HTML href extract, URL query decode "
+    "(F1,F5,F6,F7,F8,F10,F11,F12,F14)",
 )
 def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
     supp_key = S.composite_key("s_suppkey", "s_name")
+    # a synthetic report-mail anchor per supplier exercises F11/F12 on an
+    # oracle-checkable surface (the real pipeline runs them in
+    # sources/reports.py)
+    html = F.concat(
+        F.lit('<a href="https://ex.example/dl?url=rep%20'),
+        F.col("s_suppkey").cast("string"),
+        F.lit('.csv">Download Report</a>'),
+    )
     return (
         supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left")
         .select(
@@ -444,6 +459,9 @@ def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.basename(F.concat(F.lit("/tmp/exports/"), F.col("s_name"), F.lit(".xlsx"))).alias(
                 "file_basename"
             ),
+            S.join_nonempty(F.array("s_name", F.lit(""), "n_name")).alias("joined_nonempty"),
+            S.extract_download_href(html).alias("report_href"),
+            S.url_query_param(S.extract_download_href(html), "url").alias("report_url"),
         )
     )
 
@@ -618,3 +636,120 @@ def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = proj(orders.filter(F.col("o_orderpriority") == "1-URGENT"))
     big = proj(orders.filter(F.col("o_totalprice") > 450000))
     return urgent.unionByName(big).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# S3/A5 — metadata count probe (the reference's X-Total-Count header read —
+# /root/reference/modules/opportunity.py:70-76)
+
+
+@register(
+    "count_probe",
+    sql="""
+    SELECT
+        (SELECT count(*) FROM orders)   AS n_orders,
+        (SELECT count(*) FROM lineitem) AS n_lineitem,
+        (SELECT count(*) FROM customer) AS n_customers
+    """,
+    description="metadata-only table counts (S3 count probe / A5 pagination "
+    "count): Spark answers count(*) from parquet row-group stats",
+)
+def count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: count(*) over parquet is answered from footer statistics —
+    # no column data read; the same metadata shortcut as the reference's
+    # X-Total-Count probe, but per row group and distributed.
+    counts = [
+        read_table(spark, sf_dir, t)
+        .groupBy()
+        .agg(F.count("*").alias(f"n_{alias}"))
+        for t, alias in (("orders", "orders"), ("lineitem", "lineitem"), ("customer", "customers"))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J4/J13 — the same dim joined under multiple roles (orgs probed with three
+# different keys — /root/reference/modules/opportunity.py:128,206,208,229;
+# invoice.py:108-120). TPC-H Q7 shape: nation as supplier-role and
+# customer-role simultaneously.
+
+
+@register(
+    "nation_pair_flows",
+    sql="""
+    SELECT
+        n1.n_name AS supp_nation,
+        n2.n_name AS cust_nation,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        count(*) AS n_flows
+    FROM lineitem l
+    JOIN orders   o  ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c  ON o.o_custkey   = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+    JOIN nation   n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation   n2 ON c.c_nationkey = n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+    """,
+    description="one dim joined under two roles (supplier nation vs customer "
+    "nation) with aliased broadcast copies (J4/J13; TPC-H Q7 shape)",
+)
+def nation_pair_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: both nation copies broadcast (bounded dim); supplier also
+    # broadcasts at test SFs via the size check. lineitem⋈orders is the
+    # one real shuffle.
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_flows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F13 — JSON field access on a JSON-string column (quote.py:110 consumes
+# point-lookup JSON payloads)
+
+
+@register(
+    "json_props_extract",
+    sql="""
+    SELECT
+        event_id,
+        event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    description="JSON field access over a JSON-string column (F13, "
+    "get_json_object)",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure projection; get_json_object evaluates JVM-side per row with
+    # no shuffle introduced.
+    events = read_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "event_type",
+        S.json_get("props", "$.k").cast("bigint").alias("k_val"),
+    )

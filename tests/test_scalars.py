@@ -133,3 +133,36 @@ def test_coalesce_str(spark):
     df = spark.createDataFrame([(None, None), (None, "b"), ("a", "b")], "x string, y string")
     rows = df.select(S.coalesce_str("x", "y").alias("o")).collect()
     assert [r["o"] for r in rows] == ["", "b", "a"]
+
+
+def test_split_part_literal_delimiters(spark):
+    # '||' and '.' are regex metacharacters — split_part must treat them
+    # literally (Python str.split semantics)
+    key = "Ann Lee||1||User"
+    assert _one(spark, S.split_part("v", "||", 0), key) == "Ann Lee"
+    assert _one(spark, S.split_part("v", "||", 1), key) == "1"
+    assert _one(spark, S.split_part("v", ".", 1), "a.b.c") == "b"
+
+
+def test_encode_bool_flag_and_truthy_str(spark):
+    df = spark.createDataFrame(
+        [("WON",), ("LOST",), (None,), ("",), ("False",)], "state string"
+    )
+    from pyspark.sql import functions as F
+
+    rows = df.select(
+        S.encode_bool_flag(F.col("state") == "WON").alias("won"),
+        S.truthy_str("state").alias("truthy"),
+    ).collect()
+    assert [r["won"] for r in rows] == ["TRUE", "FALSE", "FALSE", "FALSE", "FALSE"]
+    # Python truthiness: any non-empty string is True, even 'False'
+    assert [r["truthy"] for r in rows] == [True, True, False, False, True]
+
+
+def test_json_get(spark):
+    assert _one(spark, S.json_get("v", "$.a.b"), '{"a": {"b": "x"}}') == "x"
+    assert _one(spark, S.json_get("v", "$.missing"), '{"a": 1}') is None
+
+
+def test_extract_download_href_null_on_miss(spark):
+    assert _one(spark, S.extract_download_href("v"), "<p>no anchors</p>") is None
