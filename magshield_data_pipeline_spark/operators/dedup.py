@@ -49,16 +49,27 @@ def _col(c: Column | str) -> Column:
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles over normalized text. Documents shorter than
     *n* words contribute one shingle (the whole text) so every doc has a
-    non-empty shingle set."""
+    non-empty shingle set.
+
+    Implementation note: shingles are built by zip_with over n shifted
+    slices of the word array — element-wise over already-computed
+    arrays. The naive alternative (transform over an index sequence with
+    element_at(words, i+j)) embeds the full text-split expression in
+    EVERY element access; Catalyst does not share it inside higher-order
+    lambdas, which made shingling O(words²) regex work per document
+    (~180 s for the minhash query at sf0.1 — this shape runs it in ~2 s).
+    """
     words = F.split(normalize_text(text), " ")
     k = F.size(words)
-    ngrams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
-        ),
-    )
-    return F.when(k >= n, ngrams).otherwise(F.array(F.array_join(words, " ")))
+    m = k - (n - 1)  # shingle count when k >= n
+    sh = F.slice(words, F.lit(1), m)
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh,
+            F.slice(words, F.lit(1 + j), m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(k >= n, sh).otherwise(F.array(F.array_join(words, " ")))
 
 
 # ---------------------------------------------------------------------------
@@ -104,8 +115,24 @@ def lsh_band_buckets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, band, bucket) rows: the LSH index. Docs sharing a bucket in
-    any band are near-dup candidates. One row per doc per band."""
-    sig = df.select(F.col(id_col), *minhash_signature(text_col))
+    any band are near-dup candidates. One row per doc per band.
+
+    Built relationally — explode shingles ONCE, then every seed's
+    min-hash as a partially-aggregated min in a single groupBy — instead
+    of k array-expression columns that would each re-evaluate the
+    shingle build. Map-side combine means the shuffle carries one
+    signature candidate per (doc, partition), not per shingle; this is
+    also the shape that scales (state per doc is k hashes, period).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col)).alias("_s")
+    )
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
     bands = F.array(
         *[
             F.struct(
