@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magshield_data_pipeline_spark.operators import dedup as D
+from magshield_data_pipeline_spark.operators import multimodal as M
 from magshield_data_pipeline_spark.operators import similarity as V
 from magshield_data_pipeline_spark.operators import text as T
 from magshield_data_pipeline_spark.plans.registry import register
@@ -305,6 +306,71 @@ SELECT query_id, vec_id, score, rank FROM (
     FROM s
 ) WHERE rank <= {_IVF_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# EXT — multimodal binary columns: mapInPandas feature extraction
+
+_MM_NIBBLE = "strpos('0123456789ABCDEF', hx[i:i]) - 1"
+_MM_NIBBLE2 = "strpos('0123456789ABCDEF', hx[i+1:i+1]) - 1"
+_MULTIMODAL_SQL = f"""
+WITH m AS (
+    SELECT
+        doc_id AS media_id,
+        CASE CAST(substr(source, 4) AS INT) % 3
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        encode(text) AS content,
+        md5(text)    AS content_md5
+    FROM documents
+),
+h AS (
+    SELECT media_id, kind, content_md5,
+           hex(content) AS hx, octet_length(content) AS byte_len
+    FROM m
+)
+SELECT
+    media_id, kind, byte_len, content_md5,
+    list_sum([{_MM_NIBBLE} for i in range(1, 2*byte_len + 1)]) AS nibble_sum,
+    round(list_sum([CASE WHEN ({_MM_NIBBLE}) = 0 AND ({_MM_NIBBLE2}) < {256 // M.HIST_BINS}
+                         THEN 1 ELSE 0 END
+                    for i in range(1, 2*byte_len + 1, 2)]) * 1.0 / byte_len, 6) AS bin0_frac
+FROM h
+"""
+
+
+@register(
+    "multimodal_byte_profile",
+    sql=_MULTIMODAL_SQL,
+    description="multimodal binary-column pipeline: opaque content bytes + "
+    "typed metadata → Arrow-batched mapInPandas feature extraction (byte "
+    "length, md5, nibble checksum, histogram head). Codec layer stubbed; "
+    "the Spark plumbing is real and oracle-checked ([EXT] multimodal)",
+)
+def multimodal_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Media rows are derived deterministically from the documents
+    # fixture (text bytes as payload, kind from source id) since the
+    # test corpus ships no real binaries. Scale: one scan, Arrow batch
+    # transfer into Python, pure per-row features, no shuffle.
+    docs = read_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            src_num % 3 + 1,
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return M.extract_features(media).select(
+        "media_id", "kind", "byte_len", "content_md5", "nibble_sum", "bin0_frac"
+    )
 
 
 @register(

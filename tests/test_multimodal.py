@@ -1,0 +1,64 @@
+"""Multimodal binary-column tests (operators/multimodal.py): schema,
+Arrow batch plumbing, deterministic features, codec stub."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.operators import multimodal as M
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", b"\x00\x01\x02\xff" * 4, ("image/png", 2, 2, None, None)),
+        (2, "audio", b"RIFFdata" * 100, ("audio/wav", None, None, 44100, 2500)),
+        (3, "video", b"\x00" * 64, ("video/mp4", 640, 480, None, 3500)),
+        (4, "image", b"", ("image/png", 0, 0, None, None)),
+    ]
+    return spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+
+
+def test_media_schema_types(media):
+    assert dict(media.dtypes)["content"] == "binary"
+    meta_type = media.schema["meta"].dataType.simpleString()
+    assert "mime:string" in meta_type and "duration_ms:int" in meta_type
+
+
+def test_extract_features_deterministic(media):
+    out = {r.media_id: r for r in M.extract_features(media).collect()}
+    img = out[1]
+    payload = b"\x00\x01\x02\xff" * 4
+    assert img.byte_len == 16
+    assert img.content_md5 == hashlib.md5(payload).hexdigest()
+    # nibble checksum: 4 * (0 + 1 + 2 + (15+15))
+    assert img.nibble_sum == 4 * (0 + 1 + 2 + 30)
+    # bytes < 8: twelve of sixteen
+    assert img.bin0_frac == pytest.approx(12 / 16)
+    assert len(img.histogram) == M.HIST_BINS
+    assert sum(img.histogram) == pytest.approx(1.0, abs=1e-6)
+    # empty payload: zeroed features, no crash
+    assert out[4].byte_len == 0 and out[4].bin0_frac == 0.0
+
+
+def test_extract_features_is_pure_projection(media):
+    # repartitioning must not change results (per-row purity — the
+    # mapInPandas batch boundaries are an implementation detail)
+    a = sorted(map(tuple, M.extract_features(media).collect()))
+    b = sorted(map(tuple, M.extract_features(media.repartition(3)).collect()))
+    assert a == b
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.decode_media(b"\x89PNG", "image")
+
+
+def test_frame_sample_points(media):
+    pts = M.frame_sample_points(media, every_ms=1000).collect()
+    # only the video row (id 3, duration 3500ms) → samples at 0..3000
+    assert {r.media_id for r in pts} == {3}
+    assert sorted(r.sample_ms for r in pts) == [0, 1000, 2000, 3000]
