@@ -50,6 +50,34 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
 
 
+def cosine_arrow(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Arrow-vectorized cosine via a pandas UDF — the alternative hot
+    path when vectors are wide enough that per-element Catalyst
+    expression folds lose to numpy BLAS (the JVM path wins for short
+    vectors; measure per workload). Batches move driver→worker as Arrow
+    columns, 10-100× cheaper than row-at-a-time Python UDFs.
+
+    The UDF body is self-contained (local imports, no package
+    references): executor workers don't share the driver's sys.path.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(xs, ys):  # pd.Series of list<float> → pd.Series of double
+        import numpy as _np
+        import pandas as _pd
+
+        out = []
+        for x, y in zip(xs, ys):
+            xa = _np.asarray(x, dtype=_np.float64)
+            ya = _np.asarray(y, dtype=_np.float64)
+            denom = _np.sqrt((xa * xa).sum()) * _np.sqrt((ya * ya).sum())
+            out.append(round(float(xa.dot(ya) / denom), decimals) if denom else None)
+        return _pd.Series(out, dtype="float64")
+
+    return _cos(a, b)
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -58,12 +86,17 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    impl: str = "sql",
 ) -> DataFrame:
     """Top-k nearest corpus vectors per query vector by cosine.
 
     *queries* is broadcast (the small side by construction); self-matches
     (same id) are excluded. Ties on the rounded score break by vec_id so
-    the result is a total order."""
+    the result is a total order. ``impl``: 'sql' computes the dot
+    product with JVM higher-order functions; 'arrow' routes it through
+    the vectorized pandas UDF (identical results — see the parity test).
+    """
+    score_fn = cosine if impl == "sql" else cosine_arrow
     corpus = emb.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
     qs = queries.select(
         F.col(query_id_col), as_double_vec(query_vec_col).alias("qv")
@@ -74,7 +107,7 @@ def brute_force_topk(
         .select(
             query_id_col,
             id_col,
-            cosine(F.col("v"), F.col("qv")).alias("score"),
+            score_fn(F.col("v"), F.col("qv")).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

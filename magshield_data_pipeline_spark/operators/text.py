@@ -50,6 +50,18 @@ def char_count(text: Column | str) -> Column:
     return F.length(_col(text))
 
 
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
+# marks — the split shape GPT-2-style byte-pair encoders apply before
+# merging. A real tokenizer would run as a self-contained pandas UDF;
+# this regex keeps token statistics JVM-side and oracle-checkable.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def subtoken_count(text: Column | str) -> Column:
+    """BPE-ish subtoken count (letter runs + digits + punctuation)."""
+    return F.regexp_count(_col(text), F.lit(BPE_ISH_PATTERN))
+
+
 def word_match_count(text: Column | str, word: str) -> Column:
     """Occurrences of *word* as a whole word (case-insensitive). The word
     is matched literally (regex-escaped)."""
@@ -123,6 +135,7 @@ def document_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return df.select(
         F.col(id_col),
         token_count(t).alias("n_tokens"),
+        subtoken_count(t).alias("n_subtokens"),
         char_count(t).alias("n_chars_computed"),
         stopword_count(t).alias("n_stopwords"),
         punct_count(t).alias("n_punct"),

@@ -67,6 +67,7 @@ WITH m AS (
     SELECT
         doc_id,
         len(regexp_split_to_array(trim(text), '\\s+'))          AS n_tokens,
+        len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}'))     AS n_subtokens,
         length(text)                                             AS n_chars_computed,
         len(regexp_extract_all(lower(text), '{_STOP_PATTERN}'))  AS n_stopwords,
         len(regexp_extract_all(text, '{_PUNCT_PATTERN}'))        AS n_punct,
@@ -78,7 +79,7 @@ WITH m AS (
     FROM documents
 )
 SELECT
-    doc_id, n_tokens, n_chars_computed, n_stopwords, n_punct,
+    doc_id, n_tokens, n_subtokens, n_chars_computed, n_stopwords, n_punct,
     round((least(n_stopwords / greatest(n_tokens * 1.0, 1.0), 0.4) / 0.4
            + CASE WHEN n_punct > 0 THEN 1.0 ELSE 0.0 END
            + CASE WHEN n_chars_computed BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END

@@ -145,3 +145,19 @@ def test_lang_id_ties_and_default(spark):
     assert out[1] == "und"
     assert out[2] == "es"
     assert out[3] == "de"
+
+
+def test_cosine_arrow_parity_with_sql(emb):
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sql_res = sorted(map(tuple, V.brute_force_topk(emb, queries, k=3, impl="sql").collect()))
+    arrow_res = sorted(map(tuple, V.brute_force_topk(emb, queries, k=3, impl="arrow").collect()))
+    assert sql_res == arrow_res and len(sql_res) > 0
+
+
+def test_subtoken_count_bpe_ish(spark):
+    df = spark.createDataFrame([(1, "Hello, world42!")], ["doc_id", "text"])
+    [row] = df.select(T.subtoken_count("text").alias("n")).collect()
+    # Hello , world 4 2 !  → 6 subtokens (digits split individually)
+    assert row.n == 6
