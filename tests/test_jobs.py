@@ -1,0 +1,107 @@
+"""Orchestration tests (jobs.py): all exports run end to end against
+one set of sources, shared dims are cached and reused, outputs land
+under their reference names."""
+
+from __future__ import annotations
+
+import pytest
+
+from magshield_data_pipeline_spark import jobs, schemas as SCH
+
+
+@pytest.fixture()
+def sources(spark):
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema=schema)
+
+    return {
+        "users": df([{"USER_ID": 1, "FIRST_NAME": "Ann", "LAST_NAME": "Lee"}], SCH.USER_SCHEMA),
+        "organisations": df(
+            [{"ORGANISATION_ID": 5, "ORGANISATION_NAME": "OrgA",
+              "CUSTOMFIELDS": [("Region__c", "NA")], "LINKS": [("Contact", 10)]}],
+            SCH.ORGANISATION_SCHEMA,
+        ),
+        "contacts": df([{"CONTACT_ID": 10, "FIRST_NAME": "Cal", "LAST_NAME": "One"}], SCH.CONTACT_SCHEMA),
+        "quotes": df(
+            [{"QUOTE_ID": 1, "ORGANISATION_ID": 5, "OPPORTUNITY_ID": 100,
+              "CUSTOMFIELDS": []}],
+            SCH.QUOTATION_SCHEMA,
+        ),
+        "opportunities": df(
+            [{"OPPORTUNITY_ID": 100, "OPPORTUNITY_NAME": "Opp", "ORGANISATION_ID": 5,
+              "OWNER_USER_ID": 1, "OPPORTUNITY_STATE": "WON", "CUSTOMFIELDS": []}],
+            SCH.OPPORTUNITY_SCHEMA,
+        ),
+        "tasks": df(
+            [{"TASK_ID": 7, "STATUS": "OPEN", "OWNER_USER_ID": 1,
+              "LINKS": [("Opportunity", 100)]}],
+            SCH.TASK_SCHEMA,
+        ),
+        "invoices": df(
+            [{"RECORD_ID": 11, "RECORD_NAME": "INV", "OWNER_USER_ID": 1,
+              "CUSTOMFIELDS": [("Invoiced_Organization__c", "5")]}],
+            SCH.INVOICE_SCHEMA,
+        ),
+        "equipment": df(
+            [{"RECORD_ID": 21, "RECORD_NAME": "EQ", "OWNER_USER_ID": 1,
+              "CUSTOMFIELDS": []}],
+            SCH.EQUIPMENT_SCHEMA,
+        ),
+        "categories": df([{"CATEGORY_ID": 3, "CATEGORY_NAME": "Call"}], SCH.TASK_CATEGORY_SCHEMA),
+        "leads": df([{"LEAD_ID": 40, "FIRST_NAME": "Lu", "LAST_NAME": "L"}], SCH.LEAD_SCHEMA),
+        "projects": df([{"PROJECT_ID": 70, "PROJECT_NAME": "P"}], SCH.PROJECT_SCHEMA),
+        "notes": df([{"NOTE_ID": 80, "TITLE": "N"}], SCH.NOTE_SCHEMA),
+        "pricebooks": df([{"PRICEBOOK_ID": 60, "NAME": "PB"}], SCH.PRICEBOOK_SCHEMA),
+        "products": df([{"PRODUCT_ID": 900, "PRODUCT_FAMILY": "Fam"}], SCH.PRODUCT_SCHEMA),
+        "state_reasons": df([{"STATE_REASON_ID": 70, "STATE_REASON": "R"}],
+                            SCH.OPPORTUNITY_STATE_REASON_SCHEMA),
+        "stages": df([{"STAGE_ID": 50, "STAGE_NAME": "S"}], SCH.PIPELINE_STAGE_SCHEMA),
+        "pricebook_entries": df([{"PRICEBOOK_ENTRY_ID": 800, "PRODUCT_ID": 900}],
+                                SCH.PRICEBOOK_ENTRY_SCHEMA),
+        "line_items": df([{"OPPORTUNITY_ID": 100, "PRICEBOOK_ENTRY_ID": 800}],
+                         SCH.OPPORTUNITY_LINE_ITEM_SCHEMA),
+        "opportunity_links": df(
+            [{"OBJECT_NAME": "Opportunity", "OBJECT_ID": 100,
+              "LINK_OBJECT_NAME": "Organisation", "LINK_OBJECT_ID": 5}],
+            SCH.OPPORTUNITY_LINK_SCHEMA,
+        ),
+    }
+
+
+def test_run_all_exports(spark, sources, tmp_path):
+    run = jobs.ExportRun(sources, str(tmp_path))
+    written = run.run_all()
+    assert set(written) == set(jobs.EXPORT_NAMES)
+    # every output is a readable parquet object under its reference name
+    for key, path in written.items():
+        out = spark.read.parquet(path)
+        assert out.count() >= 1, key
+    # spot checks across pipelines
+    quotes = spark.read.parquet(written["quote"])
+    assert "Sales Person Id" in quotes.columns
+    tasks = spark.read.parquet(written["task"])
+    [t] = tasks.collect()
+    assert t["Linked Opportunity"] == "Opp"
+    assert t["Linked Organization"] == "OrgA"  # backfill through opp's org
+    run.close()
+
+
+def test_shared_dims_cached_once(spark, sources, tmp_path):
+    run = jobs.ExportRun(sources, str(tmp_path))
+    assert run.dim("users").storageLevel.useMemory  # cached
+    assert run.dim("users") is run.dim("users")  # same frame reused
+    run.run_invoice_equipment_users()
+    run.close()
+    assert not run.dim("users").storageLevel.useMemory  # unpersisted
+
+
+def test_overwrite_semantics_between_runs(spark, sources, tmp_path):
+    first = jobs.ExportRun(sources, str(tmp_path))
+    p1 = first.run_task()
+    n1 = spark.read.parquet(p1).count()
+    first.close()
+    second = jobs.ExportRun(sources, str(tmp_path))
+    p2 = second.run_task()
+    second.close()
+    assert p1 == p2
+    assert spark.read.parquet(p2).count() == n1  # replaced, not appended
