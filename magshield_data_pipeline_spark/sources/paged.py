@@ -1,0 +1,154 @@
+"""Paginated-scan Python DataSource (SURVEY §2.1 S1–S4).
+
+The reference scans a REST API page by page — sequentially
+(quote.py:75-99) or with a count probe + thread-pool page fan-out
+(opportunity.py:65-89) — and pushes ``$filter=ID in (…)`` predicates to
+the server (task.py:79-104). This module is the Spark-native shape of
+the same source contract, on the Python DataSource V2 API:
+
+- **one input partition per page** (S1/S2): Spark schedules pages
+  across executors — the engine-native version of the reference's
+  ``ThreadPoolExecutor(max_workers=10)``, parallelism set by the
+  scheduler instead of a hand-rolled pool;
+- **count probe** (S3): total row count is read once, driver-side,
+  to size the page partitions — the ``X-Total-Count`` header analog;
+- **filter pushdown** (S4): ``pushFilters`` accepts equality/IN/range
+  predicates and applies them inside each page read, the
+  ``$filter=ID in (…)`` analog (Spark re-applies all filters after the
+  scan, so partially-filtered pages stay correct).
+
+The backing "API" here is a JSON-lines file (the test double for a
+paginated HTTP endpoint); swapping ``_serve_page`` for real HTTP calls
+(with retry/backoff — the reference's safe_get envelope) changes
+nothing in the Spark plumbing. NOTE: like any Python data source, the
+reader class ships to executor workers by module reference — the
+package must be importable on executors (pip-install or --py-files)
+when used outside local mode.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from itertools import islice
+from typing import Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+DEFAULT_PAGE_SIZE = 500  # the reference's top=500
+
+
+@dataclass
+class PagePartition(InputPartition):
+    index: int
+    start: int  # first row ordinal of the page
+    end: int  # exclusive
+
+
+class PagedJsonReader(DataSourceReader):
+    def __init__(self, options: dict, schema_ddl: str) -> None:
+        # option keys arrive lowercased (Spark's CaseInsensitiveDict →
+        # plain dict); look up lowercase only
+        self.path = options["path"]
+        self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
+        # field order = schema order; values are pulled from each JSON
+        # object by name (missing → None, the reference's .get default)
+        self.fields = [f.strip().split()[0] for f in schema_ddl.split(",")]
+        self._pushed: List[Filter] = []
+
+    # --- S3: count probe (driver-side, metadata-style single pass) ---
+    def _total_count(self) -> int:
+        with open(self.path, "rb") as f:
+            return sum(1 for line in f if line.strip())
+
+    # --- S4: predicate pushdown ---
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        supported = (EqualTo, In, GreaterThan, GreaterThanOrEqual, LessThan,
+                     LessThanOrEqual, IsNotNull)
+        for flt in filters:
+            if isinstance(flt, supported) and len(flt.attribute) == 1:
+                self._pushed.append(flt)
+            else:
+                yield flt  # unsupported → Spark evaluates it post-scan
+
+    def _keep(self, rec: dict) -> bool:
+        for flt in self._pushed:
+            v = rec.get(flt.attribute[0])
+            if isinstance(flt, EqualTo):
+                ok = v == flt.value
+            elif isinstance(flt, In):
+                ok = v in flt.value  # In.value is the tuple of values
+            elif isinstance(flt, GreaterThan):
+                ok = v is not None and v > flt.value
+            elif isinstance(flt, GreaterThanOrEqual):
+                ok = v is not None and v >= flt.value
+            elif isinstance(flt, LessThan):
+                ok = v is not None and v < flt.value
+            elif isinstance(flt, LessThanOrEqual):
+                ok = v is not None and v <= flt.value
+            else:  # IsNotNull
+                ok = v is not None
+            if not ok:
+                return False
+        return True
+
+    # --- S1/S2: one partition per page ---
+    def partitions(self) -> Sequence[PagePartition]:
+        total = self._total_count()
+        pages = max(1, -(-total // self.page_size))
+        return [
+            PagePartition(i, i * self.page_size, min((i + 1) * self.page_size, total))
+            for i in range(pages)
+        ]
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        # the page fetch — islice over the line file stands in for
+        # `GET ?skip={start}&top={page_size}` + retry/backoff
+        with open(self.path, "r", encoding="utf-8") as f:
+            lines = (ln for ln in f if ln.strip())
+            for line in islice(lines, partition.start, partition.end):
+                rec = json.loads(line)
+                if self._keep(rec):
+                    yield tuple(rec.get(name) for name in self.fields)
+
+
+class PagedJsonDataSource(DataSource):
+    """``spark.read.format("paged_json").schema(ddl).option("path", p)``
+    — register with ``spark.dataSource.register(PagedJsonDataSource)``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_json"
+
+    def schema(self) -> str:
+        ddl = self.options.get("schemaddl")
+        if not ddl:
+            raise ValueError(
+                "paged_json requires .schema(...) or option('schemaDDL', ...)"
+            )
+        return ddl
+
+    def reader(self, schema) -> PagedJsonReader:
+        ddl = self.options.get("schemaddl") or ",".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        return PagedJsonReader(dict(self.options), ddl)
+
+
+def register(spark) -> None:
+    # Python-source filter pushdown is opt-in (runtime-settable conf)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedJsonDataSource)

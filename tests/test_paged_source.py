@@ -1,0 +1,63 @@
+"""Paginated Python DataSource tests (sources/paged.py): page
+partitioning, count probe, filter pushdown, missing-field defaults."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.sources import paged
+
+
+@pytest.fixture()
+def api_file(tmp_path):
+    path = tmp_path / "api.jsonl"
+    with open(path, "w") as f:
+        for i in range(10):
+            rec = {"id": i, "name": f"rec{i}", "value": float(i) * 1.5}
+            if i == 7:
+                del rec["value"]  # missing field → None (.get default)
+            f.write(json.dumps(rec) + "\n")
+    return str(path)
+
+
+def _read(spark, api_file, page_size=3):
+    paged.register(spark)
+    return (
+        spark.read.format("paged_json")
+        .schema("id bigint, name string, value double")
+        .option("path", api_file)
+        .option("pageSize", page_size)
+        .load()
+    )
+
+
+def test_pages_become_partitions(spark, api_file):
+    df = _read(spark, api_file, page_size=3)
+    # 10 rows / 3 per page → 4 page partitions (S1/S2 + S3 count probe)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 10
+
+
+def test_all_rows_and_missing_fields(spark, api_file):
+    rows = {r.id: r for r in _read(spark, api_file).collect()}
+    assert len(rows) == 10
+    assert rows[3].name == "rec3" and rows[3].value == 4.5
+    assert rows[7].value is None  # missing key → null
+
+
+def test_filter_pushdown_in_and_range(spark, api_file):
+    df = _read(spark, api_file)
+    got = sorted(r.id for r in df.filter(F.col("id").isin(2, 5, 9)).collect())
+    assert got == [2, 5, 9]  # S4: the $filter=ID in (…) analog
+    got = sorted(r.id for r in df.filter(F.col("value") > 9.0).collect())
+    assert got == [8, 9]  # 12.0, 13.5 (row 7 has null value)
+
+
+def test_pushdown_preserves_correctness_with_unsupported_filters(spark, api_file):
+    df = _read(spark, api_file)
+    # contains() is not pushed — Spark must evaluate it post-scan
+    got = sorted(r.id for r in df.filter(F.col("name").contains("rec1")).collect())
+    assert got == [1]
