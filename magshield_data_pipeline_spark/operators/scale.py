@@ -1,0 +1,94 @@
+"""Scale tooling: co-located bucketed joins and skew salting.
+
+None of this exists in the reference (its joins are in-memory dict
+probes at CRM scale); these are the knobs a 100 TB deployment of the
+same queries needs:
+
+- **bucketed tables** (`write_bucketed`): pre-shuffle a fact table once
+  into hash buckets on its join key; every later join/aggregation on
+  that key is exchange-free (the shuffle is amortized across every
+  downstream query). This is how a fact-to-fact join like
+  lineitem⋈orders stops being the per-query bottleneck.
+- **salted join** (`salted_join`): when one join key is pathologically
+  hot (one customer with 10% of all rows), AQE's skew splitting handles
+  sort-merge joins, but pre-salting is the general fix: spread each key
+  over N deterministic salt buckets on the big side, replicate the
+  small side N×, join on (key, salt).
+- **salted aggregation** (`salted_sum_count`): two-stage partial
+  aggregation for decomposable aggregates over skewed group keys —
+  groupBy(key, salt) map-side shrink, then groupBy(key) final merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist *df* as a bucketed+sorted table on *key*. Joins and
+    groupBys between tables bucketed on the same key with the same
+    bucket count run with ZERO exchanges (see the plan test)."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a deterministic salt from
+    a hash of the full row (hot keys spread over *salt_buckets* reduce
+    tasks); the small side is replicated once per salt value. Result
+    rows are identical to the unsalted join — each big row carries
+    exactly one salt and each small match exists once per salt."""
+    big_cols = [F.col(c) for c in big.columns]
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*big_cols), F.lit(salt_buckets)))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    cond = (big_s[on] == small_s[on]) & (big_s["_salt"] == small_s["_salt"])
+    joined = big_s.join(small_s, cond, how)
+    # keep one copy of the join key (from the big side), drop salts
+    return joined.drop(small_s[on]).drop(big_s["_salt"]).drop(small_s["_salt"])
+
+
+def salted_sum_count(
+    df: DataFrame, key: str, value: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: sum/count per *key*. Stage 1
+    shrinks each (key, salt) group map-side; stage 2 merges the at-most
+    *salt_buckets* partials per key — the hot key's work is spread over
+    salt_buckets tasks instead of one."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.sum(value).alias("_psum"), F.count("*").alias("_pcnt")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_psum").alias(f"sum_{value}"),
+        F.sum("_pcnt").alias("n_rows"),
+    )

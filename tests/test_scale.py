@@ -1,0 +1,70 @@
+"""Scale-tooling tests (operators/scale.py): bucketed joins are
+exchange-free, salted join/agg match their unsalted equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.operators import scale
+
+
+@pytest.fixture()
+def skewed(spark):
+    # key 1 is hot: 500 of 520 rows
+    hot = spark.range(500).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(20).select((F.col("id") % 4 + 2).alias("k"), F.col("id").alias("v"))
+    return hot.unionByName(cold)
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (4, "c"), (5, "d"), (9, "unmatched")],
+        ["k", "name"],
+    )
+
+
+def test_salted_join_matches_plain_join(skewed, dim):
+    plain = skewed.join(dim, "k").groupBy("k", "name").count()
+    salted = scale.salted_join(skewed, dim, "k").groupBy("k", "name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(skewed, dim):
+    out = scale.salted_join(skewed.filter(F.col("k") <= 2), dim.filter(F.col("k") == 9),
+                            "k", how="left")
+    assert out.count() == skewed.filter(F.col("k") <= 2).count()
+    assert out.filter(F.col("name").isNotNull()).count() == 0
+
+
+def test_salted_sum_count_matches_direct(skewed):
+    direct = {
+        (r.k): (r.s, r.n)
+        for r in skewed.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("*").alias("n")
+        ).collect()
+    }
+    salted = {
+        (r.k): (r.sum_v, r.n_rows) for r in scale.salted_sum_count(skewed, "k", "v").collect()
+    }
+    assert direct == salted
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    scale.write_bucketed(left, "bk_left", "k", buckets=8, path=str(tmp_path / "l"))
+    scale.write_bucketed(right, "bk_right", "k", buckets=8, path=str(tmp_path / "r"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a sort-merge join so the exchange (or its absence) is visible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = scale.bucketed_join(spark, "bk_left", "bk_right", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: bucket layout IS the shuffle
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
