@@ -21,8 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from magshield_data_pipeline_spark.functions import scalars as S
 from magshield_data_pipeline_spark.plans.registry import register
 from magshield_data_pipeline_spark.sources.parquet import read_table
@@ -218,9 +216,11 @@ def custom_fields_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def link_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mirrors task.py:157-168 (collect links) + 223-246 (resolve by type,
     # last-wins). Plan: build the array (shuffle 1) → posexplode → two
-    # type-guarded broadcast joins (part/supplier are dims) → window for
-    # last-wins per (order, type) → re-pivot groupBy (same key as the
-    # window partition, so no extra exchange).
+    # type-guarded broadcast joins (part/supplier are dims) → ONE
+    # groupBy on the entity with max_by last-wins per type (shuffle 2).
+    # A ranking window would partition on (order, type) — a different
+    # key than the final groupBy — costing a third exchange for the
+    # same semantics.
     lineitem = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     supplier = read_table(spark, sf_dir, "supplier")
@@ -254,14 +254,16 @@ def link_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("typ") == "Contact") & (F.col("link_id") == F.col("s_suppkey")),
         "left",
     )
-    w = Window.partitionBy("order_id", "typ").orderBy(F.col("pos").desc())
-    ranked = joined.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("order_id").agg(
-        F.max(
-            F.when((F.col("typ") == "Organisation") & (F.col("rn") == 1), F.col("p_name"))
-        ).alias("last_org_name"),
-        F.max(
-            F.when((F.col("typ") == "Contact") & (F.col("rn") == 1), F.col("s_name"))
-        ).alias("last_contact_name"),
+    def last_of_type(typ: str, value: F.Column) -> F.Column:
+        cand = F.col("typ") == typ
+        key = F.when(cand, F.col("pos")).otherwise(F.lit(-1))
+        # winner is the highest-pos candidate (its dim value, possibly
+        # null on a join miss); with no candidates a -1 row wins and its
+        # value is null — matching the oracle's CASE-on-rn semantics
+        return F.max_by(F.when(cand, value), key)
+
+    return joined.groupBy("order_id").agg(
+        last_of_type("Organisation", F.col("p_name")).alias("last_org_name"),
+        last_of_type("Contact", F.col("s_name")).alias("last_contact_name"),
         F.count(F.when(F.col("typ") == "Opportunity", 1)).alias("n_opp_links"),
     )
