@@ -1,0 +1,127 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+The reference has no temporal joins (SURVEY §2.5 "no theta/range/as-of
+joins exist"); these are the [EXT]-tier operators an event-data user of
+the engine needs. Spark has no built-in as-of join, so it is composed
+from existing DataFrame ops (the preferred strategy for custom
+operators) rather than a pandas cogroup:
+
+- **as_of_join**: union both sides tagged by origin, sort per key by
+  (event time, origin), and carry the right side's payload forward with
+  ``last_value(..., ignorenulls)``. ONE shuffle on the join key, state
+  is a single row per partition-sort — this scales to arbitrarily many
+  right rows per key, unlike collecting the right side per key. The
+  pandas alternative (cogroup + merge_asof) moves both sides through
+  Python; this stays entirely JVM-side.
+- **range_join**: equi-key + time-interval predicate — Spark executes
+  the equi part as the join key and the range as a post-join filter,
+  which is the right plan when the equi key is selective (per-user
+  windows). For keyless range joins, bucketize time and join on the
+  bucket (not needed for the reference surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the payload of the LAST right row with
+    ``right_ts <= left_ts`` on the same key (backward as-of, boundary
+    inclusive — ties resolve to the right row, matching DuckDB/pandas
+    ``merge_asof`` semantics). Optional tolerance drops matches older
+    than ``tolerance_seconds``.
+
+    Right payload column names must not collide with left columns
+    (alias first)."""
+    payload = right_payload or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    # both union branches carry the identical column set: the left
+    # row's own columns, the event time, an origin tag, and the right
+    # payload (null on left-origin rows)
+    left_cols = [c for c in left.columns]
+    lhs = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_src"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_match_ts"),
+    )
+    rhs = right.select(
+        *[
+            F.col(c) if c == on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_src"),  # right sorts before left at equal ts
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        F.col(right_ts).alias("_match_ts"),
+    )
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t"), F.col("_src"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *left_cols,
+        "_t",
+        "_src",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in payload
+        ],
+        F.last("_match_ts", ignorenulls=True).over(w).alias("_match_ts"),
+    ).filter(F.col("_src") == 1)
+    if tolerance_seconds is not None:
+        in_tol = F.col("_match_ts") >= F.col("_t") - F.expr(
+            f"INTERVAL {tolerance_seconds} SECONDS"
+        )
+        carried = carried.select(
+            *left_cols,
+            "_t",
+            *[
+                F.when(in_tol, F.col(f"_r_{c}")).alias(f"_r_{c}")
+                for c in payload
+            ],
+            F.when(in_tol, F.col("_match_ts")).alias("_match_ts"),
+        )
+    return carried.select(
+        *left_cols,
+        *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in payload],
+        F.col("_match_ts").alias("asof_ts"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: Column,
+    upper: Column,
+    how: str = "left",
+    right_on: str | None = None,
+) -> DataFrame:
+    """Equi-key join with a time-window predicate: right rows whose
+    timestamp lies in [left_ts + lower, left_ts + upper]. ``right_on``
+    names the right side's key when it was aliased (avoids ambiguous
+    column names in the result)."""
+    cond = (
+        (left[on] == right[right_on or on])
+        & (right[right_ts] >= left[left_ts] + lower)
+        & (right[right_ts] <= left[left_ts] + upper)
+    )
+    return left.join(right, cond, how)

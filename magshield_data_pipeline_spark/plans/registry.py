@@ -68,3 +68,5 @@ from magshield_data_pipeline_spark.plans import reference_queries  # noqa: E402,
 from magshield_data_pipeline_spark.plans import ext_queries  # noqa: E402,F401
 from magshield_data_pipeline_spark.plans import nested_queries  # noqa: E402,F401
 from magshield_data_pipeline_spark.plans import window_queries  # noqa: E402,F401
+from magshield_data_pipeline_spark.plans import temporal_queries  # noqa: E402,F401
+from magshield_data_pipeline_spark.plans import analytics_queries  # noqa: E402,F401

@@ -1,0 +1,115 @@
+"""Temporal join queries over ``events`` ([EXT]): as-of join and
+bounded range join — the event-analytics operators the reference lacks
+(SURVEY §2.5 notes no theta/range/as-of joins exist there).
+
+DuckDB has a native ASOF JOIN, which makes the oracle a direct
+statement of the semantics our union+window composition implements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.operators import temporal as TP
+from magshield_data_pipeline_spark.plans.registry import register
+from magshield_data_pipeline_spark.sources.parquet import read_table
+
+_TS = "%Y-%m-%d %H:%M:%S.%f"
+
+_ASOF_SQL = f"""
+WITH p AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (  -- one click per (user, ts): highest event_id wins (determinism)
+    SELECT user_id, ts, max(event_id) AS click_id
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, ts
+)
+SELECT
+    p.user_id,
+    p.event_id,
+    strftime(p.ts, '{_TS}') AS purchase_ts,
+    c.click_id AS asof_click_id,
+    strftime(c.ts, '{_TS}') AS asof_click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register(
+    "purchase_asof_click",
+    sql=_ASOF_SQL,
+    description="as-of join: each purchase attaches the latest click at or "
+    "before it per user — union+window composition, one shuffle ([EXT] "
+    "temporal; DuckDB native ASOF JOIN as the oracle)",
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one shuffle on user_id; per-key state during the sort is a
+    # single carried row — no per-key collection, any right-side volume.
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = TP.as_of_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["click_id"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("asof_click_id"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_click_ts"),
+    )
+
+
+_RANGE_SQL = """
+SELECT
+    s.event_id,
+    s.user_id,
+    count(c.event_id) AS n_clicks_10m
+FROM events s
+LEFT JOIN events c
+    ON c.user_id = s.user_id
+   AND c.event_type = 'click'
+   AND c.ts >= s.ts
+   AND c.ts <= s.ts + INTERVAL '10 minutes'
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id, s.user_id
+"""
+
+
+@register(
+    "signup_click_burst",
+    sql=_RANGE_SQL,
+    description="bounded range join: clicks within 10 minutes after each "
+    "signup, per user ([EXT] temporal interval join)",
+)
+def signup_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi key (user_id) carries the join; the interval is a post-join
+    # filter — the right plan while keys are selective. AQE handles any
+    # hot user.
+    events = read_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    joined = signups.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("ts"))
+        & (F.col("c_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_id").alias("n_clicks_10m")
+    )

@@ -1,0 +1,67 @@
+"""As-of / range join tests (operators/temporal.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.operators import temporal as TP
+
+
+def _ts(m, s=0, us=0):
+    return datetime(2024, 1, 1, 10, m, s, us)
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(20), 101.0), (2, _ts(15), 50.0),
+         (3, _ts(5), 9.0)],
+        ["k", "ts", "price"],
+    )
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [(1, _ts(8), 99.5), (1, _ts(10), 99.9), (1, _ts(19), 100.5),
+         (2, _ts(30), 49.0)],
+        ["k", "ts", "bid"],
+    )
+
+
+def test_asof_backward_inclusive(trades, quotes):
+    out = {(r.k, r.ts): r for r in TP.as_of_join(trades, quotes, on="k").collect()}
+    # trade at 10:10 matches the quote at exactly 10:10 (boundary inclusive)
+    assert out[(1, _ts(10))].asof_bid == 99.9
+    # trade at 10:20 matches the 10:19 quote (latest ≤)
+    assert out[(1, _ts(20))].asof_bid == 100.5
+    # key 2's only quote is later than the trade → no match
+    assert out[(2, _ts(15))].asof_bid is None
+    # key 3 has no quotes at all → no match, row preserved
+    assert out[(3, _ts(5))].asof_bid is None
+    assert len(out) == 4  # left rows preserved exactly
+
+
+def test_asof_tolerance(trades, quotes):
+    out = {
+        (r.k, r.ts): r
+        for r in TP.as_of_join(trades, quotes, on="k", tolerance_seconds=30).collect()
+    }
+    # 10:20 trade vs 10:19 quote: 60 s back > 30 s tolerance → dropped
+    assert out[(1, _ts(20))].asof_bid is None
+    # exact-time match survives any tolerance
+    assert out[(1, _ts(10))].asof_bid == 99.9
+
+
+def test_range_join_window(spark, trades, quotes):
+    out = TP.range_join(
+        trades, quotes.select(F.col("k").alias("k2"), F.col("ts").alias("qts"), "bid"),
+        on="k", left_ts="ts", right_ts="qts", right_on="k2",
+        lower=F.expr("INTERVAL -2 MINUTES"), upper=F.expr("INTERVAL 0 MINUTES"),
+    ).collect()
+    # matches within [ts-2min, ts]: trade 10:10 → quotes 10:08 & 10:10
+    k1 = [r for r in out if r.k == 1 and r.ts == _ts(10) and r.bid is not None]
+    assert sorted(r.bid for r in k1) == [99.5, 99.9]
