@@ -67,7 +67,13 @@ class ExportRun:
     def dim(self, name: str) -> DataFrame:
         return self._shared.get(name, self.sources.get(name))
 
-    def _write(self, key: str, df: DataFrame) -> str:
+    def _write(self, key: str, df: DataFrame) -> str | None:
+        # P9 existence guard: the reference skips an export when the
+        # extract is empty (quote.py:87-91, organisation.py:155-158);
+        # isEmpty() probes one partition, not a full count
+        if df.isEmpty():
+            self.written[key] = None
+            return None
         path = sinks.overwrite_by_name(df, self.out_dir, EXPORT_NAMES[key], self.fmt)
         self.written[key] = path
         return path

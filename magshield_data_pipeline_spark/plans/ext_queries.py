@@ -310,6 +310,64 @@ SELECT query_id, vec_id, score, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# EXT-2d — embedding-cosine near-dup pairs (cluster-bucketed)
+
+# the fixture embeddings are near-random (max in-cluster cosine ~0.48),
+# so the demo threshold sits below that; production semantic dedup
+# uses ~0.9 on real embeddings — same plan, different constant
+_COS_DUP_THRESHOLD = 0.4
+_COS_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+scored_asg AS (
+    SELECT e.vec_id, e.v, centroid_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, centroid_id
+           ) AS arn
+    FROM e CROSS JOIN cents
+),
+asg AS (SELECT vec_id, v, centroid_id FROM scored_asg WHERE arn = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS score
+FROM asg a JOIN asg b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_COS_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "embedding_cosine_dup_pairs",
+    sql=_COS_DUP_SQL,
+    description=f"embedding-cosine near-dup pairs ≥ {_COS_DUP_THRESHOLD}, "
+    "compared only within IVF clusters — the blocked (never all-pairs) "
+    "shape of semantic dedup (EXT-2)",
+)
+def embedding_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: assignment is one broadcast-centroid scan; the pair join is
+    # an equi-join ON the cluster id, so compared pairs shrink by
+    # ~n_clusters× vs all-pairs. nprobe>1 (assign to several clusters)
+    # raises recall with the same plan. Completes the dedup family:
+    # exact / MinHash / SimHash / Jaccard / embedding-cosine.
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0)
+    assigned = V.assign_clusters(emb, centroids)
+    a = assigned.select(
+        F.col("centroid_id"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("centroid_id"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    score = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", score.alias("score"))
+        .filter(F.col("score") >= _COS_DUP_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
 # EXT — multimodal binary columns: mapInPandas feature extraction
 
 _MM_NIBBLE = "strpos('0123456789ABCDEF', hx[i:i]) - 1"

@@ -105,3 +105,14 @@ def test_overwrite_semantics_between_runs(spark, sources, tmp_path):
     second.close()
     assert p1 == p2
     assert spark.read.parquet(p2).count() == n1  # replaced, not appended
+
+
+def test_empty_export_skipped(spark, sources, tmp_path):
+    import os
+    empty = dict(sources)
+    empty["tasks"] = sources["tasks"].filter("TASK_ID < 0")
+    run = jobs.ExportRun(empty, str(tmp_path))
+    assert run.run_task() is None  # P9: empty extract → no file written
+    assert run.written["task"] is None
+    assert not os.path.exists(str(tmp_path / jobs.EXPORT_NAMES["task"]))
+    run.close()
