@@ -128,12 +128,19 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
-def document_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def document_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """One-scan profile: tokens, chars, stopword/punct counts, quality,
-    language guess, fingerprint."""
+    language guess, fingerprint. ``keep`` names extra source columns to
+    carry through (still one scan — no join-back needed downstream)."""
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         token_count(t).alias("n_tokens"),
         subtoken_count(t).alias("n_subtokens"),
         char_count(t).alias("n_chars_computed"),

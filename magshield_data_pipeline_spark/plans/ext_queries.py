@@ -432,6 +432,62 @@ def multimodal_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# EXT composition — the full training-data curation pipeline:
+# quality/language gate → exact dedup → per-language corpus rollup.
+
+_CURATION_SQL = f"""
+WITH profile AS ({_PROFILE_SQL}),
+gated AS (
+    SELECT p.doc_id, p.n_tokens, p.quality, p.lang_guess, p.fp, d.source
+    FROM profile p JOIN documents d USING (doc_id)
+    WHERE p.quality >= 0.35 AND p.lang_guess != 'und'
+),
+deduped AS (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM gated
+)
+SELECT
+    lang_guess,
+    source,
+    count(*) AS n_docs,
+    round(avg(quality), 4) AS avg_quality,
+    sum(n_tokens) AS total_tokens
+FROM deduped WHERE rn = 1
+GROUP BY lang_guess, source
+"""
+
+
+@register(
+    "training_data_pipeline",
+    sql=_CURATION_SQL,
+    description="composed curation pipeline: profile → quality/lang gate → "
+    "fingerprint dedup → per-language corpus rollup — the end-to-end shape "
+    "of LLM training-data prep ([EXT] north star)",
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the profile+gate is a pure pushed-down projection (the
+    # filter runs before any exchange); dedup is ONE shuffle on the MD5
+    # fingerprint (uniform by construction); the rollup's groupBy on
+    # language is low-cardinality with map-side partial aggregation.
+    # Three stages, one wide exchange — this is the plan you want when
+    # documents is 100 TB.
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    profile = T.document_profile(docs, keep=("source",))
+    gated = profile.filter(
+        (F.col("quality") >= 0.35) & (F.col("lang_guess") != "und")
+    ).select("doc_id", "n_tokens", "quality", "lang_guess", "fp", "source")
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    deduped = gated.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang_guess", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 @register(
     "embedding_ivf_topk",
     sql=_IVF_SQL,

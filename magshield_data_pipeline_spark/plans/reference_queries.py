@@ -753,3 +753,92 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         S.json_get("props", "$.k").cast("bigint").alias("k_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J4 + J13 — the same dim joined under THREE aliased roles, with a
+# struct payload projected per role (invoice.py:101-120 joins the
+# organisation dim as billing/shipping/owner; opportunity.py:128 probes
+# the users dim at 206/208/229). Nation⋈region plays the struct-payload
+# dim; the three FKs are customer nation, supplier nation, and a
+# derived "origin" key.
+
+
+@register(
+    "three_role_nation_join",
+    sql="""
+    WITH dim AS (
+        SELECT n_nationkey, n_name AS NAME, r_name AS REGION
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT
+        cust.NAME   AS cust_nation,   cust.REGION   AS cust_region,
+        supp.NAME   AS supp_nation,   supp.REGION   AS supp_region,
+        origin.NAME AS origin_nation, origin.REGION AS origin_region,
+        count(*) AS line_count,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders   o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN dim cust   ON c.c_nationkey = cust.n_nationkey
+    JOIN dim supp   ON s.s_nationkey = supp.n_nationkey
+    JOIN dim origin ON l.l_partkey % 25 = origin.n_nationkey
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+    description="same struct-payload dim joined under three aliased roles "
+    "(customer/supplier/origin nation) + grouped rollup (J4, J13)",
+)
+def three_role_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The dim is built ONCE (nation⋈region, both bounded) with its
+    # payload as a struct column, then broadcast under three aliases —
+    # three map-side hash joins, no extra exchange per role. The real
+    # shuffles are lineitem⋈orders and the final groupBy; customer and
+    # supplier are fact-proportional, so no forced broadcast (AQE
+    # chooses while they fit).
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+
+    dim = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("NAME"), F.col("r_name").alias("REGION")
+        ).alias("payload"),
+    )
+
+    def role(alias: str) -> DataFrame:
+        return dim.select(
+            F.col("n_nationkey").alias(f"{alias}_key"),
+            F.col("payload").alias(alias),
+        )
+
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(role("cust")), F.col("c_nationkey") == F.col("cust_key"))
+        .join(F.broadcast(role("supp")), F.col("s_nationkey") == F.col("supp_key"))
+        .join(
+            F.broadcast(role("origin")),
+            F.col("l_partkey") % 25 == F.col("origin_key"),
+        )
+    )
+    return joined.groupBy(
+        F.col("cust.NAME").alias("cust_nation"),
+        F.col("cust.REGION").alias("cust_region"),
+        F.col("supp.NAME").alias("supp_nation"),
+        F.col("supp.REGION").alias("supp_region"),
+        F.col("origin.NAME").alias("origin_nation"),
+        F.col("origin.REGION").alias("origin_region"),
+    ).agg(
+        F.count("*").alias("line_count"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )

@@ -163,3 +163,75 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file is processed.
     stream = W.read_events_stream(spark, sf_dir)
     return W.run_available_now(W.tumbling_counts(stream, "1 hour"))
+
+
+# emitted set under a far-future watermark: every session proven closed
+# by a LATER same-user event — i.e. all sessions except each user's
+# open tail (max session_id per user). Timeout-flushed tails are
+# covered by tests/test_streaming.py with a two-batch stream.
+_STATEFUL_SESSION_SQL = """
+WITH o AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+m AS (
+    SELECT user_id, ts, value,
+           CASE WHEN prev IS NULL OR ts > prev + INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM o
+),
+g AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM m
+),
+agg AS (
+    SELECT user_id, session_id,
+           min(ts) AS s, max(ts) AS e,
+           count(*) AS n_events, round(sum(value), 2) AS value_sum
+    FROM g GROUP BY user_id, session_id
+)
+SELECT
+    user_id,
+    strftime(s, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+    strftime(e + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+    n_events,
+    value_sum
+FROM agg
+QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+"""
+
+
+@register(
+    "stateful_sessionizer",
+    sql=_STATEFUL_SESSION_SQL,
+    description="custom stateful operator: applyInPandasWithState "
+    "sessionizer (explicit keyed state + event-time timeout) run via "
+    "Trigger.AvailableNow; oracle = gaps-and-islands SQL minus each "
+    "user's open tail session (EXT-5)",
+)
+def stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The far-future watermark makes the emitted set deterministic
+    # (same-user-proven closures only), which is what makes this
+    # stateful operator oracle-checkable at all; production uses the
+    # default 10-minute delay and gets timeout-flushed tails too.
+    from magshield_data_pipeline_spark.streaming import stateful as ST
+
+    stream = W.read_events_stream(spark, sf_dir)
+    sessions = ST.sessionize_stateful(stream, gap_minutes=30, watermark="3650 days")
+    out = W.run_available_now(sessions, output_mode="append")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+        "value_sum",
+    )

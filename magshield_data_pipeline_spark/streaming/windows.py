@@ -108,17 +108,21 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_available_now(df: DataFrame, name: str | None = None) -> DataFrame:
+def run_available_now(
+    df: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into an
     in-memory table and return the materialized result: process every
     available file, then stop — the streaming equivalent of a batch run
-    (used for backfills and for stream/batch parity checks)."""
+    (used for backfills and for stream/batch parity checks).
+    ``output_mode='append'`` for flatMapGroupsWithState-style operators
+    that only ever append (stateful.py)."""
     name = name or f"stream_result_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -57,6 +57,75 @@ def test_sliding_windows_double_count(spark):
     assert all(r.n_events == 1 for r in out)
 
 
+def test_stateful_sessionizer_in_batch_closure(spark):
+    """Sessions proven closed by a later same-user event emit in-batch;
+    the open tail stays in state (far-future watermark, no timeout)."""
+    from magshield_data_pipeline_spark.streaming import stateful as ST
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 1.0),
+        (1, datetime(2024, 1, 1, 10, 10, 0), 2.0),
+        (1, datetime(2024, 1, 1, 12, 0, 0), 4.0),  # >30min → closes session 1
+        (2, datetime(2024, 1, 1, 9, 0, 0), 8.0),  # only session for user 2
+    ]
+    df = _events(spark, rows)
+    path = str(tmp_parquet(spark, df))
+    stream = _events_stream(spark, path, df.schema)
+    out = W.run_available_now(
+        ST.sessionize_stateful(stream, 30, watermark="3650 days"),
+        output_mode="append",
+    ).collect()
+    # only user 1's first session is proven closed; both tails held back
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 1 and r.n_events == 2 and r.value_sum == 3.0
+    assert r.session_start == datetime(2024, 1, 1, 10, 0, 0)
+    assert r.session_end == datetime(2024, 1, 1, 10, 40, 0)  # last + gap
+
+
+def test_stateful_sessionizer_timeout_flush(spark):
+    """A second micro-batch advances the watermark past a dormant
+    user's end+gap → the event-time timeout flushes their tail."""
+    from magshield_data_pipeline_spark.streaming import stateful as ST
+
+    early = _events(spark, [(7, datetime(2024, 1, 1, 10, 0, 0), 5.0)])
+    late = _events(spark, [(8, datetime(2024, 1, 2, 10, 0, 0), 1.0)])
+    path = tmp_parquet(spark, early)  # file 1
+    stream = _events_stream(spark, str(path), early.schema, one_file_per_batch=True)
+    tmp_parquet(spark, late, path)  # file 2, later mtime
+    out = W.run_available_now(
+        ST.sessionize_stateful(stream, 30, watermark="10 minutes"),
+        output_mode="append",
+    ).collect()
+    # batch 2's day-later event pushes the watermark past user 7's
+    # end+gap → their session flushes via state timeout
+    flushed = [r for r in out if r.user_id == 7]
+    assert len(flushed) == 1
+    assert flushed[0].n_events == 1 and flushed[0].value_sum == 5.0
+    assert flushed[0].session_end == datetime(2024, 1, 1, 10, 30, 0)
+
+
+def tmp_parquet(spark, df, path=None):
+    import tempfile
+    import time
+    import uuid
+    from pathlib import Path
+
+    if path is None:
+        path = Path(tempfile.mkdtemp(prefix="events_stream_"))
+    # distinct mtimes give the file source a deterministic batch order
+    time.sleep(1.1)
+    df.coalesce(1).write.mode("append").parquet(str(path))
+    return path
+
+
+def _events_stream(spark, path, schema, one_file_per_batch=False):
+    reader = spark.readStream.schema(schema)
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", "1")
+    return reader.parquet(path)
+
+
 def test_tumbling_counts_sum(spark):
     rows = [
         (1, datetime(2024, 1, 1, 10, 15, 0), 1.5),
