@@ -139,13 +139,19 @@ def assign_clusters(
         "centroid_id",
         cosine(F.col("v"), F.col("cv")).alias("cscore"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cscore").desc(), F.col("centroid_id")
+    # argmax as an aggregation, NOT a ranking window: max_by over a
+    # lexicographic struct key ((cscore, -centroid_id) → best score,
+    # ties to lowest centroid id). Partial aggregation collapses each
+    # map task's C candidates per vector before the exchange, so the
+    # shuffle carries ~N rows instead of N×C — and no sort at all.
+    best = F.max_by(
+        F.struct(F.col("centroid_id"), F.col("v")),
+        F.struct(F.col("cscore"), (-F.col("centroid_id")).alias("tie")),
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "centroid_id", "v")
+        scored.groupBy(id_col)
+        .agg(best.alias("_best"))
+        .select(id_col, F.col("_best.centroid_id"), F.col("_best.v").alias("v"))
     )
 
 
