@@ -250,3 +250,69 @@ def jaccard_pairs(
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components — dup PAIRS → dup CLUSTERS
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every vertex in *edges*, where
+    cluster_id = min doc_id reachable — turning near-dup PAIRS into
+    dedup CLUSTERS (keep one doc per cluster).
+
+    Iterative min-label propagation: each round every vertex adopts the
+    smallest label among itself and its neighbors; fixpoint after
+    O(diameter) rounds. Dedup graphs are unions of small cliques, so
+    the diameter is tiny (2-3) in practice; *max_iter* bounds
+    pathological chains.
+
+    Scale notes: each round is one join (labels ⋈ edges, shuffled on
+    the vertex id) + one partially-aggregated min — no sorts, no
+    windows. ``localCheckpoint`` truncates the growing lineage each
+    round (the classic iterative-algorithm hazard). The driver-side
+    loop is control flow only — the convergence probe aggregates to a
+    single count, it never collects data rows. For graphs with huge
+    components, swap in the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce") — same
+    per-round join shape, provably fewer rounds.
+    """
+    # symmetric edge list (a→b and b→a), one row per directed neighbor
+    fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = fwd.union(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

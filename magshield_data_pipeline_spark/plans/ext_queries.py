@@ -433,6 +433,95 @@ def multimodal_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT — deterministic train/val/test split + stratified sample flag
+
+_TRAIN_HI = int(0.8 * 256)
+_VAL_HI = _TRAIN_HI + int(0.1 * 256)
+_SAMPLE_HI = int(0.2 * 256)
+
+
+def _hash_byte_sql(salt: str) -> str:
+    h = f"md5('{salt}|' || CAST(doc_id AS VARCHAR))"
+    nib = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    return f"({nib.format(h=h, i=1)}) * 16 + ({nib.format(h=h, i=2)})"
+
+
+_SPLIT_SQL = f"""
+WITH b AS (
+    SELECT doc_id, source, lang,
+           {_hash_byte_sql("split")}  AS sb,
+           {_hash_byte_sql("sample")} AS mb
+    FROM documents
+)
+SELECT doc_id, source, lang,
+       CASE WHEN sb < {_TRAIN_HI} THEN 'train'
+            WHEN sb < {_VAL_HI}   THEN 'val'
+            ELSE 'test' END AS split,
+       mb < {_SAMPLE_HI} AS in_sample
+FROM b
+"""
+
+
+@register(
+    "train_test_split",
+    sql=_SPLIT_SQL,
+    description="deterministic hash-keyed train/val/test split (80/10/10) + "
+    "independent 20% sample flag — reproducible, growth-stable, shuffle-free "
+    "([EXT] training-data tier)",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure projection: a doc's assignment depends only on its id and the
+    # salt, so it survives re-partitioning, corpus growth, and engine
+    # swaps — unlike rand(seed) sampling, which is partition-position
+    # dependent. No shuffle at any scale.
+    from magshield_data_pipeline_spark.operators import sampling as SA
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        SA.split_assign(F.col("doc_id"), 0.8, 0.1, salt="split").alias("split"),
+        SA.sample_flag(F.col("doc_id"), 0.2, salt="sample").alias("in_sample"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — near-dup clusters: pairs → connected components (iterative)
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE jp AS ({_JACCARD_SQL}),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM jp
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM jp
+),
+reach(id, r) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register(
+    "near_dup_clusters",
+    sql=_CLUSTERS_SQL,
+    description="near-dup PAIRS → dedup CLUSTERS: iterative min-label "
+    "propagation (connected components) over the Jaccard≥0.5 graph; "
+    "oracle = recursive reachability SQL ([EXT] dedup completion)",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The iterative-algorithm tier: a driver-side loop of join+min
+    # rounds with localCheckpoint lineage truncation (see
+    # operators/dedup.py::connected_components for the scale notes).
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5)
+    return D.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
 # EXT composition — the full training-data curation pipeline:
 # quality/language gate → exact dedup → per-language corpus rollup.
 
@@ -451,7 +540,7 @@ SELECT
     lang_guess,
     source,
     count(*) AS n_docs,
-    round(avg(quality), 4) AS avg_quality,
+    round(sum(quality), 4) AS sum_quality,
     sum(n_tokens) AS total_tokens
 FROM deduped WHERE rn = 1
 GROUP BY lang_guess, source
@@ -483,7 +572,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = gated.withColumn("rn", rn).filter(F.col("rn") == 1)
     return deduped.groupBy("lang_guess", "source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.sum("quality"), 4).alias("sum_quality"),
         F.sum("n_tokens").alias("total_tokens"),
     )
 

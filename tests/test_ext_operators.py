@@ -161,3 +161,42 @@ def test_subtoken_count_bpe_ish(spark):
     [row] = df.select(T.subtoken_count("text").alias("n")).collect()
     # Hello , world 4 2 !  → 6 subtokens (digits split individually)
     assert row.n == 6
+
+
+def test_connected_components_merges_chains(spark):
+    from magshield_data_pipeline_spark.operators import dedup as D
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], ["doc_a", "doc_b"]
+    )
+    out = {r.doc_id: r.cluster_id for r in D.connected_components(edges).collect()}
+    # {1,2,3,9} one component labeled by its min; {5,6} another
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_split_assign_proportions_and_stability(spark):
+    from magshield_data_pipeline_spark.operators import sampling as SA
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    sel = df.select(
+        "doc_id",
+        SA.split_assign(F.col("doc_id")).alias("split"),
+        SA.sample_flag(F.col("doc_id")).alias("in_sample"),
+    )
+    counts = {r.split: r.n for r in sel.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    assert abs(counts["test"] / 2000 - 0.1) < 0.03
+    # growth stability: the same doc gets the same split in a larger corpus
+    bigger = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    merged = (
+        sel.alias("a")
+        .join(
+            bigger.select(
+                "doc_id", SA.split_assign(F.col("doc_id")).alias("split2")
+            ).alias("b"),
+            "doc_id",
+        )
+        .filter(F.col("split") != F.col("split2"))
+    )
+    assert merged.count() == 0
