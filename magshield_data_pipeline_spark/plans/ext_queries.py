@@ -487,6 +487,73 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT — sequence packing: concatenate-then-chunk token-budget offsets
+
+_PACK_BUDGET = 2048
+_PACKING_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CASE WHEN ({_hash_byte_sql("split")}) < {int(0.8 * 256)} THEN 'train'
+                WHEN ({_hash_byte_sql("split")}) < {int(0.8 * 256) + int(0.1 * 256)} THEN 'val'
+                ELSE 'test' END AS split,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+o AS (
+    SELECT doc_id, split, source, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY split, source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) - n_tokens AS start_off
+    FROM t
+)
+SELECT doc_id, split, source, n_tokens, start_off,
+       start_off // {_PACK_BUDGET} AS bin_id
+FROM o
+"""
+
+
+@register(
+    "sequence_packing",
+    sql=_PACKING_SQL,
+    description=f"sequence packing: concatenate-then-chunk token offsets into "
+    f"{_PACK_BUDGET}-token training bins, packed per (split, source) shard "
+    "([EXT] training-data tier)",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each doc gets its start offset in its shard's concatenated token
+    # stream (running sum ordered by doc_id) and the training bin its
+    # offset falls in. Scale: the window partitions by (split, source) —
+    # packing within shards, never a global single-partition sort; shard
+    # count grows with the corpus, so parallelism does too.
+    from pyspark.sql import Window
+
+    from magshield_data_pipeline_spark.operators import sampling as SA
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        SA.split_assign(F.col("doc_id"), 0.8, 0.1, salt="split").alias("split"),
+        T.token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = t.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return o.select(
+        "doc_id",
+        "split",
+        "source",
+        "n_tokens",
+        "start_off",
+        F.floor(F.col("start_off") / _PACK_BUDGET).alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # EXT — near-dup clusters: pairs → connected components (iterative)
 
 _CLUSTERS_SQL = f"""

@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the scale posture, asserted.
+
+Correctness tests prove the numbers; these prove the SHAPE — the
+properties that decide whether a query survives a 100× scale-up:
+no accidental cartesian products, exchange budgets on flagship
+queries, pushed filters on selective scans.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from magshield_data_pipeline_spark.plans.registry import QUERY_REGISTRY
+from tests.conftest import SF_SMALL
+
+# queries whose plans legitimately contain a broadcast nested-loop:
+# the embedding tier broadcasts a tiny query/centroid set against the
+# corpus scan (a bounded, intentional cross), and the range-predicate
+# temporal joins have non-equi conditions.
+_ALLOW_BNLJ = {
+    "embedding_topk_cosine",
+    "embedding_ivf_topk",
+    "embedding_cosine_dup_pairs",
+    "purchase_asof_click",
+    "signup_click_burst",
+    # three single-row count(*) frames crossed into one metadata row
+    "count_probe",
+}
+
+# streaming / iterative queries execute eagerly inside fn(); their final
+# frame is a memory-sink table or checkpointed result, not a lazy plan
+_EAGER = {"streaming_tumbling_counts", "stateful_sessionizer", "near_dup_clusters"}
+
+_LAZY_QUERIES = sorted(set(QUERY_REGISTRY) - _EAGER)
+
+
+def _physical_plan(df) -> str:
+    return df.sparkSession._jsparkSession.sessionState().executePlan(
+        df._jdf.queryExecution().logical(),
+        df._jdf.queryExecution().mode(),
+    ).executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", _LAZY_QUERIES)
+def test_no_unplanned_cartesian(spark, name):
+    df = QUERY_REGISTRY[name].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, f"{name} degraded to a cartesian product"
+    if name not in _ALLOW_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} uses a nested-loop join — an equi-join key went missing"
+        )
+
+
+def test_quote_enrichment_is_exchange_free(spark):
+    # dims broadcast; no groupBy — the enrichment must not shuffle at all
+    df = QUERY_REGISTRY["quote_enrichment"].fn(spark, SF_SMALL)
+    assert "Exchange" not in _physical_plan(df).replace("BroadcastExchange", "")
+
+
+def test_three_role_join_single_shuffle(spark):
+    # three aliased dim roles must all broadcast: the only exchange is
+    # the final groupBy's hash partitioning
+    df = QUERY_REGISTRY["three_role_nation_join"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    shuffles = plan.replace("BroadcastExchange", "").count("Exchange")
+    assert shuffles <= 1, f"expected <=1 shuffle, plan:\n{plan[:2000]}"
+
+
+def test_lineitem_filter_is_pushed(spark):
+    # the semi-join reduction's date predicate must reach the scan
+    df = QUERY_REGISTRY["semi_join_pushdown"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "PushedFilters: [" in plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "IsNotNull" in ln
+    ]
+    assert pushed, "no non-trivial pushed filters on any scan"
