@@ -35,9 +35,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from magshield_data_pipeline_spark.functions import scalars as S
+from magshield_data_pipeline_spark.sources.parquet import ensure_runtime_confs
 
 # ---------------------------------------------------------------------------
 # shared helpers
+
+def _ensure_confs(df: DataFrame) -> None:
+    """Exports are pure functions usable from ANY caller session (no
+    read_table in the path), but the CUSTOMFIELDS map build needs
+    LAST_WIN dedup and date formatting needs UTC — set the runtime
+    confs from the input frame's own session."""
+    ensure_runtime_confs(df.sparkSession)
+
 
 
 def _cf(col: str = "CUSTOMFIELDS") -> Column:
@@ -113,6 +122,7 @@ def users_export(users: DataFrame) -> DataFrame:
 
 
 def organisation_export(orgs: DataFrame) -> DataFrame:
+    _ensure_confs(orgs)
     cf = _cf()
     # P5: bool(cf.get("Active__c", False)) — Python truthiness of the
     # string value: any non-empty string (even 'False') is True
@@ -143,6 +153,7 @@ def quote_export(
     organisations: DataFrame,
     contacts: DataFrame,
 ) -> DataFrame:
+    _ensure_confs(quotes)
     cf = _cf()
     q = quotes.withColumn("_cf", cf)
     opp = F.broadcast(
@@ -233,6 +244,7 @@ def _org_struct_dim(organisations: DataFrame) -> DataFrame:
 def invoice_export(
     invoices: DataFrame, users: DataFrame, organisations: DataFrame
 ) -> DataFrame:
+    _ensure_confs(invoices)
     m = _cf()
     inv = invoices.withColumn("_cf", m)
     usr = F.broadcast(
@@ -299,6 +311,7 @@ def invoice_export(
 def equipment_export(
     equipment: DataFrame, users: DataFrame, organisations: DataFrame
 ) -> DataFrame:
+    _ensure_confs(equipment)
     m = _cf()
     eq = equipment.withColumn("_cf", m)
     usr = F.broadcast(
@@ -381,6 +394,7 @@ def task_export(
     projects: DataFrame,
     notes: DataFrame,
 ) -> DataFrame:
+    _ensure_confs(tasks)
     # --- dim lookups (all broadcast; the reference probes dicts) ---
     cat = F.broadcast(
         categories.select(
@@ -525,6 +539,7 @@ def opportunity_export(
     line_items: DataFrame,
     opportunity_links: DataFrame,
 ) -> DataFrame:
+    _ensure_confs(opportunities)
     m = _cf()
     o = opportunities.withColumn("_cf", m)
     cfv = lambda k: F.element_at(F.col("_cf"), F.lit(k))  # noqa: E731
@@ -608,13 +623,19 @@ def opportunity_export(
         .join(site_names, o["OPPORTUNITY_ID"] == F.col("_sn_opp"), "left")
     )
 
-    main_org_id = F.col("ORGANISATION_ID")
+    # the reference compares STRINGS with ''-defaults (opportunity.py:
+    # 190-196: main_org = str(... or '')), so a null main org keeps every
+    # linked site org — a raw column comparison would null out and drop
+    # them all
+    main_org_str = F.coalesce(F.col("ORGANISATION_ID").cast("string"), F.lit(""))
     site_name = F.array_join(
         F.filter(
             F.transform(
                 F.coalesce(F.col("_site_structs"), F.array()),
                 lambda s: F.when(
-                    s["LINK_OBJECT_ID"] != main_org_id, F.coalesce(s["_oname"], F.lit(""))
+                    F.coalesce(s["LINK_OBJECT_ID"].cast("string"), F.lit(""))
+                    != main_org_str,
+                    F.coalesce(s["_oname"], F.lit("")),
                 ).otherwise(F.lit("")),
             ),
             lambda x: x != "",

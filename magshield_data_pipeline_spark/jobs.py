@@ -69,14 +69,20 @@ class ExportRun:
 
     def _write(self, key: str, df: DataFrame) -> str | None:
         # P9 existence guard: the reference skips an export when the
-        # extract is empty (quote.py:87-91, organisation.py:155-158);
-        # isEmpty() probes one partition, not a full count
-        if df.isEmpty():
-            self.written[key] = None
-            return None
-        path = sinks.overwrite_by_name(df, self.out_dir, EXPORT_NAMES[key], self.fmt)
-        self.written[key] = path
-        return path
+        # extract is empty (quote.py:87-91, organisation.py:155-158).
+        # The frame is persisted around the probe so the multi-join
+        # pipeline computes ONCE — isEmpty() then save() on an
+        # unpersisted frame would each evaluate the whole DAG.
+        df = df.persist()
+        try:
+            if df.isEmpty():
+                self.written[key] = None
+                return None
+            path = sinks.overwrite_by_name(df, self.out_dir, EXPORT_NAMES[key], self.fmt)
+            self.written[key] = path
+            return path
+        finally:
+            df.unpersist()
 
     # --- entry points, mirroring callable.py final1..5 ---
 

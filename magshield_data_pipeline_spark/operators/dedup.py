@@ -93,24 +93,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # MinHash + LSH
 
 
-def _seeded_md5(seed: int):
-    # NB: must be a single-parameter lambda — PySpark calls two-parameter
-    # transform lambdas with (element, index), which would shadow the seed.
-    prefix = f"{seed}|"
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-
-def minhash_signature(text: Column | str, k: int = MINHASH_K) -> list[Column]:
-    """k min-hashes over the shingle set: h_i = min(md5('{i}|' + s)).
-    MD5 with a seed prefix keeps the family deterministic and
-    reproducible in any engine with md5()."""
-    shingles = word_shingles(text)
-    return [
-        F.array_min(F.transform(shingles, _seeded_md5(i))).alias(f"h{i}")
-        for i in range(k)
-    ]
-
-
 def lsh_band_buckets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -290,6 +272,7 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -314,5 +297,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # stopping silently would return labels that LOOK valid but split
+        # long-chain components — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a component with diameter > max_iter — raise "
+            "max_iter or switch to large-star/small-star"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

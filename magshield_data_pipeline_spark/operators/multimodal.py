@@ -88,19 +88,6 @@ def decode_media(content: bytes, kind: str):
     )
 
 
-def _byte_features(content: bytes) -> tuple[int, int, float, list[float]]:
-    """Deterministic stand-in for decoded-media features: byte length,
-    nibble checksum, low-byte fraction, normalized byte-value histogram."""
-    arr = np.frombuffer(content, dtype=np.uint8)
-    n = len(arr)
-    if n == 0:
-        return 0, 0, 0.0, [0.0] * HIST_BINS
-    nibble_sum = int((arr >> 4).sum() + (arr & 0x0F).sum())
-    bin0 = int((arr < 256 // HIST_BINS).sum())
-    hist = np.bincount(arr >> 3, minlength=HIST_BINS).astype("float64") / n
-    return n, nibble_sum, round(bin0 / n, 6), [float(x) for x in hist]
-
-
 def extract_features(media: DataFrame) -> DataFrame:
     """Feature extraction over Arrow batches: mapInPandas receives an
     iterator of pandas DataFrames (one per Arrow batch) and yields

@@ -63,7 +63,17 @@ def salted_join(
     a hash of the full row (hot keys spread over *salt_buckets* reduce
     tasks); the small side is replicated once per salt value. Result
     rows are identical to the unsalted join — each big row carries
-    exactly one salt and each small match exists once per salt."""
+    exactly one salt and each small match exists once per salt.
+
+    Only joins that never emit UNMATCHED small-side rows are allowed:
+    a right/full outer join would surface each unmatched small row once
+    per salt replica (*salt_buckets* duplicates)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            "rows would appear once per salt replica"
+        )
     big_cols = [F.col(c) for c in big.columns]
     big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*big_cols), F.lit(salt_buckets)))
     small_s = small.withColumn(
@@ -81,9 +91,15 @@ def salted_sum_count(
     """Two-stage skew-safe aggregation: sum/count per *key*. Stage 1
     shrinks each (key, salt) group map-side; stage 2 merges the at-most
     *salt_buckets* partials per key — the hot key's work is spread over
-    salt_buckets tasks instead of one."""
+    salt_buckets tasks instead of one.
+
+    The salt comes from a per-row unique id, NOT from the value column:
+    value-derived salts collapse when a hot key carries few distinct
+    values (constant counters), putting the hot key back in one task.
+    Sum/count are indifferent to WHICH salt a row gets, so a
+    nondeterministic-under-retry id is safe here."""
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )
     partial = salted.groupBy(key, "_salt").agg(
         F.sum(value).alias("_psum"), F.count("*").alias("_pcnt")

@@ -58,14 +58,14 @@ class PagePartition(InputPartition):
 
 
 class PagedJsonReader(DataSourceReader):
-    def __init__(self, options: dict, schema_ddl: str) -> None:
+    def __init__(self, options: dict, field_names: List[str]) -> None:
         # option keys arrive lowercased (Spark's CaseInsensitiveDict →
         # plain dict); look up lowercase only
         self.path = options["path"]
         self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
         # field order = schema order; values are pulled from each JSON
         # object by name (missing → None, the reference's .get default)
-        self.fields = [f.strip().split()[0] for f in schema_ddl.split(",")]
+        self.fields = field_names
         self._pushed: List[Filter] = []
 
     # --- S3: count probe (driver-side, metadata-style single pass) ---
@@ -142,10 +142,10 @@ class PagedJsonDataSource(DataSource):
         return ddl
 
     def reader(self, schema) -> PagedJsonReader:
-        ddl = self.options.get("schemaddl") or ",".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
-        )
-        return PagedJsonReader(dict(self.options), ddl)
+        # schema arrives as the PARSED StructType — take field names from
+        # it directly (splitting DDL text breaks on decimal(10,2) and
+        # nested struct types, whose commas are not field separators)
+        return PagedJsonReader(dict(self.options), [f.name for f in schema.fields])
 
 
 def register(spark) -> None:

@@ -325,6 +325,39 @@ def test_opportunity_export_fanout_and_quirks(spark, task_dims):
     assert a["Pricebook Name"] == "PB"
 
 
+def test_opportunity_site_name_with_null_main_org(spark, task_dims):
+    """A null ORGANISATION_ID must KEEP linked site orgs: the reference
+    compares strings with ''-defaults (opportunity.py:190-196), so no
+    link id ever equals the '' main-org key."""
+    opps = _df(
+        spark,
+        [{"OPPORTUNITY_ID": 200, "OPPORTUNITY_NAME": "OppC",
+          "OPPORTUNITY_STATE": "OPEN", "OPPORTUNITY_VALUE": 1.0,
+          "CUSTOMFIELDS": []}],  # no ORGANISATION_ID
+        SCH.OPPORTUNITY_SCHEMA,
+    )
+    empty = lambda sch: _df(spark, [], sch)  # noqa: E731
+    out = E.opportunity_export(
+        opps,
+        organisations=task_dims["organisations"],
+        users=task_dims["users"],
+        pricebooks=empty(SCH.PRICEBOOK_SCHEMA),
+        products=empty(SCH.PRODUCT_SCHEMA),
+        state_reasons=empty(SCH.OPPORTUNITY_STATE_REASON_SCHEMA),
+        stages=empty(SCH.PIPELINE_STAGE_SCHEMA),
+        pricebook_entries=empty(SCH.PRICEBOOK_ENTRY_SCHEMA),
+        line_items=empty(SCH.OPPORTUNITY_LINE_ITEM_SCHEMA),
+        opportunity_links=_df(
+            spark,
+            [{"OBJECT_NAME": "Opportunity", "OBJECT_ID": 200,
+              "LINK_OBJECT_NAME": "Organisation", "LINK_OBJECT_ID": 6}],
+            SCH.OPPORTUNITY_LINK_SCHEMA,
+        ),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["Site Name"] == "OrgB"
+
+
 def test_users_export_projection_dedup(spark, users):
     doubled = users.unionByName(users)
     out = E.users_export(doubled)
