@@ -50,6 +50,19 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
 
 
+def normalize_vec(a: Column) -> Column:
+    """Unit-normalize once per VECTOR so pair scoring is a plain dot
+    product — at scale the pair join dominates, and cosine-per-pair
+    recomputes both norms for every pair (3 array folds/pair vs 1)."""
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
+def dot_score(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Rounded dot product — cosine when both sides are pre-normalized."""
+    return F.round(dot(a, b), decimals)
+
+
 def cosine_arrow(a: Column, b: Column, decimals: int = 6) -> Column:
     """Arrow-vectorized cosine via a pandas UDF — the alternative hot
     path when vectors are wide enough that per-element Catalyst
@@ -128,16 +141,21 @@ def assign_clusters(
 ) -> DataFrame:
     """(vec_id, centroid_id, v) — each vector assigned to its
     highest-cosine centroid (ties → lowest centroid id). Centroids
-    broadcast; one corpus scan."""
-    corpus = emb.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    broadcast; one corpus scan. The returned ``v`` is UNIT-NORMALIZED:
+    normalization happens once per vector here, so every downstream
+    pair/probe scoring is a single dot-product fold."""
+    corpus = emb.select(
+        F.col(id_col), normalize_vec(as_double_vec(vec_col)).alias("v")
+    )
     cents = centroids.select(
-        F.col(id_col).alias("centroid_id"), as_double_vec(vec_col).alias("cv")
+        F.col(id_col).alias("centroid_id"),
+        normalize_vec(as_double_vec(vec_col)).alias("cv"),
     )
     scored = corpus.crossJoin(F.broadcast(cents)).select(
         id_col,
         "v",
         "centroid_id",
-        cosine(F.col("v"), F.col("cv")).alias("cscore"),
+        dot_score(F.col("v"), F.col("cv")).alias("cscore"),
     )
     # argmax as an aggregation, NOT a ranking window: max_by over a
     # lexicographic struct key ((cscore, -centroid_id) → best score,
@@ -189,7 +207,8 @@ def ivf_topk(
         .select(
             query_id_col,
             id_col,
-            cosine(F.col("v"), F.col("qv")).alias("score"),
+            # both sides pre-normalized by assign_clusters → plain dot
+            dot_score(F.col("v"), F.col("qv")).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -283,21 +283,27 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXT-3b — IVF-bucketed top-k (the scale path)
 
 _IVF_K = 5
+# vectors unit-normalized ONCE (mirroring assign_clusters), so every
+# pair/probe score is a plain dot product
+_NORM_E = (
+    "e AS (SELECT vec_id, [x / sqrt(list_dot_product(vv, vv)) for x in vv] AS v "
+    "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings))"
+)
 _IVF_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH {_NORM_E},
 cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
 scored_asg AS (
     SELECT e.vec_id, e.v, centroid_id,
            row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, centroid_id
+               ORDER BY round(list_dot_product(v, cv), 6) DESC, centroid_id
            ) AS arn
     FROM e CROSS JOIN cents
 ),
 asg AS (SELECT vec_id, v, centroid_id FROM scored_asg WHERE arn = 1),
 q AS (SELECT vec_id AS query_id, centroid_id, v AS qv FROM asg WHERE vec_id < 5),
 s AS (
-    SELECT query_id, a.vec_id, round(list_cosine_similarity(a.v, qv), 6) AS score
+    SELECT query_id, a.vec_id, round(list_dot_product(a.v, qv), 6) AS score
     FROM asg a JOIN q USING (centroid_id)
     WHERE a.vec_id != query_id
 )
@@ -317,22 +323,22 @@ SELECT query_id, vec_id, score, rank FROM (
 # uses ~0.9 on real embeddings — same plan, different constant
 _COS_DUP_THRESHOLD = 0.4
 _COS_DUP_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH {_NORM_E},
 cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
 scored_asg AS (
     SELECT e.vec_id, e.v, centroid_id,
            row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, centroid_id
+               ORDER BY round(list_dot_product(v, cv), 6) DESC, centroid_id
            ) AS arn
     FROM e CROSS JOIN cents
 ),
 asg AS (SELECT vec_id, v, centroid_id FROM scored_asg WHERE arn = 1)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS score
+       round(list_dot_product(a.v, b.v), 6) AS score
 FROM asg a JOIN asg b
   ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_COS_DUP_THRESHOLD}
+WHERE round(list_dot_product(a.v, b.v), 6) >= {_COS_DUP_THRESHOLD}
 """
 
 
@@ -358,7 +364,8 @@ def embedding_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = assigned.select(
         F.col("centroid_id"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
     )
-    score = V.cosine(F.col("va"), F.col("vb"))
+    # assign_clusters pre-normalizes, so the pair score is one dot fold
+    score = V.dot_score(F.col("va"), F.col("vb"))
     return (
         a.join(b, ["centroid_id"])
         .filter(F.col("vec_a") < F.col("vec_b"))
