@@ -6,6 +6,8 @@ needed (its only aggregations are collect_list/count/dedup, SURVEY
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -108,4 +110,51 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", _EVENT_TYPES)
         .count()
         .na.fill(0, _EVENT_TYPES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDAF surface — vectorized pandas grouped-agg UDF (the reference has no
+# UDAF at all, SURVEY §2.10; this is the Arrow-batched escape hatch for
+# aggregates Spark lacks, here median absolute deviation)
+
+_MAD_SQL = """
+SELECT event_type,
+       round(mad(value), 6) AS value_mad,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "value_mad_per_type",
+    sql=_MAD_SQL,
+    description="custom UDAF: median absolute deviation per event type via a "
+    "vectorized pandas grouped-agg UDF (Arrow batches, not per-row Python); "
+    "oracle = DuckDB mad()",
+)
+def value_mad_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped-agg pandas UDFs receive each group's column as ONE Arrow
+    # batch — fine for bounded groups like per-type events; an unbounded
+    # 100 TB group would need a sketch (e.g. approx quantiles) instead.
+    # The UDF body is self-contained (local import, no module refs).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
+        import numpy as np
+
+        a = v.to_numpy(dtype="float64")
+        return float(np.median(np.abs(a - np.median(a))))
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg —
+    # the row count rides along as a second vectorized UDAF
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return len(v)
+
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(_mad("value"), 6).alias("value_mad"),
+        _n("value").alias("n_events"),
     )

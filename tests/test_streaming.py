@@ -139,3 +139,21 @@ def test_tumbling_counts_sum(spark):
         "2024-01-01 10:00:00": (2, 4.0),
         "2024-01-01 11:00:00": (1, 3.0),
     }
+
+
+def test_stream_refresh_by_name_matches_batch(spark, tmp_path):
+    """foreachBatch + overwrite_by_name: the streamed tumbling rollup
+    lands in the named target and equals the batch answer."""
+    from magshield_data_pipeline_spark.sources.parquet import read_table as _rt
+    from magshield_data_pipeline_spark.streaming import sinks as SS
+
+    stream = W.read_events_stream(spark, SF_SMALL)
+    path = SS.stream_refresh_by_name(
+        W.tumbling_counts(stream, "1 hour"), str(tmp_path), "Hourly Rollup"
+    )
+    assert path is not None and "Hourly Rollup" in path
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    want = sorted(
+        map(tuple, W.tumbling_counts(_rt(spark, SF_SMALL, "events"), "1 hour").collect())
+    )
+    assert got == want and len(got) > 0
