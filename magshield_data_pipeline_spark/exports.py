@@ -181,7 +181,7 @@ def quote_export(
         .join(org, q["ORGANISATION_ID"] == org["_org_id"], "left")
         .join(
             con,
-            F.element_at(F.col("_cf"), F.lit("Sales_Person__c")).cast("bigint")
+            F.element_at(F.col("_cf"), F.lit("Sales_Person__c")).try_cast("bigint")
             == con["_con_id"],
             "left",
         )
@@ -266,11 +266,11 @@ def invoice_export(
     cfv = lambda k: F.element_at(F.col("_cf"), F.lit(k))  # noqa: E731
     joined = (
         inv.join(usr, inv["OWNER_USER_ID"] == usr["_uid"], "left")
-        .join(inv_org, cfv("Invoiced_Organization__c").cast("bigint") == F.col("_inv_id"), "left")
+        .join(inv_org, cfv("Invoiced_Organization__c").try_cast("bigint") == F.col("_inv_id"), "left")
         # Q1: the effective site key is Site_Name_Invoice__c — the
         # reference assigns Site_Organization__c then overwrites it
-        .join(site_org, cfv("Site_Name_Invoice__c").cast("bigint") == F.col("_site_id"), "left")
-        .join(chan_org, cfv("Channel_Partner_Invoiced__c").cast("bigint") == F.col("_chan_id"), "left")
+        .join(site_org, cfv("Site_Name_Invoice__c").try_cast("bigint") == F.col("_site_id"), "left")
+        .join(chan_org, cfv("Channel_Partner_Invoiced__c").try_cast("bigint") == F.col("_chan_id"), "left")
     )
     mm = F.col("_cf")
     ct = lambda c: S.clean_text(S.coalesce_str(c))  # noqa: E731
@@ -330,14 +330,14 @@ def equipment_export(
             org.select(
                 F.col("_oid").alias("_ent_id"), F.col("_oname").alias("_ent_name")
             ),
-            cfv("Entity_Owning_Equipment_Equipment__c").cast("bigint") == F.col("_ent_id"),
+            cfv("Entity_Owning_Equipment_Equipment__c").try_cast("bigint") == F.col("_ent_id"),
             "left",
         )
         .join(
             org.select(
                 F.col("_oid").alias("_site_id"), F.col("_oname").alias("_site_name")
             ),
-            cfv("Site_Name_Equipment__c").cast("bigint") == F.col("_site_id"),
+            cfv("Site_Name_Equipment__c").try_cast("bigint") == F.col("_site_id"),
             "left",
         )
     )
@@ -613,8 +613,8 @@ def opportunity_export(
 
     joined = (
         o.join(org_role("_main"), o["ORGANISATION_ID"] == F.col("_main_id"), "left")
-        .join(org_role("_ent"), cfv("Entity_Owning_Equipment__c").cast("bigint") == F.col("_ent_id"), "left")
-        .join(org_role("_chan"), cfv("Channel_Owner__c").cast("bigint") == F.col("_chan_id"), "left")
+        .join(org_role("_ent"), cfv("Entity_Owning_Equipment__c").try_cast("bigint") == F.col("_ent_id"), "left")
+        .join(org_role("_chan"), cfv("Channel_Owner__c").try_cast("bigint") == F.col("_chan_id"), "left")
         .join(usr, o["OWNER_USER_ID"] == usr["_uid"], "left")
         .join(stg, o["STAGE_ID"] == stg["_stg_id"], "left")
         .join(rsn, o["STATE_REASON_ID"] == rsn["_rsn_id"], "left")

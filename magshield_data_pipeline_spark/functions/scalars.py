@@ -76,7 +76,7 @@ def format_date_ui(c: Column | str) -> Column:
     (/root/reference/modules/invoice.py:137-145); fallback = original
     full string."""
     col = F.col(c) if isinstance(c, str) else c
-    date_part = F.split(col, " ").getItem(0)
+    date_part = F.get(F.split(col, " "), 0)
     return F.coalesce(
         F.date_format(F.try_to_timestamp(date_part, F.lit("yyyy-MM-dd")), "dd/MM/yyyy"),
         col,
@@ -116,8 +116,10 @@ def split_part(c: Column | str, delim: str, index: int) -> Column:
     (equipment's ``'Name||ID||User'`` keys, equiment.py:104-111).
     """
     col = F.col(c) if isinstance(c, str) else c
-    # getItem is 0-based like Python indexing
-    return F.split(col, re.escape(delim)).getItem(index)
+    # F.get is 0-based like Python indexing and yields null (never an
+    # INVALID_ARRAY_INDEX abort) when the index is out of range — the
+    # documented contract, independent of the ANSI conf
+    return F.get(F.split(col, re.escape(delim)), index)
 
 
 def org_owner_site_key(

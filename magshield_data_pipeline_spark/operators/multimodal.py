@@ -109,7 +109,11 @@ def extract_features(media: DataFrame) -> DataFrame:
         import numpy as _np
         import pandas as _pd
 
-        def byte_features(content: bytes):
+        def byte_features(content):
+            # content is a NULLABLE binary column: a null payload gets
+            # empty features, it must not TypeError the whole task
+            if content is None:
+                content = b""
             arr = _np.frombuffer(content, dtype=_np.uint8)
             n = len(arr)
             if n == 0:
@@ -127,7 +131,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "kind": pdf["kind"],
                     "byte_len": [f[0] for f in feats],
                     "content_md5": [
-                        hashlib.md5(c).hexdigest() for c in pdf["content"]
+                        hashlib.md5(c if c is not None else b"").hexdigest()
+                        for c in pdf["content"]
                     ],
                     "nibble_sum": [f[1] for f in feats],
                     "bin0_frac": [f[2] for f in feats],

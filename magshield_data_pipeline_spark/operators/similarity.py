@@ -46,15 +46,20 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     """Cosine similarity rounded to *decimals* — rounding BEFORE any
     ordering is what keeps top-k ranks engine-reproducible (last-ulp
-    float noise cannot flip an order on a rounded key)."""
-    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+    float noise cannot flip an order on a rounded key). A zero vector
+    (padding / failed-encode sentinel) scores null, not an abort —
+    matching cosine_arrow's behavior under any ANSI setting."""
+    denom = F.nullif(norm(a) * norm(b), F.lit(0.0))
+    return F.round(dot(a, b) / denom, decimals)
 
 
 def normalize_vec(a: Column) -> Column:
     """Unit-normalize once per VECTOR so pair scoring is a plain dot
     product — at scale the pair join dominates, and cosine-per-pair
-    recomputes both norms for every pair (3 array folds/pair vs 1)."""
-    n = norm(a)
+    recomputes both norms for every pair (3 array folds/pair vs 1).
+    Zero vectors normalize to an all-null vector (→ null scores), not
+    a division error."""
+    n = F.nullif(norm(a), F.lit(0.0))
     return F.transform(a, lambda x: x / n)
 
 

@@ -383,7 +383,7 @@ _MULTIMODAL_SQL = f"""
 WITH m AS (
     SELECT
         doc_id AS media_id,
-        CASE CAST(substr(source, 4) AS INT) % 3
+        CASE TRY_CAST(substr(source, 4) AS INT) % 3
              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         encode(text) AS content,
         md5(text)    AS content_md5
@@ -418,7 +418,9 @@ def multimodal_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test corpus ships no real binaries. Scale: one scan, Arrow batch
     # transfer into Python, pure per-row features, no shuffle.
     docs = read_table(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("int")
+    # try_cast: a source name that isn't 'src<digits>' yields a null
+    # kind for that row, never a CAST_INVALID_INPUT abort
+    src_num = F.substring("source", 4, 10).try_cast("int")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

@@ -738,7 +738,7 @@ def nation_pair_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         event_id,
         event_type,
-        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
     FROM events
     """,
     description="JSON field access over a JSON-string column (F13, "
@@ -751,7 +751,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "event_type",
-        S.json_get("props", "$.k").cast("bigint").alias("k_val"),
+        S.json_get("props", "$.k").try_cast("bigint").alias("k_val"),
     )
 
 

@@ -46,6 +46,14 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark 4 defaults ANSI on, where a malformed value ABORTS the job
+    # (CAST_INVALID_INPUT, DIVIDE_BY_ZERO, INVALID_ARRAY_INDEX). This
+    # engine reproduces the reference's dict-probe semantics — a bad
+    # value is DATA and resolves to null/miss, never an abort — so the
+    # null-tolerant mode is part of the engine contract. Hot spots also
+    # use try_cast/get/nullif explicitly, so they stay correct even if
+    # a caller forces ANSI back on.
+    "spark.sql.ansi.enabled": "false",
 }
 
 

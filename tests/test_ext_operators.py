@@ -200,3 +200,18 @@ def test_split_assign_proportions_and_stability(spark):
         .filter(F.col("split") != F.col("split2"))
     )
     assert merged.count() == 0
+
+
+def test_cosine_zero_vector_yields_null_not_error(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    queries = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # the zero vector must score null (and never raise DIVIDE_BY_ZERO),
+    # in both the JVM and the Arrow scoring paths
+    for impl in ("sql", "arrow"):
+        rows = V.brute_force_topk(df, queries, k=5, impl=impl).collect()
+        scores = {r.vec_id: r.score for r in rows}
+        assert scores.get(2) is None or scores == {}
