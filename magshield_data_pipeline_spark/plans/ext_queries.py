@@ -671,3 +671,36 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return V.ivf_topk(emb, centroids, queries, k=_IVF_K)
+
+
+# ---------------------------------------------------------------------------
+# EXT — curriculum bucketing: quality quartiles per language
+
+_CURRICULUM_SQL = f"""
+WITH p AS ({_PROFILE_SQL})
+SELECT doc_id, lang_guess, quality,
+       ntile(4) OVER (
+           PARTITION BY lang_guess ORDER BY quality, doc_id
+       ) AS quality_quartile
+FROM p
+"""
+
+
+@register(
+    "curriculum_quality_buckets",
+    sql=_CURRICULUM_SQL,
+    description="curriculum bucketing: ntile(4) quality quartiles per "
+    "language — the easy->hard ordering signal for staged training "
+    "([EXT] training-data tier)",
+)
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic: ties broken by doc_id so both engines assign the
+    # same quartiles. Scale: one shuffle partitioned by language; at a
+    # skewed language distribution, swap ntile for percent_rank over
+    # pre-aggregated quality histograms (same output contract).
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    profile = T.document_profile(docs).select("doc_id", "lang_guess", "quality")
+    w = Window.partitionBy("lang_guess").orderBy("quality", "doc_id")
+    return profile.withColumn("quality_quartile", F.ntile(4).over(w))
