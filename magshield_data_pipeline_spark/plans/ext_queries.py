@@ -704,3 +704,45 @@ def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = T.document_profile(docs).select("doc_id", "lang_guess", "quality")
     w = Window.partitionBy("lang_guess").orderBy("quality", "doc_id")
     return profile.withColumn("quality_quartile", F.ntile(4).over(w))
+
+
+# ---------------------------------------------------------------------------
+# EXT-2e — SimHash hamming pairs: fingerprints → near-dup pairs
+
+_HAM_MAX = 3
+_SIMHASH_PAIRS_SQL = f"""
+WITH sim AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a
+JOIN sim b ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAM_MAX}
+"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    sql=_SIMHASH_PAIRS_SQL,
+    description=f"SimHash near-dup pairs: hamming distance <= {_HAM_MAX} "
+    "within prefix blocks (top-byte block key; production rotates bands "
+    "for multi-probe recall) — completes fingerprints into pairs (EXT-2)",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocking on the fingerprint's top byte keeps the self-join keyed
+    # and bounded (never all-pairs); candidates whose distance lives
+    # entirely in the prefix are traded away, recovered in production by
+    # probing B rotated block keys — same plan, B block columns.
+    docs = read_table(spark, sf_dir, "documents")
+    sim = D.simhash(docs, text_col="text", id_col="doc_id")
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(
+            b,
+            (F.shiftright(F.col("sh_a"), 8) == F.shiftright(F.col("sh_b"), 8))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(hamming <= _HAM_MAX)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
