@@ -746,3 +746,66 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= _HAM_MAX)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-3c — k-means centroid update (one Lloyd iteration)
+
+_KMEANS_SQL = f"""
+WITH {_NORM_E},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+scored_asg AS (
+    SELECT e.vec_id, e.v, centroid_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(v, cv), 6) DESC, centroid_id
+           ) AS arn
+    FROM e CROSS JOIN cents
+),
+asg AS (SELECT vec_id, v, centroid_id FROM scored_asg WHERE arn = 1),
+pos AS (
+    SELECT centroid_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+    FROM asg
+),
+dim_means AS (
+    SELECT centroid_id, pos, round(avg(x), 6) AS m
+    FROM pos GROUP BY centroid_id, pos
+)
+SELECT centroid_id,
+       list(m ORDER BY pos) AS new_centroid,
+       (SELECT count(*) FROM asg a WHERE a.centroid_id = d.centroid_id) AS n_members
+FROM dim_means d
+GROUP BY centroid_id
+"""
+
+
+@register(
+    "kmeans_centroid_update",
+    sql=_KMEANS_SQL,
+    description="one Lloyd iteration: element-wise mean of each cluster's "
+    "(normalized) vectors → refreshed centroids + member counts; the "
+    "iterative step that turns the deterministic IVF seeds into real "
+    "k-means centroids (EXT-3)",
+)
+def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: posexplode flattens (vector, dim) pairs → ONE partially-
+    # aggregated groupBy on (centroid, dim) — the shuffle carries
+    # n_centroids × dim rows of partial sums, not the corpus. Rebuilding
+    # the array is a small second groupBy on centroid. Iterate by
+    # feeding new_centroid back into assign_clusters (same plan every
+    # round; checkpoint between rounds as in connected_components).
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0)
+    assigned = V.assign_clusters(emb, centroids)
+    dims = assigned.select(
+        "centroid_id", F.posexplode("v").alias("pos", "x")
+    )
+    dim_means = dims.groupBy("centroid_id", "pos").agg(
+        F.round(F.avg("x"), 6).alias("m"), F.count("*").alias("_n")
+    )
+    return dim_means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("new_centroid"),
+        F.first("_n").alias("n_members"),
+    )

@@ -21,6 +21,7 @@ _ALLOW_BNLJ = {
     "embedding_topk_cosine",
     "embedding_ivf_topk",
     "embedding_cosine_dup_pairs",
+    "kmeans_centroid_update",
     "purchase_asof_click",
     "signup_click_burst",
     # three single-row count(*) frames crossed into one metadata row
