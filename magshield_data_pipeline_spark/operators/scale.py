@@ -74,13 +74,14 @@ def salted_join(
             f"salted_join does not support how={how!r}: unmatched small-side "
             "rows would appear once per salt replica"
         )
-    # per-row id, not a row-content hash: duplicate rows of a hot key
-    # would all hash to ONE salt and re-collapse into a single task
-    # (join results are salt-indifferent, so retry nondeterminism of the
-    # id is safe — same reasoning as salted_sum_count)
-    big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
-    )
+    # deterministic full-row hash: stable under stage recomputation (a
+    # positional id like monotonically_increasing_id can move a row to a
+    # different salt when a lost map task replays against a reordered
+    # parent — the SPARK-23207 duplication/loss class). Limitation:
+    # bit-identical duplicate rows share a salt; if a hot key's rows are
+    # literal duplicates, aggregate them to weighted rows first.
+    big_cols = [F.col(c) for c in big.columns]
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*big_cols), F.lit(salt_buckets)))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

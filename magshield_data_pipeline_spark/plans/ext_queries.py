@@ -250,7 +250,12 @@ _BRUTE_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 s AS (
-    SELECT query_id, vec_id, round(list_cosine_similarity(v, qv), 6) AS score
+    -- zero vectors score NULL (the Spark side's nullif-guarded cosine),
+    -- not list_cosine_similarity's -1.0
+    SELECT query_id, vec_id,
+           CASE WHEN list_dot_product(v, v) = 0 OR list_dot_product(qv, qv) = 0
+                THEN NULL
+                ELSE round(list_cosine_similarity(v, qv), 6) END AS score
     FROM e CROSS JOIN q WHERE vec_id != query_id
 )
 SELECT query_id, vec_id, score, rank FROM (
@@ -418,15 +423,17 @@ def multimodal_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test corpus ships no real binaries. Scale: one scan, Arrow batch
     # transfer into Python, pure per-row features, no shuffle.
     docs = read_table(spark, sf_dir, "documents")
-    # try_cast: a source name that isn't 'src<digits>' yields a null
-    # kind for that row, never a CAST_INVALID_INPUT abort
-    src_num = F.substring("source", 4, 10).try_cast("int")
+    # when/otherwise mirrors the oracle's CASE exactly: a malformed or
+    # negative source id (null or -1 after % 3) falls to the ELSE arm,
+    # never an abort (element_at with a computed index can raise
+    # INVALID_INDEX_OF_ZERO on negatives)
+    src_mod = F.substring("source", 4, 10).try_cast("int") % 3
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            src_num % 3 + 1,
-        ).alias("kind"),
+        F.when(src_mod == 0, "image")
+        .when(src_mod == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
         F.col("text").cast("binary").alias("content"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),

@@ -738,7 +738,10 @@ def nation_pair_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         event_id,
         event_type,
-        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        -- integral-only: DuckDB TRY_CAST rounds '12.5' to 13 where Spark
+        -- try_cast nulls it; the regexp guard pins one shared semantics
+        TRY_CAST(nullif(regexp_extract(trim(json_extract_string(props, '$.k')),
+                                       '^-?[0-9]+$'), '') AS BIGINT) AS k_val
     FROM events
     """,
     description="JSON field access over a JSON-string column (F13, "

@@ -209,9 +209,9 @@ def test_cosine_zero_vector_yields_null_not_error(spark):
     queries = df.filter(F.col("vec_id") == 1).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # the zero vector must score null (and never raise DIVIDE_BY_ZERO),
-    # in both the JVM and the Arrow scoring paths
+    # the zero vector must appear WITH a null score (not raise
+    # DIVIDE_BY_ZERO, not be silently dropped), in both scoring paths
     for impl in ("sql", "arrow"):
         rows = V.brute_force_topk(df, queries, k=5, impl=impl).collect()
         scores = {r.vec_id: r.score for r in rows}
-        assert scores.get(2) is None or scores == {}
+        assert 2 in scores and scores[2] is None
