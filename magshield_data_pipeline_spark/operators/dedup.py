@@ -200,17 +200,30 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word shingles for every
     pair sharing at least one shingle; keep pairs ≥ *threshold*.
 
-    This is the exact verifier for the LSH candidates, not the scale
-    path: the shingle self-join is quadratic in bucket size and hot
-    shingles skew it (production caps shingle document-frequency or
-    goes straight to minhash_candidate_pairs)."""
+    *max_df* caps shingle document-frequency: shingles appearing in
+    more than ``max_df`` documents are dropped from BOTH the
+    intersection and the per-doc set sizes, so the result is the exact
+    Jaccard over the rare-shingle subset. This bounds the self-join
+    fan-out per shingle at max_df²/2 — without it a hot shingle (a
+    boilerplate phrase in millions of docs) makes the join quadratic,
+    the one plan shape that cannot survive 100 TB. ``None`` = uncapped
+    exact verifier for small corpora."""
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col))).alias("s")
     )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "inner").select(id_col, "s")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

