@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is consumed through the noop sink so the measurement is engine
 execution (scan → transform → exchange), not driver-side row serialization
 — the same discipline you'd use benchmarking on a real cluster.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3); the headline
+per-query number (and the total) is the MEDIAN, with per-query min/max
+recorded under "spread" — single-run numbers at these absolute times
+(0.3-5 s) carry ±0.3 s scheduler noise, which previously read as
+regressions round over round.
 """
 
 from __future__ import annotations
@@ -35,12 +41,19 @@ def main() -> int:
     # steady-state execution, not first-job startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, spec in QUERY_REGISTRY.items():
-        df = spec.fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        consume(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            df = spec.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            consume(df)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spread[name] = {"min": round(runs[0], 3), "max": round(runs[-1], 3)}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -50,6 +63,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": n_runs,
                 "sf": sf,
             }
         )

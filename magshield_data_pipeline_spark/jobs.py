@@ -45,11 +45,14 @@ EXPORT_NAMES = {
 class ExportRun:
     """One orchestrated run over a set of source frames.
 
-    ``sources`` keys (all optional — jobs skip what they lack):
-    users, organisations, contacts, quotes, opportunities, tasks,
-    invoices, equipment, categories, leads, projects, notes,
-    pricebooks, products, state_reasons, stages, pricebook_entries,
-    line_items, opportunity_links.
+    ``sources`` keys (all optional): users, organisations, contacts,
+    quotes, opportunities, tasks, invoices, equipment, categories,
+    leads, projects, notes, pricebooks, products, state_reasons,
+    stages, pricebook_entries, line_items, opportunity_links.
+    An export whose required sources are absent is SKIPPED — recorded
+    as ``written[key] = None``, same as the empty-extract guard — so a
+    partial source set runs the exports it can feed instead of raising
+    KeyError.
     """
 
     sources: dict[str, DataFrame]
@@ -66,6 +69,14 @@ class ExportRun:
 
     def dim(self, name: str) -> DataFrame:
         return self._shared.get(name, self.sources.get(name))
+
+    def _run_if(self, key: str, required: tuple[str, ...], builder) -> str | None:
+        """Skip-and-record when any required source frame is absent;
+        otherwise build the export lazily and write it."""
+        if any(k not in self.sources for k in required):
+            self.written[key] = None
+            return None
+        return self._write(key, builder())
 
     def _write(self, key: str, df: DataFrame) -> str | None:
         # P9 existence guard: the reference skips an export when the
@@ -91,21 +102,31 @@ class ExportRun:
         (callable.py:118-125)."""
         s = self.sources
         return [
-            self._write(
+            self._run_if(
                 "quote",
-                E.quote_export(
+                ("quotes", "opportunities", "organisations", "contacts"),
+                lambda: E.quote_export(
                     s["quotes"], s["opportunities"], self.dim("organisations"), s["contacts"]
                 ),
             ),
-            self._write("organisation", E.organisation_export(self.dim("organisations"))),
+            self._run_if(
+                "organisation",
+                ("organisations",),
+                lambda: E.organisation_export(self.dim("organisations")),
+            ),
         ]
 
     def run_opportunity(self) -> str:
         """final2() — the flagship multi-join export (callable.py:127-131)."""
         s = self.sources
-        return self._write(
+        return self._run_if(
             "opportunity",
-            E.opportunity_export(
+            (
+                "opportunities", "organisations", "users", "pricebooks",
+                "products", "state_reasons", "stages", "pricebook_entries",
+                "line_items", "opportunity_links",
+            ),
+            lambda: E.opportunity_export(
                 s["opportunities"],
                 self.dim("organisations"),
                 self.dim("users"),
@@ -125,24 +146,36 @@ class ExportRun:
         invoice.py:152-153, equiment.py:127-128)."""
         s = self.sources
         return [
-            self._write(
+            self._run_if(
                 "invoice",
-                E.invoice_export(s["invoices"], self.dim("users"), self.dim("organisations")),
+                ("invoices", "users", "organisations"),
+                lambda: E.invoice_export(
+                    s["invoices"], self.dim("users"), self.dim("organisations")
+                ),
             ),
-            self._write(
+            self._run_if(
                 "equipment",
-                E.equipment_export(s["equipment"], self.dim("users"), self.dim("organisations")),
+                ("equipment", "users", "organisations"),
+                lambda: E.equipment_export(
+                    s["equipment"], self.dim("users"), self.dim("organisations")
+                ),
             ),
-            self._write("users", E.users_export(self.dim("users"))),
+            self._run_if(
+                "users", ("users",), lambda: E.users_export(self.dim("users"))
+            ),
         ]
 
     def run_task(self) -> str:
         """final4() — task export with its eight lookup dims
         (callable.py:149-151)."""
         s = self.sources
-        return self._write(
+        return self._run_if(
             "task",
-            E.task_export(
+            (
+                "tasks", "categories", "users", "contacts", "leads",
+                "opportunities", "organisations", "projects", "notes",
+            ),
+            lambda: E.task_export(
                 s["tasks"],
                 s["categories"],
                 self.dim("users"),

@@ -1,0 +1,298 @@
+"""End-to-end CRM export pipelines as oracle-checked registry queries.
+
+The seven export pipelines in ``exports.py`` are pure DataFrame
+functions mirroring the reference's products
+(/root/reference/modules/organisation.py:120-144, quote.py:195-242).
+Unit tests cover their quirks on fixtures; these queries close the last
+verification gap by building CRM-shaped input (CUSTOMFIELDS entry
+arrays, LINKS arrays, ISO date strings) FROM the star schema and
+running the real export functions through the driver's DuckDB oracle —
+the oracle SQL states the expected output of the whole pipeline
+relationally.
+
+Scale: the builders are one groupBy each (LINKS per parent key) plus
+broadcast dim joins; the export functions themselves add no exchange
+beyond the final dropDuplicates — same posture as exports.py documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark import exports as X
+from magshield_data_pipeline_spark.plans.registry import register
+from magshield_data_pipeline_spark.sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# organisation export (P1 map build, P5 truthiness, F1 clean_text,
+# F3 date-or-passthrough, F9 conditional link count, A4 formatted dedup)
+
+
+def _entry(name, value) -> F.Column:
+    return F.struct(
+        F.lit(name).alias("FIELD_NAME"),
+        (F.lit(value) if isinstance(value, str) else value).alias("FIELD_VALUE"),
+    )
+
+
+_ORG_EXPORT_SQL = r"""
+WITH geo AS (
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+lk AS (
+    SELECT o_custkey, count(*) FILTER (WHERE o_orderstatus = 'F') AS n_contact
+    FROM orders GROUP BY o_custkey
+)
+SELECT
+    c_custkey AS "Organization ID",
+    trim(regexp_replace(c_name || chr(10) || c_mktsegment, '[\r\n]', ' ', 'g'))
+        AS "Organization Name",
+    CASE WHEN c_custkey % 7 = 0 THEN 'never-created'
+         ELSE '01/' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') || '/2024'
+    END AS "Date Created",
+    CAST(coalesce(lk.n_contact, 0) AS INT) AS "Linked Contacts Count",
+    (c_custkey % 2 = 0 AND c_mktsegment != 'BUILDING') AS "Focus Organization",
+    c_mktsegment AS "Call Frequency",
+    '' AS "Industry",
+    geo.r_name AS "Region",
+    '' AS "Customer Type",
+    CASE WHEN c_acctbal < 0 THEN 'debtor' ELSE 'credit' END AS "Organization Type",
+    geo.n_name AS "Billing Country"
+FROM customer
+JOIN geo ON c_nationkey = geo.n_nationkey
+LEFT JOIN lk ON c_custkey = lk.o_custkey
+"""
+
+
+@register(
+    "organisation_export_pipeline",
+    sql=_ORG_EXPORT_SQL,
+    description="end-to-end organisation CRM export: build CUSTOMFIELDS "
+    "entry array (with a duplicate key → LAST_WIN fold), LINKS array, and "
+    "ISO/unparseable date strings from the star schema, then run the real "
+    "exports.organisation_export — oracle states the expected pipeline "
+    "output relationally (P1, P5, F1, F3, F9, A4)",
+)
+def organisation_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CRM-shaped input: the CUSTOMFIELDS array carries a DUPLICATE
+    # Call_Frequency__c key ('weekly' then the real segment) so the
+    # LAST_WIN dict fold is exercised; Active__c is present only for
+    # even keys (missing-key truthiness) and empty for BUILDING rows
+    # (empty-string truthiness); every 7th date string is unparseable
+    # (format passthrough); ~1/3 of customers have no orders (null
+    # LINKS → count 0).
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    orders = read_table(spark, sf_dir, "orders")
+
+    geo = F.broadcast(
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"]).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    link_name = (
+        F.when(F.col("o_orderstatus") == "F", "Contact")
+        .when(F.col("o_orderstatus") == "O", "Opportunity")
+        .otherwise("Organisation")
+    )
+    links = orders.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.struct(
+                link_name.alias("LINK_OBJECT_NAME"),
+                F.col("o_orderkey").alias("LINK_OBJECT_ID"),
+            )
+        ).alias("LINKS")
+    )
+    base_cf = F.array(
+        _entry("Call_Frequency__c", "weekly"),
+        _entry("Region__c", F.col("r_name")),
+        _entry("Call_Frequency__c", F.col("c_mktsegment")),
+        _entry(
+            "Organization_Type__c",
+            F.when(F.col("c_acctbal") < 0, "debtor").otherwise("credit"),
+        ),
+    )
+    active = F.when(F.col("c_mktsegment") == "BUILDING", F.lit("")).otherwise(
+        F.lit("yes")
+    )
+    cf = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.concat(base_cf, F.array(_entry("Active__c", active))),
+    ).otherwise(base_cf)
+    datestr = F.when(
+        F.col("c_custkey") % 7 == 0, F.lit("never-created")
+    ).otherwise(
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad(((F.col("c_custkey") % 28) + 1).cast("string"), 2, "0"),
+            F.lit(" 10:30:00"),
+        )
+    )
+    orgs = (
+        customer.join(geo, customer["c_nationkey"] == geo["n_nationkey"])
+        .join(links, customer["c_custkey"] == links["o_custkey"], "left")
+        .select(
+            F.col("c_custkey").alias("ORGANISATION_ID"),
+            F.concat(F.col("c_name"), F.lit("\n"), F.col("c_mktsegment")).alias(
+                "ORGANISATION_NAME"
+            ),
+            datestr.alias("DATE_CREATED_UTC"),
+            F.col("LINKS"),
+            cf.alias("CUSTOMFIELDS"),
+            F.col("n_name").alias("ADDRESS_BILLING_COUNTRY"),
+        )
+    )
+    return X.organisation_export(orgs)
+
+
+# ---------------------------------------------------------------------------
+# quote export (J1-J3 broadcast lookups incl. join on a custom-field
+# value, P4 coalesce-across-sources, F2 dates, Q3 str(None) quirk,
+# key-missing vs value-empty fallback)
+
+_QUOTE_EXPORT_SQL = r"""
+WITH q AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS exp_date,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso
+    FROM orders
+)
+SELECT
+    q.o_orderkey AS "Record ID",
+    'Q-' || CAST(q.o_orderkey AS VARCHAR) AS "Quote Number",
+    q.o_orderstatus AS "Status",
+    q.o_orderpriority AS "Quote Name",
+    q.o_totalprice AS "Subtotal",
+    q.o_totalprice AS "Total Price",
+    q.exp_date AS "Expiration Date",
+    '10' AS "GST %",
+    '' AS "Tax",
+    CASE WHEN q.o_orderkey % 3 = 0 THEN printf('%.2f', q.o_totalprice)
+         WHEN q.o_orderkey % 3 = 1 THEN ''
+         ELSE 'override-' || CAST(q.o_orderkey AS VARCHAR) END AS "Grand Total",
+    '' AS "Trade Tariff",
+    '' AS "Grand Total w/ Tariff",
+    '' AS "MagShield Selling Entity",
+    CASE WHEN q.o_orderkey % 5 = 0 THEN 'None'
+         WHEN q.o_orderkey % 5 = 1 THEN ''
+         ELSE CAST(q.o_custkey AS VARCHAR) END AS "Sales Person Id",
+    coalesce(trim(c2.c_name || ' '), '') AS "Sales Person",
+    'AU' AS "Billing Country",
+    'USD' AS "Currency",
+    CAST(0.05 AS DOUBLE) AS "Discount",
+    coalesce(
+        nullif(CASE WHEN q.o_orderkey % 4 = 0
+                    THEN 'Inline-' || CAST(q.o_custkey AS VARCHAR) ELSE '' END, ''),
+        nullif(s.s_name, ''), '') AS "Organization Name",
+    (q.o_orderkey % 17) + 1 AS "Record ID_1",
+    strftime(try_strptime(q.iso, '%Y-%m-%d %H:%M:%S'), '%d-%b-%y %-I:%M %p')
+        AS "Date Created",
+    strftime(try_strptime(q.iso, '%Y-%m-%d %H:%M:%S'), '%d-%b-%y %-I:%M %p')
+        AS "Date Updated",
+    coalesce(nullif(c1.c_name, ''), '') AS "Opportunity Name",
+    '' AS "Shipping_Terms__c",
+    '' AS "ADDRESS_SHIPPING_COUNTRY"
+FROM q
+LEFT JOIN customer c1 ON q.o_custkey = c1.c_custkey
+LEFT JOIN supplier s ON (q.o_orderkey % 17) + 1 = s.s_suppkey
+LEFT JOIN customer c2
+       ON q.o_orderkey % 5 NOT IN (0, 1) AND q.o_custkey = c2.c_custkey
+"""
+
+
+@register(
+    "quote_export_pipeline",
+    sql=_QUOTE_EXPORT_SQL,
+    description="end-to-end quote CRM export: CUSTOMFIELDS with "
+    "null-valued / missing / castable Sales_Person__c (Q3 'None' quirk, "
+    "J3 join on a custom-field value), Grand_Total__c key-missing-vs-"
+    "value-empty fallback, P4 inline-name-else-dim coalesce, F2 date "
+    "reformat — running the real exports.quote_export",
+)
+def quote_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Input construction drives every quirk branch: Sales_Person__c is a
+    # null-VALUED entry for orderkey%5==0 (Python str(None) → 'None'),
+    # absent for %5==1 (→ ''), and a castable contact id otherwise (J3
+    # join); Grand_Total__c is absent for %3==0 (fallback to the raw
+    # GRAND_TOTAL — key-missing), EMPTY for %3==1 (no fallback —
+    # value-empty), an override otherwise.
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+
+    sp_val = F.col("o_custkey").cast("string")
+    cf = (
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.array(_entry("Sales_Person__c", F.lit(None).cast("string"))),
+        )
+        .when(F.col("o_orderkey") % 5 == 1, F.array().cast(
+            "array<struct<FIELD_NAME:string,FIELD_VALUE:string>>"
+        ))
+        .otherwise(F.array(_entry("Sales_Person__c", sp_val)))
+    )
+    gt = (
+        F.when(F.col("o_orderkey") % 3 == 1, F.array(_entry("Grand_Total__c", F.lit(""))))
+        .when(
+            F.col("o_orderkey") % 3 == 2,
+            F.array(
+                _entry(
+                    "Grand_Total__c",
+                    F.concat(F.lit("override-"), F.col("o_orderkey").cast("string")),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<FIELD_NAME:string,FIELD_VALUE:string>>"))
+    )
+    gst = F.array(_entry("GST_Percentage__c", "10"))
+    quotes = orders.select(
+        F.col("o_orderkey").alias("QUOTE_ID"),
+        F.concat(F.lit("Q-"), F.col("o_orderkey").cast("string")).alias(
+            "QUOTATION_NUMBER"
+        ),
+        F.col("o_orderstatus").alias("QUOTE_STATUS"),
+        F.col("o_orderpriority").alias("QUOTATION_NAME"),
+        F.col("o_totalprice").alias("SUBTOTAL"),
+        F.col("o_totalprice").alias("TOTAL_PRICE"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+            "QUOTATION_EXPIRATION_DATE"
+        ),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("GRAND_TOTAL"),
+        F.concat(cf, gt, gst).alias("CUSTOMFIELDS"),
+        F.lit("AU").alias("ADDRESS_BILLING_COUNTRY"),
+        F.lit("USD").alias("QUOTATION_CURRENCY_CODE"),
+        F.lit(0.05).alias("DISCOUNT"),
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(F.lit("Inline-"), F.col("o_custkey").cast("string")),
+        )
+        .otherwise(F.lit(""))
+        .alias("ORGANISATION_NAME"),
+        ((F.col("o_orderkey") % 17) + 1).alias("ORGANISATION_ID"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "DATE_CREATED_UTC"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "DATE_UPDATED_UTC"
+        ),
+        F.lit("").alias("OPPORTUNITY_NAME"),
+        F.col("o_custkey").alias("OPPORTUNITY_ID"),
+        F.lit(None).cast("string").alias("ADDRESS_SHIPPING_COUNTRY"),
+    )
+    opportunities = customer.select(
+        F.col("c_custkey").alias("OPPORTUNITY_ID"),
+        F.col("c_name").alias("OPPORTUNITY_NAME"),
+    )
+    organisations = supplier.select(
+        F.col("s_suppkey").alias("ORGANISATION_ID"),
+        F.col("s_name").alias("ORGANISATION_NAME"),
+    )
+    contacts = customer.select(
+        F.col("c_custkey").alias("CONTACT_ID"),
+        F.col("c_name").alias("FIRST_NAME"),
+        F.lit(None).cast("string").alias("LAST_NAME"),
+    )
+    return X.quote_export(quotes, opportunities, organisations, contacts)

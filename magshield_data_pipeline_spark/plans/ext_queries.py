@@ -832,3 +832,117 @@ def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x_e6).alias("m_sum_e6"),
         F.count("*").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — video frame-sampling plan (metadata-only; payload never read)
+
+_FRAME_MS = 1000
+
+_FRAME_SAMPLE_SQL = f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE TRY_CAST(substr(source, 4) AS INT) % 3
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           (doc_id % 20) * 750 AS duration_ms
+    FROM documents
+)
+SELECT media_id, unnest(generate_series(0, duration_ms, {_FRAME_MS})) AS sample_ms
+FROM m WHERE kind = 'video'
+"""
+
+
+@register(
+    "frame_sample_plan",
+    sql=_FRAME_SAMPLE_SQL,
+    description=f"video frame-sampling plan: one row per {_FRAME_MS} ms "
+    "sample point from typed metadata only — the binary payload column "
+    "is pruned from the scan entirely ([EXT] multimodal)",
+)
+def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The point at 100 TB: planning WHICH frames to decode touches only
+    # (media_id, kind, meta) — column pruning drops the payload bytes
+    # from the parquet scan, so the planning pass costs metadata I/O.
+    # The decode itself would be the extract_features mapInPandas.
+    docs = read_table(spark, sf_dir, "documents")
+    src_mod = F.substring("source", 4, 10).try_cast("int") % 3
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(src_mod == 0, "image")
+        .when(src_mod == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            ((F.col("doc_id") % 20) * 750).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return M.frame_sample_points(media, every_ms=_FRAME_MS)
+
+
+# ---------------------------------------------------------------------------
+# EXT — co-located bucketed join (operators/scale.py under the driver)
+
+_BUCKETS = 16
+
+
+@register(
+    "bucketed_colocated_join",
+    sql="""
+    SELECT
+        o.o_orderkey AS order_id,
+        o.o_orderstatus AS status,
+        count(l.l_orderkey) AS n_items,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+    description="co-located bucketed fact-to-fact join: orders and lineitem "
+    "pre-bucketed on the join key so the join AND the per-order rollup run "
+    "with zero exchanges — the amortized-shuffle pattern a 100 TB "
+    "deployment uses for its hottest join key (operators/scale.py)",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-time cost per dataset: write both fact tables hash-bucketed
+    # (and sorted) on l_orderkey/o_orderkey. Every subsequent join or
+    # aggregation on that key — here both at once — needs NO exchange:
+    # the bucket layout IS the shuffle, paid once, amortized across all
+    # downstream queries (tests/test_scale.py asserts the plan has no
+    # Exchange). revenue is null (not 0) for zero-item orders in BOTH
+    # engines: sum over an empty group.
+    import os as _os
+
+    from magshield_data_pipeline_spark.operators import scale as SC
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    base = f"/tmp/bucketed_{tag}"
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        SC.write_bucketed(
+            read_table(spark, sf_dir, tbl),
+            table=f"b_{tbl}_{tag}",
+            key=key,
+            buckets=_BUCKETS,
+            path=f"{base}/{tbl}",
+        )
+    orders = spark.table(f"b_orders_{tag}")
+    lineitem = spark.table(f"b_lineitem_{tag}").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "left")
+        .groupBy(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )

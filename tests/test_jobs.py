@@ -116,3 +116,15 @@ def test_empty_export_skipped(spark, sources, tmp_path):
     assert run.written["task"] is None
     assert not os.path.exists(str(tmp_path / jobs.EXPORT_NAMES["task"]))
     run.close()
+
+
+def test_partial_sources_skip_instead_of_raise(spark, sources, tmp_path):
+    # only organisations provided: the organisation export runs, every
+    # export missing a required source is recorded as skipped (None)
+    run = jobs.ExportRun({"organisations": sources["organisations"]}, str(tmp_path))
+    written = run.run_all()
+    assert written["organisation"] is not None
+    assert spark.read.parquet(written["organisation"]).count() == 1
+    skipped = {k for k, v in written.items() if v is None}
+    assert skipped == set(jobs.EXPORT_NAMES) - {"organisation"}
+    run.close()

@@ -61,3 +61,34 @@ def test_pushdown_preserves_correctness_with_unsupported_filters(spark, api_file
     # contains() is not pushed — Spark must evaluate it post-scan
     got = sorted(r.id for r in df.filter(F.col("name").contains("rec1")).collect())
     assert got == [1]
+
+
+def test_with_retries_recovers_from_transient_failures():
+    calls, sleeps = [], []
+    def flaky():
+        calls.append(1)
+        if len(calls) <= 2:
+            raise ConnectionError("transient")
+        return "ok"
+    got = paged.with_retries(
+        flaky, paged.RetryPolicy(attempts=3, base_delay=0.5), sleep=sleeps.append
+    )
+    assert got == "ok" and len(calls) == 3
+    assert sleeps == [0.5, 1.0]  # exponential backoff
+
+
+def test_with_retries_fails_loud_on_exhaustion():
+    def always_down():
+        raise TimeoutError("still down")
+    with pytest.raises(TimeoutError):
+        paged.with_retries(
+            always_down, paged.RetryPolicy(attempts=3, base_delay=0.0),
+            sleep=lambda _: None,
+        )
+
+
+def test_with_retries_does_not_swallow_non_transient():
+    def broken():
+        raise ValueError("a bug, not the network")
+    with pytest.raises(ValueError):
+        paged.with_retries(broken, sleep=lambda _: None)
