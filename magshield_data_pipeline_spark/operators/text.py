@@ -150,3 +150,150 @@ def document_profile(
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation operators: repetition, PII, n-gram frequency, contamination
+
+
+SENTENCE_SPLIT_PATTERN = r"[.!?]+\s+"
+
+# deliberately simple, RE2-safe patterns (no lookarounds) so the same
+# regex runs identically on Spark's Java engine and DuckDB's RE2
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def sentences(text: Column | str) -> Column:
+    """Sentence-ish segments: split on terminal punctuation + space."""
+    return F.split(F.trim(_col(text)), SENTENCE_SPLIT_PATTERN)
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition: how much of a document is duplicated
+    segments — the curation signal for boilerplate/spam (repeated
+    nav-bars, scraped templates, generation loops). Counts only (total
+    vs distinct sentences), so the result is order-insensitive and
+    oracle-checkable; the cleaning pass itself would keep the first
+    occurrence of each segment. Pure projection — array ops per row,
+    no shuffle."""
+    s = sentences(_col(text_col))
+    n = F.size(s)
+    nu = F.size(F.array_distinct(s))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_sents"),
+        nu.alias("n_unique_sents"),
+        F.round((n - nu) / F.greatest(n, F.lit(1)), 6).alias("rep_ratio"),
+        ((n - nu) / F.greatest(n, F.lit(1)) > 0.2).alias("is_repetitive"),
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask emails then phone-like digit runs — the scrubbing pass an
+    LLM corpus applies before training. Regexes are deliberately
+    simple/RE2-safe; a production scrubber swaps in NER via
+    mapInPandas with the same plan shape (pure projection)."""
+    t = F.regexp_replace(_col(text), EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(t, PHONE_PATTERN, "[PHONE]")
+
+
+def pii_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc PII counts + redacted-text fingerprint (the fingerprint
+    proves the redaction itself matches across engines)."""
+    t = _col(text_col)
+    red = redact_pii(t)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).alias("n_phones"),
+        F.length(red).alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def word_bigrams(words: Column) -> Column:
+    """Adjacent word pairs from a word ARRAY column (same O(n)
+    shifted-zip construction as the dedup shingles).
+
+    Takes the already-split array, not the raw text: *words* is
+    referenced five times here, and if it were the full
+    split(normalize(...)) expression Catalyst would inline the whole
+    chain at every reference — the resulting Generate spends ~100 s in
+    one-time whole-stage-codegen compilation (measured at sf0.01).
+    Keeping the split behind its own projection makes every reference
+    a cheap column read."""
+    return F.when(F.size(words) >= 2, F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus-level bigram frequency table, top-*k* with a total-order
+    tiebreak. Scale: explode → ONE partially-aggregated groupBy on the
+    bigram string (map-side combine collapses each task's counts), then
+    a k-row ordered limit — the classic n-gram count job."""
+    words = df.select(F.split(normalize_text(_col(text_col)), " ").alias("w"))
+    grams = words.select(F.explode(word_bigrams(F.col("w"))).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("gram")).limit(k)
+
+
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = 128,
+) -> DataFrame:
+    """Benchmark-contamination probe: for each test document, how many
+    train documents share at least one (rare) word-3-gram shingle.
+    Same blocked-join shape as the jaccard verifier: the shingle join
+    is bounded by the document-frequency cap, never all-pairs. Exact
+    fingerprint hits ride along as ``exact_dup``."""
+    from magshield_data_pipeline_spark.operators.dedup import word_shingles
+
+    def sh(df: DataFrame, side: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.explode(F.array_distinct(word_shingles(text_col))).alias("s"),
+        )
+        return out
+
+    tr, te = sh(train, "train"), sh(test, "test")
+    if max_df is not None:
+        rare = (
+            tr.groupBy("s").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df).select("s")
+        )
+        tr = tr.join(rare, "s", "inner")
+    hits = (
+        te.join(tr, "s", "inner")
+        .groupBy("test_id")
+        .agg(F.count_distinct("train_id").alias("n_train_matches"))
+    )
+    test_fp = test.select(
+        F.col(id_col).alias("test_id"), fingerprint(text_col).alias("fp")
+    )
+    train_fp = train.select(fingerprint(text_col).alias("fp")).distinct()
+    exact = test_fp.join(train_fp, "fp", "left_semi").select(
+        "test_id", F.lit(True).alias("exact_dup")
+    )
+    base = test.select(F.col(id_col).alias("test_id"))
+    return (
+        base.join(hits, "test_id", "left")
+        .join(exact, "test_id", "left")
+        .select(
+            "test_id",
+            F.coalesce(F.col("n_train_matches"), F.lit(0)).alias("n_train_matches"),
+            F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
+        )
+    )

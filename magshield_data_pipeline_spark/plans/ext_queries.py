@@ -946,3 +946,148 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT curation tier 2: repetition, PII redaction, n-gram counts,
+# benchmark contamination (operators/text.py)
+
+# regex patterns embedded verbatim (they contain {2,} — built by
+# concatenation, not f-strings)
+_REPETITION_SQL = (
+    "WITH s AS (SELECT doc_id, regexp_split_to_array(trim(text), '"
+    + T.SENTENCE_SPLIT_PATTERN
+    + r"""') AS s FROM documents)
+SELECT doc_id,
+       len(s) AS n_sents,
+       len(list_distinct(s)) AS n_unique_sents,
+       round((len(s) - len(list_distinct(s))) * 1.0 / greatest(len(s), 1), 6)
+           AS rep_ratio,
+       ((len(s) - len(list_distinct(s))) * 1.0 / greatest(len(s), 1)) > 0.2
+           AS is_repetitive
+FROM s
+"""
+)
+
+
+@register(
+    "repetition_profile",
+    sql=_REPETITION_SQL,
+    description="intra-document repetition profile: total vs distinct "
+    "sentence segments per doc — the boilerplate/loop-generation curation "
+    "signal ([EXT] text tier)",
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure projection (per-row array ops) — zero shuffle at any scale.
+    docs = read_table(spark, sf_dir, "documents")
+    return T.repetition_profile(docs)
+
+
+_PII_SQL = (
+    "SELECT doc_id, "
+    "len(regexp_extract_all(text, '" + T.EMAIL_PATTERN + "')) AS n_emails, "
+    "len(regexp_extract_all(text, '" + T.PHONE_PATTERN + "')) AS n_phones, "
+    "length(redacted) AS redacted_len, md5(redacted) AS redacted_md5 "
+    "FROM (SELECT doc_id, text, "
+    "regexp_replace(regexp_replace(text, '" + T.EMAIL_PATTERN + "', '[EMAIL]', 'g'), '"
+    + T.PHONE_PATTERN + "', '[PHONE]', 'g') AS redacted FROM documents)"
+)
+
+
+@register(
+    "pii_redaction_profile",
+    sql=_PII_SQL,
+    description="PII scrub: mask emails then phone-like digit runs, count "
+    "hits, fingerprint the redacted text (proves the rewrite matches "
+    "bit-for-bit across engines) ([EXT] text tier)",
+)
+def pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure projection; regexes are RE2-safe so Java and RE2 agree. A
+    # production NER scrubber swaps in via mapInPandas, same plan shape.
+    docs = read_table(spark, sf_dir, "documents")
+    return T.pii_profile(docs)
+
+
+_TOP_NGRAMS_K = 50
+
+_TOP_NGRAMS_SQL = f"""
+WITH w AS (SELECT {_WORDS} AS w FROM documents),
+g AS (
+    SELECT unnest(CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                  ELSE [] END) AS gram
+    FROM w
+)
+SELECT gram, count(*) AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT {_TOP_NGRAMS_K}
+"""
+
+
+@register(
+    "top_ngrams",
+    sql=_TOP_NGRAMS_SQL,
+    description=f"corpus bigram frequency table, top {_TOP_NGRAMS_K} with "
+    "total-order tiebreak — the classic n-gram count job ([EXT] text tier)",
+)
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: explode → ONE partially-aggregated groupBy on the gram
+    # string (map-side combine), then a k-row TakeOrdered — no full
+    # sort materializes.
+    docs = read_table(spark, sf_dir, "documents")
+    return T.top_ngrams(docs, k=_TOP_NGRAMS_K)
+
+
+_CONTAMINATION_SQL = f"""
+WITH labeled AS (
+    SELECT doc_id, text,
+           CASE WHEN ({_hash_byte_sql("split")}) < {_TRAIN_HI} THEN 'train'
+                WHEN ({_hash_byte_sql("split")}) < {_VAL_HI} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+tr_w AS (SELECT doc_id, {_WORDS} AS w FROM labeled WHERE split = 'train'),
+te_w AS (SELECT doc_id, {_WORDS} AS w FROM labeled WHERE split = 'test'),
+tr_sh0 AS (SELECT DISTINCT doc_id AS train_id, unnest({_SHINGLES}) AS s FROM tr_w),
+keep AS (SELECT s FROM tr_sh0 GROUP BY s HAVING count(*) <= {_JACCARD_MAX_DF}),
+tr_sh AS (SELECT tr_sh0.train_id, tr_sh0.s FROM tr_sh0 JOIN keep USING (s)),
+te_sh AS (SELECT DISTINCT doc_id AS test_id, unnest({_SHINGLES}) AS s FROM te_w),
+hits AS (
+    SELECT test_id, count(DISTINCT train_id) AS n_train_matches
+    FROM te_sh JOIN tr_sh USING (s) GROUP BY test_id
+),
+tr_fp AS (SELECT DISTINCT md5({_NORM}) AS fp FROM labeled WHERE split = 'train'),
+te_fp AS (SELECT doc_id AS test_id, md5({_NORM}) AS fp FROM labeled WHERE split = 'test')
+SELECT t.doc_id AS test_id,
+       coalesce(h.n_train_matches, 0) AS n_train_matches,
+       coalesce(e.fp IS NOT NULL, FALSE) AS exact_dup
+FROM (SELECT doc_id FROM labeled WHERE split = 'test') t
+LEFT JOIN hits h ON t.doc_id = h.test_id
+LEFT JOIN (SELECT te_fp.test_id, te_fp.fp FROM te_fp JOIN tr_fp USING (fp)) e
+       ON t.doc_id = e.test_id
+"""
+
+
+@register(
+    "contamination_check",
+    sql=_CONTAMINATION_SQL,
+    description="benchmark-contamination probe: per test-split document, "
+    "count of train-split documents sharing a rare word-3-gram shingle, "
+    "plus exact-fingerprint hits — the pre-training eval-leak audit "
+    "([EXT] curation tier)",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: both sides shingle in one projection each; the only wide
+    # ops are the df-capped shingle equi-join (bounded fan-out, same
+    # blocking as the jaccard verifier) and the uniform fingerprint
+    # semi-join. Never all-pairs.
+    from magshield_data_pipeline_spark.operators import sampling as SA
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "split", SA.split_assign(F.col("doc_id"), 0.8, 0.1, salt="split")
+    )
+    train = labeled.filter(F.col("split") == "train").select("doc_id", "text")
+    test = labeled.filter(F.col("split") == "test").select("doc_id", "text")
+    return T.contamination_check(train, test, max_df=_JACCARD_MAX_DF)

@@ -227,3 +227,53 @@ def test_cosine_zero_vector_yields_null_not_error(spark):
         rows = V.brute_force_topk(df, queries, k=5, impl=impl).collect()
         scores = {r.vec_id: r.score for r in rows}
         assert 2 in scores and scores[2] is None
+
+
+# ---------------------------------------------------------------------------
+# curation tier 2: repetition, PII, n-grams, contamination
+
+
+def test_repetition_profile_flags_repeats(spark):
+    rows = [
+        (1, "buy now. buy now. buy now. unique line."),
+        (2, "one sentence. another sentence. a third one."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in T.repetition_profile(df).collect()}
+    assert out[1].n_sents == 4 and out[1].n_unique_sents == 2
+    assert out[1].is_repetitive is True
+    assert out[2].n_sents == out[2].n_unique_sents == 3
+    assert out[2].rep_ratio == 0.0 and out[2].is_repetitive is False
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    rows = [(1, "mail me at jo.doe+x@test.org or call +1 (555) 123-4567 now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    [r] = T.pii_profile(df).collect()
+    assert r.n_emails == 1 and r.n_phones == 1
+    [red] = df.select(T.redact_pii("text").alias("t")).collect()
+    assert red.t == "mail me at [EMAIL] or call [PHONE] now"
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    rows = [(1, "a b a b"), (2, "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = [(r.gram, r.n) for r in T.top_ngrams(df, k=3).collect()]
+    # 'a b' ×3 ('a b a b' has two, 'a b c' one); ties break by gram asc
+    assert out == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_contamination_check_exact_and_shingle(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "totally unrelated training material right here")],
+        ["doc_id", "text"])
+    test = spark.createDataFrame(
+        [(10, "THE quick brown fox jumps over the lazy dog"),  # exact after norm
+         (11, "the quick brown fox sat down quietly"),          # shares shingles
+         (12, "nothing in common with any training doc")],
+        ["doc_id", "text"])
+    out = {r.test_id: r for r in T.contamination_check(train, test).collect()}
+    assert out[10].exact_dup is True and out[10].n_train_matches == 1
+    assert out[11].exact_dup is False and out[11].n_train_matches == 1
+    assert out[12].exact_dup is False and out[12].n_train_matches == 0
