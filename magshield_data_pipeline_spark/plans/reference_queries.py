@@ -900,15 +900,21 @@ def paged_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = "/tmp/paged_api_{}_customer.jsonl".format(
         _os.path.basename(_os.path.normpath(sf_dir))
     )
-    tbl = _pq.read_table(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
-    )
-    tmp = dest + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        for rec in tbl.to_pylist():
-            f.write(_json.dumps(rec) + "\n")
-    _os.replace(tmp, dest)  # atomic: concurrent runs see a full file
+    n_rows = _pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    reusable = False
+    if _os.path.exists(dest):  # skip rebuild when the double is current
+        with open(dest, "rb") as f:
+            reusable = sum(1 for _ in f) == n_rows
+    if not reusable:
+        tbl = _pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+        )
+        tmp = dest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for rec in tbl.to_pylist():
+                f.write(_json.dumps(rec) + "\n")
+        _os.replace(tmp, dest)  # atomic: concurrent runs see a full file
 
     P.register(spark)
     df = (

@@ -255,3 +255,20 @@ def stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_sum",
     )
+
+
+@register(
+    "streaming_dedup_pairs",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+    description="Structured Streaming deduplication: readStream → "
+    "dropDuplicates(user_id, event_type) → append-mode memory sink under "
+    "Trigger.AvailableNow; oracle = batch DISTINCT over the same rows "
+    "(EXT-5)",
+)
+def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream/batch parity is the check: once every available file is
+    # processed, streaming dedup must equal batch DISTINCT. Scale:
+    # state is one entry per live key; production expiry via
+    # dropDuplicatesWithinWatermark (see streaming/windows.py).
+    stream = W.read_events_stream(spark, sf_dir)
+    return W.run_available_now(W.dedup_stream(stream), output_mode="append")

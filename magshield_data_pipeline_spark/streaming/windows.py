@@ -129,3 +129,21 @@ def run_available_now(
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def dedup_stream(
+    events: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type")
+) -> DataFrame:
+    """Streaming deduplication on *keys*: emit each key combination
+    once (append mode — rows flow out on first sight). Only the key
+    columns are emitted: WHICH physical row survives is arrival-order
+    nondeterministic, so any payload column would break the oracle
+    contract. Exact dedup keeps per-key state forever — correct for
+    AvailableNow backfills and bounded key domains; an unbounded
+    production stream swaps in ``dropDuplicatesWithinWatermark`` to
+    expire state, trading exactness outside the watermark horizon."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .dropDuplicates(list(keys))
+        .select(*keys)
+    )

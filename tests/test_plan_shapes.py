@@ -30,7 +30,12 @@ _ALLOW_BNLJ = {
 
 # streaming / iterative queries execute eagerly inside fn(); their final
 # frame is a memory-sink table or checkpointed result, not a lazy plan
-_EAGER = {"streaming_tumbling_counts", "stateful_sessionizer", "near_dup_clusters"}
+_EAGER = {
+    "streaming_tumbling_counts",
+    "stateful_sessionizer",
+    "near_dup_clusters",
+    "streaming_dedup_pairs",
+}
 
 _LAZY_QUERIES = sorted(set(QUERY_REGISTRY) - _EAGER)
 
@@ -77,3 +82,26 @@ def test_lineitem_filter_is_pushed(spark):
         ln for ln in plan.splitlines() if "PushedFilters" in ln and "IsNotNull" in ln
     ]
     assert pushed, "no non-trivial pushed filters on any scan"
+
+
+def test_frame_sample_prunes_payload(spark):
+    # the sampling plan derives rows from metadata only: the binary
+    # payload (text) must be pruned from the parquet scan entirely
+    df = QUERY_REGISTRY["frame_sample_plan"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "text" not in plan, "payload column reached the scan"
+
+
+def test_top_ngrams_partial_agg_and_bounded_sort(spark):
+    df = QUERY_REGISTRY["top_ngrams"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "partial_count" in plan  # map-side combine before the exchange
+    assert "TakeOrderedAndProject" in plan  # k-row heap, no full sort
+
+
+def test_bucketed_join_query_is_exchange_free(spark):
+    df = QUERY_REGISTRY["bucketed_colocated_join"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), (
+        "bucket co-location lost: join or rollup re-shuffled"
+    )

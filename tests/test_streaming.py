@@ -157,3 +157,19 @@ def test_stream_refresh_by_name_matches_batch(spark, tmp_path):
         map(tuple, W.tumbling_counts(_rt(spark, SF_SMALL, "events"), "1 hour").collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_dedup_stream_matches_batch_distinct(spark):
+    stream = W.read_events_stream(spark, SF_SMALL)
+    got = {
+        (r.user_id, r.event_type)
+        for r in W.run_available_now(
+            W.dedup_stream(stream), output_mode="append"
+        ).collect()
+    }
+    batch = read_table(spark, SF_SMALL, "events")
+    want = {
+        (r.user_id, r.event_type)
+        for r in batch.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want and len(got) > 0
