@@ -89,6 +89,39 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_exact_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Dedup an INCOMING batch against an existing corpus — the shape a
+    100 TB pipeline actually runs (continuous ingestion), where
+    re-deduping the whole corpus per batch would be quadratic total
+    work. Two stages, both keyed on the uniform MD5 fingerprint:
+
+    1. anti-join the batch's fingerprints against the corpus's distinct
+       fingerprint set (one shuffle; at scale the corpus side is a
+       pre-materialized fingerprint index, not a recomputation);
+    2. intra-batch exact dedup via one ``min(struct)`` partial
+       aggregate — the lowest id wins, same survivor rule as
+       :func:`exact_dedup`, without a ranking window.
+
+    Returns the surviving batch rows as (id, fp, *keep)."""
+    corpus_fp = corpus.select(fingerprint(text_col).alias("fp")).distinct()
+    batch_fp = batch.select(
+        F.col(id_col), *[F.col(c) for c in keep], fingerprint(text_col).alias("fp")
+    )
+    fresh = batch_fp.join(corpus_fp, "fp", "left_anti")
+    winner = F.min(F.struct(id_col, *keep)).alias("w")
+    return (
+        fresh.groupBy("fp")
+        .agg(winner)
+        .select("fp", F.col(f"w.{id_col}").alias(id_col), *[F.col(f"w.{c}").alias(c) for c in keep])
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

@@ -45,3 +45,24 @@ def sample_flag(key: Column, rate: float = 0.2, salt: str = "sample") -> Column:
     """Deterministic Bernoulli(rate ≈ k/256) flag, independent of the
     split die by virtue of a different salt."""
     return _hash_byte(key, salt) < int(rate * 256)
+
+
+def temperature_threshold(n_group: Column, n_min: Column) -> Column:
+    """Per-group keep-threshold byte for temperature (α = 0.5) mixture
+    sampling: rate = sqrt(n_min / n_group), so the smallest source keeps
+    everything and larger sources are downsampled toward a balanced
+    mix — the standard multi-source training-mixture reweighting.
+
+    Every operation here (divide, sqrt, multiply, floor) is IEEE
+    exactly-rounded, so the threshold is bit-identical across engines —
+    which is why the rate is sqrt-shaped rather than the equivalent
+    pow(n, α-1): pow is a libm transcendental whose last ulp differs by
+    platform and would flake a cross-engine boundary comparison."""
+    rate = F.sqrt(n_min.cast("double") / n_group.cast("double"))
+    return F.floor(rate * 256).cast("long")
+
+
+def mixture_keep(key: Column, threshold: Column, salt: str = "mix") -> Column:
+    """Deterministic per-row keep decision against a per-group
+    temperature threshold."""
+    return _hash_byte(key, salt) < threshold

@@ -125,3 +125,68 @@ def range_join(
         & (right[right_ts] <= left[left_ts] + upper)
     )
     return left.join(right, cond, how)
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time they
+    completed each stage IN ORDER — stage i+1 counts only at or after
+    the user's stage-i time (the strict product-analytics definition,
+    not mere per-stage presence). Returns one row per user who entered
+    the funnel, with nullable ``t0..t{n-1}`` stage timestamps.
+
+    Scale: one shuffle on the user key per stage (k is small and
+    fixed); each step is a join against a single filtered event-type
+    slice followed by a partial-aggregated min — per-user state is one
+    timestamp, never an event list, so hot users cost nothing extra."""
+    reached = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = events.filter(F.col(type_col) == stage).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+        )
+        cond = (reached[user_col] == nxt["_u"]) & (
+            nxt["_t"] >= reached[f"t{i - 1}"]
+        )
+        reached = (
+            reached.join(nxt, cond, "left")
+            .groupBy(*[F.col(c) for c in reached.columns])
+            .agg(F.min("_t").alias(f"t{i}"))
+        )
+    return reached
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stage-reach rollup of :func:`funnel_stage_times`: one row per
+    stage with the number of users whose ordered journey reached it.
+    ``count(t_i)`` skips nulls, so each row counts exactly the users
+    with a complete in-order prefix through stage i."""
+    times = funnel_stage_times(events, stages, user_col, ts_col, type_col)
+    agg = times.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(len(stages))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")

@@ -20,6 +20,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Per-language marker words for the n-gram language-ID heuristic.
 # Deliberately tiny and deterministic: a real deployment would swap in a
@@ -245,6 +246,76 @@ def top_ngrams(
     grams = words.select(F.explode(word_bigrams(F.col("w"))).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count("*").alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("gram")).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-*k* distinguishing terms scored by tf/df — the
+    tf-idf variant whose score is a single IEEE division (exactly
+    rounded, so bit-identical across engines; ln-based idf is a libm
+    transcendental whose last ulp varies by platform and would flake
+    the cross-engine hash).
+
+    Scale shape: explode → per-(doc,term) partial-agg count (map-side
+    combine collapses repeats), document frequency derived FROM the tf
+    frame (no second corpus scan), one shuffle join on the term key
+    (AQE skew-splits hot terms), then a per-document ranking window —
+    per-doc state is bounded by document vocabulary, never corpus
+    size."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(_col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf") / F.col("df_docs")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df_docs", "score", "rnk")
+    )
+
+
+def chunk_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 500,
+    stride: int = 400,
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with
+    ``size - stride`` overlap — the context-window chunking pass a
+    training pipeline runs before tokenization. Emits chunk metadata +
+    MD5 (not the chunk text) so downstream rows stay small; the MD5
+    proves the chunk content byte-for-byte across engines.
+
+    Scale: pure projection + explode — linear fan-out of
+    ``ceil(len/stride)`` rows per doc, zero shuffle, and the chunker
+    never materializes more than one document per task row."""
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(_col(text_col)) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunk = F.col(text_col).substr(F.col("chunk_start") + 1, F.lit(size))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("pos", "chunk_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
 
 
 def contamination_check(

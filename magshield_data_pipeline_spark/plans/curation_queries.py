@@ -1,0 +1,326 @@
+"""[EXT] curation tier 3: corpus statistics, chunking, incremental
+ingestion, mixture sampling, funnel analytics, quantile sketches.
+
+Round-3 additions to the training-data tier (SURVEY §2.10): each query
+is the registry twin of an operator in ``operators/text.py``,
+``operators/dedup.py``, ``operators/sampling.py`` or
+``operators/temporal.py``. Cross-engine hash stability rules applied
+throughout: scores are single IEEE exactly-rounded divisions (never
+libm transcendentals), thresholds are floor()-ed products of
+exactly-rounded sqrt/divide, counts are BIGINT on both sides, and
+sketch outputs (GK quantiles) are checked as tolerance booleans the
+way the HLL query is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.operators import dedup as D
+from magshield_data_pipeline_spark.operators import sampling as SA
+from magshield_data_pipeline_spark.operators import temporal as TP
+from magshield_data_pipeline_spark.operators import text as T
+from magshield_data_pipeline_spark.plans.ext_queries import _hash_byte_sql
+from magshield_data_pipeline_spark.plans.registry import register
+from magshield_data_pipeline_spark.sources.parquet import read_table
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms per document
+
+_TFIDF_K = 3
+
+_TFIDF_SQL = f"""
+WITH w AS (
+    SELECT doc_id, unnest(str_split({_NORM}, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM w WHERE term <> '' GROUP BY doc_id, term
+),
+dfq AS (
+    SELECT term, count(*) AS df_docs FROM tf GROUP BY term
+),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+           tf.tf / dfq.df_docs AS score
+    FROM tf JOIN dfq USING (term)
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+    ) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, df_docs, score, rnk
+FROM ranked WHERE rnk <= {_TFIDF_K}
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    sql=_TFIDF_SQL,
+    description="per-document top-3 distinguishing terms by tf/df score "
+    "(tf-idf family; [EXT] text analysis). Score is a single IEEE division "
+    "so it is bit-identical across engines (ln-idf would not be)",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: explode → partial-agg tf → df derived FROM tf (no second
+    # corpus scan) → one term-keyed shuffle join (AQE skew-splits hot
+    # terms) → per-doc bounded ranking window.
+    docs = read_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=_TFIDF_K)
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+
+_CHUNK_SIZE = 500
+_CHUNK_STRIDE = 400
+
+_CHUNKS_SQL = f"""
+WITH s AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                  {_CHUNK_STRIDE})) AS chunk_start
+    FROM documents
+)
+SELECT
+    doc_id,
+    CAST(chunk_start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+    CAST(chunk_start AS BIGINT)                    AS chunk_start,
+    CAST(length(substring(text, chunk_start + 1, {_CHUNK_SIZE})) AS BIGINT)
+        AS chunk_len,
+    md5(substring(text, chunk_start + 1, {_CHUNK_SIZE}))
+        AS chunk_md5
+FROM s
+"""
+
+
+@register(
+    "document_chunks",
+    sql=_CHUNKS_SQL,
+    description="fixed-size context-window chunking with overlap "
+    f"(size {_CHUNK_SIZE}, stride {_CHUNK_STRIDE}): the pre-tokenization "
+    "pass of a training pipeline; chunk MD5 proves content parity ([EXT])",
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure projection + explode — linear fan-out, zero shuffle;
+    # generate_series/sequence are both stop-inclusive so the two
+    # engines emit identical chunk grids.
+    docs = read_table(spark, sf_dir, "documents")
+    return T.chunk_spans(
+        docs, id_col="doc_id", text_col="text",
+        size=_CHUNK_SIZE, stride=_CHUNK_STRIDE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus dedup (batch-vs-corpus ingestion)
+
+_INCR_DEDUP_SQL = f"""
+WITH f AS (
+    SELECT doc_id, lang, source, md5({_NORM}) AS fp,
+           (doc_id % 5 = 4) AS is_batch
+    FROM documents
+),
+corpus AS (SELECT DISTINCT fp FROM f WHERE NOT is_batch),
+fresh AS (
+    SELECT f.doc_id, f.lang, f.source, f.fp
+    FROM f
+    WHERE is_batch
+      AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = f.fp)
+)
+SELECT fp,
+       min(doc_id)            AS doc_id,
+       arg_min(lang, doc_id)   AS lang,
+       arg_min(source, doc_id) AS source
+FROM fresh GROUP BY fp
+"""
+
+
+@register(
+    "incremental_corpus_dedup",
+    sql=_INCR_DEDUP_SQL,
+    description="incremental ingestion dedup: anti-join an incoming batch's "
+    "fingerprints against the existing corpus, then intra-batch exact dedup "
+    "(lowest id wins) — the continuous-ingestion shape of EXT-1",
+)
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: ONE anti-join shuffle on the uniform MD5 key plus one
+    # min(struct) partial aggregate; at 100 TB the corpus side is a
+    # pre-materialized fingerprint index, so per-batch cost is
+    # O(batch + index-probe), not O(corpus).
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    return D.incremental_exact_dedup(
+        corpus, batch, text_col="text", id_col="doc_id", keep=("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature (α = 0.5) mixture sampling by source
+
+_MIXTURE_SQL = f"""
+WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+m AS (SELECT min(n_source) AS n_min FROM c),
+r AS (
+    SELECT source, n_source,
+           CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_source AS DOUBLE))
+                      * 256) AS BIGINT) AS keep_threshold
+    FROM c, m
+)
+SELECT d.doc_id, d.source, r.n_source, r.keep_threshold,
+       ({_hash_byte_sql("mix")}) < r.keep_threshold AS kept
+FROM documents d JOIN r ON d.source = r.source
+"""
+
+
+@register(
+    "source_mixture_sample",
+    sql=_MIXTURE_SQL,
+    description="temperature-sampled (α=0.5) training mixture: per-source "
+    "keep rate sqrt(n_min/n_source), decided by a salted hash byte — "
+    "deterministic, growth-stable, balanced toward small sources ([EXT])",
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the rate table is one tiny partial-agg rollup (|sources|
+    # rows) broadcast back onto the corpus; the keep decision itself is
+    # a pure projection — no shuffle touches the full corpus. sqrt/
+    # divide/floor are IEEE exactly-rounded, so thresholds are
+    # bit-identical across engines (pow would not be).
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
+    n_min = counts.agg(F.min("n_source").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_source",
+        SA.temperature_threshold(F.col("n_source"), F.col("n_min")).alias(
+            "keep_threshold"
+        ),
+    )
+    return docs.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "n_source",
+        "keep_threshold",
+        SA.mixture_keep(F.col("doc_id"), F.col("keep_threshold"), salt="mix").alias(
+            "kept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel analysis over events
+
+_FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+_FUNNEL_SQL = """
+WITH s0 AS (
+    SELECT user_id, min(ts) AS t0 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+s1 AS (
+    SELECT s0.user_id, min(e.ts) AS t1
+    FROM s0 JOIN events e
+      ON e.user_id = s0.user_id AND e.event_type = 'click' AND e.ts >= s0.t0
+    GROUP BY s0.user_id
+),
+s2 AS (
+    SELECT s1.user_id, min(e.ts) AS t2
+    FROM s1 JOIN events e
+      ON e.user_id = s1.user_id AND e.event_type = 'purchase' AND e.ts >= s1.t1
+    GROUP BY s1.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+       (SELECT count(*) FROM s0) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s1)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s2)
+"""
+
+
+@register(
+    "event_funnel",
+    sql=_FUNNEL_SQL,
+    description="ordered funnel signup→click→purchase: users counted at "
+    "stage i only with an in-order prefix (stage-i event at/after their "
+    "stage-(i-1) time) — strict product-analytics funnel ([EXT] temporal)",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: k=3 user-keyed shuffles (fixed), per-user state is one
+    # timestamp per stage — no event-list collection, hot users free.
+    events = read_table(spark, sf_dir, "events")
+    return TP.funnel_counts(events, _FUNNEL_STAGES)
+
+
+# ---------------------------------------------------------------------------
+# GK quantile sketch with rank-tolerance check (sketch family, like HLL)
+
+_QS = [0.5, 0.9, 0.99]
+_QS_ACC = 1000
+
+_QUANTILE_SQL = f"""
+WITH n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
+SELECT event_type, q, n_events, TRUE AS within_tolerance
+FROM n, (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _QS)}]) AS q)
+"""
+
+
+@register(
+    "value_quantile_sketch",
+    sql=_QUANTILE_SQL,
+    description="approx_percentile (GK sketch) of value per event type at "
+    "q=0.5/0.9/0.99. Sketch outputs are engine-specific, so the checkable "
+    "contract is a rank-tolerance boolean (the HLL construction): the "
+    "approx value's exact rank interval must overlap [q±2/accuracy]·n",
+)
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # At 100 TB this replaces exact percentiles: fixed-size GK sketches
+    # merged map-side, one pass. The second pass (rank of the approx
+    # value) exists only to make the approximation oracle-checkable —
+    # it joins a 15-row broadcast against events and partial-aggregates
+    # two conditional counts.
+    events = read_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(float(q)) for q in _QS]), F.lit(_QS_ACC)
+        ).alias("apx"),
+        F.count("*").alias("n_events"),
+    )
+    pe = agg.select(
+        "event_type",
+        "n_events",
+        F.posexplode("apx").alias("qi", "apx_v"),
+    ).select(
+        "event_type",
+        "n_events",
+        F.element_at(
+            F.array(*[F.lit(float(q)) for q in _QS]), F.col("qi") + 1
+        ).alias("q"),
+        "apx_v",
+    )
+    ranks = (
+        events.join(F.broadcast(pe), "event_type")
+        .groupBy("event_type", "q", "n_events", "apx_v")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("apx_v"), 1).otherwise(0)).alias(
+                "cnt_le"
+            ),
+            F.sum(F.when(F.col("value") < F.col("apx_v"), 1).otherwise(0)).alias(
+                "cnt_lt"
+            ),
+        )
+    )
+    eps = 2.0 / _QS_ACC
+    lo = F.floor((F.col("q") - eps) * F.col("n_events"))
+    hi = F.ceil((F.col("q") + eps) * F.col("n_events"))
+    within = (F.col("cnt_le") >= lo) & (F.col("cnt_lt") + 1 <= hi)
+    return ranks.select(
+        "event_type", "q", "n_events", within.alias("within_tolerance")
+    )

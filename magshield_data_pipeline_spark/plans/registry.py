@@ -71,3 +71,4 @@ from magshield_data_pipeline_spark.plans import window_queries  # noqa: E402,F40
 from magshield_data_pipeline_spark.plans import temporal_queries  # noqa: E402,F401
 from magshield_data_pipeline_spark.plans import analytics_queries  # noqa: E402,F401
 from magshield_data_pipeline_spark.plans import export_queries  # noqa: E402,F401
+from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F401

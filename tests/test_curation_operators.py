@@ -1,0 +1,167 @@
+"""Unit tests for the round-3 curation tier: tf-idf top terms, chunking,
+incremental dedup, temperature mixture sampling, funnels, quantile
+tolerance (operators/text.py, dedup.py, sampling.py, temporal.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.operators import dedup as D
+from magshield_data_pipeline_spark.operators import sampling as SA
+from magshield_data_pipeline_spark.operators import temporal as TP
+from magshield_data_pipeline_spark.operators import text as T
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha shared shared"),
+            (2, "beta shared"),
+            (3, "gamma shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.tfidf_top_terms(df, k=1)
+    rows = {r.doc_id: r for r in out.collect()}
+    # each doc's unique term (df=1) outranks 'shared' (df=3) despite
+    # doc 1 having tf('shared')=2 > tf('alpha')=1: 1/1 > 2/3
+    assert rows[1].term == "alpha"
+    assert rows[2].term == "beta"
+    assert rows[3].term == "gamma"
+    assert rows[1].df_docs == 1 and rows[1].tf == 1
+
+
+def test_tfidf_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([(1, "zed apple")], ["doc_id", "text"])
+    out = T.tfidf_top_terms(df, k=2).orderBy("rnk").collect()
+    # equal scores → lexicographic term order breaks the tie
+    assert [r.term for r in out] == ["apple", "zed"]
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+
+
+def test_chunk_spans_grid_and_overlap(spark):
+    text = "x" * 950
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = {r.chunk_id: r for r in T.chunk_spans(df, size=500, stride=400).collect()}
+    # starts at 0, 400, 800 (stop-inclusive grid over len-1=949)
+    assert sorted(out) == [0, 1, 2]
+    assert out[0].chunk_start == 0 and out[0].chunk_len == 500
+    assert out[1].chunk_start == 400 and out[1].chunk_len == 500
+    assert out[2].chunk_start == 800 and out[2].chunk_len == 150
+    # 100-char overlap: chunk 0's tail == chunk 1's head by construction
+    # (uniform text makes md5 equality trivial, so check the grid math)
+
+
+def test_chunk_spans_short_and_empty(spark):
+    df = spark.createDataFrame([(1, "short"), (2, "")], ["doc_id", "text"])
+    out = T.chunk_spans(df, size=500, stride=400).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 2  # one chunk each
+    assert by_id[1].chunk_len == 5
+    assert by_id[2].chunk_len == 0  # empty doc → one empty chunk
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup
+
+
+def test_incremental_dedup_drops_known_and_intra_batch(spark):
+    corpus = spark.createDataFrame(
+        [(1, "known text"), (2, "other text")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "known  TEXT"),  # dup of corpus doc 1 after normalize
+            (11, "fresh text"),
+            (12, "fresh text"),  # intra-batch dup of 11
+            (13, "another fresh one"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.incremental_exact_dedup(corpus, batch)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [11, 13]  # 10 killed by corpus, 12 by intra-batch (11 wins)
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture sampling
+
+
+def test_temperature_threshold_bounds(spark):
+    df = spark.createDataFrame(
+        [(100, 100), (400, 100), (100, 100)], ["n_group", "n_min"]
+    )
+    vals = [
+        r.t
+        for r in df.select(
+            SA.temperature_threshold(F.col("n_group"), F.col("n_min")).alias("t")
+        ).collect()
+    ]
+    # smallest source keeps everything (sqrt(1)*256=256 > any byte);
+    # a 4x source keeps half (sqrt(1/4)*256 = 128)
+    assert vals == [256, 128, 256]
+
+
+def test_mixture_keep_rate_close_to_target(spark):
+    n = 2000
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    kept = df.select(
+        SA.mixture_keep(F.col("doc_id"), F.lit(128)).alias("k")
+    ).filter("k").count()
+    assert abs(kept / n - 0.5) < 0.05  # hash byte is uniform
+
+
+# ---------------------------------------------------------------------------
+# funnel
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_funnel_requires_in_order_stages(spark):
+    rows = [
+        # user 1: full ordered journey
+        (1, _ts("2024-01-01 10:00:00"), "signup"),
+        (1, _ts("2024-01-01 11:00:00"), "click"),
+        (1, _ts("2024-01-01 12:00:00"), "purchase"),
+        # user 2: purchase BEFORE click → reaches click only
+        (2, _ts("2024-01-01 10:00:00"), "signup"),
+        (2, _ts("2024-01-01 10:30:00"), "purchase"),
+        (2, _ts("2024-01-01 11:00:00"), "click"),
+        # user 3: click before signup → click doesn't count; no purchase
+        (3, _ts("2024-01-01 09:00:00"), "click"),
+        (3, _ts("2024-01-01 10:00:00"), "signup"),
+        # user 4: never signs up → not in funnel at all
+        (4, _ts("2024-01-01 10:00:00"), "click"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r.stage: r.n_users
+        for r in TP.funnel_counts(events, ["signup", "click", "purchase"]).collect()
+    }
+    assert out == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # boundary: stage-2 event at exactly the stage-1 time counts (>=)
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), "signup"),
+        (1, _ts("2024-01-01 10:00:00"), "click"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r.stage: r.n_users
+        for r in TP.funnel_counts(events, ["signup", "click"]).collect()
+    }
+    assert out == {"signup": 1, "click": 1}
