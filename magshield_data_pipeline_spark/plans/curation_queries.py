@@ -193,10 +193,16 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a pure projection — no shuffle touches the full corpus. sqrt/
     # divide/floor are IEEE exactly-rounded, so thresholds are
     # bit-identical across engines (pow would not be).
+    from pyspark.sql.window import Window
+
     docs = read_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
-    n_min = counts.agg(F.min("n_source").alias("n_min"))
-    rates = counts.crossJoin(F.broadcast(n_min)).select(
+    # n_min via an unpartitioned window over the |sources|-row rollup —
+    # one corpus scan total (a separate .agg(min) made Catalyst scan the
+    # source column twice)
+    rates = counts.withColumn(
+        "n_min", F.min("n_source").over(Window.partitionBy())
+    ).select(
         "source",
         "n_source",
         SA.temperature_threshold(F.col("n_source"), F.col("n_min")).alias(

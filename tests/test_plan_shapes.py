@@ -105,3 +105,27 @@ def test_bucketed_join_query_is_exchange_free(spark):
     assert "Exchange" not in plan.replace("BroadcastExchange", ""), (
         "bucket co-location lost: join or rollup re-shuffled"
     )
+
+
+def test_document_chunks_is_exchange_free(spark):
+    # chunking is a pure projection + explode: any Exchange here means
+    # a regression added a shuffle to a linear fan-out
+    df = QUERY_REGISTRY["document_chunks"].fn(spark, SF_SMALL)
+    assert "Exchange" not in _physical_plan(df)
+
+
+def test_tfidf_topk_is_pushed_into_window(spark):
+    # Spark's WindowGroupLimit must prune to top-k per doc BEFORE the
+    # final exchange — without it every (doc, term) row rides the
+    # ranking shuffle
+    df = QUERY_REGISTRY["tfidf_top_terms"].fn(spark, SF_SMALL)
+    assert "WindowGroupLimit" in _physical_plan(df)
+
+
+def test_mixture_rate_table_single_rollup_scan(spark):
+    # the temperature-rate table must come from ONE corpus rollup; a
+    # separate min() aggregate previously made Catalyst scan the
+    # source column twice
+    df = QUERY_REGISTRY["source_mixture_sample"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert plan.count("FileScan parquet [source") == 1
