@@ -68,6 +68,34 @@ def dot_score(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.round(dot(a, b), decimals)
 
 
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization: q_i = floor(x_i · 127 / max|x| + ½).
+
+    The memory lever for ANN at 100 TB: an int8 corpus is 4× smaller
+    than float32 (8× vs double), and the pair score becomes an integer
+    dot product — exact arithmetic, no float accumulation order to
+    worry about. A zero/null-max vector quantizes to nulls (callers
+    filter null scores), mirroring the nullif-guarded cosine.
+
+    Cross-engine note: feed this ROUNDED values (e.g. unit-normalized
+    then round(x, 6)) — multiply/divide/floor are IEEE exactly-rounded,
+    so on identical inputs the quantized codes are bit-identical in
+    Spark and DuckDB; unrounded normalize folds could differ in the
+    last ulp and flip a floor boundary."""
+    m = F.nullif(F.array_max(F.transform(vec, F.abs)), F.lit(0.0))
+    return F.transform(vec, lambda x: F.floor(x * 127.0 / m + 0.5).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two quantized vectors — exact (no float
+    rounding), null if either side carries nulls."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_arrow(a: Column, b: Column, decimals: int = 6) -> Column:
     """Arrow-vectorized cosine via a pandas UDF — the alternative hot
     path when vectors are wide enough that per-element Catalyst

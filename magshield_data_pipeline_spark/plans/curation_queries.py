@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from magshield_data_pipeline_spark.operators import dedup as D
 from magshield_data_pipeline_spark.operators import sampling as SA
+from magshield_data_pipeline_spark.operators import similarity as V
 from magshield_data_pipeline_spark.operators import temporal as TP
 from magshield_data_pipeline_spark.operators import text as T
 from magshield_data_pipeline_spark.plans.ext_queries import _hash_byte_sql
@@ -329,4 +330,129 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = (F.col("cnt_le") >= lo) & (F.col("cnt_lt") + 1 <= hi)
     return ranks.select(
         "event_type", "q", "n_events", within.alias("within_tolerance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized ANN with exact-top-k recall annotation
+
+_QK = 5
+
+_QUANT_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+nr AS (
+    SELECT vec_id,
+           [round(x / sqrt(list_dot_product(vv, vv)), 6) for x in vv] AS r
+    FROM v
+),
+qz AS (
+    SELECT vec_id, [CAST(floor(x * 127.0 / m + 0.5) AS BIGINT) for x in r] AS qv
+    FROM (SELECT vec_id, r, list_max([abs(x) for x in r]) AS m FROM nr)
+    WHERE m IS NOT NULL AND m <> 0
+),
+q AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < 5),
+s AS (
+    SELECT query_id, z.vec_id,
+           CAST(list_sum([z.qv[i] * qqv[i]
+                          for i in range(1, len(z.qv) + 1)]) AS BIGINT) AS score_q
+    FROM qz z CROSS JOIN q WHERE z.vec_id <> query_id
+),
+qt AS (
+    SELECT query_id, vec_id, score_q,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q DESC, vec_id
+           ) AS BIGINT) AS rank
+    FROM s
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+es AS (
+    SELECT query_id, vec_id,
+           CASE WHEN list_dot_product(v, v) = 0 OR list_dot_product(qv, qv) = 0
+                THEN NULL
+                ELSE round(list_cosine_similarity(v, qv), 6) END AS score
+    FROM e CROSS JOIN eq WHERE vec_id != query_id
+),
+et AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id
+               ) AS rank
+        FROM es
+    ) WHERE rank <= {_QK}
+)
+SELECT qt.query_id, qt.rank, qt.vec_id, qt.score_q,
+       (et.vec_id IS NOT NULL) AS in_exact_topk
+FROM qt LEFT JOIN et
+  ON qt.query_id = et.query_id AND qt.vec_id = et.vec_id
+WHERE qt.rank <= {_QK}
+"""
+
+
+@register(
+    "embedding_quantized_recall",
+    sql=_QUANT_SQL,
+    description=f"int8-quantized ANN top-{_QK} per query with exact-top-k "
+    "recall annotation: quantized scores are integer dot products (exact "
+    "arithmetic, fully hash-checkable — no tolerance needed), each hit "
+    "flagged by whether the float-cosine exact top-k also contains it",
+)
+def embedding_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: int8 corpus is 4x smaller than float32 — the working-set
+    # lever for a 100 TB ANN sweep; scoring is an integer fold (exact,
+    # no accumulation-order noise). Quantization inputs are rounded
+    # unit-normalized values so the codes are bit-identical across
+    # engines; the exact-cosine side rides the already-proven rounded
+    # ranking. One corpus scan per side, queries broadcast.
+    from pyspark.sql.window import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", V.as_double_vec("embedding").alias("dv"))
+    rounded = base.select(
+        "vec_id",
+        F.transform(
+            V.normalize_vec(F.col("dv")), lambda x: F.round(x, 6)
+        ).alias("r"),
+    )
+    qz = rounded.select("vec_id", V.quantize_int8(F.col("r")).alias("qv"))
+    queries = qz.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    scored = (
+        qz.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            V.int_dot(F.col("qv"), F.col("qqv")).alias("score_q"),
+        )
+        .filter(F.col("score_q").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("vec_id")
+    )
+    qtop = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _QK)
+    )
+    exact_queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = V.brute_force_topk(emb, exact_queries, k=_QK).select(
+        "query_id", F.col("vec_id").alias("e_vec_id"), F.lit(True).alias("hit")
+    )
+    return (
+        qtop.join(
+            exact,
+            (qtop.query_id == exact.query_id) & (qtop.vec_id == exact.e_vec_id),
+            "left",
+        )
+        .select(
+            qtop.query_id,
+            "rank",
+            "vec_id",
+            "score_q",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
     )

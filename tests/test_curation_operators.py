@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from magshield_data_pipeline_spark.operators import dedup as D
 from magshield_data_pipeline_spark.operators import sampling as SA
+from magshield_data_pipeline_spark.operators import similarity as V
 from magshield_data_pipeline_spark.operators import temporal as TP
 from magshield_data_pipeline_spark.operators import text as T
 
@@ -165,3 +166,54 @@ def test_funnel_same_timestamp_counts(spark):
         for r in TP.funnel_counts(events, ["signup", "click"]).collect()
     }
     assert out == {"signup": 1, "click": 1}
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+
+
+def test_quantize_int8_codes_and_range(spark):
+    df = spark.createDataFrame([(1, [1.0, -2.0, 3.0])], ["id", "v"])
+    [row] = df.select(V.quantize_int8(F.col("v")).alias("q")).collect()
+    # scale = 127/3: floor(1*127/3+.5)=42, floor(-2*127/3+.5)=-84
+    # (floor rounds toward -inf: -84.16->-85? -2*127/3=-84.66, +.5=-84.16 -> -85)
+    assert row.q == [42, -85, 127]
+    assert max(abs(x) for x in row.q) <= 127
+
+
+def test_quantize_int8_zero_vector_is_null(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], ["id", "v"])
+    [row] = df.select(V.quantize_int8(F.col("v")).alias("q")).collect()
+    assert row.q == [None, None]
+
+
+def test_int_dot_exact(spark):
+    df = spark.createDataFrame([(1, [1, 2, 3], [4, 5, 6])], ["id", "a", "b"])
+    [row] = df.select(V.int_dot(F.col("a"), F.col("b")).alias("d")).collect()
+    assert row.d == 32
+
+
+def test_quantized_ranking_tracks_exact_on_separable_vectors(spark):
+    # a query vector and two corpus vectors where the quantized ranking
+    # must agree with the exact cosine ranking (clearly separable)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # query
+        (10, [0.9, 0.1, 0.0]),  # near
+        (11, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = emb.select("vec_id", V.as_double_vec("embedding").alias("dv"))
+    rounded = base.select(
+        "vec_id",
+        F.transform(V.normalize_vec(F.col("dv")), lambda x: F.round(x, 6)).alias("r"),
+    )
+    qz = rounded.select("vec_id", V.quantize_int8(F.col("r")).alias("qv"))
+    q = qz.filter("vec_id = 0").select(F.col("qv").alias("qqv"))
+    scored = (
+        qz.filter("vec_id != 0")
+        .crossJoin(q)
+        .select("vec_id", V.int_dot(F.col("qv"), F.col("qqv")).alias("s"))
+        .collect()
+    )
+    by_id = {r.vec_id: r.s for r in scored}
+    assert by_id[10] > by_id[11]
