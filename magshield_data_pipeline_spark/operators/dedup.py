@@ -256,7 +256,16 @@ def jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .select("s")
         )
-        sh = sh.join(rare, "s", "inner").select(id_col, "s")
+        # The capped shingle frame feeds THREE consumers (both self-join
+        # sides and the per-doc sizes) with different partitionings, so
+        # without persistence the expensive shingle generate + cap join
+        # re-evaluates per consumer (measured 5.4 s → 2.5 s at sf0.1
+        # from this one persist). The cache is the df-capped frame —
+        # bounded by corpus size × max_df — and MEMORY_AND_DISK spills
+        # rather than OOMs; at 100 TB the production move is the same
+        # idea one step further: materialize the capped shingle index
+        # to storage once and share it across all pair jobs.
+        sh = sh.join(rare, "s", "inner").select(id_col, "s").persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

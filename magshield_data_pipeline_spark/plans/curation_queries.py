@@ -456,3 +456,83 @@ def embedding_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE corpus summary + ratio-to-report token share
+
+_CUBE_SQL = """
+SELECT
+    coalesce(source, '(all)') AS src,
+    coalesce(lang, '(all)')   AS language,
+    CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
+    count(*) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (source, lang)
+"""
+
+
+@register(
+    "corpus_cube_summary",
+    sql=_CUBE_SQL,
+    description="CUBE over (source, lang): doc counts and char totals for "
+    "every subtotal combination with grouping ids — the corpus-composition "
+    "dashboard rollup ([EXT] warehouse tier)",
+)
+def corpus_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: CUBE compiles to one Expand (4 grouping sets) + ONE
+    # partially-aggregated shuffle — subtotals cost one pass, not four.
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("src"),
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("language"),
+            F.col("gid").cast("long").alias("gid"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+_SHARE_SQL = """
+WITH s AS (
+    SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars
+    FROM documents GROUP BY source
+)
+SELECT source, src_chars,
+       CAST(sum(src_chars) OVER () AS BIGINT) AS total_chars,
+       src_chars / (sum(src_chars) OVER () * 1.0) AS share
+FROM s
+"""
+
+
+@register(
+    "source_char_share",
+    sql=_SHARE_SQL,
+    description="ratio-to-report: each source's share of total corpus chars "
+    "via an unpartitioned window over the per-source rollup — the mixture-"
+    "weight report ([EXT] warehouse tier). Share is one IEEE division of "
+    "two exact integers, hash-stable",
+)
+def source_char_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the window runs over the |sources|-row AGGREGATE, not the
+    # corpus — one partial-agg shuffle plus a single-partition pass over
+    # a tiny frame (same shape as the mixture rate table).
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.sum("n_chars").alias("src_chars"))
+    total = F.sum("src_chars").over(Window.partitionBy())
+    return per_src.select(
+        "source",
+        "src_chars",
+        total.alias("total_chars"),
+        (F.col("src_chars") / (total * F.lit(1.0))).alias("share"),
+    )

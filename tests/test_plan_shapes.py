@@ -21,6 +21,7 @@ _ALLOW_BNLJ = {
     "embedding_topk_cosine",
     "embedding_ivf_topk",
     "embedding_cosine_dup_pairs",
+    "embedding_quantized_recall",
     "kmeans_centroid_update",
     "purchase_asof_click",
     "signup_click_burst",
