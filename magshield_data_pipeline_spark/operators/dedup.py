@@ -190,6 +190,42 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_candidate_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates for an INCOMING batch: batch docs probed
+    against the corpus LSH index, plus intra-batch candidates — the
+    near-dup complement of :func:`incremental_exact_dedup`, and the
+    shape continuous ingestion actually runs at 100 TB (the corpus
+    bucket table is materialized once and probed per batch; per-batch
+    cost is O(batch buckets + collisions), never O(corpus²)).
+
+    Returns (doc_a, doc_b, vs_corpus): ``vs_corpus=true`` rows pair a
+    batch doc with a corpus doc; ``false`` rows are intra-batch pairs
+    (doc_a < doc_b). Both joins shuffle on the uniform (band, bucket)
+    hash key."""
+    corpus_buckets = lsh_band_buckets(corpus, text_col, id_col).select(
+        "band", "bucket", F.col(id_col).alias("_corpus_id")
+    )
+    batch_buckets = lsh_band_buckets(batch, text_col, id_col)
+    vs_corpus = (
+        batch_buckets.join(corpus_buckets, ["band", "bucket"])
+        .select(
+            F.col(id_col).alias("doc_a"),
+            F.col("_corpus_id").alias("doc_b"),
+            F.lit(True).alias("vs_corpus"),
+        )
+        .distinct()
+    )
+    intra = minhash_candidate_pairs(batch, text_col, id_col).select(
+        "doc_a", "doc_b", F.lit(False).alias("vs_corpus")
+    )
+    return vs_corpus.unionByName(intra)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

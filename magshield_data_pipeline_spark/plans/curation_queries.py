@@ -536,3 +536,57 @@ def source_char_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_chars"),
         (F.col("src_chars") / (total * F.lit(1.0))).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup candidates (batch vs corpus LSH index)
+
+from magshield_data_pipeline_spark.plans.ext_queries import (  # noqa: E402
+    _SHINGLES,
+    _SIG_COLS,
+    _WORDS,
+)
+
+_INCR_BUCKETS = "\n    UNION ALL ".join(
+    f"SELECT doc_id, is_batch, {b} AS band, "
+    f"md5(h{b * D.ROWS_PER_BAND} || h{b * D.ROWS_PER_BAND + 1}) AS bucket FROM sig"
+    for b in range(D.MINHASH_BANDS)
+)
+
+_INCR_NEAR_DUP_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS} AS w, (doc_id % 5 = 4) AS is_batch FROM documents
+),
+sh  AS (SELECT doc_id, is_batch, {_SHINGLES} AS sh FROM w),
+sig AS (SELECT doc_id, is_batch, {_SIG_COLS} FROM sh),
+buckets AS ({_INCR_BUCKETS})
+SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b, TRUE AS vs_corpus
+FROM buckets b
+JOIN buckets c ON b.band = c.band AND b.bucket = c.bucket
+WHERE b.is_batch AND NOT c.is_batch
+UNION ALL
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, FALSE AS vs_corpus
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+WHERE a.is_batch AND b.is_batch
+"""
+
+
+@register(
+    "incremental_near_dup_candidates",
+    sql=_INCR_NEAR_DUP_SQL,
+    description="incremental near-dup detection: an incoming batch's LSH "
+    "buckets probed against the corpus bucket index plus intra-batch "
+    "candidates — the continuous-ingestion shape of EXT-2",
+)
+def incremental_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: per-batch cost is O(batch buckets + collisions) against a
+    # materialized corpus index; both joins shuffle on the uniform
+    # (band, bucket) hash key — never all-pairs, never O(corpus).
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    return D.incremental_candidate_pairs(
+        corpus, batch, text_col="text", id_col="doc_id"
+    )

@@ -217,3 +217,30 @@ def test_quantized_ranking_tracks_exact_on_separable_vectors(spark):
     )
     by_id = {r.vec_id: r.s for r in scored}
     assert by_id[10] > by_id[11]
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup candidates
+
+
+def test_incremental_near_dup_probes_corpus_and_batch(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated corpus text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (11, "the quick brown fox jumps over the lazy dog"),  # dup of 1 and 10
+            (12, "totally novel fresh content unlike anything else"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.incremental_candidate_pairs(corpus, batch).collect()
+    vs_corpus = {(r.doc_a, r.doc_b) for r in out if r.vs_corpus}
+    intra = {(r.doc_a, r.doc_b) for r in out if not r.vs_corpus}
+    assert vs_corpus == {(10, 1), (11, 1)}
+    assert intra == {(10, 11)}
