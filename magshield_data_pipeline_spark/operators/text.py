@@ -339,7 +339,11 @@ def contamination_check(
         )
         return out
 
-    tr, te = sh(train, "train"), sh(test, "test")
+    # train shingles feed two consumers (the df-count and the capped
+    # join); persist avoids re-running the shingle generate — same
+    # rationale (and same at-scale note) as the jaccard verifier's
+    # persisted capped frame in operators/dedup.py
+    tr, te = sh(train, "train").persist(), sh(test, "test")
     if max_df is not None:
         rare = (
             tr.groupBy("s").agg(F.count("*").alias("_df"))

@@ -590,3 +590,55 @@ def incremental_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     return D.incremental_candidate_pairs(
         corpus, batch, text_col="text", id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# row-level MERGE (upsert) — K2 generalized to row-by-key
+
+_MERGE_SQL = """
+WITH existing AS (
+    SELECT o_orderkey AS order_id, o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+updates AS (
+    SELECT o_orderkey AS order_id, 'U' AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) + 1 AS price_cents
+    FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT e.order_id, e.status, e.price_cents
+FROM existing e
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.order_id = e.order_id)
+UNION ALL
+SELECT order_id, status, price_cents FROM updates
+"""
+
+
+@register(
+    "merge_upsert_orders",
+    sql=_MERGE_SQL,
+    description="row-level MERGE/upsert: updates win on key collision, "
+    "unmatched existing rows pass through, new keys insert — K2's "
+    "replace-else-create generalized to row-by-key (the lakehouse MERGE "
+    "INTO plan: one anti-join + union)",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one anti-join shuffle on the key (the updates side
+    # broadcasts in the common CDC case) + zero-shuffle union.
+    from magshield_data_pipeline_spark import sinks
+
+    orders = read_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        # round() before the cast: Spark's long cast truncates while
+        # DuckDB's rounds; money carries exactly 2 decimals so *100 is
+        # never at a half boundary and round() is exact on both sides
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("U").alias("status"),
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") + 1).alias("price_cents"),
+    )
+    return sinks.merge_upsert(existing, updates, ["order_id"])

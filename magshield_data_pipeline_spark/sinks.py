@@ -65,3 +65,23 @@ def overwrite_by_name(
     target = os.path.join(base_dir, name)
     df.write.mode("overwrite").format(fmt).save(target)
     return target
+
+
+def merge_upsert(
+    existing: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Row-level MERGE (upsert): K2's replace-else-create semantics
+    generalized from file-by-name to row-by-key — update rows win over
+    existing rows on key collision, unmatched existing rows pass
+    through, new keys insert. Pure function: compose with
+    ``overwrite_by_name`` for the read-merge-rewrite cycle a lakehouse
+    table runs (Delta/Iceberg MERGE INTO is this plan plus transaction
+    metadata).
+
+    Scale: ONE anti-join shuffle on the key (updates broadcast when
+    small — the common CDC case) + a zero-shuffle union. No full-table
+    window, no driver collection; the rewrite cost is the overwrite
+    itself, which partition-pruned lakehouse writers bound to touched
+    partitions."""
+    kept = existing.join(updates.select(*key_cols), key_cols, "left_anti")
+    return kept.unionByName(updates)

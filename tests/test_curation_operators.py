@@ -244,3 +244,37 @@ def test_incremental_near_dup_probes_corpus_and_batch(spark):
     intra = {(r.doc_a, r.doc_b) for r in out if not r.vs_corpus}
     assert vs_corpus == {(10, 1), (11, 1)}
     assert intra == {(10, 11)}
+
+
+# ---------------------------------------------------------------------------
+# row-level merge upsert
+
+
+def test_merge_upsert_updates_win_and_inserts(spark):
+    from magshield_data_pipeline_spark import sinks
+
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], ["k", "v"]
+    )
+    out = {r.k: r.v for r in sinks.merge_upsert(existing, updates, ["k"]).collect()}
+    assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_merge_upsert_roundtrip_through_overwrite(spark, tmp_path):
+    from magshield_data_pipeline_spark import sinks
+
+    base = str(tmp_path)
+    t0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    path = sinks.overwrite_by_name(t0, base, "tbl", "parquet")
+    existing = spark.read.parquet(path)
+    updates = spark.createDataFrame([(2, "B2"), (3, "c")], ["k", "v"])
+    merged = sinks.merge_upsert(existing, updates, ["k"])
+    # the read-merge-rewrite cycle: localCheckpoint decouples the merged
+    # lineage from the files the overwrite is about to replace
+    merged = merged.localCheckpoint()
+    sinks.overwrite_by_name(merged, base, "tbl", "parquet")
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "B2", 3: "c"}
