@@ -110,3 +110,77 @@ def test_shingles_nonempty_and_window_sized(spark, vals):
     for r in rows:
         assert len(r.sh) >= 1  # every doc contributes at least one shingle
         assert len(r.sh) == max(1, r.nw - 2)  # n-2 trigrams (or the whole text)
+
+
+# ---------------------------------------------------------------------------
+# round-3 curation operators
+
+_vecs = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(**_SETTINGS)
+@given(vs=st.lists(_vecs, min_size=1, max_size=8))
+def test_quantize_int8_codes_bounded(spark, vs):
+    from magshield_data_pipeline_spark.operators import similarity as V
+
+    df = spark.createDataFrame([(v,) for v in vs], "v array<double>")
+    rows = df.select(V.quantize_int8(F.col("v")).alias("q")).collect()
+    for r in rows:
+        for q in r.q:
+            # null only for the all-zero vector; codes always in [-128, 127]
+            # (-128 reachable only at x = -max|x| with the +1/2 bias: never,
+            # so effectively [-127, 127]; floor keeps it >= -128 regardless)
+            assert q is None or -128 <= q <= 127
+
+
+@settings(**_SETTINGS)
+@given(vals=texts)
+def test_chunk_spans_cover_text_exactly(spark, vals):
+    size, stride = 7, 5
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, text string"
+    )
+    out = T.chunk_spans(df, size=size, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, v in enumerate(vals):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        n = len(v)
+        # chunk grid: starts 0, stride, ... <= max(n-1, 0); every char
+        # covered; last chunk reaches the end of the text
+        assert chunks[0].chunk_start == 0
+        assert chunks[-1].chunk_start + chunks[-1].chunk_len == max(n, 0) or n == 0
+        for c in chunks:
+            assert c.chunk_len == min(size, max(n - c.chunk_start, 0))
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=12)
+)
+def test_temperature_threshold_monotone_and_bounded(spark, counts):
+    from magshield_data_pipeline_spark.operators import sampling as SA
+
+    n_min = min(counts)
+    df = spark.createDataFrame(
+        [(c, n_min) for c in counts], "n_group long, n_min long"
+    )
+    rows = df.select(
+        F.col("n_group"),
+        SA.temperature_threshold(F.col("n_group"), F.col("n_min")).alias("t"),
+    ).collect()
+    got = {r.n_group: r.t for r in rows}
+    for c in counts:
+        assert 0 <= got[c] <= 256
+    assert got[n_min] == 256  # smallest source keeps everything
+    # monotone: bigger sources never get a higher threshold
+    ordered = sorted(got.items())
+    for (c1, t1), (c2, t2) in zip(ordered, ordered[1:]):
+        assert t1 >= t2
