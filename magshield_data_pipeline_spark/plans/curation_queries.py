@@ -642,3 +642,67 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("o_totalprice") * 100, 0).cast("long") + 1).alias("price_cents"),
     )
     return sinks.merge_upsert(existing, updates, ["order_id"])
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel tracker (stateful change feed, batch-parity checked)
+
+_TSFMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+_TSFMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_STREAM_FUNNEL_SQL = f"""
+WITH s0 AS (
+    SELECT user_id, min(ts) AS t0 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+s1 AS (
+    SELECT s0.user_id, min(e.ts) AS t1
+    FROM s0 JOIN events e
+      ON e.user_id = s0.user_id AND e.event_type = 'click' AND e.ts >= s0.t0
+    GROUP BY s0.user_id
+),
+s2 AS (
+    SELECT s1.user_id, min(e.ts) AS t2
+    FROM s1 JOIN events e
+      ON e.user_id = s1.user_id AND e.event_type = 'purchase' AND e.ts >= s1.t1
+    GROUP BY s1.user_id
+)
+SELECT s0.user_id,
+       strftime(s0.t0, '{_TSFMT_DUCK}') AS signup_ts,
+       strftime(s1.t1, '{_TSFMT_DUCK}') AS click_ts,
+       strftime(s2.t2, '{_TSFMT_DUCK}') AS purchase_ts,
+       CAST(CASE WHEN s2.t2 IS NOT NULL THEN 3
+                 WHEN s1.t1 IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS n_stages
+FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+        LEFT JOIN s2 ON s0.user_id = s2.user_id
+"""
+
+
+@register(
+    "streaming_funnel_progress",
+    sql=_STREAM_FUNNEL_SQL,
+    description="stateful streaming funnel tracker: per-user conversion "
+    "state (applyInPandasWithState, one 3-long tuple per user) emitted as "
+    "a change feed; under Trigger.AvailableNow the emitted set equals the "
+    "batch funnel's per-user stage times — the parity the oracle checks "
+    "([EXT] streaming tier)",
+)
+def streaming_funnel_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: state is fixed-width per funnel-entered user; the batch
+    # rule is applied vectorized (numpy stage-min against carried
+    # state), so intra-batch event order never matters; watermark
+    # bounds replay, and emitted progress only tightens forward.
+    from magshield_data_pipeline_spark.streaming import stateful as ST
+    from magshield_data_pipeline_spark.streaming import windows as W
+
+    stream = W.read_events_stream(spark, sf_dir)
+    feed = ST.funnel_stateful(stream, watermark="10 minutes")
+    out = W.run_available_now(feed, output_mode="append")
+    return out.select(
+        "user_id",
+        F.date_format("t0", _TSFMT_SPARK).alias("signup_ts"),
+        F.date_format("t1", _TSFMT_SPARK).alias("click_ts"),
+        F.date_format("t2", _TSFMT_SPARK).alias("purchase_ts"),
+        "n_stages",
+    )

@@ -130,3 +130,115 @@ def sessionize_stateful(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel tracker
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t0", TimestampType()),
+        StructField("t1", TimestampType()),
+        StructField("t2", TimestampType()),
+        StructField("n_stages", LongType()),
+    ]
+)
+
+# per-user stage times in epoch-µs; -1 = stage not yet reached
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t0_us", LongType()),
+        StructField("t1_us", LongType()),
+        StructField("t2_us", LongType()),
+    ]
+)
+
+
+def funnel_stateful(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("signup", "click", "purchase"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ordered-funnel tracker: per-user conversion state as a
+    change feed. State is the user's stage-completion times (one
+    fixed-width 3-long tuple per user — ~24 bytes, any event volume);
+    each micro-batch applies the strict in-order rule (stage i counts
+    only at/after the user's stage-(i-1) time) VECTORIZED over the
+    batch — min-per-stage against carried state, so intra-batch event
+    order never matters — and emits the user's updated progress row.
+
+    Under Trigger.AvailableNow on a static source this yields exactly
+    the batch funnel's per-user stage times (the parity the oracle
+    checks); on a live stream it is the incremental funnel dashboard
+    feed. Stage times only move forward-tighter (monotone), so emitted
+    progress is append-safe.
+
+    The UDF body is self-contained (imports inside, sentinel ints, no
+    module globals) — cloudpickle ships it whole to executors."""
+    s0, s1, s2 = stages
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        user_id = key[0]
+        if state.hasTimedOut:  # NoTimeout configured; defensive
+            state.remove()
+            return
+
+        parts = [pdf[["ts", "event_type"]] for pdf in pdf_iter]
+        pdf = pd.concat(parts)
+        ts_us = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ).to_numpy()
+        etype = pdf["event_type"].to_numpy()
+
+        t0, t1, t2 = state.get if state.exists else (-1, -1, -1)
+
+        def stage_min(name, not_before):
+            import numpy as np
+
+            mask = (etype == name) & (ts_us >= not_before)
+            return int(ts_us[mask].min()) if np.any(mask) else -1
+
+        c0 = stage_min(s0, 0)
+        if c0 >= 0 and (t0 < 0 or c0 < t0):
+            t0 = c0
+        if t0 >= 0:
+            c1 = stage_min(s1, t0)
+            if c1 >= 0 and (t1 < 0 or c1 < t1):
+                t1 = c1
+        if t1 >= 0:
+            c2 = stage_min(s2, t1)
+            if c2 >= 0 and (t2 < 0 or c2 < t2):
+                t2 = c2
+
+        if t0 < 0:
+            return  # user never entered the funnel; hold no state
+
+        state.update((int(t0), int(t1), int(t2)))
+
+        def ts_or_none(us):
+            return pd.Timestamp(us, unit="us") if us >= 0 else None
+
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "t0": [ts_or_none(t0)],
+                "t1": [ts_or_none(t1)],
+                "t2": [ts_or_none(t2)],
+                "n_stages": [3 if t2 >= 0 else (2 if t1 >= 0 else 1)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            FUNNEL_SCHEMA,
+            _FUNNEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -36,6 +36,7 @@ _EAGER = {
     "stateful_sessionizer",
     "near_dup_clusters",
     "streaming_dedup_pairs",
+    "streaming_funnel_progress",
 }
 
 _LAZY_QUERIES = sorted(set(QUERY_REGISTRY) - _EAGER)

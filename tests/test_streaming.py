@@ -173,3 +173,43 @@ def test_dedup_stream_matches_batch_distinct(spark):
         for r in batch.select("user_id", "event_type").distinct().collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_funnel_progress_across_batches(spark):
+    """A user's funnel state carries across micro-batches: signup in
+    batch 1, click in batch 2 → the change feed shows stage 1 then
+    stage 2, with the click anchored at/after the carried signup."""
+    from magshield_data_pipeline_spark.streaming import stateful as ST
+
+    def ev(user, dt, etype):
+        return (user, dt, etype)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, ["user_id", "ts", "event_type"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b1 = frame([
+        ev(1, datetime(2024, 1, 1, 10, 0, 0), "signup"),
+        # a click BEFORE the signup — must never count
+        ev(2, datetime(2024, 1, 1, 9, 0, 0), "click"),
+        ev(2, datetime(2024, 1, 1, 10, 0, 0), "signup"),
+    ])
+    b2 = frame([
+        ev(1, datetime(2024, 1, 1, 11, 0, 0), "click"),
+        ev(2, datetime(2024, 1, 1, 12, 0, 0), "click"),
+    ])
+    path = tmp_parquet(spark, b1)
+    stream = _events_stream(spark, str(path), b1.schema, one_file_per_batch=True)
+    tmp_parquet(spark, b2, path)
+    out = W.run_available_now(
+        ST.funnel_stateful(stream, watermark="10 minutes"),
+        output_mode="append",
+    ).collect()
+    u1 = sorted((r for r in out if r.user_id == 1), key=lambda r: r.n_stages)
+    assert [r.n_stages for r in u1] == [1, 2]
+    assert u1[1].t1 == datetime(2024, 1, 1, 11, 0, 0)
+    u2 = sorted((r for r in out if r.user_id == 2), key=lambda r: r.n_stages)
+    # user 2's pre-signup click ignored in batch 1; batch-2 click counts
+    assert [r.n_stages for r in u2] == [1, 2]
+    assert u2[1].t1 == datetime(2024, 1, 1, 12, 0, 0)
