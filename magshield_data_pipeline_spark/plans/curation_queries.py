@@ -706,3 +706,136 @@ def streaming_funnel_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("t2", _TSFMT_SPARK).alias("purchase_ts"),
         "n_stages",
     )
+
+
+# ---------------------------------------------------------------------------
+# column-statistics profiler (pipeline observability)
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+_COLPROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+    f"count(*) - count({c}) AS n_nulls, "
+    f"count(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "orders_column_profile",
+    sql=_COLPROFILE_SQL,
+    description="column-statistics profiler: rows/nulls/distinct per column "
+    "in ONE pass — the data-quality gate a pipeline runs on every ingested "
+    "batch ([EXT] observability)",
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE scan + one global aggregate computes every column's stats
+    # (the oracle UNION ALL restates it per column; Spark does not).
+    # At 100 TB swap count_distinct for approx_count_distinct — same
+    # plan, fixed-size sketch state; exact here so the oracle can check
+    # values, not tolerances.
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# hash-based table diff (replication / migration reconciliation)
+
+_DIFF_ROWHASH = (
+    "md5(CAST(o_orderkey AS VARCHAR) || '|' || coalesce(o_orderstatus, '') "
+    "|| '|' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))"
+)
+
+_TABLE_DIFF_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey AS order_id, {_DIFF_ROWHASH} AS row_hash FROM orders
+),
+replica_src AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+           o_totalprice
+    FROM orders WHERE o_orderkey % 101 <> 0
+),
+replica AS (
+    SELECT o_orderkey AS order_id, {_DIFF_ROWHASH} AS row_hash FROM replica_src
+)
+SELECT
+    coalesce(b.order_id, r.order_id) AS order_id,
+    (b.order_id IS NOT NULL) AS in_base,
+    (r.order_id IS NOT NULL) AS in_replica,
+    coalesce(b.row_hash = r.row_hash, FALSE) AS hash_equal
+FROM base b FULL OUTER JOIN replica r ON b.order_id = r.order_id
+WHERE b.order_id IS NULL OR r.order_id IS NULL OR b.row_hash <> r.row_hash
+"""
+
+
+def _row_hash(df: DataFrame):
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("")),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        )
+    )
+
+
+@register(
+    "orders_replica_diff",
+    sql=_TABLE_DIFF_SQL,
+    description="hash-based table reconciliation: full-outer join of "
+    "per-row MD5s surfaces modified / dropped rows between a table and "
+    "its (deliberately perturbed) replica — the anti-entropy check a "
+    "replicated 100 TB store runs ([EXT] observability)",
+)
+def orders_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: rows collapse to (key, 32-byte hash) BEFORE the join, so
+    # the exchange carries fingerprints, not payloads; the join keys on
+    # the primary key (uniform). Money is hashed as integer cents —
+    # double-to-string formatting is never part of the fingerprint.
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("order_id"), _row_hash(orders).alias("row_hash")
+    )
+    replica_src = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    replica = replica_src.select(
+        F.col("o_orderkey").alias("order_id"),
+        _row_hash(replica_src).alias("row_hash"),
+    )
+    b, r = base.alias("b"), replica.alias("r")
+    joined = b.join(r, F.col("b.order_id") == F.col("r.order_id"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("b.order_id"), F.col("r.order_id")).alias("order_id"),
+        F.col("b.order_id").isNotNull().alias("in_base"),
+        F.col("r.order_id").isNotNull().alias("in_replica"),
+        F.coalesce(
+            F.col("b.row_hash") == F.col("r.row_hash"), F.lit(False)
+        ).alias("hash_equal"),
+    ).filter(
+        F.col("b.order_id").isNull()
+        | F.col("r.order_id").isNull()
+        | (F.col("b.row_hash") != F.col("r.row_hash"))
+    )
