@@ -839,3 +839,101 @@ def orders_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("r.order_id").isNull()
         | (F.col("b.row_hash") != F.col("r.row_hash"))
     )
+
+
+# ---------------------------------------------------------------------------
+# id-gap detection (completeness check) + SCD2 validity intervals
+
+_GAPS_SQL = """
+WITH ingested AS (
+    -- simulate dropped batches: every 7th key failed to land
+    SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0
+),
+k AS (
+    SELECT o_orderkey AS id,
+           lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_id
+    FROM ingested
+)
+SELECT id AS gap_after, next_id AS resumes_at,
+       CAST(next_id - id - 1 AS BIGINT) AS n_missing
+FROM k WHERE next_id - id > 1
+"""
+
+
+@register(
+    "orderkey_gap_islands",
+    sql=_GAPS_SQL,
+    description="sequence-gap detection over the order-key space (lead() "
+    "islands): the completeness check an ingestion pipeline runs to catch "
+    "dropped pages/batches ([EXT] observability)",
+)
+def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A single unpartitioned ordered window IS a global sort — right
+    # for a completeness audit (run per ingested partition at 100 TB:
+    # partition the window by shard/date and the sort parallelizes).
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    # simulate dropped batches: every 7th key failed to land
+    ingested = orders.filter(F.col("o_orderkey") % 7 != 0)
+    w = Window.orderBy("o_orderkey")
+    k = ingested.select(
+        F.col("o_orderkey").alias("id"),
+        F.lead("o_orderkey").over(w).alias("next_id"),
+    )
+    return k.filter(F.col("next_id") - F.col("id") > 1).select(
+        F.col("id").alias("gap_after"),
+        F.col("next_id").alias("resumes_at"),
+        (F.col("next_id") - F.col("id") - 1).cast("long").alias("n_missing"),
+    )
+
+
+_TSFMT_D2 = "%Y-%m-%d %H:%M:%S.%f"
+_SCD2_SQL = f"""
+WITH h AS (
+    SELECT user_id, event_type, ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+    FROM events
+)
+SELECT user_id,
+       CAST(version AS BIGINT) AS version,
+       event_type AS state,
+       strftime(ts, '{_TSFMT_D2}') AS valid_from,
+       strftime(next_ts, '{_TSFMT_D2}') AS valid_to,
+       (next_ts IS NULL) AS is_current
+FROM h
+"""
+
+
+@register(
+    "scd2_user_state_history",
+    sql=_SCD2_SQL,
+    description="SCD2 history build: each user's event stream becomes "
+    "versioned validity intervals [ts, next_ts) via lead(), open-ended "
+    "current row flagged — the slowly-changing-dimension load a warehouse "
+    "runs ([EXT] warehouse tier)",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle on the dimension key; per-key window state is a
+    # single carried row. The (ts, event_id) tiebreak totalizes the
+    # order so versions are deterministic under the driver's hash.
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    h = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+    return h.select(
+        "user_id",
+        "version",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
