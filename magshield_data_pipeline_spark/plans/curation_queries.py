@@ -937,3 +937,97 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
         F.col("next_ts").isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention + event-type co-occurrence (product analytics)
+
+_COHORT_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           CAST(floor(min(epoch(ts)) / 604800) AS BIGINT) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id,
+           CAST(floor(epoch(e.ts) / 604800) AS BIGINT) AS active_week
+    FROM events e
+)
+SELECT f.cohort_week,
+       CAST(a.active_week - f.cohort_week AS BIGINT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM firsts f JOIN activity a ON f.user_id = a.user_id
+GROUP BY f.cohort_week, a.active_week - f.cohort_week
+"""
+
+
+@register(
+    "cohort_retention",
+    sql=_COHORT_SQL,
+    description="cohort retention matrix: users bucketed by first-activity "
+    "week, counted per week-offset they return — the product-analytics "
+    "retention triangle ([EXT] warehouse tier). Week ids are integer "
+    "floor(epoch-seconds / 604800), exact on both engines (DuckDB's // is NOT a floor on doubles)",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: two user-keyed partial aggregates + one join on user_id,
+    # then a tiny (cohorts × offsets) rollup. Week bucketing is integer
+    # floor-division of epoch seconds — no timezone or calendar
+    # ambiguity between engines.
+    events = read_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("long")  # noqa: E731
+    firsts = events.groupBy("user_id").agg(
+        F.min(week(F.col("ts"))).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", week(F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_COOCCUR_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
+@register(
+    "event_type_cooccurrence",
+    sql=_COOCCUR_SQL,
+    description="event-type co-occurrence (2-itemset counts): users who "
+    "performed both types, per unordered pair — basket-analysis over the "
+    "deduplicated (user, type) pairs ([EXT] warehouse tier)",
+)
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: dedup to (user, type) FIRST (partial-agg distinct), so the
+    # self-join fan-out is bounded by types-per-user (≤ |types|), never
+    # event volume; the pair rollup is |types|² rows.
+    events = read_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
