@@ -68,3 +68,22 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout + a partition-column filter must prune at
+    PLAN time: the scan's PartitionFilters carry the predicate and only
+    the matching directory is read — the data-skipping lever that turns
+    a 100 TB scan into a one-partition read."""
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_parted")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    scan = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    # and the result only contains the pruned partition
+    assert scan.select("event_type").distinct().collect() == [("click",)]
