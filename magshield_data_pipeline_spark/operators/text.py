@@ -372,3 +372,149 @@ def contamination_check(
             F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
         )
     )
+
+
+def passage_grid(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 100,
+    stride: int = 50,
+) -> DataFrame:
+    """(id, passage_start, passage_md5) over a fixed character grid —
+    the building block for exact repeated-substring detection. Same
+    zero-shuffle explode shape as :func:`chunk_spans`; only full-size
+    passages participate (the ragged tail can't match anything of equal
+    length)."""
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(_col(text_col)) - size, F.lit(0)),
+        F.lit(stride),
+    )
+    passage = F.col(text_col).substr(F.col("passage_start") + 1, F.lit(size))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(starts).alias("passage_start"),
+        )
+        .filter(F.length(_col(text_col)) >= size)
+        .select(
+            F.col(id_col),
+            F.col("passage_start").cast("long").alias("passage_start"),
+            F.md5(passage).alias("passage_md5"),
+        )
+    )
+
+
+def repeated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 100,
+    stride: int = 50,
+) -> DataFrame:
+    """Exact repeated-substring detection: fixed-size character
+    passages appearing in MORE THAN ONE document — the cross-document
+    boilerplate/contamination signal that motivates substring-level
+    corpus dedup (license headers, templated paragraphs, copied
+    benchmark items survive near-dup banding but show up here).
+
+    Scale: one grid explode (zero shuffle) + ONE partial-aggregated
+    groupBy on the uniform passage hash; no pair join exists at all —
+    cost is linear in corpus size, and the hot-passage skew that breaks
+    pair-joins only makes ONE reduce-side group large, which AQE
+    handles. Emits (passage_md5, n_docs, n_occurrences, first_doc) —
+    the dedup pass would anti-join docs against this set.
+
+    Alignment caveat (inherent to strided hashing): a repeat is
+    detected only when it sits at offsets congruent mod *stride* in
+    both documents — the common case for copied prefixes/templates.
+    Full offset-independence needs content-defined chunking (split at
+    rolling-hash boundaries) or a suffix array; same grid plan shape,
+    different boundary expression."""
+    grid = passage_grid(df, id_col, text_col, size, stride)
+    return (
+        grid.groupBy("passage_md5")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: a boundary falls BEFORE position p
+    whenever the MD5 of the preceding *w*-gram starts with byte 0x00
+    (rate 1/256 → ~256-char average chunks). Boundaries depend only on
+    local content, so identical passages produce identical chunks at
+    ANY offset — the offset-independence the fixed grid
+    (:func:`passage_grid`) lacks, and the technique substring-level
+    corpus dedup actually uses (FastCDC et al.).
+
+    Execution: Arrow-batched ``mapInPandas``; per-doc state is the
+    boundary list (linear scan, no blowup — unlike a per-position
+    explode, rows out ≈ len/256 per doc). The UDF body is
+    self-contained (imports inside) so cloudpickle ships it whole.
+    Production swaps the md5-per-window loop for a gear-hash rolling
+    window in native code; the plan shape (one scan, zero shuffle,
+    linear output) is identical — md5 keeps it oracle-checkable."""
+    import pyspark.sql.types as SQLT
+
+    schema = SQLT.StructType(
+        [
+            SQLT.StructField("doc_id", SQLT.LongType()),
+            SQLT.StructField("chunk_idx", SQLT.LongType()),
+            SQLT.StructField("chunk_start", SQLT.LongType()),
+            SQLT.StructField("chunk_len", SQLT.LongType()),
+            SQLT.StructField("chunk_md5", SQLT.StringType()),
+        ]
+    )
+    width = w
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, starts, lens, hashes = [], [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text if isinstance(text, str) else ""
+                n = len(t)
+                bs = [
+                    p
+                    for p in range(width, n)
+                    if hashlib.md5(t[p - width : p].encode("utf-8"))
+                    .hexdigest()
+                    .startswith("00")
+                ]
+                edges = [0] + bs + [n]
+                for i, (s, e) in enumerate(zip(edges, edges[1:])):
+                    ids.append(did)
+                    idxs.append(i)
+                    starts.append(s)
+                    lens.append(e - s)
+                    hashes.append(
+                        hashlib.md5(t[s:e].encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_start": pd.Series(starts, dtype="int64"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                    "chunk_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(gen, schema)

@@ -1031,3 +1031,146 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-passage detection + quota-stratified eval sampling
+
+_PASSAGE_SIZE = 100
+_PASSAGE_STRIDE = 50
+
+_REPEATED_SQL = f"""
+WITH g AS (
+    SELECT doc_id,
+           unnest(generate_series(0, greatest(length(text) - {_PASSAGE_SIZE}, 0),
+                                  {_PASSAGE_STRIDE})) AS p
+    FROM documents
+    WHERE length(text) >= {_PASSAGE_SIZE}
+)
+SELECT md5(substring(d.text, g.p + 1, {_PASSAGE_SIZE})) AS passage_md5,
+       count(DISTINCT g.doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(g.doc_id) AS first_doc
+FROM g JOIN documents d ON g.doc_id = d.doc_id
+GROUP BY 1
+HAVING count(DISTINCT g.doc_id) > 1
+"""
+
+
+@register(
+    "repeated_passages",
+    sql=_REPEATED_SQL,
+    description=f"exact repeated-substring detection: {_PASSAGE_SIZE}-char "
+    f"passages (stride {_PASSAGE_STRIDE}) appearing in >1 document — the "
+    "cross-document boilerplate/contamination signal behind substring-level "
+    "corpus dedup; linear cost, no pair join ([EXT] curation)",
+)
+def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: grid explode (zero shuffle) + one partial-agg groupBy on
+    # the uniform passage hash; no pair join exists — hot passages make
+    # one reduce group large, which AQE splits, instead of a quadratic
+    # join fan-out.
+    docs = read_table(spark, sf_dir, "documents")
+    return T.repeated_passages(
+        docs, id_col="doc_id", text_col="text",
+        size=_PASSAGE_SIZE, stride=_PASSAGE_STRIDE,
+    )
+
+
+_QUOTA_PER_LANG = 3
+
+_QUOTA_SQL = f"""
+SELECT doc_id, lang, CAST(pick_rank AS BIGINT) AS pick_rank FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pick_rank
+    FROM documents
+) WHERE pick_rank <= {_QUOTA_PER_LANG}
+"""
+
+
+@register(
+    "quota_stratified_sample",
+    sql=_QUOTA_SQL,
+    description=f"quota-stratified eval sampling: first {_QUOTA_PER_LANG} "
+    "docs per language by salted-hash order — balanced eval-set "
+    "construction, deterministic and growth-stable within a stratum's "
+    "retained prefix ([EXT] sampling)",
+)
+def quota_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one shuffle on the stratum key; WindowGroupLimit prunes to
+    # the quota per stratum BEFORE the exchange, so the shuffle carries
+    # ~quota×strata rows, not the corpus. Ordering by a salted MD5
+    # makes the pick uniform (not id-biased) yet fully deterministic.
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("quota|"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("long").alias("pick_rank")
+        )
+        .filter(F.col("pick_rank") <= _QUOTA_PER_LANG)
+    )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (offset-independent substring dedup unit)
+
+_CDC_W = 16
+
+_CDC_SQL = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (
+    SELECT doc_id, text, n,
+           unnest(generate_series({_CDC_W}, n - 1, 1)) AS p
+    FROM d WHERE n > {_CDC_W}
+),
+bnd AS (
+    SELECT doc_id, p FROM pos
+    WHERE substring(md5(substring(text, p - {_CDC_W} + 1, {_CDC_W})), 1, 2) = '00'
+),
+allb AS (
+    SELECT doc_id, 0 AS p FROM d
+    UNION ALL
+    SELECT doc_id, p FROM bnd
+),
+spans AS (
+    SELECT doc_id, p AS chunk_start,
+           lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS next_p,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1
+                AS BIGINT) AS chunk_idx
+    FROM allb
+)
+SELECT s.doc_id,
+       s.chunk_idx,
+       CAST(s.chunk_start AS BIGINT) AS chunk_start,
+       CAST(coalesce(s.next_p, d.n) - s.chunk_start AS BIGINT) AS chunk_len,
+       md5(substring(d.text, s.chunk_start + 1,
+                     coalesce(s.next_p, d.n) - s.chunk_start)) AS chunk_md5
+FROM spans s JOIN d ON s.doc_id = d.doc_id
+"""
+
+
+@register(
+    "cdc_chunk_table",
+    sql=_CDC_SQL,
+    description=f"content-defined chunking (w={_CDC_W} rolling window, "
+    "boundary on md5 byte 0x00, ~256-char chunks): boundaries depend only "
+    "on local content, so identical passages chunk identically at ANY "
+    "offset — the offset-independent unit for substring-level corpus "
+    "dedup ([EXT] curation; Arrow mapInPandas)",
+)
+def cdc_chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one Arrow-batched scan, zero shuffle, output linear in
+    # corpus size (~len/256 rows per doc). The oracle restates the
+    # boundary rule as a per-position SQL grid — O(n·w) — while the
+    # engine's rolling pass is O(n): same semantics, different cost,
+    # which is exactly why the operator exists.
+    docs = read_table(spark, sf_dir, "documents")
+    return T.cdc_chunks(docs, id_col="doc_id", text_col="text", w=_CDC_W)

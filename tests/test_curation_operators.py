@@ -278,3 +278,64 @@ def test_merge_upsert_roundtrip_through_overwrite(spark, tmp_path):
     sinks.overwrite_by_name(merged, base, "tbl", "parquet")
     out = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert out == {1: "a", 2: "B2", 3: "c"}
+
+
+# ---------------------------------------------------------------------------
+# repeated-passage detection
+
+
+def test_repeated_passages_cross_doc_only(spark):
+    shared = "A" * 100  # exactly one grid passage
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "x" * 20),
+            # shared content at offset 50 — on the stride-50 grid, so the
+            # detector sees the same passage hash as doc 1's offset 0
+            (2, "y" * 50 + shared),
+            (3, "z" * 150),  # unique content
+            (4, "w" * 50),   # shorter than one passage
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.repeated_passages(docs, size=100, stride=50).collect()
+    import hashlib
+
+    target = hashlib.md5(shared.encode()).hexdigest()
+    hits = {r.passage_md5: r for r in out}
+    assert target in hits
+    assert hits[target].n_docs == 2 and hits[target].first_doc == 1
+    # unique docs contribute no repeated rows; doc 4 can't participate
+    assert all(r.n_docs > 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+
+
+def test_cdc_chunks_offset_independent(spark):
+    import random
+
+    rng = random.Random(7)
+    shared = "".join(rng.choice("abcdefgh ") for _ in range(600))
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIX-A " + shared),
+            (2, "a completely different and longer prefix!! " + shared),
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.cdc_chunks(docs).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in out:
+        by_doc[r.doc_id].add(r.chunk_md5)
+    common = by_doc[1] & by_doc[2]
+    # interior chunks of the shared passage hash identically despite the
+    # different offsets — the property the fixed stride grid lacks
+    assert len(common) >= 1
+    # chunks tile each doc exactly
+    for did, text in [(1, "PREFIX-A " + shared)]:
+        chunks = sorted((r for r in out if r.doc_id == did), key=lambda r: r.chunk_idx)
+        assert chunks[0].chunk_start == 0
+        assert sum(c.chunk_len for c in chunks) == len(text)
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.chunk_start + a.chunk_len == b.chunk_start
