@@ -1174,3 +1174,91 @@ def cdc_chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which is exactly why the operator exists.
     docs = read_table(spark, sf_dir, "documents")
     return T.cdc_chunks(docs, id_col="doc_id", text_col="text", w=_CDC_W)
+
+
+# ---------------------------------------------------------------------------
+# CDC cross-document repeated chunks + week-over-week event deltas
+
+_CDC_MIN_LEN = 32
+
+_CDC_REPEAT_SQL = f"""
+WITH chunks AS ({_CDC_SQL.replace(chr(10), chr(10) + "    ")})
+SELECT chunk_md5,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS first_doc,
+       CAST(min(chunk_len) AS BIGINT) AS chunk_len
+FROM chunks
+WHERE chunk_len >= {_CDC_MIN_LEN}
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+@register(
+    "cdc_repeated_chunks",
+    sql=_CDC_REPEAT_SQL,
+    description="cross-document repeated CDC chunks (len >= "
+    f"{_CDC_MIN_LEN}): offset-independent substring-dedup detection — "
+    "the pass that anti-joins against training docs to strip shared "
+    "boilerplate at ANY position ([EXT] curation)",
+)
+def cdc_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the chunker's linear Arrow pass + ONE partial-agg rollup
+    # on the uniform chunk hash — no pair join, offset-independent.
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = T.cdc_chunks(docs, id_col="doc_id", text_col="text", w=_CDC_W)
+    return (
+        chunks.filter(F.col("chunk_len") >= _CDC_MIN_LEN)
+        .groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("chunk_len").alias("chunk_len"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_WOW_SQL = """
+WITH weekly AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_id,
+           count(*) AS n_events
+    FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 604800) AS BIGINT)
+)
+SELECT event_type, week_id, n_events,
+       CAST(n_events - lag(n_events) OVER (
+           PARTITION BY event_type ORDER BY week_id
+       ) AS BIGINT) AS delta_events
+FROM weekly
+"""
+
+
+@register(
+    "weekly_event_deltas",
+    sql=_WOW_SQL,
+    description="week-over-week deltas per event type (lag over the weekly "
+    "rollup): the reporting query every dashboard runs; the window sees "
+    "|types|x|weeks| aggregate rows, never raw events ([EXT] warehouse)",
+)
+def weekly_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one partial-agg shuffle to the weekly rollup; the lag
+    # window runs over the tiny aggregate.
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week_id"),
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week_id")
+    return weekly.select(
+        "event_type",
+        "week_id",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w)).cast("long").alias(
+            "delta_events"
+        ),
+    )
