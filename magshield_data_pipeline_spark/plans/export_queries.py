@@ -296,3 +296,240 @@ def quote_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("LAST_NAME"),
     )
     return X.quote_export(quotes, opportunities, organisations, contacts)
+
+
+# ---------------------------------------------------------------------------
+# task export (J10-J11, Q5 order-sensitive last-wins fold, F3 dates)
+
+_DD = "lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')"
+
+_TASK_EXPORT_SQL = f"""
+WITH lnk AS (
+    SELECT l_orderkey AS task_id,
+           row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey
+           ) AS pos,
+           CASE l_partkey % 6 WHEN 0 THEN 'Contact' WHEN 1 THEN 'Lead'
+                WHEN 2 THEN 'Opportunity' WHEN 3 THEN 'Organisation'
+                WHEN 4 THEN 'Project' ELSE 'Note' END AS typ,
+           CASE l_partkey % 6
+               WHEN 0 THEN (l_partkey % 1500) + 1
+               WHEN 1 THEN l_suppkey % 25
+               WHEN 2 THEN l_partkey
+               WHEN 3 THEN CASE WHEN l_suppkey % 3 = 0 THEN 999999
+                                ELSE (l_suppkey % 1500) + 1 END
+               WHEN 4 THEN l_suppkey % 25
+               ELSE l_suppkey % 5 END AS lid
+    FROM lineitem
+),
+con AS (SELECT c_custkey AS id,
+               coalesce(c_name,'') || ' ' || coalesce(c_mktsegment,'') AS name
+        FROM customer),
+led AS (SELECT n_nationkey AS id, coalesce(n_name,'') || ' lead' AS name FROM nation),
+opp AS (SELECT p_partkey AS id, p_name AS name,
+               CASE WHEN p_partkey % 5 = 0 THEN 0
+                    ELSE (p_partkey % 1500) + 1 END AS org_id
+        FROM part),
+org AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+prj AS (SELECT n_nationkey AS id, 'proj-' || n_name AS name FROM nation),
+nte AS (SELECT r_regionkey AS id, 'note-' || r_name AS name FROM region),
+r AS (
+    SELECT l.task_id, l.pos, l.typ,
+           con.name AS con_name, led.name AS led_name,
+           opp.name AS opp_name, opp.org_id AS opp_org,
+           org.name AS org_name, org2.name AS org2_name,
+           prj.name AS prj_name, nte.name AS nte_name
+    FROM lnk l
+    LEFT JOIN con ON l.typ = 'Contact' AND l.lid = con.id
+    LEFT JOIN led ON l.typ = 'Lead' AND l.lid = led.id
+    LEFT JOIN opp ON l.typ = 'Opportunity' AND l.lid = opp.id
+    LEFT JOIN org ON l.typ = 'Organisation' AND l.lid = org.id
+    LEFT JOIN org AS org2 ON opp.org_id = org2.id
+    LEFT JOIN prj ON l.typ = 'Project' AND l.lid = prj.id
+    LEFT JOIN nte ON l.typ = 'Note' AND l.lid = nte.id
+),
+resolved AS (
+    SELECT task_id,
+        coalesce(arg_max(coalesce(con_name, ''), pos)
+                 FILTER (WHERE typ = 'Contact'), '') AS lc,
+        coalesce(arg_max(coalesce(led_name, ''), pos)
+                 FILTER (WHERE typ = 'Lead'), '') AS ll,
+        coalesce(arg_max(coalesce(opp_name, ''), pos)
+                 FILTER (WHERE typ = 'Opportunity'), '') AS lo,
+        coalesce(arg_max(
+            CASE WHEN typ = 'Organisation' THEN coalesce(org_name, '')
+                 ELSE coalesce(org2_name, '') END, pos)
+            FILTER (WHERE typ = 'Organisation'
+                    OR (typ = 'Opportunity' AND opp_org IS NOT NULL
+                        AND opp_org != 0)), '') AS lg,
+        coalesce(arg_max(coalesce(prj_name, ''), pos)
+                 FILTER (WHERE typ = 'Project'), '') AS lp,
+        coalesce(arg_max(coalesce(nte_name, ''), pos)
+                 FILTER (WHERE typ = 'Note'), '') AS ln
+    FROM r GROUP BY task_id
+),
+cat AS (SELECT r_regionkey AS id, r_name AS name FROM region),
+usr AS (SELECT s_suppkey AS id,
+               CAST(s_suppkey AS VARCHAR) || ';' || coalesce(s_name, '')
+                   || ' ' || coalesce(CAST(s_nationkey AS VARCHAR), '') AS owner
+        FROM supplier)
+SELECT DISTINCT
+    o.o_orderkey AS "TaskID",
+    coalesce(cat.name, '') AS "Category",
+    o.o_orderstatus AS "Status",
+    CAST(o.o_orderkey % 100 AS DOUBLE) AS "Percent Complete",
+    o.o_orderpriority AS "Priority",
+    coalesce(usr.owner, '') AS "Owner Name",
+    o.o_custkey % 10 AS "Assigned To Team",
+    CASE WHEN o.o_orderkey % 7 = 0 THEN 'tbd'
+         ELSE '01/' || {_DD} || '/2024' END AS "Date Assigned",
+    CASE WHEN o.o_orderkey % 5 = 0 THEN 'n/a'
+         ELSE '02/' || {_DD} || '/2024' END AS "Date Created",
+    '' AS "Date Reminder",
+    '03/' || {_DD} || '/2024' AS "Date Due",
+    CASE WHEN o.o_orderstatus = 'F' THEN '04/' || {_DD} || '/2024'
+         ELSE '' END AS "Date Completed",
+    coalesce(res.lc, '') AS "Linked Contact",
+    coalesce(res.ll, '') AS "Linked Lead",
+    coalesce(res.lo, '') AS "Linked Opportunity",
+    coalesce(res.lg, '') AS "Linked Organization",
+    coalesce(res.lp, '') AS "Linked Project",
+    coalesce(res.ln, '') AS "Linked Note"
+FROM orders o
+LEFT JOIN resolved res ON o.o_orderkey = res.task_id
+LEFT JOIN cat ON o.o_custkey % 5 = cat.id
+LEFT JOIN usr ON (o.o_custkey % 100) + 1 = usr.id
+"""
+
+
+@register(
+    "task_export_pipeline",
+    sql=_TASK_EXPORT_SQL,
+    description="end-to-end task CRM export: LINKS arrays built from "
+    "lineitems in deterministic (linenumber, partkey, suppkey) order, "
+    "routed to 6 link-typed dims incl. the opportunity→organisation "
+    "backfill, folded last-wins per type (Q5), owner/category joins and "
+    "F3 date-or-passthrough formatting — the reference's hardest pipeline "
+    "(task.py:121-275) under the oracle",
+)
+def task_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale posture matches exports.task_export: dims broadcast, the
+    # LINKS build is one groupBy on the fact key, the Q5 fold is a
+    # single partial-agg max_by — no ranking windows, no cartesians.
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    part = read_table(spark, sf_dir, "part")
+
+    typ = (
+        F.when(F.col("l_partkey") % 6 == 0, "Contact")
+        .when(F.col("l_partkey") % 6 == 1, "Lead")
+        .when(F.col("l_partkey") % 6 == 2, "Opportunity")
+        .when(F.col("l_partkey") % 6 == 3, "Organisation")
+        .when(F.col("l_partkey") % 6 == 4, "Project")
+        .otherwise("Note")
+    )
+    lid = (
+        F.when(F.col("l_partkey") % 6 == 0, (F.col("l_partkey") % 1500) + 1)
+        .when(F.col("l_partkey") % 6 == 1, F.col("l_suppkey") % 25)
+        .when(F.col("l_partkey") % 6 == 2, F.col("l_partkey"))
+        .when(
+            F.col("l_partkey") % 6 == 3,
+            F.when(F.col("l_suppkey") % 3 == 0, F.lit(999999)).otherwise(
+                (F.col("l_suppkey") % 1500) + 1
+            ),
+        )
+        .when(F.col("l_partkey") % 6 == 4, F.col("l_suppkey") % 25)
+        .otherwise(F.col("l_suppkey") % 5)
+    )
+    sortable = F.struct(
+        F.col("l_linenumber").alias("a"),
+        F.col("l_partkey").alias("b"),
+        F.col("l_suppkey").alias("c"),
+        typ.alias("t"),
+        lid.cast("long").alias("i"),
+    )
+    links = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(sortable)).alias("_s"))
+        .select(
+            "l_orderkey",
+            F.transform(
+                "_s",
+                lambda s: F.struct(
+                    s["t"].alias("LINK_OBJECT_NAME"),
+                    s["i"].alias("LINK_OBJECT_ID"),
+                ),
+            ).alias("LINKS"),
+        )
+    )
+    dd = F.lpad(((F.col("o_orderkey") % 28) + 1).cast("string"), 2, "0")
+    iso = lambda mm: F.concat(F.lit(f"2024-{mm}-"), dd, F.lit(" 10:00:00"))  # noqa: E731
+    tasks = orders.join(
+        links, orders["o_orderkey"] == links["l_orderkey"], "left"
+    ).select(
+        F.col("o_orderkey").alias("TASK_ID"),
+        (F.col("o_custkey") % 5).alias("CATEGORY_ID"),
+        F.col("o_orderstatus").alias("STATUS"),
+        (F.col("o_orderkey") % 100).cast("double").alias("PERCENT_COMPLETE"),
+        F.col("o_orderpriority").alias("PRIORITY"),
+        ((F.col("o_custkey") % 100) + 1).alias("OWNER_USER_ID"),
+        (F.col("o_custkey") % 10).alias("ASSIGNED_TEAM_ID"),
+        F.when(F.col("o_orderkey") % 7 == 0, "tbd").otherwise(iso("01")).alias(
+            "ASSIGNED_DATE_UTC"
+        ),
+        F.when(F.col("o_orderkey") % 5 == 0, "n/a").otherwise(iso("02")).alias(
+            "DATE_CREATED_UTC"
+        ),
+        F.lit("").alias("REMINDER_DATE_UTC"),
+        iso("03").alias("DUE_DATE"),
+        F.when(F.col("o_orderstatus") == "F", iso("04")).otherwise("").alias(
+            "COMPLETED_DATE_UTC"
+        ),
+        F.col("LINKS"),
+    )
+    return X.task_export(
+        tasks=tasks,
+        categories=region.select(
+            F.col("r_regionkey").alias("CATEGORY_ID"),
+            F.col("r_name").alias("CATEGORY_NAME"),
+        ),
+        users=supplier.select(
+            F.col("s_suppkey").alias("USER_ID"),
+            F.col("s_name").alias("FIRST_NAME"),
+            F.col("s_nationkey").cast("string").alias("LAST_NAME"),
+        ),
+        contacts=customer.select(
+            F.col("c_custkey").alias("CONTACT_ID"),
+            F.col("c_name").alias("FIRST_NAME"),
+            F.col("c_mktsegment").alias("LAST_NAME"),
+        ),
+        leads=nation.select(
+            F.col("n_nationkey").alias("LEAD_ID"),
+            F.col("n_name").alias("FIRST_NAME"),
+            F.lit("lead").alias("LAST_NAME"),
+        ),
+        opportunities=part.select(
+            F.col("p_partkey").alias("OPPORTUNITY_ID"),
+            F.col("p_name").alias("OPPORTUNITY_NAME"),
+            F.when(F.col("p_partkey") % 5 == 0, F.lit(0))
+            .otherwise((F.col("p_partkey") % 1500) + 1)
+            .alias("ORGANISATION_ID"),
+        ),
+        organisations=customer.select(
+            F.col("c_custkey").alias("ORGANISATION_ID"),
+            F.col("c_name").alias("ORGANISATION_NAME"),
+        ),
+        projects=nation.select(
+            F.col("n_nationkey").alias("PROJECT_ID"),
+            F.concat(F.lit("proj-"), F.col("n_name")).alias("PROJECT_NAME"),
+        ),
+        notes=region.select(
+            F.col("r_regionkey").alias("NOTE_ID"),
+            F.concat(F.lit("note-"), F.col("r_name")).alias("TITLE"),
+        ),
+    )
