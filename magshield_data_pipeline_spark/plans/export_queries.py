@@ -533,3 +533,241 @@ def task_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("note-"), F.col("r_name")).alias("TITLE"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# opportunity export (the flagship: J4-J9, fan-out J8, Q2 duplicate
+# column, P5 flags, LAST_WIN custom fields, try_cast join keys)
+
+_ODD = "lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')"
+
+_OPP_EXPORT_SQL = f"""
+WITH o AS (
+    SELECT o_orderkey AS opp_id, o_custkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END AS org_id,
+           (o_custkey % 100) + 1 AS owner_id,
+           o_orderkey % 6 AS stage_id,
+           o_orderkey % 4 AS rsn_id,
+           o_orderkey % 3 AS pbk_id,
+           CASE o_orderkey % 3 WHEN 0 THEN 'WON' WHEN 1 THEN 'OPEN'
+                ELSE 'LOST' END AS state,
+           o_totalprice AS value,
+           CAST(o_orderkey % 100 AS DOUBLE) AS probability
+    FROM orders
+),
+ppo AS (
+    SELECT l_orderkey AS opp, unnest(list_sort(list(l_partkey))) AS pid
+    FROM lineitem GROUP BY l_orderkey
+),
+site AS (
+    SELECT lk.opp,
+           string_agg(c.c_name, ' and '
+                      ORDER BY lk.lid, c.c_custkey, c.c_name) AS site_name
+    FROM (SELECT l_orderkey AS opp, (l_suppkey % 1500) + 1 AS lid
+          FROM lineitem WHERE l_suppkey % 2 = 0) lk
+    JOIN customer c ON lk.lid = c.c_custkey
+    JOIN o ON o.opp_id = lk.opp
+    WHERE CAST(lk.lid AS VARCHAR)
+          != coalesce(CAST(o.org_id AS VARCHAR), '')
+    GROUP BY lk.opp
+),
+usr AS (SELECT s_suppkey AS id,
+               CAST(s_suppkey AS VARCHAR) || ';' || coalesce(s_name, '')
+                   || ' ' || coalesce(CAST(s_nationkey AS VARCHAR), '') AS owner
+        FROM supplier)
+SELECT DISTINCT
+    CAST(o.opp_id AS VARCHAR) AS "Opportunity ID",
+    'Opp ' || CAST(o.opp_id AS VARCHAR) AS "Opportunity Name",
+    coalesce(ent.c_name, '') AS "Entity Owning Equipment",
+    coalesce(site.site_name, '') AS "Site Name",
+    CASE WHEN o.opp_id % 13 = 0 THEN ''
+         ELSE coalesce(chan.c_name, '') END AS "Channel Partner",
+    '2024-01-' || {_ODD.replace('o_orderkey', 'o.opp_id')} || ' 08:00:00' AS "Date Created",
+    '2024-02-' || {_ODD.replace('o_orderkey', 'o.opp_id')} || ' 08:00:00' AS "Date Closed (Forecast)",
+    '2024-03-' || {_ODD.replace('o_orderkey', 'o.opp_id')} || ' 08:00:00' AS "Date Closed (Actual)",
+    o.value AS "Opportunity Value",
+    CASE WHEN o.opp_id % 2 = 0 THEN 'USD' ELSE 'EUR' END AS "Bid Currency",
+    o.state AS "Opportunity State",
+    coalesce('stage-' || stg.n_name, '') AS "Current Pipeline Stage",
+    o.value AS "Expected Revenue",
+    '2024-04-' || {_ODD.replace('o_orderkey', 'o.opp_id')} || ' 08:00:00' AS "Date of Last Activity",
+    '2024-05-' || {_ODD.replace('o_orderkey', 'o.opp_id')} || ' 08:00:00' AS "Date of Next Activity",
+    o.probability AS "Probability",
+    coalesce('reason-' || rsn.r_name, '') AS "State Reason",
+    CASE WHEN o.state = 'WON' THEN 'TRUE' ELSE 'FALSE' END AS "Won",
+    CASE o.opp_id % 4 WHEN 0 THEN 'FALSE' WHEN 1 THEN 'NONE'
+         WHEN 2 THEN 'YES' ELSE 'NO' END AS "Trial?",
+    CAST(o.opp_id % 9 AS VARCHAR) AS "Opportunity Product Quantity",
+    coalesce('pb-' || pbk.r_name, '') AS "Pricebook Name",
+    coalesce(usr.owner, '') AS "Opportunity Owner",
+    CASE WHEN ppo.pid IS NOT NULL
+         THEN 'fam-' || CAST(ppo.pid % 7 AS VARCHAR) ELSE '' END
+        AS "Product Family",
+    'type-' || CAST(o.opp_id % 3 AS VARCHAR)
+        AS "Archived Field - Product Type ",
+    coalesce(CAST(ppo.pid AS VARCHAR), '') AS "Product ID",
+    coalesce(morg.c_name, '') AS "Organization Name",
+    CASE WHEN usr.owner IS NULL OR usr.owner = '' THEN ''
+         ELSE trim(regexp_replace(split_part(usr.owner, ';', 2),
+                                  '[\r\n]', ' ', 'g')) END AS "Owner Name",
+    CASE WHEN o.opp_id % 2 = 0 THEN 'direct' ELSE 'partner' END
+        AS "Channel Type",
+    'gap-' || CAST(o.opp_id % 5 AS VARCHAR) AS "GAP Strategy",
+    'state-' || CAST(o.opp_id % 7 AS VARCHAR) AS "GAP Current State",
+    'INV-' || CAST(o.opp_id AS VARCHAR) AS "Invoice Number",
+    CASE WHEN o.opp_id % 9 = 0 THEN ''
+         ELSE 'PO-' || CAST(o.o_custkey AS VARCHAR) END AS "Purchase Order"
+FROM o
+LEFT JOIN customer morg ON o.org_id = morg.c_custkey
+LEFT JOIN customer ent ON (o.o_custkey % 1500) + 1 = ent.c_custkey
+LEFT JOIN customer chan
+       ON o.opp_id % 13 != 0 AND (o.o_custkey % 700) + 1 = chan.c_custkey
+LEFT JOIN usr ON o.owner_id = usr.id
+LEFT JOIN (SELECT n_nationkey AS id, n_name FROM nation WHERE n_nationkey < 6) stg
+       ON o.stage_id = stg.id
+LEFT JOIN (SELECT r_regionkey AS id, r_name FROM region WHERE r_regionkey < 4) rsn
+       ON o.rsn_id = rsn.id
+LEFT JOIN (SELECT r_regionkey AS id, r_name FROM region WHERE r_regionkey < 3) pbk
+       ON o.pbk_id = pbk.id
+LEFT JOIN ppo ON o.opp_id = ppo.opp
+LEFT JOIN site ON o.opp_id = site.opp
+"""
+
+
+@register(
+    "opportunity_export_pipeline",
+    sql=_OPP_EXPORT_SQL,
+    description="end-to-end opportunity CRM export (the flagship, "
+    "opportunity.py:122-258): LAST_WIN custom-field map with duplicate "
+    "keys and present-null Trial values, try_cast org-role join keys, "
+    "multi-hop J7 product lists, J8 explode_outer fan-out, J9 site-name "
+    "array join excluding the main org, Q2 duplicate revenue column — "
+    "all under the oracle",
+)
+def opportunity_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale posture matches exports.opportunity_export: every dim
+    # broadcast, J7 is one groupBy on the fact key, the fan-out is
+    # explode_outer (no join multiplication beyond real products).
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    part = read_table(spark, sf_dir, "part")
+
+    k = F.col("o_orderkey")
+    dd = F.lpad(((k % 28) + 1).cast("string"), 2, "0")
+    iso = lambda mm: F.concat(F.lit(f"2024-{mm}-"), dd, F.lit(" 08:00:00"))  # noqa: E731
+
+    def e(name, value):
+        return _entry(name, value)
+
+    null_str = F.lit(None).cast("string")
+    base_cf = F.array(
+        e("Quantity__c", "X"),  # duplicate key: LAST_WIN must drop this
+        e("Entity_Owning_Equipment__c", ((F.col("o_custkey") % 1500) + 1).cast("string")),
+        e(
+            "Channel_Owner__c",
+            F.when(k % 13 == 0, F.lit("nan")).otherwise(
+                ((F.col("o_custkey") % 700) + 1).cast("string")
+            ),
+        ),
+        e("Quantity__c", (k % 9).cast("string")),
+        e("Product_Type__c", F.concat(F.lit("type-"), (k % 3).cast("string"))),
+        e("Channel_Type__c", F.when(k % 2 == 0, "direct").otherwise("partner")),
+        e("GAP_Strategy__c", F.concat(F.lit("gap-"), (k % 5).cast("string"))),
+        e("Current_State__c", F.concat(F.lit("state-"), (k % 7).cast("string"))),
+        e("Invoice_Number__c", F.concat(F.lit("INV-"), k.cast("string"))),
+        e(
+            "Purchase_Order__c",
+            F.when(k % 9 == 0, null_str).otherwise(
+                F.concat(F.lit("PO-"), F.col("o_custkey").cast("string"))
+            ),
+        ),
+    )
+    cf = F.when(k % 4 == 0, base_cf).otherwise(
+        F.concat(
+            base_cf,
+            F.array(
+                e(
+                    "Trial__c",
+                    F.when(k % 4 == 1, null_str)
+                    .when(k % 4 == 2, F.lit("yes"))
+                    .otherwise(F.lit("no")),
+                )
+            ),
+        )
+    )
+    opportunities = orders.select(
+        k.alias("OPPORTUNITY_ID"),
+        # newline inside the name exercises F1 clean_text
+        F.concat(F.lit("Opp"), F.lit("\n"), k.cast("string")).alias(
+            "OPPORTUNITY_NAME"
+        ),
+        F.when(k % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("ORGANISATION_ID"),
+        ((F.col("o_custkey") % 100) + 1).alias("OWNER_USER_ID"),
+        (k % 6).alias("STAGE_ID"),
+        (k % 4).alias("STATE_REASON_ID"),
+        (k % 3).alias("PRICEBOOK_ID"),
+        iso("01").alias("DATE_CREATED_UTC"),
+        iso("02").alias("FORECAST_CLOSE_DATE"),
+        iso("03").alias("ACTUAL_CLOSE_DATE"),
+        F.col("o_totalprice").alias("OPPORTUNITY_VALUE"),
+        F.when(k % 2 == 0, "USD").otherwise("EUR").alias("BID_CURRENCY"),
+        F.when(k % 3 == 0, "WON")
+        .when(k % 3 == 1, "OPEN")
+        .otherwise("LOST")
+        .alias("OPPORTUNITY_STATE"),
+        iso("04").alias("LAST_ACTIVITY_DATE_UTC"),
+        iso("05").alias("NEXT_ACTIVITY_DATE_UTC"),
+        (k % 100).cast("double").alias("PROBABILITY"),
+        cf.alias("CUSTOMFIELDS"),
+    )
+    opportunity_links = lineitem.filter(F.col("l_suppkey") % 2 == 0).select(
+        F.lit("Opportunity").alias("OBJECT_NAME"),
+        F.col("l_orderkey").alias("OBJECT_ID"),
+        F.lit("Organisation").alias("LINK_OBJECT_NAME"),
+        ((F.col("l_suppkey") % 1500) + 1).alias("LINK_OBJECT_ID"),
+    )
+    return X.opportunity_export(
+        opportunities=opportunities,
+        organisations=customer.select(
+            F.col("c_custkey").alias("ORGANISATION_ID"),
+            F.col("c_name").alias("ORGANISATION_NAME"),
+        ),
+        users=supplier.select(
+            F.col("s_suppkey").alias("USER_ID"),
+            F.col("s_name").alias("FIRST_NAME"),
+            F.col("s_nationkey").cast("string").alias("LAST_NAME"),
+        ),
+        pricebooks=region.filter(F.col("r_regionkey") < 3).select(
+            F.col("r_regionkey").alias("PRICEBOOK_ID"),
+            F.concat(F.lit("pb-"), F.col("r_name")).alias("NAME"),
+        ),
+        products=part.select(
+            F.col("p_partkey").alias("PRODUCT_ID"),
+            F.concat(F.lit("fam-"), (F.col("p_partkey") % 7).cast("string")).alias(
+                "PRODUCT_FAMILY"
+            ),
+        ),
+        state_reasons=region.filter(F.col("r_regionkey") < 4).select(
+            F.col("r_regionkey").alias("STATE_REASON_ID"),
+            F.concat(F.lit("reason-"), F.col("r_name")).alias("STATE_REASON"),
+        ),
+        stages=nation.filter(F.col("n_nationkey") < 6).select(
+            F.col("n_nationkey").alias("STAGE_ID"),
+            F.concat(F.lit("stage-"), F.col("n_name")).alias("STAGE_NAME"),
+        ),
+        pricebook_entries=part.select(
+            F.col("p_partkey").alias("PRICEBOOK_ENTRY_ID"),
+            F.col("p_partkey").alias("PRODUCT_ID"),
+        ),
+        line_items=lineitem.select(
+            F.col("l_orderkey").alias("OPPORTUNITY_ID"),
+            F.col("l_partkey").alias("PRICEBOOK_ENTRY_ID"),
+        ),
+        opportunity_links=opportunity_links,
+    )
