@@ -771,3 +771,265 @@ def opportunity_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         opportunity_links=opportunity_links,
     )
+
+
+# ---------------------------------------------------------------------------
+# invoice export (J13 struct-payload org dim x3 roles, Q1 effective site
+# key, Q4 owner passthrough, F4 date-or-passthrough)
+
+_INV_DD = "lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')"
+
+_INV_EXPORT_SQL = f"""
+WITH org AS (
+    SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN c_acctbal < 0 THEN 'debtor' ELSE 'credit' END AS otype,
+           c_mktsegment AS oregion
+    FROM customer
+),
+usr AS (SELECT s_suppkey AS id,
+               CAST(s_suppkey AS VARCHAR) || ';' || coalesce(s_name, '')
+                   || ' ' || coalesce(CAST(s_nationkey AS VARCHAR), '') AS owner
+        FROM supplier)
+SELECT DISTINCT
+    'Inv-' || CAST(o.o_orderkey AS VARCHAR) AS "Invoice Number",
+    o.o_orderkey AS "Record ID",
+    coalesce(usr.owner, '') AS "Owner",
+    CASE WHEN o.o_orderkey % 7 = 0 THEN 'soon'
+         ELSE {_INV_DD} || '/01/2024' END AS "Invoice Date",
+    'item-' || CAST(o.o_orderkey % 50 AS VARCHAR) AS "Item ID",
+    CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        AS "Invoiced Amount",
+    CASE o.o_orderkey % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+         ELSE 'CAD' END AS "Invoice Currency",
+    'PO-' || CAST(o.o_custkey AS VARCHAR) AS "PO Number",
+    CAST(o.o_orderkey % 12 AS VARCHAR) AS "Item Quantity",
+    'pt-' || CAST(o.o_orderkey % 4 AS VARCHAR) AS "Product Type",
+    'eq-' || CAST(o.o_orderkey % 5 AS VARCHAR) AS "Equipment Type",
+    coalesce(inv.name, '') AS "Entity Owning Equipment",
+    coalesce(inv.otype, '') AS "Organization Type",
+    coalesce(inv.oregion, '') AS "Region",
+    coalesce(site.name, '') AS "Site Name",
+    coalesce(site.otype, '') AS "Organization Type_1",
+    coalesce(site.oregion, '') AS "Region_2",
+    CASE WHEN o.o_orderkey % 13 = 0 THEN ''
+         ELSE coalesce(chan.name, '') END AS "Channel Partner",
+    CASE WHEN o.o_orderkey % 13 = 0 THEN ''
+         ELSE coalesce(chan.otype, '') END AS "Organization Type_3",
+    CASE WHEN o.o_orderkey % 13 = 0 THEN ''
+         ELSE coalesce(chan.oregion, '') END AS "Region_4",
+    CAST(o.o_orderkey AS VARCHAR) AS "Invoice #",
+    CAST(o.o_orderkey % 1000 AS VARCHAR) AS "Invoiced Amount in CAD"
+FROM orders o
+LEFT JOIN usr ON (o.o_custkey % 100) + 1 = usr.id
+LEFT JOIN org inv ON o.o_custkey = inv.id
+-- Q1: the effective site key is Site_Name_Invoice__c, NOT the decoy
+LEFT JOIN org site ON ((o.o_custkey + 7) % 1500) + 1 = site.id
+LEFT JOIN org chan
+       ON o.o_orderkey % 13 != 0 AND (o.o_custkey % 700) + 1 = chan.id
+"""
+
+
+@register(
+    "invoice_export_pipeline",
+    sql=_INV_EXPORT_SQL,
+    description="end-to-end invoice CRM export: struct-payload org dim "
+    "(name + custom-field type/region) joined in three roles, the Q1 "
+    "effective-site-key overwrite (decoy Site_Organization__c present but "
+    "unused), Q4 owner composite passthrough, F4 date-or-passthrough — "
+    "under the oracle (invoice.py:162-206)",
+)
+def invoice_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale posture matches exports.invoice_export: one fact scan,
+    # three aliased broadcast probes of the same struct dim, no
+    # exchange beyond the output dedup.
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+
+    k = F.col("o_orderkey")
+    dd = F.lpad(((k % 28) + 1).cast("string"), 2, "0")
+    cf = F.array(
+        _entry("Invoiced_Organization__c", F.col("o_custkey").cast("string")),
+        # Q1 decoy: present in the data, must never reach the output
+        _entry("Site_Organization__c", ((F.col("o_custkey") % 1500) + 1).cast("string")),
+        _entry("Site_Name_Invoice__c", (((F.col("o_custkey") + 7) % 1500) + 1).cast("string")),
+        _entry(
+            "Channel_Partner_Invoiced__c",
+            F.when(k % 13 == 0, F.lit("x")).otherwise(
+                ((F.col("o_custkey") % 700) + 1).cast("string")
+            ),
+        ),
+        _entry(
+            "Invoice_Date__c",
+            F.when(k % 7 == 0, F.lit("soon")).otherwise(
+                F.concat(F.lit("2024-01-"), dd, F.lit(" 00:00:00"))
+            ),
+        ),
+        _entry("Invoiced_Item__c", F.concat(F.lit("item-"), (k % 50).cast("string"))),
+        _entry(
+            "Invoiced_Amount__c",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        ),
+        _entry(
+            "Invoice_Currency__c",
+            F.when(k % 3 == 0, "USD").when(k % 3 == 1, "EUR").otherwise("CAD"),
+        ),
+        _entry("PO_Number__c", F.concat(F.lit("PO-"), F.col("o_custkey").cast("string"))),
+        _entry("Item_Quantity__c", (k % 12).cast("string")),
+        _entry("Invoiced_Product_Type__c", F.concat(F.lit("pt-"), (k % 4).cast("string"))),
+        _entry(
+            "Invoiced_Product_for_Equipment_Type__c",
+            F.concat(F.lit("eq-"), (k % 5).cast("string")),
+        ),
+        _entry("Invoice_Num__c", k.cast("string")),
+        _entry("Invoiced_Amount_in_CAD__c", (k % 1000).cast("string")),
+    )
+    invoices = orders.select(
+        F.concat(F.lit("Inv-"), k.cast("string")).alias("RECORD_NAME"),
+        k.alias("RECORD_ID"),
+        ((F.col("o_custkey") % 100) + 1).alias("OWNER_USER_ID"),
+        cf.alias("CUSTOMFIELDS"),
+    )
+    org_cf = F.array(
+        _entry(
+            "Organization_Type__c",
+            F.when(F.col("c_acctbal") < 0, "debtor").otherwise("credit"),
+        ),
+        _entry("Region__c", F.col("c_mktsegment")),
+    )
+    return X.invoice_export(
+        invoices=invoices,
+        users=supplier.select(
+            F.col("s_suppkey").alias("USER_ID"),
+            F.col("s_name").alias("FIRST_NAME"),
+            F.col("s_nationkey").cast("string").alias("LAST_NAME"),
+        ),
+        organisations=customer.select(
+            F.col("c_custkey").alias("ORGANISATION_ID"),
+            F.col("c_name").alias("ORGANISATION_NAME"),
+            org_cf.alias("CUSTOMFIELDS"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# equipment export (J14 lookups, F7 'Name||ID||User' key, Q3 str(None))
+
+_EQ_EXPORT_SQL = """
+WITH usr AS (
+    SELECT s_suppkey AS id,
+           CAST(s_suppkey AS VARCHAR) || ';' || coalesce(s_name, '')
+               || ' ' || coalesce(CAST(s_nationkey AS VARCHAR), '') AS owner
+    FROM supplier
+),
+org AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+SELECT DISTINCT
+    o.o_orderkey AS "Record ID",
+    'Equip-' || CAST(o.o_orderkey AS VARCHAR) AS "Equipment Mine - Make - Model",
+    coalesce(usr.owner, '') AS "Owner",
+    '2024-01-' || lpad(CAST(o.o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+        || ' 07:00:00' AS "Date Created",
+    '2024-02-' || lpad(CAST(o.o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+        || ' 07:00:00' AS "Date Updated",
+    CASE o.o_orderkey % 4 WHEN 0 THEN '' WHEN 1 THEN 'None'
+         ELSE CAST(o.o_custkey AS VARCHAR) END AS "Record ID_1",
+    CASE WHEN o.o_orderkey % 4 IN (2, 3)
+         THEN coalesce(ent.name, '') ELSE '' END AS "Entity Owning Equipment",
+    CASE WHEN usr.owner IS NULL OR usr.owner = '' THEN ''
+         ELSE split_part(usr.owner, ';', 2) || '||'
+              || split_part(usr.owner, ';', 1) || '||User' END AS "Organization",
+    CASE WHEN o.o_orderkey % 3 = 0 THEN 'None'
+         ELSE CAST((o.o_custkey % 1500) + 1 AS VARCHAR) END AS "Record ID_2",
+    CASE WHEN o.o_orderkey % 3 != 0
+         THEN coalesce(site.name, '') ELSE '' END AS "Site Name",
+    CASE WHEN usr.owner IS NULL OR usr.owner = '' THEN ''
+         ELSE split_part(usr.owner, ';', 2) || '||'
+              || split_part(usr.owner, ';', 1) || '||User' END
+        AS "Organization Owner_3",
+    'et-' || CAST(o.o_orderkey % 4 AS VARCHAR) AS "Equipment Type",
+    'mk-' || CAST(o.o_orderkey % 6 AS VARCHAR) AS "Equipment Make",
+    'md-' || CAST(o.o_orderkey % 9 AS VARCHAR) AS "Equipment Model",
+    CAST(o.o_orderkey % 7 AS VARCHAR) AS "Equipment Quantity",
+    'sn-' || CAST(o.o_orderkey % 100 AS VARCHAR) AS "Serial Number Notes",
+    '2024-06-' || lpad(CAST(o.o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+        AS "Last_Date_of_Equipment_Details_Confirmed__c"
+FROM orders o
+LEFT JOIN usr ON o.o_orderkey % 17 != 0 AND (o.o_custkey % 100) + 1 = usr.id
+LEFT JOIN org ent ON o.o_orderkey % 4 IN (2, 3) AND o.o_custkey = ent.id
+LEFT JOIN org site
+       ON o.o_orderkey % 3 != 0 AND (o.o_custkey % 1500) + 1 = site.id
+"""
+
+
+@register(
+    "equipment_export_pipeline",
+    sql=_EQ_EXPORT_SQL,
+    description="end-to-end equipment CRM export: J14 lookup joins on "
+    "try_cast custom-field keys, the F7 'Name||ID||User' composite built "
+    "by re-splitting the 'ID;Name' owner, and Q3 str(None) semantics "
+    "(missing key → '', present-null → literal 'None') — under the "
+    "oracle (equiment.py:136-168)",
+)
+def equipment_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale posture matches exports.equipment_export: one fact scan +
+    # three broadcast probes; no exchange beyond the output dedup.
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+
+    k = F.col("o_orderkey")
+    dd = F.lpad(((k % 28) + 1).cast("string"), 2, "0")
+    null_str = F.lit(None).cast("string")
+    cf = F.concat(
+        F.when(
+            k % 4 == 0, F.array().cast("array<struct<FIELD_NAME:string,FIELD_VALUE:string>>")
+        ).otherwise(
+            F.array(
+                _entry(
+                    "Entity_Owning_Equipment_Equipment__c",
+                    F.when(k % 4 == 1, null_str).otherwise(
+                        F.col("o_custkey").cast("string")
+                    ),
+                )
+            )
+        ),
+        F.array(
+            _entry(
+                "Site_Name_Equipment__c",
+                F.when(k % 3 == 0, null_str).otherwise(
+                    ((F.col("o_custkey") % 1500) + 1).cast("string")
+                ),
+            ),
+            _entry("Equipment_Type_Equipment__c", F.concat(F.lit("et-"), (k % 4).cast("string"))),
+            _entry("Equipment_Make_Equipment__c", F.concat(F.lit("mk-"), (k % 6).cast("string"))),
+            _entry("Equipment_Model_Equipment__c", F.concat(F.lit("md-"), (k % 9).cast("string"))),
+            _entry("Equipment_Quantity_Equipment__c", (k % 7).cast("string")),
+            _entry("Serial_Number_Notes__c", F.concat(F.lit("sn-"), (k % 100).cast("string"))),
+            _entry(
+                "Last_Date_of_Equipment_Details_Confirmed__c",
+                F.concat(F.lit("2024-06-"), dd),
+            ),
+        ),
+    )
+    equipment = orders.select(
+        k.alias("RECORD_ID"),
+        F.concat(F.lit("Equip-"), k.cast("string")).alias("RECORD_NAME"),
+        F.when(k % 17 == 0, F.lit(9999999))
+        .otherwise((F.col("o_custkey") % 100) + 1)
+        .alias("OWNER_USER_ID"),
+        F.concat(F.lit("2024-01-"), dd, F.lit(" 07:00:00")).alias("DATE_CREATED_UTC"),
+        F.concat(F.lit("2024-02-"), dd, F.lit(" 07:00:00")).alias("DATE_UPDATED_UTC"),
+        cf.alias("CUSTOMFIELDS"),
+    )
+    return X.equipment_export(
+        equipment=equipment,
+        users=supplier.select(
+            F.col("s_suppkey").alias("USER_ID"),
+            F.col("s_name").alias("FIRST_NAME"),
+            F.col("s_nationkey").cast("string").alias("LAST_NAME"),
+        ),
+        organisations=customer.select(
+            F.col("c_custkey").alias("ORGANISATION_ID"),
+            F.col("c_name").alias("ORGANISATION_NAME"),
+        ),
+    )
