@@ -8,10 +8,14 @@ execution (scan → transform → exchange), not driver-side row serialization
 — the same discipline you'd use benchmarking on a real cluster.
 
 Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3); the headline
-per-query number (and the total) is the MEDIAN, with per-query min/max
-recorded under "spread" — single-run numbers at these absolute times
-(0.3-5 s) carry ±0.3 s scheduler noise, which previously read as
-regressions round over round.
+per-query number (and the total) is the MEDIAN.  The driver's stdout tail
+capture is small (r3's ~7.5 KB line came back truncated/unparseable), so
+the printed line is budgeted under ~1.9 KB: per-query keys are
+deterministically abbreviated (each underscore token truncated to 3 chars
+— verified collision-free across the registry at import) and min/median/max
+spreads are NOT printed.  The full record — full query names, the
+abbreviation map, and per-query min/median/max — is written to
+BENCH_local.json in the repo root instead.
 """
 
 from __future__ import annotations
@@ -25,9 +29,22 @@ import time
 from magshield_data_pipeline_spark.plans.registry import QUERY_REGISTRY
 from magshield_data_pipeline_spark.session import get_spark
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
 
 def consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _abbrev(name: str) -> str:
+    return "_".join(tok[:3] for tok in name.split("_"))
+
+
+def _abbrev_map(names) -> dict[str, str]:
+    out = {n: _abbrev(n) for n in names}
+    if len(set(out.values())) != len(out):
+        raise RuntimeError("bench abbreviation collision — widen the token cap")
+    return out
 
 
 def main() -> int:
@@ -55,18 +72,39 @@ def main() -> int:
         timings[name] = round(runs[len(runs) // 2], 3)
         spread[name] = {"min": round(runs[0], 3), "max": round(runs[-1], 3)}
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    total = round(sum(timings.values()), 2)
+    abbrev = _abbrev_map(timings)
+
+    # full record (full names + spreads) → committed repo file
+    with open(os.path.join(_REPO_ROOT, "BENCH_local.json"), "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "abbrev": abbrev,
                 "runs_per_query": n_runs,
                 "sf": sf,
-            }
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+
+    # compact single line (≤ ~1.9 KB) → stdout for the driver's tail capture
+    compact = {abbrev[n]: round(v, 2) for n, v in timings.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": compact,
+                "sf": sf,
+            },
+            separators=(",", ":"),
         )
     )
     return 0

@@ -4,11 +4,20 @@ functions (SURVEY §7 steps 3–4).
 Each function mirrors one reference export's semantics — same output
 column names, same quirks — with I/O kept outside (sources feed in,
 sinks consume the result), so every pipeline is unit-testable on
-fixtures. All lookup joins broadcast their dimension side: the
-reference realizes every join as an in-memory dict probe
-(/root/reference/modules/opportunity.py:128-147), and dims stay
-dimension-sized by definition, so the export plans are exchange-free
-except the final dropDuplicates.
+fixtures.
+
+**Dim-size contract (broadcast gating).** The reference realizes every
+lookup join as an in-memory dict probe
+(/root/reference/modules/opportunity.py:128-147), which is only sound
+because its dims (users, organisations, stages, …) are
+dimension-sized. Each join-bearing export takes ``broadcast_dims``
+(default True = reference-faithful: dims fit one executor, plans are
+exchange-free except the final dropDuplicates). Callers whose "dim"
+inputs scale with the fact side — e.g. the oracle-parity registry
+queries, which derive dims from customer/supplier frames that grow
+with SF — MUST pass ``broadcast_dims=False``; the joins then carry no
+hint and AQE picks broadcast vs shuffle from observed sizes at
+runtime, so a 100× scale-up cannot force a multi-GB broadcast.
 
 Quirks preserved (SURVEY §2.9):
 - Q1 invoice: ``Site_Organization__c`` is read then overwritten by
@@ -47,6 +56,12 @@ def _ensure_confs(df: DataFrame) -> None:
     confs from the input frame's own session."""
     ensure_runtime_confs(df.sparkSession)
 
+
+
+def _dim(df: DataFrame, hint: bool) -> DataFrame:
+    """Apply the broadcast hint only under the dim-size contract (module
+    header): ``hint=False`` leaves join-strategy choice to AQE."""
+    return F.broadcast(df) if hint else df
 
 
 def _cf(col: str = "CUSTOMFIELDS") -> Column:
@@ -152,29 +167,33 @@ def quote_export(
     opportunities: DataFrame,
     organisations: DataFrame,
     contacts: DataFrame,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     _ensure_confs(quotes)
     cf = _cf()
     q = quotes.withColumn("_cf", cf)
-    opp = F.broadcast(
+    opp = _dim(
         opportunities.select(
             F.col("OPPORTUNITY_ID").alias("_opp_id"),
             F.col("OPPORTUNITY_NAME").alias("_opp_name"),
-        )
+        ),
+        broadcast_dims,
     )
-    org = F.broadcast(
+    org = _dim(
         organisations.select(
             F.col("ORGANISATION_ID").alias("_org_id"),
             F.col("ORGANISATION_NAME").alias("_org_name"),
-        )
+        ),
+        broadcast_dims,
     )
     # sales person joins on the custom-field value (J3); the reference's
     # fetch_contact strips the full name (quote.py:122-131)
-    con = F.broadcast(
+    con = _dim(
         contacts.select(
             F.col("CONTACT_ID").alias("_con_id"),
             F.trim(_full_name()).alias("_con_name"),
-        )
+        ),
+        broadcast_dims,
     )
     joined = (
         q.join(opp, q["OPPORTUNITY_ID"] == opp["_opp_id"], "left")
@@ -242,24 +261,29 @@ def _org_struct_dim(organisations: DataFrame) -> DataFrame:
 
 
 def invoice_export(
-    invoices: DataFrame, users: DataFrame, organisations: DataFrame
+    invoices: DataFrame,
+    users: DataFrame,
+    organisations: DataFrame,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     _ensure_confs(invoices)
     m = _cf()
     inv = invoices.withColumn("_cf", m)
-    usr = F.broadcast(
-        users.select(F.col("USER_ID").alias("_uid"), _user_composite().alias("_owner"))
+    usr = _dim(
+        users.select(F.col("USER_ID").alias("_uid"), _user_composite().alias("_owner")),
+        broadcast_dims,
     )
     org = _org_struct_dim(organisations)
 
     def org_role(alias: str) -> DataFrame:
-        return F.broadcast(
+        return _dim(
             org.select(
                 F.col("_oid").alias(f"{alias}_id"),
                 F.col("_oname").alias(f"{alias}_name"),
                 F.col("_otype").alias(f"{alias}_type"),
                 F.col("_oregion").alias(f"{alias}_region"),
-            )
+            ),
+            broadcast_dims,
         )
 
     inv_org, site_org, chan_org = org_role("_inv"), org_role("_site"), org_role("_chan")
@@ -309,19 +333,24 @@ def invoice_export(
 
 
 def equipment_export(
-    equipment: DataFrame, users: DataFrame, organisations: DataFrame
+    equipment: DataFrame,
+    users: DataFrame,
+    organisations: DataFrame,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     _ensure_confs(equipment)
     m = _cf()
     eq = equipment.withColumn("_cf", m)
-    usr = F.broadcast(
-        users.select(F.col("USER_ID").alias("_uid"), _user_composite().alias("_owner"))
+    usr = _dim(
+        users.select(F.col("USER_ID").alias("_uid"), _user_composite().alias("_owner")),
+        broadcast_dims,
     )
-    org = F.broadcast(
+    org = _dim(
         organisations.select(
             F.col("ORGANISATION_ID").alias("_oid"),
             S.coalesce_str("ORGANISATION_NAME").alias("_oname"),
-        )
+        ),
+        broadcast_dims,
     )
     cfv = lambda k: F.element_at(F.col("_cf"), F.lit(k))  # noqa: E731
     joined = (
@@ -393,56 +422,67 @@ def task_export(
     organisations: DataFrame,
     projects: DataFrame,
     notes: DataFrame,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     _ensure_confs(tasks)
-    # --- dim lookups (all broadcast; the reference probes dicts) ---
-    cat = F.broadcast(
+    # --- dim lookups (hinted per the dim-size contract; the reference
+    # probes dicts) ---
+    cat = _dim(
         categories.select(
             F.col("CATEGORY_ID").alias("_cat_id"),
             S.coalesce_str("CATEGORY_NAME").alias("_cat_name"),
-        )
+        ),
+        broadcast_dims,
     )
-    usr = F.broadcast(
-        users.select(F.col("USER_ID").alias("_uid"), _user_composite().alias("_owner"))
+    usr = _dim(
+        users.select(F.col("USER_ID").alias("_uid"), _user_composite().alias("_owner")),
+        broadcast_dims,
     )
-    con = F.broadcast(
+    con = _dim(
         contacts.select(
             F.col("CONTACT_ID").alias("_con_id"), _full_name().alias("_con_name")
-        )
+        ),
+        broadcast_dims,
     )
-    led = F.broadcast(
-        leads.select(F.col("LEAD_ID").alias("_led_id"), _full_name().alias("_led_name"))
+    led = _dim(
+        leads.select(F.col("LEAD_ID").alias("_led_id"), _full_name().alias("_led_name")),
+        broadcast_dims,
     )
-    opp = F.broadcast(
+    opp = _dim(
         opportunities.select(
             F.col("OPPORTUNITY_ID").alias("_opp_id"),
             S.coalesce_str("OPPORTUNITY_NAME").alias("_opp_name"),
             F.col("ORGANISATION_ID").alias("_opp_org_id"),
-        )
+        ),
+        broadcast_dims,
     )
-    org = F.broadcast(
+    org = _dim(
         organisations.select(
             F.col("ORGANISATION_ID").alias("_org_id"),
             S.coalesce_str("ORGANISATION_NAME").alias("_org_name"),
-        )
+        ),
+        broadcast_dims,
     )
     # second aliased copy for the opportunity-backfill hop (J4-style)
-    org2 = F.broadcast(
+    org2 = _dim(
         organisations.select(
             F.col("ORGANISATION_ID").alias("_org2_id"),
             S.coalesce_str("ORGANISATION_NAME").alias("_org2_name"),
-        )
+        ),
+        broadcast_dims,
     )
-    prj = F.broadcast(
+    prj = _dim(
         projects.select(
             F.col("PROJECT_ID").alias("_prj_id"),
             S.coalesce_str("PROJECT_NAME").alias("_prj_name"),
-        )
+        ),
+        broadcast_dims,
     )
-    nte = F.broadcast(
+    nte = _dim(
         notes.select(
             F.col("NOTE_ID").alias("_nte_id"), S.coalesce_str("TITLE").alias("_nte_name")
-        )
+        ),
+        broadcast_dims,
     )
 
     # --- explode LINKS preserving array order (Q5 is order-sensitive) ---
@@ -538,6 +578,7 @@ def opportunity_export(
     pricebook_entries: DataFrame,
     line_items: DataFrame,
     opportunity_links: DataFrame,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     _ensure_confs(opportunities)
     m = _cf()
@@ -550,42 +591,48 @@ def opportunity_export(
     )
 
     def org_role(alias: str) -> DataFrame:
-        return F.broadcast(
+        return _dim(
             org.select(
                 F.col("_oid").alias(f"{alias}_id"), F.col("_oname").alias(f"{alias}_name")
-            )
+            ),
+            broadcast_dims,
         )
 
-    usr = F.broadcast(
-        users.select(F.col("USER_ID").alias("_uid"), _user_composite().alias("_owner"))
+    usr = _dim(
+        users.select(F.col("USER_ID").alias("_uid"), _user_composite().alias("_owner")),
+        broadcast_dims,
     )
-    stg = F.broadcast(
+    stg = _dim(
         stages.select(
             F.col("STAGE_ID").alias("_stg_id"), S.coalesce_str("STAGE_NAME").alias("_stg_name")
-        )
+        ),
+        broadcast_dims,
     )
-    rsn = F.broadcast(
+    rsn = _dim(
         state_reasons.select(
             F.col("STATE_REASON_ID").alias("_rsn_id"),
             S.coalesce_str("STATE_REASON").alias("_rsn_name"),
-        )
+        ),
+        broadcast_dims,
     )
-    pbk = F.broadcast(
+    pbk = _dim(
         pricebooks.select(
             F.col("PRICEBOOK_ID").alias("_pbk_id"), S.coalesce_str("NAME").alias("_pbk_name")
-        )
+        ),
+        broadcast_dims,
     )
-    prd = F.broadcast(
+    prd = _dim(
         products.select(
             F.col("PRODUCT_ID").alias("_prd_id"),
             S.coalesce_str("PRODUCT_FAMILY").alias("_prd_family"),
-        )
+        ),
+        broadcast_dims,
     )
 
     # J7: line items → pricebook entries → product ids per opportunity
     products_per_opp = (
         line_items.join(
-            F.broadcast(pricebook_entries),
+            _dim(pricebook_entries, broadcast_dims),
             "PRICEBOOK_ENTRY_ID",
         )
         .groupBy(F.col("OPPORTUNITY_ID").alias("_po_opp"))
@@ -599,7 +646,7 @@ def opportunity_export(
         opportunity_links.filter(F.col("OBJECT_NAME") == "Opportunity")
         .filter(F.col("LINK_OBJECT_NAME") == "Organisation")
         .join(
-            F.broadcast(org),
+            _dim(org, broadcast_dims),
             F.col("LINK_OBJECT_ID") == F.col("_oid"),
             "left",
         )

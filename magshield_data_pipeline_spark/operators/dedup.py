@@ -79,13 +79,18 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct (normalized) text — the lowest id wins,
     making the survivor set deterministic. Scale: one shuffle keyed on
-    the MD5 fingerprint (uniform, skew-free)."""
+    the MD5 fingerprint (uniform, skew-free), implemented as a
+    ``min(struct(id, …))`` aggregate so the map side pre-combines per
+    fingerprint (HashAggregate, no Window/Sort over full rows) — the
+    same survivor rule as :func:`incremental_exact_dedup`."""
+    cols = df.columns
+    rest = [c for c in cols if c != id_col]
     with_fp = df.withColumn("fp", fingerprint(text_col))
-    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    winner = F.min(F.struct(id_col, *rest)).alias("w")
     return (
-        with_fp.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        with_fp.groupBy("fp")
+        .agg(winner)
+        .select(*[F.col(f"w.{c}").alias(c) for c in cols], "fp")
     )
 
 

@@ -295,7 +295,11 @@ def quote_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("FIRST_NAME"),
         F.lit(None).cast("string").alias("LAST_NAME"),
     )
-    return X.quote_export(quotes, opportunities, organisations, contacts)
+    # dims derive from customer/supplier (scale with SF) — per exports.py's
+    # dim-size contract, no forced broadcast: AQE decides
+    return X.quote_export(
+        quotes, opportunities, organisations, contacts, broadcast_dims=False
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -532,6 +536,7 @@ def task_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_regionkey").alias("NOTE_ID"),
             F.concat(F.lit("note-"), F.col("r_name")).alias("TITLE"),
         ),
+        broadcast_dims=False,
     )
 
 
@@ -770,6 +775,7 @@ def opportunity_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("PRICEBOOK_ENTRY_ID"),
         ),
         opportunity_links=opportunity_links,
+        broadcast_dims=False,
     )
 
 
@@ -909,6 +915,7 @@ def invoice_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("ORGANISATION_NAME"),
             org_cf.alias("CUSTOMFIELDS"),
         ),
+        broadcast_dims=False,
     )
 
 
@@ -1032,4 +1039,5 @@ def equipment_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("ORGANISATION_ID"),
             F.col("c_name").alias("ORGANISATION_NAME"),
         ),
+        broadcast_dims=False,
     )

@@ -63,20 +63,35 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table from ``{sf_dir}/{name}.parquet``.
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-TZ TimestampType instant.
 
-    ``events.ts`` arrives as nanos-since-epoch (long, via nanosAsLong);
-    we rebuild a microsecond timestamp with floor division — the same
-    truncation every µs-precision consumer of nanosecond data applies.
-    """
-    ensure_runtime_confs(spark)
-    if name == "events":
-        from pyspark.sql import functions as F
+    The driver has shipped two physical layouts round-over-round:
+    TIMESTAMP(NANOS) (reads as nanos-since-epoch long under
+    ``nanosAsLong``; rebuilt with µs floor division) and plain
+    TIMESTAMP(MICROS) without isAdjustedToUTC (reads as
+    TIMESTAMP_NTZ; under the UTC session TZ contract the NTZ→TZ cast
+    is value-identical to DuckDB's naive-timestamp ``epoch()``).
+    Branching on the observed dtype keeps every downstream plan
+    layout-independent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        return normalize_event_ts(df)
+    return df
 
 
 def load_star_schema(

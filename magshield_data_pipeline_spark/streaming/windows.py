@@ -24,7 +24,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from magshield_data_pipeline_spark.sources.parquet import ensure_runtime_confs
+from magshield_data_pipeline_spark.sources.parquet import (
+    ensure_runtime_confs,
+    normalize_event_ts,
+)
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -32,8 +35,9 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over events.parquet. Schema comes from the static
     footer read (streaming file sources require an explicit schema); the
-    nanosecond ts column is rebuilt to a microsecond timestamp exactly
-    like the batch reader (sources/parquet.py)."""
+    ts column is normalized to a µs timestamp exactly like the batch
+    reader (sources/parquet.py:normalize_event_ts — handles both the
+    nanos-long and TIMESTAMP_NTZ physical layouts)."""
     ensure_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the streaming file source requires a directory basePath; select
@@ -43,7 +47,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
