@@ -15,16 +15,15 @@ from tests.conftest import SF_SMALL
 
 # queries whose plans legitimately contain a broadcast nested-loop:
 # the embedding tier broadcasts a tiny query/centroid set against the
-# corpus scan (a bounded, intentional cross), and the range-predicate
-# temporal joins have non-equi conditions.
+# corpus scan (a bounded, intentional cross). The as-of/range temporal
+# joins do NOT belong here — they compose union+window with no join at
+# all, and keeping them listed would let a real regression hide.
 _ALLOW_BNLJ = {
     "embedding_topk_cosine",
     "embedding_ivf_topk",
     "embedding_cosine_dup_pairs",
     "embedding_quantized_recall",
     "kmeans_centroid_update",
-    "purchase_asof_click",
-    "signup_click_burst",
     # three single-row count(*) frames crossed into one metadata row
     "count_probe",
 }
@@ -122,6 +121,52 @@ def test_tfidf_topk_is_pushed_into_window(spark):
     # ranking shuffle
     df = QUERY_REGISTRY["tfidf_top_terms"].fn(spark, SF_SMALL)
     assert "WindowGroupLimit" in _physical_plan(df)
+
+
+def test_exact_dedup_is_partial_agg_not_window(spark):
+    # the survivor rule is min(struct) — map-side partial aggregation;
+    # a ranking-window regression would shuffle + sort full rows
+    df = QUERY_REGISTRY["exact_dedup_documents"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "Window" not in plan, "exact dedup regressed to a ranking window"
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_export_broadcast_gate_adapts(spark):
+    # exports.py dim-size contract: broadcast_dims=True forces the
+    # reference-faithful broadcast probe; False leaves strategy to
+    # AQE/size estimates. With the auto-broadcast threshold disabled,
+    # only the hint can produce a broadcast join — so the two settings
+    # must yield different join strategies.
+    from magshield_data_pipeline_spark import exports as E
+    from magshield_data_pipeline_spark import schemas as SCH
+
+    equipment = spark.createDataFrame(
+        [{"RECORD_ID": 1, "RECORD_NAME": "eq", "OWNER_USER_ID": 1,
+          "DATE_CREATED_UTC": "2024-01-01 00:00:00",
+          "DATE_UPDATED_UTC": "2024-01-02 00:00:00", "CUSTOMFIELDS": []}],
+        schema=SCH.EQUIPMENT_SCHEMA,
+    )
+    users = spark.createDataFrame(
+        [{"USER_ID": 1, "FIRST_NAME": "A", "LAST_NAME": "B"}], schema=SCH.USER_SCHEMA
+    )
+    orgs = spark.createDataFrame(
+        [{"ORGANISATION_ID": 5, "ORGANISATION_NAME": "O"}],
+        schema=SCH.ORGANISATION_SCHEMA,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = _physical_plan(E.equipment_export(equipment, users, orgs))
+        unhinted = _physical_plan(
+            E.equipment_export(equipment, users, orgs, broadcast_dims=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in hinted, "hint on: dims must broadcast"
+    assert "BroadcastHashJoin" not in unhinted, (
+        "hint off: join strategy must be left to size estimates/AQE"
+    )
 
 
 def test_mixture_rate_table_single_rollup_scan(spark):
