@@ -97,7 +97,7 @@ class ExportRun:
 
     # --- entry points, mirroring callable.py final1..5 ---
 
-    def run_quote_and_organisation(self) -> list[str]:
+    def run_quote_and_organisation(self) -> list[str | None]:
         """final() — quote export then organisation export
         (callable.py:118-125)."""
         s = self.sources
@@ -116,7 +116,7 @@ class ExportRun:
             ),
         ]
 
-    def run_opportunity(self) -> str:
+    def run_opportunity(self) -> str | None:
         """final2() — the flagship multi-join export (callable.py:127-131)."""
         s = self.sources
         return self._run_if(
@@ -140,7 +140,7 @@ class ExportRun:
             ),
         )
 
-    def run_invoice_equipment_users(self) -> list[str]:
+    def run_invoice_equipment_users(self) -> list[str | None]:
         """final3() — three exports sharing the cached users/orgs dims
         (the reference fetches them twice — callable.py:133-144,
         invoice.py:152-153, equiment.py:127-128)."""
@@ -165,7 +165,7 @@ class ExportRun:
             ),
         ]
 
-    def run_task(self) -> str:
+    def run_task(self) -> str | None:
         """final4() — task export with its eight lookup dims
         (callable.py:149-151)."""
         s = self.sources
@@ -188,7 +188,7 @@ class ExportRun:
             ),
         )
 
-    def run_all(self) -> dict[str, str]:
+    def run_all(self) -> dict[str, str | None]:
         self.run_quote_and_organisation()
         self.run_opportunity()
         self.run_invoice_equipment_users()

@@ -306,6 +306,12 @@ def jaccard_pairs(
         # rather than OOMs; at 100 TB the production move is the same
         # idea one step further: materialize the capped shingle index
         # to storage once and share it across all pair jobs.
+        # Cache lifetime is caller-owned: the returned plan references
+        # the persisted frame, so this function cannot unpersist it.
+        # Spark's CacheManager dedups by logical plan — repeated calls
+        # on the same input reuse ONE entry; callers sweeping many
+        # distinct inputs in one session should unpersist between runs
+        # (spark.catalog.clearCache() or df.unpersist()).
         sh = sh.join(rare, "s", "inner").select(id_col, "s").persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

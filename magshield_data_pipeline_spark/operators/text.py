@@ -91,22 +91,40 @@ def quality_score(text: Column | str) -> Column:
     return F.round((stop_ratio + has_punct + len_band) / 3.0, 4)
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Marker-word hit count per language."""
+def lang_matches(text: Column | str) -> Column:
+    """All marker-word hits (any language) in ONE regexp pass — the
+    union alternation with \\b anchors matches exactly the same word
+    set as per-language patterns (anchors force whole-word matches
+    regardless of alternation order), so splitting the count per
+    language afterwards is a cheap array filter over a few matches
+    instead of a full regex scan per language."""
     t = F.lower(_col(text))
+    all_words = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    pattern = r"\b(" + "|".join(re.escape(w) for w in all_words) + r")\b"
+    return F.regexp_extract_all(t, F.lit(pattern), 1)
+
+
+def lang_scores_from_matches(matches: Column) -> dict[str, Column]:
+    """Per-language hit counts from a :func:`lang_matches` array.
+    Marker words shared by two languages (es/fr 'la') count for both —
+    identical to independent per-language scans."""
     out = {}
     for lang, words in LANG_MARKERS.items():
-        pattern = r"\b(" + "|".join(re.escape(w) for w in words) + r")\b"
-        out[lang] = F.regexp_count(t, F.lit(pattern))
+        out[lang] = F.size(F.filter(matches, lambda x: x.isin(*words)))
     return out
 
 
-def lang_id(text: Column | str, default: str = "und") -> Column:
-    """Pick the language with the highest marker count (ties broken by
-    language-code order, zero hits → *default*). Deterministic, so it is
-    oracle-checkable; swap for a model UDF without changing the plan
-    shape."""
-    scores = lang_scores(text)
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-word hit count per language."""
+    return lang_scores_from_matches(lang_matches(text))
+
+
+def lang_id_from_matches(matches: Column, default: str = "und") -> Column:
+    """:func:`lang_id` over a pre-computed :func:`lang_matches` column —
+    callers profiling several signals at once (document_profile)
+    materialize the match array in a prior projection so the corpus is
+    regex-scanned ONCE for language ID."""
+    scores = lang_scores_from_matches(matches)
     best_lang = F.lit(default)
     best_score = F.lit(0)
     for lang in sorted(scores):  # later entries win only on strict >
@@ -115,6 +133,14 @@ def lang_id(text: Column | str, default: str = "und") -> Column:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, s).otherwise(best_score)
     return best_lang
+
+
+def lang_id(text: Column | str, default: str = "und") -> Column:
+    """Pick the language with the highest marker count (ties broken by
+    language-code order, zero hits → *default*). Deterministic, so it is
+    oracle-checkable; swap for a model UDF without changing the plan
+    shape."""
+    return lang_id_from_matches(lang_matches(text), default)
 
 
 def normalize_text(text: Column | str) -> Column:
@@ -137,19 +163,32 @@ def document_profile(
 ) -> DataFrame:
     """One-scan profile: tokens, chars, stopword/punct counts, quality,
     language guess, fingerprint. ``keep`` names extra source columns to
-    carry through (still one scan — no join-back needed downstream)."""
+    carry through (still one scan — no join-back needed downstream).
+
+    The language-marker matches are materialized in a separate inner
+    projection: referenced by four per-language counters, the non-cheap
+    regexp stays un-inlined (CollapseProject keeps expensive multi-use
+    expressions staged), so language ID costs ONE regex pass instead of
+    one per language."""
     t = F.col(text_col)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
-        token_count(t).alias("n_tokens"),
-        subtoken_count(t).alias("n_subtokens"),
-        char_count(t).alias("n_chars_computed"),
-        stopword_count(t).alias("n_stopwords"),
-        punct_count(t).alias("n_punct"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_guess"),
-        fingerprint(t).alias("fp"),
+        t.alias("_text"),
+        lang_matches(t).alias("_lang_matches"),
+    )
+    tt = F.col("_text")
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        token_count(tt).alias("n_tokens"),
+        subtoken_count(tt).alias("n_subtokens"),
+        char_count(tt).alias("n_chars_computed"),
+        stopword_count(tt).alias("n_stopwords"),
+        punct_count(tt).alias("n_punct"),
+        quality_score(tt).alias("quality"),
+        lang_id_from_matches(F.col("_lang_matches")).alias("lang_guess"),
+        fingerprint(tt).alias("fp"),
     )
 
 
@@ -341,8 +380,11 @@ def contamination_check(
 
     # train shingles feed two consumers (the df-count and the capped
     # join); persist avoids re-running the shingle generate — same
-    # rationale (and same at-scale note) as the jaccard verifier's
-    # persisted capped frame in operators/dedup.py
+    # rationale, at-scale note, AND cache-lifetime contract as the
+    # jaccard verifier's persisted capped frame (operators/dedup.py):
+    # the returned plan references the cache, so the caller owns
+    # unpersisting; CacheManager dedups by logical plan, bounding
+    # same-input reruns to one entry.
     tr, te = sh(train, "train").persist(), sh(test, "test")
     if max_df is not None:
         rare = (
@@ -468,9 +510,25 @@ def cdc_chunks(
     linear output) is identical — md5 keeps it oracle-checkable."""
     import pyspark.sql.types as SQLT
 
+    # derive the doc_id output type from the input column (integral ids
+    # widen to long, string ids pass through) — fail fast at plan time
+    # on anything else rather than inside the executor UDF
+    id_type = df.schema[id_col].dataType
+    integral = isinstance(
+        id_type,
+        (SQLT.ByteType, SQLT.ShortType, SQLT.IntegerType, SQLT.LongType),
+    )
+    if not integral and not isinstance(id_type, SQLT.StringType):
+        raise TypeError(
+            f"cdc_chunks: id_col {id_col!r} must be an integral or string "
+            f"column, got {id_type.simpleString()}"
+        )
+    id_dtype = "int64" if integral else "object"
     schema = SQLT.StructType(
         [
-            SQLT.StructField("doc_id", SQLT.LongType()),
+            SQLT.StructField(
+                "doc_id", SQLT.LongType() if integral else SQLT.StringType()
+            ),
             SQLT.StructField("chunk_idx", SQLT.LongType()),
             SQLT.StructField("chunk_start", SQLT.LongType()),
             SQLT.StructField("chunk_len", SQLT.LongType()),
@@ -507,7 +565,7 @@ def cdc_chunks(
                     )
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(ids, dtype=id_dtype),
                     "chunk_idx": pd.Series(idxs, dtype="int64"),
                     "chunk_start": pd.Series(starts, dtype="int64"),
                     "chunk_len": pd.Series(lens, dtype="int64"),

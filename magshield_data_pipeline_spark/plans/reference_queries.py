@@ -900,11 +900,17 @@ def paged_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = "/tmp/paged_api_{}_customer.jsonl".format(
         _os.path.basename(_os.path.normpath(sf_dir))
     )
-    n_rows = _pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    # freshness contract: the test double is current only for the exact
+    # parquet file it was built from — keyed on (size, mtime_ns), not
+    # row count, so a regenerated testdata file with the same
+    # cardinality but different values forces a rebuild
+    src_stat = _os.stat(f"{sf_dir}/customer.parquet")
+    sig = f"{src_stat.st_size}:{src_stat.st_mtime_ns}"
+    sig_path = dest + ".sig"
     reusable = False
-    if _os.path.exists(dest):  # skip rebuild when the double is current
-        with open(dest, "rb") as f:
-            reusable = sum(1 for _ in f) == n_rows
+    if _os.path.exists(dest) and _os.path.exists(sig_path):
+        with open(sig_path, "r", encoding="utf-8") as f:
+            reusable = f.read() == sig
     if not reusable:
         tbl = _pq.read_table(
             f"{sf_dir}/customer.parquet",
@@ -915,6 +921,9 @@ def paged_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             for rec in tbl.to_pylist():
                 f.write(_json.dumps(rec) + "\n")
         _os.replace(tmp, dest)  # atomic: concurrent runs see a full file
+        with open(sig_path + ".tmp", "w", encoding="utf-8") as f:
+            f.write(sig)
+        _os.replace(sig_path + ".tmp", sig_path)
 
     P.register(spark)
     df = (

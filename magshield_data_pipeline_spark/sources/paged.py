@@ -98,14 +98,15 @@ class PagePartition(InputPartition):
 
 
 class PagedJsonReader(DataSourceReader):
-    def __init__(self, options: dict, field_names: List[str]) -> None:
+    def __init__(self, options: dict, schema) -> None:
         # option keys arrive lowercased (Spark's CaseInsensitiveDict →
         # plain dict); look up lowercase only
         self.path = options["path"]
         self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
         # field order = schema order; values are pulled from each JSON
         # object by name (missing → None, the reference's .get default)
-        self.fields = field_names
+        self.schema = schema
+        self.fields = [f.name for f in schema.fields]
         self._pushed: List[Filter] = []
         self.retry = RetryPolicy(
             attempts=int(options.get("retryattempts", 3)),
@@ -168,10 +169,27 @@ class PagedJsonReader(DataSourceReader):
             lines = (ln for ln in f if ln.strip())
             return [json.loads(ln) for ln in islice(lines, partition.start, partition.end)]
 
-    def read(self, partition: PagePartition) -> Iterator[tuple]:
-        for rec in with_retries(lambda: self._fetch_page(partition), self.retry):
-            if self._keep(rec):
-                yield tuple(rec.get(name) for name in self.fields)
+    def read(self, partition: PagePartition) -> Iterator:
+        # one Arrow RecordBatch per page: the page is fetched and
+        # filtered once, then handed to Spark as a single columnar
+        # batch — no per-row pickle round-trip through the Python
+        # worker (the row-at-a-time path dominated this source's cost)
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        recs = [
+            rec
+            for rec in with_retries(lambda: self._fetch_page(partition), self.retry)
+            if self._keep(rec)
+        ]
+        arrow_schema = to_arrow_schema(self.schema)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([rec.get(name) for rec in recs], type=field.type)
+                for name, field in zip(self.fields, arrow_schema)
+            ],
+            schema=arrow_schema,
+        )
 
 
 class PagedJsonDataSource(DataSource):
@@ -192,10 +210,11 @@ class PagedJsonDataSource(DataSource):
         return ddl
 
     def reader(self, schema) -> PagedJsonReader:
-        # schema arrives as the PARSED StructType — take field names from
-        # it directly (splitting DDL text breaks on decimal(10,2) and
-        # nested struct types, whose commas are not field separators)
-        return PagedJsonReader(dict(self.options), [f.name for f in schema.fields])
+        # schema arrives as the PARSED StructType — field names AND the
+        # Arrow batch schema derive from it directly (splitting DDL text
+        # breaks on decimal(10,2) and nested struct types, whose commas
+        # are not field separators)
+        return PagedJsonReader(dict(self.options), schema)
 
 
 def register(spark) -> None:

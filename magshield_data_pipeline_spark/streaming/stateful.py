@@ -145,12 +145,18 @@ FUNNEL_SCHEMA = StructType(
     ]
 )
 
-# per-user stage times in epoch-µs; -1 = stage not yet reached
+# per-user stage times in epoch-µs; -1 = stage not yet reached.
+# t*_us are the derived ordered-prefix times; m1/m2_us buffer each later
+# stage's UNCONDITIONAL minimum event time, so a stage event that
+# arrives in an earlier micro-batch than the prior stage's event is
+# remembered and re-examined once the prior stage unlocks.
 _FUNNEL_STATE_SCHEMA = StructType(
     [
         StructField("t0_us", LongType()),
         StructField("t1_us", LongType()),
         StructField("t2_us", LongType()),
+        StructField("m1_us", LongType()),
+        StructField("m2_us", LongType()),
     ]
 )
 
@@ -161,18 +167,28 @@ def funnel_stateful(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming ordered-funnel tracker: per-user conversion state as a
-    change feed. State is the user's stage-completion times (one
-    fixed-width 3-long tuple per user — ~24 bytes, any event volume);
-    each micro-batch applies the strict in-order rule (stage i counts
-    only at/after the user's stage-(i-1) time) VECTORIZED over the
-    batch — min-per-stage against carried state, so intra-batch event
-    order never matters — and emits the user's updated progress row.
+    change feed. State is five longs per user (~40 bytes, any event
+    volume): the derived stage times plus each later stage's
+    unconditional minimum seen so far. Each micro-batch folds the
+    batch's per-stage minima into state VECTORIZED (intra-batch event
+    order never matters) and re-derives the ordered prefix (stage i
+    counts only at/after the user's stage-(i-1) time), emitting the
+    user's updated progress row once the funnel is entered.
 
-    Under Trigger.AvailableNow on a static source this yields exactly
-    the batch funnel's per-user stage times (the parity the oracle
-    checks); on a live stream it is the incremental funnel dashboard
-    feed. Stage times only move forward-tighter (monotone), so emitted
-    progress is append-safe.
+    Cross-batch delivery: buffering the unconditional minima means a
+    later-stage event that arrives BEFORE the prior stage's event (in
+    an earlier micro-batch) still counts once the prior stage unlocks.
+    Exact-parity contract vs the batch funnel oracle: exact under
+    single-micro-batch delivery (Trigger.AvailableNow on one source
+    file — what the oracle checks) and whenever each stage's eventual
+    winner is its user's unconditional stage minimum or arrives after
+    the prior stage's time is final. In the residual reordering case
+    (a user has BOTH an ineligible earlier event and a smaller-but-
+    discarded eligible event of the same stage delivered before the
+    prior stage finalizes), the tracker may report a LATER — still
+    valid, never invented — stage time than the batch oracle: progress
+    is under-, never over-reported. Exactness there would require
+    per-stage full event-time sets (unbounded state).
 
     The UDF body is self-contained (imports inside, sentinel ints, no
     module globals) — cloudpickle ships it whole to executors."""
@@ -182,7 +198,13 @@ def funnel_stateful(
         import pandas as pd
 
         user_id = key[0]
-        if state.hasTimedOut:  # NoTimeout configured; defensive
+        if state.hasTimedOut:
+            # buffer-only state (user never entered the funnel) whose
+            # event times the watermark has passed: any signup that
+            # could still unlock these buffers would need t0 <= the
+            # buffered times, i.e. would itself arrive later than the
+            # watermark allows — safe to evict, state stays bounded to
+            # funnel-entered users + the watermark horizon
             state.remove()
             return
 
@@ -193,7 +215,7 @@ def funnel_stateful(
         ).to_numpy()
         etype = pdf["event_type"].to_numpy()
 
-        t0, t1, t2 = state.get if state.exists else (-1, -1, -1)
+        t0, t1, t2, m1, m2 = state.get if state.exists else (-1, -1, -1, -1, -1)
 
         def stage_min(name, not_before):
             import numpy as np
@@ -201,22 +223,40 @@ def funnel_stateful(
             mask = (etype == name) & (ts_us >= not_before)
             return int(ts_us[mask].min()) if np.any(mask) else -1
 
+        def min_pos(a, b):
+            """min over the non-sentinel values; -1 when both unset."""
+            if a < 0:
+                return b
+            if b < 0:
+                return a
+            return min(a, b)
+
         c0 = stage_min(s0, 0)
         if c0 >= 0 and (t0 < 0 or c0 < t0):
             t0 = c0
+        # buffer each later stage's unconditional minimum — candidates
+        # for when (or in case) the prior stage's time tightens
+        m1 = min_pos(m1, stage_min(s1, 0))
+        m2 = min_pos(m2, stage_min(s2, 0))
+        # re-derive the ordered prefix: carried time, this batch's
+        # eligible minimum, and the buffered unconditional minimum if
+        # it has become eligible
         if t0 >= 0:
             c1 = stage_min(s1, t0)
-            if c1 >= 0 and (t1 < 0 or c1 < t1):
-                t1 = c1
+            t1 = min_pos(t1, min_pos(c1, m1 if m1 >= t0 else -1))
         if t1 >= 0:
             c2 = stage_min(s2, t1)
-            if c2 >= 0 and (t2 < 0 or c2 < t2):
-                t2 = c2
+            t2 = min_pos(t2, min_pos(c2, m2 if m2 >= t1 else -1))
 
+        state.update((int(t0), int(t1), int(t2), int(m1), int(m2)))
         if t0 < 0:
-            return  # user never entered the funnel; hold no state
-
-        state.update((int(t0), int(t1), int(t2)))
+            # stage buffers held, funnel not entered: schedule eviction
+            # once the watermark passes the buffered event times (must
+            # be strictly ahead of the current watermark)
+            horizon_ms = max(m1, m2) // 1000 + 1
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 60_000))
+            return
 
         def ts_or_none(us):
             return pd.Timestamp(us, unit="us") if us >= 0 else None
@@ -239,6 +279,6 @@ def funnel_stateful(
             FUNNEL_SCHEMA,
             _FUNNEL_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )

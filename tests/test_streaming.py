@@ -194,10 +194,14 @@ def test_streaming_funnel_progress_across_batches(spark):
         # a click BEFORE the signup — must never count
         ev(2, datetime(2024, 1, 1, 9, 0, 0), "click"),
         ev(2, datetime(2024, 1, 1, 10, 0, 0), "signup"),
+        # user 3's CLICK arrives a batch before their signup: the
+        # buffered stage minimum must count once the signup unlocks it
+        ev(3, datetime(2024, 1, 1, 11, 30, 0), "click"),
     ])
     b2 = frame([
         ev(1, datetime(2024, 1, 1, 11, 0, 0), "click"),
         ev(2, datetime(2024, 1, 1, 12, 0, 0), "click"),
+        ev(3, datetime(2024, 1, 1, 11, 0, 0), "signup"),
     ])
     path = tmp_parquet(spark, b1)
     stream = _events_stream(spark, str(path), b1.schema, one_file_per_batch=True)
@@ -213,3 +217,9 @@ def test_streaming_funnel_progress_across_batches(spark):
     # user 2's pre-signup click ignored in batch 1; batch-2 click counts
     assert [r.n_stages for r in u2] == [1, 2]
     assert u2[1].t1 == datetime(2024, 1, 1, 12, 0, 0)
+    # user 3 entered the funnel only in batch 2, but their batch-1
+    # click (11:30 >= signup 11:00) counts via the buffered minimum —
+    # a single progress row already at stage 2
+    u3 = [r for r in out if r.user_id == 3]
+    assert [r.n_stages for r in u3] == [2]
+    assert u3[0].t1 == datetime(2024, 1, 1, 11, 30, 0)
