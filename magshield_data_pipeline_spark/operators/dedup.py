@@ -366,11 +366,14 @@ def connected_components(
     (Kiveris et al., "Connected Components in MapReduce") — same
     per-round join shape, provably fewer rounds.
     """
-    # symmetric edge list (a→b and b→a), one row per directed neighbor
+    # symmetric edge list (a→b and b→a), one row per directed neighbor.
+    # Materialized ONCE via localCheckpoint: the edge frame is typically
+    # an expensive pair-producing pipeline (LSH/jaccard), and the
+    # per-round join would otherwise re-evaluate it every iteration.
     fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = fwd.union(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
@@ -381,23 +384,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # one pass computes the stepped label AND carries the old one,
+        # so the convergence probe is a filter-count over the
+        # checkpointed step — no extra old-vs-new join per round
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("_old")).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             converged = True
             break

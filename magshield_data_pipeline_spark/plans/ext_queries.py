@@ -371,7 +371,12 @@ def embedding_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact / MinHash / SimHash / Jaccard / embedding-cosine.
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 100 == 0)
-    assigned = V.assign_clusters(emb, centroids)
+    # both self-join sides read the assignment; without persistence the
+    # broadcast-centroid argmax scan runs twice (the two subtrees
+    # canonicalize differently, so ReuseExchange does not fire). Cache
+    # lifetime is session-owned — CacheManager dedups by logical plan,
+    # so repeated calls share one entry (same contract as jaccard_pairs).
+    assigned = V.assign_clusters(emb, centroids).persist()
     a = assigned.select(
         F.col("centroid_id"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )
