@@ -412,3 +412,88 @@ def connected_components(
             "max_iter or switch to large-star/small-star"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(doc_id, cluster_id) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the scale path :func:`connected_components` points at.
+
+    Min-label propagation needs O(diameter) rounds: fine for dedup
+    cliques (diameter 2-3), ruinous for chain-shaped components. The
+    star algorithm contracts components in O(log²) rounds regardless of
+    shape, with the same per-round cost envelope (each half-round is
+    one groupBy-on-vertex shuffle + one partially-aggregated min):
+
+    - **large-star**: every node points its LARGER neighbors at the
+      minimum of its neighborhood (incl. itself) — long chains fold
+      toward small ids without waiting for hop-by-hop propagation;
+    - **small-star**: every node points its smaller-or-equal neighbors
+      (and itself) at the neighborhood minimum — flattening partial
+      trees into stars.
+
+    Fixpoint: the edge set is a union of stars rooted at component
+    minima; the exact symmetric-difference convergence probe costs two
+    anti-joins per round (exceptAll both ways, aggregate-only — no
+    collect). Same fail-loud non-convergence contract as the label
+    propagation variant; same output schema, verified equal by tests.
+    """
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # don't re-run the pair pipeline per round
+    )
+    converged = False
+    for _ in range(max_iter):
+        # -- large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m)
+        # for the strictly-larger neighbors v
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # -- small-star on the large-star output: orient (hi, lo), for
+        # each u emit (v, m) for v ∈ N(u) ∪ {u} with m = min(N(u) ∪ {u})
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        omins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(omins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(omins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # exact fixpoint probe: edge sets equal ⇔ both differences empty
+        changed = (
+            small.exceptAll(e).count() + e.exceptAll(small).count()
+        )
+        e = small
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — raise max_iter"
+        )
+    # fixpoint edges are (node → component min) stars; roots map to
+    # themselves
+    roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return (
+        e.union(roots)
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    )

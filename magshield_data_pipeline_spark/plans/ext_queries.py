@@ -1096,3 +1096,26 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = labeled.filter(F.col("split") == "train").select("doc_id", "text")
     test = labeled.filter(F.col("split") == "test").select("doc_id", "text")
     return T.contamination_check(train, test, max_df=_JACCARD_MAX_DF)
+
+
+# ---------------------------------------------------------------------------
+# EXT — connected components, the O(log²)-round star-contraction variant
+# (registered after the round-4 driver window; COVERAGE.md's rotation
+# puts it into the round-5 window)
+
+
+@register(
+    "near_dup_clusters_star",
+    sql=_CLUSTERS_SQL,
+    description="near-dup PAIRS → dedup CLUSTERS via alternating "
+    "large-star/small-star contraction (Kiveris et al.) — the bounded-"
+    "rounds scale path for chain-shaped components; same cluster "
+    "output (and oracle) as the min-label-propagation variant",
+)
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.5,
+        max_df=_JACCARD_MAX_DF,
+    )
+    return D.connected_components_star(pairs)

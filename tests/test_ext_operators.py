@@ -186,6 +186,41 @@ def test_connected_components_merges_chains(spark):
     assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
 
 
+def test_star_cc_equals_label_propagation(spark):
+    from magshield_data_pipeline_spark.operators import dedup as D
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3), (7, 7), (10, 11), (11, 5)],
+        ["doc_a", "doc_b"],
+    )
+    # self-loop (7,7) contributes no component membership in either
+    want = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components(edges, max_iter=30).collect()
+    }
+    got = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components_star(edges).collect()
+    }
+    assert got == {k: v for k, v in want.items() if k != 7}
+
+
+def test_star_cc_long_chain_converges_fast(spark):
+    # a 64-node path: diameter 63 — label propagation's worst case,
+    # where the star algorithm's whole point is O(log²) contraction
+    from magshield_data_pipeline_spark.operators import dedup as D
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components_star(edges, max_iter=10).collect()
+    }
+    assert out == {i: 1 for i in range(1, n + 1)}
+
+
 def test_split_assign_proportions_and_stability(spark):
     from magshield_data_pipeline_spark.operators import sampling as SA
 
