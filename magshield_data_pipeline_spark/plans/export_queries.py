@@ -29,6 +29,26 @@ from magshield_data_pipeline_spark.sources.parquet import read_table
 # F3 date-or-passthrough, F9 conditional link count, A4 formatted dedup)
 
 
+def _fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fact-side read with a minimum-parallelism guard.
+
+    The driver's single-file, single-row-group parquet fixtures give the
+    scan exactly ONE split, so the export pipelines' expression-heavy
+    projection (CUSTOMFIELDS build + per-column clean_text) would run
+    single-threaded until the first exchange. When the scan provides
+    fewer partitions than the session's default parallelism, one cheap
+    round-robin repartition of the narrow source rows parallelizes the
+    downstream CPU work; on a real cluster (many files / row groups)
+    the condition is false and this is a NO-OP — no extra exchange at
+    scale.
+    """
+    df = read_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 16):
+        return df.repartition(min(target, 16))
+    return df
+
+
 def _entry(name, value) -> F.Column:
     return F.struct(
         F.lit(name).alias("FIELD_NAME"),
@@ -219,7 +239,7 @@ def quote_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join); Grand_Total__c is absent for %3==0 (fallback to the raw
     # GRAND_TOTAL — key-missing), EMPTY for %3==1 (no fallback —
     # value-empty), an override otherwise.
-    orders = read_table(spark, sf_dir, "orders")
+    orders = _fact(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     supplier = read_table(spark, sf_dir, "supplier")
 
@@ -421,7 +441,7 @@ def task_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale posture matches exports.task_export: dims broadcast, the
     # LINKS build is one groupBy on the fact key, the Q5 fold is a
     # single partial-agg max_by — no ranking windows, no cartesians.
-    orders = read_table(spark, sf_dir, "orders")
+    orders = _fact(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
     customer = read_table(spark, sf_dir, "customer")
     supplier = read_table(spark, sf_dir, "supplier")
@@ -653,7 +673,7 @@ def opportunity_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale posture matches exports.opportunity_export: every dim
     # broadcast, J7 is one groupBy on the fact key, the fan-out is
     # explode_outer (no join multiplication beyond real products).
-    orders = read_table(spark, sf_dir, "orders")
+    orders = _fact(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
     customer = read_table(spark, sf_dir, "customer")
     supplier = read_table(spark, sf_dir, "supplier")
@@ -848,7 +868,7 @@ def invoice_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale posture matches exports.invoice_export: one fact scan,
     # three aliased broadcast probes of the same struct dim, no
     # exchange beyond the output dedup.
-    orders = read_table(spark, sf_dir, "orders")
+    orders = _fact(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     supplier = read_table(spark, sf_dir, "supplier")
 
@@ -980,7 +1000,7 @@ LEFT JOIN org site
 def equipment_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale posture matches exports.equipment_export: one fact scan +
     # three broadcast probes; no exchange beyond the output dedup.
-    orders = read_table(spark, sf_dir, "orders")
+    orders = _fact(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     supplier = read_table(spark, sf_dir, "supplier")
 
