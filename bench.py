@@ -64,9 +64,13 @@ def main() -> int:
     for name, spec in QUERY_REGISTRY.items():
         runs: list[float] = []
         for _ in range(n_runs):
-            df = spec.fn(spark, sf_dir)
+            # the timer starts BEFORE plan construction: for lazy plans
+            # that adds only milliseconds of DataFrame building, but the
+            # eager tier (streaming AvailableNow runs, iterative
+            # connected components) does its real work inside fn() —
+            # timing only the final write would undercount them
             t0 = time.perf_counter()
-            consume(df)
+            consume(spec.fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)

@@ -698,7 +698,7 @@ def streaming_funnel_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = W.read_events_stream(spark, sf_dir)
     feed = ST.funnel_stateful(stream, watermark="10 minutes")
-    out = W.run_available_now(feed, output_mode="append")
+    out = W.run_available_now(feed, output_mode="append", state_partitions=8)
     return out.select(
         "user_id",
         F.date_format("t0", _TSFMT_SPARK).alias("signup_ts"),

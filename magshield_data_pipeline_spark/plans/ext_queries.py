@@ -926,14 +926,35 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
     base = f"/tmp/bucketed_{tag}"
-    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        SC.write_bucketed(
-            read_table(spark, sf_dir, tbl),
-            table=f"b_{tbl}_{tag}",
-            key=key,
-            buckets=_BUCKETS,
-            path=f"{base}/{tbl}",
-        )
+    # the bucket layout is the amortized one-time shuffle: rebuild only
+    # when the SOURCE parquet changed (size+mtime signature, same
+    # freshness contract as the paged-source test double) or the tables
+    # are not in this session's catalog
+    stats = [
+        _os.stat(f"{sf_dir}/{t}.parquet") for t in ("lineitem", "orders")
+    ]
+    sig = "|".join(f"{s.st_size}:{s.st_mtime_ns}" for s in stats)
+    sig_path = f"{base}/.sig"
+    fresh = False
+    if _os.path.exists(sig_path):
+        with open(sig_path, "r", encoding="utf-8") as f:
+            fresh = f.read() == sig
+    registered = spark.catalog.tableExists(
+        f"b_orders_{tag}"
+    ) and spark.catalog.tableExists(f"b_lineitem_{tag}")
+    if not (fresh and registered):
+        for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+            SC.write_bucketed(
+                read_table(spark, sf_dir, tbl),
+                table=f"b_{tbl}_{tag}",
+                key=key,
+                buckets=_BUCKETS,
+                path=f"{base}/{tbl}",
+            )
+        _os.makedirs(base, exist_ok=True)
+        with open(sig_path + ".tmp", "w", encoding="utf-8") as f:
+            f.write(sig)
+        _os.replace(sig_path + ".tmp", sig_path)
     orders = spark.table(f"b_orders_{tag}")
     lineitem = spark.table(f"b_lineitem_{tag}").select(
         "l_orderkey", "l_extendedprice", "l_discount"

@@ -113,25 +113,43 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def run_available_now(
-    df: DataFrame, name: str | None = None, output_mode: str = "complete"
+    df: DataFrame,
+    name: str | None = None,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into an
     in-memory table and return the materialized result: process every
     available file, then stop — the streaming equivalent of a batch run
     (used for backfills and for stream/batch parity checks).
     ``output_mode='append'`` for flatMapGroupsWithState-style operators
-    that only ever append (stateful.py)."""
+    that only ever append (stateful.py).
+
+    ``state_partitions`` sizes the state store: a streaming query's
+    state-partition count is frozen from ``spark.sql.shuffle.partitions``
+    at FIRST checkpoint creation, and each partition carries fixed
+    per-micro-batch overhead (state files, a Python worker round for
+    applyInPandasWithState). Size it to the keyspace — the standard
+    Structured Streaming ops knob. Safe here because every run gets a
+    fresh checkpoint dir; the session conf is restored afterwards."""
     name = name or f"stream_result_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 
