@@ -252,3 +252,94 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH — the hash-bucketed ANN scale path
+
+
+def srp_hyperplanes(
+    n_bands: int = 4, rows_per_band: int = 8, dim: int = 64, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes for SRP-LSH, shaped
+    [band][row][dim]. Components are drawn from a seeded PRNG and
+    rounded to 6 decimals so the SAME literal values embed exactly into
+    both the Spark plan and the DuckDB oracle SQL (the established
+    constant-sharing pattern that keeps hash operators oracle-checkable).
+    """
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        [[round(rnd.uniform(-1.0, 1.0), 6) for _ in range(dim)] for _ in range(rows_per_band)]
+        for _ in range(n_bands)
+    ]
+
+
+def srp_band_buckets(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket): each band's bucket packs the sign bits of the
+    vector's dot products with that band's hyperplanes. Two vectors with
+    cosine similarity s agree on one plane with probability 1 - θ/π
+    (θ = arccos s), so near-parallel vectors collide in some band with
+    high probability while the corpus spreads uniformly — the same
+    banded-join shape as MinHash LSH (operators/dedup.py), applied to
+    dense vectors. One projection scan, no shuffle here; the candidate
+    join downstream is the only wide op.
+
+    Dot signs are taken on values rounded to 6 decimals (cross-engine
+    IEEE parity: both engines fold the product sum sequentially, and
+    rounding absorbs any last-ulp noise before the sign decision).
+    """
+    v = as_double_vec(vec_col)
+    bands = []
+    for band, rows in enumerate(planes):
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(rows):
+            plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(F.round(dot(v, plane_lit), 6) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            bucket = bucket + bit
+        bands.append(
+            df.select(
+                F.col(id_col),
+                F.lit(band).alias("band"),
+                bucket.cast("long").alias("bucket"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def srp_candidate_pairs(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct candidate near-neighbor pairs: vectors sharing any
+    band's bucket. The self-join keys on (band, bucket) — bounded
+    bucket population, never all-pairs — and the distinct collapses
+    multi-band collisions. Verify candidates with exact cosine
+    downstream (the SRP analog of minhash→jaccard verification)."""
+    b = srp_band_buckets(df, planes, id_col, vec_col)
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b")
+        )
+        .distinct()
+    )

@@ -1140,3 +1140,48 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_JACCARD_MAX_DF,
     )
     return D.connected_components_star(pairs)
+
+
+# ---------------------------------------------------------------------------
+# EXT — SRP-LSH candidate pairs over embeddings (registered after the
+# round-4 driver window; COVERAGE.md's rotation puts it into round 5)
+
+_SRP_PLANES = V.srp_hyperplanes(n_bands=4, rows_per_band=8, dim=64, seed=42)
+
+
+def _srp_band_sql(band: int) -> str:
+    rows = _SRP_PLANES[band]
+    bits = " + ".join(
+        f"(CASE WHEN round(list_dot_product(v, {rows[i]}), 6) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(len(rows))
+    )
+    return (
+        f"SELECT vec_id, {band} AS band, CAST({bits} AS BIGINT) AS bucket FROM e"
+    )
+
+
+_SRP_SQL = (
+    "WITH e AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+    "buckets AS (" + "\n    UNION ALL ".join(_srp_band_sql(b) for b in range(4)) + ")\n"
+    "SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
+    "FROM buckets a JOIN buckets b\n"
+    "  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id"
+)
+
+
+@register(
+    "embedding_srp_candidates",
+    sql=_SRP_SQL,
+    description="signed-random-projection LSH over embeddings: 4 bands x "
+    "8 hyperplane sign bits, candidate pairs via (band,bucket) self-join "
+    "— the hash-bucketed ANN scale path beside IVF; plane constants are "
+    "shared literals between the Spark plan and the oracle SQL",
+)
+def embedding_srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one projection scan computes all 32 dot signs (JVM
+    # higher-order folds, no Python); the only wide op is the banded
+    # bucket self-join — bounded population per bucket, never all-pairs.
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.srp_candidate_pairs(emb, _SRP_PLANES)

@@ -312,3 +312,28 @@ def test_contamination_check_exact_and_shingle(spark):
     assert out[10].exact_dup is True and out[10].n_train_matches == 1
     assert out[11].exact_dup is False and out[11].n_train_matches == 1
     assert out[12].exact_dup is False and out[12].n_train_matches == 0
+
+
+def test_srp_identical_vectors_collide_in_every_band(spark):
+    from magshield_data_pipeline_spark.operators import similarity as V
+
+    planes = V.srp_hyperplanes(n_bands=4, rows_per_band=8, dim=4, seed=7)
+    rows = [
+        (1, [0.5, -0.25, 0.75, 0.1]),
+        (2, [0.5, -0.25, 0.75, 0.1]),   # identical → same bucket, all bands
+        (3, [-0.5, 0.25, -0.75, -0.1]),  # antipodal → opposite sign bits
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    buckets = {
+        (r.vec_id, r.band): r.bucket
+        for r in V.srp_band_buckets(df, planes).collect()
+    }
+    for band in range(4):
+        assert buckets[(1, band)] == buckets[(2, band)]
+        # antipodal vector flips every sign bit → bitwise complement
+        assert buckets[(3, band)] == (~buckets[(1, band)]) & 0xFF
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in V.srp_candidate_pairs(df, planes).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
