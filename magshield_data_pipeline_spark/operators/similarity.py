@@ -296,8 +296,8 @@ def srp_band_buckets(
     rounding absorbs any last-ulp noise before the sign decision).
     """
     v = as_double_vec(vec_col)
-    bands = []
-    for band, rows in enumerate(planes):
+    buckets = []
+    for rows in planes:
         bucket = F.lit(0).cast("long")
         for i, plane in enumerate(rows):
             plane_lit = F.array(*[F.lit(float(x)) for x in plane])
@@ -305,17 +305,14 @@ def srp_band_buckets(
                 F.lit(0)
             )
             bucket = bucket + bit
-        bands.append(
-            df.select(
-                F.col(id_col),
-                F.lit(band).alias("band"),
-                bucket.cast("long").alias("bucket"),
-            )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+        buckets.append(bucket.cast("long"))
+    # ALL band buckets come out of ONE projection (a per-band union
+    # would re-scan the source once per band); posexplode unpivots the
+    # bucket array to (band, bucket) rows with band = array position
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*buckets)).alias("band", "bucket"),
+    )
 
 
 def srp_candidate_pairs(
@@ -329,7 +326,10 @@ def srp_candidate_pairs(
     bucket population, never all-pairs — and the distinct collapses
     multi-band collisions. Verify candidates with exact cosine
     downstream (the SRP analog of minhash→jaccard verification)."""
-    b = srp_band_buckets(df, planes, id_col, vec_col)
+    # both self-join sides read the bucket projection; persist so the
+    # 32-fold dot computation runs once (cache lifetime caller-owned,
+    # CacheManager dedups by plan — same contract as jaccard_pairs)
+    b = srp_band_buckets(df, planes, id_col, vec_col).persist()
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(
