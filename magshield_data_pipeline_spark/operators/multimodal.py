@@ -163,3 +163,35 @@ def frame_sample_points(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("sample_ms"),
         )
     )
+
+
+def resize_plan(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Aspect-preserving image resize PLAN from typed metadata only:
+    target dimensions to fit ``max_w × max_h`` without upscaling
+    (scale = min(max_w/w, max_h/h, 1), floor to pixels, never below 1).
+    Like :func:`frame_sample_points`, the binary payload is untouched —
+    column pruning drops it from the scan, so planning a resize pass
+    over a 100 TB corpus reads metadata only; the actual pixel
+    resampling runs through the (stubbed) codec via an
+    ``extract_features``-style mapInPandas.
+
+    The scale factor is rounded to 6 decimals BEFORE the floor so the
+    derived integer dimensions are engine-reproducible (identical IEEE
+    operands → identical products → identical floors)."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.round(
+        F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0)), 6
+    )
+    return (
+        media.filter((F.col("kind") == "image") & (w > 0) & (h > 0))
+        .select(
+            "media_id",
+            F.col("meta.width").alias("src_w"),
+            F.col("meta.height").alias("src_h"),
+            scale.alias("scale"),
+            F.greatest(F.floor(w * scale), F.lit(1)).cast("int").alias("dst_w"),
+            F.greatest(F.floor(h * scale), F.lit(1)).cast("int").alias("dst_h"),
+            (scale < 1.0).alias("needs_resize"),
+        )
+    )

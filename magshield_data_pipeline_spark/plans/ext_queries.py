@@ -1185,3 +1185,66 @@ def embedding_srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket self-join — bounded population per bucket, never all-pairs.
     emb = read_table(spark, sf_dir, "embeddings")
     return V.srp_candidate_pairs(emb, _SRP_PLANES)
+
+
+# ---------------------------------------------------------------------------
+# EXT — image resize plan from typed metadata (registered after the
+# round-4 driver window; rotates into round 5)
+
+_RESIZE_SQL = """
+WITH m AS (
+    SELECT
+        doc_id AS media_id,
+        CASE TRY_CAST(substr(source, 4) AS INT) % 3
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        320 + (doc_id % 50) * 32 AS w,
+        200 + (doc_id % 37) * 24 AS h
+    FROM documents
+),
+s AS (
+    SELECT media_id, w, h,
+           round(least(224.0 / w, 224.0 / h, 1.0), 6) AS scale
+    FROM m WHERE kind = 'image' AND w > 0 AND h > 0
+)
+SELECT media_id,
+       CAST(w AS INT) AS src_w,
+       CAST(h AS INT) AS src_h,
+       scale,
+       CAST(greatest(floor(w * scale), 1) AS INT) AS dst_w,
+       CAST(greatest(floor(h * scale), 1) AS INT) AS dst_h,
+       scale < 1.0 AS needs_resize
+FROM s
+"""
+
+
+@register(
+    "media_resize_plan",
+    sql=_RESIZE_SQL,
+    description="aspect-preserving image resize plan (fit 224x224, no "
+    "upscale) from typed metadata only — payload column pruned from the "
+    "scan; pixel resampling would run through the stubbed codec "
+    "([EXT] multimodal, completes decode/extract/resize/frame-sample)",
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic synthetic dimensions from doc_id (the fixture ships
+    # no real images); the operator consumes only (kind, meta), so the
+    # payload bytes never reach the scan — same pruning story as
+    # frame_sample_plan, plan-tested there.
+    docs = read_table(spark, sf_dir, "documents")
+    src_mod = F.substring("source", 4, 10).try_cast("int") % 3
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(src_mod == 0, "image")
+        .when(src_mod == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            (F.lit(320) + (F.col("doc_id") % 50) * 32).cast("int").alias("width"),
+            (F.lit(200) + (F.col("doc_id") % 37) * 24).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return M.resize_plan(media, max_w=224, max_h=224)

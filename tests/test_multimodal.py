@@ -62,3 +62,38 @@ def test_frame_sample_points(media):
     # only the video row (id 3, duration 3500ms) → samples at 0..3000
     assert {r.media_id for r in pts} == {3}
     assert sorted(r.sample_ms for r in pts) == [0, 1000, 2000, 3000]
+
+
+def test_resize_plan_dims_and_payload_pruning(spark):
+    from magshield_data_pipeline_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"x", ("image/png", 640, 480, None, None)),
+            (2, "image", b"x", ("image/png", 100, 50, None, None)),   # fits → no resize
+            (3, "audio", b"x", ("audio/wav", None, None, 44100, 1000)),
+            (4, "image", b"x", ("image/png", 0, 10, None, None)),     # degenerate → dropped
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in M.resize_plan(media, 224, 224).collect()}
+    assert set(out) == {1, 2}
+    # 640x480 → scale 0.35 (224/640), dst 224x168
+    assert (out[1].dst_w, out[1].dst_h, out[1].needs_resize) == (224, 168, True)
+    # already within bounds → scale 1.0, dims unchanged
+    assert (out[2].dst_w, out[2].dst_h, out[2].needs_resize) == (100, 50, False)
+    # the binary payload must be pruned from the scan entirely —
+    # observable only on a file-backed relation (LocalRelation carries
+    # every attribute regardless)
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="resize_media_")
+    media.write.mode("overwrite").parquet(path)
+    plan = (
+        M.resize_plan(spark.read.parquet(path), 224, 224)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and all("content" not in ln for ln in scan_lines)
