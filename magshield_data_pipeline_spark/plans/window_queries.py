@@ -279,3 +279,42 @@ def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.run_available_now(
         W.dedup_stream(stream), output_mode="append", state_partitions=8
     )
+
+
+@register(
+    "sharded_hll_union",
+    sql="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(8 AS BIGINT) AS n_shards, TRUE AS within_tolerance
+    FROM events
+    """,
+    description="shard-mergeable distinct counting: per-shard Datasketches "
+    "HLL sketches (hll_sketch_agg) unioned at query time "
+    "(hll_union_agg → estimate) — the pre-aggregated-sketch pattern a "
+    "100 TB pipeline uses so distinct counts never re-scan raw data. "
+    "Sketch bytes are engine-specific, so the hash-checkable contract "
+    "is the approx_distinct_users bounds check",
+)
+def sharded_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The two-level shape is the point: level 1 builds one fixed-size
+    # sketch per shard (in production: per partition/day, materialized
+    # alongside the data); level 2 answers the global question by
+    # merging 8 sketches — no raw-data re-scan. The exact count rides
+    # along only to make the estimate oracle-checkable; the single-row
+    # cross join mirrors count_probe's metadata-row shape.
+    events = read_table(spark, sf_dir, "events")
+    sketches = events.groupBy((F.col("user_id") % 8).alias("shard")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count("*").alias("n_shards"),
+    )
+    exact = events.agg(F.count_distinct("user_id").alias("exact_users"))
+    tol = (
+        F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+        <= 0.05
+    )
+    return exact.crossJoin(merged).select(
+        "exact_users", "n_shards", tol.alias("within_tolerance")
+    )

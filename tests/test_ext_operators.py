@@ -337,3 +337,26 @@ def test_srp_identical_vectors_collide_in_every_band(spark):
         for r in V.srp_candidate_pairs(df, planes).collect()
     }
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_hll_shard_merge_equals_global_sketch(spark):
+    # merging per-shard sketches must estimate the same cardinality as
+    # one global sketch (within HLL error — the union can promote the
+    # sketch representation, so estimates are close, not bit-identical);
+    # this is what makes pre-aggregated per-partition sketches safe to
+    # materialize and union at query time
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select((F.col("id") % 1300).alias("uid"))
+    global_est = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("e")
+    ).collect()[0]["e"]
+    merged_est = (
+        df.groupBy((F.col("uid") % 8).alias("shard"))
+        .agg(F.hll_sketch_agg("uid").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(merged_est - global_est) / 1300 <= 0.02
+    assert abs(merged_est - 1300) / 1300 <= 0.05
+    assert abs(global_est - 1300) / 1300 <= 0.05

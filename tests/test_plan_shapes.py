@@ -26,6 +26,8 @@ _ALLOW_BNLJ = {
     "kmeans_centroid_update",
     # three single-row count(*) frames crossed into one metadata row
     "count_probe",
+    # single-row exact count × single-row merged-sketch estimate
+    "sharded_hll_union",
 }
 
 # streaming / iterative queries execute eagerly inside fn(); their final
