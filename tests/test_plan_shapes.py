@@ -36,6 +36,7 @@ _EAGER = {
     "streaming_tumbling_counts",
     "stateful_sessionizer",
     "near_dup_clusters",
+    "near_dup_clusters_star",
     "streaming_dedup_pairs",
     "streaming_funnel_progress",
 }
@@ -169,6 +170,15 @@ def test_export_broadcast_gate_adapts(spark):
     assert "BroadcastHashJoin" not in unhinted, (
         "hint off: join strategy must be left to size estimates/AQE"
     )
+
+
+def test_srp_buckets_single_projection_scan(spark):
+    # all 4 band buckets must come from ONE source scan (a per-band
+    # union would re-read the embeddings once per band); the self-join
+    # adds the second scan of the persisted projection
+    df = QUERY_REGISTRY["embedding_srp_candidates"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert plan.count("FileScan") <= 2, "SRP bucket build re-scans per band"
 
 
 def test_mixture_rate_table_single_rollup_scan(spark):
