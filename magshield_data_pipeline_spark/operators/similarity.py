@@ -343,3 +343,35 @@ def srp_candidate_pairs(
         )
         .distinct()
     )
+
+
+def srp_verified_pairs(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP candidates verified with EXACT cosine ≥ *threshold* — the
+    end-to-end hash-bucketed semantic-dedup pipeline, mirroring the
+    minhash→jaccard composition (operators/dedup.py): the LSH stage
+    bounds the pair count, the verify stage removes false positives.
+
+    Returns (vec_a, vec_b, score). Scale: the candidate set is the only
+    pair-shaped frame — the two vector joins re-attach embeddings by id
+    (shuffle on id, AQE-sized), and the cosine fold runs once per
+    CANDIDATE, never per corpus pair. Scores are rounded to 6 decimals
+    before the threshold so the filter decision is engine-reproducible.
+    """
+    cand = srp_candidate_pairs(df, planes, id_col, vec_col)
+    vecs = df.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    return (
+        cand.join(vecs.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(vecs.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("va"), F.col("vb")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -1195,6 +1195,45 @@ def embedding_srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.srp_candidate_pairs(emb, _SRP_PLANES)
 
 
+# the fixture embeddings are near-random (SRP-candidate cosine p90≈0.23,
+# max≈0.47 at sf0.001), so the demo threshold sits in that range;
+# production semantic dedup uses ~0.9 on real embeddings — same plan
+_SRP_VERIFY_THRESHOLD = 0.25
+
+# the oracle recomputes cosine EXACTLY as the Spark side does (raw
+# double vectors: dot / (norm*norm), rounded to 6) rather than via the
+# normalize-then-dot shape — same fold order, so the rounded threshold
+# decision cannot diverge across engines
+_SRP_VERIFIED_SQL = f"""
+WITH cand AS ({_SRP_SQL}),
+raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+    SELECT vec_a, vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / nullif(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 0), 6) AS score
+    FROM cand JOIN raw a ON cand.vec_a = a.vec_id
+              JOIN raw b ON cand.vec_b = b.vec_id
+)
+SELECT vec_a, vec_b, score FROM scored WHERE score >= {_SRP_VERIFY_THRESHOLD}
+"""
+
+
+@register(
+    "embedding_srp_verified",
+    sql=_SRP_VERIFIED_SQL,
+    description=f"SRP-LSH candidates verified with exact cosine ≥ "
+    f"{_SRP_VERIFY_THRESHOLD} — the end-to-end hash-bucketed semantic-"
+    "dedup pipeline (LSH bounds the pair count, verification removes "
+    "false positives), mirroring minhash→jaccard",
+)
+def embedding_srp_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Verification cost is per-CANDIDATE, never per corpus pair; the
+    # vector re-attach joins shuffle on id and AQE sizes them.
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.srp_verified_pairs(emb, _SRP_PLANES, _SRP_VERIFY_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # EXT — image resize plan from typed metadata (registered after the
 # round-4 driver window; rotates into round 5)

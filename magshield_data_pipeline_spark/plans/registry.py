@@ -82,72 +82,83 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # (tests/test_oracle_parity.py runs all of them against DuckDB at sf0.001);
 # the explicit list below chooses which 50 get the driver's hard signal this
 # round.  Rotation policy, auditable in COVERAGE.md:
-#   1. queries with NO driver row in any round come first (the 6 CRM export
-#      pipelines, the curation tier, value_mad_per_type, ...);
-#   2. then queries whose last driver verdict is stale or failing
-#      (value_percentiles failed r2; the r2-green streaming/window set
-#      rotated out of the r3 window);
-#   3. the remainder of the window holds queries green in only ONE round;
-#   4. queries green in 2+ rounds rotate out until the above are proven.
+#   1. queries with NO driver row in any round come first;
+#   2. then queries whose last driver verdict is failing;
+#   3. then oldest-last-green queries (every green verdict ages one round
+#      per rotation — cycle them back before the evidence gets stale);
+#   4. queries whose source was TOUCHED this round get re-checked even if
+#      recently green;
+#   5. the freshest-green remainder rotates out until the above are proven.
+# tests/test_registry_window.py enforces invariants 1–2 mechanically from
+# the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
+# is the contract).
+#
+# Round-5 window: the 4 r4-late additions that have never seen the driver
+# + the new embedding_srp_verified, then all 38 queries whose last green
+# is r3, then 7 fill slots for code-touched / single-green r4 queries.
+# Rotated OUT (positions 51+): 43 queries green in r4 — none older than
+# one round.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- tier 2 first within tier 1's company: the only last-verdict failure
-    "value_percentiles",  # failed r2, reshaped to scalar rows, never re-proven
-    # -- tier 1: the reference's actual products — never driver-checked
-    "organisation_export_pipeline",
-    "quote_export_pipeline",
-    "task_export_pipeline",
-    "opportunity_export_pipeline",
-    "invoice_export_pipeline",
-    "equipment_export_pipeline",
-    # -- tier 1: curation/analytics tier — never driver-checked
-    "value_mad_per_type",
-    "tfidf_top_terms",
-    "document_chunks",
-    "incremental_corpus_dedup",
-    "source_mixture_sample",
-    "event_funnel",
-    "value_quantile_sketch",
-    "embedding_quantized_recall",
-    "corpus_cube_summary",
-    "source_char_share",
-    "incremental_near_dup_candidates",
-    "merge_upsert_orders",
-    "streaming_funnel_progress",
-    "orders_column_profile",
-    "orders_replica_diff",
-    "orderkey_gap_islands",
-    "scd2_user_state_history",
-    "cohort_retention",
-    "event_type_cooccurrence",
-    "repeated_passages",
-    "quota_stratified_sample",
-    "cdc_chunk_table",
-    "cdc_repeated_chunks",
-    "weekly_event_deltas",
-    "streaming_dedup_pairs",
-    # -- tier 2: green in r2 only, rotated out of the r3 window
-    "streaming_tumbling_counts",
-    "stateful_sessionizer",
-    "purchase_asof_click",
-    "signup_click_burst",
-    "rollup_summary",
-    "event_type_pivot",
-    # -- tier 3: green in exactly one round (r3) — keep under the driver
+    # -- tier 1: never driver-checked (r4 additions + the new r5 query)
+    "embedding_srp_candidates",
+    "near_dup_clusters_star",
+    "sharded_hll_union",
+    "media_resize_plan",
+    "embedding_srp_verified",
+    # -- tier 3: last green r3 — the reference core set
+    "users_projection_dedup",
+    "quote_enrichment",
+    "conditional_counts",
+    "order_part_fanout",
+    "last_wins_fold",
+    "mail_scan_topn",
+    "multi_hop_revenue",
+    "pricing_summary",
+    "date_format_suite",
+    "string_function_suite",
+    "running_total_window",
+    "topk_per_group",
+    "semi_join_pushdown",
+    "anti_join_orphans",
+    "union_dedup",
+    "count_probe",
+    "nation_pair_flows",
+    "json_props_extract",
+    "three_role_nation_join",
+    "links_array_pipeline",
+    "custom_fields_last_wins",
+    "link_type_dispatch",
+    # -- tier 3: last green r3 — curation / dedup / ANN set
+    "document_profile",
+    "exact_dedup_documents",
+    "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_hamming_pairs",
+    "embedding_topk_cosine",
+    "embedding_cosine_dup_pairs",
+    "embedding_ivf_topk",
+    "train_test_split",
+    "near_dup_clusters",
+    "curriculum_quality_buckets",
+    # -- tier 3: last green r3 — streaming / window set
+    "tumbling_window_rollup",
+    "sliding_window_activity",
+    "session_window_rollup",
+    "distinct_users_per_type",
+    # -- tier 4: code touched in round 5 (paged.py Arrow fallback,
+    #    streaming/stateful.py buffer path, unpersist wrappers) or green
+    #    in only one round — re-prove under the changed code
     "paged_source_scan",
-    "multimodal_byte_profile",
-    "sequence_packing",
-    "training_data_pipeline",
-    "kmeans_centroid_update",
-    "frame_sample_plan",
-    "bucketed_colocated_join",
-    "repetition_profile",
-    "pii_redaction_profile",
-    "top_ngrams",
+    "streaming_funnel_progress",
+    "stateful_sessionizer",
+    "value_percentiles",
+    "incremental_corpus_dedup",
     "contamination_check",
-    "approx_distinct_users",
-    # -- tier 4 (positions 51+, outside the driver window): green in 2+
-    #    rounds; local parity suite remains their guard.
+    "invoice_export_pipeline",
+    # -- tier 5 (positions 51+, outside the driver window): green in r4;
+    #    local parity suite remains their guard.
 ]
 
 _missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in QUERY_REGISTRY]

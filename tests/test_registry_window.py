@@ -2,11 +2,21 @@
 registry entries in insertion order, so the window composition is
 load-bearing — an accidental import-order change or a new registration
 slipping in front of the priority list would silently rotate a query
-out of (or into) the hard correctness gate. COVERAGE.md documents the
-per-round rotation; this test pins it.
+out of (or into) the hard correctness gate.
+
+Per ADVICE r4, the POLICY is enforced mechanically, not a hand-pinned
+list: never-driver-checked queries and queries whose LAST driver verdict
+failed must always outrank green ones, derived fresh from the
+CORRECTNESS_r*.json artifacts at repo root. COVERAGE.md documents the
+per-round rotation for human audit.
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import re
 
 from magshield_data_pipeline_spark.plans.registry import (
     _DRIVER_WINDOW_PRIORITY,
@@ -14,37 +24,69 @@ from magshield_data_pipeline_spark.plans.registry import (
 )
 
 DRIVER_WINDOW = 50
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_history() -> dict[str, dict[int, bool]]:
+    """{query: {round: green?}} from every CORRECTNESS_r*.json present."""
+    hist: dict[str, dict[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            hist.setdefault(name, {})[rnd] = green
+    return hist
 
 
 def test_priority_list_is_the_window_prefix():
     names = list(QUERY_REGISTRY)
     assert names[: len(_DRIVER_WINDOW_PRIORITY)] == _DRIVER_WINDOW_PRIORITY
+    assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW
 
 
-def test_window_covers_never_driver_checked_queries():
-    # every query that had no driver CORRECTNESS row through round 3
-    # must sit inside the round-4 window (VERDICT r3 task 1)
-    never_checked = {
-        "organisation_export_pipeline", "quote_export_pipeline",
-        "task_export_pipeline", "opportunity_export_pipeline",
-        "invoice_export_pipeline", "equipment_export_pipeline",
-        "value_mad_per_type", "tfidf_top_terms", "document_chunks",
-        "incremental_corpus_dedup", "source_mixture_sample", "event_funnel",
-        "value_quantile_sketch", "embedding_quantized_recall",
-        "corpus_cube_summary", "source_char_share",
-        "incremental_near_dup_candidates", "merge_upsert_orders",
-        "streaming_funnel_progress", "orders_column_profile",
-        "orders_replica_diff", "orderkey_gap_islands",
-        "scd2_user_state_history", "cohort_retention",
-        "event_type_cooccurrence", "repeated_passages",
-        "quota_stratified_sample", "cdc_chunk_table", "cdc_repeated_chunks",
-        "weekly_event_deltas", "streaming_dedup_pairs",
-        # last driver verdict was a FAILURE (r2) — must be re-proven
-        "value_percentiles",
-    }
+def test_never_checked_and_last_failing_always_outrank_green():
+    """The rotation-policy invariant (registry.py tiers 1-2), enforced
+    from the artifacts: any registered query with no driver row, or whose
+    LATEST driver verdict is a failure, must sit inside the window."""
+    hist = _driver_history()
+    must_be_in_window = set()
+    for name in QUERY_REGISTRY:
+        rounds = hist.get(name)
+        if not rounds:
+            must_be_in_window.add(name)  # never driver-checked
+        elif not rounds[max(rounds)]:
+            must_be_in_window.add(name)  # latest verdict failed
     window = set(list(QUERY_REGISTRY)[:DRIVER_WINDOW])
-    missing = never_checked - window
+    missing = must_be_in_window - window
     assert not missing, f"unproven queries outside the driver window: {missing}"
+
+
+def test_window_freshness_bound():
+    """No query's last driver green should age more than two rounds
+    beyond the latest artifact without rotating back into the window."""
+    hist = _driver_history()
+    if not hist:
+        return
+    latest_round = max(r for rounds in hist.values() for r in rounds)
+    window = set(list(QUERY_REGISTRY)[:DRIVER_WINDOW])
+    stale = []
+    for name in QUERY_REGISTRY:
+        if name in window:
+            continue  # being re-proven this round
+        rounds = hist.get(name)
+        if not rounds:
+            continue  # caught by the invariant test above
+        last_green = max((r for r, g in rounds.items() if g), default=0)
+        if last_green and latest_round - last_green >= 2:
+            stale.append((name, last_green))
+    assert not stale, f"stale-green queries left outside the window: {stale}"
 
 
 def test_every_query_has_oracle_sql_or_is_documented_rows_only():
