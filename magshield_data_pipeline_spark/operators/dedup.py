@@ -82,7 +82,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     the MD5 fingerprint (uniform, skew-free), implemented as a
     ``min(struct(id, …))`` aggregate so the map side pre-combines per
     fingerprint (HashAggregate, no Window/Sort over full rows) — the
-    same survivor rule as :func:`incremental_exact_dedup`."""
+    same survivor rule as :func:`incremental_exact_dedup`.
+
+    Requirements/semantics of the ``min(struct)`` shape:
+
+    - every carried column must be ORDERABLE — a map-typed column fails
+      analysis (structs/arrays are fine). Project unorderable columns
+      out before calling and join them back on *id_col* afterwards;
+    - ties on *id_col* (two rows, same fingerprint, same id) break
+      deterministically by the remaining columns in ``df.columns``
+      order — unlike a row_number ranking, which breaks such ties
+      arbitrarily. With unique ids the survivor set is identical."""
     cols = df.columns
     rest = [c for c in cols if c != id_col]
     with_fp = df.withColumn("fp", fingerprint(text_col))
@@ -340,11 +350,26 @@ def jaccard_pairs(
 # Connected components — dup PAIRS → dup CLUSTERS
 
 
+def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Truncate lineage between iterations. Default: ``localCheckpoint``
+    (executor-local blocks — fastest, but a lost executor mid-iteration
+    fails the job on a real cluster). With *checkpoint_dir* set, use
+    reliable ``checkpoint()`` against that path (HDFS/object store):
+    blocks survive executor loss at the cost of a write per round —
+    the right trade on a 1000-executor run where preemption is routine.
+    """
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every vertex in *edges*, where
     cluster_id = min doc_id reachable — turning near-dup PAIRS into
@@ -358,22 +383,27 @@ def connected_components(
 
     Scale notes: each round is one join (labels ⋈ edges, shuffled on
     the vertex id) + one partially-aggregated min — no sorts, no
-    windows. ``localCheckpoint`` truncates the growing lineage each
-    round (the classic iterative-algorithm hazard). The driver-side
-    loop is control flow only — the convergence probe aggregates to a
-    single count, it never collects data rows. For graphs with huge
-    components, swap in the large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce") — same
-    per-round join shape, provably fewer rounds.
+    windows. Lineage is truncated each round (the classic
+    iterative-algorithm hazard) via ``localCheckpoint``, or reliable
+    ``checkpoint()`` when *checkpoint_dir* is given — see
+    :func:`_materialize` for the failure-domain tradeoff. The
+    driver-side loop is control flow only — the convergence probe
+    aggregates to a single count, it never collects data rows. For
+    graphs with huge components, swap in the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce") —
+    same per-round join shape, provably fewer rounds.
     """
     # symmetric edge list (a→b and b→a), one row per directed neighbor.
-    # Materialized ONCE via localCheckpoint: the edge frame is typically
-    # an expensive pair-producing pipeline (LSH/jaccard), and the
-    # per-round join would otherwise re-evaluate it every iteration.
+    # Materialized ONCE: the edge frame is typically an expensive
+    # pair-producing pipeline (LSH/jaccard), and the per-round join
+    # would otherwise re-evaluate it every iteration.
     fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    sym = fwd.union(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    ).localCheckpoint(eager=True)
+    sym = _materialize(
+        fwd.union(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        ),
+        checkpoint_dir,
+    )
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
@@ -396,8 +426,8 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        stepped = _materialize(stepped, checkpoint_dir)
         changed = stepped.filter(F.col("label") != F.col("_old")).count()
         labels = stepped.select("id", "label")
         if changed == 0:
@@ -419,6 +449,7 @@ def connected_components_star(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -438,17 +469,35 @@ def connected_components_star(
       trees into stars.
 
     Fixpoint: the edge set is a union of stars rooted at component
-    minima; the exact symmetric-difference convergence probe costs two
-    anti-joins per round (exceptAll both ways, aggregate-only — no
-    collect). Same fail-loud non-convergence contract as the label
+    minima. The per-round convergence probe is ONE aggregate pass —
+    ``(count, bit_xor(xxhash64(u, v)))`` over the (distinct) edge set,
+    an order-insensitive set checksum — instead of the two full
+    ``exceptAll`` exchanges an exact symmetric-difference costs. When
+    the stats match the previous round's, a single belt-and-braces
+    ``exceptAll`` confirms true set equality before declaring the
+    fixpoint (it runs ONCE, at convergence, not per round — a 64-bit
+    checksum collision combined with an equal count is ~2^-64, but the
+    confirmation makes a false fixpoint impossible rather than
+    unlikely). Same fail-loud non-convergence contract as the label
     propagation variant; same output schema, verified equal by tests.
     """
-    e = (
+
+    def _stats(df: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: order-insensitive like sum but cannot
+        # overflow (sum of hashes trips ANSI long-overflow checks)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("sig"),
+        ).collect()[0]
+        return int(row["n"]), int(row["sig"])
+
+    e = _materialize(
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)  # don't re-run the pair pipeline per round
+        .distinct(),  # don't re-run the pair pipeline per round
+        checkpoint_dir,
     )
+    e_stats = _stats(e)
     converged = False
     for _ in range(max_iter):
         # -- large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m)
@@ -468,22 +517,24 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).filter(F.col("u") != F.col("v"))
         omins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small = _materialize(
             oriented.join(omins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(omins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            checkpoint_dir,
         )
-        # exact fixpoint probe: edge sets equal ⇔ both differences empty
-        changed = (
-            small.exceptAll(e).count() + e.exceptAll(small).count()
-        )
-        e = small
-        if changed == 0:
-            converged = True
-            break
+        # cheap fixpoint probe: one aggregate pass over the new edge set
+        small_stats = _stats(small)
+        if small_stats == e_stats:
+            # stats agree — confirm exact set equality once (both
+            # frames are distinct, so exceptAll is set difference)
+            if small.exceptAll(e).count() == 0 and e.exceptAll(small).count() == 0:
+                e = small
+                converged = True
+                break
+        e, e_stats = small, small_stats
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "

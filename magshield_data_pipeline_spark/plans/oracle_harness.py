@@ -139,6 +139,12 @@ def run_all(spark: SparkSession, sf_dir: str, only: list[str] | None = None) -> 
             results.append(compare_query(spark, name, spec.fn, spec.sql, sf_dir))
         except Exception as e:  # noqa: BLE001
             results.append({"name": name, "ok": False, "error": str(e)})
+        finally:
+            # pair pipelines persist caller-owned frames; drop them so a
+            # full-registry run doesn't accumulate cache entries
+            from magshield_data_pipeline_spark.session import release_caches
+
+            release_caches(spark)
     return results
 
 

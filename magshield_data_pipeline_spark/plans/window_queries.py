@@ -285,23 +285,27 @@ def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sharded_hll_union",
     sql="""
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(8 AS BIGINT) AS n_shards, TRUE AS within_tolerance
+           CAST(count(DISTINCT user_id % 8) AS BIGINT) AS n_shards
     FROM events
     """,
     description="shard-mergeable distinct counting: per-shard Datasketches "
     "HLL sketches (hll_sketch_agg) unioned at query time "
     "(hll_union_agg → estimate) — the pre-aggregated-sketch pattern a "
     "100 TB pipeline uses so distinct counts never re-scan raw data. "
-    "Sketch bytes are engine-specific, so the hash-checkable contract "
-    "is the approx_distinct_users bounds check",
+    "Sketch bytes and the estimate are engine-specific, so the hash-"
+    "checked columns are exact_users + the realized shard count; the "
+    "5% estimate-tolerance assertion lives in the local test "
+    "(tests/test_ext_operators.py), not the cross-engine hash "
+    "(ADVICE r4: hardcoded n_shards/TRUE could break spuriously)",
 )
 def sharded_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The two-level shape is the point: level 1 builds one fixed-size
     # sketch per shard (in production: per partition/day, materialized
     # alongside the data); level 2 answers the global question by
-    # merging 8 sketches — no raw-data re-scan. The exact count rides
-    # along only to make the estimate oracle-checkable; the single-row
-    # cross join mirrors count_probe's metadata-row shape.
+    # merging the sketches — no raw-data re-scan. The merged estimate
+    # feeds a driver-visible sanity bound (fail loud if the sketch path
+    # collapses) but is NOT an output column: HLL bytes differ by
+    # engine, and a live ±5% check in hashed output is flake by design.
     events = read_table(spark, sf_dir, "events")
     sketches = events.groupBy((F.col("user_id") % 8).alias("shard")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -311,10 +315,13 @@ def sharded_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_shards"),
     )
     exact = events.agg(F.count_distinct("user_id").alias("exact_users"))
-    tol = (
-        F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
-        <= 0.05
-    )
-    return exact.crossJoin(merged).select(
-        "exact_users", "n_shards", tol.alias("within_tolerance")
+    return (
+        exact.crossJoin(merged)
+        # a merged estimate of 0/null with a nonzero exact count means
+        # the sketch-union path silently broke — fail the row out
+        # rather than report a hash-matching but meaningless answer
+        .filter(
+            (F.col("exact_users") == 0) | (F.coalesce("approx_users", F.lit(0)) > 0)
+        )
+        .select("exact_users", "n_shards")
     )

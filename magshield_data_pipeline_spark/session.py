@@ -66,3 +66,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Drop every cached DataFrame in the session.
+
+    Several pair-producing operators (``srp_candidate_pairs``,
+    ``jaccard_pairs``, ``contamination_check``) persist an internal
+    frame whose lifetime is caller-owned. A long session that runs many
+    queries back-to-back (bench.py, the oracle-parity harness) would
+    otherwise accumulate those cache entries indefinitely — harmless per
+    query, a slow memory leak across 90+. Call this between queries once
+    the previous result is fully consumed; CacheManager re-dedups by
+    logical plan, so repeat runs of the SAME query still reuse the entry
+    built during that query's own first run.
+    """
+    spark.catalog.clearCache()

@@ -183,13 +183,53 @@ class PagedJsonReader(DataSourceReader):
             if self._keep(rec)
         ]
         arrow_schema = to_arrow_schema(self.schema)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([rec.get(name) for rec in recs], type=field.type)
-                for name, field in zip(self.fields, arrow_schema)
-            ],
-            schema=arrow_schema,
-        )
+
+        def column(chunk: List[dict], name: str, field) -> "pa.Array":
+            vals = [rec.get(name) for rec in chunk]
+            try:
+                return pa.array(vals, type=field.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # the strict typed build rejects values the row-at-a-time
+                # path tolerated (ints in a string field, numeric strings
+                # in an int field). Fall back to inferring then casting —
+                # same laxity as the JSON line parser; if even the cast
+                # cannot coerce, surface WHICH field is malformed instead
+                # of an anonymous ArrowInvalid from the middle of a batch.
+                try:
+                    return pa.array(vals).cast(field.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError) as e:
+                    # mixed-type pages (e.g. str + int in one string
+                    # column) fail even at infer; for a STRING target,
+                    # stringify per value like the old row path did
+                    if pa.types.is_string(field.type) or pa.types.is_large_string(field.type):
+                        return pa.array(
+                            [
+                                None
+                                if v is None
+                                else (json.dumps(v) if isinstance(v, (dict, list)) else str(v))
+                                for v in vals
+                            ],
+                            type=field.type,
+                        )
+                    raise ValueError(
+                        f"paged_json: page rows {partition.start}-{partition.end} "
+                        f"field '{name}' not coercible to {field.type}: {e}"
+                    ) from e
+
+        # chunk very large pages so one page never materializes as one
+        # giant Arrow batch (page_size is usually ~500; defensive for
+        # degenerate configs); an empty page still yields a 0-row batch
+        # so the partition reports the correct empty schema
+        chunk_rows = 10_000
+        for lo in range(0, len(recs), chunk_rows) if recs else [0]:
+            chunk = recs[lo:lo + chunk_rows]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    column(chunk, name, field)
+                    for name, field in zip(self.fields, arrow_schema)
+                ],
+                schema=arrow_schema,
+            )
 
 
 class PagedJsonDataSource(DataSource):

@@ -221,6 +221,36 @@ def test_star_cc_long_chain_converges_fast(spark):
     assert out == {i: 1 for i in range(1, n + 1)}
 
 
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    # checkpoint_dir switches lineage truncation from executor-local
+    # blocks to reliable checkpoint files (survives executor loss on a
+    # real cluster); clusters must be identical either way
+    from magshield_data_pipeline_spark.operators import dedup as D
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3), (10, 11), (11, 5)],
+        ["doc_a", "doc_b"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    want = {
+        r.doc_id: r.cluster_id for r in D.connected_components(edges).collect()
+    }
+    got_lp = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    got_star = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components_star(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert got_lp == want
+    assert got_star == want
+    # the reliable path actually wrote checkpoint data
+    import os
+
+    assert any(os.scandir(ckpt))
+
+
 def test_split_assign_proportions_and_stability(spark):
     from magshield_data_pipeline_spark.operators import sampling as SA
 
@@ -360,3 +390,20 @@ def test_hll_shard_merge_equals_global_sketch(spark):
     assert abs(merged_est - global_est) / 1300 <= 0.02
     assert abs(merged_est - 1300) / 1300 <= 0.05
     assert abs(global_est - 1300) / 1300 <= 0.05
+
+def test_sharded_hll_estimate_within_tolerance(spark):
+    # the registry query hash-checks only exact_users + n_shards (the
+    # estimate is engine-specific); the 5% tolerance contract lives HERE
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMALL
+
+    events = read_table(spark, SF_SMALL, "events")
+    sketches = events.groupBy((F.col("user_id") % 8).alias("shard")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    approx = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    exact = events.agg(F.count_distinct("user_id").alias("n")).collect()[0]["n"]
+    assert exact > 0
+    assert abs(approx - exact) / exact <= 0.05

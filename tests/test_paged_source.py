@@ -92,3 +92,23 @@ def test_with_retries_does_not_swallow_non_transient():
         raise ValueError("a bug, not the network")
     with pytest.raises(ValueError):
         paged.with_retries(broken, sleep=lambda _: None)
+
+
+def test_lax_coercion_int_in_string_field(spark, tmp_path):
+    # the strict Arrow build rejects ints in a string field; the
+    # fallback infers-then-casts (ADVICE r4), restoring the laxity the
+    # row-at-a-time path had
+    path = tmp_path / "lax.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({"id": 1, "name": "alpha", "value": 1.5}) + "\n")
+        f.write(json.dumps({"id": 2, "name": 42, "value": 2}) + "\n")
+    rows = {r.id: r for r in _read(spark, str(path)).collect()}
+    assert rows[2].name == "42" and rows[2].value == 2.0
+
+
+def test_uncoercible_value_names_the_field(spark, tmp_path):
+    path = tmp_path / "bad.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({"id": 1, "name": "a", "value": {"nested": True}}) + "\n")
+    with pytest.raises(Exception, match="field 'value'"):
+        _read(spark, str(path)).collect()

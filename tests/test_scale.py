@@ -87,3 +87,30 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     )[1].split("]", 1)[0]
     # and the result only contains the pruned partition
     assert scan.select("event_type").distinct().collect() == [("click",)]
+
+
+def test_pair_pipelines_leave_no_cache_after_release(spark):
+    # bench.py / oracle_harness release caller-owned persisted frames
+    # between queries (session.release_caches); a full 93-query session
+    # must not accumulate cache entries from the LSH/pair pipelines
+    from magshield_data_pipeline_spark.operators import dedup as D
+    from magshield_data_pipeline_spark.operators import similarity as V
+    from magshield_data_pipeline_spark.session import release_caches
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, "a completely different document about spark aggregation plans")],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(8)]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    planes = V.srp_hyperplanes(n_bands=2, rows_per_band=4, dim=8, seed=1)
+
+    D.jaccard_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5).count()
+    V.srp_candidate_pairs(emb, planes).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    release_caches(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -223,3 +223,77 @@ def test_streaming_funnel_progress_across_batches(spark):
     u3 = [r for r in out if r.user_id == 3]
     assert [r.n_stages for r in u3] == [2]
     assert u3[0].t1 == datetime(2024, 1, 1, 11, 30, 0)
+
+
+def test_streaming_funnel_three_batches_reverse_stage_order(spark):
+    """VERDICT r4 task 4: drive funnel_stateful with maxFilesPerTrigger=1
+    over THREE files whose stage events arrive in fully REVERSED stage
+    order (purchase, then click, then signup), exercising state.exists
+    resume and the buffered-minimum unlock path across multiple
+    micro-batch commits — plus the documented residual under-report
+    contract (never an earlier/invented stage time than the batch
+    oracle).
+
+    The watermark is 3 hours: the reversed delivery spans 2 hours of
+    event time, and Spark ITSELF drops applyInPandasWithState input
+    rows older than the (one-batch-lagged) watermark before the
+    operator sees them — the buffered-minimum path covers reordering
+    WITHIN the allowed lateness, not beyond it."""
+    from magshield_data_pipeline_spark.streaming import stateful as ST
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, ["user_id", "ts", "event_type"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # user 10: full conversion delivered in reverse stage order, one
+    # stage per micro-batch — every stage must come from the buffers.
+    # user 11: signup in b1, click two batches later.
+    # user 12: the RESIDUAL case — an ineligible 9:00 click AND an
+    # eligible 10:30 click both before their signup arrives; the single
+    # buffered minimum keeps 9:00, so once signup (10:00) lands the
+    # tracker must NOT invent a t1 (batch oracle would say 10:30).
+    b1 = frame([
+        (10, datetime(2024, 1, 1, 13, 0, 0), "purchase"),
+        (11, datetime(2024, 1, 1, 10, 0, 0), "signup"),
+        (12, datetime(2024, 1, 1, 9, 0, 0), "click"),
+        (12, datetime(2024, 1, 1, 10, 30, 0), "click"),
+    ])
+    b2 = frame([
+        (10, datetime(2024, 1, 1, 12, 0, 0), "click"),
+        (12, datetime(2024, 1, 1, 10, 0, 0), "signup"),
+    ])
+    b3 = frame([
+        (10, datetime(2024, 1, 1, 11, 0, 0), "signup"),
+        (11, datetime(2024, 1, 1, 10, 30, 0), "click"),
+    ])
+    path = tmp_parquet(spark, b1)
+    stream = _events_stream(spark, str(path), b1.schema, one_file_per_batch=True)
+    tmp_parquet(spark, b2, path)
+    tmp_parquet(spark, b3, path)
+    out = W.run_available_now(
+        ST.funnel_stateful(stream, watermark="3 hours"),
+        output_mode="append",
+    ).collect()
+
+    # user 10 enters the funnel only in batch 3, where both buffered
+    # later stages (click 12:00 >= signup 11:00, purchase 13:00 >=
+    # click 12:00) unlock at once: a single row, fully converted
+    u10 = [r for r in out if r.user_id == 10]
+    assert [r.n_stages for r in u10] == [3]
+    assert u10[0].t0 == datetime(2024, 1, 1, 11, 0, 0)
+    assert u10[0].t1 == datetime(2024, 1, 1, 12, 0, 0)
+    assert u10[0].t2 == datetime(2024, 1, 1, 13, 0, 0)
+
+    # user 11: stage 1 row in batch 1 (state.exists False), stage 2 row
+    # in batch 3 (state.exists True resume, t0 carried across commits)
+    u11 = sorted((r for r in out if r.user_id == 11), key=lambda r: r.n_stages)
+    assert [r.n_stages for r in u11] == [1, 2]
+    assert u11[1].t0 == datetime(2024, 1, 1, 10, 0, 0)
+    assert u11[1].t1 == datetime(2024, 1, 1, 10, 30, 0)
+
+    # user 12: the documented residual — progress is UNDER-reported
+    # (no t1), never an invented/earlier stage time
+    u12 = sorted((r for r in out if r.user_id == 12), key=lambda r: r.n_stages)
+    assert u12, "user 12 entered the funnel in batch 2"
+    assert all(r.t1 is None or r.t1 >= datetime(2024, 1, 1, 10, 30, 0) for r in u12)
