@@ -37,7 +37,10 @@ def consume(df) -> None:
 
 
 def _abbrev(name: str) -> str:
-    return "_".join(tok[:3] for tok in name.split("_"))
+    # separator-free keys: ~180 B headroom at 94 queries vs underscored
+    # (the map in BENCH_local.json recovers full names; collisions fail
+    # loud at import via _abbrev_map)
+    return "".join(tok[:3] for tok in name.split("_"))
 
 
 def _abbrev_map(names) -> dict[str, str]:

@@ -1295,3 +1295,60 @@ def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return M.resize_plan(media, max_w=224, max_h=224)
+
+
+# ---------------------------------------------------------------------------
+# EXT — Z-order (Morton) layout statistics (registered r5)
+
+_Z_BITS = 12  # dims quantized to [0, 4096) — covers custkey/order-day at test SFs
+_Z_BUCKETS = 16
+
+
+def _zorder_stats_sql() -> str:
+    from magshield_data_pipeline_spark.operators.layout import interleave_bits_sql
+
+    z = interleave_bits_sql("x", "y", _Z_BITS)
+    shift = 2 * _Z_BITS - _Z_BUCKETS.bit_length() + 1
+    return f"""
+WITH dims AS (
+    SELECT CAST(o_custkey % {1 << _Z_BITS} AS BIGINT) AS x,
+           CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                % {1 << _Z_BITS} AS BIGINT) AS y
+    FROM orders
+)
+SELECT CAST({z} >> {shift} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+FROM dims
+GROUP BY 1
+"""
+
+
+@register(
+    "zorder_layout_stats",
+    sql=_zorder_stats_sql(),
+    description="Z-order (Morton-curve) layout: interleave custkey and "
+    "order-day bits into a z-key, bucket by its top bits (the stand-in "
+    "for range-partitioned files), and emit per-bucket min/max envelopes "
+    "per dimension — the exact statistics footer-based file skipping "
+    "reads; tight envelopes on BOTH dims are what single-key sorting "
+    "cannot give (operators/layout.py; the Delta/Iceberg OPTIMIZE "
+    "ZORDER pattern)",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All bit math is JVM-side shiftleft/shiftright/AND folds inside
+    # whole-stage codegen; the only exchange is the 16-group final agg
+    # (partials collapse per map task). The write-side twin is
+    # layout.zorder_layout (repartitionByRange on the z-key).
+    from magshield_data_pipeline_spark.operators import layout as L
+
+    orders = read_table(spark, sf_dir, "orders")
+    dims = orders.select(
+        (F.col("o_custkey") % (1 << _Z_BITS)).cast("long").alias("x"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+            % (1 << _Z_BITS)
+        ).cast("long").alias("y"),
+    )
+    return L.zorder_bucket_stats(dims, "x", "y", bits=_Z_BITS, n_buckets=_Z_BUCKETS)

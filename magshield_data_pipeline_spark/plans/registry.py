@@ -156,7 +156,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "value_percentiles",
     "incremental_corpus_dedup",
     "contamination_check",
-    "invoice_export_pipeline",
+    # -- tier 1 again: the r5-new z-order layout query (never checked
+    #    outranks green, so it displaced the last green fill slot)
+    "zorder_layout_stats",
     # -- tier 5 (positions 51+, outside the driver window): green in r4;
     #    local parity suite remains their guard.
 ]

@@ -114,3 +114,61 @@ def test_pair_pipelines_leave_no_cache_after_release(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
     release_caches(spark)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_interleave_bits_known_values(spark):
+    from magshield_data_pipeline_spark.operators import layout as L
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (0b1111, 0b0000)], ["x", "y"]
+    )
+    got = [
+        r.z
+        for r in df.select(L.interleave_bits(F.col("x"), F.col("y"), 4).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+    # morton(x,y): x bits at even positions, y at odd
+    def morton(x, y):
+        return sum(((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1) for i in range(4))
+
+    want = [morton(x, y) for x, y in sorted([(0, 0), (1, 0), (0, 1), (3, 5), (15, 0)])]
+    assert got == want
+
+
+def test_zorder_layout_tightens_both_dims(spark):
+    # the point of z-order vs single-key sort: per-file envelopes stay
+    # bounded on BOTH dimensions. On a 64x64 uniform grid split into 16
+    # z-buckets, every bucket's x and y ranges must span at most half
+    # the domain (a single-key sort leaves the other dim spanning all of
+    # it in every file)
+    from magshield_data_pipeline_spark.operators import layout as L
+    from pyspark.sql import functions as F
+
+    grid = spark.createDataFrame(
+        [(i % 64, i // 64) for i in range(64 * 64)], ["x", "y"]
+    )
+    stats = L.zorder_bucket_stats(grid, "x", "y", bits=6, n_buckets=16).collect()
+    assert len(stats) == 16
+    assert sum(r.n_rows for r in stats) == 64 * 64
+    for r in stats:
+        assert r.x_max - r.x_min <= 32
+        assert r.y_max - r.y_min <= 32
+
+
+def test_zorder_layout_repartitions_by_range(spark):
+    from magshield_data_pipeline_spark.operators import layout as L
+
+    df = spark.range(0, 4096).selectExpr("id % 64 AS x", "CAST(id / 64 AS LONG) AS y")
+    out = L.zorder_layout(df, "x", "y", bits=6, n_files=8)
+    assert out.rdd.getNumPartitions() == 8
+    assert "_zkey" in out.columns
+    # range partitioning on the z-key: partitions hold disjoint ranges
+    parts = out.select("_zkey").rdd.glom().map(
+        lambda rows: (min(r._zkey for r in rows), max(r._zkey for r in rows))
+        if rows else None
+    ).collect()
+    spans = sorted(p for p in parts if p)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
