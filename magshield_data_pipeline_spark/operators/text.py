@@ -576,3 +576,74 @@ def cdc_chunks(
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).mapInPandas(gen, schema)
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide passage-level dedup with reassembly — the
+    RefinedWeb/Gopher-style transform that REMOVES duplicated passages
+    (here: fixed *block_words*-word blocks) keeping only the globally
+    FIRST occurrence (min (doc_id, position)), then stitches each doc
+    back together from its surviving blocks.
+
+    Returns (doc_id, n_blocks, n_kept, n_dropped, dedup_fp) where
+    ``dedup_fp`` is the MD5 of the reassembled text — compact and
+    hash-checkable without shipping document bodies through the result.
+
+    Scale shape: block explode is linear fan-out (no shuffle); the
+    winner table is one ``min(struct(doc_id, pos))`` partial aggregate
+    keyed on the uniform block MD5 (the same survivor pattern as
+    :func:`~magshield_data_pipeline_spark.operators.dedup.exact_dedup`
+    — no ranking window); survivors join back on the fingerprint and
+    re-aggregate per doc with an ``array_sort`` of (pos, block) structs
+    — deterministic reassembly without a sort exchange."""
+    words = F.split(_col(text_col), " ")
+    n_blocks = F.greatest(
+        F.ceil(F.size(words) / F.lit(block_words)).cast("int"), F.lit(1)
+    )
+    block_of = lambda i: F.array_join(  # noqa: E731
+        F.slice(words, i * block_words + 1, block_words), " "
+    )
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_blocks - 1), block_of)
+        ).alias("pos", "blk"),
+    ).select(
+        F.col(id_col), F.col("pos").cast("long").alias("pos"),
+        F.col("blk"), F.md5("blk").alias("bfp"),
+    )
+    winners = blocks.groupBy("bfp").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+    )
+    kept = blocks.join(winners, "bfp").filter(
+        (F.col(f"w.{id_col}") == F.col(id_col)) & (F.col("w.pos") == F.col("pos"))
+    )
+    totals = blocks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_blocks"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "blk"))),
+                    lambda s: s["blk"],
+                ),
+                " ",
+            )
+        ).alias("dedup_fp"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_blocks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            # a doc whose every block lost reassembles to the empty string
+            F.coalesce("dedup_fp", F.md5(F.lit(""))).alias("dedup_fp"),
+        )
+    )

@@ -1262,3 +1262,104 @@ def weekly_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_events"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup (registered r5)
+
+_BLOOM_DEDUP_SQL = f"""
+WITH f AS (
+    SELECT doc_id, lang, source, md5({_NORM}) AS fp,
+           (doc_id % 7 = 3) AS is_batch
+    FROM documents
+),
+corpus AS (SELECT DISTINCT fp FROM f WHERE NOT is_batch),
+fresh AS (
+    SELECT f.doc_id, f.lang, f.source, f.fp
+    FROM f
+    WHERE is_batch
+      AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = f.fp)
+)
+SELECT fp,
+       min(doc_id)            AS doc_id,
+       arg_min(lang, doc_id)   AS lang,
+       arg_min(source, doc_id) AS source
+FROM fresh GROUP BY fp
+"""
+
+
+@register(
+    "bloom_prefiltered_dedup",
+    sql=_BLOOM_DEDUP_SQL,
+    description="incremental dedup behind a broadcast Bloom prefilter "
+    "(2^20-bit sparse-map filter built with JVM bit aggregates - Spark "
+    "exposes no bloom_filter_agg): batch rows the filter proves fresh "
+    "skip the corpus-index shuffle; only the dup+false-positive slice "
+    "reaches the exact anti-join. Output is EXACT (never a false "
+    "negative, positives re-verified), so the oracle is the plain "
+    "anti-join dedup - the bloom changes the cost, not the answer",
+)
+def bloom_prefiltered_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    return D.bloom_incremental_dedup(
+        corpus, batch, text_col="text", id_col="doc_id", keep=("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup with reassembly (registered r5)
+
+_PASSAGE_B = 10
+
+_PASSAGE_DEDUP_SQL = f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+idx AS (
+    SELECT doc_id, w,
+           unnest(range(0, greatest(CAST(ceil(len(w) / {_PASSAGE_B}.0) AS BIGINT), 1))) AS pos
+    FROM w
+),
+b AS (
+    SELECT doc_id, pos,
+           array_to_string(w[(pos*{_PASSAGE_B}+1):(pos*{_PASSAGE_B}+{_PASSAGE_B})], ' ') AS blk
+    FROM idx
+),
+fpb AS (SELECT doc_id, pos, blk, md5(blk) AS bfp FROM b),
+ranked AS (
+    SELECT doc_id, pos, blk,
+           row_number() OVER (PARTITION BY bfp ORDER BY doc_id, pos) AS rn
+    FROM fpb
+),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks FROM b GROUP BY doc_id),
+rebuilt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(blk, ' ' ORDER BY pos)) AS dedup_fp
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_blocks,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_blocks - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(r.dedup_fp, md5('')) AS dedup_fp
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register(
+    "passage_dedup_reassembly",
+    sql=_PASSAGE_DEDUP_SQL,
+    description=f"corpus-wide passage dedup with reassembly ({_PASSAGE_B}-"
+    "word blocks, first occurrence by (doc_id, pos) wins, survivors "
+    "stitched back per doc) - the RefinedWeb-style duplicated-passage "
+    "REMOVAL transform beside the detection-only repeated_passages; "
+    "dedup_fp hashes the rebuilt text so parity covers the reassembly "
+    "itself, not just the counts",
+)
+def passage_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: linear block explode, one min(struct) winner aggregate on
+    # the uniform block hash, survivors join back on that hash, per-doc
+    # array_sort reassembly - no ranking window, no sort exchange.
+    docs = read_table(spark, sf_dir, "documents")
+    return T.passage_dedup(
+        docs, id_col="doc_id", text_col="text", block_words=_PASSAGE_B
+    )

@@ -148,17 +148,17 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "session_window_rollup",
     "distinct_users_per_type",
     # -- tier 4: code touched in round 5 (paged.py Arrow fallback,
-    #    streaming/stateful.py buffer path, unpersist wrappers) or green
-    #    in only one round — re-prove under the changed code
+    #    dedup.py min-struct/docstring, unpersist wrappers) or green in
+    #    only one round — re-prove under the changed code
     "paged_source_scan",
-    "streaming_funnel_progress",
-    "stateful_sessionizer",
     "value_percentiles",
     "incremental_corpus_dedup",
     "contamination_check",
-    # -- tier 1 again: the r5-new z-order layout query (never checked
-    #    outranks green, so it displaced the last green fill slot)
+    # -- tier 1 again: the r5-new queries (never checked outranks green,
+    #    so they displaced the greenest fill slots)
     "zorder_layout_stats",
+    "bloom_prefiltered_dedup",
+    "passage_dedup_reassembly",
     # -- tier 5 (positions 51+, outside the driver window): green in r4;
     #    local parity suite remains their guard.
 ]

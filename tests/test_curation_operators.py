@@ -339,3 +339,72 @@ def test_cdc_chunks_offset_independent(spark):
         assert sum(c.chunk_len for c in chunks) == len(text)
         for a, b in zip(chunks, chunks[1:]):
             assert a.chunk_start + a.chunk_len == b.chunk_start
+
+
+def test_bloom_incremental_equals_plain_incremental(spark):
+    # the bloom prefilter must never change the ANSWER (no false
+    # negatives; positives re-verified) - only the cost profile
+    from magshield_data_pipeline_spark.operators import dedup as D
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    plain = {
+        tuple(r)
+        for r in D.incremental_exact_dedup(
+            corpus, batch, keep=("lang", "source")
+        ).collect()
+    }
+    bloomed = {
+        tuple(r)
+        for r in D.bloom_incremental_dedup(
+            corpus, batch, keep=("lang", "source")
+        ).collect()
+    }
+    assert bloomed == plain and len(plain) > 0
+
+
+def test_bloom_prefilter_is_selective(spark):
+    # fresh rows should overwhelmingly be proven fresh WITHOUT the
+    # exact join: false-positive rate at 2^20 bits / k=5 is ~1e-4
+    from magshield_data_pipeline_spark.operators import dedup as D
+    from pyspark.sql import functions as F2
+
+    corpus = spark.range(0, 2000).selectExpr("cast(id as string) AS text")
+    fresh = spark.range(10_000, 12_000).selectExpr("cast(id as string) AS text")
+    from magshield_data_pipeline_spark.operators.text import fingerprint
+
+    bloom = D.bloom_build(corpus.select(fingerprint("text").alias("fp")).distinct())
+    probed = (
+        fresh.select(fingerprint("text").alias("fp"))
+        .crossJoin(F2.broadcast(bloom))
+        .withColumn("might", D.bloom_might_contain("fp", "bloom"))
+    )
+    hits = probed.filter("might").count()
+    assert hits <= 5  # ~0 expected of 2000 at 1e-4 fp rate
+    # and corpus members ALWAYS hit (no false negatives)
+    member = (
+        corpus.select(fingerprint("text").alias("fp"))
+        .crossJoin(F2.broadcast(bloom))
+        .withColumn("might", D.bloom_might_contain("fp", "bloom"))
+    )
+    assert member.filter("NOT might").count() == 0
+
+
+def test_passage_dedup_reassembly_semantics(spark):
+    from magshield_data_pipeline_spark.operators import text as T
+
+    # B=2-word blocks: doc 1 = [a b][c d][a b] (self-repeat at pos 2);
+    # doc 2 = [c d][x y] (pos-0 block lost to doc 1's earlier claim)
+    df = spark.createDataFrame(
+        [(1, "a b c d a b"), (2, "c d x y")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in T.passage_dedup(df, block_words=2).collect()}
+    import hashlib
+
+    assert out[1].n_blocks == 3 and out[1].n_kept == 2 and out[1].n_dropped == 1
+    assert out[1].dedup_fp == hashlib.md5(b"a b c d").hexdigest()
+    assert out[2].n_blocks == 2 and out[2].n_kept == 1
+    assert out[2].dedup_fp == hashlib.md5(b"x y").hexdigest()

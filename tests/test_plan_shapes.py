@@ -28,6 +28,10 @@ _ALLOW_BNLJ = {
     "count_probe",
     # single-row exact count × single-row merged-sketch estimate
     "sharded_hll_union",
+    # batch × the ONE-row broadcast Bloom-filter map (≤128 KB by
+    # construction) — the prefilter that keeps fresh rows out of the
+    # corpus-index shuffle
+    "bloom_prefiltered_dedup",
 }
 
 # streaming / iterative queries execute eagerly inside fn(); their final

@@ -109,11 +109,17 @@ def test_pair_pipelines_leave_no_cache_after_release(spark):
     )
     planes = V.srp_hyperplanes(n_bands=2, rows_per_band=4, dim=8, seed=1)
 
+    def persistent_ids():
+        # getPersistentRDDs also lists localCheckpoint blocks from OTHER
+        # tests on the shared session — compare as a delta, not absolute
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persistent_ids()
     D.jaccard_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5).count()
     V.srp_candidate_pairs(emb, planes).count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    assert len(persistent_ids() - before) > 0
     release_caches(spark)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert not (persistent_ids() - before)
 
 
 def test_interleave_bits_known_values(spark):
