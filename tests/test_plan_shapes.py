@@ -192,3 +192,30 @@ def test_mixture_rate_table_single_rollup_scan(spark):
     df = QUERY_REGISTRY["source_mixture_sample"].fn(spark, SF_SMALL)
     plan = _physical_plan(df)
     assert plan.count("FileScan parquet [source") == 1
+
+
+def test_zorder_stats_single_exchange_no_sort(spark):
+    # Morton interleave is pure projection; the ONLY exchange is the
+    # 16-group final aggregate's hash partitioning, and nothing sorts
+    df = QUERY_REGISTRY["zorder_layout_stats"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    shuffles = plan.replace("BroadcastExchange", "").count("Exchange")
+    assert shuffles <= 1, f"expected <=1 shuffle, plan:\n{plan[:2000]}"
+    assert "Sort" not in plan, "bit-fold aggregation should not sort"
+
+
+def test_bloom_dedup_filter_is_broadcast(spark):
+    # the bloom map must reach the batch via a broadcast, never a
+    # shuffled join — the entire point of the prefilter
+    df = QUERY_REGISTRY["bloom_prefiltered_dedup"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_passage_dedup_no_ranking_window(spark):
+    # winner selection is a min(struct) aggregate; a Window/ranking
+    # regression would globally sort the block table
+    df = QUERY_REGISTRY["passage_dedup_reassembly"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "Window" not in plan, "ranking window crept into passage dedup"
