@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def write_bucketed(
@@ -113,4 +114,43 @@ def salted_sum_count(
     return partial.groupBy(key).agg(
         F.sum("_psum").alias(f"sum_{value}"),
         F.sum("_pcnt").alias("n_rows"),
+    )
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, top_n: int = 20, hot_threshold: float = 0.01
+) -> DataFrame:
+    """The diagnostic that decides WHEN to reach for salting/AQE skew
+    handling: per-key row share of the would-be shuffle key. Returns
+    the *top_n* heaviest keys as
+    (key_rank, key_value, n_rows, share_ppm, is_hot) — share in parts
+    per million so the output stays integer/exact (a rounded double
+    share flips at half-ulp boundaries between engines), ``is_hot`` =
+    share above *hot_threshold*.
+
+    Scale shape: one partially-aggregated groupBy on the key, then a
+    top-n heap (TakeOrderedAndProject, never a full sort). Run it on a
+    sample or a single partition-day at 100 TB — the shape is the same.
+    The total row count rides along via a broadcast single-row frame.
+    """
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key_value",
+            "n_rows",
+            # exact integer ppm: floor(n * 1e6 / total) — identical in
+            # any engine, no float rounding in the hashed output
+            F.floor(F.col("n_rows") * 1_000_000 / F.col("_total")).alias("share_ppm"),
+        )
+        .withColumn("is_hot", F.col("share_ppm") >= int(hot_threshold * 1_000_000))
+        .orderBy(F.col("n_rows").desc(), F.col("key_value"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+    return ranked.withColumn("key_rank", F.row_number().over(w)).select(
+        "key_rank", "key_value", "n_rows", "share_ppm", "is_hot"
     )

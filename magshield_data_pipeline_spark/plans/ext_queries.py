@@ -1352,3 +1352,49 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("y"),
     )
     return L.zorder_bucket_stats(dims, "x", "y", bits=_Z_BITS, n_buckets=_Z_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# EXT — shuffle-key skew diagnostic (registered r5)
+
+_SKEW_TOP_N = 20
+_SKEW_HOT = 0.005  # 0.5% of rows on one key → flag for salting/AQE review
+
+_SKEW_SQL = f"""
+WITH c AS (
+    SELECT user_id AS key_value, CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+),
+t AS (SELECT count(*) AS total FROM events),
+r AS (
+    SELECT key_value, n_rows,
+           CAST(floor(n_rows * 1000000 / total) AS BIGINT) AS share_ppm
+    FROM c CROSS JOIN t
+),
+top AS (
+    SELECT key_value, n_rows, share_ppm,
+           share_ppm >= {int(_SKEW_HOT * 1_000_000)} AS is_hot,
+           row_number() OVER (ORDER BY n_rows DESC, key_value) AS key_rank
+    FROM r
+)
+SELECT CAST(key_rank AS BIGINT) AS key_rank, key_value, n_rows, share_ppm, is_hot
+FROM top WHERE key_rank <= {_SKEW_TOP_N}
+"""
+
+
+@register(
+    "key_skew_profile",
+    sql=_SKEW_SQL,
+    description=f"shuffle-key skew diagnostic: top-{_SKEW_TOP_N} heaviest "
+    "join/agg keys with exact integer ppm share and a "
+    f"{_SKEW_HOT:.1%}-of-rows hot flag — the measurement that decides "
+    "when to reach for salting (operators/scale.py) or AQE skew "
+    "handling; one partial-agg groupBy + a top-n heap, never a full sort",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magshield_data_pipeline_spark.operators import scale as SC
+
+    events = read_table(spark, sf_dir, "events")
+    return SC.key_skew_profile(
+        events, key="user_id", top_n=_SKEW_TOP_N, hot_threshold=_SKEW_HOT
+    )

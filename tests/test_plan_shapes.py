@@ -32,6 +32,8 @@ _ALLOW_BNLJ = {
     # construction) — the prefilter that keeps fresh rows out of the
     # corpus-index shuffle
     "bloom_prefiltered_dedup",
+    # per-key counts × the ONE-row total-count frame
+    "key_skew_profile",
 }
 
 # streaming / iterative queries execute eagerly inside fn(); their final

@@ -178,3 +178,16 @@ def test_zorder_layout_repartitions_by_range(spark):
     spans = sorted(p for p in parts if p)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_key_skew_profile_flags_hot_key(spark):
+    from magshield_data_pipeline_spark.operators import scale as SC
+
+    # key 7 owns 50% of rows; everyone else ~uniform
+    df = spark.range(0, 1000).selectExpr(
+        "CASE WHEN id < 500 THEN 7 ELSE id % 100 + 100 END AS k"
+    )
+    out = {r.key_rank: r for r in SC.key_skew_profile(df, "k", top_n=5).collect()}
+    assert out[1].key_value == 7 and out[1].n_rows == 500
+    assert out[1].share_ppm == 500_000 and out[1].is_hot
+    assert not out[2].is_hot  # next keys 0.5% of rows, under the 1% default
