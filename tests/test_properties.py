@@ -184,3 +184,91 @@ def test_temperature_threshold_monotone_and_bounded(spark, counts):
     ordered = sorted(got.items())
     for (c1, t1), (c2, t2) in zip(ordered, ordered[1:]):
         assert t1 >= t2
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_morton_interleave_matches_reference_model(spark, pairs):
+    # JVM bit folds vs a direct python model; injectivity within range
+    from magshield_data_pipeline_spark.operators import layout as L
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = [
+        r.z
+        for r in df.select(
+            L.interleave_bits(F.col("x"), F.col("y"), 16).alias("z")
+        ).collect()
+    ]
+
+    def morton(x, y):
+        return sum(
+            ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+            for i in range(16)
+        )
+
+    assert got == [morton(x, y) for x, y in pairs]
+    assert len(set(got)) == len(set(pairs))  # injective on the domain
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=80).map(
+            lambda s: " ".join(s.split()) or "a"
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_passage_dedup_invariants(spark, docs):
+    # kept + dropped == total blocks; a corpus with globally unique
+    # blocks reassembles every doc to its original text hash
+    import hashlib
+
+    from magshield_data_pipeline_spark.operators import text as T2
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = {r.doc_id: r for r in T2.passage_dedup(df, block_words=3).collect()}
+    assert set(out) == set(range(len(docs)))
+    for r in out.values():
+        assert r.n_kept + r.n_dropped == r.n_blocks
+        assert r.n_blocks >= 1
+    # docs that lost nothing must hash back to their own text
+    for i, text in enumerate(docs):
+        if out[i].n_dropped == 0:
+            assert out[i].dedup_fp == hashlib.md5(text.encode()).hexdigest()
+
+
+@given(
+    corpus_n=st.integers(10, 200),
+    batch_dups=st.integers(0, 10),
+    batch_fresh=st.integers(1, 10),
+)
+@settings(**_SETTINGS)
+def test_bloom_dedup_equals_plain_on_random_overlap(
+    spark, corpus_n, batch_dups, batch_fresh
+):
+    from magshield_data_pipeline_spark.operators import dedup as D2
+
+    corpus = spark.range(corpus_n).selectExpr(
+        "id AS doc_id", "concat('doc ', id) AS text"
+    )
+    batch = spark.range(batch_dups + batch_fresh).selectExpr(
+        "id + 1000000 AS doc_id",
+        f"CASE WHEN id < {batch_dups} THEN concat('doc ', id) "
+        "ELSE concat('fresh ', id) END AS text",
+    )
+    plain = {
+        tuple(r) for r in D2.incremental_exact_dedup(corpus, batch).collect()
+    }
+    bloomed = {
+        tuple(r) for r in D2.bloom_incremental_dedup(corpus, batch).collect()
+    }
+    assert bloomed == plain
+    assert len(plain) == batch_fresh
