@@ -47,6 +47,26 @@ def interleave_bits_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def interleave_bits_multi(cols: list[Column], bits: int = 16) -> Column:
+    """N-dimensional Morton code: bit i of dimension d lands at position
+    ``i * n_dims + d``. The 2-dim :func:`interleave_bits` is the
+    ``n_dims=2`` special case (same bit layout). Use for 3+-key
+    layouts (e.g. customer × day × region); cap ``bits × n_dims`` at 63
+    so the code fits a signed long."""
+    n = len(cols)
+    if not cols:
+        raise ValueError("interleave_bits_multi needs at least one column")
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits x {n} dims overflows a signed long")
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(c.cast("long"), i).bitwiseAND(1), i * n + d
+            )
+    return z
+
+
 def zorder_bucket(z: Column, bits: int = 16, n_buckets: int = 16) -> Column:
     """Bucket id = the Morton code's top ``log2(n_buckets)`` bits — the
     stand-in for 'which file would this row land in' after a

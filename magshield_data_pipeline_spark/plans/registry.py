@@ -152,13 +152,13 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #    only one round — re-prove under the changed code
     "paged_source_scan",
     "value_percentiles",
-    "incremental_corpus_dedup",
     # -- tier 1 again: the r5-new queries (never checked outranks green,
     #    so they displaced the greenest fill slots)
     "zorder_layout_stats",
     "bloom_prefiltered_dedup",
     "passage_dedup_reassembly",
     "key_skew_profile",
+    "windowed_top_events",
     # -- tier 5 (positions 51+, outside the driver window): green in r4;
     #    local parity suite remains their guard.
 ]

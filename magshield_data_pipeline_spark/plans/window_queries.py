@@ -325,3 +325,58 @@ def sharded_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("exact_users", "n_shards")
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed top-k (registered r5)
+
+_WINDOW_TOPK_K = 3
+
+_WINDOW_TOPK_SQL = f"""
+WITH c AS (
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT window_start, event_type, n_events,
+           row_number() OVER (
+               PARTITION BY window_start ORDER BY n_events DESC, event_type
+           ) AS rnk
+    FROM c
+)
+SELECT window_start, CAST(rnk AS BIGINT) AS rnk, event_type, n_events
+FROM r WHERE rnk <= {_WINDOW_TOPK_K}
+"""
+
+
+@register(
+    "windowed_top_events",
+    sql=_WINDOW_TOPK_SQL,
+    description=f"top-{_WINDOW_TOPK_K} event types per tumbling 1-day "
+    "window with a total-order tiebreak — the windowed heavy-hitters "
+    "shape (dashboard/trending feeds); partial-agg counts, then a "
+    "WindowGroupLimit-prunable ranking per window",
+)
+def windowed_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: counts collapse map-side before the exchange; the ranking
+    # partitions by window (bounded rows per partition after the agg),
+    # and Spark's WindowGroupLimit prunes to k before the final shuffle.
+    from pyspark.sql.window import Window as Wnd
+
+    events = read_table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Wnd.partitionBy("w").orderBy(F.col("n_events").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _WINDOW_TOPK_K)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -191,3 +191,34 @@ def test_key_skew_profile_flags_hot_key(spark):
     assert out[1].key_value == 7 and out[1].n_rows == 500
     assert out[1].share_ppm == 500_000 and out[1].is_hot
     assert not out[2].is_hot  # next keys 0.5% of rows, under the 1% default
+
+
+def test_interleave_multi_matches_2dim_and_model(spark):
+    from magshield_data_pipeline_spark.operators import layout as L
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(3, 5, 6), (0, 0, 0), (7, 1, 4)], ["x", "y", "w"]
+    )
+    # n=2 must equal the specialized 2-dim implementation
+    two = df.select(
+        L.interleave_bits(F.col("x"), F.col("y"), 4).alias("a"),
+        L.interleave_bits_multi([F.col("x"), F.col("y")], 4).alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in two)
+    # n=3 against a direct model
+    got = [
+        r.z
+        for r in df.select(
+            L.interleave_bits_multi([F.col("x"), F.col("y"), F.col("w")], 3).alias("z")
+        ).collect()
+    ]
+
+    def morton3(vals, bits=3):
+        return sum(
+            ((v >> i) & 1) << (i * 3 + d)
+            for d, v in enumerate(vals)
+            for i in range(bits)
+        )
+
+    assert got == [morton3(v) for v in [(3, 5, 6), (0, 0, 0), (7, 1, 4)]]
