@@ -66,3 +66,56 @@ def mixture_keep(key: Column, threshold: Column, salt: str = "mix") -> Column:
     """Deterministic per-row keep decision against a per-group
     temperature threshold."""
     return _hash_byte(key, salt) < threshold
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis, IPL 2006)
+
+_ES_SCALE = 4294967296.0  # 2^32
+
+
+def es_weight_key(key: Column, weight: Column, salt: str = "esample") -> Column:
+    """Efraimidis–Spirakis sampling key: the k rows with the LARGEST
+    ``u^(1/w)`` (u uniform per row) are an exact weighted sample
+    without replacement — each row's inclusion probability is
+    proportional to its weight. Ranking is equivalently by
+    ``ln(u)/w`` (monotone transform), which avoids pow().
+
+    Why a training pipeline wants it: quota/stratified sampling
+    (``quota_stratified_sample``) draws uniformly WITHIN a group;
+    this draws proportionally to a per-row weight (tokens, quality
+    score, dedup-cluster size) — "sample 1M documents, long documents
+    proportionally more often" — in one pass, no iteration, stable
+    under corpus growth because u derives from a salted md5 of the id.
+
+    Cross-engine determinism: u = (hash32 + 0.5) / 2^32 is exact
+    arithmetic on an exact integer; ln() is the one transcendental, and
+    it feeds a RANKING, not a threshold — the key is rounded to 9
+    decimals (quantization identical in both engines unless the true
+    value lies within float error of a .5e-9 boundary, ~1e-9/row odds)
+    and ties break on the id downstream, unlike the boundary-compare
+    case that bars pow() from :func:`temperature_threshold`.
+
+    Rows with weight <= 0 or null get a null key (callers filter or
+    rank them last) rather than an error.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(_ES_SCALE)
+    w = F.when(weight.cast("double") > 0, weight.cast("double"))
+    return F.round(F.log(u) / w, 9)
+
+
+def es_weight_key_sql(key_expr: str, weight_expr: str, salt: str = "esample") -> str:
+    """DuckDB twin of :func:`es_weight_key` (no conv(): the 8 leading
+    md5 nibbles decode via strpos arithmetic, as in the simhash/CMS
+    oracles)."""
+    md5 = f"md5('{salt}|' || CAST({key_expr} AS VARCHAR))"
+    nibs = " + ".join(
+        f"(strpos('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    u = f"(({nibs}) + 0.5) / {_ES_SCALE}"
+    w = f"(CASE WHEN CAST({weight_expr} AS DOUBLE) > 0 THEN CAST({weight_expr} AS DOUBLE) END)"
+    return f"round(ln({u}) / {w}, 9)"

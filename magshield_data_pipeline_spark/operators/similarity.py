@@ -375,3 +375,121 @@ def srp_verified_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shaped) and one-pass Gram/covariance matrix
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-blocked semantic deduplication (the SemDeDup shape,
+    Abbas et al. 2023): assign every vector to its nearest centroid,
+    compare pairs ONLY within a cluster, and drop any vector that has a
+    same-cluster neighbor with cosine ≥ *threshold* and a smaller id.
+
+    Returns every input id with its verdict:
+    ``(vec_id, centroid_id, kept)`` — survivors are ``kept``, and
+    anti-joining the corpus against ``kept = false`` ids is the dedup.
+
+    Survivor policy (documented, deliberately non-iterative): drop b
+    iff ∃ a < b in b's cluster with sim(a,b) ≥ t. One pass — pair
+    join, aggregate, anti-join — unlike greedy-sequential SemDeDup
+    (which skips comparisons against already-dropped items and cannot
+    be expressed without per-cluster sequential state). Near-dup SETS
+    can lose more than greedy keeps (if a~b, a~c but b≁c, greedy keeps
+    {a,c}, this keeps {a}); for dedup that is the conservative
+    direction, and the min-id survivor matches exact_dedup's convention
+    (operators/dedup.py).
+
+    Scale: centroid assignment is one broadcast scan
+    (:func:`assign_clusters`); the pair join keys on centroid_id so
+    compared pairs shrink ~n_clusters× vs all-pairs (the blocking that
+    makes embedding dedup feasible at 100 TB — same reason LSH bands
+    block minhash). A pathologically hot cluster is an AQE skew-join
+    case; production caps cluster size by splitting hot centroids
+    (finer k-means on the hot cell), which changes constants, not the
+    plan shape. Dropped-id set stays distributed end-to-end (left_anti
+    join, no collect).
+    """
+    assigned = assign_clusters(emb, centroids, id_col, vec_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(dot_score(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def gram_matrix(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangle Gram matrix G[i,j] = Σ_rows v_i·v_j in ONE pass —
+    the d×d sufficient statistic behind PCA / whitening / covariance of
+    an embedding corpus. Each row expands to its d(d+1)/2 upper-
+    triangle products via nested array transforms (JVM-side, no UDF),
+    then one partial-aggregated groupBy (i, j) sums them: every map
+    task collapses to ≤ d(d+1)/2 cells before the exchange, so the
+    shuffle is O(d² × n_tasks) regardless of row count — the same
+    fixed-size-summary shape as the CMS/HLL sketches. The driver-side
+    eigendecomposition of a d×d matrix (d = 64 here) is trivial; the
+    distributed part is exactly this aggregation.
+
+    Cross-engine float discipline: each product is rounded to 6
+    decimals BEFORE summation, so the true cell total is a multiple of
+    1e-6, and the output rounds to the SAME 6 decimals — identity
+    rounding whose half-quantum slack (5e-7) summation-order noise
+    (~1e-12) can never cross (the registry's money-sum convention;
+    rounding COARSER would be unsafe, since a multiple of 1e-6 lands
+    exactly on a coarser .5 boundary for ~1% of cells and float error
+    would then decide the direction). float32×float32 is exact in
+    double, so the pre-round products are themselves identical across
+    engines.
+
+    Output: (i, j, g, n_rows) with 0-based i ≤ j.
+    """
+    v = as_double_vec(vec_col)
+    pairs = F.flatten(
+        F.transform(
+            v,
+            lambda x, i: F.transform(
+                F.slice(v, i + 1, F.size(v) - i),
+                lambda y, k: F.struct(
+                    i.alias("i"),
+                    (i + k).alias("j"),
+                    F.round(x * y, 6).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(F.explode(pairs).alias("c"))
+        .groupBy(
+            F.col("c.i").cast("int").alias("i"),
+            F.col("c.j").cast("int").alias("j"),
+        )
+        .agg(
+            F.round(F.sum("c.p"), 6).alias("g"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

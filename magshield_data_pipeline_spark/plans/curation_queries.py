@@ -1363,3 +1363,57 @@ def passage_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.passage_dedup(
         docs, id_col="doc_id", text_col="text", block_words=_PASSAGE_B
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis; registered r5)
+
+_ES_PER_SOURCE = 5
+
+_ES_KEY_SQL = SA.es_weight_key_sql("doc_id", "n_chars")
+
+_ES_SAMPLE_SQL = f"""
+SELECT source, doc_id, n_chars, es_key, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM (
+    SELECT source, doc_id, n_chars,
+           {_ES_KEY_SQL} AS es_key,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_ES_KEY_SQL} DESC, doc_id
+           ) AS pick_rank
+    FROM documents
+    WHERE n_chars > 0
+) WHERE pick_rank <= {_ES_PER_SOURCE}
+"""
+
+
+@register(
+    "weighted_sample_per_source",
+    sql=_ES_SAMPLE_SQL,
+    description=f"weighted sampling WITHOUT replacement: top-{_ES_PER_SOURCE} "
+    "docs per source by the Efraimidis–Spirakis key ln(u)/weight (u from "
+    "a salted md5, weight = n_chars) — inclusion odds proportional to "
+    "document length, one pass, growth-stable; the weighted complement "
+    "of quota_stratified_sample's uniform draw ([EXT] sampling tier, "
+    "Efraimidis & Spirakis IPL 2006)",
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: identical plan shape to the quota query — one shuffle on
+    # the group key, WindowGroupLimit prunes to k per group map-side.
+    # The E-S key is a projection (salted md5 + one ln()); ranking on a
+    # 9-decimal-rounded key with a doc_id tiebreak keeps the draw
+    # engine-reproducible (see operators/sampling.py::es_weight_key).
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        SA.es_weight_key(F.col("doc_id"), F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= _ES_PER_SOURCE)
+    )

@@ -1398,3 +1398,87 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SC.key_skew_profile(
         events, key="user_id", top_n=_SKEW_TOP_N, hot_threshold=_SKEW_HOT
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — semantic dedup survivors (SemDeDup-shaped; registered r5)
+
+# fixture embeddings are near-random (max in-cluster cosine ~0.48), so
+# the demo threshold sits at 0.4 like embedding_cosine_dup_pairs;
+# production uses ~0.9+ on real embeddings — same plan, new constant
+_SEMDEDUP_T = 0.4
+
+_SEMDEDUP_SQL = f"""
+WITH {_NORM_E},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+scored_asg AS (
+    SELECT e.vec_id, e.v, centroid_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(v, cv), 6) DESC, centroid_id
+           ) AS arn
+    FROM e CROSS JOIN cents
+),
+asg AS (SELECT vec_id, v, centroid_id FROM scored_asg WHERE arn = 1),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM asg a JOIN asg b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v), 6) >= {_SEMDEDUP_T}
+)
+SELECT g.vec_id AS vec_id, CAST(g.centroid_id AS BIGINT) AS centroid_id,
+       (dr.vec_id IS NULL) AS kept
+FROM asg g LEFT JOIN dropped dr ON g.vec_id = dr.vec_id
+"""
+
+
+@register(
+    "semantic_dedup_survivors",
+    sql=_SEMDEDUP_SQL,
+    description=f"semantic dedup (SemDeDup shape): cluster-blocked pair "
+    f"compare, drop-if-smaller-id-neighbor >= {_SEMDEDUP_T}, per-vector "
+    "kept verdict — the embedding-space dedup DECISION on top of "
+    "embedding_cosine_dup_pairs' detection; blocking by centroid keeps "
+    "compared pairs ~n_clusters x below all-pairs ([EXT] scale tier, "
+    "Abbas et al. 2023)",
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic centroid pick (vec_id % 100 == 0) stands in for
+    # k-means output, identical to embedding_ivf_topk — the oracle can
+    # reproduce the assignment; real centroids drop in plan-unchanged.
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0)
+    return V.semantic_dedup(emb, centroids, threshold=_SEMDEDUP_T)
+
+
+# ---------------------------------------------------------------------------
+# EXT — one-pass Gram matrix over the embedding corpus (registered r5)
+
+_GRAM_DIM = 64  # fixture embedding width; the Spark side infers from data,
+# the oracle unrolls the literal range — a dim change fails parity loudly
+
+_GRAM_SQL = f"""
+WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+idx AS (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS i)
+SELECT CAST(i.i - 1 AS INT) AS i, CAST(j.i - 1 AS INT) AS j,
+       round(sum(round(x.v[i.i] * x.v[j.i], 6)), 6) AS g,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM x, idx i, idx j
+WHERE j.i >= i.i
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "embedding_gram_matrix",
+    sql=_GRAM_SQL,
+    description="one-pass d x d Gram matrix over the embedding corpus "
+    "(upper triangle, quantized-addend exact rounding): the sufficient "
+    "statistic for PCA/whitening/covariance — d(d+1)/2 cells partial-"
+    "aggregate map-side so the shuffle is O(d^2 x tasks) regardless of "
+    "corpus size, the same fixed-size-summary shape as the CMS/HLL "
+    "sketches ([EXT] distributed-linear-algebra tier)",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.gram_matrix(emb)

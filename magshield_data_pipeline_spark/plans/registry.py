@@ -94,10 +94,14 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # is the contract).
 #
 # Round-5 window: the 4 r4-late additions that have never seen the driver
-# + the new embedding_srp_verified, then all 38 queries whose last green
-# is r3, then 7 fill slots for code-touched / single-green r4 queries.
-# Rotated OUT (positions 51+): 43 queries green in r4 — none older than
-# one round.
+# + the 10 r5-new queries (all never-checked, tier 1 by policy), then 34
+# of the 38 queries whose last green is r3, then 2 fill slots for
+# code-touched r4 queries. Rotated OUT (positions 51+): 43 queries green
+# in r4, plus 4 r3-green scalar/metadata suites displaced by the r5-new
+# tier-1 entries (`date_format_suite`, `string_function_suite`,
+# `json_props_extract`, `count_probe` — chosen for lowest regression
+# risk: pure projection/metadata shapes with dedicated pytest coverage;
+# they become tier-1 rotation priority for round 6, see COVERAGE.md).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- tier 1: never driver-checked (r4 additions + the new r5 query)
@@ -106,6 +110,12 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "sharded_hll_union",
     "media_resize_plan",
     "embedding_srp_verified",
+    # -- tier 1: r5 additions, second batch (sketch / sampling /
+    #    linear-algebra / semantic-dedup tier)
+    "cms_heavy_hitters",
+    "weighted_sample_per_source",
+    "semantic_dedup_survivors",
+    "embedding_gram_matrix",
     # -- tier 3: last green r3 — the reference core set
     "users_projection_dedup",
     "quote_enrichment",
@@ -115,16 +125,12 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "mail_scan_topn",
     "multi_hop_revenue",
     "pricing_summary",
-    "date_format_suite",
-    "string_function_suite",
     "running_total_window",
     "topk_per_group",
     "semi_join_pushdown",
     "anti_join_orphans",
     "union_dedup",
-    "count_probe",
     "nation_pair_flows",
-    "json_props_extract",
     "three_role_nation_join",
     "links_array_pipeline",
     "custom_fields_last_wins",

@@ -380,3 +380,81 @@ def windowed_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (registered r5)
+
+from magshield_data_pipeline_spark.operators import sketches as SK  # noqa: E402
+
+_CMS_SHARDS = 4
+
+
+def _cms_sketch_sql() -> str:
+    """Depth-row union: one GROUP BY per depth row (DuckDB side; the
+    Spark side fans depth out in a single scan — the oracle trades
+    scans for clarity, at sf0.01 that's free)."""
+    parts = [
+        f"SELECT {d} AS d, {SK.cms_bucket_sql('event_type', d)} AS bucket,\n"
+        f"       CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 2"
+        for d in range(SK.CMS_DEPTH)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+_CMS_SQL = f"""
+WITH sk AS (
+{_cms_sketch_sql()}
+),
+keys AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count
+    FROM events GROUP BY 1
+),
+probe AS (
+    SELECT k.event_type, k.exact_count, min(sk.cnt) AS est_count
+    FROM keys k
+    JOIN sk ON {" OR ".join(
+        f"(sk.d = {d} AND sk.bucket = {SK.cms_bucket_sql('k.event_type', d)})"
+        for d in range(SK.CMS_DEPTH)
+    )}
+    GROUP BY 1, 2
+)
+SELECT event_type, est_count, exact_count,
+       est_count - exact_count AS overestimate
+FROM probe
+"""
+
+
+@register(
+    "cms_heavy_hitters",
+    sql=_CMS_SQL,
+    description="Count-Min Sketch frequency estimates vs exact counts: "
+    f"per-shard {SK.CMS_DEPTH}x{SK.CMS_WIDTH} sketches built in one scan, "
+    "merged cell-wise (linearity = exact mergeability), point-queried for "
+    "every event_type; overestimate >= 0 is the CMS guarantee. The "
+    "mergeable-frequency twin of sharded_hll_union (distinct) — md5-"
+    "bucketed so sketch cells hash-match across engines ([EXT] sketch "
+    "tier; Cormode & Muthukrishnan 2005)",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The two-level shape mirrors the HLL query: level 1 builds one
+    # fixed-size sketch per shard from a SINGLE scan (groupBy shard,d,
+    # bucket — in production these persist next to the data); level 2
+    # answers global frequency questions from the merged sketch without
+    # re-scanning raw data. The probe side broadcasts the ≤512-row
+    # sketch; exact counts ride along only to exhibit the error bound.
+    events = read_table(spark, sf_dir, "events")
+    per_shard = SK.cms_sketch(
+        events, "event_type", shard_col=F.col("user_id") % _CMS_SHARDS
+    )
+    sketch = SK.cms_merge(per_shard)
+    keys = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    est = SK.cms_estimate(sketch, keys.select("event_type"), "event_type")
+    return est.join(keys, "event_type").select(
+        "event_type",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    )

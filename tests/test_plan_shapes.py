@@ -34,6 +34,9 @@ _ALLOW_BNLJ = {
     "bloom_prefiltered_dedup",
     # per-key counts × the ONE-row total-count frame
     "key_skew_profile",
+    # centroid assignment crosses the corpus with the broadcast
+    # centroid set (same shape as embedding_ivf_topk)
+    "semantic_dedup_survivors",
 }
 
 # streaming / iterative queries execute eagerly inside fn(); their final
@@ -221,3 +224,32 @@ def test_passage_dedup_no_ranking_window(spark):
     df = QUERY_REGISTRY["passage_dedup_reassembly"].fn(spark, SF_SMALL)
     plan = _physical_plan(df)
     assert "Window" not in plan, "ranking window crept into passage dedup"
+
+
+def test_cms_sketch_broadcasts_to_probes(spark):
+    # the ≤512-row sketch must reach the probe side via broadcast —
+    # shuffling the probe keys against it would defeat the sketch
+    df = QUERY_REGISTRY["cms_heavy_hitters"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gram_matrix_single_exchange_partial_agg(spark):
+    # one pass: explode is projection-side; the ONLY exchange is the
+    # d² -cell hash aggregate, which partial-aggregates map-side so the
+    # shuffle carries O(d² × tasks) rows; nothing sorts
+    df = QUERY_REGISTRY["embedding_gram_matrix"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    shuffles = plan.replace("BroadcastExchange", "").count("Exchange")
+    assert shuffles <= 1, f"expected <=1 shuffle, plan:\n{plan[:2000]}"
+    assert "Sort" not in plan
+    assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
+
+
+def test_weighted_sample_prunes_per_group(spark):
+    # E-S top-k per source must go through WindowGroupLimit (rank
+    # pruned to k map-side before the exchange), same as the quota draw
+    df = QUERY_REGISTRY["weighted_sample_per_source"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "WindowGroupLimit" in plan

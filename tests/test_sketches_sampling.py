@@ -1,0 +1,213 @@
+"""Round-5 additions: Count-Min Sketch, E-S weighted sampling,
+semantic dedup, one-pass Gram matrix."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from magshield_data_pipeline_spark.operators import sampling as SA
+from magshield_data_pipeline_spark.operators import sketches as SK
+from magshield_data_pipeline_spark.operators import similarity as V
+from magshield_data_pipeline_spark.sources.parquet import read_table
+
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+
+
+def test_cms_never_underestimates_and_collides_sanely(spark):
+    # event_id as key: ~1000 distinct keys in 128 buckets forces real
+    # collisions, exercising both CMS guarantees: est >= exact always,
+    # and min-over-depth keeps the overestimate modest.
+    events = read_table(spark, SF_SMALL, "events")
+    sketch = SK.cms_sketch(events, "event_id")
+    exact = events.groupBy(F.col("event_id").cast("string").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    est = SK.cms_estimate(sketch, exact.select("event_id"), "event_id")
+    rows = est.join(exact, "event_id").collect()
+    assert len(rows) > 100
+    assert all(r["est_count"] >= r["exact"] for r in rows)
+    # depth=4 min keeps typical error small even with ~3x bucket load
+    n_total = events.count()
+    assert all(r["est_count"] - r["exact"] <= n_total * 0.1 for r in rows)
+    # at least one collision should exist at this key cardinality —
+    # otherwise the test isn't exercising the estimate path at all
+    assert any(r["est_count"] > r["exact"] for r in rows)
+
+
+def test_cms_shard_merge_equals_global_sketch(spark):
+    # linearity: cell-wise sum of per-shard sketches == the sketch of
+    # the union — the property that lets 100 TB pipelines materialize
+    # sketches per partition/day and merge at query time
+    events = read_table(spark, SF_SMALL, "events")
+    global_sk = SK.cms_sketch(events, "user_id")
+    per_shard = SK.cms_sketch(
+        events, "user_id", shard_col=F.col("event_id") % 5
+    )
+    merged = SK.cms_merge(per_shard)
+    assert merged.exceptAll(global_sk).isEmpty()
+    assert global_sk.exceptAll(merged).isEmpty()
+
+
+def test_cms_bucket_sql_matches_spark(spark):
+    # the DuckDB twin must compute the identical bucket for any key
+    import duckdb
+
+    keys = ["signup", "click", "error", "view", "purchase", "u123", ""]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        d: {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", SK.cms_bucket(F.col("k"), d).alias("b")
+            ).collect()
+        }
+        for d in range(SK.CMS_DEPTH)
+    }
+    con = duckdb.connect()
+    for d in range(SK.CMS_DEPTH):
+        for k in keys:
+            lit = "'" + k + "'"
+            want = con.execute(
+                f"SELECT {SK.cms_bucket_sql(lit, d)}"
+            ).fetchone()[0]
+            assert got[d][k] == want, (d, k)
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis–Spirakis weighted sampling
+
+
+def test_es_key_nonpositive_weight_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -4.0), (4, None)], "id long, w double"
+    )
+    rows = df.select(
+        "id", SA.es_weight_key(F.col("id"), F.col("w")).alias("k")
+    ).collect()
+    by_id = {r["id"]: r["k"] for r in rows}
+    assert by_id[1] is not None
+    assert by_id[2] is None and by_id[3] is None and by_id[4] is None
+
+
+def test_es_key_monotone_in_weight(spark):
+    # same id → same u; a larger weight must give a larger (closer to
+    # zero) key: ln(u) < 0, so ln(u)/w increases with w
+    df = spark.createDataFrame([(7, 10.0), (7, 1000.0)], "id long, w double")
+    k_small, k_big = [
+        r["k"]
+        for r in df.select(
+            SA.es_weight_key(F.col("id"), F.col("w")).alias("k")
+        ).collect()
+    ]
+    assert k_big > k_small
+
+
+def test_es_sampling_favors_heavy_rows(spark):
+    # statistical property over many salts: a row with 50x the weight
+    # of 99 peers should win the top-1 draw far more often than 1/100
+    rows = [(i, 50.0 if i == 0 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    wins = 0
+    trials = 40
+    for t in range(trials):
+        top = (
+            df.select(
+                "id", SA.es_weight_key(F.col("id"), F.col("w"), salt=f"s{t}").alias("k")
+            )
+            .orderBy(F.col("k").desc(), "id")
+            .first()
+        )
+        wins += top["id"] == 0
+    # expected win rate = 50/149 ≈ 0.34; uniform would be 0.01.
+    # P(wins < 4 | p=.34) is astronomically small; flake-proof bound.
+    assert wins >= 4, wins
+
+
+def test_es_key_matches_duckdb_formula(spark):
+    import duckdb
+
+    docs = read_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 50)
+    got = {
+        r["doc_id"]: r["k"]
+        for r in docs.select(
+            "doc_id",
+            SA.es_weight_key(F.col("doc_id"), F.col("n_chars")).alias("k"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = SA.es_weight_key_sql("doc_id", "n_chars")
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {expr} AS k FROM '{SF_SMALL}/documents.parquet' "
+            "WHERE doc_id < 50"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+
+
+def test_semantic_dedup_matches_numpy_brute_force(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 120)
+    centroids = emb.filter(F.col("vec_id") % 40 == 0)
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in V.semantic_dedup(emb, centroids, threshold=0.3).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent_rows = [(i, v) for i, v in zip(ids, mat) if i % 40 == 0]
+    # nearest centroid by rounded cosine, ties to lowest centroid id
+    assign = {}
+    for i, v in zip(ids, mat):
+        best = max(
+            cent_rows, key=lambda cr: (round(float(v @ cr[1]), 6), -cr[0])
+        )
+        assign[i] = best[0]
+    want = {}
+    for b, vb in zip(ids, mat):
+        dropped = any(
+            a < b
+            and assign[a] == assign[b]
+            and round(float(va @ vb), 6) >= 0.3
+            for a, va in zip(ids, mat)
+        )
+        want[b] = not dropped
+    assert got == want
+    # the threshold must actually drop something at 0.3 on this slice,
+    # or the test proves nothing
+    assert not all(got.values())
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix
+
+
+def test_gram_matrix_matches_numpy(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 200)
+    out = V.gram_matrix(emb).collect()
+    rows = emb.select("embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    # reproduce the quantized-addend discipline: round each product to
+    # 6 decimals before summing
+    for r in out[:200]:
+        i, j = r["i"], r["j"]
+        want = round(float(np.sum(np.round(mat[:, i] * mat[:, j], 6))), 6)
+        assert math.isclose(r["g"], want, abs_tol=5e-7), (i, j, r["g"], want)
+        assert r["n_rows"] == mat.shape[0]
+    assert all(r["i"] <= r["j"] for r in out)
