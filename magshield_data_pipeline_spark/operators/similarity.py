@@ -493,3 +493,130 @@ def gram_matrix(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance LUT scoring
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential fold — both engines evaluate
+    (((0+(a1-b1)²)+(a2-b2)²)+…) left-to-right on exact double inputs
+    (0.0+x is exact), so the result is bit-identical cross-engine for
+    float32-derived values; no rounding needed for comparisons."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def vector_chunks(
+    df: DataFrame, m: int, subdim: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, s, chunk): split each vector into m contiguous subvectors
+    of subdim dims — one posexplode, zero shuffle."""
+    v = as_double_vec(vec_col)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(v, s * subdim + 1, subdim),
+    )
+    return df.select(F.col(id_col), F.posexplode(chunks).alias("s", "chunk"))
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    subdim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding (Jégou et al., TPAMI 2011): each vector becomes m
+    small code ids — the code table is ~m bytes/vector vs 4·d bytes of
+    float32, a 32× memory compression at (m=8, d=64, 256-entry
+    codebooks). *codebook* rows are full vectors whose per-subspace
+    chunks form each subspace's code entries (a deterministic data
+    subset stands in for trained k-means codebooks here, exactly like
+    `ivf_topk`'s centroids — swap in trained ones plan-unchanged).
+
+    Assignment: argmin squared-L2 per (vector, subspace), ties to the
+    lowest code id, via one broadcast join + min_by partial aggregate —
+    the same single-scan shape as :func:`assign_clusters`. This is the
+    ONE pass that touches full vectors; every later query runs against
+    codes only. Returns (id, s, code_id).
+    """
+    chunks = vector_chunks(emb, m, subdim, id_col, vec_col)
+    cchunks = vector_chunks(codebook, m, subdim, id_col, vec_col).select(
+        F.col("s"), F.col(id_col).alias("code_id"), F.col("chunk").alias("cchunk")
+    )
+    scored = chunks.join(F.broadcast(cchunks), "s").select(
+        id_col,
+        "s",
+        "code_id",
+        # rounding is defensive only: the sequential fold is already
+        # bit-identical cross-engine (see l2sq)
+        F.round(l2sq(F.col("chunk"), F.col("cchunk")), 9).alias("dist"),
+    )
+    best = F.min_by(F.col("code_id"), F.struct(F.col("dist"), F.col("code_id")))
+    return scored.groupBy(id_col, "s").agg(best.alias("code_id"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    subdim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC):
+    precompute, per query, the dot product of each query subvector with
+    every codebook entry (the LUT — m×C×n_queries rows, tiny), then
+    score a corpus vector as the SUM of m LUT lookups on its codes.
+
+    The plan is the point: after encoding, per-pair scoring involves NO
+    vector arithmetic — just an m-way broadcast-LUT join over the code
+    table and a partial-aggregated sum. At 100 TB the code table is
+    32× smaller than the corpus and the only full-size pass is the
+    one-time encode; brute_force_topk re-reads full vectors per query
+    batch. Each LUT part is rounded to 6 decimals so the m-part total
+    is a multiple of 1e-6 and the final round(…,6) is engine-exact
+    (quantized-addend discipline).
+
+    Returns (query_id, vec_id, approx_score, rank) — scores approximate
+    dot-product similarity; verify candidates with exact cosine
+    downstream when recall matters (same pattern as SRP→verify).
+    """
+    codes = pq_encode(emb, codebook, m, subdim, id_col, vec_col)
+    qchunks = vector_chunks(
+        queries.select(F.col(query_id_col).alias(id_col), F.col(vec_col)),
+        m, subdim, id_col, vec_col,
+    ).select(F.col(id_col).alias(query_id_col), "s", F.col("chunk").alias("qchunk"))
+    cchunks = vector_chunks(codebook, m, subdim, id_col, vec_col).select(
+        F.col("s"), F.col(id_col).alias("code_id"), F.col("chunk").alias("cchunk")
+    )
+    lut = qchunks.join(F.broadcast(cchunks), "s").select(
+        query_id_col,
+        "s",
+        "code_id",
+        F.round(dot(F.col("qchunk"), F.col("cchunk")), 6).alias("part"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code_id"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("part"), 6).alias("approx_score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_score", "rank")
+    )

@@ -1482,3 +1482,86 @@ GROUP BY 1, 2
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return V.gram_matrix(emb)
+
+
+# ---------------------------------------------------------------------------
+# EXT — product-quantization ADC top-k (registered r5)
+
+_PQ_M = 8       # subspaces
+_PQ_SUB = 8     # dims per subspace (m * sub = 64 = fixture dim)
+_PQ_K = 5
+# deterministic codebook: bounded data subset (≤20 entries at any SF),
+# standing in for trained per-subspace k-means exactly like ivf_topk's
+# centroid pick — swap trained codebooks in plan-unchanged
+_PQ_CB_FILTER = "vec_id % 50 = 0 AND vec_id < 1000"
+
+
+def _pq_terms(a: str, b: str, op: str) -> str:
+    """Unrolled per-chunk fold: left-to-right '+' chain matches Spark's
+    sequential aggregate() fold bit-for-bit (0.0+x is exact)."""
+    terms = []
+    for i in range(1, _PQ_SUB + 1):
+        ai, bi = f"{a}[s.s*{_PQ_SUB}+{i}]", f"{b}[s.s*{_PQ_SUB}+{i}]"
+        terms.append(
+            f"(({ai} - {bi}) * ({ai} - {bi}))" if op == "l2" else f"({ai} * {bi})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_PQ_SQL = f"""
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT vec_id AS code_id, v AS cv FROM x WHERE {_PQ_CB_FILTER}),
+s AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+enc_scored AS (
+    SELECT x.vec_id, s.s, cb.code_id,
+           row_number() OVER (
+               PARTITION BY x.vec_id, s.s
+               ORDER BY round({_pq_terms("x.v", "cb.cv", "l2")}, 9), cb.code_id
+           ) AS rn
+    FROM x CROSS JOIN s CROSS JOIN cb
+),
+enc AS (SELECT vec_id, s, code_id FROM enc_scored WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM x WHERE vec_id < {_IVF_K}),
+lut AS (
+    SELECT q.query_id, s.s, cb.code_id,
+           round({_pq_terms("q.qv", "cb.cv", "dot")}, 6) AS part
+    FROM q CROSS JOIN s CROSS JOIN cb
+),
+sc AS (
+    SELECT l.query_id, e.vec_id, round(sum(l.part), 6) AS approx_score
+    FROM enc e JOIN lut l ON e.s = l.s AND e.code_id = l.code_id
+    WHERE e.vec_id != l.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, vec_id, approx_score, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT query_id, vec_id, approx_score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY approx_score DESC, vec_id
+           ) AS rank
+    FROM sc
+) WHERE rank <= {_PQ_K}
+"""
+
+
+@register(
+    "embedding_pq_topk",
+    sql=_PQ_SQL,
+    description=f"product-quantization ADC top-{_PQ_K}: vectors encode to "
+    f"{_PQ_M} sub-space code ids once (~32x memory compression), queries "
+    "score corpus vectors as a sum of LUT lookups on the codes — NO "
+    "vector arithmetic per pair after the one-time encode; the third ANN "
+    "scale path beside IVF (cluster blocking) and SRP-LSH (hash "
+    "bucketing) ([EXT]; Jegou et al. TPAMI 2011)",
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: encode = one broadcast-codebook scan (the only full-vector
+    # pass); the LUT (queries x subspaces x codes, here 5x8x<=20 rows)
+    # broadcasts to the code table; scoring partial-aggregates the m
+    # parts map-side. Queries and codebook derive from data
+    # deterministically so the oracle reproduces them.
+    emb = read_table(spark, sf_dir, "embeddings")
+    codebook = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000))
+    queries = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return V.pq_topk(emb, codebook, queries, k=_PQ_K, m=_PQ_M, subdim=_PQ_SUB)

@@ -94,14 +94,15 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # is the contract).
 #
 # Round-5 window: the 4 r4-late additions that have never seen the driver
-# + the 10 r5-new queries (all never-checked, tier 1 by policy), then 34
+# + the 11 r5-new queries (all never-checked, tier 1 by policy), then 33
 # of the 38 queries whose last green is r3, then 2 fill slots for
 # code-touched r4 queries. Rotated OUT (positions 51+): 43 queries green
-# in r4, plus 4 r3-green scalar/metadata suites displaced by the r5-new
-# tier-1 entries (`date_format_suite`, `string_function_suite`,
-# `json_props_extract`, `count_probe` — chosen for lowest regression
-# risk: pure projection/metadata shapes with dedicated pytest coverage;
-# they become tier-1 rotation priority for round 6, see COVERAGE.md).
+# in r4, plus 5 r3-green scalar/metadata/set-op suites displaced by the
+# r5-new tier-1 entries (`date_format_suite`, `string_function_suite`,
+# `json_props_extract`, `count_probe`, `union_dedup` — chosen for lowest
+# regression risk: pure projection/metadata/set-op shapes with dedicated
+# pytest coverage; they become tier-1 rotation priority for round 6
+# together with any r5 failure, see COVERAGE.md).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- tier 1: never driver-checked (r4 additions + the new r5 query)
@@ -116,6 +117,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "weighted_sample_per_source",
     "semantic_dedup_survivors",
     "embedding_gram_matrix",
+    "embedding_pq_topk",
     # -- tier 3: last green r3 — the reference core set
     "users_projection_dedup",
     "quote_enrichment",
@@ -129,7 +131,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "topk_per_group",
     "semi_join_pushdown",
     "anti_join_orphans",
-    "union_dedup",
     "nation_pair_flows",
     "three_role_nation_join",
     "links_array_pipeline",

@@ -253,3 +253,14 @@ def test_weighted_sample_prunes_per_group(spark):
     df = QUERY_REGISTRY["weighted_sample_per_source"].fn(spark, SF_SMALL)
     plan = _physical_plan(df)
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_lut_is_broadcast_and_no_pairwise_vector_math(spark):
+    # the LUT must broadcast to the code table (shuffling codes against
+    # a 800-row LUT defeats ADC), the encode's codebook join must also
+    # broadcast, and the final m-part sum must partial-aggregate
+    df = QUERY_REGISTRY["embedding_pq_topk"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, "codebook/LUT not broadcast"
+    assert "HashAggregate" in plan

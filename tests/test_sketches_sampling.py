@@ -211,3 +211,60 @@ def test_gram_matrix_matches_numpy(spark):
         assert math.isclose(r["g"], want, abs_tol=5e-7), (i, j, r["g"], want)
         assert r["n_rows"] == mat.shape[0]
     assert all(r["i"] <= r["j"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+
+
+def test_pq_codebook_entries_encode_to_themselves(spark):
+    # a vector that IS a codebook entry has distance exactly 0 to its
+    # own chunk in every subspace — it must take its own code id
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 300)
+    codebook = emb.filter(F.col("vec_id") % 50 == 0)
+    codes = V.pq_encode(emb, codebook, m=8, subdim=8).collect()
+    cb_ids = {r["vec_id"] for r in codebook.select("vec_id").collect()}
+    for r in codes:
+        if r["vec_id"] in cb_ids:
+            assert r["code_id"] == r["vec_id"], r
+
+
+def test_pq_adc_score_equals_numpy_reconstruction(spark):
+    # ADC property: approx_score(q, x) == dot(q, reconstruct(x)) where
+    # reconstruct stitches x's per-subspace codebook chunks — with each
+    # subspace part rounded to 6 decimals, exactly as the operator does
+    m, sub = 8, 8
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 150)
+    codebook = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): r["approx_score"]
+        for r in V.pq_topk(emb, codebook, queries, k=1000, m=m, subdim=sub).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    cb = {i: v for i, v in vecs.items() if i % 50 == 0}
+    codes = {
+        (r["vec_id"], r["s"]): r["code_id"]
+        for r in V.pq_encode(emb, codebook, m=m, subdim=sub).collect()
+    }
+    for (qid, vid), score in list(got.items())[:100]:
+        q = vecs[qid]
+        want = round(
+            sum(
+                round(
+                    float(
+                        q[s * sub : (s + 1) * sub]
+                        @ cb[codes[(vid, s)]][s * sub : (s + 1) * sub]
+                    ),
+                    6,
+                )
+                for s in range(m)
+            ),
+            6,
+        )
+        assert math.isclose(score, want, abs_tol=1e-9), (qid, vid, score, want)
