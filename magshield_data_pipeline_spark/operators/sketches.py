@@ -141,3 +141,129 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K-Minimum-Values (KMV) distinct sketch with set-operation support
+# (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007)
+
+KMV_K = 64
+
+
+def kmv_hash(key: Column) -> Column:
+    """Uniform hash for KMV: md5 hex of the stringified key. Fixed-width
+    hex compares lexicographically == numerically, so 'k smallest
+    hashes' is a plain string sort — exact in both engines."""
+    return F.md5(F.concat(F.lit("kmv|"), key.cast("string")))
+
+
+def kmv_hash_u(h: Column) -> Column:
+    """Map a kmv hash to U ∈ (0, 1]: first 32 bits / 2^32 — exact
+    integer-to-double arithmetic (cross-engine identical). A zero
+    prefix yields null (nullif guard) rather than a div-by-zero
+    downstream; P(zero) = 2^-32 per hash."""
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    return F.nullif(v, F.lit(0.0)) / F.lit(4294967296.0)
+
+
+def kmv_hash_u_sql(h_expr: str) -> str:
+    """DuckDB twin of :func:`kmv_hash_u` (nibble-decode like the CMS /
+    E-S oracles)."""
+    nibs = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h_expr}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"(nullif(({nibs}), 0.0) / 4294967296.0)"
+
+
+def kmv_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """The KMV sketch per group: the k smallest DISTINCT key hashes —
+    (group, h, rn). Fixed k rows per group regardless of group size
+    (WindowGroupLimit prunes to k map-side before the exchange), and
+    the sketch MERGES: the union's sketch is the k smallest of the
+    concatenated sketches — which is why KMV supports intersections
+    (Beyer et al.) where HLL supports only unions.
+
+    Distinct estimate from a sketch: (k-1)/U(h_k) when the group has
+    ≥ k distinct keys, else the sketch IS the exact distinct set.
+    """
+    from pyspark.sql.window import Window
+
+    hashes = df.select(
+        F.col(group_col).alias("segment"),
+        kmv_hash(F.col(key_col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("segment").orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_pair_overlap(kmv: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise segment overlap from KMV sketches ALONE — no rescan of
+    raw data. For each segment pair (a < b): merge the two sketches
+    (k smallest of the union), count merged-k hashes present in BOTH
+    input sketches (`matched`), and estimate
+
+    - union distinct:  (k-1)/U(h_k), or the exact merged count when
+      the union carries fewer than k hashes (the standard KMV small-set
+      degeneration — the sketch IS the set);
+    - Jaccard: matched / |merged-k|;
+    - intersection: Jaccard × union.
+
+    All arithmetic runs on identical operands in both engines (exact
+    integer-derived doubles), so results are engine-reproducible;
+    output rounding is hygiene, not a tolerance. Scale: the sketch
+    table is k rows per segment — pairs×k rows total, driver-free and
+    broadcastable for any realistic segment count; the quadratic pair
+    blowup is in SEGMENTS (small), never in keys.
+    """
+    from pyspark.sql.window import Window
+
+    segs = kmv.select("segment").distinct()
+    pairs = (
+        segs.select(F.col("segment").alias("seg_a"))
+        .crossJoin(segs.select(F.col("segment").alias("seg_b")))
+        .filter(F.col("seg_a") < F.col("seg_b"))
+    )
+    side = kmv.select("segment", "h")
+    ha = pairs.join(
+        F.broadcast(side), F.col("segment") == F.col("seg_a")
+    ).select("seg_a", "seg_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    hb = pairs.join(
+        F.broadcast(side), F.col("segment") == F.col("seg_b")
+    ).select("seg_a", "seg_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        ha.unionByName(hb)
+        .groupBy("seg_a", "seg_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("seg_a", "seg_b").orderBy("h")
+    topk = merged.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )
+    agg = topk.groupBy("seg_a", "seg_b").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("matched"),
+        F.max(F.when(F.col("rn") == k, kmv_hash_u(F.col("h")))).alias("u_k"),
+    )
+    union_est = F.when(
+        F.col("n_k") < k, F.col("n_k").cast("double")
+    ).otherwise((F.lit(float(k - 1))) / F.col("u_k"))
+    jac = F.col("matched").cast("double") / F.col("n_k")
+    return agg.select(
+        "seg_a",
+        "seg_b",
+        "n_k",
+        "matched",
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * union_est, 4).alias("intersection_est"),
+    )

@@ -458,3 +458,81 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV segment-overlap estimation (registered r5)
+
+_KMV_K = SK.KMV_K
+_KMV_UNION_EST = (
+    f"CASE WHEN n_k < {_KMV_K} THEN CAST(n_k AS DOUBLE) "
+    f"ELSE {float(_KMV_K - 1)} / u_k END"
+)
+
+_KMV_SQL = f"""
+WITH hashes AS (
+    SELECT DISTINCT event_type AS segment,
+           md5('kmv|' || CAST(user_id AS VARCHAR)) AS h
+    FROM events
+),
+kmv AS (
+    SELECT segment, h FROM (
+        SELECT segment, h,
+               row_number() OVER (PARTITION BY segment ORDER BY h) AS rn
+        FROM hashes
+    ) WHERE rn <= {_KMV_K}
+),
+segs AS (SELECT DISTINCT segment FROM kmv),
+pairs AS (
+    SELECT a.segment AS seg_a, b.segment AS seg_b
+    FROM segs a, segs b WHERE a.segment < b.segment
+),
+sides AS (
+    SELECT p.seg_a, p.seg_b, k.h,
+           max(CASE WHEN k.segment = p.seg_a THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN k.segment = p.seg_b THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p JOIN kmv k ON k.segment = p.seg_a OR k.segment = p.seg_b
+    GROUP BY 1, 2, 3
+),
+topk AS (
+    SELECT *, row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rn
+    FROM sides
+),
+agg AS (
+    SELECT seg_a, seg_b,
+           CAST(count(*) AS BIGINT) AS n_k,
+           CAST(sum(in_a * in_b) AS BIGINT) AS matched,
+           max(CASE WHEN rn = {_KMV_K} THEN {SK.kmv_hash_u_sql('h')} END) AS u_k
+    FROM topk WHERE rn <= {_KMV_K}
+    GROUP BY 1, 2
+)
+SELECT seg_a, seg_b, n_k, matched,
+       round({_KMV_UNION_EST}, 4) AS union_est,
+       round(CAST(matched AS DOUBLE) / n_k, 6) AS jaccard_est,
+       round((CAST(matched AS DOUBLE) / n_k) * ({_KMV_UNION_EST}), 4)
+           AS intersection_est
+FROM agg
+"""
+
+
+@register(
+    "kmv_segment_overlap",
+    sql=_KMV_SQL,
+    description=f"KMV (k={_KMV_K} minimum values) segment-overlap "
+    "estimation: per-segment sketches of the k smallest distinct user "
+    "hashes, pairwise merged to estimate union size, Jaccard, and "
+    "intersection from the sketches ALONE — the set-operation "
+    "capability HLL lacks (unions only); small segments degrade to "
+    "exact sets by construction ([EXT] sketch tier; Bar-Yossef 2002, "
+    "Beyer SIGMOD 2007)",
+)
+def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the sketch build is one distinct + WindowGroupLimit-pruned
+    # top-k per segment (k rows/segment out, whatever the segment
+    # size); the pair stage touches sketches only — pairs x k rows,
+    # quadratic in SEGMENTS (5 here), never in users. In production the
+    # sketch table persists next to the data and overlap questions
+    # never re-scan events.
+    events = read_table(spark, sf_dir, "events")
+    kmv = SK.kmv_per_group(events, key_col="user_id", group_col="event_type")
+    return SK.kmv_pair_overlap(kmv, k=_KMV_K)

@@ -37,6 +37,9 @@ _ALLOW_BNLJ = {
     # centroid assignment crosses the corpus with the broadcast
     # centroid set (same shape as embedding_ivf_topk)
     "semantic_dedup_survivors",
+    # the 5x5 segment-pair frame: tiny broadcast cross with an
+    # inequality condition — quadratic in SEGMENTS, never in keys
+    "kmv_segment_overlap",
 }
 
 # streaming / iterative queries execute eagerly inside fn(); their final
@@ -264,3 +267,11 @@ def test_pq_lut_is_broadcast_and_no_pairwise_vector_math(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2, "codebook/LUT not broadcast"
     assert "HashAggregate" in plan
+
+
+def test_kmv_sketch_prunes_per_segment(spark):
+    # the sketch build must WindowGroupLimit-prune to k hashes per
+    # segment map-side — without it the full distinct hash set rides
+    # the ranking shuffle
+    df = QUERY_REGISTRY["kmv_segment_overlap"].fn(spark, SF_SMALL)
+    assert "WindowGroupLimit" in _physical_plan(df)

@@ -268,3 +268,58 @@ def test_pq_adc_score_equals_numpy_reconstruction(spark):
             6,
         )
         assert math.isclose(score, want, abs_tol=1e-9), (qid, vid, score, want)
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+
+
+def test_kmv_overlap_estimates_constructed_segments(spark):
+    # A = ids 0..999, B = 500..1499: true union 1500, jaccard 1/3,
+    # intersection 500. KMV rel. error ~1/sqrt(k-1) ≈ 13% at k=64;
+    # deterministic hashes make this a fixed outcome, bounds are slack.
+    rows = [(i, "A") for i in range(1000)] + [(i, "B") for i in range(500, 1500)]
+    df = spark.createDataFrame(rows, "user_id long, segment string")
+    kmv = SK.kmv_per_group(df, key_col="user_id", group_col="segment")
+    out = SK.kmv_pair_overlap(kmv).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["seg_a"] == "A" and r["seg_b"] == "B"
+    assert r["n_k"] == SK.KMV_K
+    assert 900 <= r["union_est"] <= 2300, r["union_est"]
+    assert 0.15 <= r["jaccard_est"] <= 0.55, r["jaccard_est"]
+    assert 200 <= r["intersection_est"] <= 900, r["intersection_est"]
+
+
+def test_kmv_small_segments_are_exact(spark):
+    # below k distinct keys the sketch IS the set: union_est and
+    # intersection_est must be EXACT, not estimates
+    rows = [(i, "A") for i in range(20)] + [(i, "B") for i in range(10, 30)]
+    df = spark.createDataFrame(rows, "user_id long, segment string")
+    out = SK.kmv_pair_overlap(
+        SK.kmv_per_group(df, key_col="user_id", group_col="segment")
+    ).collect()[0]
+    assert out["n_k"] == 30
+    assert out["matched"] == 10
+    assert out["union_est"] == 30.0
+    assert out["intersection_est"] == 10.0
+
+
+def test_kmv_merge_is_sketch_of_union(spark):
+    # mergeability: the k smallest of (sketch(A) ∪ sketch(B)) equals
+    # the sketch of A ∪ B computed from raw data
+    rows = [(i, "A") for i in range(500)] + [(i, "B") for i in range(250, 750)]
+    df = spark.createDataFrame(rows, "user_id long, segment string")
+    kmv = SK.kmv_per_group(df, key_col="user_id", group_col="segment")
+    merged = (
+        kmv.select("h").distinct().orderBy("h").limit(SK.KMV_K).collect()
+    )
+    direct = (
+        SK.kmv_per_group(
+            df.withColumn("segment", F.lit("all")),
+            key_col="user_id", group_col="segment",
+        )
+        .orderBy("h")
+        .collect()
+    )
+    assert [r["h"] for r in merged] == [r["h"] for r in direct]
