@@ -1417,3 +1417,100 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("pick_rank") <= _ES_PER_SOURCE)
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint gate (registered r5)
+
+_DQ_STAGED_SQL = """
+staged AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 211 = 0 THEN -o_totalprice
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 223 = 0 THEN 'Z'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 227 = 0 THEN -1
+                ELSE o_custkey END AS o_custkey,
+           o_orderdate
+    FROM orders
+)
+"""
+
+_DQ_SQL = f"""
+WITH {_DQ_STAGED_SQL},
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM staged),
+rules AS (
+    SELECT 'positive_total' AS rule,
+           CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM staged
+    UNION ALL
+    SELECT 'valid_status',
+           CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM staged
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST(sum(CASE WHEN NOT coalesce(
+                              year(o_orderdate) BETWEEN 1995 AND 2001, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM staged
+    UNION ALL
+    SELECT 'custkey_fk',
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM staged s LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON s.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)
+)
+SELECT rule, n_violations, n.n_rows,
+       CAST(floor(n_violations * 1000000 / n.n_rows) AS BIGINT) AS violation_ppm
+FROM rules CROSS JOIN n
+"""
+
+
+@register(
+    "data_quality_gate",
+    sql=_DQ_SQL,
+    description="declarative data-quality gate (Deequ/Great-Expectations "
+    "shape): 3 predicate rules evaluated in ONE partial-agg scan + a "
+    "referential anti-join rule, reported as per-rule violation counts "
+    "with exact integer ppm; input deliberately perturbed in-plan "
+    "(negated totals, invalid status, FK orphans keyed on moduli) so "
+    "the audit has teeth — one rule stays at 0 to prove the pass case "
+    "([EXT] observability)",
+)
+def data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: predicate rules cost ONE scan whatever their number (the
+    # rollup emits a single row that unpivots plan-side); the FK rule
+    # is an anti-join on the key with strategy left to AQE. Violations
+    # are reported as counts/ppm — quarantining actual rows is a
+    # separate write performed only for rules over threshold.
+    from magshield_data_pipeline_spark.operators import quality as Q
+
+    orders = read_table(spark, sf_dir, "orders")
+    staged = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 211 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 223 == 0, F.lit("Z"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 227 == 0, F.lit(-1).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderdate",
+    )
+    customer = read_table(spark, sf_dir, "customer")
+    predicate_report = Q.dq_violation_counts(
+        staged,
+        {
+            "positive_total": F.col("o_totalprice") > 0,
+            "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "orderdate_in_range": F.year("o_orderdate").between(1995, 2001),
+        },
+    )
+    fk_report = Q.dq_fk_violations(
+        staged, "o_custkey", customer, "c_custkey", "custkey_fk"
+    )
+    return Q.with_ppm(predicate_report.unionByName(fk_report))

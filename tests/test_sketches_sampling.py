@@ -323,3 +323,47 @@ def test_kmv_merge_is_sketch_of_union(spark):
         .collect()
     )
     assert [r["h"] for r in merged] == [r["h"] for r in direct]
+
+
+# ---------------------------------------------------------------------------
+# data-quality gate
+
+
+def test_dq_counts_null_predicates_as_violations(spark):
+    from magshield_data_pipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None)], "id long, amount double"
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in Q.dq_violation_counts(
+            df, {"amount_pos": F.col("amount") > 0}
+        ).collect()
+    }
+    # -3.0 violates; the NULL cannot evaluate and counts as a violation
+    assert out == {"amount_pos": 2}
+
+
+def test_dq_fk_counts_orphans_and_null_keys(spark):
+    from magshield_data_pipeline_spark.operators import quality as Q
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], "id long, ref long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = Q.dq_fk_violations(child, "ref", parent, "pk", "ref_fk").collect()[0]
+    # 99 is an orphan; the null ref cannot resolve and violates too
+    assert r["n_violations"] == 2 and r["n_rows"] == 3
+
+
+def test_dq_gate_single_scan_for_predicate_rules(spark):
+    # all predicate rules must fold into ONE rollup over orders — the
+    # plan reads the orders parquet exactly twice in the whole query
+    # (once for the rollup, once for the FK child side), never once
+    # per rule
+    from magshield_data_pipeline_spark.plans.registry import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["data_quality_gate"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") <= 2, plan[:3000]
