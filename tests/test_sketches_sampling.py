@@ -367,3 +367,52 @@ def test_dq_gate_single_scan_for_predicate_rules(spark):
     df = QUERY_REGISTRY["data_quality_gate"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("orders.parquet") <= 2, plan[:3000]
+
+
+# ---------------------------------------------------------------------------
+# entity resolution
+
+
+def test_linkage_best_match_prefers_higher_sim_then_lower_id(spark):
+    from magshield_data_pipeline_spark.operators import linkage as L
+
+    dirty = spark.createDataFrame([(1, "acme corp")], "id long, name string")
+    clean = spark.createDataFrame(
+        [(10, "acme corp"), (11, "acme corp"), (12, "acme co")],
+        "id long, name string",
+    )
+    pairs = L.link_candidates(
+        dirty, clean, block_key=F.substring(F.col("name"), 1, 4),
+        threshold=0.5,
+    )
+    r = L.best_match(pairs).collect()[0]
+    # 10 and 11 tie at sim 1.0 — the LOWEST clean id must survive
+    assert r["matched_id"] == 10 and r["sim"] == 1.0
+
+
+def test_linkage_blocking_bounds_pairs(spark):
+    from magshield_data_pipeline_spark.operators import linkage as L
+
+    # records in different blocks are never compared, whatever their
+    # similarity — the sub-quadratic contract
+    dirty = spark.createDataFrame([(1, "zzz alpha")], "id long, name string")
+    clean = spark.createDataFrame([(2, "aaa alpha")], "id long, name string")
+    pairs = L.link_candidates(
+        dirty, clean, block_key=F.substring(F.col("name"), 1, 3),
+        threshold=0.0,
+    )
+    assert pairs.count() == 0
+
+
+def test_linkage_similarity_edge_cases(spark):
+    from magshield_data_pipeline_spark.operators import linkage as L
+
+    df = spark.createDataFrame(
+        [("", ""), ("abc", "abc"), ("abc", "abd"), ("abc", None)],
+        "a string, b string",
+    )
+    vals = df.select(L.name_similarity(F.col("a"), F.col("b")).alias("s")).collect()
+    assert vals[0]["s"] == 1.0          # two empties: identical
+    assert vals[1]["s"] == 1.0
+    assert abs(vals[2]["s"] - (1 - 1 / 3)) < 1e-6  # rounded to 6 decimals
+    assert vals[3]["s"] is None         # null propagates, no error
