@@ -620,3 +620,53 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "approx_score", "rank")
     )
+
+
+def gram_matrix_arrow(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS-backed Gram matrix: `mapInPandas` computes each Arrow
+    batch's local Eᵀ·E with one dsyrk-shaped numpy matmul and emits the
+    d(d+1)/2 upper-triangle partials; ONE tiny groupBy sums them.
+
+    This is the 100 TB production path for the same statistic as
+    :func:`gram_matrix` — per-batch BLAS is orders faster than the
+    per-element Catalyst fold, and the shuffle still carries only
+    O(d² × batches) rows. The tradeoff is float64 summation-order
+    noise (~1e-9 relative): results are NOT engine-reproducible to the
+    last bit, so the ORACLE-exact quantized-addend variant stays the
+    registry query and this one is closeness-tested against it
+    (tests/test_sketches_sampling.py).
+
+    The UDF body is self-contained (local imports) — executor workers
+    don't share the driver's sys.path.
+    """
+    from pyspark.sql.functions import col
+
+    d_probe = len(emb.select(vec_col).first()[0])
+    out_schema = "i int, j int, partial double, n_rows long"
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        iu = _np.triu_indices(d_probe)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _np.asarray(list(pdf.iloc[:, 0]), dtype=_np.float64)
+            g = mat.T @ mat
+            yield _pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "partial": g[iu],
+                    "n_rows": _np.int64(mat.shape[0]),
+                }
+            )
+
+    partials = emb.select(col(vec_col)).mapInPandas(gen, schema=out_schema)
+    return partials.groupBy("i", "j").agg(
+        F.sum("partial").alias("g"), F.sum("n_rows").alias("n_rows")
+    )

@@ -416,3 +416,16 @@ def test_linkage_similarity_edge_cases(spark):
     assert vals[1]["s"] == 1.0
     assert abs(vals[2]["s"] - (1 - 1 / 3)) < 1e-6  # rounded to 6 decimals
     assert vals[3]["s"] is None         # null propagates, no error
+
+
+def test_gram_matrix_arrow_close_to_exact(spark):
+    # the BLAS path must agree with the oracle-exact fold path to
+    # float-summation tolerance; n_rows must be exact
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    exact = {(r["i"], r["j"]): r for r in V.gram_matrix(emb).collect()}
+    fast = {(r["i"], r["j"]): r for r in V.gram_matrix_arrow(emb).collect()}
+    assert set(exact) == set(fast)
+    for k, e in exact.items():
+        f = fast[k]
+        assert f["n_rows"] == e["n_rows"]
+        assert math.isclose(f["g"], e["g"], rel_tol=1e-6, abs_tol=1e-4), (k, f["g"], e["g"])
