@@ -92,3 +92,26 @@ def with_ppm(report: DataFrame) -> DataFrame:
         .cast("long")
         .alias("violation_ppm"),
     )
+
+
+def dq_quarantine(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Row-level companion to :func:`dq_violation_counts`: the input
+    rows that violate ANY rule, tagged with a deterministic
+    comma-joined ``failed_rules`` string (scalar, not array — sortable
+    and hash-friendly). One scan, pure projection + filter: this is
+    the frame a pipeline writes to the quarantine sink for rules over
+    threshold, while clean rows continue downstream.
+
+    Registry-query candidate for round 6 (kept pytest-only in r5 to
+    hold the driver-window displacement debt flat)."""
+    tags = F.array(
+        *[
+            F.when(violation(pred) == 1, F.lit(name))
+            for name, pred in rules.items()
+        ]
+    )
+    out = df.withColumn(
+        "failed_rules",
+        F.concat_ws(",", F.array_sort(F.filter(tags, lambda t: t.isNotNull()))),
+    )
+    return out.filter(F.col("failed_rules") != "")

@@ -429,3 +429,50 @@ def test_gram_matrix_arrow_close_to_exact(spark):
         f = fast[k]
         assert f["n_rows"] == e["n_rows"]
         assert math.isclose(f["g"], e["g"], rel_tol=1e-6, abs_tol=1e-4), (k, f["g"], e["g"])
+
+
+def test_dq_quarantine_tags_all_failed_rules(spark):
+    from magshield_data_pipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "OK"), (2, -3.0, "OK"), (3, -1.0, "BAD"), (4, None, "OK")],
+        "id long, amount double, status string",
+    )
+    rules = {
+        "amount_pos": F.col("amount") > 0,
+        "status_ok": F.col("status") == "OK",
+    }
+    out = {r["id"]: r["failed_rules"] for r in Q.dq_quarantine(df, rules).collect()}
+    # row 1 is clean and must NOT appear; 3 fails both rules, sorted tags
+    assert out == {2: "amount_pos", 3: "amount_pos,status_ok", 4: "amount_pos"}
+
+
+def test_streaming_cms_maintenance_equals_batch_sketch(spark, tmp_path):
+    # sketch maintenance under a stream: each micro-batch's CMS merges
+    # into an accumulated table; after AvailableNow drains the source,
+    # the accumulated sketch must EQUAL the batch-built sketch (exact
+    # mergeability is what makes sketch maintenance incremental at all)
+    from magshield_data_pipeline_spark.operators import sketches as SK
+    from magshield_data_pipeline_spark.streaming import windows as W
+
+    events = read_table(spark, SF_SMALL, "events")
+    acc = {}
+
+    def merge_batch(batch_df, batch_id):
+        for r in SK.cms_sketch(batch_df, "event_type").collect():
+            key = (r["d"], r["bucket"])
+            acc[key] = acc.get(key, 0) + r["cnt"]
+
+    stream = W.read_events_stream(spark, SF_SMALL)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in SK.cms_sketch(events, "event_type").collect()
+    }
+    assert acc == want
