@@ -417,7 +417,13 @@ def semantic_dedup(
     plan shape. Dropped-id set stays distributed end-to-end (left_anti
     join, no collect).
     """
-    assigned = assign_clusters(emb, centroids, id_col, vec_col)
+    # the assignment frame feeds BOTH self-join sides and the final
+    # verdict select — without persist each consumer re-runs the full
+    # corpus scan + centroid scoring (3× the one pass this operator
+    # advertises). Cache lifetime is caller-owned, same contract as
+    # srp_candidate_pairs/jaccard_pairs (CacheManager dedups by plan;
+    # bench/oracle harness release caches between queries).
+    assigned = assign_clusters(emb, centroids, id_col, vec_col).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(

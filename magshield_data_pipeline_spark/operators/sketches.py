@@ -227,6 +227,10 @@ def kmv_pair_overlap(kmv: DataFrame, k: int = KMV_K) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    # the sketch frame feeds three consumers (segment list + both pair
+    # sides) — persist so the distinct + ranked sketch build runs once
+    # (caller-owned lifetime, the srp/jaccard contract)
+    kmv = kmv.persist()
     segs = kmv.select("segment").distinct()
     pairs = (
         segs.select(F.col("segment").alias("seg_a"))
