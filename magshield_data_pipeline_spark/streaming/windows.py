@@ -169,3 +169,22 @@ def dedup_stream(
         .dropDuplicates(list(keys))
         .select(*keys)
     )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """The UNBOUNDED-stream dedup variant: per-key state expires once
+    the watermark passes the key's last-seen event time + *delay*, so
+    state is bounded by the live key horizon instead of the full key
+    domain. Within-horizon duplicates dedup exactly; a duplicate
+    arriving after its key's state expired re-emits (the documented
+    trade of `dropDuplicatesWithinWatermark`). Same key-columns-only
+    output contract as :func:`dedup_stream`."""
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )

@@ -297,3 +297,29 @@ def test_streaming_funnel_three_batches_reverse_stage_order(spark):
     u12 = sorted((r for r in out if r.user_id == 12), key=lambda r: r.n_stages)
     assert u12, "user 12 entered the funnel in batch 2"
     assert all(r.t1 is None or r.t1 >= datetime(2024, 1, 1, 10, 30, 0) for r in u12)
+
+
+def test_dedup_within_watermark_matches_batch_distinct(spark, tmp_path):
+    # with a delay wider than the fixture's whole event-time span, no
+    # key's state can expire mid-run, so the watermark variant must
+    # equal batch DISTINCT exactly — proving the state-expiring
+    # operator wires correctly before production narrows the horizon
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+    from magshield_data_pipeline_spark.streaming import windows as W
+
+    sf = "/root/testdata/sf0.001"
+    stream = W.read_events_stream(spark, sf)
+    out = W.run_available_now(
+        W.dedup_stream_within_watermark(stream, delay="3650 days"),
+        output_mode="append",
+        state_partitions=8,
+    )
+    got = {(r["user_id"], r["event_type"]) for r in out.collect()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in read_table(spark, sf, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
