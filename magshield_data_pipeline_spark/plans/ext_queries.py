@@ -1565,3 +1565,59 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return V.pq_topk(emb, codebook, queries, k=_PQ_K, m=_PQ_M, subdim=_PQ_SUB)
+
+
+# ---------------------------------------------------------------------------
+# EXT — Hilbert-curve layout stats (registered r5)
+
+
+def _hilbert_stats_sql() -> str:
+    from magshield_data_pipeline_spark.operators.layout import hilbert_sql_ctes
+
+    shift = 2 * _Z_BITS - _Z_BUCKETS.bit_length() + 1
+    return f"""
+WITH dims AS (
+    SELECT CAST(o_custkey % {1 << _Z_BITS} AS BIGINT) AS x,
+           CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                % {1 << _Z_BITS} AS BIGINT) AS y
+    FROM orders
+),
+{hilbert_sql_ctes(_Z_BITS)}
+SELECT CAST(hkey >> {shift} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+FROM h0_out
+GROUP BY 1
+"""
+
+
+@register(
+    "hilbert_layout_stats",
+    sql=_hilbert_stats_sql(),
+    description="Hilbert-curve layout: the locality-optimal space-filling "
+    "alternative to Morton on the SAME (custkey, order-day) dims and "
+    "bucket readout as zorder_layout_stats — consecutive Hilbert cells "
+    "are always Manhattan-adjacent (property-tested), so range-"
+    "partitioned files get strictly tighter worst-case envelopes than "
+    "the Morton curve's power-of-two jumps; per-level reflect+rotate "
+    "recurrence chained through projections, all integer expressions "
+    "inside whole-stage codegen (operators/layout.py)",
+)
+def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same plan budget as the z-order twin: pure projection chain
+    # (bits levels of integer CASE/XOR bundles) + ONE 16-group partial
+    # aggregate; no sort, no UDF. Comparing this table against
+    # zorder_layout_stats on identical dims shows the envelope
+    # tightening directly.
+    from magshield_data_pipeline_spark.operators import layout as L
+
+    orders = read_table(spark, sf_dir, "orders")
+    dims = orders.select(
+        (F.col("o_custkey") % (1 << _Z_BITS)).cast("long").alias("x"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+            % (1 << _Z_BITS)
+        ).cast("long").alias("y"),
+    )
+    return L.hilbert_bucket_stats(dims, "x", "y", bits=_Z_BITS, n_buckets=_Z_BUCKETS)

@@ -94,19 +94,20 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # is the contract).
 #
 # Round-5 window: the 4 r4-late additions that have never seen the driver
-# + the 14 r5-new queries (all never-checked, tier 1 by policy), then 30
+# + the 15 r5-new queries (all never-checked, tier 1 by policy), then 29
 # of the 38 queries whose last green is r3, then 2 fill slots for
 # code-touched r4 queries. Rotated OUT (positions 51+): 43 queries green
-# in r4, plus 8 r3-green suites displaced by the r5-new tier-1 entries
+# in r4, plus 9 r3-green suites displaced by the r5-new tier-1 entries
 # (`date_format_suite`, `string_function_suite`, `json_props_extract`,
 # `count_probe`, `union_dedup`, `topk_per_group`, `anti_join_orphans`,
-# `conditional_counts` — chosen for lowest regression risk: pure
-# projection/metadata/set-op/ranking/CASE-count shapes whose patterns
-# stay covered in-window by sibling queries (mail_scan_topn,
-# windowed_top_events, quota/weighted draws, data_quality_gate's FK
-# anti-join and CASE rules) plus dedicated pytest; they become tier-1
-# rotation priority for round 6 together with any r5 failure, see
-# COVERAGE.md).
+# `conditional_counts`, `nation_pair_flows` — chosen for lowest
+# regression risk: pure projection/metadata/set-op/ranking/CASE-count/
+# pair-join shapes whose patterns stay covered in-window by sibling
+# queries (mail_scan_topn, windowed_top_events, quota/weighted draws,
+# data_quality_gate's FK anti-join and CASE rules, three_role_nation_
+# join's aliased-dim pair joins) plus dedicated pytest; they become
+# tier-1 rotation priority for round 6 together with any r5 failure,
+# see COVERAGE.md).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- tier 1: never driver-checked (r4 additions + the new r5 query)
@@ -125,6 +126,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "kmv_segment_overlap",
     "data_quality_gate",
     "entity_resolution_matches",
+    "hilbert_layout_stats",
     # -- tier 3: last green r3 — the reference core set
     "users_projection_dedup",
     "quote_enrichment",
@@ -135,7 +137,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "pricing_summary",
     "running_total_window",
     "semi_join_pushdown",
-    "nation_pair_flows",
     "three_role_nation_join",
     "links_array_pipeline",
     "custom_fields_last_wins",
