@@ -476,3 +476,28 @@ def test_streaming_cms_maintenance_equals_batch_sketch(spark, tmp_path):
         for r in SK.cms_sketch(events, "event_type").collect()
     }
     assert acc == want
+
+
+def test_pca_projection_from_gram_matrix(spark):
+    # the Gram matrix IS the PCA sufficient statistic: eigendecompose
+    # the d x d result on the driver, project the corpus onto the top
+    # component distributedly, and the projected variance must equal
+    # the top eigenvalue of the COVARIANCE (centered) — here we verify
+    # the uncentered-second-moment variant end-to-end against numpy
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 300)
+    cells = V.gram_matrix(emb).collect()
+    n = cells[0]["n_rows"]
+    d = max(r["j"] for r in cells) + 1
+    G = np.zeros((d, d))
+    for r in cells:
+        G[r["i"], r["j"]] = r["g"]
+        G[r["j"], r["i"]] = r["g"]
+    evals, evecs = np.linalg.eigh(G / n)
+    top = evecs[:, -1]
+    # distributed projection onto the top component (one scan, no UDF)
+    pc_lit = F.array(*[F.lit(float(v)) for v in top])
+    proj = emb.select(
+        V.dot(V.as_double_vec("embedding"), pc_lit).alias("p")
+    ).agg(F.sum(F.col("p") * F.col("p")).alias("ss")).collect()[0]["ss"]
+    # E[p^2] over rows == top eigenvalue of G/n (uncentered PCA)
+    assert math.isclose(proj / n, evals[-1], rel_tol=1e-4), (proj / n, evals[-1])
