@@ -135,3 +135,32 @@ def test_hilbert_plan_is_projection_plus_one_agg(spark):
     # (no WholeStageCodegen assert: the AdaptiveSparkPlan pre-final
     # string omits codegen spans; the shape asserts above are the
     # load-bearing ones)
+
+
+def test_hilbert_full_width_16_bits(spark):
+    # the default 16-bit width must plan in bounded time (CollapseProject
+    # stops at multiply-referenced exprs, so the projection chain stays
+    # linear) and agree with the reference recurrence at the corners
+    from magshield_data_pipeline_spark.operators import layout as L
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(123, 4567), (65535, 0), (0, 65535), (32768, 32767)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["_hkey"]
+        for r in L.with_hilbert(df, "x", "y", bits=16).collect()
+    }
+    assert got == {(x, y): xy2d(65536, x, y) for x, y in pts}
