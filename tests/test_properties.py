@@ -272,3 +272,138 @@ def test_bloom_dedup_equals_plain_on_random_overlap(
     }
     assert bloomed == plain
     assert len(plain) == batch_fresh
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators: CMS, KMV, E-S sampling, Hilbert
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=200
+    )
+)
+def test_cms_estimate_never_underestimates(spark, keys):
+    # CMS law: for EVERY key, est >= exact (collisions only add)
+    from collections import Counter
+
+    from magshield_data_pipeline_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sketch = SK.cms_sketch(df, "k")
+    probes = spark.createDataFrame([(k,) for k in set(keys)], "k long").select(
+        F.col("k").cast("string").alias("k")
+    )
+    est = {
+        r["k"]: r["est_count"]
+        for r in SK.cms_estimate(sketch, probes, "k").collect()
+    }
+    exact = Counter(str(k) for k in keys)
+    assert all(est[k] >= exact[k] for k in est)
+
+
+@settings(**_SETTINGS)
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=2000), min_size=1, max_size=300),
+    b=st.sets(st.integers(min_value=0, max_value=2000), min_size=1, max_size=300),
+)
+def test_kmv_merge_equals_union_sketch(spark, a, b):
+    # mergeability law: k smallest of (sketch(A) ∪ sketch(B)) equals
+    # the direct sketch of A ∪ B; and sub-k unions are EXACT
+    from magshield_data_pipeline_spark.operators import sketches as SK
+
+    rows = [(x, "A") for x in a] + [(x, "B") for x in b]
+    df = spark.createDataFrame(rows, "k long, seg string")
+    kmv = SK.kmv_per_group(df, key_col="k", group_col="seg")
+    merged = [
+        r["h"]
+        for r in kmv.select("h").distinct().orderBy("h").limit(SK.KMV_K).collect()
+    ]
+    direct = [
+        r["h"]
+        for r in SK.kmv_per_group(
+            df.withColumn("seg", F.lit("all")), key_col="k", group_col="seg"
+        ).orderBy("h").collect()
+    ]
+    assert merged == direct
+    if len(a | b) < SK.KMV_K:
+        assert len(direct) == len(a | b)
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_hilbert_matches_reference_model(spark, pairs):
+    from magshield_data_pipeline_spark.operators import layout as L
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["_hkey"]
+        for r in L.with_hilbert(df, "x", "y", bits=8).collect()
+    }
+    assert got == {(x, y): xy2d(256, x, y) for x, y in pairs}
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.floats(min_value=0.1, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=100,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_es_key_deterministic_and_weight_monotone(spark, rows):
+    # determinism: same (id, weight) → same key on re-evaluation; and
+    # doubling every weight strictly increases every key (ln(u) < 0)
+    from magshield_data_pipeline_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(rows, "id long, w double")
+    k1 = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", SA.es_weight_key(F.col("id"), F.col("w")).alias("k")
+        ).collect()
+    }
+    k2 = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", SA.es_weight_key(F.col("id"), F.col("w")).alias("k")
+        ).collect()
+    }
+    assert k1 == k2
+    doubled = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", SA.es_weight_key(F.col("id"), F.col("w") * 2).alias("k")
+        ).collect()
+    }
+    # rounded to 9 decimals: monotone non-strict at tiny magnitudes
+    assert all(doubled[i] >= k1[i] for i in k1)
