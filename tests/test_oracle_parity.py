@@ -24,3 +24,50 @@ def test_matches_oracle(spark, name):
 def test_rows_only_runs(spark, name):
     df = QUERY_REGISTRY[name].fn(spark, SF_SMALL)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# mutation controls: an all-green parity suite is only evidence if the
+# comparator actually REJECTS wrong answers — perturb a known-good
+# query three ways and assert each perturbation is caught
+
+
+def test_comparator_catches_value_mutation(spark):
+    spec = QUERY_REGISTRY["pricing_summary"]
+    mutated = spec.sql.replace("sum(", "sum(1e-3 + ", 1)
+    res = oracle_harness.compare_query(
+        spark, "mutated", spec.fn, mutated, SF_SMALL
+    )
+    assert res["rows_match"] and res["cols_match"]
+    assert not res["values_match"], "value mutation went undetected"
+
+
+def test_comparator_catches_row_mutation(spark):
+    spec = QUERY_REGISTRY["mail_scan_topn"]
+    mutated = spec.sql.replace("LIMIT", "LIMIT 1 --", 1)
+    if "LIMIT" not in spec.sql:
+        mutated = f"SELECT * FROM ({spec.sql}) q LIMIT 1"
+    res = oracle_harness.compare_query(
+        spark, "mutated", spec.fn, mutated, SF_SMALL
+    )
+    assert not res["rows_match"], "row-count mutation went undetected"
+
+
+def test_comparator_catches_column_rename(spark):
+    spec = QUERY_REGISTRY["count_probe"]
+    mutated = f"SELECT *, 1 AS extra_col FROM ({spec.sql}) q"
+    res = oracle_harness.compare_query(
+        spark, "mutated", spec.fn, mutated, SF_SMALL
+    )
+    assert not res["cols_match"], "schema mutation went undetected"
+
+
+def test_comparator_catches_integer_float_dtype_drift(spark):
+    # the HUGEINT/int64 class: 123 (int) vs 123.0 (float) must differ
+    import pandas as pd
+
+    from magshield_data_pipeline_spark.plans.oracle_harness import _canon_frame
+
+    a = _canon_frame(pd.DataFrame({"x": [123]}))
+    b = _canon_frame(pd.DataFrame({"x": [123.0]}))
+    assert a != b, "int/float drift invisible to the canonicalizer"
