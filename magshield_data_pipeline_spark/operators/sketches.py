@@ -36,16 +36,25 @@ CMS_WIDTH = 128
 def cms_bucket(key: Column, d: int, width: int = CMS_WIDTH) -> Column:
     """Bucket of *key* in depth row *d*: first 16 bits of
     md5(f"{d}|{key}") mod width. Seeding by prefixing the depth index
-    gives depth pairwise-independent-enough hash rows from one md5."""
-    nib = F.conv(F.substring(F.md5(F.concat(F.lit(f"{d}|"), key)), 1, 4), 16, 10)
+    gives depth pairwise-independent-enough hash rows from one md5.
+
+    Null-safe: ``concat_ws`` folds a null key to the bare depth prefix
+    (a real, countable bucket) instead of a null bucket — a plain
+    concat would hash null keys to null cells that the estimate join
+    can never find, silently UNDERestimating null-key frequency and
+    breaking the est ≥ exact guarantee."""
+    h = F.md5(F.concat_ws("|", F.lit(str(d)), key))
+    nib = F.conv(F.substring(h, 1, 4), 16, 10)
     return (nib.cast("long") % width).alias(f"bucket_{d}")
 
 
 def cms_bucket_sql(key_expr: str, d: int, width: int = CMS_WIDTH) -> str:
     """DuckDB twin of :func:`cms_bucket` (DuckDB has no conv(); the hex
-    prefix is decoded nibble-by-nibble like the simhash oracle)."""
+    prefix is decoded nibble-by-nibble like the simhash oracle).
+    ``concat_ws`` mirrors the null-key folding."""
+    md5 = f"md5(concat_ws('|', '{d}', {key_expr}))"
     nibs = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('{d}|' || {key_expr}), {i + 1}, 1)) - 1)"
+        f"(strpos('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1)"
         f" * {16 ** (3 - i)}"
         for i in range(4)
     )
@@ -153,8 +162,14 @@ KMV_K = 64
 def kmv_hash(key: Column) -> Column:
     """Uniform hash for KMV: md5 hex of the stringified key. Fixed-width
     hex compares lexicographically == numerically, so 'k smallest
-    hashes' is a plain string sort — exact in both engines."""
-    return F.md5(F.concat(F.lit("kmv|"), key.cast("string")))
+    hashes' is a plain string sort — exact in both engines.
+
+    Null-safe via ``concat_ws``: a null key hashes the bare salt (one
+    real value — null IS one distinct value to a distinct-counter). A
+    plain concat would produce a null hash, which sorts NULLS FIRST in
+    Spark but NULLS LAST in DuckDB — a silent cross-engine sketch
+    divergence the moment a null key appears."""
+    return F.md5(F.concat_ws("|", F.lit("kmv"), key.cast("string")))
 
 
 def kmv_hash_u(h: Column) -> Column:

@@ -472,7 +472,7 @@ _KMV_UNION_EST = (
 _KMV_SQL = f"""
 WITH hashes AS (
     SELECT DISTINCT event_type AS segment,
-           md5('kmv|' || CAST(user_id AS VARCHAR)) AS h
+           md5(concat_ws('|', 'kmv', CAST(user_id AS VARCHAR))) AS h
     FROM events
 ),
 kmv AS (

@@ -501,3 +501,22 @@ def test_pca_projection_from_gram_matrix(spark):
     ).agg(F.sum(F.col("p") * F.col("p")).alias("ss")).collect()[0]["ss"]
     # E[p^2] over rows == top eigenvalue of G/n (uncentered PCA)
     assert math.isclose(proj / n, evals[-1], rel_tol=1e-4), (proj / n, evals[-1])
+
+
+def test_cms_and_kmv_handle_null_keys(spark):
+    # null is ONE countable value: CMS must not underestimate it and
+    # KMV must hash it to a real (cross-engine-sortable) value
+    df = spark.createDataFrame(
+        [(None,), (None,), ("a",), ("b",)], "k string"
+    )
+    sketch = SK.cms_sketch(df, "k")
+    probes = spark.createDataFrame([(None,), ("a",)], "k string")
+    est = {r["k"]: r["est_count"] for r in SK.cms_estimate(sketch, probes, "k").collect()}
+    assert est[None] >= 2
+    assert est["a"] >= 1
+
+    kmv = SK.kmv_per_group(
+        df.withColumn("seg", F.lit("s")), key_col="k", group_col="seg"
+    ).collect()
+    assert len(kmv) == 3  # null, 'a', 'b' are three distinct keys
+    assert all(r["h"] is not None for r in kmv)
