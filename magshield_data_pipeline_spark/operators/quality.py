@@ -34,6 +34,8 @@ def dq_violation_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     single partial-aggregated rollup, then unpivots the 1-row result
     to long form (an explode over an N-element literal array — no
     second scan, no shuffle beyond the rollup's)."""
+    if not rules:
+        raise ValueError("dq_violation_counts: at least one rule required")
     aggs = [F.sum(violation(pred)).cast("long").alias(name) for name, pred in rules.items()]
     row = df.agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
     stacked = F.explode(

@@ -553,8 +553,23 @@ def pq_encode(
     ONE pass that touches full vectors; every later query runs against
     codes only. Returns (id, s, code_id).
     """
-    chunks = vector_chunks(emb, m, subdim, id_col, vec_col)
-    cchunks = vector_chunks(codebook, m, subdim, id_col, vec_col).select(
+    # fail loud on a dim mismatch: a vector shorter than m*subdim
+    # slices into a ragged last chunk whose zip_with pads nulls —
+    # silently wrong codes. raise_error fires only on offending rows.
+    def _guarded(chunked):
+        return chunked.withColumn(
+            "chunk",
+            F.when(F.size("chunk") == subdim, F.col("chunk")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"pq_encode: vector dim is not m*subdim = {m}*{subdim}"
+                    )
+                )
+            ),
+        )
+
+    chunks = _guarded(vector_chunks(emb, m, subdim, id_col, vec_col))
+    cchunks = _guarded(vector_chunks(codebook, m, subdim, id_col, vec_col)).select(
         F.col("s"), F.col(id_col).alias("code_id"), F.col("chunk").alias("cchunk")
     )
     scored = chunks.join(F.broadcast(cchunks), "s").select(

@@ -520,3 +520,26 @@ def test_cms_and_kmv_handle_null_keys(spark):
     ).collect()
     assert len(kmv) == 3  # null, 'a', 'b' are three distinct keys
     assert all(r["h"] is not None for r in kmv)
+
+
+def test_pq_encode_rejects_dim_mismatch(spark):
+    # m*subdim != actual dim must fail loud, not emit silently-wrong
+    # codes from ragged null-padded chunks
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 20)
+    cb = emb.filter(F.col("vec_id") % 10 == 0)
+    with _pt.raises(Exception) as exc:
+        V.pq_encode(emb, cb, m=8, subdim=9).collect()  # 72 != 64
+    assert "m*subdim" in str(exc.value)
+
+
+def test_dq_rejects_empty_rule_set(spark):
+    import pytest as _pt
+
+    from magshield_data_pipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pt.raises(ValueError):
+        Q.dq_violation_counts(df, {})
