@@ -473,6 +473,13 @@ def gram_matrix(
     engines.
 
     Output: (i, j, g, n_rows) with 0-based i ≤ j.
+
+    Measured alternative (rejected): a single wide aggregate of
+    d(d+1)/2 sum expressions avoids the explode but plans ~18 s and
+    runs 2× slower at sf0.1 — 2080 aggregation buffers defeat codegen
+    and bloat the task binary to ~6 MB. The explode+rollup keeps one
+    small generic buffer per cell and stays inside whole-stage
+    codegen; :func:`gram_matrix_arrow` is the BLAS path beyond that.
     """
     v = as_double_vec(vec_col)
     pairs = F.flatten(
