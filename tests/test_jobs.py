@@ -128,3 +128,52 @@ def test_partial_sources_skip_instead_of_raise(spark, sources, tmp_path):
     skipped = {k for k, v in written.items() if v is None}
     assert skipped == set(jobs.EXPORT_NAMES) - {"organisation"}
     run.close()
+
+
+def test_crm_consolidation_composition(spark):
+    # end-to-end composition of the r5 components on the reference's
+    # core story: ingest a dirty contact batch → DQ gate + quarantine →
+    # entity-resolve survivors against the master → emit matched pairs.
+    # Each stage is the already-tested operator; this proves they chain.
+    import pyspark.sql.functions as F
+
+    from magshield_data_pipeline_spark.operators import linkage as L
+    from magshield_data_pipeline_spark.operators import quality as Q
+
+    master = spark.createDataFrame(
+        [(1, "Acme Corp 001"), (2, "Globex 002"), (3, "Initech 003")],
+        "id long, name string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Acme Xorp 001", 5.0),    # typo; should match 1
+            (11, "Globex 002", -1.0),      # DQ violation: negative amount
+            (12, None, 3.0),               # DQ violation: null name
+            (13, "Initech 003", 7.0),      # clean exact match
+        ],
+        "id long, name string, amount double",
+    )
+    rules = {
+        "name_present": F.col("name").isNotNull(),
+        "amount_pos": F.col("amount") > 0,
+    }
+    quarantined = Q.dq_quarantine(batch, rules)
+    q_ids = {r["id"] for r in quarantined.collect()}
+    assert q_ids == {11, 12}
+
+    clean = batch.join(quarantined.select("id"), "id", "left_anti")
+    pairs = L.link_candidates(
+        clean.select("id", "name"),
+        master,
+        block_key=F.substring(F.col("name"), -3, 3),
+        threshold=0.8,
+    )
+    matches = {r["dirty_id"]: r["matched_id"] for r in L.best_match(pairs).collect()}
+    assert matches == {10: 1, 13: 3}
+
+    # the gate report agrees with the quarantine split
+    report = {
+        r["rule"]: r["n_violations"]
+        for r in Q.dq_violation_counts(batch, rules).collect()
+    }
+    assert report == {"name_present": 1, "amount_pos": 1}
