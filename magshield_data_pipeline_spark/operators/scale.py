@@ -154,3 +154,55 @@ def key_skew_profile(
     return ranked.withColumn("key_rank", F.row_number().over(w)).select(
         "key_rank", "key_value", "n_rows", "share_ppm", "is_hot"
     )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    id_col: str,
+    bucket_size: int = 1 << 20,
+) -> DataFrame:
+    """Gaps in an integer id sequence — (gap_after, resumes_at,
+    n_missing) — WITHOUT a global-ordered window.
+
+    The naive formulation (`lead(id) OVER (ORDER BY id)`) single-
+    partitions the entire table (Spark warns `No Partition Defined for
+    Window operation`): a completeness audit over a 100 TB fact would
+    serialize through one task. Two-level bucketing keeps every window
+    bounded:
+
+    1. intra-bucket: partition the window by ``id div bucket_size`` —
+       ≤ bucket_size rows per partition, fully parallel; emits gaps
+       whose endpoints share a bucket;
+    2. seams: a per-bucket (min, max) rollup — n/bucket_size rows —
+       ordered by bucket id catches every gap that crosses one or more
+       bucket boundaries (empty buckets just widen the seam). The
+       summary window is global but over the TINY rollup; recurse the
+       same trick if n/bucket_size is ever itself large.
+
+    Each gap is emitted exactly once: intra-bucket if both endpoints
+    share a bucket, else by the seam pass. Output is identical to the
+    naive global window (equivalence-tested).
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("id")).withColumn(
+        "bucket", F.floor(F.col("id") / bucket_size)
+    )
+    wb = Window.partitionBy("bucket").orderBy("id")
+    intra = (
+        ids.withColumn("next_id", F.lead("id").over(wb))
+        .filter(F.col("next_id") - F.col("id") > 1)
+        .select("id", "next_id")
+    )
+    summary = ids.groupBy("bucket").agg(
+        F.min("id").alias("min_id"), F.max("id").alias("max_id")
+    )
+    ws = Window.orderBy("bucket")
+    seams = (
+        summary.withColumn("next_min", F.lead("min_id").over(ws))
+        .filter(F.col("next_min") - F.col("max_id") > 1)
+        .select(F.col("max_id").alias("id"), F.col("next_min").alias("next_id"))
+    )
+    return intra.unionByName(seams).select(
+        F.col("id").alias("gap_after"),
+        F.col("next_id").alias("resumes_at"),
+        (F.col("next_id") - F.col("id") - 1).cast("long").alias("n_missing"),
+    )

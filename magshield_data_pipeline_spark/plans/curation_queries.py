@@ -868,24 +868,17 @@ FROM k WHERE next_id - id > 1
     "dropped pages/batches ([EXT] observability)",
 )
 def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A single unpartitioned ordered window IS a global sort — right
-    # for a completeness audit (run per ingested partition at 100 TB:
-    # partition the window by shard/date and the sort parallelizes).
-    from pyspark.sql.window import Window
+    # Bucketed two-level gap scan (operators/scale.py::sequence_gaps):
+    # intra-bucket windows are partition-bounded and parallel; only the
+    # tiny per-bucket (min,max) rollup sees an ordered seam window. The
+    # naive lead-over-global-ORDER BY single-partitions the whole
+    # table at 100 TB (WindowExec "No Partition Defined" warning).
+    from magshield_data_pipeline_spark.operators import scale as SC
 
     orders = read_table(spark, sf_dir, "orders")
     # simulate dropped batches: every 7th key failed to land
     ingested = orders.filter(F.col("o_orderkey") % 7 != 0)
-    w = Window.orderBy("o_orderkey")
-    k = ingested.select(
-        F.col("o_orderkey").alias("id"),
-        F.lead("o_orderkey").over(w).alias("next_id"),
-    )
-    return k.filter(F.col("next_id") - F.col("id") > 1).select(
-        F.col("id").alias("gap_after"),
-        F.col("next_id").alias("resumes_at"),
-        (F.col("next_id") - F.col("id") - 1).cast("long").alias("n_missing"),
-    )
+    return SC.sequence_gaps(ingested, "o_orderkey", bucket_size=1024)
 
 
 _TSFMT_D2 = "%Y-%m-%d %H:%M:%S.%f"

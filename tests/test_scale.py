@@ -222,3 +222,56 @@ def test_interleave_multi_matches_2dim_and_model(spark):
         )
 
     assert got == [morton3(v) for v in [(3, 5, 6), (0, 0, 0), (7, 1, 4)]]
+
+
+def test_sequence_gaps_equals_naive_global_window(spark):
+    # bucketed two-level scan must equal lead-over-global-ORDER BY,
+    # including gaps that span multiple (possibly empty) buckets
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from magshield_data_pipeline_spark.operators import scale as SC
+
+    ids = (
+        list(range(0, 50))            # dense run
+        + [53, 54]                    # small intra-bucket gap (B=16)
+        + [200, 201]                  # gap spanning many empty buckets
+        + [202, 250]                  # another cross-bucket gap
+    )
+    df = spark.createDataFrame([(i,) for i in ids], "o_orderkey long")
+    got = sorted(
+        (r["gap_after"], r["resumes_at"], r["n_missing"])
+        for r in SC.sequence_gaps(df, "o_orderkey", bucket_size=16).collect()
+    )
+    w = Window.orderBy("o_orderkey")
+    naive = (
+        df.select(
+            F.col("o_orderkey").alias("id"),
+            F.lead("o_orderkey").over(w).alias("next_id"),
+        )
+        .filter(F.col("next_id") - F.col("id") > 1)
+    )
+    want = sorted(
+        (r["id"], r["next_id"], r["next_id"] - r["id"] - 1)
+        for r in naive.collect()
+    )
+    assert got == want
+    assert (50 - 1, 53, 3) in got           # intra-run boundary gap
+    assert (54, 200, 145) in got            # multi-empty-bucket gap
+
+
+def test_sequence_gaps_window_is_bucket_partitioned(spark):
+    # the data-sized window must partition by bucket; only the tiny
+    # per-bucket summary may see an unpartitioned seam window
+    from magshield_data_pipeline_spark.operators import scale as SC
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    plan = (
+        SC.sequence_gaps(orders, "o_orderkey", bucket_size=1024)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partitionBy" not in plan  # sanity: text form uses specs below
+    # the intra pass shows a windowspecdefinition WITH the bucket key;
+    # exactly one window runs without a partition key (the seam pass)
+    assert plan.count("Window") >= 2
