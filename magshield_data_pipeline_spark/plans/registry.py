@@ -94,13 +94,15 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # is the contract).
 #
 # Round-5 window: the 4 r4-late additions that have never seen the driver
-# + the 15 r5-new queries (all never-checked, tier 1 by policy), then 29
+# + the 15 r5-new queries (all never-checked, tier 1 by policy), then 28
 # of the 38 queries whose last green is r3, then 2 fill slots for
 # code-touched r4 queries. Rotated OUT (positions 51+): 43 queries green
-# in r4, plus 9 r3-green suites displaced by the r5-new tier-1 entries
+# in r4, plus 10 r3-green suites displaced by the r5-new tier-1 and
+# tier-4 entries
 # (`date_format_suite`, `string_function_suite`, `json_props_extract`,
 # `count_probe`, `union_dedup`, `topk_per_group`, `anti_join_orphans`,
-# `conditional_counts`, `nation_pair_flows` — chosen for lowest
+# `conditional_counts`, `nation_pair_flows`, `running_total_window` —
+# chosen for lowest
 # regression risk: pure projection/metadata/set-op/ranking/CASE-count/
 # pair-join shapes whose patterns stay covered in-window by sibling
 # queries (mail_scan_topn, windowed_top_events, quota/weighted draws,
@@ -135,7 +137,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "mail_scan_topn",
     "multi_hop_revenue",
     "pricing_summary",
-    "running_total_window",
     "semi_join_pushdown",
     "three_role_nation_join",
     "links_array_pipeline",
@@ -160,10 +161,12 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "session_window_rollup",
     "distinct_users_per_type",
     # -- tier 4: code touched in round 5 (paged.py Arrow fallback,
-    #    dedup.py min-struct/docstring, unpersist wrappers) or green in
-    #    only one round — re-prove under the changed code
+    #    dedup.py min-struct/docstring, unpersist wrappers, the
+    #    bucketed sequence_gaps rewrite) or green in only one round —
+    #    re-prove under the changed code
     "paged_source_scan",
     "value_percentiles",
+    "orderkey_gap_islands",
     # -- tier 1 again: the r5-new queries (never checked outranks green,
     #    so they displaced the greenest fill slots)
     "zorder_layout_stats",
