@@ -104,3 +104,27 @@ def load_star_schema(
     costs nothing until an action runs.
     """
     return {t: read_table(spark, sf_dir, t) for t in STAR_TABLES}
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time — the normal state of a years-old
+    100 TB log): ``mergeSchema`` unions the per-file footers into the
+    widest schema and older files surface the missing columns as null.
+    Off by default in Spark because footer-merging costs one extra
+    metadata pass — turn it on only for genuinely evolving directories.
+    """
+    ensure_runtime_confs(spark)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def evolve_union(*dfs: DataFrame) -> DataFrame:
+    """Union frames whose schemas drifted (columns added/reordered):
+    ``unionByName(allowMissingColumns=True)`` matches by NAME and
+    null-fills gaps — positional ``union`` would silently zip
+    mismatched columns together, the classic schema-drift corruption.
+    Column types must still agree where names coincide (fail loud)."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

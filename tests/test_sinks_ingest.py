@@ -90,3 +90,31 @@ def test_extract_link_null_on_miss(spark):
     )
     [row] = reports.extract_report_link(mail).collect()
     assert row.href is None  # F11: null on miss (bs4 parity)
+
+
+def test_read_evolved_merges_schemas_across_files(spark, tmp_path):
+    # two files written under different schema versions: the merged
+    # read exposes the union of columns, old rows null-filled
+    from magshield_data_pipeline_spark.sources.parquet import read_evolved
+
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    v1.write.parquet(str(tmp_path / "evt" / "p1"))
+    v2.write.parquet(str(tmp_path / "evt" / "p2"))
+    out = read_evolved(spark, str(tmp_path / "evt" / "*"))
+    rows = {r["id"]: (r["name"], r["score"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_evolve_union_matches_by_name_and_null_fills(spark):
+    from magshield_data_pipeline_spark.sources.parquet import evolve_union
+
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([("y", 2, 1.5)], "name string, id long, score double")
+    out = evolve_union(a, b).orderBy("id").collect()
+    assert [(r["id"], r["name"], r["score"]) for r in out] == [
+        (1, "x", None),
+        (2, "y", 1.5),
+    ]
