@@ -42,6 +42,35 @@ def name_similarity(a: Column, b: Column, decimals: int = 6) -> Column:
     )
 
 
+def _guard_block_size(side: DataFrame, cap: int, side_name: str) -> DataFrame:
+    """Fail-loud hot-block guard: attach each row's blocking-group size
+    and `raise_error` if any group exceeds *cap*. Pair cost is
+    Σ_blocks |dirty_b|·|clean_b|, so ONE degenerate key (constant,
+    null-heavy, low-cardinality) silently goes quadratic — the same
+    contract-by-caller-discipline hole the PQ dim guard and the DQ
+    empty-rule guard close elsewhere; raising beats a 100 TB cross
+    product. Cost: one partial-aggregated count per side + a self
+    equi-join on bk (AQE broadcasts the tiny size rollup)."""
+    sizes = side.groupBy("bk").agg(F.count(F.lit(1)).alias("_bn"))
+    # the guard must be a FILTER predicate: an unused projected column
+    # holding raise_error would be pruned away by the optimizer
+    guard = F.when(F.col("_bn") <= cap, F.lit(True)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"link_candidates: {side_name} blocking group "),
+                F.col("bk").cast("string"),
+                F.lit(f" exceeds max_block_size={cap} ("),
+                F.col("_bn").cast("string"),
+                F.lit(
+                    " rows) — choose a more selective block_key "
+                    "or salt the hot block"
+                ),
+            )
+        ).cast("boolean")
+    )
+    return side.join(sizes, "bk").filter(guard).drop("_bn")
+
+
 def link_candidates(
     dirty: DataFrame,
     clean: DataFrame,
@@ -49,11 +78,14 @@ def link_candidates(
     id_col: str = "id",
     name_col: str = "name",
     threshold: float = 0.8,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Blocked candidate pairs with similarity ≥ threshold:
     (dirty_id, clean_id, sim). *block_key* is evaluated against each
     side's columns by name — both sides must expose the columns it
-    references."""
+    references. With *max_block_size* set, any blocking group larger
+    than the cap on either side raises at execution time
+    (:func:`_guard_block_size`) instead of going quadratic."""
     d = dirty.select(
         F.col(id_col).alias("dirty_id"),
         F.col(name_col).alias("dirty_name"),
@@ -64,6 +96,11 @@ def link_candidates(
         F.col(name_col).alias("clean_name"),
         block_key.alias("bk"),
     )
+    if max_block_size is not None:
+        if max_block_size <= 0:
+            raise ValueError("max_block_size must be positive")
+        d = _guard_block_size(d, max_block_size, "dirty")
+        c = _guard_block_size(c, max_block_size, "clean")
     return (
         d.join(c, "bk")
         .select(

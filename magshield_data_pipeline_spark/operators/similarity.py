@@ -387,6 +387,7 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Cluster-blocked semantic deduplication (the SemDeDup shape,
     Abbas et al. 2023): assign every vector to its nearest centroid,
@@ -411,11 +412,25 @@ def semantic_dedup(
     (:func:`assign_clusters`); the pair join keys on centroid_id so
     compared pairs shrink ~n_clusters× vs all-pairs (the blocking that
     makes embedding dedup feasible at 100 TB — same reason LSH bands
-    block minhash). A pathologically hot cluster is an AQE skew-join
-    case; production caps cluster size by splitting hot centroids
-    (finer k-means on the hot cell), which changes constants, not the
-    plan shape. Dropped-id set stays distributed end-to-end (left_anti
-    join, no collect).
+    block minhash). Dropped-id set stays distributed end-to-end
+    (left_anti join, no collect).
+
+    Hot-cluster cap: AQE's skew-join split rebalances *partitions*,
+    not the O(n²_cluster) pair count — a degenerate centroid set (one
+    centroid, or heavily skewed assignment) would silently degrade the
+    blocked join toward all-pairs. With *max_cluster_size* set, any
+    cluster above the cap is sub-split by a uniform id hash into
+    ceil(n/cap) sub-blocks and pairs are compared within a sub-block
+    only, so pair cost per original cluster drops from n² to ~n·cap.
+    Sub-splitting REFINES the (already approximate) blocking: pairs
+    landing in different sub-blocks of a hot cluster are not compared
+    — the conservative direction for a guard (misses dups, never
+    invents them), and exactly SemDeDup's own tradeoff when it caps
+    k-means cluster sizes. Clusters at or under the cap are untouched
+    (ceil(n/cap) = 1 ⇒ sub id 0 for every member), so enabling the
+    guard with a cap no cluster exceeds is a plan-only change with a
+    bit-identical result — which is how the registry query keeps its
+    oracle while exercising the guard code path.
     """
     # the assignment frame feeds BOTH self-join sides and the final
     # verdict select — without persist each consumer re-runs the full
@@ -424,12 +439,29 @@ def semantic_dedup(
     # srp_candidate_pairs/jaccard_pairs (CacheManager dedups by plan;
     # bench/oracle harness release caches between queries).
     assigned = assign_clusters(emb, centroids, id_col, vec_col).persist()
-    a, b = assigned.alias("a"), assigned.alias("b")
+    paired = assigned
+    if max_cluster_size is not None:
+        if max_cluster_size <= 0:
+            raise ValueError("max_cluster_size must be positive")
+        # tiny rollup (one row per centroid) — AQE broadcasts it; the
+        # sub id derives from a uniform hash of the row id so a hot
+        # cluster splits evenly even under adversarial id patterns
+        sizes = assigned.groupBy("centroid_id").agg(
+            F.ceil(
+                F.count(F.lit(1)) / F.lit(float(max_cluster_size))
+            ).alias("_nsub")
+        )
+        paired = assigned.join(sizes, "centroid_id").withColumn(
+            "_sub", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsub"))
+        )
+    a, b = paired.alias("a"), paired.alias("b")
+    same_block = F.col("a.centroid_id") == F.col("b.centroid_id")
+    if max_cluster_size is not None:
+        same_block = same_block & (F.col("a._sub") == F.col("b._sub"))
     dropped = (
         a.join(
             b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            same_block & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(dot_score(F.col("a.v"), F.col("b.v")) >= threshold)
         .select(F.col(f"b.{id_col}").alias(id_col))
@@ -697,4 +729,74 @@ def gram_matrix_arrow(
     partials = emb.select(col(vec_col)).mapInPandas(gen, schema=out_schema)
     return partials.groupBy("i", "j").agg(
         F.sum("partial").alias("g"), F.sum("n_rows").alias("n_rows")
+    )
+
+
+_Q20 = 1 << 20  # power-of-two quantum: x*2^20 is an exponent shift, exact
+
+
+def gram_matrix_arrow_q20(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized-numpy Gram matrix that is **bit-exact cross-engine**,
+    closing the evidence gap the float BLAS path (:func:`gram_matrix_arrow`)
+    leaves: there, raw-float64 dsyrk partials carry summation-order
+    noise, so results can't be hash-compared against an oracle.
+
+    The trick is quantizing each PRODUCT to the binary grid 2⁻²⁰
+    before any summation: q(p) = floor(p·2²⁰ + ½) as int64. Every step
+    is exact IEEE-754 — p = v_i·v_j is exact in double for float32
+    inputs, p·2²⁰ is an exponent shift, +½ and floor are exact below
+    2⁵², and the per-cell total is *integer* arithmetic, so it is
+    identical regardless of batch boundaries, partitioning, or engine.
+    g = Σq / 2²⁰ is exact while Σq < 2⁵³ (~8·10¹⁵ unit-scale products
+    per cell — beyond 100 TB corpora; past that, keep the int64).
+    Contrast with decimal round(p, 6): 10⁻⁶ is not a binary fraction,
+    so replicating Spark/DuckDB HALF_UP decimal ties in numpy is not
+    provably exact — the binary grid sidesteps ties entirely.
+
+    Cost shape is the Arrow path's: per batch, d slab multiplies
+    (mat[:,i:i+1]·mat[:,i:], C-vectorized) replace one dsyrk — a small
+    constant over BLAS, orders faster than the Catalyst per-element
+    explode of d(d+1)/2 cells per row — and the shuffle still carries
+    only O(d²·batches) rows. This is the registry/production path;
+    the float dsyrk variant remains for when the last bit may float.
+    """
+    from pyspark.sql.functions import col
+
+    d_probe = len(emb.select(vec_col).first()[0])
+    out_schema = "i int, j int, qsum long, n_rows long"
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        d = d_probe
+        iu = _np.triu_indices(d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _np.asarray(list(pdf.iloc[:, 0]), dtype=_np.float64)
+            out = _np.empty((d, d), dtype=_np.int64)
+            for i in range(d):
+                prods = mat[:, i : i + 1] * mat[:, i:]
+                out[i, i:] = (
+                    _np.floor(prods * float(_Q20) + 0.5)
+                    .astype(_np.int64)
+                    .sum(axis=0)
+                )
+            yield _pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "qsum": out[iu],
+                    "n_rows": _np.int64(mat.shape[0]),
+                }
+            )
+
+    partials = emb.select(col(vec_col)).mapInPandas(gen, schema=out_schema)
+    return partials.groupBy("i", "j").agg(
+        (F.sum("qsum").cast("double") / F.lit(float(_Q20))).alias("g"),
+        F.sum("n_rows").alias("n_rows"),
     )

@@ -1576,10 +1576,15 @@ def entity_resolution_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = customer.select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
+    # max_block_size exercises the fail-loud hot-block guard (size
+    # rollup + filter on each side) at a cap far above the ~15-row
+    # blocks the suffix key yields, so the result is unchanged; a
+    # degenerate key would now raise instead of going quadratic
     pairs = L.link_candidates(
         dirty, clean,
         block_key=F.substring(F.col("name"), -3, 3),
         id_col="id", name_col="name", threshold=_ER_THRESHOLD,
+        max_block_size=100_000,
     )
     out = L.best_match(pairs)
     return out.select(

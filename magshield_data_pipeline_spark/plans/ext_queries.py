@@ -1448,7 +1448,14 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reproduce the assignment; real centroids drop in plan-unchanged.
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 100 == 0)
-    return V.semantic_dedup(emb, centroids, threshold=_SEMDEDUP_T)
+    # cap exercises the hot-cluster guard path (size rollup + sub-split
+    # join keys) while staying far above any cluster at test SFs
+    # (corpus ≤ 2000 rows), so ceil(n/cap)=1 everywhere and the result
+    # is bit-identical to the uncapped oracle; the pathological case
+    # (all vectors → one centroid) is proven in tests/test_similarity
+    return V.semantic_dedup(
+        emb, centroids, threshold=_SEMDEDUP_T, max_cluster_size=10_000
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1482,6 +1489,39 @@ GROUP BY 1, 2
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return V.gram_matrix(emb)
+
+
+# ---------------------------------------------------------------------------
+# EXT — BLAS-shaped Gram matrix, hash-exact via binary quantization (r6)
+
+_GRAM_Q20_SQL = f"""
+WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+idx AS (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS i)
+SELECT CAST(i.i - 1 AS INT) AS i, CAST(j.i - 1 AS INT) AS j,
+       CAST(sum(CAST(floor(x.v[i.i] * x.v[j.i] * 1048576.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 1048576.0 AS g,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM x, idx i, idx j
+WHERE j.i >= i.i
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "embedding_gram_matrix_blas",
+    sql=_GRAM_Q20_SQL,
+    description="the PRODUCTION Gram path under hard oracle evidence: "
+    "vectorized-numpy per-batch partials over mapInPandas, made hash-"
+    "exact by quantizing each product to the binary 2^-20 grid (floor"
+    "(p*2^20 + 1/2) as int64 — every step exact IEEE-754, per-cell "
+    "totals integer arithmetic, so batch boundaries/partitioning/"
+    "engine cannot move a bit); same O(d^2 x batches) shuffle as the "
+    "Catalyst fold twin, ~an order less CPU ([EXT] distributed-linear-"
+    "algebra tier)",
+)
+def embedding_gram_matrix_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.gram_matrix_arrow_q20(emb)
 
 
 # ---------------------------------------------------------------------------

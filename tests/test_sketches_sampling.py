@@ -543,3 +543,121 @@ def test_dq_rejects_empty_rule_set(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pt.raises(ValueError):
         Q.dq_violation_counts(df, {})
+
+
+# ---------------------------------------------------------------------------
+# hot-cluster cap (semantic dedup) and hot-block guard (linkage) — r6
+
+
+def test_semantic_dedup_cap_is_identity_when_no_cluster_exceeds_it(spark):
+    # enabling the guard with a cap above every cluster must be a
+    # plan-only change: ceil(n/cap) = 1 => sub id 0 everywhere => the
+    # exact result of the uncapped path (the registry query's contract)
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 120)
+    centroids = emb.filter(F.col("vec_id") % 40 == 0)
+    base = sorted(
+        V.semantic_dedup(emb, centroids, threshold=0.3).collect()
+    )
+    capped = sorted(
+        V.semantic_dedup(
+            emb, centroids, threshold=0.3, max_cluster_size=10_000
+        ).collect()
+    )
+    assert base == capped
+
+
+def test_semantic_dedup_hot_cluster_cap_bounds_pairs(spark):
+    # pathological input: every vector identical => ONE cluster holding
+    # all n rows. Uncapped, that is an n^2/2 pair join keeping exactly
+    # one survivor; capped at c, the cluster splits into ceil(n/c)
+    # hash sub-blocks compared independently — pair cost ~n*c — and
+    # each non-empty sub-block keeps its own min id. Survivor count
+    # therefore proves the split actually bounded the comparisons:
+    # 1 < survivors <= ceil(n/c), and never more drops than uncapped.
+    n, cap = 100, 10
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = emb.filter(F.col("vec_id") == 0)
+
+    uncapped = V.semantic_dedup(emb, centroids, threshold=0.99).collect()
+    assert sum(r["kept"] for r in uncapped) == 1  # only min id survives
+
+    capped = V.semantic_dedup(
+        emb, centroids, threshold=0.99, max_cluster_size=cap
+    ).collect()
+    survivors = [r["vec_id"] for r in capped if r["kept"]]
+    assert 1 < len(survivors) <= -(-n // cap)  # split happened, bounded
+    assert 0 in survivors  # global min id always survives its block
+    # conservative direction: capping can only KEEP more, never drop
+    kept_uncapped = {r["vec_id"] for r in uncapped if r["kept"]}
+    assert kept_uncapped <= set(survivors)
+
+
+def test_semantic_dedup_rejects_nonpositive_cap(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        V.semantic_dedup(emb, emb, threshold=0.5, max_cluster_size=0)
+
+
+def test_link_candidates_max_block_size_raises_on_hot_block(spark):
+    from magshield_data_pipeline_spark.operators import linkage as L
+
+    # a CONSTANT block key puts every record in one block — the
+    # quadratic degeneration the guard exists to refuse
+    dirty = spark.createDataFrame(
+        [(i, f"name {i}") for i in range(20)], "id long, name string"
+    )
+    clean = spark.createDataFrame(
+        [(100 + i, f"name {i}") for i in range(20)], "id long, name string"
+    )
+    pairs = L.link_candidates(
+        dirty, clean, block_key=F.lit("X"), threshold=0.0, max_block_size=5
+    )
+    with pytest.raises(Exception) as exc:
+        pairs.collect()
+    assert "max_block_size" in str(exc.value)
+
+
+def test_link_candidates_max_block_size_passes_under_cap(spark):
+    from magshield_data_pipeline_spark.operators import linkage as L
+
+    dirty = spark.createDataFrame([(1, "acme corp")], "id long, name string")
+    clean = spark.createDataFrame(
+        [(10, "acme corp"), (11, "acme inc")], "id long, name string"
+    )
+    key = F.substring(F.col("name"), 1, 4)
+    guarded = sorted(
+        L.link_candidates(
+            dirty, clean, block_key=key, threshold=0.5, max_block_size=100
+        ).collect()
+    )
+    plain = sorted(
+        L.link_candidates(dirty, clean, block_key=key, threshold=0.5).collect()
+    )
+    assert guarded == plain and len(plain) > 0
+
+    with pytest.raises(ValueError):
+        L.link_candidates(
+            dirty, clean, block_key=key, threshold=0.5, max_block_size=-1
+        )
+
+
+def test_gram_q20_partition_invariant_and_close_to_exact(spark):
+    # the whole point of the binary-grid quantization: per-cell totals
+    # are integer sums, so batch/partition boundaries cannot move a bit
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    a = {(r["i"], r["j"]): r["g"] for r in V.gram_matrix_arrow_q20(emb).collect()}
+    b = {
+        (r["i"], r["j"]): r["g"]
+        for r in V.gram_matrix_arrow_q20(emb.repartition(17)).collect()
+    }
+    assert a == b  # bit-identical under any partitioning
+    exact = {(r["i"], r["j"]): r["g"] for r in V.gram_matrix(emb).collect()}
+    assert set(a) == set(exact)
+    n = emb.count()
+    # each addend moved by < 2^-21 vs the round(.,6) grid addend's
+    # < 5e-7: totals differ by at most n * (2^-21 + 5e-7)
+    tol = n * (2**-21 + 5e-7) + 1e-9
+    assert all(abs(a[k] - exact[k]) <= tol for k in a)
