@@ -451,7 +451,7 @@ def semantic_dedup(
                 F.count(F.lit(1)) / F.lit(float(max_cluster_size))
             ).alias("_nsub")
         )
-        paired = assigned.join(sizes, "centroid_id").withColumn(
+        paired = assigned.join(F.broadcast(sizes), "centroid_id").withColumn(
             "_sub", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsub"))
         )
     a, b = paired.alias("a"), paired.alias("b")

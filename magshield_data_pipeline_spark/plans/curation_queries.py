@@ -1510,6 +1510,83 @@ def data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# row-level quarantine companion to the DQ gate (registered r6)
+
+_DQ_QUAR_SQL = f"""
+WITH {_DQ_STAGED_SQL},
+j AS (
+    SELECT s.*, c.c_custkey AS ck
+    FROM staged s
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON s.o_custkey = c.c_custkey
+),
+f AS (
+    SELECT o_orderkey,
+           array_to_string(list_sort(list_filter([
+               CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                    THEN 'positive_total' END,
+               CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                    THEN 'valid_status' END,
+               CASE WHEN NOT coalesce(year(o_orderdate) BETWEEN 1995 AND 2001,
+                                      FALSE)
+                    THEN 'orderdate_in_range' END,
+               CASE WHEN ck IS NULL THEN 'custkey_fk' END
+           ], x -> x IS NOT NULL)), ',') AS failed_rules
+    FROM j
+)
+SELECT o_orderkey, failed_rules FROM f WHERE failed_rules != ''
+"""
+
+
+@register(
+    "dq_quarantine_rows",
+    sql=_DQ_QUAR_SQL,
+    description="row-level quarantine companion to data_quality_gate: "
+    "the violating rows themselves, each tagged with a sorted comma-"
+    "joined failed_rules string — the frame a pipeline writes to the "
+    "quarantine sink while clean rows continue downstream; same in-plan "
+    "perturbation and rule set as the gate (FK rule folded to a "
+    "predicate via one left join), ONE scan + projection/filter "
+    "([EXT] observability)",
+)
+def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: identical cost shape to the gate minus the rollup — the
+    # quarantine is a filter, so it writes only violating rows (~1.5%
+    # here); the FK membership join is the one exchange and AQE picks
+    # its strategy. Output kept scalar (key + tag string) per the
+    # driver canonicalizer contract.
+    from magshield_data_pipeline_spark.operators import quality as Q
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    staged = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 211 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 223 == 0, F.lit("Z"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 227 == 0, F.lit(-1).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderdate",
+    )
+    with_fk = staged.join(
+        customer.select(F.col("c_custkey").alias("ck")).distinct(),
+        staged.o_custkey == F.col("ck"),
+        "left",
+    )
+    rules = {
+        "positive_total": F.col("o_totalprice") > 0,
+        "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        "orderdate_in_range": F.year("o_orderdate").between(1995, 2001),
+        "custkey_fk": F.col("ck").isNotNull(),
+    }
+    return Q.dq_quarantine(with_fk, rules).select("o_orderkey", "failed_rules")
+
+
+# ---------------------------------------------------------------------------
 # entity resolution / record linkage (registered r5)
 
 _ER_THRESHOLD = 0.9

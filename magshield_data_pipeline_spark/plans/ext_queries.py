@@ -1608,6 +1608,82 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT — PQ retrieval quality: ADC top-k vs exact-cosine top-k (r6)
+
+_PQ_RECALL_SQL = f"""
+WITH pq AS ({_PQ_SQL}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_IVF_K}),
+es AS (
+    SELECT query_id, vec_id,
+           CASE WHEN list_dot_product(v, v) = 0 OR list_dot_product(qv, qv) = 0
+                THEN NULL
+                ELSE round(list_cosine_similarity(v, qv), 6) END AS score
+    FROM e CROSS JOIN eq WHERE vec_id != query_id
+),
+et AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id
+               ) AS rank
+        FROM es
+    ) WHERE rank <= {_PQ_K}
+)
+SELECT pq.query_id, pq.rank, pq.vec_id, pq.approx_score,
+       (et.vec_id IS NOT NULL) AS in_exact_topk
+FROM pq LEFT JOIN et
+  ON pq.query_id = et.query_id AND pq.vec_id = et.vec_id
+"""
+
+
+@register(
+    "embedding_pq_recall",
+    sql=_PQ_RECALL_SQL,
+    description=f"PQ retrieval QUALITY under hard evidence: every ADC "
+    f"top-{_PQ_K} hit annotated with whether the exact-cosine top-{_PQ_K} "
+    "also contains it — embedding_pq_topk proves the plan's determinism, "
+    "this proves what the compression costs in recall (the int8 twin is "
+    "embedding_quantized_recall); exact side reuses the proven rounded-"
+    "cosine ranking, PQ side the LUT-join scoring ([EXT] ANN tier)",
+)
+def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the PQ side is codes-only after the one-time encode; the
+    # exact side is brute force over the CANDIDATE queries only (5
+    # broadcast queries x corpus — the verify-what-you-retrieved cost,
+    # not an all-pairs cost). The annotation join is id-keyed and tiny.
+    emb = read_table(spark, sf_dir, "embeddings")
+    codebook = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000))
+    queries = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    pq = V.pq_topk(emb, codebook, queries, k=_PQ_K, m=_PQ_M, subdim=_PQ_SUB)
+    exact_queries = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = V.brute_force_topk(emb, exact_queries, k=_PQ_K).select(
+        F.col("query_id").alias("e_query_id"),
+        F.col("vec_id").alias("e_vec_id"),
+        F.lit(True).alias("hit"),
+    )
+    return (
+        pq.join(
+            exact,
+            (pq.query_id == exact.e_query_id) & (pq.vec_id == exact.e_vec_id),
+            "left",
+        )
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            "approx_score",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # EXT — Hilbert-curve layout stats (registered r5)
 
 
@@ -1661,3 +1737,222 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("y"),
     )
     return L.hilbert_bucket_stats(dims, "x", "y", bits=_Z_BITS, n_buckets=_Z_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# EXT — skew-safe salted join under oracle evidence (r6)
+
+_SALTED_SQL = """
+SELECT s.s_nationkey AS nationkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1
+"""
+
+
+@register(
+    "salted_join_revenue",
+    sql=_SALTED_SQL,
+    description="skew-safe salted equi-join proven result-identical to "
+    "the plain join: big side salted by a full-row hash, small side "
+    "replicated once per salt, joined on (key, salt), then aggregated — "
+    "the general fix when ONE hot key (a celebrity customer, a default "
+    "id) would pin an entire sort-merge partition to one task; AQE skew "
+    "split handles the common case at runtime, salting is the "
+    "deterministic pre-plan variant ([EXT] scale tier, operators/"
+    "scale.py)",
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the salt spreads each l_suppkey over 16 buckets (hot-key
+    # rows land on 16 tasks, not 1) at the cost of replicating the
+    # SMALL side 16x — supplier at 1/10th of customer cardinality is
+    # exactly the side you can afford to replicate. The oracle is the
+    # plain join: salting must be invisible in the result.
+    from magshield_data_pipeline_spark.operators import scale as SC
+
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_nationkey")
+    )
+    joined = SC.salted_join(lineitem, supplier, on="suppkey", salt_buckets=16)
+    return joined.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — PageRank over the nation flow graph, unrolled iterations (r6)
+
+_PR_D = 0.85
+_PR_N = 25  # TPC-H nation is a fixed 25-row dimension
+_PR_ITERS = 3
+
+_PR_EDGE_SQL = """
+flows AS (
+    SELECT n1.n_name AS src, n2.n_name AS dst, CAST(count(*) AS BIGINT) AS w
+    FROM lineitem l
+    JOIN orders   o  ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c  ON o.o_custkey   = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+    JOIN nation   n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation   n2 ON c.c_nationkey = n2.n_nationkey
+    GROUP BY 1, 2
+),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM flows GROUP BY 1),
+e AS (SELECT f.src, f.dst, f.w, o.wout FROM flows f JOIN outw o USING (src)),
+nodes AS (SELECT n_name AS node FROM nation),
+r0 AS (SELECT node, 1.0 / 25.0 AS rank FROM nodes)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    prev, cur = f"r{i - 1}", f"r{i}"
+    return f"""
+c{i} AS (
+    SELECT e.dst,
+           sum(round({_PR_D} * r.rank * e.w / e.wout, 9)) AS s
+    FROM e JOIN {prev} r ON e.src = r.node GROUP BY 1
+),
+{cur} AS (
+    SELECT node,
+           round((1.0 - {_PR_D}) / {_PR_N}.0 + coalesce(c{i}.s, 0.0), 9)
+               AS rank
+    FROM nodes LEFT JOIN c{i} ON node = c{i}.dst
+)"""
+
+
+_PR_SQL = (
+    "WITH " + _PR_EDGE_SQL
+    + "".join("," + _pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))
+    + f"\nSELECT node AS nation, rank AS pagerank FROM r{_PR_ITERS}"
+)
+
+
+@register(
+    "pagerank_nations",
+    sql=_PR_SQL,
+    description=f"weighted PageRank ({_PR_ITERS} unrolled iterations, "
+    f"d={_PR_D}) over the supplier-nation → customer-nation trade graph: "
+    "the iterative-algorithm tier beyond connected components — edge "
+    "derivation is ONE fact scan, then every iteration is a join "
+    "against a 25-node rank table; per-addend round(.,9) keeps the "
+    "float folds engine-exact (quantized-addend discipline applied "
+    "INSIDE the damping multiply, where rounding the damped sum would "
+    "sit exactly on half-grid points) ([EXT] graph tier; Page et al. "
+    "1999)",
+)
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the expensive part (fact-table edge aggregation) runs
+    # once; iterations touch only the 625-edge/25-node frames, all
+    # broadcastable — at 100 TB the edge rollup is the same one
+    # shuffle nation_pair_flows already pays, and iteration cost is
+    # independent of corpus size. Dangling-node mass is dropped (no
+    # out-edges → contributes nothing), documented and mirrored in the
+    # oracle. persist() on edges: 3 iterations = 3 consumers.
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+    )
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = flows.groupBy("src").agg(F.sum("w").alias("wout"))
+    edges = flows.join(outw, "src").persist()
+    nodes = nation.select(F.col("n_name").alias("node"))
+    base = F.lit((1.0 - _PR_D) / _PR_N)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / _PR_N))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                "dst",
+                F.round(
+                    F.lit(_PR_D) * F.col("rank") * F.col("w") / F.col("wout"),
+                    9,
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.round(base + F.coalesce(F.col("s"), F.lit(0.0)), 9).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("nation"), F.col("rank").alias("pagerank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — mergeable two-level rollup: daily partials → monthly merge (r6)
+
+_MERGE_ROLLUP_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "mergeable_daily_rollup",
+    sql=_MERGE_ROLLUP_SQL,
+    description="incremental-ETL reaggregation proven lossless: daily "
+    "partial aggregates (sum/count/min/max per order date) MERGED into "
+    "monthly figures must hash-match the direct monthly computation — "
+    "the contract that lets a 100 TB deployment maintain one day's "
+    "partials per batch and merge upward instead of rescanning history "
+    "(decomposable-aggregate algebra: sum-of-sums, sum-of-counts, "
+    "min-of-mins, max-of-maxes) ([EXT] scale tier)",
+)
+def mergeable_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Spark side deliberately takes the TWO-LEVEL path the oracle
+    # does not: daily partials (what an incremental pipeline persists),
+    # then a merge keyed on the month prefix. round(sum,2) at BOTH
+    # levels is exact — money carries 2 decimals, so daily sums are
+    # exact multiples of 0.01 and the monthly re-sum re-quantizes.
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("d_sum"),
+        F.count(F.lit(1)).alias("d_cnt"),
+        F.min("o_totalprice").alias("d_min"),
+        F.max("o_totalprice").alias("d_max"),
+    )
+    return (
+        daily.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.sum("d_sum"), 2).alias("sum_price"),
+            F.sum("d_cnt").alias("n_orders"),
+            F.min("d_min").alias("min_price"),
+            F.max("d_max").alias("max_price"),
+        )
+    )

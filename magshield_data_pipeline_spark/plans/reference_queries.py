@@ -945,3 +945,74 @@ def paged_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_mktsegment").alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution ingest: mergeSchema read + name-matched union (r6)
+#
+# Reference analog: the CUSTOMFIELDS payload drifts open-endedly across
+# records (/root/reference/modules/equiment.py:129, invoice.py:155) —
+# the batch-ingest counterpart is a parquet directory whose files were
+# written under evolving schemas. The query materializes that state
+# from `orders` (three disjoint batches, each with a different column
+# set), exercises BOTH helpers in sources/parquet.py on it, and
+# hash-checks the null-filled result against a DuckDB twin.
+
+_DRIFT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CASE WHEN o_orderkey % 3 = 1 THEN o_orderpriority END
+           AS o_orderpriority,
+       CASE WHEN o_orderkey % 3 = 2 THEN o_orderstatus END AS o_orderstatus
+FROM orders
+"""
+
+
+@register(
+    "schema_drift_union",
+    sql=_DRIFT_SQL,
+    description="schema-evolution ingest end-to-end: two parquet batches "
+    "written under DIFFERENT schemas into one directory, read back with "
+    "mergeSchema (older files null-fill the added column), then unioned "
+    "by NAME with a third drifted frame (unionByName allowMissingColumns "
+    "— positional union would zip mismatched columns, the classic drift "
+    "corruption); reference analog is the open-ended CUSTOMFIELDS drift "
+    "(equiment.py:129, invoice.py:155)",
+)
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The write targets a per-SF scratch dir (cheap: two column-pruned
+    # order subsets) so the READ path under test is a genuine evolving
+    # parquet directory, not an in-memory simulation. overwrite-then-
+    # append is idempotent per run; at 100 TB the analog is years of
+    # daily drops under an additive schema policy, and the mergeSchema
+    # footer merge is the one extra metadata pass you pay to read them
+    # as one table.
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources.parquet import (
+        evolve_union,
+        read_evolved,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    b1 = orders.filter(key % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b2 = orders.filter(key % 3 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    # third batch drifts differently: skips o_orderpriority, adds
+    # o_orderstatus — the union must align by name across ALL of them
+    b3 = orders.filter(key % 3 == 2).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = "/tmp/magshield_schema_drift_{}".format(
+        _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    b1.write.mode("overwrite").parquet(path)
+    b2.write.mode("append").parquet(path)
+    merged = read_evolved(spark, path)  # widest schema, b1 rows null-fill
+    return evolve_union(merged, b3).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderpriority", "o_orderstatus",
+    )

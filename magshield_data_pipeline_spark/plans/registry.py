@@ -93,89 +93,90 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
 # is the contract).
 #
-# Round-5 window: the 4 r4-late additions that have never seen the driver
-# + the 15 r5-new queries (all never-checked, tier 1 by policy), then 28
-# of the 38 queries whose last green is r3, then 2 fill slots for
-# code-touched r4 queries. Rotated OUT (positions 51+): 43 queries green
-# in r4, plus 10 r3-green suites displaced by the r5-new tier-1 and
-# tier-4 entries
-# (`date_format_suite`, `string_function_suite`, `json_props_extract`,
-# `count_probe`, `union_dedup`, `topk_per_group`, `anti_join_orphans`,
-# `conditional_counts`, `nation_pair_flows`, `running_total_window` —
-# chosen for lowest
-# regression risk: pure projection/metadata/set-op/ranking/CASE-count/
-# pair-join shapes whose patterns stay covered in-window by sibling
-# queries (mail_scan_topn, windowed_top_events, quota/weighted draws,
-# data_quality_gate's FK anti-join and CASE rules, three_role_nation_
-# join's aliased-dim pair joins) plus dedicated pytest; they become
-# tier-1 rotation priority for round 6 together with any r5 failure,
-# see COVERAGE.md).
+# Round-6 window: the 7 r6-new queries (never-checked, tier 1 by
+# policy), then the 10 r3-stale reference-core suites the r5 freshness
+# test named (they re-enter after two rounds out), then the 5 queries
+# whose source round 6 touched (semantic_dedup hot-cluster cap, linkage
+# block guard, paged.py fallback restructure, stateful.py funnel
+# k-buffer), then 28 of the 47 r4-greens — oldest evidence first, all
+# six export pipelines and the streaming/temporal/multimodal pipelines
+# kept. Rotated OUT (positions 51+): every r5-green (fresh by
+# definition) plus 17 r4-greens chosen for lowest regression risk —
+# profile/rollup/window/pair-join shapes with an in-window sibling
+# (embedding_quantized_recall ~ embedding_pq_recall, rollup_summary ~
+# mergeable_daily_rollup + corpus_cube_summary, value_mad/_quantile ~
+# running_total_window + value_percentiles lineage, signup_click_burst
+# ~ purchase_asof_click, event_type_cooccurrence ~ nation_pair_flows,
+# top_ngrams ~ tfidf_top_terms, repetition/pii/orders_column profiles ~
+# document_profile/orders_replica_diff, weekly_event_deltas /
+# cohort_retention ~ running_total_window, approx_distinct_users ~
+# engine-native HLL, sequence_packing / source_char_share / event_type_
+# pivot ~ in-window salted-hash & CASE rollups, repeated_passages ~
+# cdc_repeated_chunks + r5-green passage_dedup_reassembly) — they
+# become tier-1
+# rotation priority for round 7 together with any r6 failure.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- tier 1: never driver-checked (r4 additions + the new r5 query)
-    "embedding_srp_candidates",
-    "near_dup_clusters_star",
-    "sharded_hll_union",
-    "media_resize_plan",
-    "embedding_srp_verified",
-    # -- tier 1: r5 additions, second batch (sketch / sampling /
-    #    linear-algebra / semantic-dedup tier)
-    "cms_heavy_hitters",
-    "weighted_sample_per_source",
+    # -- tier 1: r6-new, never driver-checked
+    "embedding_gram_matrix_blas",
+    "embedding_pq_recall",
+    "schema_drift_union",
+    "salted_join_revenue",
+    "pagerank_nations",
+    "mergeable_daily_rollup",
+    "dq_quarantine_rows",
+    # -- tier 3: last green r3 (two rounds stale) — reference core
+    "conditional_counts",
+    "date_format_suite",
+    "string_function_suite",
+    "running_total_window",
+    "topk_per_group",
+    "anti_join_orphans",
+    "union_dedup",
+    "count_probe",
+    "nation_pair_flows",
+    "json_props_extract",
+    # -- tier 4: source touched in round 6 — re-prove under changed code
     "semantic_dedup_survivors",
-    "embedding_gram_matrix",
-    "embedding_pq_topk",
-    "kmv_segment_overlap",
-    "data_quality_gate",
     "entity_resolution_matches",
-    "hilbert_layout_stats",
-    # -- tier 3: last green r3 — the reference core set
-    "users_projection_dedup",
-    "quote_enrichment",
-    "order_part_fanout",
-    "last_wins_fold",
-    "mail_scan_topn",
-    "multi_hop_revenue",
-    "pricing_summary",
-    "semi_join_pushdown",
-    "three_role_nation_join",
-    "links_array_pipeline",
-    "custom_fields_last_wins",
-    "link_type_dispatch",
-    # -- tier 3: last green r3 — curation / dedup / ANN set
-    "document_profile",
-    "exact_dedup_documents",
-    "minhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_fingerprints",
-    "simhash_hamming_pairs",
-    "embedding_topk_cosine",
-    "embedding_cosine_dup_pairs",
-    "embedding_ivf_topk",
-    "train_test_split",
-    "near_dup_clusters",
-    "curriculum_quality_buckets",
-    # -- tier 3: last green r3 — streaming / window set
-    "tumbling_window_rollup",
-    "sliding_window_activity",
-    "session_window_rollup",
-    "distinct_users_per_type",
-    # -- tier 4: code touched in round 5 (paged.py Arrow fallback,
-    #    dedup.py min-struct/docstring, unpersist wrappers, the
-    #    bucketed sequence_gaps rewrite) or green in only one round —
-    #    re-prove under the changed code
     "paged_source_scan",
-    "value_percentiles",
-    "orderkey_gap_islands",
-    # -- tier 1 again: the r5-new queries (never checked outranks green,
-    #    so they displaced the greenest fill slots)
-    "zorder_layout_stats",
-    "bloom_prefiltered_dedup",
-    "passage_dedup_reassembly",
-    "key_skew_profile",
-    "windowed_top_events",
-    # -- tier 5 (positions 51+, outside the driver window): green in r4;
-    #    local parity suite remains their guard.
+    "streaming_funnel_progress",
+    "stateful_sessionizer",
+    # -- tier 5 fill: last green r4 (oldest remaining evidence) —
+    #    export pipelines first (the reference-parity core)
+    "organisation_export_pipeline",
+    "quote_export_pipeline",
+    "task_export_pipeline",
+    "opportunity_export_pipeline",
+    "invoice_export_pipeline",
+    "equipment_export_pipeline",
+    # -- tier 5 fill: r4 curation / dedup / ANN / text
+    "training_data_pipeline",
+    "kmeans_centroid_update",
+    "tfidf_top_terms",
+    "document_chunks",
+    "incremental_corpus_dedup",
+    "incremental_near_dup_candidates",
+    "contamination_check",
+    "source_mixture_sample",
+    "corpus_cube_summary",
+    "quota_stratified_sample",
+    "cdc_chunk_table",
+    "cdc_repeated_chunks",
+    # -- tier 5 fill: r4 streaming / temporal / multimodal / scale
+    "streaming_tumbling_counts",
+    "streaming_dedup_pairs",
+    "purchase_asof_click",
+    "event_funnel",
+    "scd2_user_state_history",
+    "merge_upsert_orders",
+    "orders_replica_diff",
+    "multimodal_byte_profile",
+    "frame_sample_plan",
+    "bucketed_colocated_join",
+    # -- tier 6 (positions 51+, outside the driver window): r5-greens
+    #    and the 16 sibling-covered r4-greens; local parity suite
+    #    remains their guard.
 ]
 
 _missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in QUERY_REGISTRY]

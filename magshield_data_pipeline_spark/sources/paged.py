@@ -191,26 +191,29 @@ class PagedJsonReader(DataSourceReader):
             except (pa.ArrowInvalid, pa.ArrowTypeError):
                 # the strict typed build rejects values the row-at-a-time
                 # path tolerated (ints in a string field, numeric strings
-                # in an int field). Fall back to inferring then casting —
-                # same laxity as the JSON line parser; if even the cast
-                # cannot coerce, surface WHICH field is malformed instead
-                # of an anonymous ArrowInvalid from the middle of a batch.
+                # in an int field). STRING targets stringify per value —
+                # always, never via Arrow's infer+cast, whose rendering
+                # (true→'true', not 'True') would make the result depend
+                # on whether the page happened to be mixed-type — so one
+                # page's laxity is one deterministic function of each
+                # value (property-tested in tests/test_paged_source.py).
+                # Other targets infer then cast (numeric strings → ints);
+                # if the cast cannot coerce, surface WHICH field is
+                # malformed instead of an anonymous ArrowInvalid from the
+                # middle of a batch.
+                if pa.types.is_string(field.type) or pa.types.is_large_string(field.type):
+                    return pa.array(
+                        [
+                            None
+                            if v is None
+                            else (json.dumps(v) if isinstance(v, (dict, list)) else str(v))
+                            for v in vals
+                        ],
+                        type=field.type,
+                    )
                 try:
                     return pa.array(vals).cast(field.type)
                 except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError) as e:
-                    # mixed-type pages (e.g. str + int in one string
-                    # column) fail even at infer; for a STRING target,
-                    # stringify per value like the old row path did
-                    if pa.types.is_string(field.type) or pa.types.is_large_string(field.type):
-                        return pa.array(
-                            [
-                                None
-                                if v is None
-                                else (json.dumps(v) if isinstance(v, (dict, list)) else str(v))
-                                for v in vals
-                            ],
-                            type=field.type,
-                        )
                     raise ValueError(
                         f"paged_json: page rows {partition.start}-{partition.end} "
                         f"field '{name}' not coercible to {field.type}: {e}"

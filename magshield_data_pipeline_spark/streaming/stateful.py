@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -177,13 +178,15 @@ FUNNEL_SCHEMA = StructType(
 # stage's UNCONDITIONAL minimum event time, so a stage event that
 # arrives in an earlier micro-batch than the prior stage's event is
 # remembered and re-examined once the prior stage unlocks.
+_FUNNEL_BUFFER_K = 3
+
 _FUNNEL_STATE_SCHEMA = StructType(
     [
         StructField("t0_us", LongType()),
         StructField("t1_us", LongType()),
         StructField("t2_us", LongType()),
-        StructField("m1_us", LongType()),
-        StructField("m2_us", LongType()),
+        StructField("m1_us", ArrayType(LongType())),
+        StructField("m2_us", ArrayType(LongType())),
     ]
 )
 
@@ -194,32 +197,36 @@ def funnel_stateful(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming ordered-funnel tracker: per-user conversion state as a
-    change feed. State is five longs per user (~40 bytes, any event
-    volume): the derived stage times plus each later stage's
-    unconditional minimum seen so far. Each micro-batch folds the
-    batch's per-stage minima into state VECTORIZED (intra-batch event
-    order never matters) and re-derives the ordered prefix (stage i
-    counts only at/after the user's stage-(i-1) time), emitting the
-    user's updated progress row once the funnel is entered.
+    change feed. State is three longs plus two ≤k-element arrays per
+    user (~80 bytes at k=3, any event volume): the derived stage times
+    plus the K SMALLEST distinct unconditional times seen so far for
+    each later stage. Each micro-batch folds the batch's per-stage
+    minima into state VECTORIZED (intra-batch event order never
+    matters) and re-derives the ordered prefix (stage i counts only
+    at/after the user's stage-(i-1) time), emitting the user's updated
+    progress row once the funnel is entered.
 
-    Cross-batch delivery: buffering the unconditional minima means a
-    later-stage event that arrives BEFORE the prior stage's event (in
-    an earlier micro-batch) still counts once the prior stage unlocks.
-    Exact-parity contract vs the batch funnel oracle: exact under
-    single-micro-batch delivery (Trigger.AvailableNow on one source
-    file — what the oracle checks) and whenever each stage's eventual
-    winner is its user's unconditional stage minimum or arrives after
-    the prior stage's time is final. In the residual reordering case
-    (a user has BOTH an ineligible earlier event and a smaller-but-
-    discarded eligible event of the same stage delivered before the
-    prior stage finalizes), the tracker may report a LATER — still
-    valid, never invented — stage time than the batch oracle: progress
-    is under-, never over-reported. Exactness there would require
-    per-stage full event-time sets (unbounded state).
+    Cross-batch delivery: buffering the k smallest times per stage
+    means a later-stage event that arrives BEFORE the prior stage's
+    event (in an earlier micro-batch) still counts once the prior
+    stage unlocks — including the reordering case a single buffered
+    minimum cannot cover (an ineligible earlier event shadowing a
+    discarded eligible one: with k ≥ 2 the eligible time survives in
+    the buffer, so the tracker now matches the batch oracle there).
+    Exact-parity contract: exact under single-micro-batch delivery
+    (Trigger.AvailableNow on one source file — what the oracle
+    checks), and under any reordering in which fewer than k distinct
+    stage-i times smaller than the eventual winner arrive before the
+    stage-(i-1) time finalizes. Beyond that (≥ k distinct shadowing
+    times), progress may still be UNDER-reported — a later, still
+    valid, never-invented stage time — since exactness in general
+    requires the full per-stage event-time set (unbounded state);
+    bounded state is the point of the operator.
 
     The UDF body is self-contained (imports inside, sentinel ints, no
     module globals) — cloudpickle ships it whole to executors."""
     s0, s1, s2 = stages
+    buffer_k = _FUNNEL_BUFFER_K
 
     def fn(key, pdf_iter, state):
         import pandas as pd
@@ -242,7 +249,12 @@ def funnel_stateful(
         ).to_numpy()
         etype = pdf["event_type"].to_numpy()
 
-        t0, t1, t2, m1, m2 = state.get if state.exists else (-1, -1, -1, -1, -1)
+        if state.exists:
+            t0, t1, t2, m1, m2 = state.get
+            m1 = sorted(m1) if m1 is not None else []
+            m2 = sorted(m2) if m2 is not None else []
+        else:
+            t0, t1, t2, m1, m2 = -1, -1, -1, [], []
 
         def stage_min(name, not_before):
             import numpy as np
@@ -258,29 +270,48 @@ def funnel_stateful(
                 return a
             return min(a, b)
 
+        def fold_k_smallest(buf, name):
+            """merge the batch's k smallest distinct times for *name*
+            into *buf*, keeping the k smallest distinct overall."""
+            import numpy as np
+
+            batch = np.unique(ts_us[etype == name])[:buffer_k]
+            merged = sorted(set(buf) | {int(x) for x in batch})
+            return merged[:buffer_k]
+
+        def eligible_min(buf, bound):
+            """smallest buffered time at/after *bound*; -1 if none."""
+            for x in buf:  # buf is sorted ascending, <= k elements
+                if x >= bound:
+                    return x
+            return -1
+
         c0 = stage_min(s0, 0)
         if c0 >= 0 and (t0 < 0 or c0 < t0):
             t0 = c0
-        # buffer each later stage's unconditional minimum — candidates
-        # for when (or in case) the prior stage's time tightens
-        m1 = min_pos(m1, stage_min(s1, 0))
-        m2 = min_pos(m2, stage_min(s2, 0))
+        # buffer each later stage's k smallest unconditional times —
+        # candidates for when (or in case) the prior stage's time
+        # tightens; k > 1 covers an ineligible earlier event shadowing
+        # a discarded eligible one
+        m1 = fold_k_smallest(m1, s1)
+        m2 = fold_k_smallest(m2, s2)
         # re-derive the ordered prefix: carried time, this batch's
-        # eligible minimum, and the buffered unconditional minimum if
-        # it has become eligible
+        # eligible minimum, and the smallest buffered time that has
+        # become eligible
         if t0 >= 0:
             c1 = stage_min(s1, t0)
-            t1 = min_pos(t1, min_pos(c1, m1 if m1 >= t0 else -1))
+            t1 = min_pos(t1, min_pos(c1, eligible_min(m1, t0)))
         if t1 >= 0:
             c2 = stage_min(s2, t1)
-            t2 = min_pos(t2, min_pos(c2, m2 if m2 >= t1 else -1))
+            t2 = min_pos(t2, min_pos(c2, eligible_min(m2, t1)))
 
-        state.update((int(t0), int(t1), int(t2), int(m1), int(m2)))
+        state.update((int(t0), int(t1), int(t2), m1, m2))
         if t0 < 0:
             # stage buffers held, funnel not entered: schedule eviction
             # once the watermark passes the buffered event times (must
             # be strictly ahead of the current watermark)
-            horizon_ms = max(m1, m2) // 1000 + 1
+            horizon_us = max(m1 + m2, default=-1)
+            horizon_ms = horizon_us // 1000 + 1
             wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 60_000))
             return

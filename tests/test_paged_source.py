@@ -112,3 +112,117 @@ def test_uncoercible_value_names_the_field(spark, tmp_path):
         f.write(json.dumps({"id": 1, "name": "a", "value": {"nested": True}}) + "\n")
     with pytest.raises(Exception, match="field 'value'"):
         _read(spark, str(path)).collect()
+
+
+# ---------------------------------------------------------------------------
+# property tests for the Arrow-batch coercion fallback (VERDICT r5 #8):
+# reader-level (no Spark session), so hypothesis can afford real volume
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import StructType
+
+
+def _reader_rows(path, schema_ddl, page_size=4):
+    """Drive PagedJsonReader directly: partitions() → read() → Arrow
+    batches → list of per-field python values, in row order."""
+    schema = StructType.fromDDL(schema_ddl)
+    rdr = paged.PagedJsonReader(
+        {"path": str(path), "pagesize": str(page_size)}, schema
+    )
+    out = []
+    for part in rdr.partitions():
+        for batch in rdr.read(part):
+            out.extend(batch.to_pylist())
+    return out
+
+
+def _expected_string(v):
+    """the documented string-column laxity: one deterministic function
+    of each value, independent of what else shares the page"""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (dict, list)):
+        return json.dumps(v)
+    return str(v)
+
+
+_json_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=20),
+    st.dictionaries(st.text(max_size=5), st.integers(), max_size=3),
+    st.lists(st.integers(), max_size=3),
+)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_json_scalar, min_size=1, max_size=25),
+       page_size=st.integers(min_value=1, max_value=7))
+def test_string_column_coercion_is_per_value_deterministic(
+    tmp_path_factory, vals, page_size
+):
+    # ANY mix of ints/floats/bools/strings/nulls/dicts/lists in a
+    # string-typed column must coerce per value — never via Arrow's
+    # infer+cast, whose rendering depends on the page's OTHER values
+    tmp = tmp_path_factory.mktemp("prop")
+    path = tmp / "page.jsonl"
+    with open(path, "w") as f:
+        for i, v in enumerate(vals):
+            f.write(json.dumps({"id": i, "name": v}) + "\n")
+    rows = _reader_rows(path, "id bigint, name string", page_size)
+    assert [r["name"] for r in rows] == [_expected_string(v) for v in vals]
+    assert [r["id"] for r in rows] == list(range(len(vals)))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.one_of(st.none(), st.integers(min_value=-(2**53), max_value=2**53)),
+    min_size=1, max_size=25,
+), page_size=st.integers(min_value=1, max_value=7))
+def test_long_column_ints_and_nulls_round_trip(
+    tmp_path_factory, vals, page_size
+):
+    tmp = tmp_path_factory.mktemp("prop")
+    path = tmp / "page.jsonl"
+    with open(path, "w") as f:
+        for i, v in enumerate(vals):
+            f.write(json.dumps({"id": i, "n": v}) + "\n")
+    rows = _reader_rows(path, "id bigint, n bigint", page_size)
+    assert [r["n"] for r in rows] == vals
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n_rows=st.integers(min_value=0, max_value=40),
+       page_size=st.integers(min_value=1, max_value=9))
+def test_page_size_never_changes_the_result(
+    tmp_path_factory, n_rows, page_size
+):
+    # pagination is pure partitioning: the union of all page reads is
+    # the file, for ANY page size — no dropped/duplicated boundary rows
+    tmp = tmp_path_factory.mktemp("prop")
+    path = tmp / "page.jsonl"
+    with open(path, "w") as f:
+        for i in range(n_rows):
+            f.write(json.dumps({"id": i}) + "\n")
+    rows = _reader_rows(path, "id bigint", page_size)
+    assert sorted(r["id"] for r in rows) == list(range(n_rows))
+
+
+def test_numeric_strings_cast_into_long_column(tmp_path):
+    # non-string targets keep the infer+cast laxity: an all-numeric-
+    # string page lands as ints (the old row-at-a-time tolerance)
+    path = tmp_path / "numstr.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({"id": 1, "n": "123"}) + "\n")
+        f.write(json.dumps({"id": 2, "n": "456"}) + "\n")
+    rows = _reader_rows(path, "id bigint, n bigint", 4)
+    assert [r["n"] for r in rows] == [123, 456]

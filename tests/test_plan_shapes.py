@@ -23,6 +23,9 @@ _ALLOW_BNLJ = {
     "embedding_ivf_topk",
     "embedding_cosine_dup_pairs",
     "embedding_quantized_recall",
+    # exact-verify side is brute_force_topk's bounded broadcast cross
+    # (5 queries × corpus), same shape as embedding_quantized_recall
+    "embedding_pq_recall",
     "kmeans_centroid_update",
     # three single-row count(*) frames crossed into one metadata row
     "count_probe",

@@ -230,9 +230,9 @@ def test_streaming_funnel_three_batches_reverse_stage_order(spark):
     over THREE files whose stage events arrive in fully REVERSED stage
     order (purchase, then click, then signup), exercising state.exists
     resume and the buffered-minimum unlock path across multiple
-    micro-batch commits — plus the documented residual under-report
-    contract (never an earlier/invented stage time than the batch
-    oracle).
+    micro-batch commits — including the once-residual shadowing case
+    the k-smallest buffer (k=3) now resolves EXACTLY against the batch
+    oracle.
 
     The watermark is 3 hours: the reversed delivery spans 2 hours of
     event time, and Spark ITSELF drops applyInPandasWithState input
@@ -249,10 +249,11 @@ def test_streaming_funnel_three_batches_reverse_stage_order(spark):
     # user 10: full conversion delivered in reverse stage order, one
     # stage per micro-batch — every stage must come from the buffers.
     # user 11: signup in b1, click two batches later.
-    # user 12: the RESIDUAL case — an ineligible 9:00 click AND an
-    # eligible 10:30 click both before their signup arrives; the single
-    # buffered minimum keeps 9:00, so once signup (10:00) lands the
-    # tracker must NOT invent a t1 (batch oracle would say 10:30).
+    # user 12: the shadowing case — an ineligible 9:00 click AND an
+    # eligible 10:30 click both before their signup arrives; a single
+    # buffered minimum would keep only 9:00 and under-report, but the
+    # k-smallest buffer retains 10:30 too, so once signup (10:00)
+    # lands the tracker must report t1 = 10:30 exactly (batch parity).
     b1 = frame([
         (10, datetime(2024, 1, 1, 13, 0, 0), "purchase"),
         (11, datetime(2024, 1, 1, 10, 0, 0), "signup"),
@@ -292,11 +293,15 @@ def test_streaming_funnel_three_batches_reverse_stage_order(spark):
     assert u11[1].t0 == datetime(2024, 1, 1, 10, 0, 0)
     assert u11[1].t1 == datetime(2024, 1, 1, 10, 30, 0)
 
-    # user 12: the documented residual — progress is UNDER-reported
-    # (no t1), never an invented/earlier stage time
+    # user 12: the shadowed-but-buffered click now unlocks EXACTLY —
+    # t1 = 10:30, the batch-oracle answer (was the documented residual
+    # under-report before the k-smallest buffer)
     u12 = sorted((r for r in out if r.user_id == 12), key=lambda r: r.n_stages)
     assert u12, "user 12 entered the funnel in batch 2"
-    assert all(r.t1 is None or r.t1 >= datetime(2024, 1, 1, 10, 30, 0) for r in u12)
+    final12 = max(u12, key=lambda r: r.n_stages)
+    assert final12.n_stages == 2
+    assert final12.t0 == datetime(2024, 1, 1, 10, 0, 0)
+    assert final12.t1 == datetime(2024, 1, 1, 10, 30, 0)
 
 
 def test_dedup_within_watermark_matches_batch_distinct(spark, tmp_path):
