@@ -127,6 +127,62 @@ def range_join(
     return left.join(right, cond, how)
 
 
+def interval_bucket_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_tick: str,
+    end_tick: str,
+    point_tick: str,
+    bucket_ticks: int,
+) -> DataFrame:
+    """KEYLESS interval-containment join (point ∈ [start, end]) made
+    scale-safe by time bucketing — the case :func:`range_join` cannot
+    handle: with no equi key, Spark plans a pure range predicate as
+    BroadcastNestedLoopJoin (quadratic compare, broadcast of a whole
+    side). Instead, both sides are mapped onto a shared time grid:
+    each interval explodes to the buckets it overlaps
+    (``sequence(start div b, end div b)``), each point hashes to its
+    single bucket, and the join becomes an EQUI join on the bucket id
+    with the exact containment test as a cheap post-join filter.
+
+    Every qualifying (interval, point) pair appears exactly once — the
+    point lives in one bucket, so no dedup pass is needed (the reason
+    points, not intervals, keep the single bucket).
+
+    All tick columns are LONGs on a caller-chosen clock (epoch
+    seconds, days-since-epoch, …): converting once at the call site
+    keeps this operator free of timestamp-type pitfalls and makes the
+    grid explicit. Pick *bucket_ticks* ≈ the typical interval length:
+    fan-out per interval is ``len/bucket + 1`` rows, and per-bucket
+    pair cost is |intervals_b|·|points_b| — the same
+    blocking-selectivity contract as LSH bands and linkage blocks.
+    Intervals with ``end < start`` are dropped (empty by definition).
+    """
+    if bucket_ticks <= 0:
+        raise ValueError("bucket_ticks must be positive")
+    b = F.lit(bucket_ticks)
+    iv = (
+        intervals.filter(F.col(end_tick) >= F.col(start_tick))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_tick) / b), F.floor(F.col(end_tick) / b)
+                )
+            ),
+        )
+    )
+    pt = points.withColumn("_bkt", F.floor(F.col(point_tick) / b))
+    return (
+        iv.join(pt, "_bkt")
+        .filter(
+            (F.col(point_tick) >= F.col(start_tick))
+            & (F.col(point_tick) <= F.col(end_tick))
+        )
+        .drop("_bkt")
+    )
+
+
 def funnel_stage_times(
     events: DataFrame,
     stages: list[str],

@@ -1668,3 +1668,124 @@ def entity_resolution_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dirty_id", "matched_id", "sim",
         (F.col("dirty_id") == F.col("matched_id")).alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact half-life decay rollup (registered r6)
+
+_HL_SQL = """
+WITH weekly AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_id,
+           round(sum(value), 2) AS wsum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+mx AS (SELECT max(week_id) AS wmax FROM weekly)
+SELECT event_type,
+       round(sum(round(
+           wsum / (1::BIGINT << CAST(least(mx.wmax - week_id, 60) AS INT)),
+           6)), 6) AS decayed_value,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM weekly CROSS JOIN mx
+GROUP BY 1
+"""
+
+
+@register(
+    "half_life_decay_rollup",
+    sql=_HL_SQL,
+    description="time-decayed feature rollup with a one-week half-life, "
+    "kept ENGINE-EXACT by construction: weight 2^-age_weeks is a pure "
+    "binary-exponent shift (wsum / (1 << k) — no libm pow, whose last "
+    "ulp differs across engines), ages capped at 60 half-lives (weight "
+    "< 1e-18, and the cap keeps the shift in-range identically on both "
+    "sides); decay applied to the |types|x|weeks| weekly rollup, never "
+    "to raw events ([EXT] feature-engineering tier)",
+)
+def half_life_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one partial-agg shuffle to the weekly rollup; the anchor
+    # (newest week) is a single-row aggregate broadcast-crossed in —
+    # the same 1x1-row pattern as count_probe. Everything after the
+    # rollup touches |types|x|weeks| rows.
+    events = read_table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week_id"),
+    ).agg(
+        F.round(F.sum("value"), 2).alias("wsum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mx = weekly.agg(F.max("week_id").alias("wmax"))
+    k = F.least(F.col("wmax") - F.col("week_id"), F.lit(60))
+    addend = F.round(
+        F.col("wsum") / F.expr("shiftleft(1L, cast(_k as int))"), 6
+    )
+    return (
+        weekly.crossJoin(F.broadcast(mx))
+        .withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(addend), 6).alias("decayed_value"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# group-leakage-safe holdout split (registered r6)
+
+_GRP_TRAIN_HI = int(0.8 * 256)
+
+
+def _user_hash_byte_sql(salt: str) -> str:
+    h = f"md5('{salt}|' || CAST(user_id AS VARCHAR))"
+    nib = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    return f"({nib.format(h=h, i=1)}) * 16 + ({nib.format(h=h, i=2)})"
+
+
+_GRP_SPLIT_SQL = f"""
+WITH e AS (
+    SELECT user_id,
+           CASE WHEN ({_user_hash_byte_sql("group")}) < {_GRP_TRAIN_HI}
+                THEN 'train' ELSE 'test' END AS split
+    FROM events
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY 1
+"""
+
+
+@register(
+    "group_holdout_split",
+    sql=_GRP_SPLIT_SQL,
+    description="group-leakage-safe train/test split: assignment hashes "
+    "the GROUP key (user), not the row, so every row of a user lands in "
+    "one split — the guard against same-user train/test contamination "
+    "that row-level splitting (train_test_split) cannot give; pure "
+    "projection, no assignment join, survives corpus growth "
+    "([EXT] training-data tier)",
+)
+def group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage safety is STRUCTURAL: the split is a function of user_id
+    # alone (salted md5 byte), so no user can straddle splits whatever
+    # the partitioning — n_users per split sums to the global distinct
+    # count, checkable from this output directly.
+    from magshield_data_pipeline_spark.operators import sampling as SA
+
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "user_id",
+            SA.split_assign(
+                F.col("user_id"), train_pct=0.8, val_pct=0.0, salt="group"
+            ).alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -1878,13 +1878,16 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     outw = flows.groupBy("src").agg(F.sum("w").alias("wout"))
-    edges = flows.join(outw, "src").persist()
+    edges = flows.join(F.broadcast(outw), "src").persist()
     nodes = nation.select(F.col("n_name").alias("node"))
     base = F.lit((1.0 - _PR_D) / _PR_N)
     ranks = nodes.withColumn("rank", F.lit(1.0 / _PR_N))
     for _ in range(_PR_ITERS):
+        # rank/contrib frames are bounded by the 25-node dimension at
+        # ANY corpus size — broadcast them so iterations add zero
+        # exchanges beyond the one-time edge rollup
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
             .select(
                 "dst",
                 F.round(
@@ -1896,7 +1899,7 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 F.round(base + F.coalesce(F.col("s"), F.lit(0.0)), 9).alias(

@@ -93,15 +93,15 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
 # is the contract).
 #
-# Round-6 window: the 7 r6-new queries (never-checked, tier 1 by
+# Round-6 window: the 10 r6-new queries (never-checked, tier 1 by
 # policy), then the 10 r3-stale reference-core suites the r5 freshness
 # test named (they re-enter after two rounds out), then the 5 queries
 # whose source round 6 touched (semantic_dedup hot-cluster cap, linkage
 # block guard, paged.py fallback restructure, stateful.py funnel
-# k-buffer), then 28 of the 47 r4-greens — oldest evidence first, all
+# k-buffer), then 25 of the 47 r4-greens — oldest evidence first, all
 # six export pipelines and the streaming/temporal/multimodal pipelines
 # kept. Rotated OUT (positions 51+): every r5-green (fresh by
-# definition) plus 17 r4-greens chosen for lowest regression risk —
+# definition) plus 20 r4-greens chosen for lowest regression risk —
 # profile/rollup/window/pair-join shapes with an in-window sibling
 # (embedding_quantized_recall ~ embedding_pq_recall, rollup_summary ~
 # mergeable_daily_rollup + corpus_cube_summary, value_mad/_quantile ~
@@ -112,7 +112,11 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # cohort_retention ~ running_total_window, approx_distinct_users ~
 # engine-native HLL, sequence_packing / source_char_share / event_type_
 # pivot ~ in-window salted-hash & CASE rollups, repeated_passages ~
-# cdc_repeated_chunks + r5-green passage_dedup_reassembly) — they
+# cdc_repeated_chunks + r5-green passage_dedup_reassembly,
+# frame_sample_plan ~ r5-green media_resize_plan +
+# multimodal_byte_profile, cdc_repeated_chunks ~ in-window
+# cdc_chunk_table, source_mixture_sample ~ in-window
+# quota_stratified_sample + r5-green weighted_sample_per_source) — they
 # become tier-1
 # rotation priority for round 7 together with any r6 failure.
 # ---------------------------------------------------------------------------
@@ -125,6 +129,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "pagerank_nations",
     "mergeable_daily_rollup",
     "dq_quarantine_rows",
+    "orderdate_shipment_window",
+    "half_life_decay_rollup",
+    "group_holdout_split",
     # -- tier 3: last green r3 (two rounds stale) — reference core
     "conditional_counts",
     "date_format_suite",
@@ -158,11 +165,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "incremental_corpus_dedup",
     "incremental_near_dup_candidates",
     "contamination_check",
-    "source_mixture_sample",
     "corpus_cube_summary",
     "quota_stratified_sample",
     "cdc_chunk_table",
-    "cdc_repeated_chunks",
     # -- tier 5 fill: r4 streaming / temporal / multimodal / scale
     "streaming_tumbling_counts",
     "streaming_dedup_pairs",
@@ -172,7 +177,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "merge_upsert_orders",
     "orders_replica_diff",
     "multimodal_byte_profile",
-    "frame_sample_plan",
     "bucketed_colocated_join",
     # -- tier 6 (positions 51+, outside the driver window): r5-greens
     #    and the 16 sibling-covered r4-greens; local parity suite

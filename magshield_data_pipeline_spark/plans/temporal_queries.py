@@ -113,3 +113,74 @@ def signup_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count("c_id").alias("n_clicks_10m")
     )
+
+
+# ---------------------------------------------------------------------------
+# keyless interval join via time bucketing (registered r6)
+
+_IVJ_SQL = """
+WITH u AS (
+    SELECT o_orderkey,
+           datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dd
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_custkey % 100 = 0
+),
+l AS (
+    SELECT l_quantity,
+           datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS sd
+    FROM lineitem
+)
+SELECT u.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_shipments,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM u JOIN l ON l.sd BETWEEN u.dd AND u.dd + 7
+GROUP BY 1
+"""
+
+
+@register(
+    "orderdate_shipment_window",
+    sql=_IVJ_SQL,
+    description="KEYLESS interval-containment join, bucketed: market-wide "
+    "shipment activity in the week after each urgent order's date — no "
+    "equi key exists, so the naive plan is a BroadcastNestedLoopJoin "
+    "(quadratic compare); interval_bucket_join maps both sides onto a "
+    "7-day grid and turns it into an equi join on the bucket id with "
+    "exact containment as a post-filter, each qualifying pair emitted "
+    "exactly once ([EXT] temporal tier — the scale path range_join's "
+    "docstring promises for keyless ranges)",
+)
+def orderdate_shipment_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: per-bucket pair cost is |intervals_b| x |points_b| — the
+    # interval side is filtered to a sparse order subset BEFORE the
+    # explode (predicate pushdown shrinks the fan-out side), and the
+    # bucket grid (7 days = the window width) gives each interval <= 2
+    # bucket rows. The day-number clock is integer arithmetic end to
+    # end — no timestamp-zone pitfalls in either engine.
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1992-01-01")
+    intervals = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_custkey") % 100 == 0)
+        )
+        .select(
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), epoch).cast("long").alias("dd"),
+        )
+        .withColumn("dd_end", F.col("dd") + 7)
+    )
+    points = lineitem.select(
+        "l_quantity",
+        F.datediff(F.to_date("l_shipdate"), epoch).cast("long").alias("sd"),
+    )
+    joined = TP.interval_bucket_join(
+        intervals, points,
+        start_tick="dd", end_tick="dd_end", point_tick="sd",
+        bucket_ticks=7,
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -29,6 +29,8 @@ _ALLOW_BNLJ = {
     "kmeans_centroid_update",
     # three single-row count(*) frames crossed into one metadata row
     "count_probe",
+    # weekly rollup × the ONE-row anchor (newest-week) aggregate
+    "half_life_decay_rollup",
     # single-row exact count × single-row merged-sketch estimate
     "sharded_hll_union",
     # batch × the ONE-row broadcast Bloom-filter map (≤128 KB by

@@ -65,3 +65,61 @@ def test_range_join_window(spark, trades, quotes):
     # matches within [ts-2min, ts]: trade 10:10 → quotes 10:08 & 10:10
     k1 = [r for r in out if r.k == 1 and r.ts == _ts(10) and r.bid is not None]
     assert sorted(r.bid for r in k1) == [99.5, 99.9]
+
+
+# ---------------------------------------------------------------------------
+# keyless bucketed interval join (r6)
+
+
+def test_interval_bucket_join_equals_naive_range_join(spark):
+    import random
+
+    rng = random.Random(7)
+    ivs = [(i, rng.randrange(0, 200), rng.randrange(0, 25)) for i in range(40)]
+    intervals = spark.createDataFrame(
+        [(i, s, s + ln) for i, s, ln in ivs], "iv_id long, s long, e long"
+    )
+    points = spark.createDataFrame(
+        [(j, rng.randrange(-10, 230)) for j in range(300)],
+        "pt_id long, t long",
+    )
+    got = sorted(
+        (r["iv_id"], r["pt_id"])
+        for r in TP.interval_bucket_join(
+            intervals, points, "s", "e", "t", bucket_ticks=10
+        ).collect()
+    )
+    naive = sorted(
+        (r["iv_id"], r["pt_id"])
+        for r in intervals.crossJoin(points)
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+        .collect()
+    )
+    assert got == naive and len(naive) > 0
+    # exactly once per qualifying pair — no bucket-overlap duplicates
+    assert len(got) == len(set(got))
+
+
+def test_interval_bucket_join_boundaries_and_degenerates(spark):
+    intervals = spark.createDataFrame(
+        [(1, 10, 20), (2, 15, 15), (3, 30, 25)],  # 3: end < start → empty
+        "iv_id long, s long, e long",
+    )
+    points = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 15), (4, 9), (5, 21), (6, 27)],
+        "pt_id long, t long",
+    )
+    got = sorted(
+        (r["iv_id"], r["pt_id"])
+        for r in TP.interval_bucket_join(
+            intervals, points, "s", "e", "t", bucket_ticks=4
+        ).collect()
+    )
+    # closed interval: both boundary points included; single-tick
+    # interval matches exactly its tick; inverted interval matches none
+    assert got == [(1, 1), (1, 2), (1, 3), (2, 3)]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        TP.interval_bucket_join(intervals, points, "s", "e", "t", 0)
