@@ -206,3 +206,57 @@ def sequence_gaps(
         F.col("next_id").alias("resumes_at"),
         (F.col("next_id") - F.col("id") - 1).cast("long").alias("n_missing"),
     )
+
+
+def compaction_bins(
+    files: DataFrame,
+    size_col: str,
+    order_col: str,
+    target: int,
+    bucket_size: int = 64,
+) -> DataFrame:
+    """Sequential compaction planning for the small-files problem:
+    walk file (or partition) metadata in *order_col* order and assign
+    each entry the output bin ``floor(cum_size_before / target)`` —
+    consecutive entries coalesce until a bin reaches *target* (a bin
+    overflows by at most one entry; true bin packing is NP-hard and
+    FFD would reorder by size, destroying the sort-order locality a
+    z-ordered/partitioned layout exists to provide).
+
+    Built WITHOUT a global row window (the same two-level shape as
+    :func:`sequence_gaps`): the prefix sum decomposes exactly into an
+    intra-bucket running sum (window partitioned by
+    ``order div bucket_size`` — bounded, parallel) plus a per-bucket
+    total offset (global window over the TINY n/bucket_size rollup).
+    At 100 TB the metadata table is ~10⁶ rows for 128 MB files — the
+    rollup is thousands — but the naive single-partition cumsum is
+    exactly the shape that stops being a planning no-op first.
+
+    *order_col* must be numeric and unique per row (a partition index,
+    day number, file sequence). Returns the input columns plus
+    ``bin_id``.
+    """
+    if target <= 0:
+        raise ValueError("target must be positive")
+    f = files.withColumn("_bkt", F.floor(F.col(order_col) / bucket_size))
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum(size_col).over(w_local), F.lit(0))
+    totals = f.groupBy("_bkt").agg(F.sum(size_col).alias("_btot"))
+    w_seam = (
+        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_btot").over(w_seam), F.lit(0))
+    ).select("_bkt", "_boff")
+    return (
+        f.join(offsets, "_bkt")
+        .withColumn(
+            "bin_id",
+            F.floor((local_before + F.col("_boff")) / target).cast("long"),
+        )
+        .drop("_bkt", "_boff")
+    )

@@ -1959,3 +1959,68 @@ def mergeable_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d_max").alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — compaction bin planning over file/partition metadata (r6)
+
+_CB_TARGET = 5000
+
+_CB_SQL = f"""
+WITH files AS (
+    SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS day_no,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY 1
+),
+c AS (
+    SELECT day_no, n_rows,
+           coalesce(sum(n_rows) OVER (
+               ORDER BY day_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM files
+)
+SELECT CAST(floor(cum_before / {_CB_TARGET}.0) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       CAST(min(day_no) AS BIGINT) AS first_day,
+       CAST(max(day_no) AS BIGINT) AS last_day
+FROM c GROUP BY 1
+"""
+
+
+@register(
+    "compaction_bin_plan",
+    sql=_CB_SQL,
+    description=f"small-files compaction planning: daily order partitions "
+    f"walked in day order and coalesced into ~{_CB_TARGET}-row output "
+    "bins (bin = floor(cum_size_before / target) — sequential coalesce, "
+    "preserving sort-order locality, overflow bounded by one file) — "
+    "computed WITHOUT a global row window via the gap-scan two-level "
+    "shape: intra-bucket running sums in parallel + offsets from the "
+    "tiny bucket rollup ([EXT] scale/layout tier)",
+)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the windows run over FILE metadata (days here; ~1e6 rows
+    # for 128 MB files at 100 TB), and even that never single-
+    # partitions: the only global window is over the n/64 bucket
+    # rollup. The plan's output is exactly what a compaction job would
+    # feed its writer groups.
+    from magshield_data_pipeline_spark.operators import scale as SC
+
+    orders = read_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias(
+            "day_no"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    binned = SC.compaction_bins(
+        files, size_col="n_rows", order_col="day_no", target=_CB_TARGET
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("total_rows"),
+        F.min("day_no").cast("long").alias("first_day"),
+        F.max("day_no").cast("long").alias("last_day"),
+    )

@@ -536,3 +536,39 @@ def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     kmv = SK.kmv_per_group(events, key_col="user_id", group_col="event_type")
     return SK.kmv_pair_overlap(kmv, k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (registered r6)
+
+_SSJ_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+"""
+
+
+@register(
+    "streaming_interval_join",
+    sql=_SSJ_SQL,
+    description="stream-STREAM inner join (the attribution join run "
+    "continuously): clicks joined to the same user's purchases within "
+    "30 minutes, watermarks on BOTH sides + a two-sided time bound so "
+    "the state store evicts buffered rows instead of holding history — "
+    "the missing streaming-tier join beside windows/dedup/stateful; "
+    "oracle = the batch interval join over the same rows, exact under "
+    "one micro-batch ([EXT] streaming)",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: state is bounded by the 30-minute window + watermark slack
+    # per side; the join keys on user_id so Spark co-partitions both
+    # streams once. AvailableNow on the single fixture file = one
+    # micro-batch, making the result provably equal to the batch twin.
+    stream = W.read_events_stream(spark, sf_dir)
+    joined = W.stream_stream_interval_join(
+        stream, left_type="click", right_type="purchase",
+        within="30 minutes", watermark="10 minutes",
+    )
+    return W.run_available_now(joined, output_mode="append", state_partitions=8)

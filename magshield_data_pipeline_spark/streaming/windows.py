@@ -188,3 +188,60 @@ def dedup_stream_within_watermark(
         .dropDuplicatesWithinWatermark(list(keys))
         .select(*keys)
     )
+
+
+def stream_stream_interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each *left_type* event paired with the
+    same user's *right_type* events in ``[ts, ts + within]`` — the
+    attribution join (click → purchase) run CONTINUOUSLY.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions; that pair is what lets Structured
+    Streaming evict buffered state — a left row can stop waiting once
+    the right watermark passes ``ts + within``, a right row once the
+    left watermark passes its ts. Without the time bound the state
+    store grows forever (Spark rejects the plan in append mode).
+    State per key is the in-flight window's rows only: at 100 TB/day
+    the store holds minutes, not history.
+
+    Parity contract: under one micro-batch (Trigger.AvailableNow on a
+    single file) the join sees both sides complete, so the result
+    equals the batch interval join exactly — the oracle check. Across
+    micro-batches the same pairs emerge as long as matching events
+    arrive within the allowed lateness (multi-batch pytest).
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+    )

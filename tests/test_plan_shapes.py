@@ -56,6 +56,7 @@ _EAGER = {
     "near_dup_clusters_star",
     "streaming_dedup_pairs",
     "streaming_funnel_progress",
+    "streaming_interval_join",
 }
 
 _LAZY_QUERIES = sorted(set(QUERY_REGISTRY) - _EAGER)

@@ -275,3 +275,57 @@ def test_sequence_gaps_window_is_bucket_partitioned(spark):
     # the intra pass shows a windowspecdefinition WITH the bucket key;
     # exactly one window runs without a partition key (the seam pass)
     assert plan.count("Window") >= 2
+
+
+# ---------------------------------------------------------------------------
+# compaction bin planning (r6)
+
+
+def test_compaction_bins_match_naive_global_cumsum(spark):
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    rng = random.Random(11)
+    # sparse, shuffled order keys with varied sizes — exercises seams
+    rows = [(k, rng.randrange(1, 500)) for k in rng.sample(range(2000), 300)]
+    files = spark.createDataFrame(rows, "ord long, sz long")
+    got = {
+        r["ord"]: r["bin_id"]
+        for r in scale.compaction_bins(files, "sz", "ord", target=1000,
+                                    bucket_size=37).collect()
+    }
+    w = W.orderBy("ord").rowsBetween(W.unboundedPreceding, -1)
+    naive = {
+        r["ord"]: r["bin"]
+        for r in files.withColumn(
+            "bin",
+            F.floor(F.coalesce(F.sum("sz").over(w), F.lit(0)) / 1000),
+        ).collect()
+    }
+    assert got == naive and len(got) == 300
+
+
+def test_compaction_bins_overflow_bounded_and_sequential(spark):
+    files = spark.createDataFrame(
+        [(i, 300) for i in range(10)], "ord long, sz long"
+    )
+    out = sorted(
+        scale.compaction_bins(files, "sz", "ord", target=1000).collect(),
+        key=lambda r: r["ord"],
+    )
+    bins = [r["bin_id"] for r in out]
+    # sequential: bin ids are non-decreasing in walk order, start at 0
+    assert bins == sorted(bins) and bins[0] == 0
+    # each bin coalesces consecutive files until the cumulative size
+    # crosses the target: 300-row files → cum_before 0..2700 → bins
+    # [0]*4 (before < 1000), [1]*3, [2]*3 — overflow bounded by one file
+    from collections import Counter
+
+    c = Counter(bins)
+    assert [c[b] for b in sorted(c)] == [4, 3, 3]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        scale.compaction_bins(files, "sz", "ord", target=0)

@@ -328,3 +328,35 @@ def test_dedup_within_watermark_matches_batch_distinct(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_across_micro_batches(spark):
+    """Cross-batch state retention: a click buffered in micro-batch 1
+    must still join a purchase arriving in micro-batch 2 (within the
+    window + allowed lateness), and a purchase outside the 30-minute
+    window must never pair."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, ["user_id", "ts", "event_type", "event_id"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b1 = frame([
+        (1, datetime(2024, 1, 1, 10, 0, 0), "click", 100),
+        (2, datetime(2024, 1, 1, 10, 0, 0), "click", 200),
+    ])
+    b2 = frame([
+        (1, datetime(2024, 1, 1, 10, 20, 0), "purchase", 101),  # in window
+        (2, datetime(2024, 1, 1, 11, 30, 0), "purchase", 201),  # outside
+    ])
+    path = tmp_parquet(spark, b1)
+    stream = _events_stream(spark, str(path), b1.schema, one_file_per_batch=True)
+    tmp_parquet(spark, b2, path)
+    out = W.run_available_now(
+        W.stream_stream_interval_join(
+            stream, within="30 minutes", watermark="2 hours"
+        ),
+        output_mode="append",
+        state_partitions=4,
+    ).collect()
+    pairs = sorted((r.user_id, r.click_id, r.purchase_id) for r in out)
+    assert pairs == [(1, 100, 101)]
