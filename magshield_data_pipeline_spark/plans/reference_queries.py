@@ -1016,3 +1016,136 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice",
         "o_orderpriority", "o_orderstatus",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2-shaped correlated minimum: cheapest supplier per part (r6)
+
+_MINCOST_SQL = """
+WITH costs AS (
+    -- NO round() on the quotient: a free-form double can sit at a
+    -- decimal .5 boundary where Spark's BigDecimal(shortest-string)
+    -- HALF_UP and DuckDB's numeric rounding disagree by 1 ulp of the
+    -- grid; the RAW quotient is IEEE-identical on identical operands,
+    -- hashes identically, and ranks identically
+    SELECT l_partkey, l_suppkey,
+           l_extendedprice / l_quantity AS unit_cost
+    FROM lineitem WHERE l_quantity > 0
+),
+best AS (
+    SELECT l_partkey, l_suppkey, unit_cost,
+           row_number() OVER (
+               PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey
+           ) AS rn
+    FROM costs
+)
+SELECT b.l_partkey AS partkey, b.l_suppkey AS suppkey,
+       s.s_name AS supp_name, b.unit_cost
+FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+WHERE b.rn = 1 AND b.l_partkey % 10 = 0
+"""
+
+
+@register(
+    "part_min_cost_supplier",
+    sql=_MINCOST_SQL,
+    description="the TPC-H Q2 shape — a correlated `= (SELECT min(...))` "
+    "subquery rewritten as one min_by partial aggregate + dim join-back: "
+    "per part, the supplier quoting the lowest unit cost (ties to lowest "
+    "suppkey); no ranking window on the Spark side — the argmin "
+    "collapses map-side before the exchange, the decorrelation every "
+    "optimizer textbook derives, written directly",
+)
+def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: ONE partial-agg shuffle on l_partkey (min_by struct key);
+    # the supplier dim broadcasts. The naive correlated form would
+    # re-scan lineitem per part — the rewrite is the whole point.
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    costs = lineitem.filter(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    best = F.min_by(
+        F.struct("l_suppkey", "unit_cost"),
+        F.struct("unit_cost", "l_suppkey"),
+    )
+    per_part = (
+        costs.groupBy("l_partkey")
+        .agg(best.alias("_b"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("_b.l_suppkey").alias("suppkey"),
+            F.col("_b.unit_cost").alias("unit_cost"),
+        )
+        .filter(F.col("partkey") % 10 == 0)
+    )
+    return per_part.join(
+        F.broadcast(
+            supplier.select(
+                F.col("s_suppkey").alias("suppkey"),
+                F.col("s_name").alias("supp_name"),
+            )
+        ),
+        "suppkey",
+    ).select("partkey", "suppkey", "supp_name", "unit_cost")
+
+
+# ---------------------------------------------------------------------------
+# Q11-shaped global-share threshold (r6)
+
+_SHARE_FRAC = 0.05
+
+_NATION_SHARE_SQL = f"""
+WITH rev AS (
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+),
+tot AS (SELECT round(sum(revenue), 4) AS total FROM rev)
+SELECT nation, revenue
+FROM rev CROSS JOIN tot
+WHERE revenue > {_SHARE_FRAC} * total
+"""
+
+
+@register(
+    "nation_value_share",
+    sql=_NATION_SHARE_SQL,
+    description="the TPC-H Q11 shape — a HAVING threshold against a "
+    "scalar subquery over the WHOLE table (groups worth more than "
+    f"{_SHARE_FRAC:.0%} of global revenue): the rollup is computed once "
+    "and its single-row total re-joined, not recomputed per group; "
+    "revenue and total both rounded to the same 4 decimals so the "
+    "threshold compare runs on identical operands in both engines",
+)
+def nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the per-nation rollup is one partial-agg shuffle; the
+    # global total derives from the ROLLUP (25 rows), not a second
+    # fact scan, and broadcasts as a single row (count_probe pattern).
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    rev = (
+        lineitem.join(
+            supplier, lineitem.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .persist()
+    )
+    tot = rev.agg(F.round(F.sum("revenue"), 4).alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(F.col("revenue") > F.lit(_SHARE_FRAC) * F.col("total"))
+        .select("nation", "revenue")
+    )

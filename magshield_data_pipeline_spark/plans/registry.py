@@ -93,15 +93,15 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
 # is the contract).
 #
-# Round-6 window: the 12 r6-new queries (never-checked, tier 1 by
+# Round-6 window: the 14 r6-new queries (never-checked, tier 1 by
 # policy), then the 10 r3-stale reference-core suites the r5 freshness
 # test named (they re-enter after two rounds out), then the 5 queries
 # whose source round 6 touched (semantic_dedup hot-cluster cap, linkage
 # block guard, paged.py fallback restructure, stateful.py funnel
-# k-buffer), then 23 of the 47 r4-greens — oldest evidence first, all
+# k-buffer), then 21 of the 47 r4-greens — oldest evidence first, all
 # six export pipelines and the streaming/temporal/multimodal pipelines
 # kept. Rotated OUT (positions 51+): every r5-green (fresh by
-# definition) plus 22 r4-greens chosen for lowest regression risk —
+# definition) plus 24 r4-greens chosen for lowest regression risk —
 # profile/rollup/window/pair-join shapes with an in-window sibling
 # (embedding_quantized_recall ~ embedding_pq_recall, rollup_summary ~
 # mergeable_daily_rollup + corpus_cube_summary, value_mad/_quantile ~
@@ -119,7 +119,10 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # quota_stratified_sample + r5-green weighted_sample_per_source,
 # event_funnel ~ in-window streaming_funnel_progress over the same
 # ordered-funnel semantics, kmeans_centroid_update ~ the in-window
-# assign_clusters shape inside semantic_dedup_survivors) — they
+# assign_clusters shape inside semantic_dedup_survivors,
+# document_chunks ~ in-window cdc_chunk_table chunking,
+# corpus_cube_summary ~ in-window mergeable_daily_rollup and the
+# r4-proven grouping-set shapes) — they
 # become tier-1
 # rotation priority for round 7 together with any r6 failure.
 # ---------------------------------------------------------------------------
@@ -137,6 +140,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "group_holdout_split",
     "streaming_interval_join",
     "compaction_bin_plan",
+    "part_min_cost_supplier",
+    "nation_value_share",
     # -- tier 3: last green r3 (two rounds stale) — reference core
     "conditional_counts",
     "date_format_suite",
@@ -165,11 +170,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- tier 5 fill: r4 curation / dedup / ANN / text
     "training_data_pipeline",
     "tfidf_top_terms",
-    "document_chunks",
     "incremental_corpus_dedup",
     "incremental_near_dup_candidates",
     "contamination_check",
-    "corpus_cube_summary",
     "quota_stratified_sample",
     "cdc_chunk_table",
     # -- tier 5 fill: r4 streaming / temporal / multimodal / scale

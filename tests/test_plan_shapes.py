@@ -31,6 +31,8 @@ _ALLOW_BNLJ = {
     "count_probe",
     # weekly rollup × the ONE-row anchor (newest-week) aggregate
     "half_life_decay_rollup",
+    # 25-row rollup × its ONE-row global total (Q11 threshold shape)
+    "nation_value_share",
     # single-row exact count × single-row merged-sketch estimate
     "sharded_hll_union",
     # batch × the ONE-row broadcast Bloom-filter map (≤128 KB by
