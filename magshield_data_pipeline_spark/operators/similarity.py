@@ -345,6 +345,84 @@ def srp_candidate_pairs(
     )
 
 
+def srp_multiprobe_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    planes: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe SRP-LSH retrieval (Lv et al., VLDB 2007 applied to
+    sign-random-projection): each query probes its own (band, bucket)
+    PLUS every bucket at Hamming distance 1 within the band (one sign
+    bit flipped — the buckets a near-neighbor most likely fell into
+    when one dot product straddled zero). Recall rises the way adding
+    hash tables would, WITHOUT re-indexing or multiplying the corpus
+    index: the corpus side stays one bucket row per (vector, band);
+    only the tiny query side fans out ×(1 + rows_per_band).
+
+    Candidates then verify with exact cosine and rank to top-k (ties
+    to lowest id) — the SRP→verify composition with a widened net.
+    Returns (query_id, vec_id, score, rank).
+
+    Scale: corpus bucket index is one projection scan (reusable across
+    query batches — persist it); the probe join is equi on
+    (band, bucket) with bounded bucket population; exact cosine runs
+    per CANDIDATE only, and vectors re-attach by id. The structural
+    guarantee `multiprobe candidates ⊇ single-probe candidates` is
+    tested (the original bucket is always probed).
+    """
+    rows_per_band = len(planes[0])
+    corpus = srp_band_buckets(emb, planes, id_col, vec_col)
+    qb = srp_band_buckets(
+        queries.select(F.col(query_id_col).alias(id_col), F.col(vec_col)),
+        planes, id_col, vec_col,
+    ).select(F.col(id_col).alias(query_id_col), "band", "bucket")
+    probe_list = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(rows_per_band)
+        ],
+    )
+    probes = qb.select(
+        query_id_col, "band", F.explode(probe_list).alias("bucket")
+    )
+    cand = (
+        probes.join(corpus, ["band", "bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    qvecs = queries.select(
+        F.col(query_id_col), as_double_vec(vec_col).alias("qv")
+    )
+    scored = (
+        cand.join(vecs, id_col)
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("v"), F.col("qv")).alias("score"),
+        )
+        # zero vectors score null (guarded cosine) and are unrankable:
+        # drop them BEFORE the window so ranks agree with any engine's
+        # null-ordering convention
+        .filter(F.col("score").isNotNull())
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def srp_verified_pairs(
     df: DataFrame,
     planes: list[list[list[float]]],

@@ -1235,6 +1235,70 @@ def embedding_srp_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT — multi-probe SRP retrieval (registered r6)
+
+_SRP_MP_K = 5
+
+_SRP_MP_PROBES = ", ".join(f"xor(bucket, {1 << i})" for i in range(8))
+
+_SRP_MP_SQL = f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+buckets AS ({" UNION ALL ".join(_srp_band_sql(b) for b in range(4))}),
+q AS (SELECT vec_id AS query_id, band, bucket FROM buckets WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, band,
+           unnest([bucket, {_SRP_MP_PROBES}]) AS bucket
+    FROM q
+),
+cand AS (
+    SELECT DISTINCT p.query_id, c.vec_id
+    FROM probes p JOIN buckets c ON c.band = p.band AND c.bucket = p.bucket
+    WHERE c.vec_id <> p.query_id
+),
+raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+    SELECT cand.query_id, cand.vec_id,
+           round(list_dot_product(a.v, b.v)
+                 / nullif(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 0), 6) AS score
+    FROM cand JOIN raw a ON cand.query_id = a.vec_id
+              JOIN raw b ON cand.vec_id = b.vec_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+    SELECT query_id, vec_id, score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id
+           ) AS BIGINT) AS rank
+    FROM scored WHERE score IS NOT NULL
+) WHERE rank <= {_SRP_MP_K}
+"""
+
+
+@register(
+    "embedding_srp_multiprobe",
+    sql=_SRP_MP_SQL,
+    description=f"multi-probe SRP retrieval (Lv et al. VLDB'07 on sign "
+    "projections): each query probes its (band,bucket) PLUS all 8 "
+    "one-bit-flip neighbor buckets per band — recall of extra hash "
+    "tables without re-indexing or multiplying the corpus index (only "
+    "the tiny query side fans out x9); candidates verified with exact "
+    f"cosine and ranked to top-{_SRP_MP_K} ([EXT] ANN tier)",
+)
+def embedding_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the corpus bucket index stays one row per (vector, band);
+    # the probe fan-out multiplies only queries (5x4 bands x9 probes =
+    # 180 probe rows); exact cosine runs per candidate, vectors
+    # re-attach by id.
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return V.srp_multiprobe_topk(emb, queries, _SRP_PLANES, k=_SRP_MP_K)
+
+
+# ---------------------------------------------------------------------------
 # EXT — image resize plan from typed metadata (registered after the
 # round-4 driver window; rotates into round 5)
 

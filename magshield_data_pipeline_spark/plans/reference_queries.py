@@ -1149,3 +1149,134 @@ def nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("revenue") > F.lit(_SHARE_FRAC) * F.col("total"))
         .select("nation", "revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q21-shaped EXISTS / NOT EXISTS composite (r6)
+
+_SOLE_RETURN_SQL = """
+WITH base AS (
+    SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+),
+returned AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM base WHERE l_returnflag = 'R'
+),
+candidates AS (
+    SELECT r.l_orderkey, r.l_suppkey
+    FROM returned r
+    WHERE EXISTS (
+        SELECT 1 FROM base o
+        WHERE o.l_orderkey = r.l_orderkey AND o.l_suppkey <> r.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM returned x
+        WHERE x.l_orderkey = r.l_orderkey AND x.l_suppkey <> r.l_suppkey
+    )
+)
+SELECT s.s_name AS supp_name,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM candidates c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+GROUP BY 1
+"""
+
+
+@register(
+    "sole_return_suppliers",
+    sql=_SOLE_RETURN_SQL,
+    description="the TPC-H Q21 shape — EXISTS and NOT EXISTS correlated "
+    "subqueries composed on one fact: suppliers who are the ONLY "
+    "supplier with a returned item on a multi-supplier order, counted "
+    "per supplier; decorrelated to a left-semi join (another supplier "
+    "exists) plus a left-anti join (no other returning supplier) over "
+    "key-level dedup frames — no correlated re-scan per row",
+)
+def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: both EXISTS rewrites are key-only frames deduped BEFORE
+    # the joins (distinct (order, supp) pairs, far smaller than line
+    # items), shuffled once on l_orderkey; the supplier dim broadcasts.
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    base = lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    pairs = base.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        base.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .persist()
+    )
+    other_any = pairs.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_ret = returned.select(
+        F.col("l_orderkey").alias("x_key"), F.col("l_suppkey").alias("x_supp")
+    )
+    with_other = returned.join(
+        other_any,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    sole = with_other.join(
+        other_ret,
+        (F.col("l_orderkey") == F.col("x_key"))
+        & (F.col("l_suppkey") != F.col("x_supp")),
+        "left_anti",
+    )
+    return sole.join(
+        F.broadcast(
+            supplier.select(
+                F.col("s_suppkey").alias("l_suppkey"),
+                F.col("s_name").alias("supp_name"),
+            )
+        ),
+        "l_suppkey",
+    ).groupBy("supp_name").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame time window: rolling 7-day revenue (r6)
+
+_ROLL_SQL = """
+WITH daily AS (
+    SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS day_no,
+           round(sum(o_totalprice), 2) AS day_rev
+    FROM orders GROUP BY 1
+)
+SELECT CAST(day_no AS BIGINT) AS day_no, day_rev,
+       round(sum(day_rev) OVER (
+           ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 2) AS rev_7d
+FROM daily
+"""
+
+
+@register(
+    "rolling_7day_revenue",
+    sql=_ROLL_SQL,
+    description="RANGE-frame window over event time: per-day revenue "
+    "plus its trailing 7-day sum — RANGE (value-based) framing, not "
+    "ROWS, so missing days shorten the frame instead of silently "
+    "stretching it across gaps (the moving-average bug ROWS framing "
+    "hides); the window runs over the |days| rollup, never raw orders, "
+    "and both levels round to the money grid",
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one partial-agg shuffle to the daily rollup (~2400 rows at
+    # any SF); the RANGE window orders that rollup only. A global sort
+    # of thousands of rows is a no-op; the raw fact never sees a
+    # window. rev_7d re-rounds a sum of exact 2-decimal addends.
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("day_no")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+    w = Window.orderBy("day_no").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "day_no",
+        "day_rev",
+        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+    )

@@ -93,15 +93,15 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
 # is the contract).
 #
-# Round-6 window: the 14 r6-new queries (never-checked, tier 1 by
+# Round-6 window: the 17 r6-new queries (never-checked, tier 1 by
 # policy), then the 10 r3-stale reference-core suites the r5 freshness
 # test named (they re-enter after two rounds out), then the 5 queries
 # whose source round 6 touched (semantic_dedup hot-cluster cap, linkage
 # block guard, paged.py fallback restructure, stateful.py funnel
-# k-buffer), then 21 of the 47 r4-greens — oldest evidence first, all
+# k-buffer), then 18 of the 47 r4-greens — oldest evidence first, all
 # six export pipelines and the streaming/temporal/multimodal pipelines
 # kept. Rotated OUT (positions 51+): every r5-green (fresh by
-# definition) plus 24 r4-greens chosen for lowest regression risk —
+# definition) plus 27 r4-greens chosen for lowest regression risk —
 # profile/rollup/window/pair-join shapes with an in-window sibling
 # (embedding_quantized_recall ~ embedding_pq_recall, rollup_summary ~
 # mergeable_daily_rollup + corpus_cube_summary, value_mad/_quantile ~
@@ -122,7 +122,11 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # assign_clusters shape inside semantic_dedup_survivors,
 # document_chunks ~ in-window cdc_chunk_table chunking,
 # corpus_cube_summary ~ in-window mergeable_daily_rollup and the
-# r4-proven grouping-set shapes) — they
+# r4-proven grouping-set shapes, quota_stratified_sample ~ the
+# in-window split/sample family + r5-green weighted draw,
+# bucketed_colocated_join ~ its own exchange-free plan-shape test
+# asserted every pytest run, incremental_near_dup_candidates ~
+# in-window incremental_corpus_dedup + the r5-green LSH family) — they
 # become tier-1
 # rotation priority for round 7 together with any r6 failure.
 # ---------------------------------------------------------------------------
@@ -142,6 +146,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "compaction_bin_plan",
     "part_min_cost_supplier",
     "nation_value_share",
+    "sole_return_suppliers",
+    "rolling_7day_revenue",
+    "embedding_srp_multiprobe",
     # -- tier 3: last green r3 (two rounds stale) — reference core
     "conditional_counts",
     "date_format_suite",
@@ -171,9 +178,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "training_data_pipeline",
     "tfidf_top_terms",
     "incremental_corpus_dedup",
-    "incremental_near_dup_candidates",
     "contamination_check",
-    "quota_stratified_sample",
     "cdc_chunk_table",
     # -- tier 5 fill: r4 streaming / temporal / multimodal / scale
     "streaming_tumbling_counts",
@@ -183,7 +188,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "merge_upsert_orders",
     "orders_replica_diff",
     "multimodal_byte_profile",
-    "bucketed_colocated_join",
     # -- tier 6 (positions 51+, outside the driver window): r5-greens
     #    and the 16 sibling-covered r4-greens; local parity suite
     #    remains their guard.

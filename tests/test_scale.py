@@ -329,3 +329,33 @@ def test_compaction_bins_overflow_bounded_and_sequential(spark):
 
     with _pt.raises(ValueError):
         scale.compaction_bins(files, "sz", "ord", target=0)
+
+
+def test_compaction_bins_property_random_inputs(spark):
+    # several seeds × bucket sizes against the naive global cumsum —
+    # the two-level decomposition must be EXACT for any bucketing,
+    # including bucket 1 (every row its own bucket → all seams) and a
+    # bucket larger than the whole input (no seams)
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    for seed, bucket in [(1, 1), (2, 5), (3, 1000), (4, 13)]:
+        rng = random.Random(seed)
+        rows = [(k, rng.randrange(1, 400)) for k in rng.sample(range(600), 80)]
+        files = spark.createDataFrame(rows, "ord long, sz long")
+        got = {
+            r["ord"]: r["bin_id"]
+            for r in scale.compaction_bins(
+                files, "sz", "ord", target=700, bucket_size=bucket
+            ).collect()
+        }
+        w = W.orderBy("ord").rowsBetween(W.unboundedPreceding, -1)
+        naive = {
+            r["ord"]: r["bin"]
+            for r in files.withColumn(
+                "bin",
+                F.floor(F.coalesce(F.sum("sz").over(w), F.lit(0)) / 700),
+            ).collect()
+        }
+        assert got == naive, f"seed={seed} bucket={bucket}"

@@ -661,3 +661,41 @@ def test_gram_q20_partition_invariant_and_close_to_exact(spark):
     # < 5e-7: totals differ by at most n * (2^-21 + 5e-7)
     tol = n * (2**-21 + 5e-7) + 1e-9
     assert all(abs(a[k] - exact[k]) <= tol for k in a)
+
+
+def test_srp_multiprobe_candidates_superset_of_single_probe(spark):
+    # the original bucket is always probed, so multi-probe retrieval
+    # can only ADD candidates — and on the fixture it must actually
+    # widen the net (otherwise the probes are dead code)
+    from magshield_data_pipeline_spark.plans.ext_queries import _SRP_PLANES
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = V.srp_band_buckets(emb, _SRP_PLANES)
+    qb = V.srp_band_buckets(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding"),
+        _SRP_PLANES,
+    ).select(F.col("vec_id").alias("query_id"), "band", "bucket")
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in qb.join(corpus, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id").distinct().collect()
+    }
+    probe_list = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)],
+    )
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in qb.select(
+            "query_id", "band", F.explode(probe_list).alias("bucket")
+        )
+        .join(corpus, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id").distinct().collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)

@@ -123,3 +123,40 @@ def test_interval_bucket_join_boundaries_and_degenerates(spark):
 
     with _pt.raises(ValueError):
         TP.interval_bucket_join(intervals, points, "s", "e", "t", 0)
+
+
+def test_interval_bucket_join_property_random_grids(spark):
+    # hypothesis-style sweep without per-example Spark jobs being too
+    # slow: several deterministic seeds × bucket widths, each asserted
+    # against the naive cross+filter — bucket width must NEVER change
+    # the result (including widths larger than every interval and
+    # width 1)
+    import random
+
+    for seed, bucket in [(1, 1), (2, 3), (3, 10), (4, 100), (5, 7)]:
+        rng = random.Random(seed)
+        intervals = spark.createDataFrame(
+            [
+                (i, s, s + rng.randrange(0, 15))
+                for i, s in enumerate(rng.sample(range(120), 20))
+            ],
+            "iv_id long, s long, e long",
+        )
+        points = spark.createDataFrame(
+            [(j, rng.randrange(-5, 140)) for j in range(80)],
+            "pt_id long, t long",
+        )
+        got = sorted(
+            (r["iv_id"], r["pt_id"])
+            for r in TP.interval_bucket_join(
+                intervals, points, "s", "e", "t", bucket_ticks=bucket
+            ).collect()
+        )
+        naive = sorted(
+            (r["iv_id"], r["pt_id"])
+            for r in intervals.crossJoin(points)
+            .filter((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+            .collect()
+        )
+        assert got == naive, f"seed={seed} bucket={bucket}"
+        assert len(got) == len(set(got)), "duplicate pair emitted"
