@@ -878,3 +878,188 @@ def gram_matrix_arrow_q20(
         (F.sum("qsum").cast("double") / F.lit(float(_Q20))).alias("g"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def brute_force_topk_q20_arrow(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Vectorized (numpy-batched) brute-force top-k that is
+    **hash-exact cross-engine** — the q20 discipline from
+    :func:`gram_matrix_arrow_q20` generalized to similarity scoring.
+
+    Why the float paths can't do this: a 64-term float dot product is
+    a SUM, and numpy's pairwise summation, Catalyst's sequential fold,
+    and DuckDB's accumulator visit the addends in different orders —
+    last-ulp noise that `round(score, 6)` can only hide until a value
+    sits near a rounding boundary. Quantizing each PRODUCT first —
+    q(p) = floor(p·2²⁰ + ½) as int64 — removes the order dependence
+    entirely: every per-element step is exact IEEE-754, and the score
+    is an INTEGER sum, identical under any batching, partitioning, or
+    engine. Ranking on an integer needs no rounding contract at all.
+
+    Inputs are unit-normalized and rounded to 6 decimals JVM-side
+    first (the proven cross-engine expression), so ``score_q / 2²⁰``
+    approximates cosine to ~1e-6 — rank-faithful at the quantization
+    resolution, with ties broken by id.
+
+    Scale: queries ship to every worker inside the closure (they are
+    the small side by construction); the corpus streams through ONE
+    `mapInPandas` scan doing an m×d · d×q numpy multiply per batch —
+    the BLAS-shaped hot path — and only (corpus × queries) score rows
+    reach the top-k window, partitioned by query. This is the
+    production scoring path with a hard oracle, not a closeness test.
+    """
+    nr = emb.select(
+        F.col(id_col),
+        F.transform(
+            normalize_vec(as_double_vec(vec_col)), lambda x: F.round(x, 6)
+        ).alias("r"),
+    ).filter(
+        # zero vectors normalize to all-null arrays (nullif guard) and
+        # are unscorable — exclude them, mirrored by the oracle's
+        # nonzero-norm predicate
+        ~F.array_contains(
+            F.transform(F.col("r"), lambda x: x.isNull()), F.lit(True)
+        )
+    )
+    qrows = queries.select(
+        F.col(query_id_col),
+        F.transform(
+            normalize_vec(as_double_vec(query_vec_col)), lambda x: F.round(x, 6)
+        ).alias("qr"),
+    ).collect()
+    q_ids = [r[query_id_col] for r in qrows]
+    q_mat = [list(r["qr"]) for r in qrows]
+    out_schema = f"{id_col} long, {query_id_col} long, score_q long"
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        qm = _np.asarray(q_mat, dtype=_np.float64)  # q × d
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            mat = _np.asarray(list(pdf.iloc[:, 1]), dtype=_np.float64)  # b × d
+            # per-element quantized products, then an exact integer sum:
+            # b × q × d would be large, so loop queries (q is tiny)
+            for qi, qid in enumerate(q_ids):
+                prods = mat * qm[qi][None, :]
+                scores = (
+                    _np.floor(prods * 1048576.0 + 0.5)
+                    .astype(_np.int64)
+                    .sum(axis=1)
+                )
+                yield _pd.DataFrame(
+                    {
+                        id_col: ids,
+                        query_id_col: _np.int64(qid),
+                        "score_q": scores,
+                    }
+                )
+
+    scored = (
+        nr.mapInPandas(gen, schema=out_schema)
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_q").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score_q", "rank")
+    )
+
+
+def srp_band_buckets_q20_arrow(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized SRP bucket index with an **exact integer sign
+    decision** — the q20 discipline applied to the 32-fold sign scan
+    that is the measured cost center of every SRP query (~2.4 s of a
+    3.9 s multiprobe run at sf0.1 on the Catalyst fold path).
+
+    Bit i of a band's bucket is ``Σ_d floor(v_d·p_d·2²⁰ + ½) ≥ 0`` —
+    an integer sum of exactly-computable addends, so the decision is
+    identical under any summation order, batching, or engine (numpy
+    here, a list comprehension in the oracle SQL). NOTE the decision
+    boundary differs from the float path's ``round(dot, 6) ≥ 0`` by
+    ~2⁻²¹ around zero, so this is a SIBLING index with its own oracle,
+    not a drop-in replacement: a dot within half a quantum of zero may
+    bucket differently (agreement is ~100% in practice — tested).
+
+    One mapInPandas corpus scan; per batch, 32 vectorized
+    multiply-quantize-sum passes (numpy C loops) replace 32 Catalyst
+    per-element aggregate folds. Same (id, band, bucket) output shape
+    as :func:`srp_band_buckets` — every downstream pair/probe join
+    composes unchanged.
+    """
+    n_bands, rows_per_band = len(planes), len(planes[0])
+    plane_rows = [
+        [planes[b][i] for i in range(rows_per_band)] for b in range(n_bands)
+    ]
+    out_schema = f"{id_col} long, band int, bucket long"
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        pm = _np.asarray(plane_rows, dtype=_np.float64)  # bands×rows×d
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            mat = _np.asarray(list(pdf.iloc[:, 1]), dtype=_np.float64)
+            for b in range(pm.shape[0]):
+                bucket = _np.zeros(len(ids), dtype=_np.int64)
+                for i in range(pm.shape[1]):
+                    prods = mat * pm[b, i][None, :]
+                    q = (
+                        _np.floor(prods * 1048576.0 + 0.5)
+                        .astype(_np.int64)
+                        .sum(axis=1)
+                    )
+                    bucket |= (q >= 0).astype(_np.int64) << i
+                yield _pd.DataFrame(
+                    {id_col: ids, "band": _np.int32(b), "bucket": bucket}
+                )
+
+    src = df.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    return src.mapInPandas(gen, schema=out_schema)
+
+
+def srp_candidate_pairs_q20(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`srp_candidate_pairs` on the vectorized q20 bucket index —
+    identical banded-join composition, the projection scan swapped for
+    the integer-exact numpy path."""
+    b = srp_band_buckets_q20_arrow(df, planes, id_col, vec_col).persist()
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()
+    )

@@ -2088,3 +2088,109 @@ def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day_no").cast("long").alias("first_day"),
         F.max("day_no").cast("long").alias("last_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — vectorized exact-integer ANN scoring (registered r6)
+
+_Q20_TOPK_K = 5
+
+_Q20_TOPK_SQL = f"""
+WITH raw AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+nr AS (
+    SELECT vec_id,
+           [round(x / sqrt(list_dot_product(v, v)), 6) for x in v] AS r
+    FROM raw WHERE list_dot_product(v, v) <> 0
+),
+q AS (SELECT vec_id AS query_id, r AS qr FROM nr WHERE vec_id < {_Q20_TOPK_K}),
+scored AS (
+    SELECT q.query_id, nr.vec_id,
+           CAST(list_sum([
+               CAST(floor(nr.r[i] * q.qr[i] * 1048576.0 + 0.5) AS BIGINT)
+               for i in generate_series(1, {_GRAM_DIM})
+           ]) AS BIGINT) AS score_q
+    FROM nr CROSS JOIN q WHERE nr.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, score_q, rank FROM (
+    SELECT query_id, vec_id, score_q,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q DESC, vec_id
+           ) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {_Q20_TOPK_K}
+"""
+
+
+@register(
+    "embedding_topk_q20_blas",
+    sql=_Q20_TOPK_SQL,
+    description=f"vectorized brute-force top-{_Q20_TOPK_K} under HARD "
+    "oracle evidence: numpy-batched mapInPandas scoring made hash-exact "
+    "by quantizing each per-element product to the binary 2^-20 grid "
+    "before an INTEGER sum (order-free — no float accumulation contract "
+    "needed, ranking needs no rounding at all); inputs unit-normalized "
+    "+ rounded JVM-side so score_q/2^20 ~ cosine to 1e-6 — the "
+    "production BLAS-shaped ANN scoring path, proven, not "
+    "closeness-tested ([EXT] ANN tier)",
+)
+def embedding_topk_q20_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: ONE mapInPandas corpus scan (queries ship in the closure —
+    # the small side by construction); only corpus x queries integer
+    # score rows reach the per-query top-k window.
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _Q20_TOPK_K).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return V.brute_force_topk_q20_arrow(emb, queries, k=_Q20_TOPK_K)
+
+
+# ---------------------------------------------------------------------------
+# EXT — vectorized q20-sign SRP bucket index (registered r6)
+
+
+def _srp_q20_band_sql(band: int) -> str:
+    rows = _SRP_PLANES[band]
+    bits = " + ".join(
+        "(CASE WHEN CAST(list_sum([CAST(floor(v[d] * ("
+        + f"{rows[i]}"
+        + ")[d] * 1048576.0 + 0.5) AS BIGINT) "
+        + f"for d in generate_series(1, {_GRAM_DIM})]) AS BIGINT) >= 0 "
+        + f"THEN {1 << i} ELSE 0 END)"
+        for i in range(len(rows))
+    )
+    return (
+        f"SELECT vec_id, {band} AS band, CAST({bits} AS BIGINT) AS bucket FROM e"
+    )
+
+
+_SRP_Q20_SQL = (
+    "WITH e AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+    "buckets AS ("
+    + "\n    UNION ALL ".join(_srp_q20_band_sql(b) for b in range(4))
+    + ")\n"
+    "SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
+    "FROM buckets a JOIN buckets b\n"
+    "  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id"
+)
+
+
+@register(
+    "embedding_srp_q20_candidates",
+    sql=_SRP_Q20_SQL,
+    description="the SRP family's cost center vectorized under hard "
+    "evidence: bucket bits decided by an exact INTEGER sign — "
+    "sign(sum floor(v_d*p_d*2^20 + 1/2)) — so the 32-fold projection "
+    "scan runs as numpy multiply-quantize-sum passes over mapInPandas "
+    "batches (order-free, engine-identical) instead of 32 Catalyst "
+    "per-element folds; a SIBLING index to embedding_srp_candidates "
+    "(decision boundary differs by ~2^-21 around zero), same banded "
+    "pair join downstream ([EXT] ANN tier)",
+)
+def embedding_srp_q20_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.srp_candidate_pairs_q20(emb, _SRP_PLANES)

@@ -93,15 +93,15 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
 # is the contract).
 #
-# Round-6 window: the 17 r6-new queries (never-checked, tier 1 by
+# Round-6 window: the 20 r6-new queries (never-checked, tier 1 by
 # policy), then the 10 r3-stale reference-core suites the r5 freshness
 # test named (they re-enter after two rounds out), then the 5 queries
 # whose source round 6 touched (semantic_dedup hot-cluster cap, linkage
 # block guard, paged.py fallback restructure, stateful.py funnel
-# k-buffer), then 18 of the 47 r4-greens — oldest evidence first, all
+# k-buffer), then 15 of the 47 r4-greens — oldest evidence first, all
 # six export pipelines and the streaming/temporal/multimodal pipelines
 # kept. Rotated OUT (positions 51+): every r5-green (fresh by
-# definition) plus 27 r4-greens chosen for lowest regression risk —
+# definition) plus 30 r4-greens chosen for lowest regression risk —
 # profile/rollup/window/pair-join shapes with an in-window sibling
 # (embedding_quantized_recall ~ embedding_pq_recall, rollup_summary ~
 # mergeable_daily_rollup + corpus_cube_summary, value_mad/_quantile ~
@@ -126,7 +126,13 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # in-window split/sample family + r5-green weighted draw,
 # bucketed_colocated_join ~ its own exchange-free plan-shape test
 # asserted every pytest run, incremental_near_dup_candidates ~
-# in-window incremental_corpus_dedup + the r5-green LSH family) — they
+# in-window incremental_corpus_dedup + the r5-green LSH family,
+# streaming_tumbling_counts ~ four in-window streaming siblings +
+# the r5-green batch window trio, purchase_asof_click ~ three fresh
+# in-window temporal-join siblings: orderdate_shipment_window,
+# linear_attribution_credit, streaming_interval_join,
+# streaming_dedup_pairs ~ the remaining in-window streaming trio +
+# the r5-green dropDuplicatesWithinWatermark pytest) — they
 # become tier-1
 # rotation priority for round 7 together with any r6 failure.
 # ---------------------------------------------------------------------------
@@ -149,6 +155,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "sole_return_suppliers",
     "rolling_7day_revenue",
     "embedding_srp_multiprobe",
+    "linear_attribution_credit",
+    "embedding_topk_q20_blas",
+    "embedding_srp_q20_candidates",
     # -- tier 3: last green r3 (two rounds stale) — reference core
     "conditional_counts",
     "date_format_suite",
@@ -181,9 +190,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "contamination_check",
     "cdc_chunk_table",
     # -- tier 5 fill: r4 streaming / temporal / multimodal / scale
-    "streaming_tumbling_counts",
-    "streaming_dedup_pairs",
-    "purchase_asof_click",
     "scd2_user_state_history",
     "merge_upsert_orders",
     "orders_replica_diff",

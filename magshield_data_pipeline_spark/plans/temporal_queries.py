@@ -184,3 +184,75 @@ def orderdate_shipment_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipments"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution (registered r6)
+
+_ATTR_SQL = """
+WITH purchases AS (
+    SELECT event_id AS p_id, user_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT event_id AS c_id, user_id, ts AS c_ts
+    FROM events WHERE event_type = 'click'
+),
+touch AS (
+    SELECT p.p_id, p.user_id, c.c_id,
+           count(*) OVER (PARTITION BY p.p_id) AS n_touches
+    FROM purchases p
+    JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.c_ts <= p.p_ts
+     AND c.c_ts >= p.p_ts - INTERVAL '7 days'
+)
+SELECT c_id AS click_id,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       round(sum(round(1.0 / n_touches, 9)), 9) AS credit
+FROM touch GROUP BY 1
+"""
+
+
+@register(
+    "linear_attribution_credit",
+    sql=_ATTR_SQL,
+    description="linear multi-touch attribution: each purchase splits one "
+    "unit of credit equally across the same user's clicks in the prior "
+    "7 days, rolled up per click — the marketing-analytics composite of "
+    "a bounded range join + per-conversion count + credit re-aggregation; "
+    "1/n credits rounded to 9 decimals BEFORE summation (quantized-"
+    "addend discipline) so the rollup is engine-exact",
+)
+def linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the touch join keys on user_id with a bounded two-sided
+    # time window (the range_join shape); n_touches is a count window
+    # over the TOUCH frame partitioned by purchase (never raw events);
+    # the final rollup partial-aggregates per click.
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touch = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    )
+    return touch.groupBy(F.col("c_id").alias("click_id")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum(F.round(F.lit(1.0) / F.col("n_touches"), 9)), 9).alias(
+            "credit"
+        ),
+    )

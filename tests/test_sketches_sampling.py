@@ -699,3 +699,65 @@ def test_srp_multiprobe_candidates_superset_of_single_probe(spark):
     }
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_q20_topk_partition_invariant_and_agrees_with_float_topk(spark):
+    # integer scores cannot move under repartitioning; and the q20
+    # ranking must agree with the proven float-cosine ranking wherever
+    # the float scores are separated by more than the 2^-20 resolution
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(
+        map(tuple, V.brute_force_topk_q20_arrow(emb, queries, k=5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            V.brute_force_topk_q20_arrow(
+                emb.repartition(13), queries, k=5
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 15
+    flt = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in V.brute_force_topk(emb, queries, k=5).collect()
+    }
+    q20 = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in V.brute_force_topk_q20_arrow(emb, queries, k=5).collect()
+    }
+    agree = sum(1 for k in flt if q20.get(k) == flt[k])
+    # scores on this fixture are well-separated: expect full agreement
+    assert agree == len(flt)
+
+
+def test_srp_q20_buckets_agree_with_float_sign_buckets(spark):
+    # the q20 integer sign and the float round(dot,6)>=0 sign differ
+    # only for dots within ~2^-21 of zero; on the fixture the indexes
+    # must agree (near-)everywhere — this pins both the numpy path's
+    # correctness and the documented boundary caveat
+    from magshield_data_pipeline_spark.plans.ext_queries import _SRP_PLANES
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    flt = {
+        (r["vec_id"], r["band"]): r["bucket"]
+        for r in V.srp_band_buckets(emb, _SRP_PLANES).collect()
+    }
+    q20 = {
+        (r["vec_id"], r["band"]): r["bucket"]
+        for r in V.srp_band_buckets_q20_arrow(emb, _SRP_PLANES).collect()
+    }
+    assert set(flt) == set(q20)
+    agree = sum(1 for k in flt if flt[k] == q20[k])
+    assert agree / len(flt) > 0.999
+    # and the q20 index itself is partition-invariant (integer signs)
+    q20b = {
+        (r["vec_id"], r["band"]): r["bucket"]
+        for r in V.srp_band_buckets_q20_arrow(
+            emb.repartition(11), _SRP_PLANES
+        ).collect()
+    }
+    assert q20 == q20b
