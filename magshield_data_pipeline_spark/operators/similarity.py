@@ -353,6 +353,7 @@ def srp_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    use_q20_index: bool = False,
 ) -> DataFrame:
     """Multi-probe SRP-LSH retrieval (Lv et al., VLDB 2007 applied to
     sign-random-projection): each query probes its own (band, bucket)
@@ -375,8 +376,12 @@ def srp_multiprobe_topk(
     tested (the original bucket is always probed).
     """
     rows_per_band = len(planes[0])
-    corpus = srp_band_buckets(emb, planes, id_col, vec_col)
-    qb = srp_band_buckets(
+    # index choice: the Catalyst float-sign projection (oracle-classic)
+    # or the vectorized q20 integer-sign index (the production path —
+    # see srp_band_buckets_q20_arrow; boundary caveat documented there)
+    index = srp_band_buckets_q20_arrow if use_q20_index else srp_band_buckets
+    corpus = index(emb, planes, id_col, vec_col)
+    qb = index(
         queries.select(F.col(query_id_col).alias(id_col), F.col(vec_col)),
         planes, id_col, vec_col,
     ).select(F.col(id_col).alias(query_id_col), "band", "bucket")

@@ -1169,6 +1169,21 @@ def _srp_band_sql(band: int) -> str:
     )
 
 
+def _srp_q20_band_sql(band: int) -> str:
+    rows = _SRP_PLANES[band]
+    bits = " + ".join(
+        "(CASE WHEN CAST(list_sum([CAST(floor(v[d] * ("
+        + f"{rows[i]}"
+        + ")[d] * 1048576.0 + 0.5) AS BIGINT) "
+        + f"for d in generate_series(1, {len(rows[i])})]) AS BIGINT) >= 0 "
+        + f"THEN {1 << i} ELSE 0 END)"
+        for i in range(len(rows))
+    )
+    return (
+        f"SELECT vec_id, {band} AS band, CAST({bits} AS BIGINT) AS bucket FROM e"
+    )
+
+
 _SRP_SQL = (
     "WITH e AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
@@ -1245,7 +1260,7 @@ _SRP_MP_SQL = f"""
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-buckets AS ({" UNION ALL ".join(_srp_band_sql(b) for b in range(4))}),
+buckets AS ({" UNION ALL ".join(_srp_q20_band_sql(b) for b in range(4))}),
 q AS (SELECT vec_id AS query_id, band, bucket FROM buckets WHERE vec_id < 5),
 probes AS (
     SELECT query_id, band,
@@ -1280,11 +1295,13 @@ SELECT query_id, vec_id, score, rank FROM (
     "embedding_srp_multiprobe",
     sql=_SRP_MP_SQL,
     description=f"multi-probe SRP retrieval (Lv et al. VLDB'07 on sign "
-    "projections): each query probes its (band,bucket) PLUS all 8 "
-    "one-bit-flip neighbor buckets per band — recall of extra hash "
-    "tables without re-indexing or multiplying the corpus index (only "
-    "the tiny query side fans out x9); candidates verified with exact "
-    f"cosine and ranked to top-{_SRP_MP_K} ([EXT] ANN tier)",
+    "projections) over the VECTORIZED q20 bucket index: each query "
+    "probes its (band,bucket) PLUS all 8 one-bit-flip neighbor buckets "
+    "per band — recall of extra hash tables without re-indexing or "
+    "multiplying the corpus index (only the tiny query side fans out "
+    "x9); candidates verified with exact cosine and ranked to "
+    f"top-{_SRP_MP_K}; the index scan runs as numpy integer-sign "
+    "passes (the q20 production path) ([EXT] ANN tier)",
 )
 def embedding_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: the corpus bucket index stays one row per (vector, band);
@@ -1295,7 +1312,9 @@ def embedding_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return V.srp_multiprobe_topk(emb, queries, _SRP_PLANES, k=_SRP_MP_K)
+    return V.srp_multiprobe_topk(
+        emb, queries, _SRP_PLANES, k=_SRP_MP_K, use_q20_index=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2150,21 +2169,6 @@ def embedding_topk_q20_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # EXT — vectorized q20-sign SRP bucket index (registered r6)
-
-
-def _srp_q20_band_sql(band: int) -> str:
-    rows = _SRP_PLANES[band]
-    bits = " + ".join(
-        "(CASE WHEN CAST(list_sum([CAST(floor(v[d] * ("
-        + f"{rows[i]}"
-        + ")[d] * 1048576.0 + 0.5) AS BIGINT) "
-        + f"for d in generate_series(1, {_GRAM_DIM})]) AS BIGINT) >= 0 "
-        + f"THEN {1 << i} ELSE 0 END)"
-        for i in range(len(rows))
-    )
-    return (
-        f"SELECT vec_id, {band} AS band, CAST({bits} AS BIGINT) AS bucket FROM e"
-    )
 
 
 _SRP_Q20_SQL = (
