@@ -2198,3 +2198,142 @@ _SRP_Q20_SQL = (
 def embedding_srp_q20_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return V.srp_candidate_pairs_q20(emb, _SRP_PLANES)
+
+
+# ---------------------------------------------------------------------------
+# EXT — triangle counting on the nation trade graph (r6)
+
+_TRI_SQL = """
+WITH flows AS (
+    SELECT n1.n_name AS src, n2.n_name AS dst
+    FROM lineitem l
+    JOIN orders   o  ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c  ON o.o_custkey   = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+    JOIN nation   n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation   n2 ON c.c_nationkey = n2.n_nationkey
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM flows WHERE src <> dst
+),
+tri AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT count(DISTINCT n) FROM (
+                 SELECT a AS n FROM edges
+                 UNION ALL SELECT b FROM edges))
+            AS BIGINT) AS n_endpoint_names
+"""
+
+
+@register(
+    "nation_triangle_graph",
+    sql=_TRI_SQL,
+    description="triangle counting on the undirected nation trade graph "
+    "— the clustering-coefficient primitive completing the graph tier "
+    "beside connected components (label-prop + star) and PageRank: "
+    "edges canonicalized (least,greatest) then the ordered 3-way "
+    "edge join a<b<c counts each triangle exactly once; at 100 TB the "
+    "edge derivation is the one fact shuffle and the join runs on the "
+    "deduped EDGE set, whose degree distribution (not the corpus) "
+    "bounds cost ([EXT] graph tier)",
+)
+def nation_triangle_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the expensive part is the same one-shuffle flow rollup
+    # nation_pair_flows/pagerank pay; triangles enumerate on the tiny
+    # canonical edge set (<= 300 rows for 25 nations) with ordered
+    # endpoints so no triangle is double-counted. For large graphs the
+    # standard refinement (degree-ordered orientation) drops in at the
+    # edges step without changing the join shape.
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+    )
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = (
+        flows.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("b2a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_names = edges.select(F.col("a").alias("n")).unionByName(
+        edges.select(F.col("b").alias("n"))
+    ).agg(F.countDistinct("n").alias("n_endpoint_names"))
+    return n_tri.crossJoin(F.broadcast(n_edges)).crossJoin(
+        F.broadcast(n_names)
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — equi-width histogram profile (r6)
+
+_HIST_WIDTH = 30000
+_HIST_BUCKETS = 20
+
+_HIST_SQL = f"""
+SELECT CAST(least(floor(o_totalprice / {_HIST_WIDTH}.0),
+                  {_HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "order_price_histogram",
+    sql=_HIST_SQL,
+    description=f"equi-width histogram of order value ({_HIST_BUCKETS} x "
+    f"{_HIST_WIDTH}-wide buckets, open-ended top): the distribution "
+    "profile behind skew diagnosis and partition sizing — ONE partial-"
+    "aggregated scan, bucket id an integer floor (exact both engines), "
+    "per-bucket min/max exposing the realized envelope ([EXT] "
+    "observability tier)",
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH),
+        F.lit(_HIST_BUCKETS - 1),
+    ).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -93,15 +93,15 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
 # is the contract).
 #
-# Round-6 window: the 20 r6-new queries (never-checked, tier 1 by
+# Round-6 window: the 22 r6-new queries (never-checked, tier 1 by
 # policy), then the 10 r3-stale reference-core suites the r5 freshness
 # test named (they re-enter after two rounds out), then the 5 queries
 # whose source round 6 touched (semantic_dedup hot-cluster cap, linkage
 # block guard, paged.py fallback restructure, stateful.py funnel
-# k-buffer), then 15 of the 47 r4-greens — oldest evidence first, all
+# k-buffer), then 13 of the 47 r4-greens — oldest evidence first, all
 # six export pipelines and the streaming/temporal/multimodal pipelines
 # kept. Rotated OUT (positions 51+): every r5-green (fresh by
-# definition) plus 30 r4-greens chosen for lowest regression risk —
+# definition) plus 32 r4-greens chosen for lowest regression risk —
 # profile/rollup/window/pair-join shapes with an in-window sibling
 # (embedding_quantized_recall ~ embedding_pq_recall, rollup_summary ~
 # mergeable_daily_rollup + corpus_cube_summary, value_mad/_quantile ~
@@ -132,7 +132,10 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # in-window temporal-join siblings: orderdate_shipment_window,
 # linear_attribution_credit, streaming_interval_join,
 # streaming_dedup_pairs ~ the remaining in-window streaming trio +
-# the r5-green dropDuplicatesWithinWatermark pytest) — they
+# the r5-green dropDuplicatesWithinWatermark pytest, tfidf_top_terms
+# ~ its own WindowGroupLimit plan-shape pytest asserted every run,
+# multimodal_byte_profile ~ the metadata-plan pytests guarding the
+# whole stub-codec multimodal family) — they
 # become tier-1
 # rotation priority for round 7 together with any r6 failure.
 # ---------------------------------------------------------------------------
@@ -158,6 +161,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "linear_attribution_credit",
     "embedding_topk_q20_blas",
     "embedding_srp_q20_candidates",
+    "nation_triangle_graph",
+    "order_price_histogram",
     # -- tier 3: last green r3 (two rounds stale) — reference core
     "conditional_counts",
     "date_format_suite",
@@ -185,7 +190,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "equipment_export_pipeline",
     # -- tier 5 fill: r4 curation / dedup / ANN / text
     "training_data_pipeline",
-    "tfidf_top_terms",
     "incremental_corpus_dedup",
     "contamination_check",
     "cdc_chunk_table",
@@ -193,7 +197,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "scd2_user_state_history",
     "merge_upsert_orders",
     "orders_replica_diff",
-    "multimodal_byte_profile",
     # -- tier 6 (positions 51+, outside the driver window): r5-greens
     #    and the 16 sibling-covered r4-greens; local parity suite
     #    remains their guard.

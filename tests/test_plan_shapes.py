@@ -33,6 +33,8 @@ _ALLOW_BNLJ = {
     "half_life_decay_rollup",
     # 25-row rollup × its ONE-row global total (Q11 threshold shape)
     "nation_value_share",
+    # three single-row graph aggregates crossed into one summary row
+    "nation_triangle_graph",
     # single-row exact count × single-row merged-sketch estimate
     "sharded_hll_union",
     # batch × the ONE-row broadcast Bloom-filter map (≤128 KB by
