@@ -71,3 +71,18 @@ def test_comparator_catches_integer_float_dtype_drift(spark):
     a = _canon_frame(pd.DataFrame({"x": [123]}))
     b = _canon_frame(pd.DataFrame({"x": [123.0]}))
     assert a != b, "int/float drift invisible to the canonicalizer"
+
+
+def test_comparator_catches_q20_quantum_mutation(spark):
+    # the integer-quantization contract must have teeth: shifting the
+    # oracle's quantum by ONE (2^20 -> 2^20+1) changes some per-element
+    # floor and the hash must catch it — otherwise "exact integer
+    # scores" would be an unfalsifiable claim
+    spec = QUERY_REGISTRY["embedding_gram_matrix_blas"]
+    mutated = spec.sql.replace("1048576.0", "1048577.0")
+    assert mutated != spec.sql
+    res = oracle_harness.compare_query(
+        spark, "mutated_q20", spec.fn, mutated, SF_SMALL
+    )
+    assert res["rows_match"] and res["cols_match"]
+    assert not res["values_match"], "q20 quantum mutation went undetected"
