@@ -933,12 +933,25 @@ def brute_force_topk_q20_arrow(
             F.transform(F.col("r"), lambda x: x.isNull()), F.lit(True)
         )
     )
-    qrows = queries.select(
-        F.col(query_id_col),
-        F.transform(
-            normalize_vec(as_double_vec(query_vec_col)), lambda x: F.round(x, 6)
-        ).alias("qr"),
-    ).collect()
+    qrows = (
+        queries.select(
+            F.col(query_id_col),
+            F.transform(
+                normalize_vec(as_double_vec(query_vec_col)),
+                lambda x: F.round(x, 6),
+            ).alias("qr"),
+        )
+        # a zero query vector normalizes to all-null → NaN in numpy →
+        # floor(NaN).astype(int64) fabricates INT64_MIN scores; drop it
+        # here exactly as the corpus side (and the oracle's nonzero-norm
+        # predicate) do
+        .filter(
+            ~F.array_contains(
+                F.transform(F.col("qr"), lambda x: x.isNull()), F.lit(True)
+            )
+        )
+        .collect()
+    )
     q_ids = [r[query_id_col] for r in qrows]
     q_mat = [list(r["qr"]) for r in qrows]
     out_schema = f"{id_col} long, {query_id_col} long, score_q long"

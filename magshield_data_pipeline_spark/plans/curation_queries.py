@@ -1461,6 +1461,34 @@ FROM rules CROSS JOIN n
 """
 
 
+def _dq_staged_frame(orders):
+    """The gate/quarantine SHARED in-plan perturbation (moduli
+    211/223/227) — one definition so the two companions can never
+    drift apart; mirrors _DQ_STAGED_SQL."""
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 211 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 223 == 0, F.lit("Z"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 227 == 0, F.lit(-1).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderdate",
+    )
+
+
+def _dq_predicate_rules():
+    """The three predicate rules, shared by gate and quarantine."""
+    return {
+        "positive_total": F.col("o_totalprice") > 0,
+        "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        "orderdate_in_range": F.year("o_orderdate").between(1995, 2001),
+    }
+
+
 @register(
     "data_quality_gate",
     sql=_DQ_SQL,
@@ -1481,28 +1509,9 @@ def data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magshield_data_pipeline_spark.operators import quality as Q
 
     orders = read_table(spark, sf_dir, "orders")
-    staged = orders.select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 211 == 0, -F.col("o_totalprice"))
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-        F.when(F.col("o_orderkey") % 223 == 0, F.lit("Z"))
-        .otherwise(F.col("o_orderstatus"))
-        .alias("o_orderstatus"),
-        F.when(F.col("o_orderkey") % 227 == 0, F.lit(-1).cast("long"))
-        .otherwise(F.col("o_custkey"))
-        .alias("o_custkey"),
-        "o_orderdate",
-    )
+    staged = _dq_staged_frame(orders)
     customer = read_table(spark, sf_dir, "customer")
-    predicate_report = Q.dq_violation_counts(
-        staged,
-        {
-            "positive_total": F.col("o_totalprice") > 0,
-            "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
-            "orderdate_in_range": F.year("o_orderdate").between(1995, 2001),
-        },
-    )
+    predicate_report = Q.dq_violation_counts(staged, _dq_predicate_rules())
     fk_report = Q.dq_fk_violations(
         staged, "o_custkey", customer, "c_custkey", "custkey_fk"
     )
@@ -1559,30 +1568,13 @@ def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
-    staged = orders.select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 211 == 0, -F.col("o_totalprice"))
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-        F.when(F.col("o_orderkey") % 223 == 0, F.lit("Z"))
-        .otherwise(F.col("o_orderstatus"))
-        .alias("o_orderstatus"),
-        F.when(F.col("o_orderkey") % 227 == 0, F.lit(-1).cast("long"))
-        .otherwise(F.col("o_custkey"))
-        .alias("o_custkey"),
-        "o_orderdate",
-    )
+    staged = _dq_staged_frame(orders)
     with_fk = staged.join(
         customer.select(F.col("c_custkey").alias("ck")).distinct(),
         staged.o_custkey == F.col("ck"),
         "left",
     )
-    rules = {
-        "positive_total": F.col("o_totalprice") > 0,
-        "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
-        "orderdate_in_range": F.year("o_orderdate").between(1995, 2001),
-        "custkey_fk": F.col("ck").isNotNull(),
-    }
+    rules = {**_dq_predicate_rules(), "custkey_fk": F.col("ck").isNotNull()}
     return Q.dq_quarantine(with_fk, rules).select("o_orderkey", "failed_rules")
 
 
@@ -1738,16 +1730,11 @@ def half_life_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRP_TRAIN_HI = int(0.8 * 256)
 
 
-def _user_hash_byte_sql(salt: str) -> str:
-    h = f"md5('{salt}|' || CAST(user_id AS VARCHAR))"
-    nib = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
-    return f"({nib.format(h=h, i=1)}) * 16 + ({nib.format(h=h, i=2)})"
-
-
 _GRP_SPLIT_SQL = f"""
 WITH e AS (
     SELECT user_id,
-           CASE WHEN ({_user_hash_byte_sql("group")}) < {_GRP_TRAIN_HI}
+           CASE WHEN ({_hash_byte_sql("group", key="user_id")})
+                     < {_GRP_TRAIN_HI}
                 THEN 'train' ELSE 'test' END AS split
     FROM events
 )

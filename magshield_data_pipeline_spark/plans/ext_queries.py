@@ -20,6 +20,10 @@ from magshield_data_pipeline_spark.operators import dedup as D
 from magshield_data_pipeline_spark.operators import multimodal as M
 from magshield_data_pipeline_spark.operators import similarity as V
 from magshield_data_pipeline_spark.operators import text as T
+from magshield_data_pipeline_spark.plans.reference_queries import (
+    NATION_FLOW_JOIN_SQL,
+    nation_flow_frame,
+)
 from magshield_data_pipeline_spark.plans.registry import register
 from magshield_data_pipeline_spark.sources.parquet import read_table
 
@@ -470,8 +474,15 @@ _VAL_HI = _TRAIN_HI + int(0.1 * 256)
 _SAMPLE_HI = int(0.2 * 256)
 
 
-def _hash_byte_sql(salt: str) -> str:
-    h = f"md5('{salt}|' || CAST(doc_id AS VARCHAR))"
+def _hash_byte_sql(salt: str, key: str = "doc_id") -> str:
+    """First md5 byte of (salt, key) — the ONE source of truth for the
+    assignment-die SQL, parameterized by key column so every split /
+    sample / quota oracle shares it (a second copy once drifted for
+    user keys). concat_ws mirrors operators/sampling._hash_byte
+    exactly, INCLUDING null keys: concat_ws skips a NULL (both
+    engines), where `'salt|' || NULL` would null the hash and silently
+    route every null key to the CASE fallback arm."""
+    h = f"md5(concat_ws('|', '{salt}', CAST({key} AS VARCHAR)))"
     nib = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
     return f"({nib.format(h=h, i=1)}) * 16 + ({nib.format(h=h, i=2)})"
 
@@ -1254,14 +1265,18 @@ def embedding_srp_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRP_MP_K = 5
 
-_SRP_MP_PROBES = ", ".join(f"xor(bucket, {1 << i})" for i in range(8))
+# probe list derives from the plane geometry — hardcoding 8 flips would
+# silently desync the oracle if srp_hyperplanes(rows_per_band=...) changes
+_SRP_MP_PROBES = ", ".join(
+    f"xor(bucket, {1 << i})" for i in range(len(_SRP_PLANES[0]))
+)
 
 _SRP_MP_SQL = f"""
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-buckets AS ({" UNION ALL ".join(_srp_q20_band_sql(b) for b in range(4))}),
-q AS (SELECT vec_id AS query_id, band, bucket FROM buckets WHERE vec_id < 5),
+buckets AS ({" UNION ALL ".join(_srp_q20_band_sql(b) for b in range(len(_SRP_PLANES)))}),
+q AS (SELECT vec_id AS query_id, band, bucket FROM buckets WHERE vec_id < {_SRP_MP_K}),
 probes AS (
     SELECT query_id, band,
            unnest([bucket, {_SRP_MP_PROBES}]) AS bucket
@@ -1309,7 +1324,7 @@ def embedding_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 180 probe rows); exact cosine runs per candidate, vectors
     # re-attach by id.
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = emb.filter(F.col("vec_id") < _SRP_MP_K).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return V.srp_multiprobe_topk(
@@ -1878,15 +1893,10 @@ _PR_D = 0.85
 _PR_N = 25  # TPC-H nation is a fixed 25-row dimension
 _PR_ITERS = 3
 
-_PR_EDGE_SQL = """
+_PR_EDGE_SQL = f"""
 flows AS (
     SELECT n1.n_name AS src, n2.n_name AS dst, CAST(count(*) AS BIGINT) AS w
-    FROM lineitem l
-    JOIN orders   o  ON l.l_orderkey  = o.o_orderkey
-    JOIN customer c  ON o.o_custkey   = c.c_custkey
-    JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
-    JOIN nation   n1 ON s.s_nationkey = n1.n_nationkey
-    JOIN nation   n2 ON c.c_nationkey = n2.n_nationkey
+    {NATION_FLOW_JOIN_SQL}
     GROUP BY 1, 2
 ),
 outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM flows GROUP BY 1),
@@ -1940,23 +1950,9 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independent of corpus size. Dangling-node mass is dropped (no
     # out-edges → contributes nothing), documented and mirrored in the
     # oracle. persist() on edges: 3 iterations = 3 consumers.
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    customer = read_table(spark, sf_dir, "customer")
-    supplier = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
-    )
     flows = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        nation_flow_frame(spark, sf_dir)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -2203,15 +2199,10 @@ def embedding_srp_q20_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # EXT — triangle counting on the nation trade graph (r6)
 
-_TRI_SQL = """
+_TRI_SQL = f"""
 WITH flows AS (
     SELECT n1.n_name AS src, n2.n_name AS dst
-    FROM lineitem l
-    JOIN orders   o  ON l.l_orderkey  = o.o_orderkey
-    JOIN customer c  ON o.o_custkey   = c.c_custkey
-    JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
-    JOIN nation   n1 ON s.s_nationkey = n1.n_nationkey
-    JOIN nation   n2 ON c.c_nationkey = n2.n_nationkey
+    {NATION_FLOW_JOIN_SQL}
     GROUP BY 1, 2
 ),
 edges AS (
@@ -2252,26 +2243,7 @@ def nation_triangle_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # endpoints so no triangle is double-counted. For large graphs the
     # standard refinement (degree-ordered orientation) drops in at the
     # edges step without changing the join shape.
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    customer = read_table(spark, sf_dir, "customer")
-    supplier = read_table(spark, sf_dir, "supplier")
-    nation = read_table(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
-    )
-    flows = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
-        .select("src", "dst")
-        .distinct()
-    )
+    flows = nation_flow_frame(spark, sf_dir).select("src", "dst").distinct()
     edges = (
         flows.filter(F.col("src") != F.col("dst"))
         .select(

@@ -689,6 +689,43 @@ def count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customer-role simultaneously.
 
 
+NATION_FLOW_JOIN_SQL = """FROM lineitem l
+    JOIN orders   o  ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c  ON o.o_custkey   = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+    JOIN nation   n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation   n2 ON c.c_nationkey = n2.n_nationkey"""
+
+
+def nation_flow_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, l_extendedprice, l_discount): the supplier-nation →
+    customer-nation trade fact — the ONE definition of the 5-join edge
+    derivation shared by the Q7 rollup (nation_pair_flows), PageRank
+    and triangle counting; a role swap fixed here propagates to every
+    consumer and its SQL twin (NATION_FLOW_JOIN_SQL). Scale: both
+    nation copies broadcast (bounded dim); lineitem⋈orders is the one
+    real shuffle."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .select("src", "dst", "l_extendedprice", "l_discount")
+    )
+
+
 @register(
     "nation_pair_flows",
     sql="""
@@ -709,27 +746,13 @@ def count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation) with aliased broadcast copies (J4/J13; TPC-H Q7 shape)",
 )
 def nation_pair_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale: both nation copies broadcast (bounded dim); supplier also
-    # broadcasts at test SFs via the size check. lineitem⋈orders is the
-    # one real shuffle.
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    customer = read_table(spark, sf_dir, "customer")
-    supplier = read_table(spark, sf_dir, "supplier")
-    nation = read_table(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
+    # Scale notes live on nation_flow_frame (the shared derivation).
     return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
-        .groupBy("supp_nation", "cust_nation")
+        nation_flow_frame(spark, sf_dir)
+        .groupBy(
+            F.col("src").alias("supp_nation"),
+            F.col("dst").alias("cust_nation"),
+        )
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
@@ -987,6 +1010,7 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # footer merge is the one extra metadata pass you pay to read them
     # as one table.
     import os as _os
+    import uuid as _uuid
 
     from magshield_data_pipeline_spark.sources.parquet import (
         evolve_union,
@@ -1006,8 +1030,12 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     b3 = orders.filter(key % 3 == 2).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
-    path = "/tmp/magshield_schema_drift_{}".format(
-        _os.path.basename(_os.path.normpath(sf_dir))
+    # a UNIQUE scratch dir per invocation: a fixed shared path would let
+    # two concurrent executions interleave overwrite/append and read a
+    # half-written directory (the returned frame scans lazily, so the
+    # dir must survive the call — a few hundred KB of /tmp per run)
+    path = "/tmp/magshield_schema_drift_{}_{}".format(
+        _os.path.basename(_os.path.normpath(sf_dir)), _uuid.uuid4().hex[:12]
     )
     b1.write.mode("overwrite").parquet(path)
     b2.write.mode("append").parquet(path)

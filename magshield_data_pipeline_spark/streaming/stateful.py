@@ -223,6 +223,14 @@ def funnel_stateful(
     requires the full per-stage event-time set (unbounded state);
     bounded state is the point of the operator.
 
+    STATE-SCHEMA MIGRATION (v2): the per-stage buffers changed from one
+    long to an array of longs. Structured Streaming pins the state
+    schema at first checkpoint creation and rejects the long→array
+    change (StateSchemaNotCompatible) — a stream upgraded across this
+    change must restart from a FRESH checkpoint directory (replaying
+    the source or accepting a bounded gap); there is no in-place
+    migration path for applyInPandasWithState state.
+
     The UDF body is self-contained (imports inside, sentinel ints, no
     module globals) — cloudpickle ships it whole to executors."""
     s0, s1, s2 = stages
