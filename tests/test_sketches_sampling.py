@@ -761,3 +761,24 @@ def test_srp_q20_buckets_agree_with_float_sign_buckets(spark):
         ).collect()
     }
     assert q20 == q20b
+
+
+def test_q20_topk_excludes_zero_vectors_both_sides(spark):
+    # regression (review finding): a zero QUERY vector used to reach
+    # the numpy scorer as NaN and fabricate INT64_MIN rankings; both
+    # sides must drop unscorable zero vectors, like the oracle's
+    # nonzero-norm predicate
+    rows = [(i, [float(i + j % 3) for j in range(8)]) for i in range(1, 10)]
+    rows.append((0, [0.0] * 8))     # zero corpus vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8)],
+        "query_id long, query_vec array<float>",
+    )
+    out = V.brute_force_topk_q20_arrow(emb, queries, k=3).collect()
+    qids = {r["query_id"] for r in out}
+    vids = {r["vec_id"] for r in out}
+    assert qids == {1}          # zero query dropped, not ranked
+    assert 0 not in vids        # zero corpus vector never a hit
+    assert all(r["score_q"] > -(2**62) for r in out)  # no INT64_MIN junk
+    assert len(out) == 3
