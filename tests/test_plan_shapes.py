@@ -285,3 +285,46 @@ def test_kmv_sketch_prunes_per_segment(spark):
     # the ranking shuffle
     df = QUERY_REGISTRY["kmv_segment_overlap"].fn(spark, SF_SMALL)
     assert "WindowGroupLimit" in _physical_plan(df)
+
+
+def test_pagerank_iterations_reuse_one_cached_edge_rollup(spark):
+    # the audited shape: the 5-join fact derivation materializes ONCE
+    # (persisted edges), each of the 3 iterations consuming the cache —
+    # losing the persist would re-run the fact shuffle per iteration
+    df = QUERY_REGISTRY["pagerank_nations"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert plan.count("InMemoryTableScan") == 3
+    assert "SortMergeJoin" not in plan.split("InMemoryRelation")[0], (
+        "an iteration join stopped broadcasting"
+    )
+
+
+def test_interval_bucket_join_is_equi_on_bucket(spark):
+    # the keyless interval join must plan as an EQUI join on the bucket
+    # id — a BroadcastNestedLoopJoin here means the grid mapping broke
+    plan = _physical_plan(
+        QUERY_REGISTRY["orderdate_shipment_window"].fn(spark, SF_SMALL)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bkt" in plan  # joined through the grid column
+
+
+def test_salted_join_keys_include_salt(spark):
+    # result-identity is proven by the oracle; the PLAN must actually
+    # join on (key, salt) — if the salt drops out of the join key the
+    # skew protection is silently gone while results stay right
+    plan = _physical_plan(
+        QUERY_REGISTRY["salted_join_revenue"].fn(spark, SF_SMALL)
+    )
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "suppkey" in ln
+    ]
+    assert any("_salt" in ln for ln in join_lines), join_lines
+
+
+def test_q20_blas_queries_have_single_python_stage(spark):
+    # the vectorized paths must stay ONE mapInPandas scan — a second
+    # python stage means vectors leaked through an extra Python hop
+    for name in ("embedding_gram_matrix_blas", "embedding_topk_q20_blas"):
+        plan = _physical_plan(QUERY_REGISTRY[name].fn(spark, SF_SMALL))
+        assert plan.count("MapInPandas") == 1, name
