@@ -360,3 +360,41 @@ def test_stream_stream_join_across_micro_batches(spark):
     ).collect()
     pairs = sorted((r.user_id, r.click_id, r.purchase_id) for r in out)
     assert pairs == [(1, 100, 101)]
+
+
+def test_streaming_funnel_beyond_k_buffer_under_reports_never_invents(spark):
+    """Contract bound of the k=3 buffer: when MORE than k distinct
+    stage-1 times smaller than the eventual winner arrive before the
+    signup lands, the winner may be evicted from the buffer — the
+    tracker must then report a later valid time or nothing, and must
+    NEVER report an ineligible (pre-signup) time."""
+    from magshield_data_pipeline_spark.streaming import stateful as ST
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, ["user_id", "ts", "event_type"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # batch 1: four clicks below the eventual winner (9:00..9:45) plus
+    # the true winner 10:30 — k=3 keeps {9:00, 9:15, 9:30}: the winner
+    # is evicted before the signup (10:00) arrives in batch 2
+    b1 = frame([
+        (1, datetime(2024, 1, 1, 9, 0, 0), "click"),
+        (1, datetime(2024, 1, 1, 9, 15, 0), "click"),
+        (1, datetime(2024, 1, 1, 9, 30, 0), "click"),
+        (1, datetime(2024, 1, 1, 9, 45, 0), "click"),
+        (1, datetime(2024, 1, 1, 10, 30, 0), "click"),
+    ])
+    b2 = frame([(1, datetime(2024, 1, 1, 10, 0, 0), "signup")])
+    path = tmp_parquet(spark, b1)
+    stream = _events_stream(spark, str(path), b1.schema, one_file_per_batch=True)
+    tmp_parquet(spark, b2, path)
+    out = W.run_available_now(
+        ST.funnel_stateful(stream, watermark="3 hours"), output_mode="append"
+    ).collect()
+    rows = [r for r in out if r.user_id == 1]
+    assert rows, "funnel entered in batch 2"
+    final = max(rows, key=lambda r: r.n_stages)
+    assert final.t0 == datetime(2024, 1, 1, 10, 0, 0)
+    # under-report is allowed (t1 None); an INVENTED pre-signup t1 is not
+    assert final.t1 is None or final.t1 >= datetime(2024, 1, 1, 10, 0, 0)
