@@ -76,15 +76,19 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_media(content: bytes, kind: str):
-    """Decode a media payload with a real codec. STUB: the image/audio
-    libraries are not installed in this environment. A production build
-    plugs PIL / soundfile / pyav in here; every caller goes through
-    ``extract_features``-style mapInPandas so only this function
-    changes."""
+    """Decode a media payload. REAL for uncompressed binary PPM (P6)
+    images — :func:`decode_ppm`, pure header parse + byte view, no
+    external library. Compressed formats (JPEG/PNG/audio/video) need
+    codec libraries (PIL/soundfile/pyav) that are not installed in
+    this environment and remain a clearly-marked stub; every caller
+    goes through ``extract_features``-style mapInPandas so only this
+    function changes when codecs are plugged in."""
+    if kind == "image" and content is not None and content[:2] == b"P6":
+        return decode_ppm(content)
     raise NotImplementedError(
         f"real {kind} decoding requires a codec library (PIL/soundfile/ffmpeg) "
         "that is not available in this environment; use the deterministic "
-        "byte-level features or install a codec"
+        "byte-level features, binary PPM (P6) input, or install a codec"
     )
 
 
@@ -195,3 +199,60 @@ def resize_plan(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFra
             (scale < 1.0).alias("needs_resize"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# real uncompressed codec: PPM (P6) — no external library required
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6): the
+    uncompressed interchange format whose whole "codec" is a text
+    header + raw RGB bytes — implementable exactly, with zero external
+    dependencies. Compressed formats (JPEG/PNG/audio/video) still
+    require real codec libraries and remain stubbed."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_ppm expects an (h, w, 3) uint8 array")
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """REAL decode of a binary PPM (P6) payload: parse the magic,
+    whitespace/comment-tolerant header tokens (width, height, maxval),
+    then view the raw RGB bytes as (h, w, 3) uint8. Raises ValueError
+    on a malformed payload — fail loud, never silently misread."""
+    if not content.startswith(b"P6"):
+        raise ValueError("decode_ppm: not a binary PPM (P6) payload")
+    # tokenize the header: three ints after the magic; '#' starts a
+    # comment running to end-of-line (the PPM spec's one wrinkle)
+    tokens: list[int] = []
+    i = 2
+    n = len(content)
+    while len(tokens) < 3:
+        while i < n and content[i : i + 1].isspace():
+            i += 1
+        if i < n and content[i : i + 1] == b"#":
+            while i < n and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not content[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("decode_ppm: truncated header")
+        try:
+            tokens.append(int(content[i:j]))
+        except ValueError as e:
+            raise ValueError(f"decode_ppm: bad header token {content[i:j]!r}") from e
+        i = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"decode_ppm: only maxval=255 supported, got {maxval}")
+    i += 1  # exactly ONE whitespace byte separates header and raster
+    raster = content[i : i + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError(
+            f"decode_ppm: raster truncated ({len(raster)} of {w * h * 3} bytes)"
+        )
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)

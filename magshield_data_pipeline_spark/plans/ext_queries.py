@@ -2309,3 +2309,111 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — REAL PPM decode under the oracle (registered r6)
+
+_PPM_W, _PPM_H, _PPM_N = 32, 24, 20
+_PPM_HDR = len(f"P6\n{_PPM_W} {_PPM_H}\n255\n".encode())
+_PPM_BYTES = _PPM_W * _PPM_H * 3
+
+_PPM_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_PPM_N}),
+px AS (
+    SELECT doc_id, unnest(generate_series(0, {_PPM_BYTES - 1})) AS p
+    FROM ids
+),
+v AS (SELECT doc_id, p, (doc_id * 7 + p * 13) % 256 AS val FROM px)
+SELECT doc_id AS media_id,
+       CAST({_PPM_W} AS INT) AS width,
+       CAST({_PPM_H} AS INT) AS height,
+       CAST({_PPM_HDR + _PPM_BYTES} AS BIGINT) AS byte_len,
+       CAST(sum(CASE WHEN p % 3 = 0 THEN val END) AS BIGINT) AS r_sum,
+       CAST(sum(CASE WHEN p % 3 = 1 THEN val END) AS BIGINT) AS g_sum,
+       CAST(sum(CASE WHEN p % 3 = 2 THEN val END) AS BIGINT) AS b_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "ppm_decode_stats",
+    sql=_PPM_SQL,
+    description=f"REAL image decode under the oracle — no codec library: "
+    f"{_PPM_N} deterministic {_PPM_W}x{_PPM_H} RGB images are ENCODED to "
+    "binary PPM (P6) payloads and decoded back through the genuine "
+    "parser (magic + whitespace/comment-tolerant header + raster view, "
+    "operators/multimodal.py::decode_ppm) inside one mapInPandas scan; "
+    "the parsed width/height/byte_len and per-channel pixel sums must "
+    "hash-match the oracle's closed-form pixel formula — a misread "
+    "header offset or channel layout fails loudly. Compressed codecs "
+    "remain honestly stubbed ([EXT] multimodal tier)",
+)
+def ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the encode→decode→reduce loop is pure per-row work inside
+    # ONE mapInPandas scan over the id frame — the exact plumbing a
+    # real-codec deployment uses, with the codec genuinely exercised
+    # (uncompressed P6). The UDF body is self-contained except the
+    # engine package import guarded for executor sys.path, so the
+    # codec functions ship by value via the closure.
+    import sys
+
+    from pyspark import cloudpickle
+
+    from magshield_data_pipeline_spark.operators import multimodal as _mm
+
+    # the codec functions live in the engine package, which executor
+    # workers may not have on sys.path — ship the module BY VALUE
+    # (paged.py's documented pattern) so the closure carries the real
+    # parser instead of a dangling module reference
+    cloudpickle.register_pickle_by_value(
+        sys.modules[_mm.__name__]
+    )
+
+    ids = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PPM_N
+    ).select("doc_id")
+    w, h = _PPM_W, _PPM_H
+    enc, dec = _mm.encode_ppm, _mm.decode_ppm
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        nbytes = w * h * 3
+        p = _np.arange(nbytes, dtype=_np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                img = (
+                    ((int(doc_id) * 7 + p * 13) % 256)
+                    .astype(_np.uint8)
+                    .reshape(h, w, 3)
+                )
+                payload = enc(img)
+                decoded = dec(payload)  # the REAL parse under test
+                dh, dw = decoded.shape[:2]
+                sums = decoded.reshape(-1, 3).sum(
+                    axis=0, dtype=_np.int64
+                )
+                out.append(
+                    (
+                        int(doc_id), dw, dh, len(payload),
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                    )
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "byte_len",
+                    "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, width int, height int, byte_len long, "
+            "r_sum long, g_sum long, b_sum long"
+        ),
+    )

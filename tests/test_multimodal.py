@@ -97,3 +97,49 @@ def test_resize_plan_dims_and_payload_pruning(spark):
     )
     scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scan_lines and all("content" not in ln for ln in scan_lines)
+
+
+# ---------------------------------------------------------------------------
+# real PPM codec (r6)
+
+
+def test_ppm_roundtrip_and_header_tolerance():
+    import numpy as np
+
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    img = (np.arange(5 * 4 * 3) % 256).astype(np.uint8).reshape(4, 5, 3)
+    payload = encode_ppm(img)
+    assert (decode_ppm(payload) == img).all()
+    assert (decode_media(payload, "image") == img).all()
+    # spec wrinkle: comments and arbitrary whitespace inside the header
+    commented = b"P6\n# a comment\n 5  4\n# more\n255\n" + img.tobytes()
+    assert (decode_ppm(commented) == img).all()
+
+
+def test_ppm_malformed_payloads_fail_loud():
+    import numpy as np
+    import pytest
+
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_ppm(img)
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"P5" + good[2:])          # wrong magic
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(good[:-1])                  # short raster
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    with pytest.raises(ValueError):
+        encode_ppm(np.zeros((2, 2), dtype=np.uint8))  # not RGB
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG....", "image")  # compressed: still a stub
