@@ -256,3 +256,16 @@ def decode_ppm(content: bytes) -> np.ndarray:
             f"decode_ppm: raster truncated ({len(raster)} of {w * h * 3} bytes)"
         )
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) uint8 image — the one
+    resampling kernel that is EXACT (each output pixel is a source
+    pixel, chosen by ``src = floor(dst · src_dim / dst_dim)``), so a
+    resize executed here can be oracle-checked closed-form; bilinear
+    and friends would reopen the float-rounding question for no
+    verification gain at thumbnail scale."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[ys][:, xs]

@@ -2417,3 +2417,97 @@ def ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_sum long, g_sum long, b_sum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — REAL resize on decoded pixels under the oracle (registered r6)
+
+_RSZ_W, _RSZ_H = 8, 6
+
+_PPM_RSZ_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_PPM_N}),
+cells AS (
+    SELECT doc_id, i.i AS i, j.j AS j, c.c AS c
+    FROM ids,
+         (SELECT unnest(generate_series(0, {_RSZ_H - 1})) AS i) i,
+         (SELECT unnest(generate_series(0, {_RSZ_W - 1})) AS j) j,
+         (SELECT unnest(generate_series(0, 2)) AS c) c
+),
+v AS (
+    SELECT doc_id, c,
+           (doc_id * 7
+            + ((((i * {_PPM_H}) // {_RSZ_H}) * {_PPM_W}
+                + ((j * {_PPM_W}) // {_RSZ_W})) * 3 + c) * 13) % 256 AS val
+    FROM cells
+)
+SELECT doc_id AS media_id,
+       CAST({_RSZ_W} AS INT) AS out_w,
+       CAST({_RSZ_H} AS INT) AS out_h,
+       CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS r_sum,
+       CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS g_sum,
+       CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS b_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "ppm_resize_stats",
+    sql=_PPM_RSZ_SQL,
+    description=f"REAL resize EXECUTED on decoded pixels — the "
+    f"{_PPM_W}x{_PPM_H} PPM images decode through the genuine parser, "
+    f"then nearest-neighbor resample to {_RSZ_W}x{_RSZ_H} (each output "
+    "pixel an exactly-chosen source pixel: src = dst*src_dim // "
+    "dst_dim), with the resized channel sums hash-checked against the "
+    "oracle's closed-form source-pixel lookup — upgrades "
+    "media_resize_plan from plan-only to an executed, verified "
+    "transform; compressed codecs remain stubbed ([EXT] multimodal)",
+)
+def ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same one-scan mapInPandas shape as ppm_decode_stats, with the
+    # decode→resize pipeline actually executed per row.
+    import sys
+
+    from pyspark import cloudpickle
+
+    from magshield_data_pipeline_spark.operators import multimodal as _mm
+
+    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
+    ids = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PPM_N
+    ).select("doc_id")
+    w, h, ow, oh = _PPM_W, _PPM_H, _RSZ_W, _RSZ_H
+    enc, dec, rsz = _mm.encode_ppm, _mm.decode_ppm, _mm.resize_nearest
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        p = _np.arange(w * h * 3, dtype=_np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                img = (
+                    ((int(doc_id) * 7 + p * 13) % 256)
+                    .astype(_np.uint8)
+                    .reshape(h, w, 3)
+                )
+                small = rsz(dec(enc(img)), ow, oh)
+                sums = small.reshape(-1, 3).sum(axis=0, dtype=_np.int64)
+                out.append(
+                    (
+                        int(doc_id), small.shape[1], small.shape[0],
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                    )
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=["media_id", "out_w", "out_h", "r_sum", "g_sum", "b_sum"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, out_w int, out_h int, "
+            "r_sum long, g_sum long, b_sum long"
+        ),
+    )

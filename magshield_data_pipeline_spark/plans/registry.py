@@ -93,15 +93,15 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
 # is the contract).
 #
-# Round-6 window: the 23 r6-new queries (never-checked, tier 1 by
+# Round-6 window: the 24 r6-new queries (never-checked, tier 1 by
 # policy), then the 10 r3-stale reference-core suites the r5 freshness
 # test named (they re-enter after two rounds out), then the 5 queries
 # whose source round 6 touched (semantic_dedup hot-cluster cap, linkage
 # block guard, paged.py fallback restructure, stateful.py funnel
-# k-buffer), then 12 of the 47 r4-greens — oldest evidence first, all
+# k-buffer), then 11 of the 47 r4-greens — oldest evidence first, all
 # six export pipelines and the streaming/temporal/multimodal pipelines
 # kept. Rotated OUT (positions 51+): every r5-green (fresh by
-# definition) plus 33 r4-greens chosen for lowest regression risk —
+# definition) plus 34 r4-greens chosen for lowest regression risk —
 # profile/rollup/window/pair-join shapes with an in-window sibling
 # (embedding_quantized_recall ~ embedding_pq_recall, rollup_summary ~
 # mergeable_daily_rollup + corpus_cube_summary, value_mad/_quantile ~
@@ -136,7 +136,9 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # ~ its own WindowGroupLimit plan-shape pytest asserted every run,
 # multimodal_byte_profile ~ the metadata-plan pytests guarding the
 # whole stub-codec multimodal family, contamination_check ~ the
-# r5-green shingle/minhash family + in-window cdc_chunk_table) — they
+# r5-green shingle/minhash family + in-window cdc_chunk_table,
+# incremental_corpus_dedup ~ the r5-green exact-dedup + bloom
+# anti-join shapes) — they
 # become tier-1
 # rotation priority for round 7 together with any r6 failure.
 # ---------------------------------------------------------------------------
@@ -165,6 +167,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "nation_triangle_graph",
     "order_price_histogram",
     "ppm_decode_stats",
+    "ppm_resize_stats",
     # -- tier 3: last green r3 (two rounds stale) — reference core
     "conditional_counts",
     "date_format_suite",
@@ -192,7 +195,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "equipment_export_pipeline",
     # -- tier 5 fill: r4 curation / dedup / ANN / text
     "training_data_pipeline",
-    "incremental_corpus_dedup",
     "cdc_chunk_table",
     # -- tier 5 fill: r4 streaming / temporal / multimodal / scale
     "scd2_user_state_history",

@@ -143,3 +143,21 @@ def test_ppm_malformed_payloads_fail_loud():
         encode_ppm(np.zeros((2, 2), dtype=np.uint8))  # not RGB
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG....", "image")  # compressed: still a stub
+
+
+def test_resize_nearest_exact_pixel_selection():
+    import numpy as np
+
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    img = (np.arange(6 * 4 * 3) % 256).astype(np.uint8).reshape(4, 6, 3)
+    out = resize_nearest(img, 3, 2)
+    assert out.shape == (2, 3, 3)
+    # src = dst*src_dim // dst_dim: rows {0,2}, cols {0,2,4}
+    for i in range(2):
+        for j in range(3):
+            assert (out[i, j] == img[(i * 4) // 2, (j * 6) // 3]).all()
+    # identity resize returns the same pixels
+    assert (resize_nearest(img, 6, 4) == img).all()
