@@ -149,7 +149,9 @@ def main() -> int:
         )
         budget = 1880 - base
         for k, v in ranked:
-            cost = len(json.dumps({k: v}, separators=(",", ":"))) + 1
+            # accurate incremental cost: "key":value plus a separating
+            # comma — counting both braces would drop entries that fit
+            cost = len(json.dumps(k)) + len(json.dumps(v)) + 2
             if budget - cost < 0:
                 break
             budget -= cost

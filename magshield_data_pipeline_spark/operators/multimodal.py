@@ -269,3 +269,12 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
     xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
     return img[ys][:, xs]
+
+
+def synth_image(media_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic synthetic RGB test image: byte p of image i is
+    ``(i*7 + p*13) % 256`` — the ONE definition of the pixel formula
+    the PPM decode/resize oracle queries and their SQL twins mirror
+    (a second Python copy once risked silent divergence)."""
+    p = np.arange(w * h * 3, dtype=np.int64)
+    return ((int(media_id) * 7 + p * 13) % 256).astype(np.uint8).reshape(h, w, 3)

@@ -2376,20 +2376,16 @@ def ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, h = _PPM_W, _PPM_H
     enc, dec = _mm.encode_ppm, _mm.decode_ppm
 
+    synth = _mm.synth_image
+
     def gen(batches):
         import numpy as _np
         import pandas as _pd
 
-        nbytes = w * h * 3
-        p = _np.arange(nbytes, dtype=_np.int64)
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
-                img = (
-                    ((int(doc_id) * 7 + p * 13) % 256)
-                    .astype(_np.uint8)
-                    .reshape(h, w, 3)
-                )
+                img = synth(int(doc_id), w, h)
                 payload = enc(img)
                 decoded = dec(payload)  # the REAL parse under test
                 dh, dw = decoded.shape[:2]
@@ -2478,20 +2474,16 @@ def ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, h, ow, oh = _PPM_W, _PPM_H, _RSZ_W, _RSZ_H
     enc, dec, rsz = _mm.encode_ppm, _mm.decode_ppm, _mm.resize_nearest
 
+    synth = _mm.synth_image
+
     def gen(batches):
         import numpy as _np
         import pandas as _pd
 
-        p = _np.arange(w * h * 3, dtype=_np.int64)
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
-                img = (
-                    ((int(doc_id) * 7 + p * 13) % 256)
-                    .astype(_np.uint8)
-                    .reshape(h, w, 3)
-                )
-                small = rsz(dec(enc(img)), ow, oh)
+                small = rsz(dec(enc(synth(int(doc_id), w, h))), ow, oh)
                 sums = small.reshape(-1, 3).sum(axis=0, dtype=_np.int64)
                 out.append(
                     (
