@@ -224,6 +224,14 @@ def decode_ppm(content: bytes) -> np.ndarray:
     on a malformed payload — fail loud, never silently misread."""
     if not content.startswith(b"P6"):
         raise ValueError("decode_ppm: not a binary PPM (P6) payload")
+    # the spec requires whitespace after the magic (a comment may start
+    # wherever whitespace may): without this check a payload like
+    # b"P63 2 255\n..." would tokenize '3' as the width and silently
+    # misread the raster — fail loud instead (ADVICE r6)
+    if not (content[2:3].isspace() or content[2:3] == b"#"):
+        raise ValueError(
+            f"decode_ppm: magic not followed by whitespace ({content[:3]!r})"
+        )
     # tokenize the header: three ints after the magic; '#' starts a
     # comment running to end-of-line (the PPM spec's one wrinkle)
     tokens: list[int] = []

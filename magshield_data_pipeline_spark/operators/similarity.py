@@ -893,6 +893,7 @@ def brute_force_topk_q20_arrow(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Vectorized (numpy-batched) brute-force top-k that is
     **hash-exact cross-engine** — the q20 discipline from
@@ -919,6 +920,15 @@ def brute_force_topk_q20_arrow(
     the BLAS-shaped hot path — and only (corpus × queries) score rows
     reach the top-k window, partitioned by query. This is the
     production scoring path with a hard oracle, not a closeness test.
+
+    The "queries are the small side" contract is ENFORCED, not assumed:
+    *max_queries* caps the driver collect (the repo's fail-fast
+    convention — PQ dim guard, DQ empty-rule guard, linkage block
+    guard); a fact-sized query frame raises instead of silently
+    OOM-ing the driver. Id columns keep their input dtypes in the
+    output schema (string/int ids both work; the only requirement is
+    that both id columns share a comparable type for the self-match
+    filter).
     """
     nr = emb.select(
         F.col(id_col),
@@ -933,7 +943,7 @@ def brute_force_topk_q20_arrow(
             F.transform(F.col("r"), lambda x: x.isNull()), F.lit(True)
         )
     )
-    qrows = (
+    qframe = (
         queries.select(
             F.col(query_id_col),
             F.transform(
@@ -950,11 +960,25 @@ def brute_force_topk_q20_arrow(
                 F.transform(F.col("qr"), lambda x: x.isNull()), F.lit(True)
             )
         )
-        .collect()
     )
+    # fail-loud size guard BEFORE the driver collect: take(cap+1) stops
+    # scanning as soon as the cap is exceeded, so an accidentally
+    # fact-sized query frame raises instead of materializing on the
+    # driver (mirrors linkage's max_block_size convention)
+    qrows = qframe.take(max_queries + 1)
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_q20_arrow: query frame exceeds max_queries="
+            f"{max_queries}; queries must be the broadcast-small side "
+            "(raise max_queries deliberately, or batch the queries)"
+        )
     q_ids = [r[query_id_col] for r in qrows]
     q_mat = [list(r["qr"]) for r in qrows]
-    out_schema = f"{id_col} long, {query_id_col} long, score_q long"
+    # id columns keep their INPUT dtypes (ADVICE r6: the schema was
+    # hardcoded 'long', corrupting/failing non-integer ids)
+    id_type = emb.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {query_id_col} {qid_type}, score_q long"
 
     def gen(batches):
         import numpy as _np
@@ -978,7 +1002,9 @@ def brute_force_topk_q20_arrow(
                 yield _pd.DataFrame(
                     {
                         id_col: ids,
-                        query_id_col: _np.int64(qid),
+                        # the scalar broadcasts across the batch; no
+                        # int64 coercion — qid keeps its input dtype
+                        query_id_col: [qid] * len(ids),
                         "score_q": scores,
                     }
                 )

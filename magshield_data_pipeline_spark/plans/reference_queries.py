@@ -1004,13 +1004,11 @@ FROM orders
 def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The write targets a per-SF scratch dir (cheap: two column-pruned
     # order subsets) so the READ path under test is a genuine evolving
-    # parquet directory, not an in-memory simulation. overwrite-then-
-    # append is idempotent per run; at 100 TB the analog is years of
-    # daily drops under an additive schema policy, and the mergeSchema
-    # footer merge is the one extra metadata pass you pay to read them
-    # as one table.
+    # parquet directory, not an in-memory simulation. At 100 TB the
+    # analog is years of daily drops under an additive schema policy,
+    # and the mergeSchema footer merge is the one extra metadata pass
+    # you pay to read them as one table.
     import os as _os
-    import uuid as _uuid
 
     from magshield_data_pipeline_spark.sources.parquet import (
         evolve_union,
@@ -1030,16 +1028,22 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     b3 = orders.filter(key % 3 == 2).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
-    # a UNIQUE scratch dir per invocation: a fixed shared path would let
-    # two concurrent executions interleave overwrite/append and read a
-    # half-written directory (the returned frame scans lazily, so the
-    # dir must survive the call — a few hundred KB of /tmp per run)
-    path = "/tmp/magshield_schema_drift_{}_{}".format(
-        _os.path.basename(_os.path.normpath(sf_dir)), _uuid.uuid4().hex[:12]
+    # ONE deterministic scratch dir per SF, the two drifted batches as
+    # distinct subdirectories each written mode=overwrite (ADVICE r6:
+    # the earlier uuid-per-invocation dirs accumulated unboundedly
+    # across bench/correctness rounds). Overwrite-per-subdir is
+    # idempotent — repeated runs converge on the same few hundred KB —
+    # and avoids the overwrite/append interleaving a shared flat dir
+    # would risk; the glob read below unions both subdirs' footers
+    # exactly as a flat evolving directory would.
+    base = "/tmp/magshield_schema_drift_{}".format(
+        _os.path.basename(_os.path.normpath(sf_dir))
     )
-    b1.write.mode("overwrite").parquet(path)
-    b2.write.mode("append").parquet(path)
-    merged = read_evolved(spark, path)  # widest schema, b1 rows null-fill
+    b1.write.mode("overwrite").parquet(base + "/batch1")
+    b2.write.mode("overwrite").parquet(base + "/batch2")
+    # widest schema, b1 rows null-fill ('batch*' avoids the 'k=v'
+    # pattern partition discovery would misread as a partition column)
+    merged = read_evolved(spark, base + "/batch*")
     return evolve_union(merged, b3).select(
         "o_orderkey", "o_custkey", "o_totalprice",
         "o_orderpriority", "o_orderstatus",

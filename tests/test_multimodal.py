@@ -143,6 +143,16 @@ def test_ppm_malformed_payloads_fail_loud():
         encode_ppm(np.zeros((2, 2), dtype=np.uint8))  # not RGB
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG....", "image")  # compressed: still a stub
+    # ADVICE r6: a magic NOT followed by whitespace must fail loud —
+    # b"P63 2 255..." would otherwise tokenize '3' as the width and
+    # silently misread the raster
+    with pytest.raises(ValueError, match="whitespace"):
+        decode_ppm(b"P63 2 255\n" + b"\x00" * 18)
+    with pytest.raises(ValueError, match="whitespace"):
+        decode_media(b"P63 2 255\n" + b"\x00" * 18, "image")
+    # '#' directly after the magic is a legal comment start
+    commented = b"P6# c\n2 2 255\n" + b"\x00" * 12
+    assert decode_ppm(commented).shape == (2, 2, 3)
 
 
 def test_resize_nearest_exact_pixel_selection():

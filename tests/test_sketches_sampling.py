@@ -782,3 +782,42 @@ def test_q20_topk_excludes_zero_vectors_both_sides(spark):
     assert 0 not in vids        # zero corpus vector never a hit
     assert all(r["score_q"] > -(2**62) for r in out)  # no INT64_MIN junk
     assert len(out) == 3
+
+
+def test_q20_topk_query_count_guard_fails_loud(spark):
+    # ADVICE/VERDICT r6: the "queries are the small side" contract must
+    # be ENFORCED — a fact-sized query frame raises before the driver
+    # collect instead of silently OOM-ing (the repo's fail-fast
+    # convention: PQ dim guard, DQ empty-rule guard, linkage block cap)
+    import pytest
+
+    rows = [(i, [float(i + j % 3) for j in range(8)]) for i in range(1, 30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        V.brute_force_topk_q20_arrow(emb, queries, k=3, max_queries=10)
+    # at exactly the cap the call goes through
+    capped = V.brute_force_topk_q20_arrow(
+        emb, queries.filter(F.col("query_id") <= 10), k=3, max_queries=10
+    )
+    assert capped.count() == 30
+
+
+def test_q20_topk_preserves_string_id_dtypes(spark):
+    # ADVICE r6: the output schema hardcoded both id columns as 'long';
+    # generic id dtypes must survive (derived from the input schemas)
+    rows = [
+        (f"doc-{i}", [float(i + j % 3) for j in range(8)]) for i in range(1, 8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    queries = spark.createDataFrame(
+        [("q-1", [1.0] * 8)], "query_id string, query_vec array<float>"
+    )
+    out = V.brute_force_topk_q20_arrow(emb, queries, k=3)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    assert dict(out.dtypes)["query_id"] == "string"
+    got = out.collect()
+    assert len(got) == 3 and all(r["query_id"] == "q-1" for r in got)
+    assert all(r["vec_id"].startswith("doc-") for r in got)
