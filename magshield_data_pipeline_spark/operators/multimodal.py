@@ -12,13 +12,17 @@ Engine contract:
   at 100 TB this is one scan whose parallelism is the file split count,
   with ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounding batch
   memory;
-- the actual codecs (PIL/libsndfile/ffmpeg) are NOT available in this
-  environment, so ``decode_media`` is a clearly-marked stub raising
-  NotImplementedError, and the shipped feature extractor computes
-  deterministic byte-level features (length, md5, nibble checksum, byte
-  histogram) — the Spark-side plumbing (schema, batching, UDF
-  signature, partitioning) is real and oracle-checked; swapping the
-  fake decode for a real codec changes only the inner numpy function.
+- decode is REAL for binary PPM (P6) and 8-bit RGB PNG — both
+  implementable exactly with the standard library (PNG needs only
+  zlib: inflate + crc32 + per-scanline unfilter). JPEG and audio/video
+  codecs (PIL/libsndfile/ffmpeg) are NOT available in this
+  environment, so for those ``decode_media`` remains a clearly-marked
+  stub raising NotImplementedError; the shipped feature extractor
+  computes deterministic byte-level features (length, md5, nibble
+  checksum, byte histogram) — the Spark-side plumbing (schema,
+  batching, UDF signature, partitioning) is real and oracle-checked,
+  and swapping a stub for a real codec changes only the inner numpy
+  function.
 """
 
 from __future__ import annotations
@@ -76,19 +80,25 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_media(content: bytes, kind: str):
-    """Decode a media payload. REAL for uncompressed binary PPM (P6)
-    images — :func:`decode_ppm`, pure header parse + byte view, no
-    external library. Compressed formats (JPEG/PNG/audio/video) need
-    codec libraries (PIL/soundfile/pyav) that are not installed in
-    this environment and remain a clearly-marked stub; every caller
-    goes through ``extract_features``-style mapInPandas so only this
-    function changes when codecs are plugged in."""
-    if kind == "image" and content is not None and content[:2] == b"P6":
-        return decode_ppm(content)
+    """Decode a media payload. REAL for two image formats requiring no
+    external library: uncompressed binary PPM (P6) — :func:`decode_ppm`,
+    pure header parse + byte view — and 8-bit RGB PNG —
+    :func:`decode_png`, stdlib-zlib inflate + per-scanline unfilter.
+    JPEG and audio/video need codec libraries (PIL/soundfile/pyav) that
+    are not installed in this environment and remain a clearly-marked
+    stub; every caller goes through ``extract_features``-style
+    mapInPandas so only this function changes when codecs are plugged
+    in."""
+    if kind == "image" and content is not None:
+        if content[:2] == b"P6":
+            return decode_ppm(content)
+        if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+            return decode_png(content)
     raise NotImplementedError(
         f"real {kind} decoding requires a codec library (PIL/soundfile/ffmpeg) "
         "that is not available in this environment; use the deterministic "
-        "byte-level features, binary PPM (P6) input, or install a codec"
+        "byte-level features, binary PPM (P6) / 8-bit RGB PNG input, or "
+        "install a codec"
     )
 
 
@@ -209,8 +219,9 @@ def encode_ppm(img: np.ndarray) -> bytes:
     """Encode an (h, w, 3) uint8 array as binary PPM (P6): the
     uncompressed interchange format whose whole "codec" is a text
     header + raw RGB bytes — implementable exactly, with zero external
-    dependencies. Compressed formats (JPEG/PNG/audio/video) still
-    require real codec libraries and remain stubbed."""
+    dependencies. See :func:`encode_png`/:func:`decode_png` for the
+    compressed sibling; JPEG/audio/video still require real codec
+    libraries and remain stubbed."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_ppm expects an (h, w, 3) uint8 array")
     h, w = img.shape[:2]
@@ -277,6 +288,189 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
     xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
     return img[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# real compressed codec: PNG (8-bit RGB) — stdlib zlib only
+#
+# PNG's container is chunked (length/tag/data/crc32) and its raster is
+# DEFLATE-compressed scanlines, each prefixed by a filter byte (one of
+# five per-scanline predictors). Both halves are implementable exactly
+# with the standard library: zlib gives inflate/deflate AND crc32, and
+# the filters are byte arithmetic mod 256 — so unlike JPEG (DCT +
+# entropy coding) the "no codec library" constraint does not force a
+# stub. Spec: W3C PNG (ISO/IEC 15948), §§5, 9, 11.2.
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_BPP = 3  # 8-bit RGB: 3 bytes per pixel
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG §9.4): the neighbor (left, up, or
+    up-left) closest to the linear estimate a + b - c, ties resolved
+    left → up → up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an 8-bit RGB PNG using ONLY
+    the standard library (zlib for DEFLATE + crc32).
+
+    The filter type CYCLES through all five per scanline (y % 5:
+    None/Sub/Up/Average/Paeth) — deliberately, so a decoder exercising
+    this payload must implement every unfilter, not just the trivial
+    one; a real encoder would pick per-line by compressed-size
+    heuristic, which changes bytes but not the decoded pixels. Filters
+    are computed on the RAW bytes of the current and prior scanline
+    (PNG §9.2), vectorized per line with numpy."""
+    import struct
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png expects an (h, w, 3) uint8 array")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = img.reshape(h, w * _PNG_BPP).astype(np.int16)
+    zero = np.zeros(w * _PNG_BPP, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        prior = raw[y - 1] if y > 0 else zero
+        left = np.concatenate([zero[:_PNG_BPP], cur[:-_PNG_BPP]])
+        upleft = np.concatenate([zero[:_PNG_BPP], prior[:-_PNG_BPP]])
+        ftype = y % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prior
+        elif ftype == 3:
+            filt = cur - (left + prior) // 2
+        else:
+            p = left + prior - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            filt = cur - pred
+        lines.append(bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(lines))
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """REAL decode of an 8-bit RGB PNG payload with the standard
+    library only: walk the chunk stream (verifying each crc32), parse
+    IHDR, inflate the concatenated IDAT bytes, then reverse the
+    per-scanline filter (None/Sub/Up/Average/Paeth — PNG §9) to
+    reconstruct the (h, w, 3) uint8 raster. Raises ValueError on any
+    malformed structure — fail loud, never silently misread. Only the
+    profile this engine writes is accepted (bit depth 8, color type 2
+    truecolor, no interlace); anything else is a loud error, not a
+    wrong image."""
+    import struct
+    import zlib
+
+    if content[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
+        raise ValueError("decode_png: bad PNG signature")
+    pos = len(PNG_SIGNATURE)
+    w = h = None
+    idat = b""
+    seen_end = False
+    while pos < len(content):
+        if pos + 8 > len(content):
+            raise ValueError("decode_png: truncated chunk header")
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(content):
+            raise ValueError(f"decode_png: truncated {tag!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"decode_png: crc mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "decode_png: only 8-bit RGB (color type 2), "
+                    "non-interlaced supported; got depth="
+                    f"{depth} color={color} interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if w is None or not idat or not seen_end:
+        raise ValueError("decode_png: missing IHDR/IDAT/IEND")
+    stride = w * _PNG_BPP
+    raster = zlib.decompress(idat)
+    if len(raster) != h * (1 + stride):
+        raise ValueError(
+            f"decode_png: raster size {len(raster)} != {h * (1 + stride)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        line = raster[y * (1 + stride) : (y + 1) * (1 + stride)]
+        ftype, filt = line[0], line[1:]
+        prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = np.frombuffer(filt, dtype=np.uint8)
+        elif ftype == 2:
+            out[y] = (
+                np.frombuffer(filt, dtype=np.uint8).astype(np.int16) + prior
+            ) % 256
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth reconstruct left-to-right (each byte
+            # needs the RECONSTRUCTED byte bpp to its left) — a
+            # sequential scan per line; fine at thumbnail scale, and
+            # the hot path stays one vectorized mapInPandas scan
+            row = out[y]
+            for i in range(stride):
+                a = int(row[i - _PNG_BPP]) if i >= _PNG_BPP else 0
+                b = int(prior[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prior[i - _PNG_BPP]) if i >= _PNG_BPP else 0
+                    pred = _paeth(a, b, c)
+                row[i] = (filt[i] + pred) % 256
+        else:
+            raise ValueError(f"decode_png: bad filter type {ftype}")
+    return out.reshape(h, w, _PNG_BPP)
 
 
 def synth_image(media_id: int, w: int, h: int) -> np.ndarray:

@@ -1168,18 +1168,6 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRP_PLANES = V.srp_hyperplanes(n_bands=4, rows_per_band=8, dim=64, seed=42)
 
 
-def _srp_band_sql(band: int) -> str:
-    rows = _SRP_PLANES[band]
-    bits = " + ".join(
-        f"(CASE WHEN round(list_dot_product(v, {rows[i]}), 6) >= 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i in range(len(rows))
-    )
-    return (
-        f"SELECT vec_id, {band} AS band, CAST({bits} AS BIGINT) AS bucket FROM e"
-    )
-
-
 def _srp_q20_band_sql(band: int) -> str:
     rows = _SRP_PLANES[band]
     bits = " + ".join(
@@ -1195,30 +1183,25 @@ def _srp_q20_band_sql(band: int) -> str:
     )
 
 
-_SRP_SQL = (
+# The SRP candidate-pair registry row rides the VECTORIZED q20
+# integer-sign index (embedding_srp_q20_candidates, further below) —
+# the float 32-fold Catalyst projection (V.srp_band_buckets /
+# V.srp_candidate_pairs) was retired from the registry in r7 once both
+# indexes carried hash-exact driver rows (the float one measured 3×
+# the CPU for duplicate evidence); it remains the oracle-classic
+# pytest control (tests/test_sketches_sampling.py::
+# test_srp_q20_buckets_agree_with_float_sign_buckets and
+# tests/test_plan_shapes.py::test_srp_buckets_single_projection_scan).
+_SRP_Q20_SQL = (
     "WITH e AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
-    "buckets AS (" + "\n    UNION ALL ".join(_srp_band_sql(b) for b in range(4)) + ")\n"
+    "buckets AS ("
+    + "\n    UNION ALL ".join(_srp_q20_band_sql(b) for b in range(4))
+    + ")\n"
     "SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
     "FROM buckets a JOIN buckets b\n"
     "  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id"
 )
-
-
-@register(
-    "embedding_srp_candidates",
-    sql=_SRP_SQL,
-    description="signed-random-projection LSH over embeddings: 4 bands x "
-    "8 hyperplane sign bits, candidate pairs via (band,bucket) self-join "
-    "— the hash-bucketed ANN scale path beside IVF; plane constants are "
-    "shared literals between the Spark plan and the oracle SQL",
-)
-def embedding_srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale: one projection scan computes all 32 dot signs (JVM
-    # higher-order folds, no Python); the only wide op is the banded
-    # bucket self-join — bounded population per bucket, never all-pairs.
-    emb = read_table(spark, sf_dir, "embeddings")
-    return V.srp_candidate_pairs(emb, _SRP_PLANES)
 
 
 # the fixture embeddings are near-random (SRP-candidate cosine p90≈0.23,
@@ -1229,9 +1212,10 @@ _SRP_VERIFY_THRESHOLD = 0.25
 # the oracle recomputes cosine EXACTLY as the Spark side does (raw
 # double vectors: dot / (norm*norm), rounded to 6) rather than via the
 # normalize-then-dot shape — same fold order, so the rounded threshold
-# decision cannot diverge across engines
+# decision cannot diverge across engines; the candidate CTE is the q20
+# integer-sign index (the production path since r7)
 _SRP_VERIFIED_SQL = f"""
-WITH cand AS ({_SRP_SQL}),
+WITH cand AS ({_SRP_Q20_SQL}),
 raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 scored AS (
     SELECT vec_a, vec_b,
@@ -1251,7 +1235,9 @@ SELECT vec_a, vec_b, score FROM scored WHERE score >= {_SRP_VERIFY_THRESHOLD}
     description=f"SRP-LSH candidates verified with exact cosine ≥ "
     f"{_SRP_VERIFY_THRESHOLD} — the end-to-end hash-bucketed semantic-"
     "dedup pipeline (LSH bounds the pair count, verification removes "
-    "false positives), mirroring minhash→jaccard",
+    "false positives), mirroring minhash→jaccard; rides the vectorized "
+    "q20 integer-sign index since r7 (the proven 5x-cheaper scan), "
+    "exact-cosine verification unchanged",
 )
 def embedding_srp_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verification cost is per-CANDIDATE, never per corpus pair; the
@@ -1562,32 +1548,14 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRAM_DIM = 64  # fixture embedding width; the Spark side infers from data,
 # the oracle unrolls the literal range — a dim change fails parity loudly
 
-_GRAM_SQL = f"""
-WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-idx AS (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS i)
-SELECT CAST(i.i - 1 AS INT) AS i, CAST(j.i - 1 AS INT) AS j,
-       round(sum(round(x.v[i.i] * x.v[j.i], 6)), 6) AS g,
-       CAST(count(*) AS BIGINT) AS n_rows
-FROM x, idx i, idx j
-WHERE j.i >= i.i
-GROUP BY 1, 2
-"""
-
-
-@register(
-    "embedding_gram_matrix",
-    sql=_GRAM_SQL,
-    description="one-pass d x d Gram matrix over the embedding corpus "
-    "(upper triangle, quantized-addend exact rounding): the sufficient "
-    "statistic for PCA/whitening/covariance — d(d+1)/2 cells partial-"
-    "aggregate map-side so the shuffle is O(d^2 x tasks) regardless of "
-    "corpus size, the same fixed-size-summary shape as the CMS/HLL "
-    "sketches ([EXT] distributed-linear-algebra tier)",
-)
-def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    return V.gram_matrix(emb)
-
+# The Catalyst explode-fold Gram twin (V.gram_matrix) was retired from
+# the registry in r7: once embedding_gram_matrix_blas carried its own
+# hash-exact driver row (r6), the fold's registry slot paid 4 s of
+# bench wall per round for duplicate evidence. It remains the exact-
+# arithmetic pytest control — tests/test_sketches_sampling.py::
+# test_gram_q20_partition_invariant_and_close_to_exact proves
+# fold ≡ BLAS cell-by-cell, and the plan-shape test pins its one-
+# exchange partial-agg shape.
 
 # ---------------------------------------------------------------------------
 # EXT — BLAS-shaped Gram matrix, hash-exact via binary quantization (r6)
@@ -2167,18 +2135,6 @@ def embedding_topk_q20_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXT — vectorized q20-sign SRP bucket index (registered r6)
 
 
-_SRP_Q20_SQL = (
-    "WITH e AS (SELECT vec_id, "
-    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
-    "buckets AS ("
-    + "\n    UNION ALL ".join(_srp_q20_band_sql(b) for b in range(4))
-    + ")\n"
-    "SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
-    "FROM buckets a JOIN buckets b\n"
-    "  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id"
-)
-
-
 @register(
     "embedding_srp_q20_candidates",
     sql=_SRP_Q20_SQL,
@@ -2500,6 +2456,213 @@ def ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         schema=(
             "media_id long, out_w int, out_h int, "
+            "r_sum long, g_sum long, b_sum long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — hive-partitioned layout: static + dynamic partition pruning (r7)
+
+_PRUNE_MONTHS = 3
+
+_PRUNE_SQL = f"""
+WITH f AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+    FROM orders
+),
+mx AS (SELECT max(o_month) AS m FROM f)
+SELECT o_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM f, mx
+WHERE o_month >= strftime(
+    strptime(m, '%Y-%m') - INTERVAL {_PRUNE_MONTHS - 1} MONTH, '%Y-%m')
+GROUP BY 1
+"""
+
+
+@register(
+    "partition_pruned_scan",
+    sql=_PRUNE_SQL,
+    description=f"STATIC partition pruning over a hive-partitioned fact: "
+    "orders written into o_month=yyyy-MM directories, then the "
+    f"reference's lookback predicate (last {_PRUNE_MONTHS} months, "
+    "opportunity_stage.py:135-141's 15-day mail window) lands as "
+    "partition-key LITERALS — the scan's PartitionFilters eliminate "
+    "every other month's directories at planning time, zero data files "
+    "opened for them (plan-asserted in tests/test_plan_shapes.py); the "
+    "oracle recomputes the lookback aggregate from the raw table "
+    "([EXT] scale/layout tier)",
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the month probe is a footer-stats aggregate (count_probe
+    # convention); the pruned scan then reads 3 directories of ~80 —
+    # at 100 TB that is the difference between a 100 TB scan and a
+    # ~4 TB one, before any row is filtered.
+    from magshield_data_pipeline_spark.sources import partitioned as PT
+
+    fact = PT.ensure_orders_by_month(spark, sf_dir)
+    months = PT.last_months_filter(spark, sf_dir, n_months=_PRUNE_MONTHS)
+    return (
+        fact.filter(F.col("o_month").isin(months))
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_DPP_TOP = 3
+
+_DPP_SQL = f"""
+WITH f AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+    FROM orders
+),
+cnt AS (SELECT o_month, count(*) AS n FROM f GROUP BY 1),
+top3 AS (
+    SELECT o_month FROM (
+        SELECT o_month, row_number() OVER (ORDER BY n DESC, o_month) AS rk
+        FROM cnt
+    ) WHERE rk <= {_DPP_TOP}
+)
+SELECT f.o_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM f JOIN top3 USING (o_month)
+GROUP BY 1
+"""
+
+
+@register(
+    "dpp_top_month_revenue",
+    sql=_DPP_SQL,
+    description=f"DYNAMIC partition pruning: the top-{_DPP_TOP} busiest "
+    "months (an AGGREGATE-derived dim — not expressible as a static "
+    "predicate on the partition key, so planning-time pruning is "
+    "impossible) broadcast-join the o_month-partitioned fact, and "
+    "Spark injects dynamicpruningexpression(o_month IN <dim keys>) "
+    "into the fact scan at RUNTIME — only the matching directories "
+    "are read (plan-asserted); the dim-filters-fact shape every star-"
+    "schema dashboard query has ([EXT] scale/layout tier)",
+)
+def dpp_top_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the dim is a per-month rollup (≤ thousands of rows —
+    # broadcast side); DPP turns the fact side from a full scan into
+    # top-k directories without any literal in the query text. AQE +
+    # the broadcast make the dim's key set available before the fact
+    # scan schedules.
+    from pyspark.sql import Window as W
+
+    from magshield_data_pipeline_spark.sources import partitioned as PT
+
+    fact = PT.ensure_orders_by_month(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("n").desc(), F.col("o_month"))
+    dim = (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _DPP_TOP)
+        .select("o_month")
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — REAL compressed-image decode under the oracle: PNG (r7)
+
+# same closed-form pixel oracle as ppm_decode_stats, WITHOUT byte_len:
+# the DEFLATE stream's length is a zlib implementation detail, not a
+# semantic property — everything the decoder must get right (header
+# dims, filter reversal, channel layout) is pinned by the pixel sums
+_PNG_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_PPM_N}),
+px AS (
+    SELECT doc_id, unnest(generate_series(0, {_PPM_BYTES - 1})) AS p
+    FROM ids
+),
+v AS (SELECT doc_id, p, (doc_id * 7 + p * 13) % 256 AS val FROM px)
+SELECT doc_id AS media_id,
+       CAST({_PPM_W} AS INT) AS width,
+       CAST({_PPM_H} AS INT) AS height,
+       CAST(sum(CASE WHEN p % 3 = 0 THEN val END) AS BIGINT) AS r_sum,
+       CAST(sum(CASE WHEN p % 3 = 1 THEN val END) AS BIGINT) AS g_sum,
+       CAST(sum(CASE WHEN p % 3 = 2 THEN val END) AS BIGINT) AS b_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "png_decode_stats",
+    sql=_PNG_SQL,
+    description=f"REAL COMPRESSED image decode under the oracle — stdlib "
+    f"only: {_PPM_N} deterministic {_PPM_W}x{_PPM_H} RGB images are "
+    "encoded as 8-bit RGB PNG (zlib DEFLATE, the filter type CYCLING "
+    "through all five per scanline) and decoded back through the "
+    "genuine parser (chunk walk + crc32 verify + inflate + "
+    "None/Sub/Up/Average/Paeth unfilter, operators/multimodal.py::"
+    "decode_png) inside one mapInPandas scan; parsed dims and "
+    "per-channel pixel sums must hash-match the closed-form pixel "
+    "formula — any filter-reversal or offset bug fails loudly. The "
+    "codec stub now covers JPEG/audio/video only ([EXT] multimodal "
+    "tier)",
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same one-scan mapInPandas shape as ppm_decode_stats — the
+    # encode→decode→reduce loop is pure per-row work; the module ships
+    # by value so executors need no repo sys.path.
+    import sys
+
+    from pyspark import cloudpickle
+
+    from magshield_data_pipeline_spark.operators import multimodal as _mm
+
+    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
+    ids = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PPM_N
+    ).select("doc_id")
+    w, h = _PPM_W, _PPM_H
+    enc, dec, synth = _mm.encode_png, _mm.decode_png, _mm.synth_image
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                decoded = dec(enc(synth(int(doc_id), w, h)))
+                dh, dw = decoded.shape[:2]
+                sums = decoded.reshape(-1, 3).sum(axis=0, dtype=_np.int64)
+                out.append(
+                    (
+                        int(doc_id), dw, dh,
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                    )
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, width int, height int, "
             "r_sum long, g_sum long, b_sum long"
         ),
     )

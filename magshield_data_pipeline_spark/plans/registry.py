@@ -93,116 +93,89 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
 # is the contract).
 #
-# Round-6 window: the 24 r6-new queries (never-checked, tier 1 by
-# policy), then the 10 r3-stale reference-core suites the r5 freshness
-# test named (they re-enter after two rounds out), then the 5 queries
-# whose source round 6 touched (semantic_dedup hot-cluster cap, linkage
-# block guard, paged.py fallback restructure, stateful.py funnel
-# k-buffer), then 11 of the 47 r4-greens — oldest evidence first, all
-# six export pipelines and the streaming/temporal/multimodal pipelines
-# kept. Rotated OUT (positions 51+): every r5-green (fresh by
-# definition) plus 34 r4-greens chosen for lowest regression risk —
-# profile/rollup/window/pair-join shapes with an in-window sibling
-# (embedding_quantized_recall ~ embedding_pq_recall, rollup_summary ~
-# mergeable_daily_rollup + corpus_cube_summary, value_mad/_quantile ~
-# running_total_window + value_percentiles lineage, signup_click_burst
-# ~ purchase_asof_click, event_type_cooccurrence ~ nation_pair_flows,
-# top_ngrams ~ tfidf_top_terms, repetition/pii/orders_column profiles ~
-# document_profile/orders_replica_diff, weekly_event_deltas /
-# cohort_retention ~ running_total_window, approx_distinct_users ~
-# engine-native HLL, sequence_packing / source_char_share / event_type_
-# pivot ~ in-window salted-hash & CASE rollups, repeated_passages ~
-# cdc_repeated_chunks + r5-green passage_dedup_reassembly,
-# frame_sample_plan ~ r5-green media_resize_plan +
-# multimodal_byte_profile, cdc_repeated_chunks ~ in-window
-# cdc_chunk_table, source_mixture_sample ~ in-window
-# quota_stratified_sample + r5-green weighted_sample_per_source,
-# event_funnel ~ in-window streaming_funnel_progress over the same
-# ordered-funnel semantics, kmeans_centroid_update ~ the in-window
-# assign_clusters shape inside semantic_dedup_survivors,
-# document_chunks ~ in-window cdc_chunk_table chunking,
-# corpus_cube_summary ~ in-window mergeable_daily_rollup and the
-# r4-proven grouping-set shapes, quota_stratified_sample ~ the
-# in-window split/sample family + r5-green weighted draw,
-# bucketed_colocated_join ~ its own exchange-free plan-shape test
-# asserted every pytest run, incremental_near_dup_candidates ~
-# in-window incremental_corpus_dedup + the r5-green LSH family,
-# streaming_tumbling_counts ~ four in-window streaming siblings +
-# the r5-green batch window trio, purchase_asof_click ~ three fresh
-# in-window temporal-join siblings: orderdate_shipment_window,
-# linear_attribution_credit, streaming_interval_join,
-# streaming_dedup_pairs ~ the remaining in-window streaming trio +
-# the r5-green dropDuplicatesWithinWatermark pytest, tfidf_top_terms
-# ~ its own WindowGroupLimit plan-shape pytest asserted every run,
-# multimodal_byte_profile ~ the metadata-plan pytests guarding the
-# whole stub-codec multimodal family, contamination_check ~ the
-# r5-green shingle/minhash family + in-window cdc_chunk_table,
-# incremental_corpus_dedup ~ the r5-green exact-dedup + bloom
-# anti-join shapes) — they
-# become tier-1
-# rotation priority for round 7 together with any r6 failure.
+# Round-7 window: the 3 r7-new queries (never-checked, tier 1 by
+# policy: the partition-pruning pair + the stdlib PNG decode), then the
+# 34 r4-greens the r6 freshness test named — they sat two rounds
+# outside the window and are the mechanical tier-2 of this rotation
+# (multimodal/sampling/text/streaming/temporal tiers re-proven), then
+# the 5 queries whose source round 7 touched (embedding_srp_verified
+# switched to the q20 integer-sign index with its oracle's candidate
+# CTE switched in lockstep; embedding_topk_q20_blas under the new
+# max_queries guard + generic id dtypes; ppm_decode_stats /
+# ppm_resize_stats under the stricter magic-whitespace validation;
+# schema_drift_union on the deterministic scratch layout), then 8 of
+# the 45 r5-greens as fill — the reference-parity core suites
+# (flagship multi-hop join, quote enrichment, fan-out, LINKS pipeline,
+# mail scan, users dedup, semi-join pushdown, three-role dim join).
+# Rotated OUT (positions 51+): the 24 r6-greens (fresh by definition)
+# and the remaining 37 r5-greens — every one an already-driver-proven
+# query still guarded by the local all-query DuckDB parity suite; the
+# r5-greens left outside become the mandatory tier for round 8
+# (they hit the two-round staleness bound then), together with any r7
+# failure. Unregistered this round (no longer in any window):
+# embedding_gram_matrix and the float embedding_srp_candidates — each
+# the slower of two hash-proven-equivalent plans, demoted to pytest
+# equivalence controls per VERDICT r6 (#2/#4).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- tier 1: r6-new, never driver-checked
-    "embedding_gram_matrix_blas",
-    "embedding_pq_recall",
-    "schema_drift_union",
-    "salted_join_revenue",
-    "pagerank_nations",
-    "mergeable_daily_rollup",
-    "dq_quarantine_rows",
-    "orderdate_shipment_window",
-    "half_life_decay_rollup",
-    "group_holdout_split",
-    "streaming_interval_join",
-    "compaction_bin_plan",
-    "part_min_cost_supplier",
-    "nation_value_share",
-    "sole_return_suppliers",
-    "rolling_7day_revenue",
-    "embedding_srp_multiprobe",
-    "linear_attribution_credit",
+    # -- tier 1: r7-new, never driver-checked
+    "partition_pruned_scan",
+    "dpp_top_month_revenue",
+    "png_decode_stats",
+    # -- tier 2: last green r4 (two rounds stale) — the r6 freshness
+    #    test's list, re-entering per policy
+    "approx_distinct_users",
+    "bucketed_colocated_join",
+    "cdc_repeated_chunks",
+    "cohort_retention",
+    "contamination_check",
+    "corpus_cube_summary",
+    "document_chunks",
+    "embedding_quantized_recall",
+    "event_funnel",
+    "event_type_cooccurrence",
+    "event_type_pivot",
+    "frame_sample_plan",
+    "incremental_corpus_dedup",
+    "incremental_near_dup_candidates",
+    "kmeans_centroid_update",
+    "multimodal_byte_profile",
+    "orders_column_profile",
+    "pii_redaction_profile",
+    "purchase_asof_click",
+    "quota_stratified_sample",
+    "repeated_passages",
+    "repetition_profile",
+    "rollup_summary",
+    "sequence_packing",
+    "signup_click_burst",
+    "source_char_share",
+    "source_mixture_sample",
+    "streaming_dedup_pairs",
+    "streaming_tumbling_counts",
+    "tfidf_top_terms",
+    "top_ngrams",
+    "value_mad_per_type",
+    "value_quantile_sketch",
+    "weekly_event_deltas",
+    # -- tier 4: source touched in round 7 — re-prove under changed code
+    "embedding_srp_verified",
     "embedding_topk_q20_blas",
-    "embedding_srp_q20_candidates",
-    "nation_triangle_graph",
-    "order_price_histogram",
     "ppm_decode_stats",
     "ppm_resize_stats",
-    # -- tier 3: last green r3 (two rounds stale) — reference core
-    "conditional_counts",
-    "date_format_suite",
-    "string_function_suite",
-    "running_total_window",
-    "topk_per_group",
-    "anti_join_orphans",
-    "union_dedup",
-    "count_probe",
-    "nation_pair_flows",
-    "json_props_extract",
-    # -- tier 4: source touched in round 6 — re-prove under changed code
-    "semantic_dedup_survivors",
-    "entity_resolution_matches",
-    "paged_source_scan",
-    "streaming_funnel_progress",
-    "stateful_sessionizer",
-    # -- tier 5 fill: last green r4 (oldest remaining evidence) —
-    #    export pipelines first (the reference-parity core)
-    "organisation_export_pipeline",
-    "quote_export_pipeline",
-    "task_export_pipeline",
-    "opportunity_export_pipeline",
-    "invoice_export_pipeline",
-    "equipment_export_pipeline",
-    # -- tier 5 fill: r4 curation / dedup / ANN / text
-    "training_data_pipeline",
-    "cdc_chunk_table",
-    # -- tier 5 fill: r4 streaming / temporal / multimodal / scale
-    "scd2_user_state_history",
-    "merge_upsert_orders",
-    "orders_replica_diff",
-    # -- tier 6 (positions 51+, outside the driver window): r5-greens
-    #    and the 16 sibling-covered r4-greens; local parity suite
-    #    remains their guard.
+    "schema_drift_union",
+    # -- tier 5 fill: r5-greens, reference-parity core first
+    "multi_hop_revenue",
+    "quote_enrichment",
+    "order_part_fanout",
+    "links_array_pipeline",
+    "mail_scan_topn",
+    "users_projection_dedup",
+    "semi_join_pushdown",
+    "three_role_nation_join",
+    # -- tier 6 (positions 51+, outside the driver window): r6-greens
+    #    and the remaining r5-greens; local parity suite remains their
+    #    guard, and the r5-greens are round 8's mandatory tier.
 ]
 
 _missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in QUERY_REGISTRY]

@@ -221,7 +221,10 @@ def funnel_stateful(
     times), progress may still be UNDER-reported — a later, still
     valid, never-invented stage time — since exactness in general
     requires the full per-stage event-time set (unbounded state);
-    bounded state is the point of the operator.
+    bounded state is the point of the operator. The boundary is pinned
+    mechanically at k-1/k/k+1 shadowing times by tests/
+    test_streaming.py::test_streaming_funnel_k_buffer_boundary_sweep
+    (exact at k-1; first under-report at exactly k).
 
     STATE-SCHEMA MIGRATION (v2): the per-stage buffers changed from one
     long to an array of longs. Structured Streaming pins the state

@@ -171,3 +171,71 @@ def test_resize_nearest_exact_pixel_selection():
             assert (out[i, j] == img[(i * 4) // 2, (j * 6) // 3]).all()
     # identity resize returns the same pixels
     assert (resize_nearest(img, 6, 4) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# real PNG codec, stdlib zlib only (r7)
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    import numpy as np
+
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        encode_png,
+        synth_image,
+    )
+
+    # >= 5 rows so the cycling encoder emits every filter type 0..4;
+    # several shapes including w=1 (left neighbor always absent) and
+    # tall/wide asymmetry
+    for mid, w, h in [(3, 7, 6), (11, 1, 9), (4, 32, 5), (9, 2, 2)]:
+        img = synth_image(mid, w, h)
+        payload = encode_png(img)
+        assert (decode_png(payload) == img).all(), (mid, w, h)
+        assert (decode_media(payload, "image") == img).all()
+    # random content (fixed seed) — exact under every predictor too
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(10, 13, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_malformed_payloads_fail_loud():
+    import numpy as np
+    import pytest
+
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(img)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNH" + good[4:])
+    # flip one IDAT byte: crc must catch it
+    idat_pos = good.index(b"IDAT") + 4
+    corrupted = bytearray(good)
+    corrupted[idat_pos] ^= 0xFF
+    with pytest.raises(ValueError, match="crc"):
+        decode_png(bytes(corrupted))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-6])
+    # unsupported profile (grayscale color type) is a loud error, not
+    # a silently wrong image
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bad = (
+        good[:8]
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="color"):
+        decode_png(bad)
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2), dtype=np.uint8))  # not RGB

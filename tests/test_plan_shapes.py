@@ -195,11 +195,17 @@ def test_export_broadcast_gate_adapts(spark):
 
 
 def test_srp_buckets_single_projection_scan(spark):
-    # all 4 band buckets must come from ONE source scan (a per-band
-    # union would re-read the embeddings once per band); the self-join
-    # adds the second scan of the persisted projection
-    df = QUERY_REGISTRY["embedding_srp_candidates"].fn(spark, SF_SMALL)
-    plan = _physical_plan(df)
+    # the float Catalyst index (retired from the registry in r7, kept
+    # as the oracle-classic control): all 4 band buckets must come from
+    # ONE source scan (a per-band union would re-read the embeddings
+    # once per band); the self-join adds the second scan of the
+    # persisted projection
+    from magshield_data_pipeline_spark.operators import similarity as V
+    from magshield_data_pipeline_spark.plans.ext_queries import _SRP_PLANES
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    plan = _physical_plan(V.srp_candidate_pairs(emb, _SRP_PLANES))
     assert plan.count("FileScan") <= 2, "SRP bucket build re-scans per band"
 
 
@@ -249,10 +255,15 @@ def test_cms_sketch_broadcasts_to_probes(spark):
 
 
 def test_gram_matrix_single_exchange_partial_agg(spark):
-    # one pass: explode is projection-side; the ONLY exchange is the
-    # d² -cell hash aggregate, which partial-aggregates map-side so the
-    # shuffle carries O(d² × tasks) rows; nothing sorts
-    df = QUERY_REGISTRY["embedding_gram_matrix"].fn(spark, SF_SMALL)
+    # the Catalyst fold twin (retired from the registry in r7, kept as
+    # the exact-arithmetic control): one pass — explode is projection-
+    # side; the ONLY exchange is the d²-cell hash aggregate, which
+    # partial-aggregates map-side so the shuffle carries O(d² × tasks)
+    # rows; nothing sorts
+    from magshield_data_pipeline_spark.operators import similarity as V
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+
+    df = V.gram_matrix(read_table(spark, SF_SMALL, "embeddings"))
     plan = _physical_plan(df)
     shuffles = plan.replace("BroadcastExchange", "").count("Exchange")
     assert shuffles <= 1, f"expected <=1 shuffle, plan:\n{plan[:2000]}"
@@ -320,6 +331,40 @@ def test_salted_join_keys_include_salt(spark):
         ln for ln in plan.splitlines() if "Join" in ln and "suppkey" in ln
     ]
     assert any("_salt" in ln for ln in join_lines), join_lines
+
+
+def test_static_partition_pruning_eliminates_directories(spark):
+    # the lookback predicate must land in the scan's PartitionFilters
+    # (directories eliminated at planning time) with NO residual data
+    # filter — a post-scan month filter would mean the layout bought
+    # nothing and 77 of 80 directories were read for naught
+    df = QUERY_REGISTRY["partition_pruned_scan"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    scans = [
+        ln for ln in plan.splitlines() if "magshield_orders_by_month" in ln
+    ]
+    assert scans, "partitioned fact scan missing from the plan"
+    pf = scans[0].split("PartitionFilters: [")[1]
+    assert "o_month" in pf.split("]")[0], scans[0]
+    assert "DataFilters: []" in scans[0], (
+        "month predicate fell through to a data filter — not pruned"
+    )
+
+
+def test_dynamic_partition_pruning_filter_injected(spark):
+    # the aggregate-derived dim can NOT be pushed statically; the fact
+    # scan must instead carry a runtime dynamicpruningexpression —
+    # without it the join reads every month's directory and discards
+    # 77/80 of the I/O after the fact
+    df = QUERY_REGISTRY["dpp_top_month_revenue"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    fact_scans = [
+        ln for ln in plan.splitlines() if "magshield_orders_by_month" in ln
+    ]
+    assert fact_scans, "partitioned fact scan missing from the plan"
+    assert any("dynamicpruningexpression" in ln for ln in fact_scans), (
+        "no DPP filter on the fact scan:\n" + fact_scans[0]
+    )
 
 
 def test_q20_blas_queries_have_single_python_stage(spark):

@@ -359,3 +359,218 @@ def test_compaction_bins_property_random_inputs(spark):
             ).collect()
         }
         assert got == naive, f"seed={seed} bucket={bucket}"
+
+
+# ---------------------------------------------------------------------------
+# hive-partitioned layout (r7)
+
+
+def test_partitioned_orders_layout_write_once_and_reuse(spark):
+    import os
+
+    from magshield_data_pipeline_spark.sources import partitioned as PT
+    from tests.conftest import SF_SMALL
+
+    fact = PT.ensure_orders_by_month(spark, SF_SMALL)
+    path = PT.orders_by_month_path(SF_SMALL)
+    # hive layout: o_month=yyyy-MM directories, one file per partition
+    # (the repartition-by-key write), a _SUCCESS marker for reuse
+    months = [d for d in os.listdir(path) if d.startswith("o_month=")]
+    assert len(months) > 10
+    assert all(
+        len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]) == 1
+        for d in months[:5]
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    # second call must REUSE the directory, not rewrite it
+    again = PT.ensure_orders_by_month(spark, SF_SMALL)
+    assert os.path.getmtime(marker) == mtime
+    # the partitioned copy carries exactly the source rows
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+
+    assert again.count() == read_table(spark, SF_SMALL, "orders").count()
+
+
+def test_last_months_filter_contiguous_and_year_boundary(spark):
+    from magshield_data_pipeline_spark.sources import partitioned as PT
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMALL
+
+    months = PT.last_months_filter(spark, SF_SMALL, n_months=3)
+    assert len(months) == 3 and months == sorted(months)
+    top = (
+        read_table(spark, SF_SMALL, "orders")
+        .agg(F.max(F.date_format("o_orderdate", "yyyy-MM")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert months[-1] == top
+    # crossing the year boundary: 14 months back from 2001-08 spans
+    # into 2000 with valid yyyy-MM values throughout
+    wide = PT.last_months_filter(spark, SF_SMALL, n_months=14)
+    assert len(wide) == 14
+    years = {m[:4] for m in wide}
+    assert len(years) >= 2
+    assert all(1 <= int(m[5:7]) <= 12 for m in wide)
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join evidence: which knob at 100x (r7)
+
+
+def test_aqe_skew_join_splits_hot_partition_and_its_limit(spark):
+    """The decision rule between AQE's skewJoin and explicit salting,
+    demonstrated on one skewed fixture (VERDICT r6 item 7):
+
+    - a skewed SORT-MERGE JOIN whose output feeds a distribution-free
+      consumer (global agg, write, limit) is handled by AQE alone —
+      the runtime plan shows ``SortMergeJoin(skew=true)`` and a
+      ``skewed`` AQEShuffleRead, no code change needed;
+    - the SAME join feeding a groupBy on the JOIN KEY is NOT split —
+      AQE refuses because splitting would break the partitioning the
+      downstream aggregate reuses — and a skewed AGGREGATION is never
+      split by AQE at all. Those are the cases for salted_join /
+      salted_sum_count (proven result-identical by
+      ``salted_join_revenue``).
+
+    COVERAGE.md's scale notes carry the same rule; this test pins the
+    behavior so a Spark upgrade that changes it fails loudly.
+    """
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 2/3 of 60k rows share key 0; payload is incompressible md5
+        # so the hot partition's shuffle bytes clear the threshold
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") % 3 != 0, F.lit(0))
+            .otherwise(F.col("id") % 41)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 41).select(
+            F.col("id").alias("k"), F.lit("dim").alias("attr")
+        )
+        free = left.join(right, "k").agg(
+            F.sum(F.length("payload")).alias("bytes"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        free.collect()
+        plan = free._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+        assert "skewed" in plan  # the AQEShuffleRead marker
+
+        pinned = (
+            left.join(right, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        pinned.collect()
+        pplan = pinned._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in pplan, (
+            "AQE split a join whose key partitioning feeds the "
+            "downstream aggregate — the documented salting case just "
+            "became obsolete; update the decision rule"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_rows_before_shuffle(spark):
+    """The scan-reduction ladder's third rung, beside static pruning and
+    DPP (tests/test_plan_shapes.py): when the join key is NOT a
+    partition column and the dim is too big (or forbidden) to
+    broadcast, Spark's runtime Bloom filter builds bloom_filter_agg on
+    the filtered creation side and injects might_contain(...) into the
+    fact scan's filters — rows that cannot join are dropped BEFORE the
+    fact-side shuffle. Decision rule (COVERAGE.md): broadcastable dim →
+    BHJ (no filter needed); selective non-broadcast dim on a
+    non-partition key → runtime Bloom (row pruning); partition key →
+    DPP (I/O pruning). Thresholds are lowered here because the fixture
+    is far below the 10 GB production default."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from magshield_data_pipeline_spark.sources.parquet import read_table
+        from tests.conftest import SF_SMALL
+
+        li = read_table(spark, SF_SMALL, "lineitem")
+        orders = read_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("rev")
+        )
+        plan = (
+            j._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "might_contain" in plan, "runtime Bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
+    spark, tmp_path
+):
+    """Incremental-backfill contract: re-writing ONE month's batch with
+    partitionOverwriteMode=dynamic replaces that month's directory and
+    leaves every other partition byte-identical — re-running a day's
+    job converges instead of truncating the table (STATIC overwrite)
+    or duplicating rows (append)."""
+    from magshield_data_pipeline_spark.sources import partitioned as PT
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-02", 20.0), (3, "2024-03", 30.0)],
+        "id long, m string, v double",
+    )
+    PT.write_partitioned(base, path, ["m"])
+    # backfill February with corrected rows (one replaced, one added)
+    fix = spark.createDataFrame(
+        [(2, "2024-02", 25.0), (4, "2024-02", 5.0)],
+        "id long, m string, v double",
+    )
+    PT.overwrite_partitions_dynamic(fix, path, ["m"])
+    got = {
+        (r["id"], r["m"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "2024-01", 10.0),   # untouched partition survives
+        (2, "2024-02", 25.0),   # replaced
+        (4, "2024-02", 5.0),    # added within the rewritten partition
+        (3, "2024-03", 30.0),   # untouched partition survives
+    }
+    # idempotence: re-delivering the same batch changes nothing
+    PT.overwrite_partitions_dynamic(fix, path, ["m"])
+    assert {
+        (r["id"], r["m"], r["v"]) for r in spark.read.parquet(path).collect()
+    } == got

@@ -398,3 +398,60 @@ def test_streaming_funnel_beyond_k_buffer_under_reports_never_invents(spark):
     assert final.t0 == datetime(2024, 1, 1, 10, 0, 0)
     # under-report is allowed (t1 None); an INVENTED pre-signup t1 is not
     assert final.t1 is None or final.t1 >= datetime(2024, 1, 1, 10, 0, 0)
+
+
+@pytest.mark.parametrize("extra", [-1, 0, 1])
+def test_streaming_funnel_k_buffer_boundary_sweep(spark, extra):
+    """The k-buffer's exactness boundary, pinned EXACTLY (VERDICT r6
+    item 8): deliver k+extra distinct stage-1 times, all SMALLER than
+    the eventual winner and all ineligible (pre-signup), in the batch
+    BEFORE the signup lands.
+
+    - extra = -1 (k-1 shadows): the winner still fits in the k-slot
+      buffer — the tracker must report it EXACTLY (batch parity);
+    - extra = 0 (exactly k shadows): the winner is evicted — the FIRST
+      under-report, by construction: t1 must be None (no later click
+      exists), never an ineligible time;
+    - extra = +1: same under-report, one past the boundary.
+
+    This is the contract sentence at streaming/stateful.py (exact for
+    "fewer than k distinct shadowing times") made mechanical.
+    """
+    from magshield_data_pipeline_spark.streaming import stateful as ST
+    from magshield_data_pipeline_spark.streaming.stateful import (
+        _FUNNEL_BUFFER_K as K,
+    )
+
+    n_shadows = K + extra
+    winner = datetime(2024, 1, 1, 10, 30, 0)
+    signup = datetime(2024, 1, 1, 10, 0, 0)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, ["user_id", "ts", "event_type"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b1 = frame(
+        [(1, datetime(2024, 1, 1, 9, i * 5, 0), "click") for i in range(n_shadows)]
+        + [(1, winner, "click")]
+    )
+    b2 = frame([(1, signup, "signup")])
+    path = tmp_parquet(spark, b1)
+    stream = _events_stream(spark, str(path), b1.schema, one_file_per_batch=True)
+    tmp_parquet(spark, b2, path)
+    out = W.run_available_now(
+        ST.funnel_stateful(stream, watermark="3 hours"), output_mode="append"
+    ).collect()
+    rows = [r for r in out if r.user_id == 1]
+    assert rows, "funnel entered in batch 2"
+    final = max(rows, key=lambda r: r.n_stages)
+    assert final.t0 == signup
+    if extra < 0:
+        # winner survives the buffer: exact batch parity
+        assert final.t1 == winner, f"{n_shadows} shadows must stay exact"
+    else:
+        # at/past the boundary: under-report (None — no later click
+        # exists to fall back to), NEVER an invented pre-signup time
+        assert final.t1 is None, (
+            f"{n_shadows} shadows: expected the documented under-report"
+        )
