@@ -131,7 +131,14 @@ def run_available_now(
     per-micro-batch overhead (state files, a Python worker round for
     applyInPandasWithState). Size it to the keyspace — the standard
     Structured Streaming ops knob. Safe here because every run gets a
-    fresh checkpoint dir; the session conf is restored afterwards."""
+    fresh checkpoint dir; the session conf is restored afterwards.
+
+    NOTE the memory sink does NOT support checkpoint recovery (Spark
+    refuses at start) — this runner is for parity checks and
+    backfills, always from a fresh checkpoint. The production
+    restart-resume path needs a recoverable sink (file/foreachBatch);
+    it is pinned by tests/test_streaming.py::
+    test_checkpoint_restart_resumes_state with a parquet sink."""
     name = name or f"stream_result_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     spark = df.sparkSession

@@ -455,3 +455,64 @@ def test_streaming_funnel_k_buffer_boundary_sweep(spark, extra):
         assert final.t1 is None, (
             f"{n_shadows} shadows: expected the documented under-report"
         )
+
+
+def test_checkpoint_restart_resumes_state(spark):
+    """The production restart path: a streaming query stopped and
+    re-started against the SAME checkpoint must RESUME — committed
+    source files are not reprocessed and the state store restores —
+    rather than start over. Requires a recoverable sink (the memory
+    sink refuses checkpoint recovery), so this drives streaming dedup
+    into a parquet sink across two AvailableNow runs: if state were
+    lost, the duplicate key would re-emit and the sink would carry two
+    (1, click) rows; if the file log were lost, user 2 would re-emit
+    too."""
+    import tempfile
+
+    from datetime import datetime as dt
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, ["user_id", "ts", "event_type"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_resume_")
+    out = tempfile.mkdtemp(prefix="sink_resume_")
+
+    def run_once(schema, path):
+        q = (
+            W.dedup_stream(_events_stream(spark, str(path), schema))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = frame([
+        (1, dt(2024, 1, 1, 10, 0, 0), "click"),
+        (2, dt(2024, 1, 1, 10, 5, 0), "click"),
+    ])
+    path = tmp_parquet(spark, b1)
+    run_once(b1.schema, path)
+    first = spark.read.parquet(out).collect()
+    assert {(r.user_id, r.event_type) for r in first} == {
+        (1, "click"), (2, "click"),
+    }
+
+    # the query has STOPPED (AvailableNow drained). Deliver one
+    # duplicate key and one new key, then restart from the checkpoint.
+    b2 = frame([
+        (1, dt(2024, 1, 1, 11, 0, 0), "click"),   # dup: state must remember
+        (3, dt(2024, 1, 1, 11, 5, 0), "click"),   # new key
+    ])
+    tmp_parquet(spark, b2, path)
+    run_once(b1.schema, path)
+    rows = spark.read.parquet(out).collect()
+    keys = sorted((r.user_id, r.event_type) for r in rows)
+    assert keys == [(1, "click"), (2, "click"), (3, "click")], (
+        "restart must restore dedup state (one emission per key, no "
+        f"re-emits) and skip committed files; sink rows: {keys}"
+    )
