@@ -353,7 +353,7 @@ def srp_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    use_q20_index: bool = False,
+    use_q20_index: bool = True,
 ) -> DataFrame:
     """Multi-probe SRP-LSH retrieval (Lv et al., VLDB 2007 applied to
     sign-random-projection): each query probes its own (band, bucket)

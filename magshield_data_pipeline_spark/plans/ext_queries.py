@@ -2666,3 +2666,118 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_sum long, g_sum long, b_sum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — TWO chained Lloyd iterations, engine-exact end-to-end (r7)
+
+_KMEANS2_SQL = f"""
+WITH {_NORM_E},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+s1 AS (
+    SELECT e.vec_id, e.v, centroid_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(v, cv), 6) DESC, centroid_id
+           ) AS arn
+    FROM e CROSS JOIN cents
+),
+a1 AS (SELECT vec_id, v, centroid_id FROM s1 WHERE arn = 1),
+p1 AS (
+    SELECT centroid_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos
+    FROM a1
+),
+u1 AS (
+    SELECT centroid_id, pos,
+           CAST(sum(CAST(round(x * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS m_sum_e6,
+           count(*) AS n_members
+    FROM p1 GROUP BY 1, 2
+),
+c2raw AS (
+    SELECT centroid_id,
+           list((CAST(m_sum_e6 AS DOUBLE) / n_members) / 1000000.0
+                ORDER BY pos) AS cv2
+    FROM u1 GROUP BY 1
+),
+c2 AS (
+    SELECT centroid_id,
+           [x / sqrt(list_dot_product(cv2, cv2)) for x in cv2] AS cv
+    FROM c2raw
+),
+s2 AS (
+    SELECT e.vec_id, e.v, c2.centroid_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.v, c2.cv), 6) DESC,
+                        c2.centroid_id
+           ) AS arn
+    FROM e CROSS JOIN c2
+),
+a2 AS (SELECT vec_id, v, centroid_id FROM s2 WHERE arn = 1),
+p2 AS (
+    SELECT centroid_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos
+    FROM a2
+)
+SELECT centroid_id, pos,
+       CAST(sum(CAST(round(x * 1000000, 0) AS BIGINT)) AS BIGINT) AS m_sum_e6,
+       count(*) AS n_members
+FROM p2 GROUP BY 1, 2
+"""
+
+
+@register(
+    "kmeans_lloyd_two_steps",
+    sql=_KMEANS2_SQL,
+    description="TWO chained Lloyd iterations proven engine-exact end to "
+    "end — the full iterative-refinement loop, not just one step: "
+    "assign (broadcast argmax, max_by partial agg), update (e6-quantized "
+    "integer component sums), REBUILD the centroid arrays from the "
+    "quantized sums (m_sum_e6/n/1e6 per dim — exact IEEE divisions on "
+    "identical integer operands, so iteration-2 centroids are "
+    "bit-identical across engines), re-assign against them, and emit the "
+    "second update rollup; the float means never accumulate engine noise "
+    "because every iteration boundary passes through the integer grid "
+    "([EXT] iterative-ML tier; Lloyd 1982)",
+)
+def kmeans_lloyd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: per iteration — ONE broadcast argmax scan over the corpus
+    # (no ranking window; max_by collapses map-side) + one partial-agg
+    # shuffle of n_centroids x dim quantized sums; the centroid rebuild
+    # operates on that tiny rollup. Iterating further repeats the same
+    # two stages (checkpoint every few rounds as connected_components
+    # does); the corpus is scanned once per iteration, never joined
+    # against itself.
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 100 == 0)
+    x_e6 = F.round(F.col("x") * 1000000, 0).cast("long")
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(x_e6).alias("m_sum_e6"),
+                F.count("*").alias("n_members"),
+            )
+        )
+
+    u1 = update(V.assign_clusters(emb, seeds))
+    # rebuild iteration-2 centroids from the QUANTIZED sums: the mean
+    # components are exact IEEE divisions of identical integer operands
+    # in both engines, so the float centroids cannot drift
+    mean = (F.col("m_sum_e6").cast("double") / F.col("n_members")) / F.lit(
+        1000000.0
+    )
+    c2 = (
+        u1.select("centroid_id", "pos", mean.alias("m"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("embedding")
+        )
+        .select(F.col("centroid_id").alias("vec_id"), "embedding")
+    )
+    return update(V.assign_clusters(emb, c2))

@@ -1312,3 +1312,253 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_rev",
         F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-format ingestion with corrupt-record quarantine: JSONL (r7)
+
+_JSONL_CORRUPT_LINES = (
+    '{"o_orderkey": 999999999, "o_orderpriority": "1-URGENT", '
+    '"o_totalprice": not_json}\n'
+    '{"o_orderkey": "trailing garbage"\n'
+)
+_JSONL_N_CORRUPT = 2
+
+_JSONL_SQL = f"""
+WITH good AS (
+    SELECT o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_good,
+       CAST({_JSONL_N_CORRUPT} AS BIGINT) AS n_corrupt,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM good
+"""
+
+
+@register(
+    "jsonl_ingest_rollup",
+    sql=_JSONL_SQL,
+    description="newline-delimited JSON ingestion with PERMISSIVE "
+    "corrupt-record quarantine: an orders subset round-trips through "
+    "JSONL (Spark json writer) alongside a batch of deliberately "
+    "malformed lines; the read carries an EXPLICIT schema + "
+    "_corrupt_record column, so malformed lines surface as quarantine "
+    "rows (counted) instead of poisoning the load or being silently "
+    "dropped — the log/event-feed ingestion contract at 100 TB, where "
+    "a bad producer must never abort the batch (reference analog: the "
+    "CSV/Excel sniffing tolerance, opportunity_stage.py:56-80); the "
+    "oracle recomputes the clean rollup from the raw table plus the "
+    "known corrupt-line count",
+)
+def jsonl_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: JSONL parses at full partition parallelism with the
+    # explicit schema (no inference scan); the corrupt-record column
+    # is the row-level quarantine feed (dq_quarantine_rows' ingest
+    # sibling). Scratch layout is deterministic per SF, rewritten
+    # mode=overwrite (the schema_drift_union convention).
+    import os as _os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base = "/tmp/magshield_orders_jsonl_{}".format(
+        _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .json(base + "/good")
+    )
+    _os.makedirs(base + "/bad", exist_ok=True)
+    with open(base + "/bad/corrupt.json", "w") as f:
+        f.write(_JSONL_CORRUPT_LINES)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json([base + "/good", base + "/bad"])
+    )
+    # one pass: corrupt rows counted, clean rows aggregated
+    return raw.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
+            "n_corrupt"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), F.col("o_totalprice"))
+            ),
+            2,
+        ).alias("revenue"),
+        F.count_distinct(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("o_orderpriority")
+            )
+        ).alias("n_priorities"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Columnar-format round-trip: ORC (r7)
+
+_ORC_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderkey % 7 = 0 AND o_totalprice > 50000.0
+GROUP BY 1
+"""
+
+
+@register(
+    "orc_roundtrip_scan",
+    sql=_ORC_SQL,
+    description="second columnar format proven end-to-end: an orders "
+    "subset written to ORC and read back with a selective predicate — "
+    "the filter reaches the ORC reader as a pushed filter (plan-"
+    "asserted in tests/test_plan_shapes.py) exactly as it does for "
+    "parquet, so a deployment mixing the two lake formats keeps scan "
+    "pruning on both; oracle recomputes from the raw table",
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    base = "/tmp/magshield_orders_orc_{}".format(
+        _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .orc(base)
+    )
+    return (
+        spark.read.orc(base)
+        .filter(F.col("o_totalprice") > 50000.0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-native CSV scan with corrupt-record quarantine (r7) — upgrades
+# S6 (CSV reader + sniffer, reports.py pandas bridge) with the
+# distributed-scan evidence path
+
+# header first — option('header') strips the first line of EVERY file,
+# not just the main batch. Both data lines corrupt the PRICE column:
+# the CSV reader parses only REFERENCED columns (columnPruning), so a
+# bad value in an unreferenced column is never even parsed, and a
+# short row merely null-fills — neither marks the record corrupt;
+# quarantine semantics are per-parsed-column, a real (documented)
+# CSV-at-scale subtlety
+_CSV_CORRUPT_LINES = (
+    "o_orderkey,o_totalprice,o_orderpriority\n"
+    "999999991,NOT_A_NUMBER,1-URGENT\n"
+    "999999992,ALSO_BAD,2-HIGH\n"
+)
+_CSV_N_CORRUPT = 2
+
+_CSV_SQL = f"""
+WITH good AS (
+    SELECT o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 30 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_good,
+       CAST({_CSV_N_CORRUPT} AS BIGINT) AS n_corrupt,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM good
+"""
+
+
+@register(
+    "csv_ingest_rollup",
+    sql=_CSV_SQL,
+    description="Spark-native distributed CSV scan with PERMISSIVE "
+    "corrupt-record quarantine (upgrades S6, whose reports.py "
+    "pandas-bridge reader covers the driver-side sniffing path): an "
+    "orders subset round-trips through headered CSV alongside "
+    "deliberately malformed lines (bad numeric, short row); the read "
+    "carries an explicit schema + _corrupt_record so bad lines are "
+    "counted quarantine rows, never an abort or silent drop — same "
+    "contract as jsonl_ingest_rollup on the second text format; oracle "
+    "recomputes the clean rollup from the raw table",
+)
+def csv_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base = "/tmp/magshield_orders_csv_{}".format(
+        _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") % 30 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(base + "/good")
+    )
+    _os.makedirs(base + "/bad", exist_ok=True)
+    with open(base + "/bad/corrupt.csv", "w") as f:
+        f.write(_CSV_CORRUPT_LINES)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv([base + "/good", base + "/bad"])
+    )
+    return raw.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
+            "n_corrupt"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), F.col("o_totalprice"))
+            ),
+            2,
+        ).alias("revenue"),
+        F.count_distinct(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("o_orderpriority")
+            )
+        ).alias("n_priorities"),
+    )

@@ -27,6 +27,9 @@ _ALLOW_BNLJ = {
     # (5 queries × corpus), same shape as embedding_quantized_recall
     "embedding_pq_recall",
     "kmeans_centroid_update",
+    # both Lloyd iterations cross the corpus with the broadcast
+    # centroid set (the assign_clusters shape, twice)
+    "kmeans_lloyd_two_steps",
     # three single-row count(*) frames crossed into one metadata row
     "count_probe",
     # weekly rollup × the ONE-row anchor (newest-week) aggregate
@@ -365,6 +368,18 @@ def test_dynamic_partition_pruning_filter_injected(spark):
     assert any("dynamicpruningexpression" in ln for ln in fact_scans), (
         "no DPP filter on the fact scan:\n" + fact_scans[0]
     )
+
+
+def test_orc_scan_pushes_selective_filter(spark):
+    # format parity: the ORC reader must receive the price predicate as
+    # a pushed filter, same as parquet — a post-scan Filter-only plan
+    # would mean the second lake format silently lost scan pruning
+    df = QUERY_REGISTRY["orc_roundtrip_scan"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    orc_scans = [ln for ln in plan.splitlines() if "FileScan orc" in ln]
+    assert orc_scans, "ORC scan missing from the plan"
+    pushed = orc_scans[0].split("PushedFilters: [")[1].split("]")[0]
+    assert "o_totalprice" in pushed, orc_scans[0]
 
 
 def test_q20_blas_queries_have_single_python_stage(spark):
