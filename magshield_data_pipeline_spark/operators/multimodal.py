@@ -80,25 +80,33 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_media(content: bytes, kind: str):
-    """Decode a media payload. REAL for two image formats requiring no
-    external library: uncompressed binary PPM (P6) — :func:`decode_ppm`,
-    pure header parse + byte view — and 8-bit RGB PNG —
-    :func:`decode_png`, stdlib-zlib inflate + per-scanline unfilter.
-    JPEG and audio/video need codec libraries (PIL/soundfile/pyav) that
-    are not installed in this environment and remain a clearly-marked
-    stub; every caller goes through ``extract_features``-style
-    mapInPandas so only this function changes when codecs are plugged
-    in."""
-    if kind == "image" and content is not None:
-        if content[:2] == b"P6":
-            return decode_ppm(content)
-        if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
-            return decode_png(content)
+    """Decode a media payload. REAL for one format per modality, each
+    requiring no external library: images — uncompressed binary PPM
+    (P6, :func:`decode_ppm`) and 8-bit RGB PNG (:func:`decode_png`,
+    stdlib-zlib inflate + per-scanline unfilter); audio — 16-bit mono
+    PCM WAV (:func:`decode_wav`, RIFF chunk walk); video — mono-plane
+    YUV4MPEG2 (:func:`decode_y4m`, header + FRAME markers). The
+    remaining compressed formats (JPEG/MP3/AAC/H.264) genuinely need
+    codec libraries (PIL/soundfile/pyav) that are not installed in
+    this environment and stay a clearly-marked stub; every caller goes
+    through ``extract_features``-style mapInPandas so only this
+    function changes when codecs are plugged in."""
+    if content is not None:
+        if kind == "image":
+            if content[:2] == b"P6":
+                return decode_ppm(content)
+            if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+                return decode_png(content)
+        elif kind == "audio" and content[:4] == b"RIFF":
+            return decode_wav(content)
+        elif kind == "video" and content[:9] == b"YUV4MPEG2":
+            return decode_y4m(content)
     raise NotImplementedError(
-        f"real {kind} decoding requires a codec library (PIL/soundfile/ffmpeg) "
-        "that is not available in this environment; use the deterministic "
-        "byte-level features, binary PPM (P6) / 8-bit RGB PNG input, or "
-        "install a codec"
+        f"real {kind} decoding of this payload requires a codec library "
+        "(PIL/soundfile/ffmpeg) that is not available in this environment; "
+        "supported without one: PPM (P6) / 8-bit RGB PNG images, PCM WAV "
+        "audio, mono Y4M video — compressed formats (JPEG/MP3/H.264) need "
+        "a real codec"
     )
 
 
@@ -471,6 +479,157 @@ def decode_png(content: bytes) -> np.ndarray:
         else:
             raise ValueError(f"decode_png: bad filter type {ftype}")
     return out.reshape(h, w, _PNG_BPP)
+
+
+# ---------------------------------------------------------------------------
+# real uncompressed audio codec: WAV (RIFF PCM 16-bit mono) — stdlib only
+#
+# WAV's container is RIFF chunks and its PCM payload is raw samples —
+# like PPM for audio: struct parsing, no DSP library. Compressed audio
+# (MP3/AAC/Opus) genuinely needs codec libraries and stays stubbed.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode a 1-D int16 sample array as a 16-bit mono PCM WAV."""
+    import struct
+
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav expects a 1-D int16 array")
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )  # PCM, mono, rate, byte-rate, block align, bits
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of a 16-bit mono PCM WAV: walk the RIFF chunk list,
+    validate the fmt chunk (PCM, mono, 16-bit — anything else raises,
+    never misreads), and view the data chunk as int16 samples. Returns
+    (samples, sample_rate)."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack("<I", content[4:8])
+    if riff_size + 8 != len(content):
+        raise ValueError(
+            f"decode_wav: RIFF size {riff_size + 8} != payload {len(content)}"
+        )
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        chunk = content[pos + 8 : pos + 8 + size]
+        if len(chunk) != size:
+            raise ValueError(f"decode_wav: truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    "decode_wav: only PCM 16-bit mono supported; got "
+                    f"fmt={audio_fmt} channels={channels} bits={bits}"
+                )
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("decode_wav: missing fmt/data chunk")
+    if len(data) % 2:
+        raise ValueError("decode_wav: odd data length for int16 samples")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def synth_audio(media_id: int, n_samples: int) -> np.ndarray:
+    """Deterministic synthetic int16 audio: sample t of clip i is
+    ``((i*31 + t*17) % 65536) - 32768`` — the one definition the WAV
+    oracle's SQL twin mirrors (the synth_image convention)."""
+    t = np.arange(n_samples, dtype=np.int64)
+    return ((int(media_id) * 31 + t * 17) % 65536 - 32768).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# real uncompressed video container: YUV4MPEG2 (mono plane) — stdlib only
+#
+# Y4M is PPM's moving-picture sibling: a text header, then per frame a
+# "FRAME\n" marker + raw plane bytes. Parsing it exercises the real
+# video plumbing (header, frame stride, frame sampling on DECODED
+# frames); compressed video (H.264/VP9/AV1) stays honestly stubbed.
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode an (n_frames, h, w) uint8 luma array as YUV4MPEG2 with a
+    mono colourspace (one plane per frame)."""
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_y4m expects an (n, h, w) uint8 array")
+    n, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode("ascii")
+    parts = [head]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(frames[f].tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(content: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of a mono-plane YUV4MPEG2 stream: parse the
+    parameter header (W/H/F tags), then walk FRAME markers and view
+    each raw plane as an (h, w) uint8 frame. Returns (frames, fps).
+    Raises ValueError on malformed structure or a non-mono
+    colourspace — fail loud, never silently misread."""
+    nl = content.find(b"\n")
+    if nl < 0 or not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("decode_y4m: not a YUV4MPEG2 stream")
+    w = h = fps = None
+    colour = "420"  # the spec's default when no C tag is present
+    for tok in content[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+        elif tok[0] == "C":
+            colour = tok[1:]
+    if not w or not h or not fps:
+        raise ValueError("decode_y4m: missing W/H/F header tags")
+    if colour != "mono":
+        raise ValueError(
+            f"decode_y4m: only Cmono streams supported, got C{colour}"
+        )
+    frame_bytes, frames, pos = w * h, [], nl + 1
+    while pos < len(content):
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or content[pos : pos + 5] != b"FRAME":
+            raise ValueError("decode_y4m: bad FRAME marker")
+        plane = content[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(plane) != frame_bytes:
+            raise ValueError(
+                f"decode_y4m: truncated frame ({len(plane)} of {frame_bytes})"
+            )
+        frames.append(np.frombuffer(plane, dtype=np.uint8).reshape(h, w))
+        pos = fnl + 1 + frame_bytes
+    return np.stack(frames), fps
+
+
+def synth_video(media_id: int, w: int, h: int, n_frames: int) -> np.ndarray:
+    """Deterministic synthetic luma frames: byte p of frame f of clip i
+    is ``(i*7 + f*11 + p*13) % 256`` (the synth_image convention with a
+    frame term)."""
+    f = np.arange(n_frames, dtype=np.int64)[:, None]
+    p = np.arange(w * h, dtype=np.int64)[None, :]
+    return (
+        ((int(media_id) * 7 + f * 11 + p * 13) % 256)
+        .astype(np.uint8)
+        .reshape(n_frames, h, w)
+    )
 
 
 def synth_image(media_id: int, w: int, h: int) -> np.ndarray:

@@ -2781,3 +2781,176 @@ def kmeans_lloyd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("centroid_id").alias("vec_id"), "embedding")
     )
     return update(V.assign_clusters(emb, c2))
+
+
+# ---------------------------------------------------------------------------
+# EXT — REAL audio decode under the oracle: PCM WAV (r7)
+
+_WAV_N, _WAV_SAMPLES, _WAV_RATE = 20, 4000, 16000
+# RIFF(8) + WAVE(4) + fmt chunk(8+16) + data header(8) + payload
+_WAV_BYTES = 8 + 4 + 24 + 8 + _WAV_SAMPLES * 2
+
+_WAV_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_WAV_N}),
+t AS (
+    SELECT doc_id, unnest(generate_series(0, {_WAV_SAMPLES - 1})) AS t
+    FROM ids
+),
+v AS (SELECT doc_id, (doc_id * 31 + t * 17) % 65536 - 32768 AS s FROM t)
+SELECT doc_id AS media_id,
+       CAST({_WAV_SAMPLES} AS BIGINT) AS n_samples,
+       CAST({_WAV_RATE} AS INT) AS sample_rate,
+       CAST({_WAV_BYTES} AS BIGINT) AS byte_len,
+       CAST(sum(s) AS BIGINT) AS sample_sum,
+       CAST(min(s) AS BIGINT) AS sample_min,
+       CAST(max(s) AS BIGINT) AS sample_max
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "wav_decode_stats",
+    sql=_WAV_SQL,
+    description=f"REAL audio decode under the oracle — the audio "
+    f"modality made real, stdlib only: {_WAV_N} deterministic "
+    f"{_WAV_SAMPLES}-sample 16-bit PCM clips are encoded as RIFF/WAV "
+    "and decoded back through the genuine parser (chunk walk, fmt "
+    "validation, sample view — operators/multimodal.py::decode_wav) "
+    "inside one mapInPandas scan; sample count/rate/byte length and "
+    "integer sample statistics must hash-match the closed-form sample "
+    "formula. Compressed audio (MP3/AAC) stays honestly stubbed "
+    "([EXT] multimodal tier)",
+)
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+
+    from pyspark import cloudpickle
+
+    from magshield_data_pipeline_spark.operators import multimodal as _mm
+
+    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
+    ids = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _WAV_N
+    ).select("doc_id")
+    n, rate = _WAV_SAMPLES, _WAV_RATE
+    enc, dec, synth = _mm.encode_wav, _mm.decode_wav, _mm.synth_audio
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = enc(synth(int(doc_id), n), rate)
+                samples, got_rate = dec(payload)
+                s64 = samples.astype(_np.int64)
+                out.append(
+                    (
+                        int(doc_id), len(samples), got_rate, len(payload),
+                        int(s64.sum()), int(s64.min()), int(s64.max()),
+                    )
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "sample_rate", "byte_len",
+                    "sample_sum", "sample_min", "sample_max",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, n_samples long, sample_rate int, byte_len long, "
+            "sample_sum long, sample_min long, sample_max long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — REAL video decode + frame sampling under the oracle: Y4M (r7)
+
+_Y4M_N, _Y4M_W, _Y4M_H, _Y4M_FRAMES, _Y4M_EVERY = 12, 16, 12, 10, 3
+
+_Y4M_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_Y4M_N}),
+f AS (
+    SELECT doc_id, unnest(generate_series(0, {_Y4M_FRAMES - 1}, {_Y4M_EVERY}))
+               AS frame_no
+    FROM ids
+),
+px AS (
+    SELECT doc_id, frame_no,
+           unnest(generate_series(0, {_Y4M_W * _Y4M_H - 1})) AS p
+    FROM f
+),
+v AS (
+    SELECT doc_id, frame_no,
+           (doc_id * 7 + frame_no * 11 + p * 13) % 256 AS val
+    FROM px
+)
+SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+       CAST({_Y4M_W} AS INT) AS width,
+       CAST({_Y4M_H} AS INT) AS height,
+       CAST(sum(val) AS BIGINT) AS luma_sum
+FROM v GROUP BY 1, 2
+"""
+
+
+@register(
+    "y4m_frame_stats",
+    sql=_Y4M_SQL,
+    description=f"REAL video decode + frame sampling under the oracle — "
+    f"the video modality made real, stdlib only: {_Y4M_N} deterministic "
+    f"{_Y4M_FRAMES}-frame {_Y4M_W}x{_Y4M_H} mono clips encode as "
+    "YUV4MPEG2 and decode through the genuine parser (parameter header "
+    "+ FRAME markers + plane views, operators/multimodal.py::"
+    f"decode_y4m), then every {_Y4M_EVERY}rd DECODED frame is sampled "
+    "(upgrading frame_sample_plan from metadata-only to executed "
+    "frames) and its luma sum hash-matched against the closed-form "
+    "pixel formula. Compressed video (H.264/VP9) stays honestly "
+    "stubbed ([EXT] multimodal tier)",
+)
+def y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+
+    from pyspark import cloudpickle
+
+    from magshield_data_pipeline_spark.operators import multimodal as _mm
+
+    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
+    ids = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _Y4M_N
+    ).select("doc_id")
+    w, h, nf, every = _Y4M_W, _Y4M_H, _Y4M_FRAMES, _Y4M_EVERY
+    enc, dec, synth = _mm.encode_y4m, _mm.decode_y4m, _mm.synth_video
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                frames, _fps = dec(enc(synth(int(doc_id), w, h, nf)))
+                for fno in range(0, len(frames), every):
+                    out.append(
+                        (
+                            int(doc_id), fno,
+                            frames.shape[2], frames.shape[1],
+                            int(frames[fno].astype(_np.int64).sum()),
+                        )
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=["media_id", "frame_no", "width", "height", "luma_sum"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, frame_no int, width int, height int, "
+            "luma_sum long"
+        ),
+    )

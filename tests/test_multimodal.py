@@ -239,3 +239,84 @@ def test_png_malformed_payloads_fail_loud():
         decode_png(bad)
     with pytest.raises(ValueError):
         encode_png(np.zeros((2, 2), dtype=np.uint8))  # not RGB
+
+
+# ---------------------------------------------------------------------------
+# real WAV + Y4M codecs (r7): the audio/video modalities made real
+
+
+def test_wav_roundtrip_and_dispatch():
+    import numpy as np
+
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        decode_wav,
+        encode_wav,
+        synth_audio,
+    )
+
+    samples = synth_audio(5, 1000)
+    payload = encode_wav(samples, 8000)
+    got, rate = decode_wav(payload)
+    assert rate == 8000 and (got == samples).all()
+    got2, rate2 = decode_media(payload, "audio")
+    assert rate2 == 8000 and (got2 == samples).all()
+    # extremes survive the int16 round-trip
+    edge = np.array([-32768, 32767, 0, -1], dtype=np.int16)
+    assert (decode_wav(encode_wav(edge))[0] == edge).all()
+
+
+def test_wav_malformed_payloads_fail_loud():
+    import numpy as np
+    import pytest
+
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_audio,
+    )
+
+    good = encode_wav(synth_audio(1, 100))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"RIFX" + good[4:])
+    with pytest.raises(ValueError, match="size|truncated"):
+        decode_wav(good[:-3])
+    # stereo / non-PCM profiles are loud errors, never a misread
+    import struct
+
+    bad_fmt = good.replace(
+        struct.pack("<HH", 1, 1), struct.pack("<HH", 1, 2), 1
+    )
+    with pytest.raises(ValueError, match="mono|channels"):
+        decode_wav(bad_fmt)
+    with pytest.raises(ValueError):
+        encode_wav(np.zeros(4, dtype=np.float32))  # wrong dtype
+
+
+def test_y4m_roundtrip_frame_sampling_and_fail_loud():
+    import numpy as np
+    import pytest
+
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        decode_y4m,
+        encode_y4m,
+        synth_video,
+    )
+
+    frames = synth_video(3, 8, 6, 5)
+    payload = encode_y4m(frames, fps=30)
+    got, fps = decode_y4m(payload)
+    assert fps == 30 and got.shape == (5, 6, 8) and (got == frames).all()
+    got2, _ = decode_media(payload, "video")
+    assert (got2 == frames).all()
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"NOTAY4M\n")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(payload[:-1])
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_y4m(payload.replace(b"FRAME\n", b"FRAMX\n", 1))
+    # a chroma-carrying stream must be rejected, not misread as mono
+    chroma = payload.replace(b"Cmono", b"C420", 1)
+    with pytest.raises(ValueError, match="mono"):
+        decode_y4m(chroma)
