@@ -2954,3 +2954,151 @@ def y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "luma_sum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — audio/video FEATURE EXTRACTION on decoded payloads (r7): the
+# decode→feature step a training pipeline actually runs, with integer-
+# exact oracles (energy = Σ s², motion = Σ |Δluma| — closed form over
+# the synthetic formulas, no float contract needed)
+
+_WAV_WIN = 1000  # samples per energy window (4 windows per clip)
+
+_WAV_ENERGY_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_WAV_N}),
+t AS (
+    SELECT doc_id, unnest(generate_series(0, {_WAV_SAMPLES - 1})) AS t
+    FROM ids
+),
+v AS (
+    SELECT doc_id, CAST(t // {_WAV_WIN} AS INT) AS window_no,
+           (doc_id * 31 + t * 17) % 65536 - 32768 AS s
+    FROM t
+)
+SELECT doc_id AS media_id, window_no,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS energy_sum
+FROM v GROUP BY 1, 2
+"""
+
+
+@register(
+    "wav_energy_windows",
+    sql=_WAV_ENERGY_SQL,
+    description=f"audio feature extraction on DECODED samples: each "
+    f"{_WAV_SAMPLES}-sample PCM clip decodes through the real WAV "
+    f"parser, then per-{_WAV_WIN}-sample windowed energy (Σ s² — the "
+    "VAD/segmentation primitive) is computed vectorized; energies are "
+    "exact integer sums, hash-matched against the closed-form sample "
+    "formula — decode→feature, not decode alone ([EXT] multimodal)",
+)
+def wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+
+    from pyspark import cloudpickle
+
+    from magshield_data_pipeline_spark.operators import multimodal as _mm
+
+    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
+    ids = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _WAV_N
+    ).select("doc_id")
+    n, rate, win = _WAV_SAMPLES, _WAV_RATE, _WAV_WIN
+    enc, dec, synth = _mm.encode_wav, _mm.decode_wav, _mm.synth_audio
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                samples, _r = dec(enc(synth(int(doc_id), n), rate))
+                s64 = samples.astype(_np.int64)
+                for w0 in range(0, len(s64), win):
+                    chunk = s64[w0 : w0 + win]
+                    out.append(
+                        (
+                            int(doc_id), w0 // win, len(chunk),
+                            int((chunk * chunk).sum()),
+                        )
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=["media_id", "window_no", "n_samples", "energy_sum"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, window_no int, n_samples long, energy_sum long"
+        ),
+    )
+
+
+_Y4M_MOTION_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_Y4M_N}),
+f AS (
+    SELECT doc_id, unnest(generate_series(0, {_Y4M_FRAMES - 2})) AS frame_no
+    FROM ids
+),
+px AS (
+    SELECT doc_id, frame_no,
+           unnest(generate_series(0, {_Y4M_W * _Y4M_H - 1})) AS p
+    FROM f
+),
+d AS (
+    SELECT doc_id, frame_no,
+           abs((doc_id * 7 + (frame_no + 1) * 11 + p * 13) % 256
+               - (doc_id * 7 + frame_no * 11 + p * 13) % 256) AS ad
+    FROM px
+)
+SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(sum(ad) AS BIGINT) AS motion_sum
+FROM d GROUP BY 1, 2
+"""
+
+
+@register(
+    "y4m_motion_stats",
+    sql=_Y4M_MOTION_SQL,
+    description="video feature extraction on DECODED frames: per "
+    "consecutive-frame pair, the sum of absolute luma differences "
+    "(the motion/scene-cut primitive behind adaptive frame sampling) "
+    "computed vectorized over the real Y4M decode — exact integer "
+    "sums hash-matched against the closed-form pixel formula; "
+    "decode→feature for the video modality ([EXT] multimodal)",
+)
+def y4m_motion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+
+    from pyspark import cloudpickle
+
+    from magshield_data_pipeline_spark.operators import multimodal as _mm
+
+    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
+    ids = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _Y4M_N
+    ).select("doc_id")
+    w, h, nf = _Y4M_W, _Y4M_H, _Y4M_FRAMES
+    enc, dec, synth = _mm.encode_y4m, _mm.decode_y4m, _mm.synth_video
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                frames, _fps = dec(enc(synth(int(doc_id), w, h, nf)))
+                f64 = frames.astype(_np.int64)
+                diffs = _np.abs(f64[1:] - f64[:-1]).reshape(nf - 1, -1)
+                for fno, ms in enumerate(diffs.sum(axis=1)):
+                    out.append((int(doc_id), fno, int(ms)))
+            yield _pd.DataFrame(
+                out, columns=["media_id", "frame_no", "motion_sum"]
+            )
+
+    return ids.mapInPandas(
+        gen, schema="media_id long, frame_no int, motion_sum long"
+    )

@@ -93,11 +93,11 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
 # is the contract).
 #
-# Round-7 window: the 9 r7-new queries (never-checked, tier 1 by
+# Round-7 window: the 11 r7-new queries (never-checked, tier 1 by
 # policy: the partition-pruning pair; the stdlib PNG, WAV and Y4M
-# codecs that make every modality real; the JSONL + CSV
-# corrupt-record ingests; the ORC round-trip; and the two-iteration
-# exact Lloyd loop), then the
+# codecs + decoded-payload feature extractors that make every
+# modality real; the JSONL + CSV corrupt-record ingests; the ORC
+# round-trip; and the two-iteration exact Lloyd loop), then the
 # 34 r4-greens the r6 freshness test named — they sat two rounds
 # outside the window and are the mechanical tier-2 of this rotation
 # (multimodal/sampling/text/streaming/temporal tiers re-proven), then
@@ -106,9 +106,8 @@ from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F
 # CTE switched in lockstep; embedding_topk_q20_blas under the new
 # max_queries guard + generic id dtypes; ppm_decode_stats /
 # ppm_resize_stats under the stricter magic-whitespace validation;
-# schema_drift_union on the deterministic scratch layout), then 2 of
-# the 45 r5-greens as fill — the reference-parity core suites
-# (flagship multi-hop join, quote enrichment).
+# schema_drift_union on the deterministic scratch layout) — 11 + 34
+# + 5 = exactly 50, no fill tier this round.
 # Rotated OUT (positions 51+): the 24 r6-greens (fresh by definition)
 # and the remaining 37 r5-greens — every one an already-driver-proven
 # query still guarded by the local all-query DuckDB parity suite; the
@@ -130,6 +129,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "csv_ingest_rollup",
     "wav_decode_stats",
     "y4m_frame_stats",
+    "wav_energy_windows",
+    "y4m_motion_stats",
     # -- tier 2: last green r4 (two rounds stale) — the r6 freshness
     #    test's list, re-entering per policy
     "approx_distinct_users",
@@ -172,16 +173,14 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ppm_decode_stats",
     "ppm_resize_stats",
     "schema_drift_union",
-    # -- tier 5 fill: r5-greens, reference-parity core first (the
-    #    later r7-new batches displaced six fills —
-    #    users_projection_dedup, semi_join_pushdown,
-    #    three_role_nation_join, mail_scan_topn, order_part_fanout,
-    #    links_array_pipeline — which join the r8 mandatory r5-green
-    #    tier; their dedup/semi-join/aliased-dim/filter-sort/fan-out/
-    #    LINKS shapes stay covered in-window by the export pipelines
-    #    and the partition_pruned_scan lookback)
-    "multi_hop_revenue",
-    "quote_enrichment",
+    # -- (no tier-5 fill this round: the 11 r7-new queries consumed
+    #    every remaining slot; the displaced r5-green fills —
+    #    multi_hop_revenue, quote_enrichment, users_projection_dedup,
+    #    semi_join_pushdown, three_role_nation_join, mail_scan_topn,
+    #    order_part_fanout, links_array_pipeline — join the r8
+    #    mandatory tier, their shapes covered in-window by the export
+    #    pipelines and the lookback scan; multi_hop_revenue also runs
+    #    every round as the entry() smoke)
     # -- tier 6 (positions 51+, outside the driver window): r6-greens
     #    and the remaining r5-greens; local parity suite remains their
     #    guard, and the r5-greens are round 8's mandatory tier.
