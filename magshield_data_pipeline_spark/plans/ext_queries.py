@@ -2268,6 +2268,42 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT — decoded-media evidence scaffold, shared by the seven codec /
+# feature queries below (PPM decode/resize, PNG, WAV, Y4M, windowed
+# energy, motion). One mapInPandas scan over the first n_docs document
+# ids; per_doc(doc_id) runs the synth→encode→decode→feature pipeline
+# and returns this id's output ROWS (list of tuples matching
+# *columns*). The multimodal module ships BY VALUE (paged.py's
+# documented pattern) so executor workers get the real codecs without
+# /root/repo on sys.path — registration happens here, once, before
+# mapInPandas pickles the closure.
+
+
+def _media_stats_scan(spark, sf_dir, n_docs, per_doc, columns, schema):
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[M.__name__])
+    ids = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                out.extend(per_doc(int(doc_id)))
+            yield _pd.DataFrame(out, columns=columns)
+
+    return ids.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
 # EXT — REAL PPM decode under the oracle (registered r6)
 
 _PPM_W, _PPM_H, _PPM_N = 32, 24, 20
@@ -2307,67 +2343,32 @@ FROM v GROUP BY 1
 )
 def ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: the encode→decode→reduce loop is pure per-row work inside
-    # ONE mapInPandas scan over the id frame — the exact plumbing a
-    # real-codec deployment uses, with the codec genuinely exercised
-    # (uncompressed P6). The UDF body is self-contained except the
-    # engine package import guarded for executor sys.path, so the
-    # codec functions ship by value via the closure.
-    import sys
-
-    from pyspark import cloudpickle
-
-    from magshield_data_pipeline_spark.operators import multimodal as _mm
-
-    # the codec functions live in the engine package, which executor
-    # workers may not have on sys.path — ship the module BY VALUE
-    # (paged.py's documented pattern) so the closure carries the real
-    # parser instead of a dangling module reference
-    cloudpickle.register_pickle_by_value(
-        sys.modules[_mm.__name__]
-    )
-
-    ids = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _PPM_N
-    ).select("doc_id")
+    # ONE mapInPandas scan over the id frame (_media_stats_scan) — the
+    # exact plumbing a real-codec deployment uses, with the codec
+    # genuinely exercised (uncompressed P6).
     w, h = _PPM_W, _PPM_H
-    enc, dec = _mm.encode_ppm, _mm.decode_ppm
+    enc, dec, synth = M.encode_ppm, M.decode_ppm, M.synth_image
 
-    synth = _mm.synth_image
-
-    def gen(batches):
+    def per_doc(doc_id):
         import numpy as _np
-        import pandas as _pd
 
-        for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                img = synth(int(doc_id), w, h)
-                payload = enc(img)
-                decoded = dec(payload)  # the REAL parse under test
-                dh, dw = decoded.shape[:2]
-                sums = decoded.reshape(-1, 3).sum(
-                    axis=0, dtype=_np.int64
-                )
-                out.append(
-                    (
-                        int(doc_id), dw, dh, len(payload),
-                        int(sums[0]), int(sums[1]), int(sums[2]),
-                    )
-                )
-            yield _pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "width", "height", "byte_len",
-                    "r_sum", "g_sum", "b_sum",
-                ],
+        payload = enc(synth(doc_id, w, h))
+        decoded = dec(payload)  # the REAL parse under test
+        dh, dw = decoded.shape[:2]
+        sums = decoded.reshape(-1, 3).sum(axis=0, dtype=_np.int64)
+        return [
+            (
+                doc_id, dw, dh, len(payload),
+                int(sums[0]), int(sums[1]), int(sums[2]),
             )
+        ]
 
-    return ids.mapInPandas(
-        gen,
-        schema=(
-            "media_id long, width int, height int, byte_len long, "
-            "r_sum long, g_sum long, b_sum long"
-        ),
+    return _media_stats_scan(
+        spark, sf_dir, _PPM_N, per_doc,
+        ["media_id", "width", "height", "byte_len",
+         "r_sum", "g_sum", "b_sum"],
+        "media_id long, width int, height int, byte_len long, "
+        "r_sum long, g_sum long, b_sum long",
     )
 
 
@@ -2415,49 +2416,29 @@ FROM v GROUP BY 1
     "transform; compressed codecs remain stubbed ([EXT] multimodal)",
 )
 def ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Same one-scan mapInPandas shape as ppm_decode_stats, with the
-    # decode→resize pipeline actually executed per row.
-    import sys
-
-    from pyspark import cloudpickle
-
-    from magshield_data_pipeline_spark.operators import multimodal as _mm
-
-    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
-    ids = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _PPM_N
-    ).select("doc_id")
+    # Same one-scan shape as ppm_decode_stats, with the decode→resize
+    # pipeline actually executed per row.
     w, h, ow, oh = _PPM_W, _PPM_H, _RSZ_W, _RSZ_H
-    enc, dec, rsz = _mm.encode_ppm, _mm.decode_ppm, _mm.resize_nearest
+    enc, dec, rsz = M.encode_ppm, M.decode_ppm, M.resize_nearest
+    synth = M.synth_image
 
-    synth = _mm.synth_image
-
-    def gen(batches):
+    def per_doc(doc_id):
         import numpy as _np
-        import pandas as _pd
 
-        for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                small = rsz(dec(enc(synth(int(doc_id), w, h))), ow, oh)
-                sums = small.reshape(-1, 3).sum(axis=0, dtype=_np.int64)
-                out.append(
-                    (
-                        int(doc_id), small.shape[1], small.shape[0],
-                        int(sums[0]), int(sums[1]), int(sums[2]),
-                    )
-                )
-            yield _pd.DataFrame(
-                out,
-                columns=["media_id", "out_w", "out_h", "r_sum", "g_sum", "b_sum"],
+        small = rsz(dec(enc(synth(doc_id, w, h))), ow, oh)
+        sums = small.reshape(-1, 3).sum(axis=0, dtype=_np.int64)
+        return [
+            (
+                doc_id, small.shape[1], small.shape[0],
+                int(sums[0]), int(sums[1]), int(sums[2]),
             )
+        ]
 
-    return ids.mapInPandas(
-        gen,
-        schema=(
-            "media_id long, out_w int, out_h int, "
-            "r_sum long, g_sum long, b_sum long"
-        ),
+    return _media_stats_scan(
+        spark, sf_dir, _PPM_N, per_doc,
+        ["media_id", "out_w", "out_h", "r_sum", "g_sum", "b_sum"],
+        "media_id long, out_w int, out_h int, "
+        "r_sum long, g_sum long, b_sum long",
     )
 
 
@@ -2620,51 +2601,23 @@ FROM v GROUP BY 1
     "tier)",
 )
 def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Same one-scan mapInPandas shape as ppm_decode_stats — the
-    # encode→decode→reduce loop is pure per-row work; the module ships
-    # by value so executors need no repo sys.path.
-    import sys
-
-    from pyspark import cloudpickle
-
-    from magshield_data_pipeline_spark.operators import multimodal as _mm
-
-    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
-    ids = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _PPM_N
-    ).select("doc_id")
+    # Same one-scan shape as ppm_decode_stats with the zlib PNG codec.
     w, h = _PPM_W, _PPM_H
-    enc, dec, synth = _mm.encode_png, _mm.decode_png, _mm.synth_image
+    enc, dec, synth = M.encode_png, M.decode_png, M.synth_image
 
-    def gen(batches):
+    def per_doc(doc_id):
         import numpy as _np
-        import pandas as _pd
 
-        for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                decoded = dec(enc(synth(int(doc_id), w, h)))
-                dh, dw = decoded.shape[:2]
-                sums = decoded.reshape(-1, 3).sum(axis=0, dtype=_np.int64)
-                out.append(
-                    (
-                        int(doc_id), dw, dh,
-                        int(sums[0]), int(sums[1]), int(sums[2]),
-                    )
-                )
-            yield _pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "width", "height", "r_sum", "g_sum", "b_sum",
-                ],
-            )
+        decoded = dec(enc(synth(doc_id, w, h)))
+        dh, dw = decoded.shape[:2]
+        sums = decoded.reshape(-1, 3).sum(axis=0, dtype=_np.int64)
+        return [(doc_id, dw, dh, int(sums[0]), int(sums[1]), int(sums[2]))]
 
-    return ids.mapInPandas(
-        gen,
-        schema=(
-            "media_id long, width int, height int, "
-            "r_sum long, g_sum long, b_sum long"
-        ),
+    return _media_stats_scan(
+        spark, sf_dir, _PPM_N, per_doc,
+        ["media_id", "width", "height", "r_sum", "g_sum", "b_sum"],
+        "media_id long, width int, height int, "
+        "r_sum long, g_sum long, b_sum long",
     )
 
 
@@ -2822,49 +2775,28 @@ FROM v GROUP BY 1
     "([EXT] multimodal tier)",
 )
 def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import sys
-
-    from pyspark import cloudpickle
-
-    from magshield_data_pipeline_spark.operators import multimodal as _mm
-
-    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
-    ids = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _WAV_N
-    ).select("doc_id")
     n, rate = _WAV_SAMPLES, _WAV_RATE
-    enc, dec, synth = _mm.encode_wav, _mm.decode_wav, _mm.synth_audio
+    enc, dec, synth = M.encode_wav, M.decode_wav, M.synth_audio
 
-    def gen(batches):
+    def per_doc(doc_id):
         import numpy as _np
-        import pandas as _pd
 
-        for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                payload = enc(synth(int(doc_id), n), rate)
-                samples, got_rate = dec(payload)
-                s64 = samples.astype(_np.int64)
-                out.append(
-                    (
-                        int(doc_id), len(samples), got_rate, len(payload),
-                        int(s64.sum()), int(s64.min()), int(s64.max()),
-                    )
-                )
-            yield _pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "n_samples", "sample_rate", "byte_len",
-                    "sample_sum", "sample_min", "sample_max",
-                ],
+        payload = enc(synth(doc_id, n), rate)
+        samples, got_rate = dec(payload)
+        s64 = samples.astype(_np.int64)
+        return [
+            (
+                doc_id, len(samples), got_rate, len(payload),
+                int(s64.sum()), int(s64.min()), int(s64.max()),
             )
+        ]
 
-    return ids.mapInPandas(
-        gen,
-        schema=(
-            "media_id long, n_samples long, sample_rate int, byte_len long, "
-            "sample_sum long, sample_min long, sample_max long"
-        ),
+    return _media_stats_scan(
+        spark, sf_dir, _WAV_N, per_doc,
+        ["media_id", "n_samples", "sample_rate", "byte_len",
+         "sample_sum", "sample_min", "sample_max"],
+        "media_id long, n_samples long, sample_rate int, byte_len long, "
+        "sample_sum long, sample_min long, sample_max long",
     )
 
 
@@ -2913,46 +2845,26 @@ FROM v GROUP BY 1, 2
     "stubbed ([EXT] multimodal tier)",
 )
 def y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import sys
-
-    from pyspark import cloudpickle
-
-    from magshield_data_pipeline_spark.operators import multimodal as _mm
-
-    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
-    ids = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _Y4M_N
-    ).select("doc_id")
     w, h, nf, every = _Y4M_W, _Y4M_H, _Y4M_FRAMES, _Y4M_EVERY
-    enc, dec, synth = _mm.encode_y4m, _mm.decode_y4m, _mm.synth_video
+    enc, dec, synth = M.encode_y4m, M.decode_y4m, M.synth_video
 
-    def gen(batches):
+    def per_doc(doc_id):
         import numpy as _np
-        import pandas as _pd
 
-        for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                frames, _fps = dec(enc(synth(int(doc_id), w, h, nf)))
-                for fno in range(0, len(frames), every):
-                    out.append(
-                        (
-                            int(doc_id), fno,
-                            frames.shape[2], frames.shape[1],
-                            int(frames[fno].astype(_np.int64).sum()),
-                        )
-                    )
-            yield _pd.DataFrame(
-                out,
-                columns=["media_id", "frame_no", "width", "height", "luma_sum"],
+        frames, _fps = dec(enc(synth(doc_id, w, h, nf)))
+        return [
+            (
+                doc_id, fno, frames.shape[2], frames.shape[1],
+                int(frames[fno].astype(_np.int64).sum()),
             )
+            for fno in range(0, len(frames), every)
+        ]
 
-    return ids.mapInPandas(
-        gen,
-        schema=(
-            "media_id long, frame_no int, width int, height int, "
-            "luma_sum long"
-        ),
+    return _media_stats_scan(
+        spark, sf_dir, _Y4M_N, per_doc,
+        ["media_id", "frame_no", "width", "height", "luma_sum"],
+        "media_id long, frame_no int, width int, height int, "
+        "luma_sum long",
     )
 
 
@@ -2993,46 +2905,26 @@ FROM v GROUP BY 1, 2
     "formula — decode→feature, not decode alone ([EXT] multimodal)",
 )
 def wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import sys
-
-    from pyspark import cloudpickle
-
-    from magshield_data_pipeline_spark.operators import multimodal as _mm
-
-    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
-    ids = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _WAV_N
-    ).select("doc_id")
     n, rate, win = _WAV_SAMPLES, _WAV_RATE, _WAV_WIN
-    enc, dec, synth = _mm.encode_wav, _mm.decode_wav, _mm.synth_audio
+    enc, dec, synth = M.encode_wav, M.decode_wav, M.synth_audio
 
-    def gen(batches):
+    def per_doc(doc_id):
         import numpy as _np
-        import pandas as _pd
 
-        for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                samples, _r = dec(enc(synth(int(doc_id), n), rate))
-                s64 = samples.astype(_np.int64)
-                for w0 in range(0, len(s64), win):
-                    chunk = s64[w0 : w0 + win]
-                    out.append(
-                        (
-                            int(doc_id), w0 // win, len(chunk),
-                            int((chunk * chunk).sum()),
-                        )
-                    )
-            yield _pd.DataFrame(
-                out,
-                columns=["media_id", "window_no", "n_samples", "energy_sum"],
+        samples, _r = dec(enc(synth(doc_id, n), rate))
+        s64 = samples.astype(_np.int64)
+        return [
+            (
+                doc_id, w0 // win, len(s64[w0 : w0 + win]),
+                int((s64[w0 : w0 + win] * s64[w0 : w0 + win]).sum()),
             )
+            for w0 in range(0, len(s64), win)
+        ]
 
-    return ids.mapInPandas(
-        gen,
-        schema=(
-            "media_id long, window_no int, n_samples long, energy_sum long"
-        ),
+    return _media_stats_scan(
+        spark, sf_dir, _WAV_N, per_doc,
+        ["media_id", "window_no", "n_samples", "energy_sum"],
+        "media_id long, window_no int, n_samples long, energy_sum long",
     )
 
 
@@ -3070,35 +2962,22 @@ FROM d GROUP BY 1, 2
     "decode→feature for the video modality ([EXT] multimodal)",
 )
 def y4m_motion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import sys
-
-    from pyspark import cloudpickle
-
-    from magshield_data_pipeline_spark.operators import multimodal as _mm
-
-    cloudpickle.register_pickle_by_value(sys.modules[_mm.__name__])
-    ids = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _Y4M_N
-    ).select("doc_id")
     w, h, nf = _Y4M_W, _Y4M_H, _Y4M_FRAMES
-    enc, dec, synth = _mm.encode_y4m, _mm.decode_y4m, _mm.synth_video
+    enc, dec, synth = M.encode_y4m, M.decode_y4m, M.synth_video
 
-    def gen(batches):
+    def per_doc(doc_id):
         import numpy as _np
-        import pandas as _pd
 
-        for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                frames, _fps = dec(enc(synth(int(doc_id), w, h, nf)))
-                f64 = frames.astype(_np.int64)
-                diffs = _np.abs(f64[1:] - f64[:-1]).reshape(nf - 1, -1)
-                for fno, ms in enumerate(diffs.sum(axis=1)):
-                    out.append((int(doc_id), fno, int(ms)))
-            yield _pd.DataFrame(
-                out, columns=["media_id", "frame_no", "motion_sum"]
-            )
+        frames, _fps = dec(enc(synth(doc_id, w, h, nf)))
+        f64 = frames.astype(_np.int64)
+        diffs = _np.abs(f64[1:] - f64[:-1]).reshape(nf - 1, -1)
+        return [
+            (doc_id, fno, int(ms))
+            for fno, ms in enumerate(diffs.sum(axis=1))
+        ]
 
-    return ids.mapInPandas(
-        gen, schema="media_id long, frame_no int, motion_sum long"
+    return _media_stats_scan(
+        spark, sf_dir, _Y4M_N, per_doc,
+        ["media_id", "frame_no", "motion_sum"],
+        "media_id long, frame_no int, motion_sum long",
     )

@@ -1008,11 +1008,13 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # analog is years of daily drops under an additive schema policy,
     # and the mergeSchema footer merge is the one extra metadata pass
     # you pay to read them as one table.
-    import os as _os
-
     from magshield_data_pipeline_spark.sources.parquet import (
         evolve_union,
         read_evolved,
+    )
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch as _ensure_scratch,
+        scratch_path as _scratch_path,
     )
 
     orders = read_table(spark, sf_dir, "orders")
@@ -1028,19 +1030,26 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     b3 = orders.filter(key % 3 == 2).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
-    # ONE deterministic scratch dir per SF, the two drifted batches as
-    # distinct subdirectories each written mode=overwrite (ADVICE r6:
-    # the earlier uuid-per-invocation dirs accumulated unboundedly
-    # across bench/correctness rounds). Overwrite-per-subdir is
-    # idempotent — repeated runs converge on the same few hundred KB —
-    # and avoids the overwrite/append interleaving a shared flat dir
-    # would risk; the glob read below unions both subdirs' footers
-    # exactly as a flat evolving directory would.
-    base = "/tmp/magshield_schema_drift_{}".format(
-        _os.path.basename(_os.path.normpath(sf_dir))
+    # ONE deterministic scratch dir per (SF, layout signature), built
+    # once and published by atomic rename (sources/scratch.py): no
+    # uuid-per-invocation accumulation (ADVICE r6), no stale reuse
+    # after a layout change (the batch spec is hashed into the path),
+    # and no overwrite-under-a-lazy-reader flake — published trees are
+    # immutable, so a concurrent bench/pytest run on the same SF reads
+    # the same complete directory. The glob read below unions both
+    # subdirs' footers exactly as a flat evolving directory would.
+    base = _scratch_path(
+        "schema_drift",
+        sf_dir,
+        "b1 key%3=0 (okey,ckey,price); "
+        "b2 key%3=1 (okey,ckey,price,priority) v1",
     )
-    b1.write.mode("overwrite").parquet(base + "/batch1")
-    b2.write.mode("overwrite").parquet(base + "/batch2")
+
+    def _build(tmp: str) -> None:
+        b1.write.parquet(tmp + "/batch1")
+        b2.write.parquet(tmp + "/batch2")
+
+    _ensure_scratch(base, _build)
     # widest schema, b1 rows null-fill ('batch*' avoids the 'k=v'
     # pattern partition discovery would misread as a partition column)
     merged = read_evolved(spark, base + "/batch*")
@@ -1355,8 +1364,8 @@ def jsonl_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: JSONL parses at full partition parallelism with the
     # explicit schema (no inference scan); the corrupt-record column
     # is the row-level quarantine feed (dq_quarantine_rows' ingest
-    # sibling). Scratch layout is deterministic per SF, rewritten
-    # mode=overwrite (the schema_drift_union convention).
+    # sibling). Scratch layout is write-once per (SF, batch spec),
+    # atomically published (sources/scratch.py convention).
     import os as _os
 
     from pyspark.sql.types import (
@@ -1367,19 +1376,29 @@ def jsonl_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    base = "/tmp/magshield_orders_jsonl_{}".format(
-        _os.path.basename(_os.path.normpath(sf_dir))
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch as _ensure_scratch,
+        scratch_path as _scratch_path,
     )
+
     orders = read_table(spark, sf_dir, "orders")
-    (
-        orders.filter(F.col("o_orderkey") % 20 == 0)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .write.mode("overwrite")
-        .json(base + "/good")
+    base = _scratch_path(
+        "orders_jsonl",
+        sf_dir,
+        "key%20=0 (okey,priority,price) + " + _JSONL_CORRUPT_LINES,
     )
-    _os.makedirs(base + "/bad", exist_ok=True)
-    with open(base + "/bad/corrupt.json", "w") as f:
-        f.write(_JSONL_CORRUPT_LINES)
+
+    def _build(tmp: str) -> None:
+        (
+            orders.filter(F.col("o_orderkey") % 20 == 0)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .write.json(tmp + "/good")
+        )
+        _os.makedirs(tmp + "/bad", exist_ok=True)
+        with open(tmp + "/bad/corrupt.json", "w") as f:
+            f.write(_JSONL_CORRUPT_LINES)
+
+    _ensure_scratch(base, _build)
     schema = StructType(
         [
             StructField("o_orderkey", LongType()),
@@ -1438,18 +1457,24 @@ GROUP BY 1
     "pruning on both; oracle recomputes from the raw table",
 )
 def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch as _ensure_scratch,
+        scratch_path as _scratch_path,
+    )
 
-    base = "/tmp/magshield_orders_orc_{}".format(
-        _os.path.basename(_os.path.normpath(sf_dir))
-    )
     orders = read_table(spark, sf_dir, "orders")
-    (
-        orders.filter(F.col("o_orderkey") % 7 == 0)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .write.mode("overwrite")
-        .orc(base)
+    base = _scratch_path(
+        "orders_orc", sf_dir, "key%7=0 (okey,priority,price) v1"
     )
+
+    def _build(tmp: str) -> None:
+        (
+            orders.filter(F.col("o_orderkey") % 7 == 0)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .write.orc(tmp)
+        )
+
+    _ensure_scratch(base, _build)
     return (
         spark.read.orc(base)
         .filter(F.col("o_totalprice") > 50000.0)
@@ -1516,20 +1541,30 @@ def csv_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    base = "/tmp/magshield_orders_csv_{}".format(
-        _os.path.basename(_os.path.normpath(sf_dir))
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch as _ensure_scratch,
+        scratch_path as _scratch_path,
     )
+
     orders = read_table(spark, sf_dir, "orders")
-    (
-        orders.filter(F.col("o_orderkey") % 30 == 0)
-        .select("o_orderkey", "o_totalprice", "o_orderpriority")
-        .write.mode("overwrite")
-        .option("header", "true")
-        .csv(base + "/good")
+    base = _scratch_path(
+        "orders_csv",
+        sf_dir,
+        "key%30=0 (okey,price,priority) header + " + _CSV_CORRUPT_LINES,
     )
-    _os.makedirs(base + "/bad", exist_ok=True)
-    with open(base + "/bad/corrupt.csv", "w") as f:
-        f.write(_CSV_CORRUPT_LINES)
+
+    def _build(tmp: str) -> None:
+        (
+            orders.filter(F.col("o_orderkey") % 30 == 0)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.option("header", "true")
+            .csv(tmp + "/good")
+        )
+        _os.makedirs(tmp + "/bad", exist_ok=True)
+        with open(tmp + "/bad/corrupt.csv", "w") as f:
+            f.write(_CSV_CORRUPT_LINES)
+
+    _ensure_scratch(base, _build)
     schema = StructType(
         [
             StructField("o_orderkey", LongType()),

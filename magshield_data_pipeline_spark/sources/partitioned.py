@@ -33,19 +33,24 @@ partition) — the classic small-files explosion; pair with
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magshield_data_pipeline_spark.sources.parquet import read_table
+from magshield_data_pipeline_spark.sources.scratch import (
+    ensure_scratch,
+    scratch_path,
+)
 
-# scratch root for the derived partitioned copy of the fixture fact
-# table: ONE deterministic directory per (sf, layout signature) — the
-# signature is in the name, so a code change to the layout can never
-# silently reuse a stale directory (same convention as the
-# schema_drift_union scratch, ADVICE r6)
-_SCRATCH_FMT = "/tmp/magshield_orders_by_month_{sf}"
+# Layout spec for the derived partitioned copy of the fixture fact
+# table. Every input that determines the directory's contents is named
+# here; sources/scratch.py hashes it into the path, so a code change
+# to the layout gets a FRESH directory instead of silently reusing a
+# stale one, and concurrent first builds publish atomically.
+_LAYOUT_SPEC = (
+    "orders partitionBy o_month=date_format(o_orderdate,'yyyy-MM') "
+    "repartition-by-key v1"
+)
 
 
 def write_partitioned(
@@ -93,32 +98,37 @@ def overwrite_partitions_dynamic(
 
 
 def orders_by_month_path(sf_dir: str) -> str:
-    return _SCRATCH_FMT.format(sf=os.path.basename(os.path.normpath(sf_dir)))
+    return scratch_path("orders_by_month", sf_dir, _LAYOUT_SPEC)
 
 
 def ensure_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize (once per SF) the orders fact partitioned by a
-    derived ``o_month`` column and return the partition-aware frame.
+    """Materialize (once per SF + layout spec) the orders fact
+    partitioned by a derived ``o_month`` column and return the
+    partition-aware frame.
 
-    Idempotent: the write is skipped when the directory already carries
-    a ``_SUCCESS`` marker — contents are a pure function of the SF
-    fixture, so reuse across sessions/bench runs is safe, and the
-    layout signature lives in the path so a layout change gets a fresh
-    directory. ``o_month`` is a STRING (``yyyy-MM``): hive partition
-    values are directory names, and a string key round-trips partition
-    discovery without type-inference surprises.
+    Idempotent and concurrency-safe via sources/scratch.py: contents
+    are a pure function of (SF fixture, ``_LAYOUT_SPEC``), the spec
+    hash lives in the path so a layout change gets a fresh directory,
+    and the build publishes by atomic rename so an existing directory
+    is always complete and is never rewritten under a reader.
+    ``o_month`` is a STRING (``yyyy-MM``): hive partition values are
+    directory names, and a string key round-trips partition discovery
+    without type-inference surprises.
     """
-    path = orders_by_month_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def build(tmp: str) -> None:
         orders = read_table(spark, sf_dir, "orders")
         write_partitioned(
             orders.withColumn(
                 "o_month", F.date_format("o_orderdate", "yyyy-MM")
             ),
-            path,
+            tmp,
             ["o_month"],
         )
-    return spark.read.parquet(path)
+
+    return spark.read.parquet(
+        ensure_scratch(orders_by_month_path(sf_dir), build)
+    )
 
 
 def last_months_filter(
