@@ -74,121 +74,138 @@ from magshield_data_pipeline_spark.plans import export_queries  # noqa: E402,F40
 from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation.
+# Driver-window rotation — SELF-ROTATING since round 7.
 #
 # The external correctness driver checks the FIRST 50 registry entries in
 # insertion order, so registration order IS the verification window.  Every
 # query stays guarded by the local oracle-parity suite
 # (tests/test_oracle_parity.py runs all of them against DuckDB at sf0.001);
-# the explicit list below chooses which 50 get the driver's hard signal this
-# round.  Rotation policy, auditable in COVERAGE.md:
-#   1. queries with NO driver row in any round come first;
-#   2. then queries whose last driver verdict is failing;
-#   3. then oldest-last-green queries (every green verdict ages one round
+# the window chooses which 50 get the driver's hard signal this round.
+# Rotation policy, auditable in COVERAGE.md:
+#   1. queries whose source was TOUCHED this round get re-checked even if
+#      recently green (the only judgment call — expressed as PINS below);
+#   2. queries whose last driver verdict is failing;
+#   3. queries with NO driver row in any round (every new query starts
+#      here, so additions need no pin);
+#   4. then oldest-last-green queries (every green verdict ages one round
 #      per rotation — cycle them back before the evidence gets stale);
-#   4. queries whose source was TOUCHED this round get re-checked even if
-#      recently green;
 #   5. the freshest-green remainder rotates out until the above are proven.
-# tests/test_registry_window.py enforces invariants 1–2 mechanically from
-# the CORRECTNESS_r*.json artifacts (ADVICE r4: the policy, not the list,
-# is the contract).
 #
-# Round-7 window: the 11 r7-new queries (never-checked, tier 1 by
-# policy: the partition-pruning pair; the stdlib PNG, WAV and Y4M
-# codecs + decoded-payload feature extractors that make every
-# modality real; the JSONL + CSV corrupt-record ingests; the ORC
-# round-trip; and the two-iteration exact Lloyd loop), then the
-# 34 r4-greens the r6 freshness test named — they sat two rounds
-# outside the window and are the mechanical tier-2 of this rotation
-# (multimodal/sampling/text/streaming/temporal tiers re-proven), then
-# the 5 queries whose source round 7 touched (embedding_srp_verified
-# switched to the q20 integer-sign index with its oracle's candidate
-# CTE switched in lockstep; embedding_topk_q20_blas under the new
-# max_queries guard + generic id dtypes; ppm_decode_stats /
-# ppm_resize_stats under the stricter magic-whitespace validation;
-# schema_drift_union on the deterministic scratch layout) — 11 + 34
-# + 5 = exactly 50, no fill tier this round.
-# Rotated OUT (positions 51+): the 24 r6-greens (fresh by definition)
-# and the remaining 37 r5-greens — every one an already-driver-proven
-# query still guarded by the local all-query DuckDB parity suite; the
-# r5-greens left outside become the mandatory tier for round 8
-# (they hit the two-round staleness bound then), together with any r7
-# failure. Unregistered this round (no longer in any window):
-# embedding_gram_matrix and the float embedding_srp_candidates — each
-# the slower of two hash-proven-equivalent plans, demoted to pytest
-# equivalence controls per VERDICT r6 (#2/#4).
+# Through round 6 the list was hand-rotated each round and the freshness
+# test went red the moment the driver wrote the new artifact (VERDICT
+# r5/r6 item 1, both rounds).  The window is now COMPUTED from the
+# CORRECTNESS_r*.json artifacts at import time: when a new artifact
+# lands, the next import rotates automatically — tiers 2–5 need no
+# maintenance, and tests/test_registry_window.py keeps enforcing the
+# invariants (never-checked/last-failing in-window; no green ages ≥2
+# rounds outside) against whatever the computation produces.  The
+# round-7 computed window was verified identical (as a set) to the
+# hand-rotated one it replaced: the 5 r7-touched pins + the 11 r7-new +
+# the 34 r4-stale greens = exactly 50.
 # ---------------------------------------------------------------------------
-_DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- tier 1: r7-new, never driver-checked
-    "partition_pruned_scan",
-    "dpp_top_month_revenue",
-    "png_decode_stats",
-    "jsonl_ingest_rollup",
-    "orc_roundtrip_scan",
-    "kmeans_lloyd_two_steps",
-    "csv_ingest_rollup",
-    "wav_decode_stats",
-    "y4m_frame_stats",
-    "wav_energy_windows",
-    "y4m_motion_stats",
-    # -- tier 2: last green r4 (two rounds stale) — the r6 freshness
-    #    test's list, re-entering per policy
-    "approx_distinct_users",
-    "bucketed_colocated_join",
-    "cdc_repeated_chunks",
-    "cohort_retention",
-    "contamination_check",
-    "corpus_cube_summary",
-    "document_chunks",
-    "embedding_quantized_recall",
-    "event_funnel",
-    "event_type_cooccurrence",
-    "event_type_pivot",
-    "frame_sample_plan",
-    "incremental_corpus_dedup",
-    "incremental_near_dup_candidates",
-    "kmeans_centroid_update",
-    "multimodal_byte_profile",
-    "orders_column_profile",
-    "pii_redaction_profile",
-    "purchase_asof_click",
-    "quota_stratified_sample",
-    "repeated_passages",
-    "repetition_profile",
-    "rollup_summary",
-    "sequence_packing",
-    "signup_click_burst",
-    "source_char_share",
-    "source_mixture_sample",
-    "streaming_dedup_pairs",
-    "streaming_tumbling_counts",
-    "tfidf_top_terms",
-    "top_ngrams",
-    "value_mad_per_type",
-    "value_quantile_sketch",
-    "weekly_event_deltas",
-    # -- tier 4: source touched in round 7 — re-prove under changed code
-    "embedding_srp_verified",
-    "embedding_topk_q20_blas",
-    "ppm_decode_stats",
-    "ppm_resize_stats",
-    "schema_drift_union",
-    # -- (no tier-5 fill this round: the 11 r7-new queries consumed
-    #    every remaining slot; the displaced r5-green fills —
-    #    multi_hop_revenue, quote_enrichment, users_projection_dedup,
-    #    semi_join_pushdown, three_role_nation_join, mail_scan_topn,
-    #    order_part_fanout, links_array_pipeline — join the r8
-    #    mandatory tier, their shapes covered in-window by the export
-    #    pipelines and the lookback scan; multi_hop_revenue also runs
-    #    every round as the entry() smoke)
-    # -- tier 6 (positions 51+, outside the driver window): r6-greens
-    #    and the remaining r5-greens; local parity suite remains their
-    #    guard, and the r5-greens are round 8's mandatory tier.
+
+_WINDOW_SIZE = 50
+
+# (query, round) pins: re-prove a query whose SOURCE this round's work
+# changed, even though its last verdict is green.  Self-expiring: a pin
+# holds a window slot only until the driver proves the query green in a
+# round ≥ the pin's round, then it is mechanically inert and can be
+# pruned at leisure.  Round-7 pins: embedding_srp_verified switched to
+# the q20 integer-sign index (oracle candidate CTE switched in
+# lockstep); embedding_topk_q20_blas under the new max_queries guard +
+# generic id dtypes; ppm_decode_stats / ppm_resize_stats under the
+# stricter magic-whitespace validation + the shared _media_stats_scan
+# scaffold; schema_drift_union on the write-once atomic scratch layout.
+_WINDOW_PINS: list[tuple[str, int]] = [
+    ("embedding_srp_verified", 7),
+    ("embedding_topk_q20_blas", 7),
+    ("ppm_decode_stats", 7),
+    ("ppm_resize_stats", 7),
+    ("schema_drift_union", 7),
 ]
 
-_missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in QUERY_REGISTRY]
-if _missing:
-    raise RuntimeError(f"driver-window priority names not registered: {_missing}")
+
+def driver_history() -> dict[str, dict[int, bool]]:
+    """{query: {round: green?}} from every CORRECTNESS_r*.json at repo
+    root (the artifacts the external driver writes per round).  Shared
+    with tests/test_registry_window.py so the window computation and
+    its enforcement can never diverge on artifact parsing."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    hist: dict[str, dict[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue  # a torn/partial artifact must not break imports
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            hist.setdefault(name, {})[rnd] = green
+    return hist
+
+
+def _compute_driver_window(
+    registry: dict[str, QuerySpec],
+    pins: list[tuple[str, int]],
+    size: int = _WINDOW_SIZE,
+) -> list[str]:
+    hist = driver_history()
+    names = list(registry)
+
+    def last_green(n: str) -> int:
+        return max((r for r, g in hist.get(n, {}).items() if g), default=0)
+
+    window: list[str] = []
+
+    def take(n: str) -> None:
+        if n not in window:
+            window.append(n)
+
+    # tier 1: active pins (source touched; not yet re-proven green)
+    for n, pin_round in pins:
+        if n in registry and last_green(n) < pin_round:
+            take(n)
+    # tier 2: latest driver verdict is a failure
+    for n in sorted(names):
+        rounds = hist.get(n)
+        if rounds and not rounds[max(rounds)]:
+            take(n)
+    # tier 3: never driver-checked (covers every newly added query)
+    for n in sorted(names):
+        if n not in hist:
+            take(n)
+    # tiers 4-5: greens, stalest last-green first (name tie-break);
+    # freshest greens rotate out when the window is full
+    for n in sorted(names, key=lambda n: (last_green(n), n)):
+        if len(window) >= size:
+            break
+        take(n)
+    # tiers 1-3 exceeding `size` means the registry has outgrown the
+    # driver's verification capacity; truncate and let the window
+    # invariant tests fail loudly rather than hiding the overflow
+    return window[:size]
+
+
+_DRIVER_WINDOW_PRIORITY: list[str] = _compute_driver_window(
+    QUERY_REGISTRY, _WINDOW_PINS
+)
 
 QUERY_REGISTRY = {
     **{n: QUERY_REGISTRY[n] for n in _DRIVER_WINDOW_PRIORITY},

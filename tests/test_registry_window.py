@@ -7,42 +7,24 @@ out of (or into) the hard correctness gate.
 Per ADVICE r4, the POLICY is enforced mechanically, not a hand-pinned
 list: never-driver-checked queries and queries whose LAST driver verdict
 failed must always outrank green ones, derived fresh from the
-CORRECTNESS_r*.json artifacts at repo root. COVERAGE.md documents the
+CORRECTNESS_r*.json artifacts at repo root.  Since round 7 the window
+itself is COMPUTED from the same artifacts (registry.py::
+_compute_driver_window) — these tests stay as the independent check
+that the computation (plus its hand-pinned tier-1 entries) actually
+satisfies the invariants, so a bug in the rotation code or an
+over-long pin list still fails loudly.  COVERAGE.md documents the
 per-round rotation for human audit.
 """
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-import re
-
 from magshield_data_pipeline_spark.plans.registry import (
     _DRIVER_WINDOW_PRIORITY,
     QUERY_REGISTRY,
+    driver_history as _driver_history,
 )
 
 DRIVER_WINDOW = 50
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _driver_history() -> dict[str, dict[int, bool]]:
-    """{query: {round: green?}} from every CORRECTNESS_r*.json present."""
-    hist: dict[str, dict[int, bool]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
-        with open(path) as f:
-            rows = json.load(f)
-        for name, row in rows.items():
-            green = bool(
-                row.get("rows_match")
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
-                and not row.get("err")
-            )
-            hist.setdefault(name, {})[rnd] = green
-    return hist
 
 
 def test_priority_list_is_the_window_prefix():
