@@ -68,7 +68,13 @@ def ensure_scratch(final_path: str, build: Callable[[str], None]) -> str:
     if os.path.isdir(final_path):
         return final_path
     tmp = f"{final_path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    build(tmp)
+    try:
+        build(tmp)
+    except BaseException:
+        # a failed build must leave no debris and no published path —
+        # the next call retries from scratch
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, final_path)
     except OSError:
