@@ -128,3 +128,37 @@ def evolve_union(*dfs: DataFrame) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def write_point_lookup_optimized(
+    df: DataFrame, path: str, bloom_cols: dict[str, int]
+) -> None:
+    """Write parquet with COLUMN BLOOM FILTERS for the given columns —
+    the scan-reduction rung between runtime pruning and min/max
+    row-group stats (COVERAGE.md's ladder).
+
+    ``bloom_cols`` maps column name → expected distinct count (NDV);
+    parquet-mr sizes each split-block bloom filter from the NDV at the
+    default 1% false-positive rate, rounded up to a power-of-two byte
+    count. Where this wins at 100 TB: POINT predicates (``k = ?``,
+    ``k IN (...)``) on HIGH-CARDINALITY columns the layout is NOT
+    sorted or partitioned by — there min/max stats span nearly the full
+    key domain in every row group and discriminate nothing, while the
+    bloom filter answers "definitely absent" per row group and the
+    reader skips it entirely. Do NOT bloom the Z-order/partition
+    columns (stats already discriminate) or low-cardinality columns
+    (every group contains every value; pure overhead). The filter costs
+    its bytes once at write time and nothing at read time for
+    non-point scans.
+
+    Reference analog: the per-id Graph lookups
+    (/root/reference/modules/opportunity_stage.py:95-110) — point
+    probes into a large keyed store, served there by the remote API's
+    index, here by the file format's own membership sketch.
+    """
+    writer = df.write
+    for col, ndv in bloom_cols.items():
+        writer = writer.option(
+            f"parquet.bloom.filter.enabled#{col}", "true"
+        ).option(f"parquet.bloom.filter.expected.ndv#{col}", str(ndv))
+    writer.parquet(path)
