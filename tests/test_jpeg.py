@@ -1,0 +1,154 @@
+"""Grayscale baseline JPEG codec: the entropy layer is LOSSLESS, so the
+decoder's quantized coefficient blocks must equal the encoder's
+bit-for-bit (Huffman, zigzag, DC prediction, byte stuffing all pinned
+exactly); pixels are approximate by design (quantization), tested
+against an independent IDCT and analytically for flat blocks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from magshield_data_pipeline_spark.operators.multimodal import (
+    _JPEG_QUANT,
+    decode_jpeg_gray,
+    decode_jpeg_gray_blocks,
+    decode_media,
+    encode_jpeg_gray,
+    quantize_blocks_gray,
+)
+
+
+def synth_gray(seed: int, h: int, w: int) -> np.ndarray:
+    p = np.arange(h * w, dtype=np.int64)
+    return ((seed * 7 + p * 13) % 256).astype(np.uint8).reshape(h, w)
+
+
+def ref_idct(coef: np.ndarray) -> np.ndarray:
+    """Independent IDCT: the textbook double sum, not the codec's
+    matrix product."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(0.5) if u == 0 else 1.0
+                    cv = np.sqrt(0.5) if v == 0 else 1.0
+                    s += (
+                        cu
+                        * cv
+                        * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4.0
+    return out
+
+
+def test_entropy_layer_is_lossless_bit_for_bit():
+    """The sharp contract: decoded quantized coefficients == encoded
+    quantized coefficients, exactly, for a busy multi-block image with
+    edge padding (24x37 forces both partial-block axes)."""
+    img = synth_gray(3, 24, 37)
+    expected, h, w = quantize_blocks_gray(img)
+    got, qt, gh, gw = decode_jpeg_gray_blocks(encode_jpeg_gray(img))
+    assert (gh, gw) == (h, w) == (24, 37)
+    assert np.array_equal(qt, _JPEG_QUANT)
+    assert np.array_equal(got, expected)
+
+
+def test_flat_image_decodes_flat_and_analytic():
+    """A flat input has only the DC basis function: every decoded pixel
+    is the SAME value, within 1 of round(dc*q00/8) + 128."""
+    def half_away(x: float) -> int:
+        # T.81's rounding convention (the codec's), NOT Python's
+        # banker's round
+        return int(np.trunc(x + np.copysign(0.5, x)))
+
+    for v in (0, 7, 128, 200, 255):
+        img = np.full((16, 16), v, dtype=np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert out.shape == (16, 16)
+        assert len(np.unique(out)) == 1, f"flat input decoded non-flat at v={v}"
+        dc = half_away(8 * (v - 128) / int(_JPEG_QUANT[0, 0]))
+        analytic = np.clip(half_away(dc * int(_JPEG_QUANT[0, 0]) / 8) + 128, 0, 255)
+        assert abs(int(out[0, 0]) - analytic) <= 1, (v, out[0, 0], analytic)
+
+
+def test_pixels_match_independent_idct_of_decoded_coefficients():
+    img = synth_gray(5, 8, 8)
+    payload = encode_jpeg_gray(img)
+    blocks, qt, h, w = decode_jpeg_gray_blocks(payload)
+    expected = np.clip(
+        np.rint(ref_idct(blocks[0, 0].astype(np.float64) * qt) + 128.0), 0, 255
+    ).astype(np.uint8)
+    got = decode_jpeg_gray(payload)
+    # same math, different summation order: allow the last-ulp pixel
+    assert np.max(np.abs(got.astype(int) - expected.astype(int))) <= 1
+
+
+def test_roundtrip_error_is_bounded_quantization_noise():
+    """Lossy but sane: a smooth gradient survives within the worst-case
+    quantization error bound (~sum(Q)/16 per pixel is far too loose; a
+    practical bound of 40 gray levels catches gross entropy/IDCT bugs
+    while allowing real quantization loss on this coarse table)."""
+    x = np.linspace(0, 255, 32)
+    img = np.clip((x[None, :] + x[:, None]) / 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert out.shape == img.shape
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 40
+
+
+def test_byte_stuffing_roundtrips():
+    """An image tuned to emit 0xFF bytes in the entropy stream must
+    still round-trip exactly at the coefficient level (stuffed 0x00
+    inserted on write, skipped on read)."""
+    rng = np.random.RandomState(11)
+    for seed in range(8):
+        img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+        expected, _, _ = quantize_blocks_gray(img)
+        payload = encode_jpeg_gray(img)
+        got, _, _, _ = decode_jpeg_gray_blocks(payload)
+        assert np.array_equal(got, expected), f"seed {seed}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+)
+def test_entropy_lossless_property(seed, h, w):
+    """Any size (including sub-8x8 and non-multiples needing edge
+    padding): coefficients round-trip exactly, and decoded dims crop
+    back to the original."""
+    img = synth_gray(seed, h, w)
+    expected, eh, ew = quantize_blocks_gray(img)
+    payload = encode_jpeg_gray(img)
+    got, _, gh, gw = decode_jpeg_gray_blocks(payload)
+    assert (gh, gw) == (eh, ew) == (h, w)
+    assert np.array_equal(got, expected)
+    assert decode_jpeg_gray(payload).shape == (h, w)
+
+
+def test_decode_media_dispatches_jpeg():
+    img = synth_gray(9, 16, 16)
+    out = decode_media(encode_jpeg_gray(img), "image")
+    assert out.shape == (16, 16)
+
+
+def test_malformed_payloads_fail_loud():
+    img = synth_gray(1, 8, 8)
+    payload = bytearray(encode_jpeg_gray(img))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(bytes(payload[2:]))
+    with pytest.raises(ValueError, match="EOI"):
+        decode_jpeg_gray(bytes(payload[:-2]))
+    # flip SOF0 to SOF2 (progressive): loud refusal, never a misread
+    sof = bytes(payload).find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(bytes(payload))
