@@ -13,9 +13,10 @@ Engine contract:
   with ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounding batch
   memory;
 - decode is REAL for binary PPM (P6), 8-bit RGB PNG (stdlib zlib:
-  inflate + crc32 + per-scanline unfilter), and grayscale baseline
-  JPEG (our own Huffman entropy codec + 8x8 IDCT, struct + numpy
-  only). Color/progressive JPEG and compressed audio/video codecs
+  inflate + crc32 + per-scanline unfilter), and baseline JPEG — both
+  grayscale and YCbCr 4:4:4 color (our own Huffman entropy codec +
+  8x8 IDCT + BT.601 transform, struct + numpy only).
+  Chroma-subsampled/progressive JPEG and compressed audio/video codecs
   (PIL/libsndfile/ffmpeg) are NOT available in this environment, so
   for those ``decode_media`` remains a clearly-marked
   stub raising NotImplementedError; the shipped feature extractor
@@ -87,14 +88,14 @@ def decode_media(content: bytes, kind: str):
     stdlib-zlib inflate + per-scanline unfilter); audio — 16-bit mono
     PCM WAV (:func:`decode_wav`, RIFF chunk walk); video — mono-plane
     YUV4MPEG2 (:func:`decode_y4m`, header + FRAME markers) — plus one
-    COMPRESSED lossy format: grayscale baseline JPEG
-    (:func:`decode_jpeg_gray`, real Huffman entropy decode + IDCT,
-    struct + numpy only). The remaining formats (color/progressive
-    JPEG, MP3/AAC, H.264) genuinely need codec libraries
-    (PIL/soundfile/pyav) that are not installed in this environment
-    and stay a clearly-marked stub; every caller goes through
-    ``extract_features``-style mapInPandas so only this function
-    changes when codecs are plugged in."""
+    COMPRESSED lossy format: baseline JPEG, grayscale and YCbCr 4:4:4
+    color (:func:`decode_jpeg`, real Huffman entropy decode + IDCT +
+    BT.601, struct + numpy only). The remaining formats
+    (chroma-subsampled/progressive JPEG, MP3/AAC, H.264) genuinely
+    need codec libraries (PIL/soundfile/pyav) that are not installed
+    in this environment and stay a clearly-marked stub; every caller
+    goes through ``extract_features``-style mapInPandas so only this
+    function changes when codecs are plugged in."""
     if content is not None:
         if kind == "image":
             if content[:2] == b"P6":
@@ -102,9 +103,10 @@ def decode_media(content: bytes, kind: str):
             if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
                 return decode_png(content)
             if content[:2] == b"\xff\xd8":
-                # grayscale baseline JPEG — returns (h, w), not (h, w, 3);
-                # color/progressive JPEG raises inside the decoder
-                return decode_jpeg_gray(content)
+                # baseline JPEG: (h, w) grayscale or (h, w, 3) RGB for
+                # YCbCr 4:4:4 color; subsampled/progressive payloads
+                # raise inside the decoder
+                return decode_jpeg(content)
         elif kind == "audio" and content[:4] == b"RIFF":
             return decode_wav(content)
         elif kind == "video" and content[:9] == b"YUV4MPEG2":
@@ -112,9 +114,10 @@ def decode_media(content: bytes, kind: str):
     raise NotImplementedError(
         f"real {kind} decoding of this payload requires a codec library "
         "(PIL/soundfile/ffmpeg) that is not available in this environment; "
-        "supported without one: PPM (P6) / 8-bit RGB PNG / grayscale "
-        "baseline JPEG images, PCM WAV audio, mono Y4M video — "
-        "color/progressive JPEG and MP3/H.264 need a real codec"
+        "supported without one: PPM (P6) / 8-bit RGB PNG / baseline "
+        "JPEG (grayscale + 4:4:4 color) images, PCM WAV audio, mono "
+        "Y4M video — subsampled/progressive JPEG and MP3/H.264 need "
+        "a real codec"
     )
 
 
@@ -814,51 +817,52 @@ def quantize_blocks_gray(img: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, h, w
 
 
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
-    """Encode an (h, w) uint8 grayscale image as a baseline sequential
-    JFIF/JPEG using struct + numpy only: SOI/APP0/DQT/SOF0/DHT/SOS
-    marker stream, 8x8 DCT + quantization (:func:`quantize_blocks_gray`),
-    zigzag, DC prediction, canonical-Huffman entropy coding with 0xFF
-    byte stuffing."""
-    import struct
-
-    blocks, h, w = quantize_blocks_gray(img)
+def _entropy_encode_interleaved(planes: list[np.ndarray]) -> bytes:
+    """Baseline interleaved scan: per MCU (one 8x8 block per component
+    at 1x1 sampling), each component keeps its OWN DC predictor
+    (T.81 F.1.1.5.1). One plane = the grayscale scan."""
     dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_SYMBOLS)
     ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_SYMBOLS)
     zz_flat = _JPEG_ZIGZAG
-
     bw = _BitWriter()
-    pred = 0
-    for by in range(blocks.shape[0]):
-        for bx in range(blocks.shape[1]):
-            zz = blocks[by, bx].reshape(64)[zz_flat]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size = _jpeg_category(diff)
-            code, length = dc_codes[size]
-            bw.put(code, length)
-            if size:
-                bw.put(_jpeg_amplitude_bits(diff, size), size)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.put(code, length)
-                    run -= 16
-                size = _jpeg_category(v)
-                code, length = ac_codes[(run << 4) | size]
+    preds = [0] * len(planes)
+    n_by, n_bx = planes[0].shape[:2]
+    for by in range(n_by):
+        for bx in range(n_bx):
+            for ci, blocks in enumerate(planes):
+                zz = blocks[by, bx].reshape(64)[zz_flat]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                size = _jpeg_category(diff)
+                code, length = dc_codes[size]
                 bw.put(code, length)
-                bw.put(_jpeg_amplitude_bits(v, size), size)
+                if size:
+                    bw.put(_jpeg_amplitude_bits(diff, size), size)
                 run = 0
-            if run:
-                code, length = ac_codes[0x00]  # EOB
-                bw.put(code, length)
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, length = ac_codes[0xF0]  # ZRL
+                        bw.put(code, length)
+                        run -= 16
+                    size = _jpeg_category(v)
+                    code, length = ac_codes[(run << 4) | size]
+                    bw.put(code, length)
+                    bw.put(_jpeg_amplitude_bits(v, size), size)
+                    run = 0
+                if run:
+                    code, length = ac_codes[0x00]  # EOB
+                    bw.put(code, length)
+    return bw.flush()
 
-    qt_zz = _JPEG_QUANT.reshape(64)[zz_flat].astype(np.uint8).tobytes()
+
+def _jpeg_container(h: int, w: int, ncomp: int, scan: bytes) -> bytes:
+    import struct
+
+    qt_zz = _JPEG_QUANT.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
     app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -867,17 +871,68 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     def dht(cls: int, bits: list[int], symbols: list[int]) -> bytes:
         return bytes([cls << 4]) + bytes(bits) + bytes(symbols)
 
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+    )
+    sos = bytes([ncomp]) + b"".join(
+        bytes([cid + 1, 0x00]) for cid in range(ncomp)
+    ) + bytes([0, 63, 0])
     return (
         b"\xff\xd8"
         + seg(0xFFE0, app0)
         + seg(0xFFDB, b"\x00" + qt_zz)
-        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC0, sof)
         + seg(0xFFC4, dht(0, _JPEG_DC_BITS, _JPEG_DC_SYMBOLS))
         + seg(0xFFC4, dht(1, _JPEG_AC_BITS, _JPEG_AC_SYMBOLS))
-        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        + bw.flush()
+        + seg(0xFFDA, sos)
+        + scan
         + b"\xff\xd9"
     )
+
+
+def encode_jpeg_gray(img: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale image as a baseline sequential
+    JFIF/JPEG using struct + numpy only: SOI/APP0/DQT/SOF0/DHT/SOS
+    marker stream, 8x8 DCT + quantization (:func:`quantize_blocks_gray`),
+    zigzag, DC prediction, canonical-Huffman entropy coding with 0xFF
+    byte stuffing."""
+    blocks, h, w = quantize_blocks_gray(img)
+    return _jpeg_container(h, w, 1, _entropy_encode_interleaved([blocks]))
+
+
+def _clip_round_u8(x: np.ndarray) -> np.ndarray:
+    return np.clip(np.rint(x), 0, 255).astype(np.uint8)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> list[np.ndarray]:
+    """JFIF (BT.601 full-range) color transform, rounded to uint8
+    planes — the lossy-but-standard step between RGB and the per-plane
+    DCT pipeline."""
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return [_clip_round_u8(y), _clip_round_u8(cb), _clip_round_u8(cr)]
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf, cbf, crf = (p.astype(np.float64) for p in (y, cb, cr))
+    r = yf + 1.402 * (crf - 128.0)
+    g = yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
+    b = yf + 1.772 * (cbf - 128.0)
+    return np.stack([_clip_round_u8(r), _clip_round_u8(g), _clip_round_u8(b)], axis=-1)
+
+
+def encode_jpeg_rgb(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as a COLOR baseline JFIF/JPEG
+    (YCbCr, 4:4:4 — no chroma subsampling, so every MCU is one block
+    per component): BT.601 color transform, per-plane DCT/quantization,
+    interleaved entropy scan with per-component DC predictors."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_rgb expects an (h, w, 3) uint8 array")
+    planes = [quantize_blocks_gray(p)[0] for p in _rgb_to_ycbcr(img)]
+    h, w = img.shape[:2]
+    return _jpeg_container(h, w, 3, _entropy_encode_interleaved(planes))
 
 
 def decode_jpeg_gray_blocks(
@@ -890,41 +945,59 @@ def decode_jpeg_gray_blocks(
     (quantized coefficient blocks in natural order, quant table, h, w).
     These blocks must equal the encoder's bit-for-bit — the testable
     exactness contract inside a lossy codec."""
+    blocks, qt, h, w = _decode_jpeg_blocks(content, expect_ncomp=1)
+    return blocks[0], qt, h, w
+
+
+def _decode_jpeg_blocks(
+    content: bytes, expect_ncomp: int | None = None
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Shared lossless decoder core: 1 (grayscale) or 3 (YCbCr 4:4:4)
+    components, interleaved scan, per-component DC predictors and
+    SOS-declared Huffman table ids. Returns (blocks[ncomp, n_by, n_bx,
+    8, 8], quant table, h, w)."""
     import struct
 
     if content[:2] != b"\xff\xd8":
-        raise ValueError("decode_jpeg_gray: missing SOI marker")
+        raise ValueError("decode_jpeg: missing SOI marker")
     pos = 2
     qt = None
-    h = w = None
+    h = w = ncomp = None
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     scan_at = None
+    tables: list[tuple[int, int]] = []  # per scan component: (Td, Ta)
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
-            raise ValueError(f"decode_jpeg_gray: bad marker at {pos}")
+            raise ValueError(f"decode_jpeg: bad marker at {pos}")
         marker = struct.unpack(">H", content[pos : pos + 2])[0]
         (length,) = struct.unpack(">H", content[pos + 2 : pos + 4])
         payload = content[pos + 4 : pos + 2 + length]
         if len(payload) != length - 2:
-            raise ValueError(f"decode_jpeg_gray: truncated segment {marker:#x}")
+            raise ValueError(f"decode_jpeg: truncated segment {marker:#x}")
         if marker == 0xFFDB:
             if payload[0] != 0x00:
                 raise ValueError(
-                    "decode_jpeg_gray: only 8-bit quant table 0 supported"
+                    "decode_jpeg: only 8-bit quant table 0 supported"
                 )
             qt = np.zeros(64, dtype=np.int64)
             qt[_JPEG_ZIGZAG] = np.frombuffer(payload[1:65], dtype=np.uint8)
             qt = qt.reshape(8, 8)
         elif marker == 0xFFC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != 8 or ncomp != 1 or payload[7] != 0x11:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    "decode_jpeg_gray: only 8-bit single-component 1x1 "
-                    f"baseline supported (prec={prec} ncomp={ncomp})"
+                    "decode_jpeg: only 8-bit 1- or 3-component baseline "
+                    f"supported (prec={prec} ncomp={ncomp})"
                 )
+            for ci in range(ncomp):
+                if payload[6 + 3 * ci + 1] != 0x11 or payload[6 + 3 * ci + 2]:
+                    raise ValueError(
+                        "decode_jpeg: only 1x1 sampling (no chroma "
+                        "subsampling) with quant table 0 supported"
+                    )
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError(
-                "decode_jpeg_gray: only baseline sequential (SOF0) supported"
+                "decode_jpeg: only baseline sequential (SOF0) supported"
             )
         elif marker == 0xFFC4:
             off = 0
@@ -939,21 +1012,32 @@ def decode_jpeg_gray_blocks(
                 }
                 off += 17 + n
         elif marker == 0xFFDD:
-            raise ValueError("decode_jpeg_gray: restart intervals unsupported")
+            raise ValueError("decode_jpeg: restart intervals unsupported")
         elif marker == 0xFFDA:
-            if payload[0] != 1:
-                raise ValueError("decode_jpeg_gray: multi-component scan")
+            if ncomp is None or payload[0] != ncomp:
+                raise ValueError(
+                    "decode_jpeg: scan components != frame components"
+                )
+            tables = [
+                (payload[2 + 2 * ci] >> 4, payload[2 + 2 * ci] & 0x0F)
+                for ci in range(ncomp)
+            ]
             scan_at = pos + 2 + length
             break
         pos += 2 + length
     if qt is None or h is None or scan_at is None:
-        raise ValueError("decode_jpeg_gray: missing DQT/SOF0/SOS")
-    if (0, 0) not in huff or (1, 0) not in huff:
-        raise ValueError("decode_jpeg_gray: missing DC/AC Huffman tables")
+        raise ValueError("decode_jpeg: missing DQT/SOF0/SOS")
+    if expect_ncomp is not None and ncomp != expect_ncomp:
+        raise ValueError(
+            f"decode_jpeg: expected {expect_ncomp} component(s), got {ncomp}"
+        )
+    for td, ta in tables:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("decode_jpeg: missing DC/AC Huffman tables")
 
     eoi = content.rfind(b"\xff\xd9")
     if eoi < 0:
-        raise ValueError("decode_jpeg_gray: missing EOI marker")
+        raise ValueError("decode_jpeg: missing EOI marker")
     br = _BitReader(content[scan_at:eoi])
 
     def read_symbol(table: dict[tuple[int, int], int]) -> int:
@@ -964,39 +1048,54 @@ def decode_jpeg_gray_blocks(
             sym = table.get((code, length))
             if sym is not None:
                 return sym
-        raise ValueError("decode_jpeg_gray: invalid Huffman code")
+        raise ValueError("decode_jpeg: invalid Huffman code")
 
     n_by, n_bx = (h + 7) // 8, (w + 7) // 8
-    blocks = np.zeros((n_by, n_bx, 8, 8), dtype=np.int32)
-    pred = 0
+    blocks = np.zeros((ncomp, n_by, n_bx, 8, 8), dtype=np.int32)
+    preds = [0] * ncomp
     for by in range(n_by):
         for bx in range(n_bx):
-            zz = np.zeros(64, dtype=np.int32)
-            size = read_symbol(huff[(0, 0)])
-            pred += _jpeg_extend(br.take(size) if size else 0, size)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = read_symbol(huff[(1, 0)])
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(
-                            f"decode_jpeg_gray: bad AC symbol {sym:#x}"
-                        )
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("decode_jpeg_gray: AC run past block end")
-                zz[k] = _jpeg_extend(br.take(size), size)
-                k += 1
-            flat = np.zeros(64, dtype=np.int32)
-            flat[_JPEG_ZIGZAG] = zz
-            blocks[by, bx] = flat.reshape(8, 8)
+            for ci in range(ncomp):
+                td, ta = tables[ci]
+                zz = np.zeros(64, dtype=np.int32)
+                size = read_symbol(huff[(0, td)])
+                preds[ci] += _jpeg_extend(br.take(size) if size else 0, size)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(huff[(1, ta)])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError(
+                                f"decode_jpeg: bad AC symbol {sym:#x}"
+                            )
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("decode_jpeg: AC run past block end")
+                    zz[k] = _jpeg_extend(br.take(size), size)
+                    k += 1
+                flat = np.zeros(64, dtype=np.int32)
+                flat[_JPEG_ZIGZAG] = zz
+                blocks[ci, by, bx] = flat.reshape(8, 8)
     return blocks, qt, h, w
+
+
+def _idct_plane(blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    n_by, n_bx = blocks.shape[:2]
+    out = np.empty((n_by * 8, n_bx * 8), dtype=np.uint8)
+    for by in range(n_by):
+        for bx in range(n_bx):
+            coef = blocks[by, bx].astype(np.float64) * qt
+            pix = _JPEG_DCT.T @ coef @ _JPEG_DCT + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(pix), 0, 255
+            ).astype(np.uint8)
+    return out
 
 
 def decode_jpeg_gray(content: bytes) -> np.ndarray:
@@ -1007,13 +1106,24 @@ def decode_jpeg_gray(content: bytes) -> np.ndarray:
     approximate by design; the exactness contract lives at the
     coefficient level."""
     blocks, qt, h, w = decode_jpeg_gray_blocks(content)
-    n_by, n_bx = blocks.shape[:2]
-    out = np.empty((n_by * 8, n_bx * 8), dtype=np.uint8)
-    for by in range(n_by):
-        for bx in range(n_bx):
-            coef = blocks[by, bx].astype(np.float64) * qt
-            pix = _JPEG_DCT.T @ coef @ _JPEG_DCT + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(pix), 0, 255
-            ).astype(np.uint8)
-    return out[:h, :w]
+    return _idct_plane(blocks, qt)[:h, :w]
+
+
+def decode_jpeg_rgb(content: bytes) -> np.ndarray:
+    """REAL decode of a COLOR (3-component YCbCr 4:4:4) baseline JPEG:
+    the shared lossless entropy core, per-plane IDCT, then the inverse
+    BT.601 transform back to an (h, w, 3) uint8 RGB raster."""
+    blocks, qt, h, w = _decode_jpeg_blocks(content, expect_ncomp=3)
+    y, cb, cr = (_idct_plane(blocks[ci], qt) for ci in range(3))
+    return _ycbcr_to_rgb(y, cb, cr)[:h, :w]
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Dispatch on the frame's component count: (h, w) for grayscale,
+    (h, w, 3) RGB for color — matching decode_ppm/decode_png's RGB
+    raster convention for the color case."""
+    blocks, qt, h, w = _decode_jpeg_blocks(content)
+    if blocks.shape[0] == 1:
+        return _idct_plane(blocks[0], qt)[:h, :w]
+    y, cb, cr = (_idct_plane(blocks[ci], qt) for ci in range(3))
+    return _ycbcr_to_rgb(y, cb, cr)[:h, :w]

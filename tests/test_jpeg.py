@@ -152,3 +152,78 @@ def test_malformed_payloads_fail_loud():
     payload[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg_gray(bytes(payload))
+
+
+# --- color (YCbCr 4:4:4) ------------------------------------------------
+
+
+def test_color_entropy_layer_is_lossless_per_plane():
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg_blocks,
+        _rgb_to_ycbcr,
+        encode_jpeg_rgb,
+        synth_image,
+    )
+
+    img = synth_image(4, 21, 19)  # (19, 21, 3): partial blocks both axes
+    payload = encode_jpeg_rgb(img)
+    got, qt, h, w = _decode_jpeg_blocks(payload, expect_ncomp=3)
+    assert (h, w) == (19, 21)
+    for ci, plane in enumerate(_rgb_to_ycbcr(img)):
+        expected, _, _ = quantize_blocks_gray(plane)
+        assert np.array_equal(got[ci], expected), f"component {ci}"
+
+
+def test_color_flat_gray_roundtrips_close():
+    """R=G=B means Cb=Cr=128 exactly (BT.601 rows sum to 0 on equal
+    channels); flat color images must decode near-flat and near the
+    input (quantization of a flat block only touches the DC)."""
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_rgb,
+    )
+
+    img = np.full((16, 16, 3), 130, dtype=np.uint8)
+    out = decode_jpeg_rgb(encode_jpeg_rgb(img))
+    assert out.shape == (16, 16, 3)
+    assert np.max(np.abs(out.astype(int) - 130)) <= 2
+
+
+def test_color_roundtrip_error_is_bounded():
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_rgb,
+        synth_image,
+    )
+
+    img = synth_image(8, 24, 24)
+    out = decode_jpeg_rgb(encode_jpeg_rgb(img))
+    assert out.shape == img.shape
+    # synth_image is byte-noise (worst case for DCT); bound loosely —
+    # this catches swapped planes / broken predictors, not quality
+    assert np.mean(np.abs(out.astype(int) - img.astype(int))) < 48
+
+
+def test_decode_media_dispatches_color_jpeg():
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        encode_jpeg_rgb,
+        synth_image,
+    )
+
+    out = decode_media(encode_jpeg_rgb(synth_image(2, 16, 8)), "image")
+    assert out.shape == (8, 16, 3)
+
+
+def test_gray_decoder_refuses_color_payload_and_vice_versa():
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_rgb,
+        synth_image,
+    )
+
+    color = encode_jpeg_rgb(synth_image(1, 8, 8))
+    with pytest.raises(ValueError, match="expected 1 component"):
+        decode_jpeg_gray(color)
+    gray = encode_jpeg_gray(synth_gray(1, 8, 8))
+    with pytest.raises(ValueError, match="expected 3 component"):
+        decode_jpeg_rgb(gray)
