@@ -13,12 +13,14 @@ Engine contract:
   with ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounding batch
   memory;
 - decode is REAL for binary PPM (P6), 8-bit RGB PNG (stdlib zlib:
-  inflate + crc32 + per-scanline unfilter), and baseline JPEG — both
+  inflate + crc32 + per-scanline unfilter), baseline JPEG — both
   grayscale and YCbCr 4:4:4 color (our own Huffman entropy codec +
-  8x8 IDCT + BT.601 transform, struct + numpy only).
-  Chroma-subsampled/progressive JPEG and compressed audio/video codecs
-  (PIL/libsndfile/ffmpeg) are NOT available in this environment, so
-  for those ``decode_media`` remains a clearly-marked
+  8x8 IDCT + BT.601 transform, struct + numpy only), PCM WAV, FLAC
+  (fixed predictors + Rice residuals, CRC-8/16 + MD5 verified,
+  bit-exact lossless), and mono Y4M video.
+  Chroma-subsampled/progressive JPEG and the perceptual codecs
+  (MP3/AAC/H.264 — PIL/libsndfile/ffmpeg) are NOT available in this
+  environment, so for those ``decode_media`` remains a clearly-marked
   stub raising NotImplementedError; the shipped feature extractor
   computes deterministic byte-level features (length, md5, nibble
   checksum, byte histogram) — the Spark-side plumbing (schema,
@@ -86,7 +88,9 @@ def decode_media(content: bytes, kind: str):
     requiring no external library: images — uncompressed binary PPM
     (P6, :func:`decode_ppm`) and 8-bit RGB PNG (:func:`decode_png`,
     stdlib-zlib inflate + per-scanline unfilter); audio — 16-bit mono
-    PCM WAV (:func:`decode_wav`, RIFF chunk walk); video — mono-plane
+    PCM WAV (:func:`decode_wav`, RIFF chunk walk) and compressed
+    lossless FLAC (:func:`decode_flac`, fixed predictors + Rice
+    residuals, CRC/MD5 verified); video — mono-plane
     YUV4MPEG2 (:func:`decode_y4m`, header + FRAME markers) — plus one
     COMPRESSED lossy format: baseline JPEG, grayscale and YCbCr 4:4:4
     color (:func:`decode_jpeg`, real Huffman entropy decode + IDCT +
@@ -107,17 +111,20 @@ def decode_media(content: bytes, kind: str):
                 # YCbCr 4:4:4 color; subsampled/progressive payloads
                 # raise inside the decoder
                 return decode_jpeg(content)
-        elif kind == "audio" and content[:4] == b"RIFF":
-            return decode_wav(content)
+        elif kind == "audio":
+            if content[:4] == b"RIFF":
+                return decode_wav(content)
+            if content[:4] == b"fLaC":
+                return decode_flac(content)
         elif kind == "video" and content[:9] == b"YUV4MPEG2":
             return decode_y4m(content)
     raise NotImplementedError(
         f"real {kind} decoding of this payload requires a codec library "
         "(PIL/soundfile/ffmpeg) that is not available in this environment; "
         "supported without one: PPM (P6) / 8-bit RGB PNG / baseline "
-        "JPEG (grayscale + 4:4:4 color) images, PCM WAV audio, mono "
-        "Y4M video — subsampled/progressive JPEG and MP3/H.264 need "
-        "a real codec"
+        "JPEG (grayscale + 4:4:4 color) images, PCM WAV + FLAC audio, "
+        "mono Y4M video — subsampled/progressive JPEG and the "
+        "perceptual codecs (MP3/AAC/H.264) need a real codec"
     )
 
 
@@ -556,6 +563,357 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     if len(data) % 2:
         raise ValueError("decode_wav: odd data length for int16 samples")
     return np.frombuffer(data, dtype="<i2"), rate
+
+
+# ---------------------------------------------------------------------------
+# real COMPRESSED lossless audio codec: FLAC (16-bit mono, fixed
+# predictors + Rice residuals) — stdlib + numpy only.
+#
+# FLAC is to audio what PNG is to images: genuinely compressed yet
+# LOSSLESS, so the decode contract is bit-exact sample recovery — the
+# strongest testable claim a codec can make. Scope (all legal FLAC):
+# 16-bit mono, CONSTANT / VERBATIM / FIXED(0-4) subframes chosen per
+# block by residual cost, one Rice partition per subframe, explicit
+# 16-bit per-frame blocksize, CRC-8 frame headers + CRC-16 frames +
+# STREAMINFO MD5 of the raw samples all written AND verified. LPC
+# subframes and stereo decorrelation are encoder quality features a
+# decoder of this profile never sees; perceptual codecs (MP3/AAC)
+# remain the honest stub. Spec: xiph.org FLAC format (RFC 9639).
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _utf8_frame_number(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (RFC 9639 §9.1.5):
+    shortest-form, like real UTF-8 — overlong encodings are invalid."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, limit in ((2, 1 << 11), (3, 1 << 16), (4, 1 << 21), (5, 1 << 26), (6, 1 << 31)):
+        if n < limit:
+            cont = nbytes - 1
+            lead = ((0xFF << (8 - nbytes)) & 0xFF) | (n >> (6 * cont))
+            return bytes(
+                [lead]
+                + [0x80 | ((n >> (6 * i)) & 0x3F) for i in range(cont - 1, -1, -1)]
+            )
+    raise ValueError("_utf8_frame_number: frame number too large")
+
+
+_FLAC_FIXED_COEFS = [
+    [],
+    [1],
+    [2, -1],
+    [3, -3, 1],
+    [4, -6, 4, -1],
+]
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode a 1-D int16 array as 16-bit mono FLAC: per 4096-sample
+    block pick CONSTANT / best FIXED(0-4) / VERBATIM by actual coded
+    cost, Rice-code the residuals (param chosen by exact bit count),
+    and wrap in spec frames (sync, UTF-8 frame number, CRC-8, CRC-16)
+    under a STREAMINFO carrying the true raw-sample MD5."""
+    import hashlib
+    import struct
+
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_flac expects a 1-D int16 array")
+    block = 4096
+    n = len(samples)
+
+    class BW:
+        def __init__(self) -> None:
+            self.buf = bytearray()
+            self.acc = 0
+            self.nbits = 0
+
+        def put(self, value: int, length: int) -> None:
+            self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+            self.nbits += length
+            while self.nbits >= 8:
+                self.buf.append((self.acc >> (self.nbits - 8)) & 0xFF)
+                self.nbits -= 8
+
+        def pad(self) -> None:
+            if self.nbits:
+                self.put(0, 8 - self.nbits)
+
+    def rice_cost(u: np.ndarray, k: int) -> int:
+        return int(np.sum(u >> k)) + len(u) * (k + 1)
+
+    def best_rice(u: np.ndarray) -> tuple[int, int]:
+        best_k, best_c = 0, rice_cost(u, 0)
+        for k in range(1, 15):
+            c = rice_cost(u, k)
+            if c < best_c:
+                best_k, best_c = k, c
+        return best_k, best_c
+
+    frames = bytearray()
+    for fi, start in enumerate(range(0, n, block)):
+        x = samples[start : start + block].astype(np.int64)
+        bs = len(x)
+        # choose subframe: constant / fixed orders with cost / verbatim
+        choice: tuple = ("verbatim",)
+        best_bits = bs * 16
+        if np.all(x == x[0]):
+            choice = ("constant",)
+        else:
+            for order in range(0, 5):
+                if bs <= order:
+                    break
+                res = x.copy()
+                for _ in range(order):
+                    res = np.diff(res)
+                u = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
+                k, cost = best_rice(u)
+                total = order * 16 + 2 + 4 + 4 + cost
+                if total < best_bits:
+                    best_bits = total
+                    choice = ("fixed", order, res, k)
+
+        bw = BW()
+        bw.put(0b11111111111110, 14)
+        bw.put(0, 1)  # reserved
+        bw.put(0, 1)  # fixed-blocksize stream
+        bw.put(0b0111, 4)  # blocksize: 16-bit value - 1 at header end
+        bw.put(0b0000, 4)  # sample rate: from STREAMINFO
+        bw.put(0b0000, 4)  # channels: mono
+        bw.put(0b100, 3)  # sample size: 16 bits
+        bw.put(0, 1)  # reserved
+        for byte in _utf8_frame_number(fi):
+            bw.put(byte, 8)
+        bw.put(bs - 1, 16)
+        header = bytes(bw.buf)
+        assert bw.nbits == 0
+        bw.put(_crc8(header), 8)
+
+        bw.put(0, 1)  # subframe: zero pad
+        if choice[0] == "constant":
+            bw.put(0b000000, 6)
+            bw.put(0, 1)  # no wasted bits
+            bw.put(int(x[0]), 16)
+        elif choice[0] == "verbatim":
+            bw.put(0b000001, 6)
+            bw.put(0, 1)
+            for v in x:
+                bw.put(int(v), 16)
+        else:
+            _, order, res, k = choice
+            bw.put(0b001000 | order, 6)
+            bw.put(0, 1)
+            for v in x[:order]:  # warmup
+                bw.put(int(v), 16)
+            bw.put(0b00, 2)  # rice method, 4-bit params
+            bw.put(0, 4)  # partition order 0: one partition
+            bw.put(k, 4)
+            for r in res:
+                u = int(r) * 2 if r >= 0 else -int(r) * 2 - 1
+                q = u >> k
+                if q:
+                    bw.put(0, q)  # unary quotient: q zeros ...
+                bw.put(1, 1)  # ... then the terminating 1
+                if k:
+                    bw.put(u, k)
+        bw.pad()
+        frame = bytes(bw.buf)
+        frames += frame + struct.pack(">H", _crc16(frame))
+
+    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    info = BW()
+    info.put(block, 16)
+    info.put(block, 16)
+    info.put(0, 24)  # min frame size unknown
+    info.put(0, 24)  # max frame size unknown
+    info.put(sample_rate, 20)
+    info.put(0, 3)  # channels - 1
+    info.put(15, 5)  # bits per sample - 1
+    info.put(n, 36)
+    streaminfo = bytes(info.buf) + md5
+    header = b"\x80\x00\x00\x22" + streaminfo  # last-block flag | type 0
+    return b"fLaC" + header + bytes(frames)
+
+
+def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of a 16-bit mono FLAC stream: STREAMINFO, per-frame
+    sync + UTF-8 frame number + CRC-8 header check, CONSTANT/VERBATIM/
+    FIXED subframes with Rice residual decoding and predictor
+    reconstruction, CRC-16 frame check, and a final MD5 verification of
+    the reconstructed samples against STREAMINFO — lossless means the
+    decoder can PROVE it got every sample back. Returns
+    (samples, sample_rate); raises ValueError loudly on anything
+    outside the profile (stereo, LPC, 24-bit) or any checksum mismatch."""
+    import hashlib
+    import struct
+
+    if content[:4] != b"fLaC":
+        raise ValueError("decode_flac: missing fLaC magic")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(content):
+            raise ValueError("decode_flac: truncated metadata")
+        head = content[pos]
+        (size,) = struct.unpack(">I", b"\x00" + content[pos + 1 : pos + 4])
+        body = content[pos + 4 : pos + 4 + size]
+        if head & 0x7F == 0:
+            streaminfo = body
+        pos += 4 + size
+        if head & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) != 34:
+        raise ValueError("decode_flac: missing/odd STREAMINFO")
+    sample_rate = int.from_bytes(streaminfo[10:13], "big") >> 4
+    channels = ((streaminfo[12] >> 1) & 0x07) + 1
+    bits = (((streaminfo[12] & 0x01) << 4) | (streaminfo[13] >> 4)) + 1
+    total = int.from_bytes(streaminfo[13:18], "big") & ((1 << 36) - 1)
+    md5_expect = streaminfo[18:34]
+    if channels != 1 or bits != 16:
+        raise ValueError(
+            f"decode_flac: only 16-bit mono supported ({channels}ch {bits}b)"
+        )
+
+    class BR:
+        def __init__(self, data: bytes, start: int) -> None:
+            self.data = data
+            self.bytepos = start
+            self.acc = 0
+            self.nbits = 0
+
+        def take(self, length: int) -> int:
+            while self.nbits < length:
+                if self.bytepos >= len(self.data):
+                    raise ValueError("decode_flac: bitstream truncated")
+                self.acc = (self.acc << 8) | self.data[self.bytepos]
+                self.bytepos += 1
+                self.nbits += 8
+            out = (self.acc >> (self.nbits - length)) & ((1 << length) - 1)
+            self.nbits -= length
+            return out
+
+        def unary(self) -> int:
+            q = 0
+            while self.take(1) == 0:
+                q += 1
+            return q
+
+        def align(self) -> None:
+            self.nbits -= self.nbits % 8
+            # any padding bits must be zero per spec; tolerated silently
+
+    out: list[np.ndarray] = []
+    while pos < len(content):
+        frame_start = pos
+        br = BR(content, pos)
+        if br.take(14) != 0b11111111111110:
+            raise ValueError(f"decode_flac: lost frame sync at {pos}")
+        br.take(1)
+        br.take(1)
+        bs_code = br.take(4)
+        sr_code = br.take(4)
+        ch_code = br.take(4)
+        ss_code = br.take(3)
+        br.take(1)
+        if ch_code != 0 or ss_code != 0b100 or sr_code != 0:
+            raise ValueError("decode_flac: frame outside the mono/16-bit profile")
+        lead = br.take(8)  # UTF-8 frame number (value unused; length varies)
+        extra = 0
+        if lead >= 0xC0:
+            mask = 0x20
+            extra = 1
+            while lead & mask:
+                extra += 1
+                mask >>= 1
+        for _ in range(extra):
+            if br.take(8) & 0xC0 != 0x80:
+                raise ValueError("decode_flac: bad UTF-8 frame number")
+        if bs_code == 0b0111:
+            bs = br.take(16) + 1
+        elif bs_code == 0b0110:
+            bs = br.take(8) + 1
+        else:
+            raise ValueError("decode_flac: only explicit blocksize supported")
+        header_len = br.bytepos - frame_start
+        if _crc8(content[frame_start : frame_start + header_len]) != br.take(8):
+            raise ValueError("decode_flac: frame header CRC-8 mismatch")
+
+        br.take(1)
+        sub = br.take(6)
+        if br.take(1):
+            raise ValueError("decode_flac: wasted bits unsupported")
+
+        def signed(v: int, nbits: int) -> int:
+            return v - (1 << nbits) if v >> (nbits - 1) else v
+
+        if sub == 0b000000:
+            x = np.full(bs, signed(br.take(16), 16), dtype=np.int64)
+        elif sub == 0b000001:
+            x = np.array([signed(br.take(16), 16) for _ in range(bs)], dtype=np.int64)
+        elif 0b001000 <= sub <= 0b001100:
+            order = sub & 0x07
+            warm = [signed(br.take(16), 16) for _ in range(order)]
+            if br.take(2) != 0b00:
+                raise ValueError("decode_flac: only 4-bit rice supported")
+            part_order = br.take(4)
+            res: list[int] = []
+            n_parts = 1 << part_order
+            for p in range(n_parts):
+                k = br.take(4)
+                if k == 0b1111:
+                    raise ValueError("decode_flac: rice escape unsupported")
+                cnt = bs >> part_order
+                if p == 0:
+                    cnt -= order
+                for _ in range(cnt):
+                    u = (br.unary() << k) | (br.take(k) if k else 0)
+                    res.append((u >> 1) ^ -(u & 1))
+            x = np.empty(bs, dtype=np.int64)
+            x[:order] = warm
+            coefs = _FLAC_FIXED_COEFS[order]
+            for i in range(order, bs):
+                x[i] = res[i - order] + sum(
+                    c * x[i - 1 - j] for j, c in enumerate(coefs)
+                )
+        else:
+            raise ValueError(f"decode_flac: LPC subframe {sub:#08b} unsupported")
+        br.align()
+        frame_bytes = content[frame_start : br.bytepos]
+        (crc,) = struct.unpack(">H", content[br.bytepos : br.bytepos + 2])
+        if _crc16(frame_bytes) != crc:
+            raise ValueError("decode_flac: frame CRC-16 mismatch")
+        pos = br.bytepos + 2
+        out.append(x)
+
+    samples = (
+        np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
+    ).astype(np.int16)
+    if len(samples) != total:
+        raise ValueError(
+            f"decode_flac: sample count {len(samples)} != STREAMINFO {total}"
+        )
+    if md5_expect != b"\x00" * 16:
+        if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
+            raise ValueError("decode_flac: decoded-sample MD5 mismatch")
+    return samples, sample_rate
 
 
 def synth_audio(media_id: int, n_samples: int) -> np.ndarray:

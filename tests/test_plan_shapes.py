@@ -354,6 +354,33 @@ def test_static_partition_pruning_eliminates_directories(spark):
     )
 
 
+def test_static_partition_pruning_runtime_file_count(spark):
+    """RUNTIME proof, not plan text: execute the pruned scan and read
+    the FileSourceScan's numFiles SQL metric — exactly the requested
+    months' files opened, out of ~80 month directories. (inputFiles()
+    can NOT prove this: it lists the relation's files before partition
+    pruning — verified 80/80 — so the executed-plan metric is the only
+    honest runtime witness.)"""
+    from pyspark.sql import functions as F
+
+    from magshield_data_pipeline_spark.sources import partitioned as PT
+
+    fact = PT.ensure_orders_by_month(spark, SF_SMALL)
+    total_files = len(fact.inputFiles())
+    months = PT.last_months_filter(spark, SF_SMALL, n_months=3)
+    pruned = fact.filter(F.col("o_month").isin(months))
+    pruned.collect()
+    leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
+    num_files = None
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if node.metrics().contains("numFiles"):
+            num_files = node.metrics().apply("numFiles").value()
+    assert num_files is not None, "no scan numFiles metric found"
+    # one file per month directory by the repartition-by-key layout
+    assert num_files == len(months) < total_files, (num_files, total_files)
+
+
 def test_dynamic_partition_pruning_filter_injected(spark):
     # the aggregate-derived dim can NOT be pushed statically; the fact
     # scan must instead carry a runtime dynamicpruningexpression —
