@@ -169,3 +169,288 @@ def value_mad_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_mad("value"), 6).alias("value_mad"),
         _n("value").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic decorrelation shapes (r7): the remaining hard TPC-H patterns
+# a warehouse engine must plan well — each is the standard rewrite of a
+# correlated subquery into joins/aggregates Catalyst can optimize
+# (broadcast dims, partial aggregation, semi/anti joins).  Q2/Q11/Q21
+# landed in r6 (plans/ext_queries.py); these close the family:
+# Q13 (outer-join count distribution), Q17 (correlated avg),
+# Q18 (HAVING-filtered semi join), Q20 (nested semi-join chain),
+# Q22 (scalar-subquery + anti join).
+
+_Q13_SQL = """
+WITH co AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY 1
+"""
+
+
+@register(
+    "customer_order_distribution",
+    sql=_Q13_SQL,
+    description="TPC-H Q13 shape: customers LEFT-joined to a filtered "
+    "orders fact (the join predicate carries the filter so zero-order "
+    "customers survive with count 0), then a two-level aggregation "
+    "into the order-count distribution. The outer join preserves the "
+    "null-extension row; both aggregations partial-agg map-side "
+    "(standard warehouse surface)",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    co = (
+        customer.join(
+            orders,
+            (orders.o_custkey == customer.c_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q17_BRANDS = ("Brand#3", "Brand#13", "Brand#23")
+_Q17_SQL = f"""
+WITH lim AS (
+    SELECT l_partkey, 0.2 * avg(l_quantity) AS qlim
+    FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small_lines,
+       round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN lim ON lim.l_partkey = l.l_partkey
+WHERE p.p_brand IN {_Q17_BRANDS!r} AND l.l_quantity < lim.qlim
+GROUP BY 1
+"""
+
+
+@register(
+    "small_quantity_part_revenue",
+    sql=_Q17_SQL,
+    description="TPC-H Q17 shape: the correlated per-part average-"
+    "quantity subquery decorrelated into a grouped aggregate joined "
+    "back to the fact; lines below 20% of their part's mean quantity "
+    "feed a per-brand revenue rollup. Quantities are integer-valued "
+    "doubles, so sum/count/0.2x are bit-identical across engines and "
+    "the strict < threshold cannot flip; the brand dim filter "
+    "broadcasts (standard warehouse surface)",
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    lim = lineitem.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qlim")
+    )
+    brands = part.filter(F.col("p_brand").isin(*_Q17_BRANDS)).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        lineitem.join(F.broadcast(brands), lineitem.l_partkey == brands.p_partkey)
+        .join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+_Q18_MIN_QTY = 300
+_Q18_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {_Q18_MIN_QTY}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o.o_totalprice, 2) AS total_price,
+       CAST(big.sum_qty AS BIGINT) AS sum_qty
+FROM orders o
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register(
+    "large_order_customers",
+    sql=_Q18_SQL,
+    description=f"TPC-H Q18 shape: the HAVING-filtered groupBy over the "
+    f"fact (orders totalling > {_Q18_MIN_QTY} units) joins back to "
+    "orders and the customer dim — the group-filter-then-join pattern. "
+    "The aggregate runs once over lineitem with map-side partial agg; "
+    "the surviving key set is tiny, so AQE converts the orders join to "
+    "broadcast at runtime; quantities are integer-valued doubles, cast "
+    "long for a hash-stable output (standard warehouse surface)",
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+_Q20_PREFIX = "red"
+_Q20_MIN_QTY = 100
+_Q20_SQL = f"""
+WITH red_parts AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE '{_Q20_PREFIX}%'
+),
+heavy AS (
+    SELECT l_suppkey
+    FROM lineitem l JOIN red_parts rp ON rp.p_partkey = l.l_partkey
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING sum(l.l_quantity) > {_Q20_MIN_QTY}
+)
+SELECT s.s_suppkey, s.s_name, s.s_nationkey
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+"""
+
+
+@register(
+    "promo_part_suppliers",
+    sql=_Q20_SQL,
+    description=f"TPC-H Q20 shape: a nested semi-join chain — parts "
+    f"named '{_Q20_PREFIX}%' select lineitem rows, a per-(supplier, "
+    f"part) rollup keeps pairs shipping > {_Q20_MIN_QTY} units, and "
+    "the surviving supplier keys semi-join the supplier dim (LEFT "
+    "SEMI, so no fan-out duplication). The part key set broadcasts "
+    "into the fact scan; the rollup partial-aggregates map-side "
+    "(standard warehouse surface)",
+)
+def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    red_parts = part.filter(F.col("p_name").startswith(_Q20_PREFIX)).select(
+        "p_partkey"
+    )
+    heavy = (
+        lineitem.join(
+            F.broadcast(red_parts), lineitem.l_partkey == red_parts.p_partkey
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q20_MIN_QTY)
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        heavy, supplier.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+    SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+),
+urgent AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT c.c_nationkey % 10 AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM urgent u WHERE u.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
+@register(
+    "idle_customers_balance",
+    sql=_Q22_SQL,
+    description="TPC-H Q22 shape: the scalar average-balance subquery "
+    "decorrelated into a single-row frame cross-joined (broadcast, "
+    "1 row) onto customers, an anti join removes customers with any "
+    "URGENT order, and the survivors roll up per derived country "
+    "code. Balances carry 2 decimals, so the positive-side average is "
+    "the same IEEE division of exact operands in both engines "
+    "(standard warehouse surface)",
+)
+def idle_customers_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_RANK_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(row_number() OVER w AS INT) AS rn
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register(
+    "window_rank_suite",
+    sql=_RANK_SQL,
+    description="ranking-function suite over one window spec: ntile "
+    "quartiles, percent_rank, cume_dist, row_number per market "
+    "segment ordered by (balance, custkey) — a total order, so every "
+    "rank is deterministic; percent_rank/cume_dist are single IEEE "
+    "divisions of identical integer operands in both engines. One "
+    "shuffle on the partition key serves all four functions "
+    "(standard warehouse surface)",
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).cast("int").alias("rn"),
+    )

@@ -2285,10 +2285,15 @@ def _media_stats_scan(spark, sf_dir, n_docs, per_doc, columns, schema):
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[M.__name__])
+    # round-robin the id frame so the per-payload codec work (the only
+    # real cost here) distributes one-ish clip per task instead of
+    # serializing on the documents file's single input split — at scale
+    # the media ids arrive pre-partitioned, this mirrors that shape
     ids = (
         read_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < n_docs)
         .select("doc_id")
+        .repartition(min(int(n_docs), 16))
     )
 
     def gen(batches):
@@ -2981,3 +2986,252 @@ def y4m_motion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["media_id", "frame_no", "motion_sum"],
         "media_id long, frame_no int, motion_sum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — REAL lossless COMPRESSED audio decode under the oracle: FLAC (r7)
+
+_FLAC_N, _FLAC_SAMPLES, _FLAC_RATE = 16, 10_000, 16_000
+
+_FLAC_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_FLAC_N}),
+t AS (
+    SELECT doc_id, unnest(generate_series(0, {_FLAC_SAMPLES - 1})) AS t
+    FROM ids
+),
+v AS (SELECT doc_id, (doc_id * 31 + t * 17) % 65536 - 32768 AS s FROM t)
+SELECT doc_id AS media_id,
+       CAST({_FLAC_SAMPLES} AS BIGINT) AS n_samples,
+       CAST({_FLAC_RATE} AS INT) AS sample_rate,
+       CAST(sum(s) AS BIGINT) AS sample_sum,
+       CAST(min(s) AS BIGINT) AS sample_min,
+       CAST(max(s) AS BIGINT) AS sample_max
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "flac_decode_stats",
+    sql=_FLAC_SQL,
+    description=f"REAL compressed-lossless audio decode under the oracle: "
+    f"{_FLAC_N} deterministic {_FLAC_SAMPLES}-sample 16-bit clips are "
+    "encoded as genuine FLAC (RFC 9639: CONSTANT/FIXED(0-4)/VERBATIM "
+    "subframes by coded cost, Rice residuals, CRC-8/CRC-16/STREAMINFO-"
+    "MD5 all verified on decode — operators/multimodal.py::decode_flac) "
+    "and decoded back inside one mapInPandas scan; each clip spans "
+    "three frames (4096+4096+1808) so frame numbering and the partial "
+    "last block are exercised. Sample count/rate and integer sample "
+    "statistics must hash-match the closed-form synth formula — the "
+    "compression machinery sits between the formula and the result, so "
+    "any Rice/predictor/CRC defect breaks the hash ([EXT] multimodal)",
+)
+def flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, rate = _FLAC_SAMPLES, _FLAC_RATE
+    enc, dec, synth = M.encode_flac, M.decode_flac, M.synth_audio
+
+    def per_doc(doc_id):
+        import numpy as _np
+
+        samples, got_rate = dec(enc(synth(doc_id, n), rate))
+        s64 = samples.astype(_np.int64)
+        return [
+            (
+                doc_id, len(samples), got_rate,
+                int(s64.sum()), int(s64.min()), int(s64.max()),
+            )
+        ]
+
+    return _media_stats_scan(
+        spark, sf_dir, _FLAC_N, per_doc,
+        ["media_id", "n_samples", "sample_rate",
+         "sample_sum", "sample_min", "sample_max"],
+        "media_id long, n_samples long, sample_rate int, "
+        "sample_sum long, sample_min long, sample_max long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — REAL lossy codec under the oracle: baseline JPEG, gray (r7).
+#
+# A lossy codec cannot promise pixel-exact hashes, but its ENTROPY
+# LAYER is lossless and its DCT has closed forms on blockwise-constant
+# input: a constant 8x8 block value v quantizes to DC = (v-128)*8/q00
+# with every AC exactly 0 (the u>0 DCT basis rows sum to zero).  With
+# q00 = 16 and v EVEN, the quantized DC is the exact integer
+# (v-128)/2 — float noise in the transform is ~1e-13 against a 0.5
+# rounding margin, so the oracle can state the decoded coefficients in
+# closed form while the full marker/Huffman/DC-prediction machinery
+# runs between formula and result.
+
+_JPEG_N, _JPEG_W, _JPEG_H = 16, 32, 24
+_JPEG_NBX, _JPEG_NBY = _JPEG_W // 8, _JPEG_H // 8
+_JPEG_NB = _JPEG_NBX * _JPEG_NBY
+
+_JPEG_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_JPEG_N}),
+b AS (
+    SELECT doc_id, unnest(generate_series(0, {_JPEG_NB - 1})) AS bno
+    FROM ids
+),
+d AS (
+    SELECT doc_id,
+           (2 * ((doc_id * 7 + bno * 13) % 128) - 128) // 2 AS dc
+    FROM b
+)
+SELECT doc_id AS media_id,
+       CAST({_JPEG_NB} AS INT) AS n_blocks,
+       CAST(sum(dc) AS BIGINT) AS dc_sum,
+       CAST(min(dc) AS BIGINT) AS dc_min,
+       CAST(max(dc) AS BIGINT) AS dc_max,
+       CAST(0 AS BIGINT) AS ac_abs_sum
+FROM d GROUP BY 1
+"""
+
+
+@register(
+    "jpeg_block_dc_stats",
+    sql=_JPEG_SQL,
+    description=f"REAL lossy-codec decode under the oracle: {_JPEG_N} "
+    f"{_JPEG_W}x{_JPEG_H} grayscale images built from {_JPEG_NB} "
+    "blockwise-constant 8x8 tiles (per-block EVEN value "
+    "2*((id*7+bno*13)%128)) are encoded as baseline JFIF/JPEG "
+    "(marker stream, DCT+quant, zigzag, DC prediction, canonical "
+    "Huffman, byte stuffing) and decoded back through the table-"
+    "agnostic entropy decoder (operators/multimodal.py::"
+    "decode_jpeg_gray_blocks); the quantized DC coefficients equal the "
+    "closed form (v-128)/2 with every AC exactly zero, so the decoded "
+    "dc_sum/min/max and ac_abs_sum hash-match the oracle while the "
+    "whole lossy pipeline runs in between — a varied DC-prediction "
+    "chain per image exercises all Huffman size categories "
+    "([EXT] multimodal)",
+)
+def jpeg_block_dc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nbx, nby, nb = _JPEG_NBX, _JPEG_NBY, _JPEG_NB
+    enc, dec = M.encode_jpeg_gray, M.decode_jpeg_gray_blocks
+
+    def per_doc(doc_id):
+        import numpy as _np
+
+        bvals = _np.array(
+            [2 * ((doc_id * 7 + b * 13) % 128) for b in range(nb)],
+            dtype=_np.uint8,
+        ).reshape(nby, nbx)
+        img = _np.kron(bvals, _np.ones((8, 8), dtype=_np.uint8))
+        blocks, _qt, _h, _w = dec(enc(img))
+        b64 = blocks.astype(_np.int64)
+        dc = b64[:, :, 0, 0]
+        ac_abs = int(_np.abs(b64).sum() - _np.abs(dc).sum())
+        return [
+            (
+                doc_id, blocks.shape[0] * blocks.shape[1],
+                int(dc.sum()), int(dc.min()), int(dc.max()), ac_abs,
+            )
+        ]
+
+    return _media_stats_scan(
+        spark, sf_dir, _JPEG_N, per_doc,
+        ["media_id", "n_blocks", "dc_sum", "dc_min", "dc_max",
+         "ac_abs_sum"],
+        "media_id long, n_blocks int, dc_sum long, dc_min long, "
+        "dc_max long, ac_abs_sum long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — char n-gram LM fluency scoring under the oracle (r7): the
+# CCNet-style perplexity filter with an integer quantized-log score
+# (operators/lm.py — Σ floor(log2 cnt) over model hits, engine-exact
+# on both sides; `length(bin(cnt)) - 1` is the DuckDB twin).
+
+_LM_N = 3
+_LM_EVERY = 10
+
+_LM_SQL = f"""
+WITH corpus AS (SELECT doc_id, lower(text) AS t FROM documents),
+grams AS (
+    SELECT doc_id, substr(t, CAST(i AS INT), {_LM_N}) AS gram
+    FROM corpus, unnest(generate_series(1, length(t) - {_LM_N - 1})) AS u(i)
+),
+model AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY 1)
+SELECT c.doc_id,
+       CAST(count(m.cnt) AS BIGINT) AS lm_hits,
+       CAST(count(g.gram) AS BIGINT) AS lm_grams,
+       CAST(sum(CASE WHEN m.cnt IS NOT NULL
+                     THEN length(bin(m.cnt)) - 1 ELSE 0 END)
+            AS BIGINT) AS lm_score
+FROM corpus c
+LEFT JOIN grams g ON g.doc_id = c.doc_id
+LEFT JOIN model m ON m.gram = g.gram
+WHERE c.doc_id % {_LM_EVERY} = 0
+GROUP BY 1
+"""
+
+
+@register(
+    "lm_fluency_scores",
+    sql=_LM_SQL,
+    description="char n-gram LM fluency scoring (the CCNet/Gopher "
+    "perplexity-filter curation step, operators/lm.py): train = one "
+    "corpus scan to a bounded-key (gram, cnt) model; score = explode "
+    f"each {_LM_EVERY}th document's {_LM_N}-grams, broadcast-join the "
+    "model, roll up (hits, grams, score) per doc. The score is the "
+    "INTEGER Σ floor(log2 cnt) — the quantized-log trick that makes a "
+    "log-likelihood hash-exact across engines (length(bin(cnt))-1 in "
+    "DuckDB). No UDFs; every expression is whole-stage-codegen "
+    "([EXT] text-quality tier)",
+)
+def lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magshield_data_pipeline_spark.operators import lm as L
+
+    docs = read_table(spark, sf_dir, "documents")
+    model = L.train_ngram_counts(docs, "text", n=_LM_N)
+    subset = docs.filter(F.col("doc_id") % _LM_EVERY == 0)
+    return L.fluency_score(subset, model, "text", "doc_id", n=_LM_N)
+
+
+# ---------------------------------------------------------------------------
+# EXT — BPE trainer statistic under the oracle (r7): the adjacent-pair
+# count table that drives every merge decision (operators/bpe.py).
+# Training itself (argmax -> merge -> recount) is iterative and stays
+# pinned by tests/test_bpe.py's small-corpus parity against a pure-
+# Python trainer; the distributed statistic it argmaxes over IS
+# SQL-expressible, so the driver hash-checks that core directly.
+
+_BPE_TOPK = 20
+
+_BPE_SQL = rf"""
+WITH words AS (
+    SELECT unnest(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS word
+    FROM documents
+),
+wf AS (SELECT word, count(*) AS n FROM words GROUP BY 1),
+pairs AS (
+    SELECT substr(word, CAST(i AS INT), 1) AS s1,
+           substr(word, CAST(i AS INT) + 1, 1) AS s2, n
+    FROM wf, unnest(generate_series(1, length(word) - 1)) AS u(i)
+),
+pc AS (SELECT s1, s2, CAST(sum(n) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2)
+SELECT s1, s2, cnt FROM pc ORDER BY cnt DESC, s1, s2 LIMIT {_BPE_TOPK}
+"""
+
+
+@register(
+    "bpe_pair_counts",
+    sql=_BPE_SQL,
+    description=f"BPE trainer core statistic: pre-tokenize the corpus "
+    "with the reference regex family (letter runs / digits / "
+    "punctuation), roll up the word-frequency table, and count "
+    "adjacent symbol pairs weighted by word count — the exact table "
+    f"each merge argmaxes over (operators/bpe.py). Top-{_BPE_TOPK} "
+    "pairs with a (cnt DESC, s1, s2) total-order tiebreak, the same "
+    "determinism rule top_pair uses, hash-matched against DuckDB. "
+    "The iterative merge loop and Arrow-batched encode stay pinned by "
+    "tests/test_bpe.py parity ([EXT] tokenization tier)",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magshield_data_pipeline_spark.operators import bpe as B
+
+    docs = read_table(spark, sf_dir, "documents")
+    pc = B.pair_counts(B.word_frequencies(docs, "text"))
+    return pc.orderBy(F.col("cnt").desc(), "s1", "s2").limit(_BPE_TOPK)
