@@ -3235,3 +3235,70 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     pc = B.pair_counts(B.word_frequencies(docs, "text"))
     return pc.orderBy(F.col("cnt").desc(), "s1", "s2").limit(_BPE_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# EXT — BM25 lexical retrieval under the oracle (late r7): the sparse-
+# retrieval baseline beside the dense ANN tier (operators/retrieval.py;
+# rational-odds idf keeps every arithmetic step an exactly-rounded IEEE
+# op on identical operand chains — no rounding contract, no libm).
+
+_BM25_TERMS = ("spark", "vector", "join")
+_BM25_K = 10
+
+_BM25_SQL = f"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+hits AS (SELECT * FROM words WHERE word IN {_BM25_TERMS!r}),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM dl
+),
+scored AS (
+    SELECT tf.word AS term, tf.doc_id,
+           CAST(tf.tf AS BIGINT) AS tf, CAST(dl.dl AS BIGINT) AS dl,
+           (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / stats.avgdl)) AS score
+    FROM tf
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN dfreq ON dfreq.word = tf.word
+    CROSS JOIN stats
+)
+SELECT term, doc_id, tf, dl, score, CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+    FROM scored
+) q WHERE rank <= {_BM25_K}
+"""
+
+
+@register(
+    "bm25_topk_docs",
+    sql=_BM25_SQL,
+    description=f"BM25 lexical retrieval (Okapi, Robertson & Zaragoza "
+    f"2009) — top-{_BM25_K} documents per query term "
+    f"{list(_BM25_TERMS)} with the rational-odds idf (the exact "
+    "argument of the textbook log-idf; ln is monotone, so per-term "
+    "rankings are identical while every arithmetic step stays an "
+    "exactly-rounded IEEE op on pinned operand chains — raw-double "
+    "hash parity, zero rounding contract). One corpus scan persisted "
+    "across the dl/tf/df subtrees, term filter prunes before the "
+    "shuffle, single-row stats frame broadcast; the sparse baseline "
+    "beside the dense ANN tier ([EXT] retrieval)",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magshield_data_pipeline_spark.operators import retrieval as R
+
+    docs = read_table(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), k=_BM25_K)

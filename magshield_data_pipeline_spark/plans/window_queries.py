@@ -572,3 +572,52 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         within="30 minutes", watermark="10 minutes",
     )
     return W.run_available_now(joined, output_mode="append", state_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# stream-static join (late r7): the one streaming join family that had
+# no driver row — a stream enriched against a STATIC dimension.  The
+# static side re-snapshots per micro-batch, needs no watermark on the
+# static frame, and (broadcast-small here) compiles to a stateless
+# broadcast hash join inside each micro-batch — the streaming analog of
+# the reference's lookup-map joins (opportunity.py:128's org dict).
+
+_STREAM_STATIC_SQL = """
+SELECT n.n_name AS nation,
+       e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS value_sum
+FROM events e
+JOIN nation n ON n.n_nationkey = e.user_id % 25
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_static_enrich",
+    sql=_STREAM_STATIC_SQL,
+    description="stream-static enrichment join: the events stream "
+    "derives a dimension key (user_id % 25) and inner-joins the STATIC "
+    "broadcast nation dim inside each micro-batch (stateless — no "
+    "watermark or join state needed on either side; the static frame "
+    "re-snapshots per batch), then a windowless keyed rollup runs "
+    "under Trigger.AvailableNow to the memory sink. Completes the "
+    "streaming join family beside the stateful stream-stream interval "
+    "join; streaming analog of the reference's lookup-map enrichment "
+    "(opportunity.py:128) (EXT-5)",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = W.read_events_stream(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation")
+    enriched = stream.join(
+        F.broadcast(nation),
+        nation.n_nationkey == stream.user_id % 25,
+    )
+    agg = (
+        enriched.groupBy(F.col("n_name").alias("nation"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+    return W.run_available_now(agg, state_partitions=8)
