@@ -454,3 +454,112 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.row_number().over(w).cast("int").alias("rn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (late r7): the order-statistic the interpolated
+# percentile family (value_percentiles) cannot express — smallest value
+# whose cumulative weight reaches half the total. All comparisons are
+# on exact integers (quantities are integer-valued doubles), so the
+# pick is engine-exact with no interpolation contract.
+
+_WMEDIAN_SQL = """
+WITH w AS (
+    SELECT l_returnflag, l_extendedprice, l_quantity,
+           sum(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING
+           ) AS cum,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+    FROM lineitem
+)
+SELECT l_returnflag AS return_flag,
+       round(min(l_extendedprice), 2) AS weighted_median,
+       CAST(min(tot) AS BIGINT) AS total_weight
+FROM w
+WHERE 2 * cum >= tot
+GROUP BY 1
+"""
+
+
+@register(
+    "weighted_median_price",
+    sql=_WMEDIAN_SQL,
+    description="exact weighted median of extended price per return "
+    "flag, weighted by quantity: cumulative-weight window over a "
+    "total order (price, orderkey, linenumber), then the first row "
+    "where 2*cum >= total — the qualifying set is a suffix of the "
+    "order, so min(price) over it IS the weighted median. One shuffle "
+    "on the flag serves both window sums; quantities are integer-"
+    "valued doubles, so every comparison is exact (standard warehouse "
+    "surface the interpolated-percentile family cannot express)",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    order = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    cum = F.sum("l_quantity").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("l_quantity").over(Window.partitionBy("l_returnflag"))
+    w = lineitem.select(
+        "l_returnflag", "l_extendedprice",
+        cum.alias("cum"), tot.alias("tot"),
+    )
+    return (
+        w.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            F.min("tot").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (late r7): the privacy gate a training-data
+# pipeline runs before publishing — quasi-identifier combinations
+# shared by fewer than k records re-identify individuals (Sweeney
+# 2002). Complements the PII-redaction tier (operators/text.py) with
+# the structured-data half of the privacy story.
+
+_K_ANON = 5
+
+_K_ANON_SQL = f"""
+SELECT c_nationkey AS nation_key,
+       c_mktsegment AS segment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING count(*) < {_K_ANON}
+"""
+
+
+@register(
+    "k_anonymity_violations",
+    sql=_K_ANON_SQL,
+    description=f"k-anonymity audit (k={_K_ANON}, Sweeney 2002): "
+    "quasi-identifier groups (nation, segment, coarse balance band) "
+    "with fewer than k members — each is a re-identification risk the "
+    "pipeline must generalize or suppress before release. One partial-"
+    "agg scan; the band edges are power-of-10 divisions of exact "
+    "2-decimal values, so banding never straddles engines. The "
+    "structured-data half of the privacy tier beside PII redaction "
+    "([EXT] curation/privacy)",
+)
+def k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nation_key"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).alias("balance_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < _K_ANON)
+    )

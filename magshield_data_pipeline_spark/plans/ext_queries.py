@@ -3302,3 +3302,160 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return R.bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# EXT — HYBRID retrieval: lexical BM25 + dense cosine fused with
+# reciprocal-rank fusion (late r7). RRF (Cormack et al., SIGIR 2009) is
+# the standard way production RAG pipelines merge a sparse and a dense
+# ranker: score(d) = Σ_lists 1/(C + rank_list(d)), C = 60. Every
+# ingredient here is rank-based integer arithmetic plus one IEEE
+# division of exact operands, so the fusion is hash-exact end to end.
+
+_RRF_PAIRS = (("spark", 0), ("vector", 1), ("join", 2))
+_RRF_C = 60
+_RRF_LIST_K = 20
+_RRF_K = 10
+
+_RRF_SQL = f"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+hits AS (
+    SELECT * FROM words
+    WHERE word IN {tuple(t for t, _ in _RRF_PAIRS)!r}
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM dl
+),
+lex_scored AS (
+    SELECT tf.word AS term, tf.doc_id,
+           (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / stats.avgdl)) AS score
+    FROM tf
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN dfreq ON dfreq.word = tf.word
+    CROSS JOIN stats
+),
+lex_ranked AS (
+    SELECT term, doc_id, row_number() OVER (
+        PARTITION BY term ORDER BY score DESC, doc_id) AS lex_rank
+    FROM lex_scored
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM e
+    WHERE vec_id IN {tuple(v for _, v in _RRF_PAIRS)!r}
+),
+dense_scored AS (
+    SELECT query_id, vec_id,
+           CASE WHEN list_dot_product(v, v) = 0 OR list_dot_product(qv, qv) = 0
+                THEN NULL
+                ELSE round(list_cosine_similarity(v, qv), 6) END AS score
+    FROM e CROSS JOIN q WHERE vec_id != query_id
+),
+dense_ranked AS (
+    SELECT query_id, vec_id AS doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id) AS dense_rank
+    FROM dense_scored
+),
+pairs(term, query_id) AS (
+    VALUES {", ".join(f"('{t}', {v})" for t, v in _RRF_PAIRS)}
+),
+lex AS (
+    SELECT p.query_id, lr.doc_id, lr.lex_rank
+    FROM lex_ranked lr JOIN pairs p ON p.term = lr.term
+    WHERE lr.lex_rank <= {_RRF_LIST_K}
+),
+dense AS (
+    SELECT query_id, doc_id, dense_rank FROM dense_ranked
+    WHERE dense_rank <= {_RRF_LIST_K}
+),
+fused AS (
+    SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+           coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+           coalesce(lex.lex_rank, 0) AS lex_rank,
+           coalesce(dense.dense_rank, 0) AS dense_rank,
+           coalesce(1.0 / ({_RRF_C} + lex.lex_rank), 0.0)
+               + coalesce(1.0 / ({_RRF_C} + dense.dense_rank), 0.0) AS rrf
+    FROM lex FULL OUTER JOIN dense
+      ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id
+)
+SELECT query_id, doc_id,
+       CAST(lex_rank AS INT) AS lex_rank,
+       CAST(dense_rank AS INT) AS dense_rank,
+       rrf, CAST(fused_rank AS INT) AS fused_rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fused_rank
+    FROM fused
+) WHERE fused_rank <= {_RRF_K}
+"""
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    sql=_RRF_SQL,
+    description=f"HYBRID retrieval, the production RAG shape: per query "
+    f"(a term, vector pair — {len(_RRF_PAIRS)} queries), the BM25 "
+    f"top-{_RRF_LIST_K} lexical list and the exact-cosine "
+    f"top-{_RRF_LIST_K} dense list over the same doc/vec id domain are "
+    f"merged with reciprocal-rank fusion (Σ 1/({_RRF_C}+rank), Cormack "
+    "2009; absent-from-list contributes 0) and the fused "
+    f"top-{_RRF_K} re-ranked. Rank-based integer arithmetic + single "
+    "IEEE divisions of exact operands make the whole fusion hash-exact "
+    "— sparse and dense retrieval proven to compose, not just to run "
+    "side by side ([EXT] retrieval)",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from magshield_data_pipeline_spark.operators import retrieval as R
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = spark.createDataFrame(
+        list(_RRF_PAIRS), "term string, query_id long"
+    )
+    lex = (
+        R.bm25_topk(docs, "text", "doc_id", [t for t, _ in _RRF_PAIRS],
+                    k=_RRF_LIST_K)
+        .join(F.broadcast(pairs), "term")
+        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    )
+    qvecs = emb.filter(
+        F.col("vec_id").isin(*[v for _, v in _RRF_PAIRS])
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense = V.brute_force_topk(emb, qvecs, k=_RRF_LIST_K).select(
+        "query_id", F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("dense_rank")), F.lit(0.0)
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+        rrf.alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= _RRF_K)
+    )

@@ -890,35 +890,14 @@ def three_role_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # opportunity.py:65-89, task.py:79-104)
 
 
-@register(
-    "paged_source_scan",
-    sql="""
-    SELECT
-        c_custkey    AS cust_id,
-        c_name       AS cust_name,
-        c_acctbal    AS acctbal,
-        c_mktsegment AS segment
-    FROM customer
-    WHERE c_acctbal > 500.0 AND c_mktsegment IN ('BUILDING', 'MACHINERY')
-    """,
-    description="S1-S4 end-to-end: customer rows served page-by-page "
-    "through the paged_json Python DataSource (partition-per-page, "
-    "count probe, pushed range + IN filters, retry envelope) vs the "
-    "parquet oracle",
-)
-def paged_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The JSON-lines file is the test double for the paginated HTTP
-    # API: materializing it is the "server side" (driver-local, tiny),
-    # NOT part of the distributed plan — the measured query is the
-    # paged scan itself. Filters are pushed into each page read (S4);
-    # pages become input partitions (S1/S2) sized by the count probe
-    # (S3); every fetch runs inside the retry/backoff envelope.
+def _customer_jsonl(sf_dir: str) -> str:
+    """Materialize (once per testdata file) the JSON-lines test double
+    for the paginated HTTP API — the "server side", driver-local and
+    tiny, shared by the batch paged scan and the incremental stream."""
     import json as _json
     import os as _os
 
     import pyarrow.parquet as _pq
-
-    from magshield_data_pipeline_spark.sources import paged as P
 
     dest = "/tmp/paged_api_{}_customer.jsonl".format(
         _os.path.basename(_os.path.normpath(sf_dir))
@@ -947,7 +926,34 @@ def paged_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(sig_path + ".tmp", "w", encoding="utf-8") as f:
             f.write(sig)
         _os.replace(sig_path + ".tmp", sig_path)
+    return dest
 
+
+@register(
+    "paged_source_scan",
+    sql="""
+    SELECT
+        c_custkey    AS cust_id,
+        c_name       AS cust_name,
+        c_acctbal    AS acctbal,
+        c_mktsegment AS segment
+    FROM customer
+    WHERE c_acctbal > 500.0 AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+    description="S1-S4 end-to-end: customer rows served page-by-page "
+    "through the paged_json Python DataSource (partition-per-page, "
+    "count probe, pushed range + IN filters, retry envelope) vs the "
+    "parquet oracle",
+)
+def paged_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The measured query is the paged scan itself (the JSONL test
+    # double materializes driver-side, not in the plan). Filters are
+    # pushed into each page read (S4); pages become input partitions
+    # (S1/S2) sized by the count probe (S3); every fetch runs inside
+    # the retry/backoff envelope.
+    from magshield_data_pipeline_spark.sources import paged as P
+
+    dest = _customer_jsonl(sf_dir)
     P.register(spark)
     df = (
         spark.read.format("paged_json")
@@ -1597,3 +1603,100 @@ def csv_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_priorities"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 as an INCREMENTAL STREAM (late r7): the paged source's
+# streaming twin. The reference re-fetches the whole endpoint on every
+# HTTP trigger (callable.py full-refresh); the scale-correct form
+# checkpoints a page cursor and fetches only new pages per micro-batch
+# (sources/paged.py::PagedJsonStreamReader). Spark's AvailableNow
+# falls back to single-batch for Python streaming sources, so the
+# drain loop runs a continuous trigger and stops when the stream
+# offset reaches the count probe's total — every page then went
+# through a separate micro-batch, offsets checkpointed between.
+
+_PAGED_STREAM_SQL = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS acctbal_sum
+FROM customer
+GROUP BY 1
+"""
+
+
+@register(
+    "paged_stream_scan",
+    sql=_PAGED_STREAM_SQL,
+    description="the paginated source as an INCREMENTAL STREAM: "
+    "customer pages arrive one micro-batch at a time through the "
+    "paged_json simple stream reader (offset = checkpointed page "
+    "cursor; readBetweenOffsets replays a batch exactly on recovery), "
+    "drained page-by-page under a continuous trigger until the offset "
+    "reaches the count probe's total, into a complete-mode per-segment "
+    "rollup — the scale-correct form of the reference's full-refresh "
+    "loop (callable.py), paying for the feed once instead of per "
+    "trigger (S1/S2 streaming twin)",
+)
+def paged_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from magshield_data_pipeline_spark.sources import paged as P
+
+    dest = _customer_jsonl(sf_dir)
+    with open(dest, "r", encoding="utf-8") as f:
+        total = sum(1 for ln in f if ln.strip())
+    P.register(spark)
+    # page size scales with the feed so the drain stays a handful of
+    # micro-batches at any SF (≥2 batches even at sf0.001 — the
+    # incremental path is always exercised; each micro-batch pays a
+    # full plan + state round-trip, so page-per-500 at sf0.1 would be
+    # 30 framework round-trips measuring the scheduler, not the source)
+    page_size = max(500, -(-total // 8))
+    stream = (
+        spark.readStream.format("paged_json")
+        .schema(
+            "c_custkey bigint, c_name string, c_acctbal double, "
+            "c_mktsegment string"
+        )
+        .option("path", dest)
+        .option("pageSize", page_size)
+        .load()
+    )
+    agg = stream.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+    )
+    name = f"paged_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", _tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import ast as _ast
+
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            prog = q.lastProgress
+            if prog and prog["sources"]:
+                # endOffset arrives as a STRING in progress events —
+                # the str() of the Python offset dict ("{'row': 500}")
+                end = prog["sources"][0]["endOffset"]
+                end = _ast.literal_eval(end) if isinstance(end, str) else end
+                if end and int(end.get("row", 0)) >= total:
+                    break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"paged_stream_scan: offset never reached {total} rows"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)

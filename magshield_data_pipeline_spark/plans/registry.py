@@ -122,6 +122,9 @@ _WINDOW_PINS: list[tuple[str, int]] = [
     ("ppm_decode_stats", 7),
     ("ppm_resize_stats", 7),
     ("schema_drift_union", 7),
+    # late r7: the batch paged scan's JSONL-builder was refactored into
+    # the shared helper the new streaming twin also uses
+    ("paged_source_scan", 7),
 ]
 
 

@@ -226,3 +226,76 @@ def test_numeric_strings_cast_into_long_column(tmp_path):
         f.write(json.dumps({"id": 2, "n": "456"}) + "\n")
     rows = _reader_rows(path, "id bigint, n bigint", 4)
     assert [r["n"] for r in rows] == [123, 456]
+
+
+# ---------------------------------------------------------------------------
+# streaming reader (late r7): offset discipline, replay, schema order
+
+
+def _stream_reader(path, ddl, page_size):
+    from pyspark.sql.types import _parse_datatype_string
+
+    from magshield_data_pipeline_spark.sources.paged import (
+        PagedJsonStreamReader,
+    )
+
+    return PagedJsonStreamReader(
+        {"path": str(path), "pagesize": str(page_size)},
+        _parse_datatype_string(ddl),
+    )
+
+
+def _write_jsonl(path, records):
+    with open(path, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+
+
+def test_stream_reader_pages_partition_the_feed(tmp_path):
+    path = tmp_path / "feed.jsonl"
+    _write_jsonl(path, [{"id": i, "v": i * 3} for i in range(11)])
+    r = _stream_reader(path, "id bigint, v bigint", 4)
+    off = r.initialOffset()
+    seen = []
+    for expect_len in (4, 4, 3, 0):
+        rows, off = r.read(off)
+        batch = list(rows)
+        assert len(batch) == expect_len
+        seen.extend(batch)
+    assert seen == [(i, i * 3) for i in range(11)]
+    assert off == {"row": 11}  # a drained source stops advancing
+
+
+def test_stream_reader_replay_is_exact(tmp_path):
+    # checkpoint recovery calls readBetweenOffsets — it must reproduce
+    # the original batch bit-for-bit, not re-window it
+    path = tmp_path / "feed.jsonl"
+    _write_jsonl(path, [{"id": i} for i in range(9)])
+    r = _stream_reader(path, "id bigint", 3)
+    o0 = r.initialOffset()
+    b1, o1 = r.read(o0)
+    b2, o2 = r.read(o1)
+    assert list(r.readBetweenOffsets(o0, o1)) == list(b1) == [(0,), (1,), (2,)]
+    assert list(r.readBetweenOffsets(o1, o2)) == list(b2) == [(3,), (4,), (5,)]
+
+
+def test_stream_reader_field_order_follows_schema_not_json(tmp_path):
+    # JSON object key order must not leak into column order
+    path = tmp_path / "feed.jsonl"
+    _write_jsonl(path, [{"b": 2, "a": 1}])
+    r = _stream_reader(path, "a bigint, b bigint", 10)
+    rows, _ = r.read(r.initialOffset())
+    assert list(rows) == [(1, 2)]
+
+
+def test_stream_reader_rows_are_picklable(tmp_path):
+    # the simple-reader protocol prefetches driver-side and PICKLES the
+    # batch; a generator here fails planPartitions at runtime
+    import pickle
+
+    path = tmp_path / "feed.jsonl"
+    _write_jsonl(path, [{"id": 1}])
+    r = _stream_reader(path, "id bigint", 10)
+    rows, off = r.read(r.initialOffset())
+    pickle.dumps(list(rows))
+    pickle.dumps(off)

@@ -58,6 +58,9 @@ _ALLOW_BNLJ = {
     # scored (term, doc) rows × the ONE-row corpus stats frame
     # (N, avgdl) — BM25's global normalizers
     "bm25_topk_docs",
+    # the dense list is brute_force_topk's bounded broadcast cross
+    # (3 query vectors × corpus) + BM25's one-row stats cross
+    "hybrid_rrf_retrieval",
 }
 
 # streaming / iterative queries execute eagerly inside fn(); their final
@@ -71,6 +74,7 @@ _EAGER = {
     "streaming_funnel_progress",
     "streaming_interval_join",
     "stream_static_enrich",
+    "paged_stream_scan",
 }
 
 _LAZY_QUERIES = sorted(set(QUERY_REGISTRY) - _EAGER)
