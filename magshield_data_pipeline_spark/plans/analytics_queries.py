@@ -563,3 +563,80 @@ def k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < _K_ANON)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-smoothed source mixing (late r7): the LLM data-mixing
+# step (alpha=0.5 smoothing a la multilingual sampling: upweight tail
+# sources, downweight heads). Made hash-exact with the repo's integer-
+# quantization discipline: the smoothed weight sqrt(p_s)/Σ sqrt(p_t)
+# equals sqrt(n_s)/Σ sqrt(n_t) (the 1/N cancels), and each sqrt(n) is
+# quantized to the integer floor(sqrt(n)*1e6) BEFORE the cross-source
+# sum — so the normalizer is an exact integer sum, never an order-
+# dependent float fold. sqrt is IEEE exactly-rounded: identical
+# operands => identical doubles in both engines.
+
+_MIX_BUDGET = 10_000
+
+_MIX_SQL = f"""
+WITH counts AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+),
+q AS (
+    SELECT source, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS q_sqrt
+    FROM counts
+),
+t AS (SELECT *, CAST(sum(q_sqrt) OVER () AS BIGINT) AS q_total FROM q)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, q_sqrt,
+       CAST(q_sqrt AS DOUBLE) / q_total AS weight,
+       CAST(floor(CAST({_MIX_BUDGET} * q_sqrt AS DOUBLE) / q_total)
+            AS BIGINT) AS expected_docs
+FROM t
+"""
+
+
+@register(
+    "temperature_mixture_weights",
+    sql=_MIX_SQL,
+    description=f"temperature-smoothed source mixing (alpha=0.5, the "
+    "multilingual/LLM data-mixing rule: weight ∝ share^alpha — tails "
+    "up, heads down): per-source doc counts roll up in one scan, each "
+    "sqrt(n) is quantized to the integer floor(sqrt(n)*1e6) BEFORE "
+    "the cross-source normalizer sum, so the normalizer is an exact "
+    "integer sum (order-free) and the weights/expected counts for a "
+    f"{_MIX_BUDGET}-doc budget are single IEEE divisions of identical "
+    "operands — hash-exact with no float-fold contract ([EXT] "
+    "curation/mixing, beside weighted_sample_per_source's E-S draw)",
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    q = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000)
+        .cast("long")
+        .alias("q_sqrt"),
+    )
+    # the rollup is sources-sized (a handful of rows), so the
+    # everything-window normalizer is a single tiny partition — the
+    # integer sum is the point: no float fold across sources
+    t = q.withColumn(
+        "q_total", F.sum("q_sqrt").over(Window.partitionBy()).cast("long")
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "q_sqrt",
+        (F.col("q_sqrt").cast("double") / F.col("q_total")).alias("weight"),
+        F.floor(
+            (F.lit(_MIX_BUDGET) * F.col("q_sqrt")).cast("double")
+            / F.col("q_total")
+        )
+        .cast("long")
+        .alias("expected_docs"),
+    )
