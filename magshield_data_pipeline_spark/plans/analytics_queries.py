@@ -640,3 +640,198 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("expected_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth set (late r7): Q14/Q15/Q16/Q19 — the remaining classic
+# shapes (conditional-share aggregate, scalar-max view equality,
+# anti-join + count-distinct rollup, disjunctive multi-bracket join
+# predicate). With Q2/Q11/Q21 (r6) and Q13/Q17/Q18/Q20/Q22 (late r7),
+# every structurally-distinct TPC-H pattern now has a driver row.
+
+_Q14_SQL = """
+SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+       round(sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END), 4) AS promo_revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1996-01-01'
+GROUP BY 1
+"""
+
+
+@register(
+    "promo_revenue_share",
+    sql=_Q14_SQL,
+    description="TPC-H Q14 shape: promo revenue vs total revenue per "
+    "ship month — one conditional sum and one total sum in the SAME "
+    "partial-agg pass (no second scan, no self-join); the share is the "
+    "caller's division of the two 4-dec-rounded sums, kept as two "
+    "columns per the rounded-sums-not-rounded-ratios discipline "
+    "(standard warehouse surface)",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)),
+                4,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-04-01'
+    GROUP BY 1
+),
+m AS (SELECT max(total_rev) AS max_rev FROM rev)
+SELECT s.s_suppkey, s.s_name, rev.total_rev
+FROM supplier s JOIN rev ON rev.l_suppkey = s.s_suppkey, m
+WHERE rev.total_rev = m.max_rev
+"""
+
+
+@register(
+    "top_supplier_revenue",
+    sql=_Q15_SQL,
+    description="TPC-H Q15 shape: the revenue view + scalar-max "
+    "equality — per-supplier quarterly revenue rolls up once, its "
+    "single-row max cross-joins back (broadcast, 1 row), and the "
+    "supplier(s) AT the max join the dim. Revenue is rounded to 4 "
+    "decimals BEFORE the max/equality, so the float comparison is on "
+    "identical quantized values in both engines (standard warehouse "
+    "surface)",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_rev")
+        )
+    )
+    m = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        supplier.join(rev, supplier.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+_Q16_SQL = """
+WITH excluded AS (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p.p_brand, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (1, 9, 14, 23, 36, 45)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "brand_supplier_counts",
+    sql=_Q16_SQL,
+    description="TPC-H Q16 shape: distinct-supplier counts per (brand, "
+    "size) after an ANTI join removes an excluded supplier set "
+    "(negative-balance suppliers standing in for the complaints "
+    "blacklist) — NOT IN decorrelated to left_anti, the size filter "
+    "broadcast into the fact, two-level distinct aggregation "
+    "(standard warehouse surface)",
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    sized = part.filter(F.col("p_size").isin(1, 9, 14, 23, 36, 45)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    return (
+        lineitem.join(F.broadcast(sized), lineitem.l_partkey == sized.p_partkey)
+        .join(excluded, lineitem.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "disjunctive_bracket_revenue",
+    sql=_Q19_SQL,
+    description="TPC-H Q19 shape: an OR of three (brand, size-range, "
+    "quantity-range) brackets across BOTH join sides — the disjunctive "
+    "predicate the optimizer must keep as a join post-condition while "
+    "still pushing the per-side implied filters; one aggregate row, "
+    "revenue rounded to 4 decimals (standard warehouse surface)",
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        lineitem.l_partkey == part.p_partkey,
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )

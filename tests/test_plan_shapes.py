@@ -61,6 +61,9 @@ _ALLOW_BNLJ = {
     # the dense list is brute_force_topk's bounded broadcast cross
     # (3 query vectors × corpus) + BM25's one-row stats cross
     "hybrid_rrf_retrieval",
+    # supplier revenues × the ONE-row max-revenue frame (Q15's
+    # scalar-max view equality)
+    "top_supplier_revenue",
 }
 
 # streaming / iterative queries execute eagerly inside fn(); their final
