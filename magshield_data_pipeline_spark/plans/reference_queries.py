@@ -1649,12 +1649,14 @@ def paged_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(dest, "r", encoding="utf-8") as f:
         total = sum(1 for ln in f if ln.strip())
     P.register(spark)
-    # page size scales with the feed so the drain stays a handful of
-    # micro-batches at any SF (≥2 batches even at sf0.001 — the
-    # incremental path is always exercised; each micro-batch pays a
-    # full plan + state round-trip, so page-per-500 at sf0.1 would be
-    # 30 framework round-trips measuring the scheduler, not the source)
-    page_size = max(500, -(-total // 8))
+    # page size scales with the feed so the drain is ~4 micro-batches
+    # at any SF (the 50-row floor keeps even the sf0.001 feed multi-
+    # batch, so the INCREMENTAL path — offsets committed between
+    # batches — is always what runs, never a single-batch degenerate
+    # drain; each micro-batch pays a full plan + state round-trip, so
+    # page-per-500 at sf0.1 would be 30 framework round-trips
+    # measuring the scheduler, not the source)
+    page_size = max(50, -(-total // 4))
     stream = (
         spark.readStream.format("paged_json")
         .schema(
