@@ -487,6 +487,59 @@ def repeated_passages(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 100,
+    stride: int = 50,
+) -> DataFrame:
+    """Maximal duplicated character RANGES per document: the grid
+    windows that :func:`repeated_passages` flags (shared with >1 doc)
+    merged gaps-and-islands into their maximal contiguous spans — the
+    span level is what a removal transform actually cuts (Lee et al.
+    2022 emit duplicated byte RANGES, not fixed windows).
+
+    Overlapping or touching windows coalesce (stride < size makes a
+    contiguous duplicated run overlap window-to-window); a new island
+    starts only when a window begins strictly after the running max end
+    of everything before it.
+
+    Scale: the hot-hash set is tiny next to the grid, so the semi join
+    back is a broadcast under AQE; the islands pass partitions by
+    document (bounded by windows-per-doc, never corpus size) — the same
+    per-entity window discipline as sessionization, so no global sort
+    exists anywhere in the plan.
+    """
+    grid = passage_grid(df, id_col, text_col, size, stride)
+    hot = (
+        grid.groupBy("passage_md5")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("passage_md5")
+    )
+    occ = grid.join(hot, "passage_md5", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("passage_start")
+    prev_max_end = F.max(F.col("passage_start") + size).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col("passage_start") > prev_max_end),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    island = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        occ.withColumn("island", island)
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("passage_start").cast("long").alias("span_start"),
+            F.max(F.col("passage_start") + size).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
 def cdc_chunks(
     df: DataFrame,
     id_col: str = "doc_id",

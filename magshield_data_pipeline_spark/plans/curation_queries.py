@@ -1070,6 +1070,76 @@ def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_SQL = f"""
+WITH g AS (
+    SELECT doc_id,
+           unnest(generate_series(0, greatest(length(text) - {_PASSAGE_SIZE}, 0),
+                                  {_PASSAGE_STRIDE})) AS p
+    FROM documents
+    WHERE length(text) >= {_PASSAGE_SIZE}
+),
+occ AS (
+    SELECT g.doc_id, g.p,
+           md5(substring(d.text, g.p + 1, {_PASSAGE_SIZE})) AS h
+    FROM g JOIN documents d ON g.doc_id = d.doc_id
+),
+hot AS (
+    SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) > 1
+),
+o AS (
+    SELECT doc_id, p FROM occ WHERE h IN (SELECT h FROM hot)
+),
+marked AS (
+    SELECT doc_id, p,
+           CASE WHEN max(p + {_PASSAGE_SIZE}) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR p > max(p + {_PASSAGE_SIZE}) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                )
+                THEN 1 ELSE 0 END AS new_island
+    FROM o
+),
+isl AS (
+    SELECT doc_id, p,
+           sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM marked
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p + {_PASSAGE_SIZE}) AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl
+GROUP BY doc_id, island
+"""
+
+
+@register(
+    "duplicate_span_islands",
+    sql=_SPAN_SQL,
+    description="maximal duplicated character ranges per document: "
+    "repeated grid passages merged gaps-and-islands into the contiguous "
+    "spans a removal transform would cut (duplicated byte RANGES, not "
+    "fixed windows — Lee et al. 2022); per-doc windows only, no global "
+    "sort ([EXT] curation)",
+)
+def duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: hot-hash semi join broadcasts (the shared-passage set is
+    # corpus-boilerplate sized); the islands window partitions by doc,
+    # so cost is bounded by windows-per-doc — the same per-entity
+    # discipline as sessionization. No pair join, no global sort.
+    docs = read_table(spark, sf_dir, "documents")
+    return T.duplicate_spans(
+        docs, id_col="doc_id", text_col="text",
+        size=_PASSAGE_SIZE, stride=_PASSAGE_STRIDE,
+    )
+
+
 _QUOTA_PER_LANG = 3
 
 _QUOTA_SQL = f"""

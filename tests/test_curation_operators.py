@@ -308,6 +308,59 @@ def test_repeated_passages_cross_doc_only(spark):
     assert all(r.n_docs > 1 for r in out)
 
 
+def test_duplicate_spans_merge_overlapping_windows(spark):
+    """A contiguous duplicated run spanning several overlapping grid
+    windows collapses to ONE maximal island; disjoint duplicated
+    regions in the same doc stay separate islands."""
+    shared = "Q" * 200  # grid windows at 0, 50, 100 (size 100, stride 50)
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "x" * 300 + shared),  # two copies, far apart
+            (2, "y" * 50 + shared),            # grid-aligned second copy
+            (3, "unique " * 40),
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.duplicate_spans(docs, size=100, stride=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_windows)
+        )
+    # doc 1: copy 1 occupies [0, 200) — windows 0/50/100 merged; copy 2
+    # starts at 500 (grid-aligned), windows 500/550/600 → [500, 700)
+    assert sorted(by_doc[1]) == [(0, 200, 3), (500, 700, 3)]
+    # doc 2's copy starts at 50: windows 50/100/150 → [50, 250)
+    assert by_doc[2] == [(50, 250, 3)]
+    assert 3 not in by_doc
+
+
+def test_duplicate_spans_touching_merge_and_gap_split(spark):
+    """With stride == size (windows tile, no overlap): end-to-start
+    touching duplicated windows merge into one island (a new island
+    needs start STRICTLY beyond the running max end), while a unique
+    window between two duplicated ones splits them."""
+    blk_a = "A" * 100
+    blk_b = "B" * 100
+    blk_c = "C" * 100
+    docs = spark.createDataFrame(
+        [
+            # A|B touch → one island; junk gap; C alone → second island
+            (1, blk_a + blk_b + "j" * 100 + blk_c),
+            (2, blk_a + blk_b + "k" * 100 + blk_c),
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.duplicate_spans(docs, size=100, stride=100).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_windows)
+        )
+    assert sorted(by_doc[1]) == [(0, 200, 2), (300, 400, 1)]
+    assert sorted(by_doc[2]) == [(0, 200, 2), (300, 400, 1)]
+
+
 # ---------------------------------------------------------------------------
 # content-defined chunking
 

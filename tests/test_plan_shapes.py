@@ -262,6 +262,24 @@ def test_passage_dedup_no_ranking_window(spark):
     assert "Window" not in plan, "ranking window crept into passage dedup"
 
 
+def test_duplicate_spans_semi_join_and_local_sorts_only(spark):
+    # the hot-hash reduction must stay a LEFT SEMI join (never a
+    # row-multiplying inner join), and the islands window must sort
+    # per-document only — a GLOBAL sort would mean the gaps-and-islands
+    # pass lost its partitionBy and serialized the corpus
+    df = QUERY_REGISTRY["duplicate_span_islands"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "LeftSemi" in plan, "hot-hash reduction is no longer a semi join"
+    assert "Window" in plan
+    import re
+
+    global_sorts = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bSort\b", ln) and "true" in ln.split("],")[-1][:30]
+    ]
+    assert not global_sorts, f"global sort in islands plan: {global_sorts}"
+
+
 def test_cms_sketch_broadcasts_to_probes(spark):
     # the ≤512-row sketch must reach the probe side via broadcast —
     # shuffling the probe keys against it would defeat the sketch
