@@ -650,6 +650,52 @@ def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.unionByName(big).dropDuplicates()
 
 
+@register(
+    "buyer_cohort_set_ops",
+    sql="""
+    SELECT 'retained' AS cohort, custkey FROM (
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1997
+    )
+    UNION ALL
+    SELECT 'churned' AS cohort, custkey FROM (
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1997
+    )
+    """,
+    description="native INTERSECT / EXCEPT set operators: 1996-to-1997 "
+    "buyer retention and churn cohorts from two filtered key scans — the "
+    "set-op completion of the union family (U1/U2); Catalyst compiles both "
+    "to aggregated semi/anti joins, so the cost is the same keyed shuffle "
+    "a hand-written join would pay",
+)
+def buyer_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: each side is DISTINCT-reduced (partial agg) BEFORE the
+    # set op, so the semi/anti shuffle carries unique keys, not order
+    # volume; both cohorts reuse the same two one-column scans and the
+    # column-pruned fact read is year-filterable at the parquet footer.
+    orders = read_table(spark, sf_dir, "orders")
+    keys = lambda yr: (  # noqa: E731
+        orders.filter(F.year("o_orderdate") == yr)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    y96, y97 = keys(1996), keys(1997)
+    retained = y96.intersect(y97).select(
+        F.lit("retained").alias("cohort"), "custkey"
+    )
+    churned = y96.subtract(y97).select(
+        F.lit("churned").alias("cohort"), "custkey"
+    )
+    return retained.unionByName(churned)
+
+
 # ---------------------------------------------------------------------------
 # S3/A5 — metadata count probe (the reference's X-Total-Count header read —
 # /root/reference/modules/opportunity.py:70-76)
