@@ -113,3 +113,69 @@ def fluency_score(
         .cast("long")
         .alias("lm_score"),
     )
+
+
+def dsir_model(
+    df: DataFrame,
+    text_col: str,
+    target: Column,
+    n: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """ONE corpus scan → the paired (gram, r_cnt, t_cnt) model table
+    behind DSIR importance resampling (Xie et al., NeurIPS 2023):
+    ``r_cnt`` counts the gram over every row, ``t_cnt`` only over rows
+    where *target* holds — conditional aggregation, so the target model
+    costs nothing beyond the raw one. The key space is alphabet^n
+    bounded (same argument as :func:`train_ngram_counts`), so the table
+    broadcasts."""
+    c: Column = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    return (
+        df.select(F.explode(char_ngrams(c, n)).alias("gram"), target.alias("is_t"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("r_cnt"),
+            F.count(F.when(F.col("is_t"), F.lit(1))).alias("t_cnt"),
+        )
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document DSIR importance weight, engine-exact: the true
+    log ratio Σ [log p_target(gram) − log p_raw(gram)] is replaced by
+    the INTEGER ``Σ [floor(log2 t_cnt) − floor(log2 r_cnt)]`` (0 for a
+    gram the target model never saw — the conservative no-evidence
+    floor, same convention as :func:`fluency_score`), dropping the
+    normalizer terms, which shift every document's score by the same
+    per-gram constant and so never change the selection ORDER the
+    weight exists for. Emits ``(n_grams, target_hits, dsir_score)``;
+    downstream importance samplers rank by ``dsir_score / n_grams``
+    (two integers — the caller owns the rounding)."""
+    c: Column = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(char_ngrams(c, n)).alias("gram"),
+    )
+    joined = grams.join(F.broadcast(model), "gram", "left")
+    q_t = F.when(
+        F.col("t_cnt") > 0, F.length(F.bin(F.col("t_cnt"))) - F.lit(1)
+    ).otherwise(F.lit(0))
+    q_r = F.when(
+        F.col("r_cnt").isNotNull(), F.length(F.bin(F.col("r_cnt"))) - F.lit(1)
+    ).otherwise(F.lit(0))
+    return joined.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count(F.when(F.col("t_cnt") > 0, F.lit(1))).alias("target_hits"),
+        F.sum(q_t - q_r).cast("long").alias("dsir_score"),
+    )

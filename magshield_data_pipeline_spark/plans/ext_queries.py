@@ -3190,6 +3190,73 @@ def lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT — DSIR importance weights under the oracle (late r7): hashed-
+# n-gram importance resampling (Xie et al., NeurIPS 2023) — select raw
+# documents that LOOK like a target domain by the ratio of target vs
+# raw n-gram likelihoods. Engine-exact via the same quantized-log
+# trick as lm_fluency_scores: score = Σ [floor(log2 t_cnt) −
+# floor(log2 r_cnt)] (integer, hash-stable); the dropped normalizers
+# are per-gram constants that never change the selection order.
+
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_SQL = f"""
+WITH corpus AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+grams AS (
+    SELECT doc_id, lang, substr(t, CAST(i AS INT), {_LM_N}) AS gram
+    FROM corpus, unnest(generate_series(1, length(t) - {_LM_N - 1})) AS u(i)
+),
+model AS (
+    SELECT gram,
+           count(*) AS r_cnt,
+           count(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 END) AS t_cnt
+    FROM grams GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(count(g.gram) AS BIGINT) AS n_grams,
+       CAST(count(CASE WHEN m.t_cnt > 0 THEN 1 END) AS BIGINT) AS target_hits,
+       CAST(sum(CASE WHEN g.gram IS NULL THEN 0 ELSE
+                  (CASE WHEN m.t_cnt > 0
+                        THEN length(bin(m.t_cnt)) - 1 ELSE 0 END)
+                - (CASE WHEN m.r_cnt IS NOT NULL
+                        THEN length(bin(m.r_cnt)) - 1 ELSE 0 END)
+            END) AS BIGINT) AS dsir_score
+FROM corpus c
+LEFT JOIN grams g ON g.doc_id = c.doc_id
+LEFT JOIN model m ON m.gram = g.gram
+WHERE c.doc_id % {_LM_EVERY} = 0
+GROUP BY 1
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    sql=_DSIR_SQL,
+    description="DSIR importance resampling weights (Xie et al. 2023): "
+    f"target model = {_LM_N}-gram counts over lang="
+    f"'{_DSIR_TARGET_LANG}' docs, raw model = the whole corpus — built "
+    "in ONE conditional-aggregation scan (operators/lm.py::dsir_model); "
+    f"each {_LM_EVERY}th doc scores Σ[floor(log2 t_cnt) − "
+    "floor(log2 r_cnt)] through one broadcast join — the integer "
+    "quantized-log form of the DSIR log-ratio, hash-exact across "
+    "engines ([EXT] training-data selection tier)",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: model = one scan + one bounded-key rollup (both models in
+    # the same pass via conditional agg, broadcastable); score = one
+    # scan + broadcast join + per-doc partial agg. No UDF, no pair
+    # join; the scoring subset is the cost knob, not the model.
+    from magshield_data_pipeline_spark.operators import lm as L
+
+    docs = read_table(spark, sf_dir, "documents")
+    model = L.dsir_model(
+        docs, "text", F.col("lang") == _DSIR_TARGET_LANG, n=_LM_N
+    )
+    subset = docs.filter(F.col("doc_id") % _LM_EVERY == 0)
+    return L.dsir_scores(subset, model, "text", "doc_id", n=_LM_N)
+
+
+# ---------------------------------------------------------------------------
 # EXT — BPE trainer statistic under the oracle (r7): the adjacent-pair
 # count table that drives every merge decision (operators/bpe.py).
 # Training itself (argmax -> merge -> recount) is iterative and stays
