@@ -540,6 +540,71 @@ def duplicate_spans(
     )
 
 
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surgical span REMOVAL: cut every ``[span_start, span_end)``
+    character range in *spans* out of each document's text — the
+    transform that consumes :func:`duplicate_spans` (RefinedWeb-style
+    boilerplate excision cuts every occurrence; a keep-first policy is
+    a caller-side filter on *spans* before the call).
+
+    Pure Catalyst: spans collect per doc (bounded by spans-per-doc),
+    ``array_sort`` orders them, and ONE ``aggregate`` fold walks the
+    text left-to-right concatenating the kept segments — no UDF, no
+    explode, one join. Emits every document (uncut docs pass through)
+    with ``n_spans``, ``n_cut_chars``, ``kept_len``, ``kept_md5`` —
+    the md5 stands in for the text so the result stays scalar-hashable
+    at any document size; callers wanting the text itself use the same
+    fold via ``kept_text``.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("n_cut_chars"),
+    )
+    joined = df.join(per_doc, id_col, "left")
+    text = F.col(text_col)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("pos"), F.lit("").alias("txt")
+    )
+    fold = F.aggregate(
+        F.col("_spans"),
+        zero,
+        lambda acc, s: F.struct(
+            s["span_end"].alias("pos"),
+            F.concat(
+                acc["txt"],
+                text.substr(
+                    (acc["pos"] + 1).cast("int"),
+                    (s["span_start"] - acc["pos"]).cast("int"),
+                ),
+            ).alias("txt"),
+        ),
+        lambda acc: F.concat(
+            acc["txt"],
+            text.substr(
+                (acc["pos"] + 1).cast("int"),
+                (F.length(text) - acc["pos"]).cast("int"),
+            ),
+        ),
+    )
+    kept = F.when(F.col("_spans").isNull(), text).otherwise(fold)
+    return joined.select(
+        F.col(id_col),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_cut_chars", F.lit(0)).cast("long").alias("n_cut_chars"),
+        F.length(kept).cast("long").alias("kept_len"),
+        F.md5(kept).alias("kept_md5"),
+        kept.alias("kept_text"),
+    )
+
+
 def cdc_chunks(
     df: DataFrame,
     id_col: str = "doc_id",

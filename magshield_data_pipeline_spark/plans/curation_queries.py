@@ -1140,6 +1140,115 @@ def duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REMOVAL_SQL = f"""
+WITH g AS (
+    SELECT doc_id,
+           unnest(generate_series(0, greatest(length(text) - {_PASSAGE_SIZE}, 0),
+                                  {_PASSAGE_STRIDE})) AS p
+    FROM documents
+    WHERE length(text) >= {_PASSAGE_SIZE}
+),
+occ AS (
+    SELECT g.doc_id, g.p,
+           md5(substring(d.text, g.p + 1, {_PASSAGE_SIZE})) AS h
+    FROM g JOIN documents d ON g.doc_id = d.doc_id
+),
+o AS (
+    SELECT doc_id, p FROM occ
+    WHERE h IN (SELECT h FROM occ GROUP BY h
+                HAVING count(DISTINCT doc_id) > 1)
+),
+marked AS (
+    SELECT doc_id, p,
+           CASE WHEN max(p + {_PASSAGE_SIZE}) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR p > max(p + {_PASSAGE_SIZE}) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                )
+                THEN 1 ELSE 0 END AS new_island
+    FROM o
+),
+isl AS (
+    SELECT doc_id,
+           min(p) AS span_start,
+           max(p + {_PASSAGE_SIZE}) AS span_end
+    FROM (
+        SELECT doc_id, p,
+               sum(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+    )
+    GROUP BY doc_id, island
+),
+seg AS (
+    SELECT doc_id, span_start, span_end,
+           coalesce(lag(span_end) OVER (
+               PARTITION BY doc_id ORDER BY span_start
+           ), 0) AS prev_end
+    FROM isl
+),
+pieces AS (
+    SELECT s.doc_id, s.span_start AS ord,
+           substring(d.text, CAST(s.prev_end + 1 AS INT),
+                     CAST(s.span_start - s.prev_end AS INT)) AS piece
+    FROM seg s JOIN documents d ON s.doc_id = d.doc_id
+    UNION ALL
+    SELECT t.doc_id, 2147483647 AS ord,
+           substring(d.text, CAST(t.me + 1 AS INT),
+                     CAST(length(d.text) - t.me AS INT)) AS piece
+    FROM (SELECT doc_id, max(span_end) AS me FROM isl GROUP BY 1) t
+    JOIN documents d ON t.doc_id = d.doc_id
+),
+kept AS (
+    SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS kept_text
+    FROM pieces GROUP BY 1
+),
+stats AS (
+    SELECT doc_id, count(*) AS n_spans,
+           sum(span_end - span_start) AS n_cut
+    FROM isl GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s.n_cut, 0) AS BIGINT) AS n_cut_chars,
+       CAST(length(coalesce(k.kept_text, d.text)) AS BIGINT) AS kept_len,
+       md5(coalesce(k.kept_text, d.text)) AS kept_md5
+FROM documents d
+LEFT JOIN stats s ON d.doc_id = s.doc_id
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+"""
+
+
+@register(
+    "duplicate_span_removal",
+    sql=_REMOVAL_SQL,
+    description="span REMOVAL transform: cut every maximal duplicated "
+    "range (duplicate_span_islands) out of each document via ONE "
+    "Catalyst aggregate fold over the per-doc sorted span list — no "
+    "UDF; every doc emits (uncut docs pass through) with the kept "
+    "text's md5 standing in for arbitrary-size text ([EXT] curation)",
+)
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: islands (already blocked + per-doc-windowed) roll up to
+    # one bounded array per doc; the cut is a linear left-to-right
+    # fold inside whole-stage codegen, and the doc↔spans join keys on
+    # doc_id (AQE broadcasts the span side when it is boilerplate-
+    # sized). The md5 output keeps the driver compare scalar.
+    docs = read_table(spark, sf_dir, "documents")
+    spans = T.duplicate_spans(
+        docs, id_col="doc_id", text_col="text",
+        size=_PASSAGE_SIZE, stride=_PASSAGE_STRIDE,
+    )
+    return T.cut_spans(docs, spans, id_col="doc_id", text_col="text").drop(
+        "kept_text"
+    )
+
+
 _QUOTA_PER_LANG = 3
 
 _QUOTA_SQL = f"""

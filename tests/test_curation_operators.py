@@ -361,6 +361,41 @@ def test_duplicate_spans_touching_merge_and_gap_split(spark):
     assert sorted(by_doc[2]) == [(0, 200, 2), (300, 400, 1)]
 
 
+def test_cut_spans_surgery_and_passthrough(spark):
+    """The fold must excise exactly the given ranges (start-of-text,
+    interior, end-of-text, whole-doc) and pass uncut docs through."""
+    docs = spark.createDataFrame(
+        [
+            (1, "AAABBBCCC"),   # cut interior [3,6) → AAACCC
+            (2, "XXXYYY"),      # cut head [0,3) → YYY
+            (3, "PPPQQQ"),      # cut tail [3,6) → PPP
+            (4, "GONE"),        # cut everything [0,4) → ""
+            (5, "UNTOUCHED"),   # no spans
+            (6, "aXXbYYc"),     # two cuts [1,3) and [4,6) → abc
+        ],
+        ["doc_id", "text"],
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 3, 6), (2, 0, 3), (3, 3, 6), (4, 0, 4),
+            (6, 1, 3), (6, 4, 6),
+        ],
+        ["doc_id", "span_start", "span_end"],
+    )
+    out = {
+        r.doc_id: r
+        for r in T.cut_spans(docs, spans, "doc_id", "text").collect()
+    }
+    expect = {
+        1: "AAACCC", 2: "YYY", 3: "PPP", 4: "", 5: "UNTOUCHED", 6: "abc"
+    }
+    for d, txt in expect.items():
+        assert out[d].kept_text == txt, f"doc {d}: {out[d].kept_text!r}"
+        assert out[d].kept_len == len(txt)
+    assert out[5].n_spans == 0 and out[5].n_cut_chars == 0
+    assert out[6].n_spans == 2 and out[6].n_cut_chars == 4
+
+
 # ---------------------------------------------------------------------------
 # content-defined chunking
 
