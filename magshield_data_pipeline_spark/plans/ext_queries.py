@@ -3146,6 +3146,21 @@ def jpeg_block_dc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_N = 3
 _LM_EVERY = 10
 
+
+def _spread_corpus(spark: SparkSession, sf_dir: str):
+    """documents, round-robin repartitioned ONLY when the scan yields
+    fewer splits than the session's parallelism — the driver's
+    single-file, single-row-group fixture gives the n-gram explode
+    exactly one task otherwise, serializing a ~300× CPU fan-out on one
+    core (same rationale + no-op-at-scale condition as
+    export_queries._read_spread; counts are partitioning-invariant, so
+    the result hash is untouched)."""
+    docs = read_table(spark, sf_dir, "documents")
+    target = min(spark.sparkContext.defaultParallelism, 16)
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
 _LM_SQL = f"""
 WITH corpus AS (SELECT doc_id, lower(text) AS t FROM documents),
 grams AS (
@@ -3183,7 +3198,7 @@ GROUP BY 1
 def lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magshield_data_pipeline_spark.operators import lm as L
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _spread_corpus(spark, sf_dir)
     model = L.train_ngram_counts(docs, "text", n=_LM_N)
     subset = docs.filter(F.col("doc_id") % _LM_EVERY == 0)
     return L.fluency_score(subset, model, "text", "doc_id", n=_LM_N)
@@ -3248,7 +3263,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join; the scoring subset is the cost knob, not the model.
     from magshield_data_pipeline_spark.operators import lm as L
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _spread_corpus(spark, sf_dir)
     model = L.dsir_model(
         docs, "text", F.col("lang") == _DSIR_TARGET_LANG, n=_LM_N
     )
