@@ -24,7 +24,7 @@ from magshield_data_pipeline_spark.operators import temporal as TP
 from magshield_data_pipeline_spark.operators import text as T
 from magshield_data_pipeline_spark.plans.ext_queries import _hash_byte_sql
 from magshield_data_pipeline_spark.plans.registry import register
-from magshield_data_pipeline_spark.sources.parquet import read_table
+from magshield_data_pipeline_spark.sources.parquet import read_table, read_table_spread
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
@@ -584,7 +584,7 @@ def incremental_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     # Scale: per-batch cost is O(batch buckets + collisions) against a
     # materialized corpus index; both joins shuffle on the uniform
     # (band, bucket) hash key — never all-pairs, never O(corpus).
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 4)
     batch = docs.filter(F.col("doc_id") % 5 == 4)
     return D.incremental_candidate_pairs(
@@ -1133,7 +1133,7 @@ def duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-boilerplate sized); the islands window partitions by doc,
     # so cost is bounded by windows-per-doc — the same per-entity
     # discipline as sessionization. No pair join, no global sort.
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return T.duplicate_spans(
         docs, id_col="doc_id", text_col="text",
         size=_PASSAGE_SIZE, stride=_PASSAGE_STRIDE,
@@ -1239,7 +1239,7 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold inside whole-stage codegen, and the doc↔spans join keys on
     # doc_id (AQE broadcasts the span side when it is boilerplate-
     # sized). The md5 output keeps the driver compare scalar.
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     spans = T.duplicate_spans(
         docs, id_col="doc_id", text_col="text",
         size=_PASSAGE_SIZE, stride=_PASSAGE_STRIDE,
@@ -1378,7 +1378,7 @@ HAVING count(DISTINCT doc_id) > 1
 def cdc_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: the chunker's linear Arrow pass + ONE partial-agg rollup
     # on the uniform chunk hash — no pair join, offset-independent.
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     chunks = T.cdc_chunks(docs, id_col="doc_id", text_col="text", w=_CDC_W)
     return (
         chunks.filter(F.col("chunk_len") >= _CDC_MIN_LEN)
@@ -1531,7 +1531,7 @@ def passage_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: linear block explode, one min(struct) winner aggregate on
     # the uniform block hash, survivors join back on that hash, per-doc
     # array_sort reassembly - no ranking window, no sort exchange.
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return T.passage_dedup(
         docs, id_col="doc_id", text_col="text", block_words=_PASSAGE_B
     )

@@ -25,7 +25,7 @@ from magshield_data_pipeline_spark.plans.reference_queries import (
     nation_flow_frame,
 )
 from magshield_data_pipeline_spark.plans.registry import register
-from magshield_data_pipeline_spark.sources.parquet import read_table
+from magshield_data_pipeline_spark.sources.parquet import read_table, read_table_spread
 
 # ---------------------------------------------------------------------------
 # shared oracle SQL fragments (DuckDB). These mirror, fragment by
@@ -165,7 +165,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: signature pass is a pure projection; the only shuffle is the
     # self-join on (band, bucket) — a hash key, uniform, with bounded
     # bucket sizes. This is how near-dedup avoids all-pairs at 100 TB.
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return D.minhash_candidate_pairs(docs, text_col="text", id_col="doc_id")
 
 
@@ -205,7 +205,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan-out at max_df²/2, which is what lets the exact verifier keep a
     # non-quadratic plan; uncapped exactness is only for tiny corpora
     # (max_df=None), the true scale path is minhash_near_dup_pairs.
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return D.jaccard_pairs(
         docs, text_col="text", id_col="doc_id", threshold=0.5,
         max_df=_JACCARD_MAX_DF,
@@ -251,7 +251,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: explode + one partially-aggregated groupBy on doc_id. Bit
     # width is a parameter (16 keeps the oracle reviewable; production
     # uses 64 with the same plan).
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return D.simhash(docs, text_col="text", id_col="doc_id")
 
 
@@ -624,7 +624,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The iterative-algorithm tier: a driver-side loop of join+min
     # rounds with localCheckpoint lineage truncation (see
     # operators/dedup.py::connected_components for the scale notes).
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     # materialize the pair frame before clustering — the shape a real
     # pipeline uses (pairs are computed once, clustered after); the
     # persisted plan is shared with the star-contraction variant via
@@ -679,7 +679,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents is 100 TB.
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     profile = T.document_profile(docs, keep=("source",))
     gated = profile.filter(
         (F.col("quality") >= 0.35) & (F.col("lang_guess") != "und")
@@ -778,7 +778,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and bounded (never all-pairs); candidates whose distance lives
     # entirely in the prefix are traded away, recovered in production by
     # probing B rotated block keys — same plan, B block columns.
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     sim = D.simhash(docs, text_col="text", id_col="doc_id")
     a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
@@ -1126,7 +1126,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-join. Never all-pairs.
     from magshield_data_pipeline_spark.operators import sampling as SA
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     labeled = docs.withColumn(
         "split", SA.split_assign(F.col("doc_id"), 0.8, 0.1, salt="split")
     )
@@ -1150,7 +1150,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output (and oracle) as the min-label-propagation variant",
 )
 def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     # same persisted pair frame as near_dup_clusters (CacheManager
     # dedups by logical plan, so the two clustering variants share one
     # materialization)

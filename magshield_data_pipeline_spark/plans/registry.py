@@ -125,6 +125,26 @@ _WINDOW_PINS: list[tuple[str, int]] = [
     # late r7: the batch paged scan's JSONL-builder was refactored into
     # the shared helper the new streaming twin also uses
     ("paged_source_scan", 7),
+    # end of r7: the shingle/signature family moved its documents scan
+    # to read_table_spread (conditional round-robin repartition — a
+    # partitioning-only change, every hash re-proven locally at sf0.01;
+    # pinned per the source-touched policy so the driver re-proves too).
+    # Three touched queries are deliberately NOT pinned to keep tier
+    # 1+3 within the 50-slot window: simhash_fingerprints (the pinned
+    # simhash_hamming_pairs runs the same simhash operator over the
+    # same spread read as its superset plan), near_dup_clusters (the
+    # pinned star variant consumes the identical persisted spread pair
+    # frame; variant equality is additionally pytest-pinned), and
+    # ngram_jaccard_pairs (that same pinned pair frame IS the jaccard
+    # pair computation).
+    ("minhash_near_dup_pairs", 7),
+    ("simhash_hamming_pairs", 7),
+    ("near_dup_clusters_star", 7),
+    ("training_data_pipeline", 7),
+    ("contamination_check", 7),
+    ("incremental_near_dup_candidates", 7),
+    ("cdc_repeated_chunks", 7),
+    ("passage_dedup_reassembly", 7),
 ]
 
 

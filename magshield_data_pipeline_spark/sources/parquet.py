@@ -94,6 +94,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``read_table`` plus a conditional round-robin repartition for
+    CPU-fan-out consumers (shingle/signature/n-gram explodes, md5-per-
+    token projections): the driver's single-file, single-row-group
+    fixtures give the scan exactly ONE split, serializing everything
+    before the first exchange on one core. When the scan yields fewer
+    partitions than the session's parallelism, one cheap repartition of
+    the narrow source rows parallelizes the downstream CPU work; on a
+    real multi-file corpus the condition is false and this is a NO-OP —
+    no extra exchange at scale. (Same rule as export_queries'
+    ``_read_spread``; results are partitioning-invariant for every
+    consumer, which each query's oracle hash re-proves.)"""
+    df = read_table(spark, sf_dir, name)
+    target = min(spark.sparkContext.defaultParallelism, 16)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_star_schema(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
 ) -> dict[str, DataFrame]:

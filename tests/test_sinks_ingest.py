@@ -159,3 +159,37 @@ def test_bloom_filter_write_carries_filter_bytes_and_stays_correct(
     got = spark.read.parquet(bloomed).filter(F.col("k") == 123_456).collect()
     assert [(r["k"], r["v"]) for r in got] == [(123_456, 123_456 % 97)]
     assert spark.read.parquet(bloomed).filter(F.col("k") == -5).count() == 0
+
+
+def test_read_table_spread_conditional_no_op(spark, tmp_path):
+    """read_table_spread parallelizes the driver's single-split fixture
+    but must be a NO-OP on a multi-split source (the at-scale case) —
+    no RoundRobin exchange when the scan already yields >= target
+    partitions."""
+    from magshield_data_pipeline_spark.sources.parquet import (
+        read_table,
+        read_table_spread,
+    )
+
+    target = min(spark.sparkContext.defaultParallelism, 16)
+
+    # single-file fixture: spread kicks in
+    narrow = read_table(spark, "/root/testdata/sf0.001", "documents")
+    assert narrow.rdd.getNumPartitions() < target
+    spread = read_table_spread(spark, "/root/testdata/sf0.001", "documents")
+    assert spread.rdd.getNumPartitions() == target
+
+    # many-file layout: condition is false, plan untouched
+    wide_dir = tmp_path / "wide"
+    spark.range(2000).selectExpr(
+        "id AS doc_id", "repeat('x', 10) AS text",
+        "'en' AS lang", "'s' AS source", "10 AS n_chars"
+    ).repartition(target).write.parquet(str(wide_dir / "documents.parquet"))
+    wide = read_table_spread(spark, str(wide_dir), "documents")
+    assert wide.rdd.getNumPartitions() >= target
+    assert "RoundRobinPartitioning" not in wide._jdf.queryExecution().executedPlan().toString()
+
+    # spread output is the same rows (partitioning-only)
+    a = sorted(r.doc_id for r in narrow.select("doc_id").collect())
+    b = sorted(r.doc_id for r in spread.select("doc_id").collect())
+    assert a == b
