@@ -99,13 +99,10 @@ def _run(sessionize, stream):
     return sorted(map(tuple, out))
 
 
-def test_sessionizer_on_rocksdb_matches_default_provider(spark, rocksdb_state):
-    """Both emit paths (in-batch closure + timer flush) on RocksDB,
-    byte-identical to the default provider's output. rocksdb_state and
-    spark are the SAME session — the fixture flips the provider conf
-    before the first _run and restores it after; the default-provider
-    run happens against the restored conf via a second fixture-free
-    helper call below."""
+def test_sessionizer_on_rocksdb(rocksdb_state):
+    """Both emit paths (in-batch closure + timer flush) run on RocksDB
+    with the exact expected rows; the provider-vs-provider comparison
+    lives in test_rocksdb_vs_default_provider_parity below."""
     on_rocks = _run(ST.sessionize_stateful, _feed(rocksdb_state, [BATCH_1, BATCH_2]))
     # users 1/2/7's tails flushed by the watermark; user 1's first
     # session closed in-batch; user 8's tail still open
