@@ -22,6 +22,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def observe_metrics(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> tuple[DataFrame, "object"]:
+    """Attach piggyback pipeline metrics to *df* via Spark's
+    ``Observation`` API: the named aggregates are computed by the SAME
+    action that consumes the frame — no second scan, no extra job.
+
+    This is the engine-level restatement of the reference's imperative
+    per-load bookkeeping (record counts / skip counters incremented in
+    its fetch loops, e.g. the page tallies around
+    /root/reference/modules/quote.py:81-95): at 100 TB a metrics pass
+    that re-reads the input doubles the job, while an Observation rides
+    the existing scan for free and is collected driver-side from the
+    listener bus after the action completes.
+
+    Returns ``(observed_df, observation)``; call ``observation.get``
+    AFTER an action on a plan that consumes ``observed_df``.
+
+    Constraint: observed metrics must be DISTINCT-free aggregates
+    (Spark rejects ``count_distinct`` with INVALID_OBSERVED_METRICS);
+    use ``approx_count_distinct`` — the mergeable-sketch form is what
+    a listener-bus metric can compute in one pass anyway.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    named = [col.alias(alias) for alias, col in metrics.items()]
+    return df.observe(obs, *named), obs
+
+
 def violation(pred: Column) -> Column:
     """1 when the row VIOLATES *pred* — null predicates count as
     violations (a rule that cannot evaluate did not pass)."""

@@ -63,6 +63,42 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def driver_history() -> dict[str, dict[int, bool]]:
+    """{query: {round: green?}} from every CORRECTNESS_r*.json at repo
+    root (the artifacts the external driver writes per round).  Shared
+    with tests/test_registry_window.py so the window computation and
+    its enforcement can never diverge on artifact parsing."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    hist: dict[str, dict[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue  # a torn/partial artifact must not break imports
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            hist.setdefault(name, {})[rnd] = green
+    return hist
+
+
 # importing the plan modules populates the registry
 from magshield_data_pipeline_spark.plans import reference_queries  # noqa: E402,F401
 from magshield_data_pipeline_spark.plans import ext_queries  # noqa: E402,F401
@@ -72,6 +108,7 @@ from magshield_data_pipeline_spark.plans import temporal_queries  # noqa: E402,F
 from magshield_data_pipeline_spark.plans import analytics_queries  # noqa: E402,F401
 from magshield_data_pipeline_spark.plans import export_queries  # noqa: E402,F401
 from magshield_data_pipeline_spark.plans import curation_queries  # noqa: E402,F401
+from magshield_data_pipeline_spark.plans import modern_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation — SELF-ROTATING since round 7.
@@ -146,42 +183,6 @@ _WINDOW_PINS: list[tuple[str, int]] = [
     ("cdc_repeated_chunks", 7),
     ("passage_dedup_reassembly", 7),
 ]
-
-
-def driver_history() -> dict[str, dict[int, bool]]:
-    """{query: {round: green?}} from every CORRECTNESS_r*.json at repo
-    root (the artifacts the external driver writes per round).  Shared
-    with tests/test_registry_window.py so the window computation and
-    its enforcement can never diverge on artifact parsing."""
-    import glob
-    import json
-    import os
-    import re
-
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    hist: dict[str, dict[int, bool]] = {}
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except (OSError, ValueError):
-            continue  # a torn/partial artifact must not break imports
-        if not isinstance(rows, dict):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            green = bool(
-                row.get("rows_match")
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
-                and not row.get("err")
-            )
-            hist.setdefault(name, {})[rnd] = green
-    return hist
 
 
 def _compute_driver_window(
