@@ -159,3 +159,46 @@ def test_observe_metrics_rides_the_single_action(spark):
     ).fetchone()
     assert (got["rows_seen"], got["null_props"], got["distinct_types"]) == truth
     assert n_groups == truth[2]
+
+
+# ---------------------------------------------------------------------------
+# r8 rehearsal: when the r7 artifact lands, the pending tier admits and
+# the recomputed window still satisfies every invariant — round 8 must
+# start green, not with a capacity overflow
+
+
+def test_r8_window_admits_pending_within_capacity(monkeypatch):
+    from magshield_data_pipeline_spark.plans import registry as R
+
+    base_hist = R.driver_history()
+    window_now = list(QUERY_REGISTRY)[:50]
+
+    def simulated_hist():
+        hist = {n: dict(rounds) for n, rounds in base_hist.items()}
+        for n in window_now:  # driver proves the whole r7 window green
+            hist.setdefault(n, {})[7] = True
+        return hist
+
+    monkeypatch.setattr(R, "driver_history", simulated_hist)
+    registry_r8 = {**QUERY_REGISTRY, **M.PENDING_SPECS}
+    window = R._compute_driver_window(registry_r8, R._WINDOW_PINS, size=50)
+    assert len(window) == 50
+
+    hist = simulated_hist()
+    # tier 3: every never-checked query (the admitted pending specs)
+    # must be inside
+    for n in PENDING:
+        assert n in window, f"pending query {n} missed the r8 window"
+    # no last-failing or never-checked query outside
+    for n in registry_r8:
+        rounds = hist.get(n)
+        if not rounds or not rounds[max(rounds)]:
+            assert n in window, f"unproven {n} outside simulated r8 window"
+    # all r7 pins expired (proven green in round 7) — no pin holds a slot
+    active_pins = [
+        n
+        for n, pr in R._WINDOW_PINS
+        if n in registry_r8
+        and max((r for r, g in hist.get(n, {}).items() if g), default=0) < pr
+    ]
+    assert active_pins == [], f"pins survived the r7 artifact: {active_pins}"
