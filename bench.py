@@ -86,8 +86,13 @@ def main() -> int:
     total = round(sum(timings.values()), 2)
     abbrev = _abbrev_map(timings)
 
-    # full record (full names + spreads) → committed repo file
-    with open(os.path.join(_REPO_ROOT, "BENCH_local.json"), "w") as f:
+    # full record (full names + spreads) → committed repo file; smoke
+    # runs at other SFs set $SPARK_GRAFT_BENCH_OUT so they never clobber
+    # the committed clean-box sf0.1 record
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(_REPO_ROOT, "BENCH_local.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(
             {
                 "metric": "total_query_wall_seconds",
