@@ -93,6 +93,16 @@ def bm25_topk(
     shuffle input to |terms| keys), ``df`` per term, and N/avgdl in a
     single-row aggregate that cross-joins (broadcast, 1 row) onto the
     scored frame.
+
+    Cache lifecycle (ADVICE r7): the exploded ``words`` frame is
+    persisted so the scan+explode feeds dl/tf/df once per job, and the
+    CALLER owns its release — repeated calls over the SAME input are
+    deduped by the CacheManager (plan-identical), but calls over
+    DIFFERENT inputs in a long-lived session each add an entry that
+    lives until session end.  The persisted handle is exposed as
+    ``result.bm25_words_cache``; after the consuming action, release it
+    with ``result.bm25_words_cache.unpersist()`` (or
+    ``spark.catalog.clearCache()``).
     """
     if not terms:
         raise ValueError("bm25_topk: terms must be non-empty")
@@ -133,7 +143,10 @@ def bm25_topk(
         )
     )
     w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col(id_col))
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    # caller-owned release handle (see docstring: Cache lifecycle)
+    result.bm25_words_cache = words
+    return result

@@ -3148,18 +3148,12 @@ _LM_EVERY = 10
 
 
 def _spread_corpus(spark: SparkSession, sf_dir: str):
-    """documents, round-robin repartitioned ONLY when the scan yields
-    fewer splits than the session's parallelism — the driver's
-    single-file, single-row-group fixture gives the n-gram explode
-    exactly one task otherwise, serializing a ~300× CPU fan-out on one
-    core (same rationale + no-op-at-scale condition as
-    export_queries._read_spread; counts are partitioning-invariant, so
-    the result hash is untouched)."""
-    docs = read_table(spark, sf_dir, "documents")
-    target = min(spark.sparkContext.defaultParallelism, 16)
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
+    """documents via ``read_table_spread`` — the conditional round-robin
+    repartition that parallelizes the n-gram explode's ~300× CPU fan-out
+    when the driver's single-split fixture would otherwise serialize it
+    on one core (ADVICE r7: this was a line-for-line local copy of the
+    shared rule; one implementation now, so the condition can't drift)."""
+    return read_table_spread(spark, sf_dir, "documents")
 
 _LM_SQL = f"""
 WITH corpus AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -147,41 +147,29 @@ _WINDOW_SIZE = 50
 # changed, even though its last verdict is green.  Self-expiring: a pin
 # holds a window slot only until the driver proves the query green in a
 # round ≥ the pin's round, then it is mechanically inert and can be
-# pruned at leisure.  Round-7 pins: embedding_srp_verified switched to
-# the q20 integer-sign index (oracle candidate CTE switched in
-# lockstep); embedding_topk_q20_blas under the new max_queries guard +
-# generic id dtypes; ppm_decode_stats / ppm_resize_stats under the
-# stricter magic-whitespace validation + the shared _media_stats_scan
-# scaffold; schema_drift_union on the write-once atomic scratch layout.
+# pruned at leisure.
+#
+# PIN-ROUND RULE (ADVICE r7): a pin's round must be the round of the
+# NEXT artifact that could possibly cover the change — i.e. if the
+# change lands while round N's artifact already exists, pin at N+1,
+# never N.  Pinning at N is only accidentally sound when the driver
+# happens to run after the change; had it run before, the pin would
+# self-expire against a pre-change green and the changed source would
+# never be driver re-proven.  (All 14 round-7 pins were verified
+# covered — CORRECTNESS_r07 records every pinned query green and the
+# driver ran after the late-r7 commits — and are pruned as inert.)
+#
+# Round-8 pins (changes made with the r7 artifact on disk → pinned 8):
+# lm_fluency_scores / dsir_importance_weights moved their corpus scan
+# from a local _spread_corpus copy to the shared read_table_spread
+# (identical rule, dedup per ADVICE r7); bm25_topk_docs /
+# hybrid_rrf_retrieval under the new caller-owned cache-release handle
+# on bm25_topk (plan-neutral attribute, re-proven on principle).
 _WINDOW_PINS: list[tuple[str, int]] = [
-    ("embedding_srp_verified", 7),
-    ("embedding_topk_q20_blas", 7),
-    ("ppm_decode_stats", 7),
-    ("ppm_resize_stats", 7),
-    ("schema_drift_union", 7),
-    # late r7: the batch paged scan's JSONL-builder was refactored into
-    # the shared helper the new streaming twin also uses
-    ("paged_source_scan", 7),
-    # end of r7: the shingle/signature family moved its documents scan
-    # to read_table_spread (conditional round-robin repartition — a
-    # partitioning-only change, every hash re-proven locally at sf0.01;
-    # pinned per the source-touched policy so the driver re-proves too).
-    # Three touched queries are deliberately NOT pinned to keep tier
-    # 1+3 within the 50-slot window: simhash_fingerprints (the pinned
-    # simhash_hamming_pairs runs the same simhash operator over the
-    # same spread read as its superset plan), near_dup_clusters (the
-    # pinned star variant consumes the identical persisted spread pair
-    # frame; variant equality is additionally pytest-pinned), and
-    # ngram_jaccard_pairs (that same pinned pair frame IS the jaccard
-    # pair computation).
-    ("minhash_near_dup_pairs", 7),
-    ("simhash_hamming_pairs", 7),
-    ("near_dup_clusters_star", 7),
-    ("training_data_pipeline", 7),
-    ("contamination_check", 7),
-    ("incremental_near_dup_candidates", 7),
-    ("cdc_repeated_chunks", 7),
-    ("passage_dedup_reassembly", 7),
+    ("lm_fluency_scores", 8),
+    ("dsir_importance_weights", 8),
+    ("bm25_topk_docs", 8),
+    ("hybrid_rrf_retrieval", 8),
 ]
 
 

@@ -121,13 +121,12 @@ def test_uncoercible_value_names_the_field(spark, tmp_path):
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql.types import StructType
 
 
 def _reader_rows(path, schema_ddl, page_size=4):
     """Drive PagedJsonReader directly: partitions() → read() → Arrow
     batches → list of per-field python values, in row order."""
-    schema = StructType.fromDDL(schema_ddl)
+    schema = _ddl_schema(schema_ddl)  # context-free (see ADVICE r7 note)
     rdr = paged.PagedJsonReader(
         {"path": str(path), "pagesize": str(page_size)}, schema
     )
@@ -232,16 +231,29 @@ def test_numeric_strings_cast_into_long_column(tmp_path):
 # streaming reader (late r7): offset discipline, replay, schema order
 
 
-def _stream_reader(path, ddl, page_size):
-    from pyspark.sql.types import _parse_datatype_string
+def _ddl_schema(ddl):
+    # ADVICE r7: _parse_datatype_string needs an active SparkContext,
+    # which made these unit tests order-dependent (green only after an
+    # earlier test created a session).  The reader tests exercise pure
+    # Python — build the StructType directly, no JVM required.
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+    by_name = {"bigint": LongType(), "string": StringType()}
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.split()
+        fields.append(StructField(name, by_name[typ]))
+    return StructType(fields)
+
+
+def _stream_reader(path, ddl, page_size):
     from magshield_data_pipeline_spark.sources.paged import (
         PagedJsonStreamReader,
     )
 
     return PagedJsonStreamReader(
         {"path": str(path), "pagesize": str(page_size)},
-        _parse_datatype_string(ddl),
+        _ddl_schema(ddl),
     )
 
 

@@ -60,3 +60,17 @@ def test_odds_idf_is_monotone_in_log_idf():
     assert sorted(range(n), key=odds.__getitem__) == sorted(
         range(n), key=logs.__getitem__
     )
+
+
+def test_cache_handle_releases_the_words_frame(spark):
+    # ADVICE r7: the persisted words frame must be caller-releasable —
+    # long-lived sessions calling bm25_topk over DIFFERENT inputs would
+    # otherwise accumulate cache entries until session end
+    df = spark.createDataFrame([(1, "alpha beta"), (2, "beta")],
+                               ["doc_id", "text"])
+    out = R.bm25_topk(df, "text", "doc_id", ["beta"], k=2)
+    assert out.count() == 2  # consuming action materializes the cache
+    words = out.bm25_words_cache
+    assert words.storageLevel.useMemory  # persisted while in use
+    words.unpersist(blocking=True)
+    assert not words.storageLevel.useMemory  # released on demand
