@@ -246,3 +246,49 @@ def funnel_counts(
         ]
     )
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def gap_fill_locf(
+    sparse: DataFrame,
+    keys: DataFrame,
+    span: DataFrame,
+    key_col: str = "key",
+    day_col: str = "day",
+    val_col: str = "value",
+    default: float = 0.0,
+) -> DataFrame:
+    """Regularize a sparse per-(key, day) series onto a dense daily
+    grid with last-observation-carried-forward fill — the resample +
+    ffill step every time-series feature pipeline runs before
+    training, which the reference (like Spark) has no operator for.
+
+    *keys* is a one-column frame of grid keys; *span* is a ONE-ROW
+    frame with columns ``d0``/``d1`` (inclusive date bounds).  Output:
+    (key, day, value_filled, was_gap) for every grid cell, where
+    ``value_filled`` carries the last observed value forward per key
+    and leading gaps (before the first observation) take *default*.
+
+    Scale shape: the day axis explodes from the single span row
+    (``sequence``), so the grid build is a broadcast cross join of
+    |keys| rows x |days| — never a shuffle; the observed values attach
+    with ONE left join keyed (key, day); LOCF is ONE running window
+    per key (rows-frame ``last(ignorenulls)``, no sort spill beyond
+    |days| rows per key).  Total: 2 exchanges for any corpus size.
+    """
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias(day_col)
+    )
+    grid = keys.crossJoin(F.broadcast(days))
+    joined = grid.join(sparse, [key_col, day_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(val_col, ignorenulls=True).over(w)
+    return joined.select(
+        key_col,
+        day_col,
+        F.coalesce(filled, F.lit(default)).alias("value_filled"),
+        F.col(val_col).isNull().alias("was_gap"),
+    )

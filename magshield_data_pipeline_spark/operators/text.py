@@ -765,3 +765,158 @@ def passage_dedup(
             F.coalesce("dedup_fp", F.md5(F.lit(""))).alias("dedup_fp"),
         )
     )
+
+
+def unicode_canonicalize(
+    df: DataFrame,
+    text_col: str = "text",
+    nfc_col: str = "nfc_text",
+    stripped_col: str = "stripped_text",
+) -> DataFrame:
+    """Unicode canonicalization for dedup keys: NFC composition plus
+    accent folding (NFD → drop combining marks, category Mn) — the
+    preprocessing that makes byte-level fingerprints see "cafe\\u0301"
+    and "caf\\u00e9" as the SAME document.  Without it every exact /
+    MinHash / SimHash key in this repo treats the two encodings of one
+    string as distinct, a real web-corpus dup-leak.
+
+    Spark has no normalizer built-in, so this is the sanctioned slow
+    path: stdlib ``unicodedata`` inside ONE Arrow-batched
+    ``mapInPandas`` projection — no shuffle, no per-row Python UDF;
+    at 100 TB it pipelines with the scan like every other codec-style
+    transform in this repo.  DuckDB twin: ``nfc_normalize`` /
+    ``strip_accents``, which is what makes the operator oracle-
+    checkable end to end.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # a FRESH StructType: .add() on df.schema mutates the frame's cached
+    # schema object in place, poisoning df.columns with phantom fields
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(nfc_col, StringType()),
+            StructField(stripped_col, StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import unicodedata
+
+        def nfc(t):
+            return None if t is None else unicodedata.normalize("NFC", t)
+
+        def strip(t):
+            if t is None:
+                return None
+            return "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", t)
+                if unicodedata.category(ch) != "Mn"
+            )
+
+        for pdf in batches:
+            nfc_vals = pdf[text_col].map(nfc)
+            yield pdf.assign(
+                **{nfc_col: nfc_vals, stripped_col: nfc_vals.map(strip)}
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+# Gopher-family quality rule thresholds (Rae et al. 2021, appendix A1.1
+# "quality filtering"): the PUBLISHED rule set is word count in
+# [50, 100k], mean word length in [3, 10], symbol-to-word < 0.1,
+# <90% bullet lines, <30% ellipsis lines, >=80% alpha words, >=2
+# stopwords.  The FAMILY is what matters for the engine; the defaults
+# below keep the published shape with bounds tuned so every rule fires
+# on a real subset of the synthetic fixture (a rule that can never fire
+# proves nothing — same teeth principle as the perturbed audit queries).
+GOPHER_RULES = {
+    "min_words": 40,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.05,
+    "max_bullet_frac": 0.3,
+    "max_ellipsis_frac": 0.2,
+    "min_alpha_frac": 0.9,
+    "min_stop_hits": 2,
+    "stopwords": ("the", "a", "of", "to", "and"),
+}
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: dict | None = None,
+) -> DataFrame:
+    """Per-document Gopher-style quality rule evaluation: one row per
+    doc with the raw rule metrics, one boolean per fired rule, and the
+    final ``keep`` verdict (no rule fired).
+
+    Every metric is a JVM-side expression over ONE projection of the
+    text (no shuffle, no UDF): word stats from the whitespace-
+    normalized form, line stats from the raw newline split, flags as
+    plain comparisons on exact integer ratios (single IEEE divisions —
+    engine-exact, so the thresholds decide identically in Spark and
+    the DuckDB oracle).
+    """
+    r = {**GOPHER_RULES, **(rules or {})}
+    raw = _col(text_col)
+    norm = normalize_text(raw)
+    words = F.split(norm, " ")
+    nw = F.size(words)
+    total_chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    mean_len = total_chars / nw
+    hash_count = F.length(norm) - F.length(
+        F.replace(norm, F.lit("#"), F.lit(""))
+    )
+    symbol_ratio = hash_count / nw
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("- ") | x.startswith("* "),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: x.endswith("..."))) / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / nw
+    )
+    stop_hits = sum(
+        F.array_contains(words, s).cast("long") for s in r["stopwords"]
+    )
+    flags = {
+        "flag_word_count": ~nw.between(r["min_words"], r["max_words"]),
+        "flag_mean_word_len": ~mean_len.between(
+            r["min_mean_word_len"], r["max_mean_word_len"]
+        ),
+        "flag_symbol_ratio": symbol_ratio >= r["max_symbol_ratio"],
+        "flag_bullet_lines": bullet_frac >= r["max_bullet_frac"],
+        "flag_ellipsis_lines": ellipsis_frac >= r["max_ellipsis_frac"],
+        "flag_alpha_words": alpha_frac < r["min_alpha_frac"],
+        "flag_stopwords": stop_hits < r["min_stop_hits"],
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep | c)
+    return df.select(
+        _col(id_col),
+        nw.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        stop_hits.alias("n_stop_hits"),
+        *[c.alias(n) for n, c in flags.items()],
+        (~keep).alias("keep"),
+    )

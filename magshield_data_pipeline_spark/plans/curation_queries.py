@@ -1955,3 +1955,198 @@ def group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] unicode canonicalization for dedup keys (r8): NFC + accent fold
+
+# Deliberate perturbation (the 0-rows-trivially-match rule): the fixture
+# corpus is pure ASCII, where normalization is the identity and the
+# check would have no teeth.  Each sampled doc is therefore expanded
+# into TWO encodings of the same logical text — one with a decomposed
+# "e" + U+0301 combining acute, one with precomposed U+00E9 — which MUST
+# collapse to one fingerprint after NFC, while their raw fingerprints
+# differ.  Accent folding then maps both onto the plain-ASCII key.
+_UNI_EVERY = 5
+
+_UNICODE_SQL = f"""
+WITH sub AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % {_UNI_EVERY} = 0
+),
+variants AS (
+    SELECT doc_id, text || ' caf' || 'e' || chr(769) AS v FROM sub
+    UNION ALL
+    SELECT doc_id, text || ' caf' || chr(233) AS v FROM sub
+),
+canon AS (
+    SELECT doc_id, v, nfc_normalize(v) AS nfc,
+           strip_accents(nfc_normalize(v)) AS stripped
+    FROM variants
+)
+SELECT doc_id,
+       CAST(count(DISTINCT md5(v)) AS BIGINT) AS n_raw_fps,
+       CAST(count(DISTINCT md5(nfc)) AS BIGINT) AS n_nfc_fps,
+       CAST(count(DISTINCT md5(stripped)) AS BIGINT) AS n_stripped_fps,
+       min(md5(stripped)) AS stripped_fp,
+       CAST(min(length(nfc)) AS BIGINT) AS nfc_len,
+       CAST(max(length(v)) AS BIGINT) AS raw_len_max
+FROM canon GROUP BY doc_id
+"""
+
+
+@register(
+    "unicode_normalized_dedup",
+    sql=_UNICODE_SQL,
+    description="unicode canonicalization under the oracle: decomposed "
+    "(e+U+0301) and precomposed (U+00E9) encodings of the same text "
+    "collapse to ONE fingerprint after NFC (n_raw_fps=2 -> n_nfc_fps=1) "
+    "and to the ASCII key after accent folding — the dup-leak every "
+    "byte-keyed dedup has on raw web text; stdlib unicodedata in one "
+    "Arrow mapInPandas projection vs DuckDB nfc_normalize/strip_accents "
+    "([EXT] dedup tier)",
+)
+def unicode_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: variant fan-out is a projection (explode of a 2-element
+    # array), canonicalization pipelines with the scan (mapInPandas,
+    # no shuffle), one partial-agg rollup keyed doc_id. No pair joins.
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _UNI_EVERY == 0
+    )
+    variants = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.col("text"), F.lit(" cafe\u0301")),  # decomposed
+                F.concat(F.col("text"), F.lit(" caf\u00e9")),  # precomposed
+            )
+        ).alias("v"),
+    )
+    canon = T.unicode_canonicalize(
+        variants, text_col="v", nfc_col="nfc", stripped_col="stripped"
+    )
+    return canon.groupBy("doc_id").agg(
+        F.count_distinct(F.md5("v")).alias("n_raw_fps"),
+        F.count_distinct(F.md5("nfc")).alias("n_nfc_fps"),
+        F.count_distinct(F.md5("stripped")).alias("n_stripped_fps"),
+        F.min(F.md5("stripped")).alias("stripped_fp"),
+        F.min(F.length("nfc")).alias("nfc_len"),
+        F.max(F.length("v")).alias("raw_len_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Gopher-family quality rule set (r8): Rae et al. 2021 A1.1
+
+# Deliberate perturbation, same teeth principle as the unicode query:
+# the fixture corpus is single-line ASCII word soup on which the
+# line/symbol rules could never fire.  Each doc is decorated into a
+# 5-line document where residue classes of doc_id plant one violation
+# each — %5 bullet lines, %7 an ellipsis line, %11 a symbol line,
+# %13 a run of 1-char words — so every rule fires on a known subset and
+# the oracle check proves the rule DECISIONS, not just the arithmetic.
+_G_PAD = " a" * 60
+
+_GOPHER_SQL = rf"""
+WITH deco AS (
+    SELECT doc_id,
+        (CASE WHEN doc_id % 13 = 0 THEN text || '{_G_PAD}' ELSE text END)
+        || chr(10) || (CASE WHEN doc_id % 5 = 0 THEN '- bullet one' ELSE 'body one' END)
+        || chr(10) || (CASE WHEN doc_id % 5 = 0 THEN '* bullet two' ELSE 'body two' END)
+        || chr(10) || (CASE WHEN doc_id % 7 = 0 THEN 'to be continued...' ELSE 'closing words' END)
+        || chr(10) || (CASE WHEN doc_id % 11 = 0 THEN '## ## ## ## ## ## ## ##' ELSE 'final line' END)
+        AS t
+    FROM documents
+),
+m AS (
+    SELECT doc_id, t,
+        str_split(trim(regexp_replace(lower(t), '\s+', ' ', 'g')), ' ') AS words,
+        trim(regexp_replace(lower(t), '\s+', ' ', 'g')) AS norm,
+        str_split(t, chr(10)) AS lines
+    FROM deco
+),
+m3 AS (
+    SELECT doc_id,
+        len(words) AS nw,
+        length(replace(norm, ' ', '')) AS total_chars,
+        length(norm) - length(replace(norm, '#', '')) AS hash_count,
+        len(lines) AS n_lines,
+        len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %')) AS bullets,
+        len(list_filter(lines, x -> x LIKE '%...')) AS ell_lines,
+        len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+        (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END) AS stop_hits
+    FROM m
+),
+m4 AS (
+    SELECT doc_id, nw, total_chars, hash_count, n_lines, bullets,
+           ell_lines, alpha_words, stop_hits,
+        NOT (nw BETWEEN 40 AND 100000) AS flag_word_count,
+        NOT ((total_chars / nw) BETWEEN 3.0 AND 10.0) AS flag_mean_word_len,
+        (hash_count / nw) >= 0.05 AS flag_symbol_ratio,
+        (bullets / n_lines) >= 0.3 AS flag_bullet_lines,
+        (ell_lines / n_lines) >= 0.2 AS flag_ellipsis_lines,
+        (alpha_words / nw) < 0.9 AS flag_alpha_words,
+        stop_hits < 2 AS flag_stopwords
+    FROM m3
+)
+SELECT doc_id,
+    CAST(nw AS BIGINT) AS n_words,
+    round(total_chars / nw, 4) AS mean_word_len,
+    round(hash_count / nw, 4) AS symbol_ratio,
+    round(bullets / n_lines, 4) AS bullet_frac,
+    round(ell_lines / n_lines, 4) AS ellipsis_frac,
+    round(alpha_words / nw, 4) AS alpha_frac,
+    CAST(stop_hits AS BIGINT) AS n_stop_hits,
+    flag_word_count, flag_mean_word_len, flag_symbol_ratio,
+    flag_bullet_lines, flag_ellipsis_lines, flag_alpha_words,
+    flag_stopwords,
+    NOT (flag_word_count OR flag_mean_word_len OR flag_symbol_ratio
+         OR flag_bullet_lines OR flag_ellipsis_lines OR flag_alpha_words
+         OR flag_stopwords) AS keep
+FROM m4
+"""
+
+
+@register(
+    "gopher_quality_flags",
+    sql=_GOPHER_SQL,
+    description="Gopher-family quality rule set (Rae et al. 2021 A1.1): "
+    "word-count bounds, mean word length, symbol-to-word ratio, "
+    "bullet/ellipsis line fractions, alpha-word fraction, stopword "
+    "presence — one boolean per rule + final keep verdict per doc, all "
+    "JVM-side expressions over one scan; inputs decorated so every rule "
+    "fires on a known doc_id residue class ([EXT] curation tier)",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: pure projection (split/filter/rlike lambdas are all
+    # whole-stage-codegen catalyst expressions) — no shuffle, no UDF;
+    # the rule table is a constant, not a join.
+    docs = read_table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    deco = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(_G_PAD)),
+            ).otherwise(F.col("text")),
+            nl,
+            F.when(F.col("doc_id") % 5 == 0, F.lit("- bullet one"))
+            .otherwise(F.lit("body one")),
+            nl,
+            F.when(F.col("doc_id") % 5 == 0, F.lit("* bullet two"))
+            .otherwise(F.lit("body two")),
+            nl,
+            F.when(F.col("doc_id") % 7 == 0, F.lit("to be continued..."))
+            .otherwise(F.lit("closing words")),
+            nl,
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("## ## ## ## ## ## ## ##"),
+            ).otherwise(F.lit("final line")),
+        ).alias("t"),
+    )
+    return T.gopher_quality_flags(deco, text_col="t", id_col="doc_id")

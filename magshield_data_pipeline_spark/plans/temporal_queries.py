@@ -256,3 +256,77 @@ def linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credit"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] time-series regularization: dense daily grid + LOCF fill (r8)
+
+_LOCF_EVERY = 97  # sparse observation subset: ~1% of events → real gaps
+
+_LOCF_SQL = f"""
+WITH sparse AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
+    FROM events WHERE event_id % {_LOCF_EVERY} = 0
+    GROUP BY 1, 2
+),
+span AS (
+    SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+    FROM events
+),
+grid AS (
+    SELECT t.event_type, CAST(g.day AS DATE) AS day
+    FROM (SELECT DISTINCT event_type FROM events) t, span s,
+         unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                                CAST(s.d1 AS TIMESTAMP),
+                                INTERVAL 1 DAY)) AS g(day)
+)
+SELECT g.event_type,
+       strftime(g.day, '%Y-%m-%d') AS day,
+       round(coalesce(
+           last_value(sp.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           0.0), 2) AS value_filled,
+       sp.v IS NULL AS was_gap
+FROM grid g
+LEFT JOIN sparse sp ON sp.event_type = g.event_type AND sp.day = g.day
+"""
+
+
+@register(
+    "gap_fill_locf_daily",
+    sql=_LOCF_SQL,
+    description="time-series regularization: sparse per-type daily sums "
+    "re-indexed onto the dense [min_day, max_day] grid with last-"
+    "observation-carried-forward fill (leading gaps default 0) — the "
+    "resample+ffill step feature pipelines run before training; grid "
+    "from one exploded span row (broadcast), fill is one running "
+    "rows-window per key ([EXT] temporal tier)",
+)
+def gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: 2 exchanges total — the sparse rollup's partial agg and
+    # the per-key LOCF window; the |types| x |days| grid builds from a
+    # broadcast cross join of one exploded single-row span frame.
+    events = read_table(spark, sf_dir, "events")
+    sparse = (
+        events.filter(F.col("event_id") % _LOCF_EVERY == 0)
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    span = events.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    keys = events.select("event_type").distinct()
+    filled = TP.gap_fill_locf(
+        sparse, keys, span,
+        key_col="event_type", day_col="day", val_col="v",
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("value_filled", 2).alias("value_filled"),
+        "was_gap",
+    )
