@@ -234,3 +234,150 @@ def customer_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         .lateralJoin(top2)
         .select("c_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native XML source (new in Spark 4): the third text lake format,
+# proven end-to-end like csv_ingest_rollup / jsonl_ingest_rollup
+
+
+_XML_SQL = """
+WITH sub AS (
+    SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM sub GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "xml_ingest_rollup",
+    sql=_XML_SQL,
+    description="Spark-4 native XML source proven end-to-end: an orders "
+    "subset written as <order> row elements and read back with an "
+    "explicit schema into a grouped rollup — the third text lake "
+    "format beside CSV/JSONL, same oracle-recomputes-from-raw contract "
+    "(reference analog: the XLSX report surface, report.py — XML is "
+    "the interchange format the reference's consumers actually parse)",
+)
+def xml_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the XML reader is a distributed file scan (one task per
+    # split, rowTag framing) — schema is EXPLICIT, never inferred, so
+    # no sampling pre-pass runs at 100 TB; the rollup partial-
+    # aggregates before its single exchange.
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = scratch_path(
+        "orders_xml", sf_dir, "key%11=0 (okey,priority,price) rowTag=order v1"
+    )
+
+    def _build(tmp: str) -> None:
+        (
+            orders.filter(F.col("o_orderkey") % 11 == 0)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .write.format("xml")
+            .option("rowTag", "order")
+            .save(tmp)
+        )
+
+    ensure_scratch(base, _build)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(schema)
+        .load(base)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (new in Spark 4): one row → many rows with overlap, as a
+# LATERAL-composable table function
+
+
+_UDTF_SQL = r"""
+WITH w AS (
+    SELECT doc_id,
+           str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               AS words
+    FROM documents
+    WHERE doc_id % 10 = 0 AND trim(text) <> ''
+),
+pos AS (
+    SELECT doc_id, words, len(words) AS n,
+           unnest(generate_series(
+               0, CAST(floor((len(words) - 1) / 20) AS INT))) AS p
+    FROM w
+)
+SELECT doc_id,
+       CAST(p AS INT) AS pos,
+       CAST(least(30, n - p * 20) AS INT) AS n_words,
+       array_to_string(list_slice(words, p * 20 + 1, p * 20 + 30), ' ')
+           AS window_text
+FROM pos
+"""
+
+
+@register(
+    "windowed_chunks_udtf",
+    sql=_UDTF_SQL,
+    description="Arrow-batched Python UDTF composed with LATERAL: "
+    "overlapping 30-word windows every 20 words per document (the "
+    "context-window-with-overlap chunking the built-in slice/explode "
+    "doesn't express) — row expansion planned inside the scan stage, "
+    "no shuffle added; the engine surface the reference's per-row "
+    "Python expansion loops (report.py) map onto",
+)
+def windowed_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A UDTF pickles by module reference; executor Python workers need
+    # not have this repo on sys.path → ship the defining module by
+    # value (same rule as the paged DataSource).  The lateral
+    # correlation is declared with the DataFrame API (an .outer()
+    # reference into the UDTF's argument), not a parameterized
+    # spark.sql — the {df} binding resolves through an ephemeral temp
+    # view that is gone by the time a plan-shape test (or any
+    # re-analysis) walks the logical plan.
+    from pyspark import cloudpickle
+    from pyspark.sql.functions import udtf
+
+    from magshield_data_pipeline_spark.operators import udtfs as _udtfs
+
+    cloudpickle.register_pickle_by_value(_udtfs)
+    chunker = udtf(
+        _udtfs.WindowedChunks,
+        returnType="pos int, n_words int, window_text string",
+        useArrow=True,
+    )
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 == 0) & (F.trim("text") != ""))
+        .alias("d")
+    )
+    return docs.lateralJoin(chunker(F.col("d.text").outer())).select(
+        "doc_id", "pos", "n_words", "window_text"
+    )

@@ -1748,3 +1748,71 @@ def paged_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source (r8): opaque-blob ingestion — the multimodal lake
+# pattern where media lives as FILES beside the metadata tables
+
+_BINFILE_N = 20  # fixed count, bounded at every SF (not a modulus)
+
+_BINFILE_SQL = f"""
+SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin'
+           AS file_name,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < {_BINFILE_N}
+"""
+
+
+@register(
+    "binary_file_ingest",
+    sql=_BINFILE_SQL,
+    description="spark.read.format('binaryFile') over a directory of "
+    "opaque blobs: per-file (name, byte length, content MD5) — the "
+    "ingestion path for media stored as FILES rather than parquet "
+    "binary columns (reference analog: the attachment download path, "
+    "opportunity_stage.py:56-80); oracle recomputes from the documents "
+    "rows the blobs were materialized from",
+)
+def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: binaryFile assigns one partition per file group (standard
+    # FileScan split planning, small files coalesced by
+    # maxPartitionBytes/openCostInBytes), so a million-blob directory
+    # fans out across executors like any other file source; content is
+    # only materialized into rows that survive column pruning — a
+    # metadata-only query (path, length) never reads the bytes.
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch as _ensure_scratch,
+        scratch_path as _scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = _scratch_path(
+        "doc_blobs", sf_dir, f"doc_id<{_BINFILE_N} utf8-text .bin v1"
+    )
+
+    def _build(tmp: str) -> None:
+        # bounded by construction: a FIXED count of fixture docs (a
+        # modulus would grow with the corpus and turn this driver-side
+        # materialization into an unbounded collect)
+        rows = (
+            docs.filter(F.col("doc_id") < _BINFILE_N)
+            .select("doc_id", "text")
+            .collect()
+        )
+        _os.makedirs(tmp, exist_ok=True)
+        for r in rows:
+            path = _os.path.join(tmp, f"doc_{r['doc_id']:06d}.bin")
+            with open(path, "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    _ensure_scratch(base, _build)
+    blobs = spark.read.format("binaryFile").load(base)
+    return blobs.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("byte_len"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -183,3 +183,25 @@ def test_admitted_pending_specs_hold_live_window_slots():
         assert n in QUERY_REGISTRY, f"admitted spec {n} not registered"
         if n not in hist:  # never driver-checked → tier 3 → in-window
             assert n in window, f"never-checked admitted spec {n} outside window"
+
+
+# ---------------------------------------------------------------------------
+# r8: UDTF chunker contract (overlap semantics the oracle can't isolate)
+
+
+def test_windowed_chunks_overlap_and_final_partial():
+    from magshield_data_pipeline_spark.operators.udtfs import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        WindowedChunks,
+    )
+
+    words = [f"w{i}" for i in range(45)]  # 45 words: windows at 0, 20, 40
+    rows = list(WindowedChunks().eval(" ".join(words)))
+    assert [r[0] for r in rows] == [0, 1, 2]
+    assert [r[1] for r in rows] == [30, 25, 5]  # final window is partial
+    w0, w1 = rows[0][2].split(), rows[1][2].split()
+    # consecutive windows overlap by size - stride words
+    assert w0[CHUNK_STRIDE:] == w1[: CHUNK_SIZE - CHUNK_STRIDE]
+    assert list(WindowedChunks().eval(None)) == []
+    assert list(WindowedChunks().eval("")) == []

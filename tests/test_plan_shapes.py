@@ -496,3 +496,107 @@ def test_window_rank_suite_single_shuffle_serves_all_ranks(spark):
     shuffles = plan.replace("BroadcastExchange", "").count("Exchange")
     assert shuffles <= 1, f"expected <=1 shuffle:\n{plan[:1500]}"
     assert plan.count("Sort") <= 2, "window functions split into extra sorts"
+
+
+# ---------------------------------------------------------------------------
+# r8: runtime bloom-filter join (the third runtime scan-reduction
+# technique beside static partition pruning and DPP)
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """At 100 TB the win condition: a selectively-filtered small side
+    injects a bloom filter into the BIG side's scan, discarding
+    non-matching fact rows before the join exchange.  The optimizer
+    gates injection on size estimates (creation side small enough to
+    build cheaply, application side big enough to be worth it) — the
+    fixture is below the default application threshold, so the test
+    pins BOTH branches of the decision rule."""
+    from pyspark.sql import functions as F
+
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+
+    li = read_table(spark, SF_SMALL, "lineitem")
+    orders = read_table(spark, SF_SMALL, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creation side: accept any build size; application side: any
+        # scan qualifies — the 100 TB regime, simulated
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        plan = optimized(j)
+        assert "might_contain" in plan, "bloom filter not applied to fact side"
+        assert "bloom_filter_agg" in plan, "bloom filter not built from dim side"
+        # the filter must sit on the FACT key (l_orderkey), pre-join
+        assert "might_contain" in plan.split("Join")[-1] or any(
+            "l_orderkey" in line
+            for line in plan.splitlines()
+            if "might_contain" in line
+        )
+        # size-gated OFF branch: at fixture scale with default
+        # thresholds the scan is too small to be worth a bloom build
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "10GB",
+        )
+        assert "might_contain" not in optimized(
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        ), "bloom filter injected below the size gate"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def test_binaryfile_metadata_query_never_reads_content(spark):
+    # column pruning must reach the binaryFile scan: a (path, length)
+    # projection reads file METADATA only — at a million blobs that is
+    # a listing, not a byte-for-byte read
+    QUERY_REGISTRY["binary_file_ingest"].fn(spark, SF_SMALL)  # builds blobs
+    from magshield_data_pipeline_spark.sources.scratch import scratch_path
+
+    base = scratch_path("doc_blobs", SF_SMALL, "doc_id<20 utf8-text .bin v1")
+    meta = (
+        spark.read.format("binaryFile").load(base).select("path", "length")
+    )
+    plan = _physical_plan(meta)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("content" not in l for l in read_schema), (
+        f"content column not pruned from the binaryFile scan:\n{read_schema}"
+    )
+
+
+def _shuffles(plan: str) -> int:
+    return plan.replace("BroadcastExchange", "").count("Exchange")
+
+
+def test_udtf_lateral_expansion_adds_no_shuffle(spark):
+    # the UDTF fan-out must plan inside the scan stage: an Arrow-
+    # batched Python eval over the lateral correlation, ZERO exchanges
+    df = QUERY_REGISTRY["windowed_chunks_udtf"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert _shuffles(plan) == 0, f"UDTF expansion shuffled:\n{plan[:1200]}"
+    assert "PythonUDTF" in plan or "udtf" in plan.lower()
+
+
+def test_xml_rollup_partial_aggregates_before_one_exchange(spark):
+    df = QUERY_REGISTRY["xml_ingest_rollup"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert _shuffles(plan) == 1
+    assert "FileScan xml" in plan or "xml" in plan.lower()
