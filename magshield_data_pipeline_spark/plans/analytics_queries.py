@@ -835,3 +835,101 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (r8): k-anonymity's necessary complement — a group
+# can be large (k-anonymous) yet expose everyone in it when the
+# SENSITIVE attribute barely varies inside the group (Machanavajjhala
+# et al. 2007). Quasi-identifiers: (nation, segment); sensitive:
+# coarse balance band.
+
+_L_DIV = 5
+
+_L_DIV_SQL = f"""
+SELECT c_nationkey AS nation_key,
+       c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+            AS BIGINT) AS n_sensitive
+FROM customer
+GROUP BY 1, 2
+HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < {_L_DIV}
+"""
+
+
+@register(
+    "l_diversity_violations",
+    sql=_L_DIV_SQL,
+    description=f"l-diversity audit (l={_L_DIV}, Machanavajjhala 2007): "
+    "quasi-identifier groups whose SENSITIVE attribute (coarse balance "
+    "band) takes fewer than l distinct values — groups k-anonymity "
+    "passes but an attribute-disclosure attack still cracks; one "
+    "partial-agg scan with a distinct-count, band edges exact "
+    "power-of-10 divisions of 2-decimal money ([EXT] privacy tier, "
+    "beside k_anonymity_violations)",
+)
+def l_diversity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: count_distinct over a coarse band (≤ a few dozen values
+    # per group) — the partial-agg expands to (group, band) then
+    # collapses; no window, no join.
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nation_key"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(
+                F.floor(F.col("c_acctbal") / 1000)
+            ).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < _L_DIV)
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (r8): heterogeneous rollups in ONE pass — the report
+# shape the reference builds by running one pandas groupby per sheet
+# (report.py) and that CUBE (corpus_cube_summary) over-produces
+
+_GSETS_SQL = """
+SELECT o_orderpriority AS priority,
+       o_orderstatus AS status,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register(
+    "grouping_sets_rollup",
+    sql=_GSETS_SQL,
+    description="GROUPING SETS: per-priority, per-status, and grand-"
+    "total rollups in ONE scan via DataFrame.groupingSets + "
+    "grouping_id to disambiguate aggregation-null from data-null — "
+    "the three per-sheet pandas groupbys of the reference's report "
+    "builder (report.py) as one Expand + one exchange, vs CUBE's 2^n "
+    "superset ([EXT] analytics surface)",
+)
+def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: Expand replicates each input row once per grouping set
+    # (3x here, vs 4x under CUBE) BEFORE the partial agg, so the
+    # exchange still carries only group cells; one shuffle total.
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [[F.col("o_orderpriority")], [F.col("o_orderstatus")], []],
+        F.col("o_orderpriority"),
+        F.col("o_orderstatus"),
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        "gid", "n_orders", "revenue",
+    )

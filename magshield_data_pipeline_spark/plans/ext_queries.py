@@ -3535,3 +3535,119 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(w))
         .filter(F.col("fused_rank") <= _RRF_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — BFS shortest hops over the trade graph (r8): the iterative
+# frontier-expansion shape, proven against a RECURSIVE oracle
+
+_BFS_FANOUT = 2   # top-k out-edges per node (by weight) sparsify the
+                  # near-complete trade graph into one with real depth
+_BFS_MAX_HOPS = 6
+
+_BFS_SQL = f"""
+WITH RECURSIVE flows AS (
+    SELECT n1.n_name AS src, n2.n_name AS dst, CAST(count(*) AS BIGINT) AS w
+    {NATION_FLOW_JOIN_SQL}
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst)
+                   AS rn
+        FROM flows
+    ) WHERE rn <= {_BFS_FANOUT}
+),
+start AS (
+    -- data-derived source: the highest-outflow nation (name tiebreak)
+    -- is guaranteed out-edges at every SF; a fixed nationkey is not
+    SELECT src AS node FROM flows
+    GROUP BY src ORDER BY sum(w) DESC, src LIMIT 1
+),
+bfs(node, hops) AS (
+    SELECT node, 0 FROM start
+    UNION
+    SELECT e.dst, b.hops + 1
+    FROM bfs b JOIN edges e ON e.src = b.node
+    WHERE b.hops < {_BFS_MAX_HOPS}
+)
+SELECT node AS nation, CAST(min(hops) AS BIGINT) AS hops
+FROM bfs GROUP BY node
+"""
+
+
+@register(
+    "nation_hops_bfs",
+    sql=_BFS_SQL,
+    description=f"BFS shortest hops (≤{_BFS_MAX_HOPS}) from the "
+    "nationkey-0 nation over the top-"
+    f"{_BFS_FANOUT}-weighted trade edges: the iterative frontier-"
+    "expansion algorithm (visited-set anti-join pruning per level) "
+    "hash-proven against DuckDB's WITH RECURSIVE fixpoint — the "
+    "level-synchronous BFS every graph engine distributes ([EXT] graph "
+    "tier, beside PageRank / triangles / connected components)",
+)
+def nation_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the fact-table edge rollup is the ONE data-proportional
+    # stage (same shuffle PageRank pays); every BFS level is a join of
+    # the ≤25-row frontier against the persisted top-k edge frame
+    # (broadcast both sides — iterations add no exchange), with a
+    # visited anti-join so a node enters exactly one level (first seen
+    # = min hops; the recursive oracle takes min over all levels —
+    # identical result, and the pruned form is the one that scales:
+    # frontier size is bounded by the unvisited set, never by path
+    # count, which in a cyclic graph grows without bound).
+    from pyspark.sql.window import Window
+
+    flows = (
+        nation_flow_frame(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()  # consumed by the edge ranking AND the start pick
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    )
+    # localCheckpoint truncates the 5-join edge lineage ONCE — without
+    # it every BFS level re-embeds the whole fact-scan subtree and the
+    # plan (and its task binary) grows multiplicatively per level
+    # (same rule as dedup.connected_components' per-round materialize;
+    # a real cluster run would pass a reliable checkpoint dir instead)
+    edges = (
+        flows.withColumn("rn", rn)
+        .filter(F.col("rn") <= _BFS_FANOUT)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    start = (
+        flows.groupBy("src")
+        .agg(F.sum("w").alias("wout"))
+        .orderBy(F.desc("wout"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    visited = start
+    frontier = start
+    for i in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(
+                F.broadcast(edges), frontier.node == edges.src
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.lit(i).cast("long").alias("hops"),
+            )
+            .distinct()
+            # visited is bounded by the 25-node dimension: broadcast
+            # the anti-join so levels never shuffle
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
+            # per-level truncation keeps level plans CONSTANT-size
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited.select(F.col("node").alias("nation"), "hops")

@@ -58,6 +58,9 @@ _ALLOW_BNLJ = {
     # scored (term, doc) rows × the ONE-row corpus stats frame
     # (N, avgdl) — BM25's global normalizers
     "bm25_topk_docs",
+    # grid build: keys × the day axis exploded from ONE span row —
+    # bounded by calendar days, broadcast by construction
+    "gap_fill_locf_daily",
     # the dense list is brute_force_topk's bounded broadcast cross
     # (3 query vectors × corpus) + BM25's one-row stats cross
     "hybrid_rrf_retrieval",
