@@ -3630,6 +3630,10 @@ def nation_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("hops"))
         .localCheckpoint(eager=True)
     )
+    # both consumers are now EAGERLY materialized (checkpointed), so
+    # the shared rollup can be released immediately — no cache entry
+    # outlives the build (the bm25 lifecycle rule, applied at source)
+    flows.unpersist()
     visited = start
     frontier = start
     for i in range(1, _BFS_MAX_HOPS + 1):

@@ -621,3 +621,54 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return W.run_available_now(agg, state_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# stream-stream LEFT OUTER interval join (r8): the null-emission half
+# of the streaming join surface — results that may only appear when the
+# watermark PROVES no match can still arrive
+
+_SSJ_OUTER_SQL = """
+WITH c AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+-- the global watermark at drain time: min of both sides' max event
+-- time (Spark tracks event-time stats at ms precision) minus the delay
+wm AS (
+    SELECT least(date_trunc('millisecond', (SELECT max(ts) FROM c)),
+                 date_trunc('millisecond', (SELECT max(ts) FROM p)))
+           - INTERVAL 10 MINUTE AS w
+)
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM c LEFT JOIN p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+WHERE p.event_id IS NOT NULL                      -- matches emit eagerly
+   OR c.ts + INTERVAL '30 minutes' < (SELECT w FROM wm)  -- proven unmatched
+"""
+
+
+@register(
+    "streaming_outer_interval_join",
+    sql=_SSJ_OUTER_SQL,
+    description="stream-stream LEFT OUTER interval join: matches emit "
+    "eagerly; null-padded rows emit ONLY once the global watermark "
+    "(min of both sides' max event time - delay) proves no match can "
+    "still arrive, and rows still inside that horizon at drain stay "
+    "buffered — the oracle states the left join PLUS the watermark "
+    "cutoff, so the stateful emission contract itself is hash-checked "
+    "([EXT] streaming, beside the inner streaming_interval_join)",
+)
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: same bounded state as the inner join (two-sided time
+    # bound + watermarks); the outer side only delays emission to the
+    # watermark, it buffers nothing extra.
+    stream = W.read_events_stream(spark, sf_dir)
+    joined = W.stream_stream_interval_join_outer(
+        stream, left_type="click", right_type="purchase",
+        within="30 minutes", watermark="10 minutes",
+    )
+    return W.run_available_now(joined, output_mode="append", state_partitions=8)

@@ -252,3 +252,60 @@ def stream_stream_interval_join(
         F.col("l_id").alias("click_id"),
         F.col("r_id").alias("purchase_id"),
     )
+
+
+def stream_stream_interval_join_outer(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every *left_type* event, paired
+    with matching *right_type* events in ``[ts, ts + within]`` or
+    null-padded once NO match can still arrive.
+
+    The outer half is what makes this a genuinely stateful contract
+    the inner join doesn't have: a null-padded result may only emit
+    when the GLOBAL watermark (min of both sides' max event time,
+    each minus the delay) passes ``l_ts + within`` — before that the
+    row might still match and must stay buffered.  Rows still inside
+    that horizon when the stream drains are NOT emitted (they are
+    awaiting more data, not unmatched) — so the batch-parity oracle is
+    the left join plus the watermark cutoff, spelled out in
+    plans/window_queries.py::_SSJ_OUTER_SQL.  Spark tracks event-time
+    stats at millisecond precision; the oracle mirrors that with a
+    millisecond truncation before subtracting the delay.
+
+    State bounds are the inner join's (two-sided time bound + both
+    watermarks); the outer side adds only the per-row emitted/not bit.
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+    )

@@ -600,3 +600,40 @@ def test_foreachbatch_upsert_maintains_rollup_incrementally(spark):
         "incrementally maintained table diverged from the batch "
         f"rollup: {sorted(t2)}"
     )
+
+
+def test_outer_join_null_emission_gated_by_watermark(spark):
+    """The left-outer contract (r8): a match emits eagerly; an
+    unmatched click emits null-padded ONLY once the global watermark
+    (min of both sides' max event time - delay) passes l_ts + within;
+    a click still inside that horizon at drain is BUFFERED, never
+    emitted — the exact model the registered oracle states."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, ["user_id", "ts", "event_type", "event_id"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    rows = frame([
+        # matched click: emits (1, 100, 101)
+        (1, datetime(2024, 1, 1, 10, 0, 0), "click", 100),
+        (1, datetime(2024, 1, 1, 10, 20, 0), "purchase", 101),
+        # unmatched click, horizon 9:30+30m=10:00 < wm → flushes null
+        (2, datetime(2024, 1, 1, 9, 30, 0), "click", 200),
+        # unmatched click, horizon 11:50+30m=12:20 > wm → stays buffered
+        (3, datetime(2024, 1, 1, 11, 50, 0), "click", 300),
+        # advances both watermarks to 12:00 - 5m = 11:55
+        (9, datetime(2024, 1, 1, 12, 0, 0), "click", 900),
+        (9, datetime(2024, 1, 1, 12, 0, 0), "purchase", 901),
+    ])
+    path = tmp_parquet(spark, rows)
+    stream = _events_stream(spark, str(path), rows.schema)
+    out = W.run_available_now(
+        W.stream_stream_interval_join_outer(
+            stream, within="30 minutes", watermark="5 minutes"
+        ),
+        output_mode="append",
+        state_partitions=4,
+    ).collect()
+    got = sorted((r.user_id, r.click_id, r.purchase_id) for r in out)
+    # click 900's own horizon (12:30) is past wm (11:55) → buffered too
+    assert got == [(1, 100, 101), (2, 200, None), (9, 900, 901)]
