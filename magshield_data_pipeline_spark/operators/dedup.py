@@ -653,3 +653,51 @@ def bloom_incremental_dedup(
             *[F.col(f"w.{c}").alias(c) for c in keep],
         )
     )
+
+
+def lsh_band_buckets_stateless(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`lsh_band_buckets` as a PURE PROJECTION — per-doc min-hash
+    via ``array_min(transform(shingles, …))`` instead of the
+    explode+groupBy rollup, producing IDENTICAL (id, band, bucket)
+    rows (min over the same shingle set; pytest-pinned equivalence).
+
+    Exists for Structured Streaming: an aggregation would force the
+    band derivation into a stateful stage (and forbid the downstream
+    stream-static index join in append mode), while this form keeps
+    the whole signature stateless so it pipelines inside the stream's
+    scan stage.  Batch callers should prefer the relational form: the
+    map-side-combined groupBy shuffles one signature candidate per
+    (doc, partition), whereas this evaluates k transforms over each
+    doc's full shingle array in one task — same asymptotics, larger
+    constant on long docs.  A doc with no shingles yields a NULL
+    bucket (array_min of empty), which every downstream equi-join
+    drops — the same outcome as the relational form's missing row.
+    """
+    sh = word_shingles(text_col)
+
+    # seed captured via a factory, NOT `lambda x, i=i`: pyspark reads a
+    # transform lambda's ARITY, and a two-parameter lambda is the
+    # (element, index) form — the default would be silently rebound to
+    # the array-index Column
+    def _seeded(seed: int):
+        return lambda x: F.md5(F.concat(F.lit(f"{seed}|"), x))
+
+    mins = [F.array_min(F.transform(sh, _seeded(i))) for i in range(MINHASH_K)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[mins[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )

@@ -672,3 +672,79 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         within="30 minutes", watermark="10 minutes",
     )
     return W.run_available_now(joined, output_mode="append", state_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup candidates (r8): continuous ingestion probing a
+# static MinHash-LSH index — the online half of the dedup funnel
+
+_SNDC_SPLIT = 10  # doc_id % 10 == 0 streams in; the rest ARE the corpus
+
+_SNDC_SQL = f"""
+WITH w AS (SELECT doc_id, {{words}} AS w FROM documents),
+sh AS (SELECT doc_id, {{shingles}} AS sh FROM w),
+sig AS (SELECT doc_id, {{sig_cols}} FROM sh),
+buckets AS ({{bucket_selects}}),
+corpus AS (SELECT * FROM buckets WHERE doc_id % {_SNDC_SPLIT} <> 0),
+batch  AS (SELECT * FROM buckets WHERE doc_id % {_SNDC_SPLIT} = 0)
+SELECT DISTINCT b.doc_id AS new_doc, c.doc_id AS corpus_doc
+FROM batch b
+JOIN corpus c ON b.band = c.band AND b.bucket = c.bucket
+"""
+
+
+def _sndc_sql() -> str:
+    # ext_queries is imported by the registry BEFORE this module, so
+    # pulling its shingle/signature SQL fragments here is cycle-free —
+    # ONE definition of the banding scheme shared with the batch twin
+    from magshield_data_pipeline_spark.plans import ext_queries as X
+
+    return _SNDC_SQL.format(
+        words=X._WORDS,
+        shingles=X._SHINGLES,
+        sig_cols=X._SIG_COLS,
+        bucket_selects=X._BUCKET_SELECTS,
+    )
+
+
+@register(
+    "streaming_near_dup_candidates",
+    sql=_sndc_sql(),
+    description="continuous-ingestion near-dup detection: a stream of "
+    "new documents derives MinHash-LSH band buckets STATELESSLY "
+    "(array_min/transform projection — no aggregation, so the plan "
+    "stays append-legal) and probes the static corpus index via a "
+    "stream-static join; oracle = the batch band join over the same "
+    "split — the online half of the dedup funnel ([EXT] streaming + "
+    "dedup tiers)",
+)
+def streaming_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the corpus bucket table is the materialized index (built
+    # once, re-snapshotted per micro-batch here because it derives
+    # from a static frame); per-batch cost is O(batch buckets +
+    # collisions), never O(corpus²) — the incremental_candidate_pairs
+    # contract, run continuously. dropDuplicates holds one state row
+    # per emitted pair; production bounds it with
+    # dropDuplicatesWithinWatermark on an ingest-time column.
+    from magshield_data_pipeline_spark.operators import dedup as D
+
+    corpus = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _SNDC_SPLIT != 0
+    )
+    corpus_idx = D.lsh_band_buckets(corpus).select(
+        "band", "bucket", F.col("doc_id").alias("corpus_doc")
+    )
+    stream = W.read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _SNDC_SPLIT == 0
+    )
+    batch_idx = D.lsh_band_buckets_stateless(stream)
+    pairs = (
+        batch_idx.join(corpus_idx, ["band", "bucket"])
+        .select(
+            F.col("doc_id").alias("new_doc"),
+            "corpus_doc",
+        )
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+    return W.run_available_now(pairs, output_mode="append", state_partitions=8)
+

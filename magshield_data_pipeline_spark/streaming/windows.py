@@ -309,3 +309,18 @@ def stream_stream_interval_join_outer(
         F.col("l_id").alias("click_id"),
         F.col("r_id").alias("purchase_id"),
     )
+
+
+def read_table_stream(spark, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` over any fixture table (the read_events_stream
+    pattern generalized): schema from the static footer read, glob
+    filter selecting the one file; events additionally get the ts
+    normalization."""
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(raw) if name == "events" else raw

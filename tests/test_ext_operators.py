@@ -407,3 +407,35 @@ def test_sharded_hll_estimate_within_tolerance(spark):
     exact = events.agg(F.count_distinct("user_id").alias("n")).collect()[0]["n"]
     assert exact > 0
     assert abs(approx - exact) / exact <= 0.05
+
+
+def test_stateless_band_buckets_match_relational_form(spark):
+    """The streaming-safe projection form (array_min/transform) must
+    produce EXACTLY the relational form's (id, band, bucket) rows —
+    the two implement ONE banding scheme.  Regression coverage for the
+    transform-lambda arity trap: a two-parameter lambda is pyspark's
+    (element, index) form, which silently rebinds a default-captured
+    seed to the array-index Column and shifts every min-hash."""
+    from magshield_data_pipeline_spark.operators import dedup as D
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    rel = sorted(map(tuple, D.lsh_band_buckets(docs).collect()))
+    sl = sorted(map(tuple, D.lsh_band_buckets_stateless(docs).collect()))
+    assert rel == sl
+
+
+def test_stateless_band_buckets_is_aggregation_free(spark):
+    # the whole point of the stateless form: no groupBy/Exchange, so a
+    # stream can derive buckets inside its scan stage
+    from magshield_data_pipeline_spark.operators import dedup as D
+    from magshield_data_pipeline_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    plan = (
+        D.lsh_band_buckets_stateless(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Aggregate" not in plan, plan[:800]
