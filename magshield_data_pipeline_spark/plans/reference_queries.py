@@ -1816,3 +1816,94 @@ def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("byte_len"),
         F.md5("content").alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER round-trip (r8): the write half of the
+# custom-connector story (K2/K3 upload-then-swap, distributed)
+
+_PYSINK_SQL = """
+WITH sub AS (
+    SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 17 = 0
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM sub GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "python_sink_roundtrip",
+    sql=_PYSINK_SQL,
+    description="Python DataSource WRITER proven end-to-end: an orders "
+    "subset written through the task-staged atomic-commit jsonl_sink "
+    "(per-task staging, driver-side rename publish + _SUCCESS "
+    "manifest — the distributed form of the reference's "
+    "upload-then-swap, report.py), read back and rolled up; oracle "
+    "recomputes from the raw table, and the build asserts the "
+    "manifest row count (S/K custom-connector tier, write half)",
+)
+def python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import jsonl_sink as _sink
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch as _ensure_scratch,
+        scratch_path as _scratch_path,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = _scratch_path(
+        "orders_pysink", sf_dir, "key%17=0 (okey,status,price) jsonl_sink v1"
+    )
+
+    def _build(tmp: str) -> None:
+        _sink.register(spark)
+        (
+            orders.filter(F.col("o_orderkey") % 17 == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.format("jsonl_sink")
+            .option("path", tmp)
+            .mode("append")
+            .save()
+        )
+        # the committed manifest must account for every row written
+        with open(_os.path.join(tmp, "_SUCCESS")) as f:
+            manifest = _json.load(f)
+        staged_left = _os.listdir(_os.path.join(tmp, "_staged"))
+        if staged_left:
+            raise RuntimeError(f"uncommitted stage debris: {staged_left}")
+        n_src = orders.filter(F.col("o_orderkey") % 17 == 0).count()
+        if manifest["rows"] != n_src:
+            raise RuntimeError(
+                f"manifest rows {manifest['rows']} != source rows {n_src}"
+            )
+
+    _ensure_scratch(base, _build)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(base)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

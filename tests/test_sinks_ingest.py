@@ -193,3 +193,60 @@ def test_read_table_spread_conditional_no_op(spark, tmp_path):
     a = sorted(r.doc_id for r in narrow.select("doc_id").collect())
     b = sorted(r.doc_id for r in spread.select("doc_id").collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# r8: Python DataSource writer — the all-or-nothing publish contract
+
+
+def test_jsonl_sink_failed_job_publishes_nothing(spark, tmp_path):
+    """A task failure mid-job must leave NO published part files and NO
+    _SUCCESS manifest — abort removes stage debris, and a reader
+    gated on the manifest sees the pre-job state (the upload-then-swap
+    contract the sink distributes)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from magshield_data_pipeline_spark.sources import jsonl_sink as sink
+
+    sink.register(spark)
+    out = str(tmp_path / "out")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") == 63, F.raise_error(F.lit("boom")))
+        .otherwise(F.lit("v")).alias("v"),
+    )
+    with pytest.raises(Exception, match="boom"):
+        df.write.format("jsonl_sink").option("path", out).mode(
+            "append"
+        ).save()
+    published = (
+        [f for f in os.listdir(out) if not f.startswith("_")]
+        if os.path.isdir(out)
+        else []
+    )
+    assert published == [], f"partial output published: {published}"
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_jsonl_sink_commit_manifest_counts_rows(spark, tmp_path):
+    import json
+    import os
+
+    from magshield_data_pipeline_spark.sources import jsonl_sink as sink
+
+    sink.register(spark)
+    out = str(tmp_path / "ok")
+    spark.range(57).repartition(4).write.format("jsonl_sink").option(
+        "path", out
+    ).mode("append").save()
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 57
+    assert os.listdir(os.path.join(out, "_staged")) == []
+    back = spark.read.schema("id long").option(
+        "pathGlobFilter", "part-*.jsonl"
+    ).json(out)
+    assert back.count() == 57
