@@ -273,7 +273,12 @@ def gap_fill_locf(
     |keys| rows x |days| — never a shuffle; the observed values attach
     with ONE left join keyed (key, day); LOCF is ONE running window
     per key (rows-frame ``last(ignorenulls)``, no sort spill beyond
-    |days| rows per key).  Total: 2 exchanges for any corpus size.
+    |days| rows per key).  Exchange budget: each caller-supplied
+    input that derives from a fact scan (sparse rollup, span, keys)
+    partial-aggregates before its shuffle, and the window adds one
+    exchange over the BOUNDED grid — so the only data-proportional
+    shuffles are the callers' own rollups (plan-pinned in
+    tests/test_plan_shapes.py::test_gap_fill_locf_exchange_budget).
     """
     days = span.select(
         F.explode(F.sequence("d0", "d1")).alias(day_col)

@@ -304,9 +304,11 @@ LEFT JOIN sparse sp ON sp.event_type = g.event_type AND sp.day = g.day
     "rows-window per key ([EXT] temporal tier)",
 )
 def gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale: 2 exchanges total — the sparse rollup's partial agg and
-    # the per-key LOCF window; the |types| x |days| grid builds from a
-    # broadcast cross join of one exploded single-row span frame.
+    # Scale: the sparse/span/keys rollups each partial-aggregate off
+    # the fact scan before their (tiny) exchanges; the per-key LOCF
+    # window runs over the bounded |types| x |days| grid, which builds
+    # from a broadcast cross join of one exploded single-row span
+    # frame — no data-proportional shuffle beyond the input rollups.
     events = read_table(spark, sf_dir, "events")
     sparse = (
         events.filter(F.col("event_id") % _LOCF_EVERY == 0)

@@ -603,3 +603,34 @@ def test_xml_rollup_partial_aggregates_before_one_exchange(spark):
     plan = _physical_plan(df)
     assert _shuffles(plan) == 1
     assert "FileScan xml" in plan or "xml" in plan.lower()
+
+
+def test_grouping_sets_one_expand_one_exchange(spark):
+    # 3 heterogeneous rollups must share ONE scan: Expand(3×) before
+    # the partial agg, exactly one shuffle — never a union of 3 scans
+    df = QUERY_REGISTRY["grouping_sets_rollup"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "Expand" in plan
+    assert _shuffles(plan) == 1, plan[:1200]
+    assert plan.count("FileScan") == 1, "grouping sets split into re-scans"
+
+
+def test_l_diversity_single_shuffle_partial_agg(spark):
+    df = QUERY_REGISTRY["l_diversity_violations"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    # distinct-count expands to (group, band) then collapses — still
+    # bounded exchanges and partial aggregation before each
+    assert _shuffles(plan) <= 2, plan[:1200]
+    assert "partial" in plan.lower()
+
+
+def test_gap_fill_locf_exchange_budget(spark):
+    # documented budget: three partial-agg rollups off the fact scan
+    # (sparse values, span, distinct keys — each collapses BEFORE its
+    # exchange) + the per-key LOCF window over the bounded grid; the
+    # grid build itself is broadcast-only (no shuffle)
+    df = QUERY_REGISTRY["gap_fill_locf_daily"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert _shuffles(plan) <= 4, plan[:1500]
+    # every fact-side aggregate partial-aggregates before shuffling
+    assert "partial_sum" in plan and "partial_min" in plan

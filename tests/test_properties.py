@@ -407,3 +407,99 @@ def test_es_key_deterministic_and_weight_monotone(spark, rows):
     }
     # rounded to 9 decimals: monotone non-strict at tiny magnitudes
     assert all(doubled[i] >= k1[i] for i in k1)
+
+
+# ---------------------------------------------------------------------------
+# r8 operators
+
+
+@settings(**_SETTINGS)
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=0, max_value=14),  # day offsets in the span
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        max_size=10,
+    )
+)
+def test_gap_fill_locf_matches_python_reference(spark, obs):
+    """LOCF over any sparse observation set equals the sequential
+    python fold: carry the last seen value, default before the first
+    observation; was_gap marks exactly the non-observed days."""
+    import datetime
+
+    from magshield_data_pipeline_spark.operators import temporal as TP
+
+    d0 = datetime.date(2024, 3, 1)
+    days = [d0 + datetime.timedelta(days=i) for i in range(15)]
+    sparse = spark.createDataFrame(
+        [("k", d0 + datetime.timedelta(days=i), v) for i, v in obs.items()],
+        "key string, day date, value double",
+    )
+    keys = spark.createDataFrame([("k",)], "key string")
+    span = spark.createDataFrame([(days[0], days[-1])], "d0 date, d1 date")
+    got = {
+        r["day"]: (r["value_filled"], r["was_gap"])
+        for r in TP.gap_fill_locf(sparse, keys, span).collect()
+    }
+    last = 0.0
+    for i, day in enumerate(days):
+        if i in obs:
+            last = obs[i]
+        assert got[day] == (last, i not in obs)
+    assert len(got) == len(days)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.text(
+            # include combining marks (Mn) and precomposed latin so the
+            # NFC/NFD paths actually exercise; exclude surrogates
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_unicode_canonicalize_matches_unicodedata(spark, vals):
+    import unicodedata
+
+    from magshield_data_pipeline_spark.operators import text as TT
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    out = TT.unicode_canonicalize(df, text_col="v").collect()
+    for r in out:
+        v = r["v"]
+        assert r["nfc_text"] == unicodedata.normalize("NFC", v)
+        assert r["stripped_text"] == "".join(
+            ch
+            for ch in unicodedata.normalize("NFD", v)
+            if unicodedata.category(ch) != "Mn"
+        )
+        # idempotence: canonical forms are fixed points
+        assert unicodedata.normalize("NFC", r["nfc_text"]) == r["nfc_text"]
+
+
+@settings(**_SETTINGS)
+@given(n_words=st.integers(min_value=0, max_value=120))
+def test_windowed_chunks_closed_form(n_words):
+    """Window positions/sizes follow the closed form the SQL twin
+    states: starts at multiples of the stride while < n_words; window
+    p holds min(size, n - p*stride) words; consecutive windows overlap
+    by size - stride."""
+    from magshield_data_pipeline_spark.operators.udtfs import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        WindowedChunks,
+    )
+
+    words = [f"w{i}" for i in range(n_words)]
+    rows = list(WindowedChunks().eval(" ".join(words)))
+    expect_n = 0 if n_words == 0 else (n_words - 1) // CHUNK_STRIDE + 1
+    assert len(rows) == expect_n
+    for pos, n, text in rows:
+        start = pos * CHUNK_STRIDE
+        assert n == min(CHUNK_SIZE, n_words - start)
+        assert text.split() == words[start : start + CHUNK_SIZE]
