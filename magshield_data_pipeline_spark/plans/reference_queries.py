@@ -1856,7 +1856,7 @@ def python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, sf_dir, "orders")
     base = _scratch_path(
-        "orders_pysink", sf_dir, "key%17=0 (okey,status,price) jsonl_sink v1"
+        "orders_pysink", sf_dir, "key%17=0 (okey,status,price) jsonl_sink v2 job-unique parts"
     )
 
     def _build(tmp: str) -> None:

@@ -76,9 +76,17 @@ class JsonlSinkWriter(DataSourceWriter):
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages) -> None:
+        # part names carry a job-unique token: a second job appending to
+        # the same path must never silently overwrite an earlier job's
+        # files.  The manifest still describes THIS job's publish only —
+        # the sink's contract is "one job lands atomically", not a
+        # cross-job append ledger (that is a table format's job; at
+        # 100 TB this commit is the manifest-swap primitive such a
+        # format builds on).
+        job = uuid.uuid4().hex[:8]
         counts = {}
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{job}-{i:05d}.jsonl")
             os.rename(m.staged_path, final)  # atomic publish per file
             counts[os.path.basename(final)] = m.n_rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:

@@ -250,3 +250,25 @@ def test_jsonl_sink_commit_manifest_counts_rows(spark, tmp_path):
         "pathGlobFilter", "part-*.jsonl"
     ).json(out)
     assert back.count() == 57
+
+
+def test_jsonl_sink_second_job_never_overwrites_first(spark, tmp_path):
+    import os
+
+    from magshield_data_pipeline_spark.sources import jsonl_sink as sink
+
+    sink.register(spark)
+    out = str(tmp_path / "two")
+    spark.range(10).repartition(2).write.format("jsonl_sink").option(
+        "path", out
+    ).mode("append").save()
+    first = {f for f in os.listdir(out) if f.startswith("part-")}
+    spark.range(10, 25).repartition(2).write.format("jsonl_sink").option(
+        "path", out
+    ).mode("append").save()
+    both = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert first < both, "second job clobbered the first job's files"
+    back = spark.read.schema("id long").option(
+        "pathGlobFilter", "part-*.jsonl"
+    ).json(out)
+    assert back.count() == 25  # union of both jobs, nothing lost
