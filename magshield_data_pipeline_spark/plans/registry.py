@@ -170,6 +170,13 @@ _WINDOW_PINS: list[tuple[str, int]] = [
     ("dsir_importance_weights", 8),
     ("bm25_topk_docs", 8),
     ("hybrid_rrf_retrieval", 8),
+    # late r8: read_events_stream now delegates to the generalized
+    # read_table_stream (identical path; behavior re-proven by the
+    # streaming pytest suite + three parity checks) — the one
+    # r7-fresh-green consumer re-proves under the driver too; the
+    # other stream consumers are r4/r6-stale and re-enter through the
+    # ordinary staleness tiers
+    ("stream_static_enrich", 8),
 ]
 
 

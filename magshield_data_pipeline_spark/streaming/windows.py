@@ -33,21 +33,11 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over events.parquet. Schema comes from the static
-    footer read (streaming file sources require an explicit schema); the
-    ts column is normalized to a µs timestamp exactly like the batch
+    """``readStream`` over events.parquet — ``read_table_stream`` with
+    the ts column normalized to a µs timestamp exactly like the batch
     reader (sources/parquet.py:normalize_event_ts — handles both the
     nanos-long and TIMESTAMP_NTZ physical layouts)."""
-    ensure_runtime_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the streaming file source requires a directory basePath; select
-    # just the events file with a glob filter
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return normalize_event_ts(raw)
+    return read_table_stream(spark, sf_dir, "events")
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -312,10 +302,12 @@ def stream_stream_interval_join_outer(
 
 
 def read_table_stream(spark, sf_dir: str, name: str) -> DataFrame:
-    """``readStream`` over any fixture table (the read_events_stream
-    pattern generalized): schema from the static footer read, glob
-    filter selecting the one file; events additionally get the ts
-    normalization."""
+    """``readStream`` over any fixture table — the ONE definition of
+    the stream-source pattern (read_events_stream delegates here, per
+    the ADVICE-r7 no-duplicate-rule precedent): schema from the static
+    footer read (streaming file sources require an explicit schema), a
+    glob filter selecting the one file against the directory basePath;
+    events additionally get the ts normalization."""
     ensure_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     raw = (
