@@ -13,12 +13,13 @@ Engine contract:
   with ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounding batch
   memory;
 - decode is REAL for binary PPM (P6), 8-bit RGB PNG (stdlib zlib:
-  inflate + crc32 + per-scanline unfilter), baseline JPEG — both
-  grayscale and YCbCr 4:4:4 color (our own Huffman entropy codec +
-  8x8 IDCT + BT.601 transform, struct + numpy only), PCM WAV, FLAC
-  (fixed predictors + Rice residuals, CRC-8/16 + MD5 verified,
-  bit-exact lossless), and mono Y4M video.
-  Chroma-subsampled/progressive JPEG and the perceptual codecs
+  inflate + crc32 + per-scanline unfilter), baseline JPEG — grayscale,
+  YCbCr 4:4:4 color AND 4:2:0 chroma-subsampled color (our own Huffman
+  entropy codec + MCU interleave + 8x8 IDCT + BT.601 transform,
+  struct + numpy only), PCM WAV, FLAC (fixed predictors + Rice
+  residuals, CRC-8/16 + MD5 verified, bit-exact lossless), and mono
+  Y4M video.
+  Progressive JPEG and the perceptual codecs
   (MP3/AAC/H.264 — PIL/libsndfile/ffmpeg) are NOT available in this
   environment, so for those ``decode_media`` remains a clearly-marked
   stub raising NotImplementedError; the shipped feature extractor
@@ -92,10 +93,11 @@ def decode_media(content: bytes, kind: str):
     lossless FLAC (:func:`decode_flac`, fixed predictors + Rice
     residuals, CRC/MD5 verified); video — mono-plane
     YUV4MPEG2 (:func:`decode_y4m`, header + FRAME markers) — plus one
-    COMPRESSED lossy format: baseline JPEG, grayscale and YCbCr 4:4:4
-    color (:func:`decode_jpeg`, real Huffman entropy decode + IDCT +
-    BT.601, struct + numpy only). The remaining formats
-    (chroma-subsampled/progressive JPEG, MP3/AAC, H.264) genuinely
+    COMPRESSED lossy format: baseline JPEG — grayscale, YCbCr 4:4:4
+    and 4:2:0 chroma-subsampled color (:func:`decode_jpeg`, real
+    Huffman entropy decode + MCU interleave + IDCT + BT.601,
+    struct + numpy only). The remaining formats
+    (progressive JPEG, MP3/AAC, H.264) genuinely
     need codec libraries (PIL/soundfile/pyav) that are not installed
     in this environment and stay a clearly-marked stub; every caller
     goes through ``extract_features``-style mapInPandas so only this
@@ -108,8 +110,8 @@ def decode_media(content: bytes, kind: str):
                 return decode_png(content)
             if content[:2] == b"\xff\xd8":
                 # baseline JPEG: (h, w) grayscale or (h, w, 3) RGB for
-                # YCbCr 4:4:4 color; subsampled/progressive payloads
-                # raise inside the decoder
+                # 4:4:4 and 4:2:0 color; progressive payloads raise
+                # inside the decoder
                 return decode_jpeg(content)
         elif kind == "audio":
             if content[:4] == b"RIFF":
@@ -122,9 +124,9 @@ def decode_media(content: bytes, kind: str):
         f"real {kind} decoding of this payload requires a codec library "
         "(PIL/soundfile/ffmpeg) that is not available in this environment; "
         "supported without one: PPM (P6) / 8-bit RGB PNG / baseline "
-        "JPEG (grayscale + 4:4:4 color) images, PCM WAV + FLAC audio, "
-        "mono Y4M video — subsampled/progressive JPEG and the "
-        "perceptual codecs (MP3/AAC/H.264) need a real codec"
+        "JPEG (grayscale + 4:4:4 + 4:2:0 color) images, PCM WAV + FLAC "
+        "audio, mono Y4M video — progressive JPEG and the perceptual "
+        "codecs (MP3/AAC/H.264) need a real codec"
     )
 
 
@@ -1217,7 +1219,10 @@ def _entropy_encode_interleaved(planes: list[np.ndarray]) -> bytes:
     return bw.flush()
 
 
-def _jpeg_container(h: int, w: int, ncomp: int, scan: bytes) -> bytes:
+def _jpeg_container(
+    h: int, w: int, ncomp: int, scan: bytes,
+    sampling: list[tuple[int, int]] | None = None,
+) -> bytes:
     import struct
 
     qt_zz = _JPEG_QUANT.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
@@ -1229,8 +1234,10 @@ def _jpeg_container(h: int, w: int, ncomp: int, scan: bytes) -> bytes:
     def dht(cls: int, bits: list[int], symbols: list[int]) -> bytes:
         return bytes([cls << 4]) + bytes(bits) + bytes(symbols)
 
+    sampling = sampling or [(1, 1)] * ncomp
     sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
-        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+        bytes([cid + 1, (sh << 4) | sv, 0])
+        for cid, (sh, sv) in enumerate(sampling)
     )
     sos = bytes([ncomp]) + b"".join(
         bytes([cid + 1, 0x00]) for cid in range(ncomp)
@@ -1293,6 +1300,105 @@ def encode_jpeg_rgb(img: np.ndarray) -> bytes:
     return _jpeg_container(h, w, 3, _entropy_encode_interleaved(planes))
 
 
+def downsample_420(plane: np.ndarray) -> np.ndarray:
+    """2x2 chroma downsample with exact integer round-half-up mean
+    ((a+b+c+d+2)//4) — deterministic, no float path.  Requires even
+    dimensions (the 4:2:0 encoder's 16-multiple contract guarantees
+    them)."""
+    h, w = plane.shape
+    if h % 2 or w % 2:
+        raise ValueError("downsample_420 expects even dimensions")
+    p = plane.astype(np.int64)
+    s = p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+    return ((s + 2) // 4).astype(np.uint8)
+
+
+def _entropy_encode_420(
+    y_blocks: np.ndarray, cb_blocks: np.ndarray, cr_blocks: np.ndarray
+) -> bytes:
+    """Baseline interleaved 4:2:0 scan: per MCU four Y blocks
+    (left-to-right, top-to-bottom) then Cb then Cr (T.81 A.2.3), each
+    component with its OWN DC predictor."""
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_SYMBOLS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_SYMBOLS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(block: np.ndarray, ci: int) -> None:
+        zz = block.reshape(64)[_JPEG_ZIGZAG]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        size = _jpeg_category(diff)
+        code, length = dc_codes[size]
+        bw.put(code, length)
+        if size:
+            bw.put(_jpeg_amplitude_bits(diff, size), size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.put(code, length)
+                run -= 16
+            size = _jpeg_category(v)
+            code, length = ac_codes[(run << 4) | size]
+            bw.put(code, length)
+            bw.put(_jpeg_amplitude_bits(v, size), size)
+            run = 0
+        if run:
+            code, length = ac_codes[0x00]  # EOB
+            bw.put(code, length)
+
+    n_mby, n_mbx = cb_blocks.shape[:2]
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            for vy in range(2):
+                for vx in range(2):
+                    put_block(y_blocks[2 * mby + vy, 2 * mbx + vx], 0)
+            put_block(cb_blocks[mby, mbx], 1)
+            put_block(cr_blocks[mby, mbx], 2)
+    return bw.flush()
+
+
+def encode_jpeg_rgb_420(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as a CHROMA-SUBSAMPLED
+    (4:2:0) baseline JFIF/JPEG: BT.601 transform, exact-integer 2x2
+    chroma downsample, per-plane DCT/quantization, MCU-interleaved
+    entropy scan (4 Y + Cb + Cr per MCU).  Dimensions must be
+    16-multiples (whole MCUs) — partial-MCU edge extension is a
+    documented non-goal, fail loud instead of guessing the padding
+    convention."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_rgb_420 expects an (h, w, 3) uint8 array")
+    h, w = img.shape[:2]
+    if h % 16 or w % 16:
+        raise ValueError(
+            "encode_jpeg_rgb_420 requires 16-multiple dimensions "
+            f"(whole MCUs); got {h}x{w}"
+        )
+    y, cb, cr = _rgb_to_ycbcr(img)
+    y_blocks = quantize_blocks_gray(y)[0]
+    cb_blocks = quantize_blocks_gray(downsample_420(cb))[0]
+    cr_blocks = quantize_blocks_gray(downsample_420(cr))[0]
+    scan = _entropy_encode_420(y_blocks, cb_blocks, cr_blocks)
+    return _jpeg_container(h, w, 3, scan, sampling=_SAMPLING_420)
+
+
+def decode_jpeg_rgb_420(content: bytes) -> np.ndarray:
+    """REAL decode of a 4:2:0 baseline JPEG: the MCU-interleaved
+    lossless core, per-plane IDCT, chroma upsample by 2x2 pixel
+    replication (the nearest-neighbor upsampler — a decoder-side
+    choice T.81 leaves open), inverse BT.601, crop."""
+    y_b, cb_b, cr_b, qt, h, w = _decode_jpeg_blocks_420(content)
+    y = _idct_plane(y_b, qt)
+    cb = _idct_plane(cb_b, qt).repeat(2, axis=0).repeat(2, axis=1)
+    cr = _idct_plane(cr_b, qt).repeat(2, axis=0).repeat(2, axis=1)
+    return _ycbcr_to_rgb(y[: h, : w], cb[: h, : w], cr[: h, : w])
+
+
 def decode_jpeg_gray_blocks(
     content: bytes,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
@@ -1307,13 +1413,12 @@ def decode_jpeg_gray_blocks(
     return blocks[0], qt, h, w
 
 
-def _decode_jpeg_blocks(
-    content: bytes, expect_ncomp: int | None = None
-) -> tuple[np.ndarray, np.ndarray, int, int]:
-    """Shared lossless decoder core: 1 (grayscale) or 3 (YCbCr 4:4:4)
-    components, interleaved scan, per-component DC predictors and
-    SOS-declared Huffman table ids. Returns (blocks[ncomp, n_by, n_bx,
-    8, 8], quant table, h, w)."""
+def _parse_jpeg_header(content: bytes):
+    """Marker-stream parse shared by every sampling layout: validates
+    each structure (fail loud on progressive/16-bit/restart payloads),
+    builds Huffman tables FROM the DHT segments, and returns
+    (qt, h, w, ncomp, sampling, huff, tables, scan_at) where sampling
+    is the per-component (H, V) factor list from SOF0."""
     import struct
 
     if content[:2] != b"\xff\xd8":
@@ -1321,6 +1426,7 @@ def _decode_jpeg_blocks(
     pos = 2
     qt = None
     h = w = ncomp = None
+    sampling: list[tuple[int, int]] = []
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     scan_at = None
     tables: list[tuple[int, int]] = []  # per scan component: (Td, Ta)
@@ -1347,12 +1453,14 @@ def _decode_jpeg_blocks(
                     "decode_jpeg: only 8-bit 1- or 3-component baseline "
                     f"supported (prec={prec} ncomp={ncomp})"
                 )
+            sampling = []
             for ci in range(ncomp):
-                if payload[6 + 3 * ci + 1] != 0x11 or payload[6 + 3 * ci + 2]:
+                hv = payload[6 + 3 * ci + 1]
+                if payload[6 + 3 * ci + 2]:
                     raise ValueError(
-                        "decode_jpeg: only 1x1 sampling (no chroma "
-                        "subsampling) with quant table 0 supported"
+                        "decode_jpeg: only quant table 0 supported"
                     )
+                sampling.append((hv >> 4, hv & 0x0F))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError(
                 "decode_jpeg: only baseline sequential (SOF0) supported"
@@ -1385,29 +1493,85 @@ def _decode_jpeg_blocks(
         pos += 2 + length
     if qt is None or h is None or scan_at is None:
         raise ValueError("decode_jpeg: missing DQT/SOF0/SOS")
+    for td, ta in tables:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("decode_jpeg: missing DC/AC Huffman tables")
+    return qt, h, w, ncomp, sampling, huff, tables, scan_at
+
+
+def _entropy_reader(content: bytes, scan_at: int) -> "_BitReader":
+    eoi = content.rfind(b"\xff\xd9")
+    if eoi < 0:
+        raise ValueError("decode_jpeg: missing EOI marker")
+    return _BitReader(content[scan_at:eoi])
+
+
+def _read_symbol(br: "_BitReader", table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.take(1)
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("decode_jpeg: invalid Huffman code")
+
+
+def _decode_one_block(
+    br: "_BitReader",
+    huff: dict,
+    td: int,
+    ta: int,
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode ONE 8x8 block (natural order) given the
+    component's DC predictor; returns (block, updated predictor)."""
+    zz = np.zeros(64, dtype=np.int32)
+    size = _read_symbol(br, huff[(0, td)])
+    pred += _jpeg_extend(br.take(size) if size else 0, size)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, huff[(1, ta)])
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError(f"decode_jpeg: bad AC symbol {sym:#x}")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("decode_jpeg: AC run past block end")
+        zz[k] = _jpeg_extend(br.take(size), size)
+        k += 1
+    flat = np.zeros(64, dtype=np.int32)
+    flat[_JPEG_ZIGZAG] = zz
+    return flat.reshape(8, 8), pred
+
+
+def _decode_jpeg_blocks(
+    content: bytes, expect_ncomp: int | None = None
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Lossless decoder core for the 1x1-sampled layouts: 1 (grayscale)
+    or 3 (YCbCr 4:4:4) components, interleaved scan, per-component DC
+    predictors and SOS-declared Huffman table ids. Returns
+    (blocks[ncomp, n_by, n_bx, 8, 8], quant table, h, w).  4:2:0
+    payloads route through :func:`_decode_jpeg_blocks_420`."""
+    qt, h, w, ncomp, sampling, huff, tables, scan_at = _parse_jpeg_header(
+        content
+    )
+    if any(s != (1, 1) for s in sampling):
+        raise ValueError(
+            "decode_jpeg: this path decodes 1x1 sampling only "
+            f"(got {sampling}); 4:2:0 routes via decode_jpeg dispatch"
+        )
     if expect_ncomp is not None and ncomp != expect_ncomp:
         raise ValueError(
             f"decode_jpeg: expected {expect_ncomp} component(s), got {ncomp}"
         )
-    for td, ta in tables:
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("decode_jpeg: missing DC/AC Huffman tables")
-
-    eoi = content.rfind(b"\xff\xd9")
-    if eoi < 0:
-        raise ValueError("decode_jpeg: missing EOI marker")
-    br = _BitReader(content[scan_at:eoi])
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.take(1)
-            length += 1
-            sym = table.get((code, length))
-            if sym is not None:
-                return sym
-        raise ValueError("decode_jpeg: invalid Huffman code")
-
+    br = _entropy_reader(content, scan_at)
     n_by, n_bx = (h + 7) // 8, (w + 7) // 8
     blocks = np.zeros((ncomp, n_by, n_bx, 8, 8), dtype=np.int32)
     preds = [0] * ncomp
@@ -1415,32 +1579,52 @@ def _decode_jpeg_blocks(
         for bx in range(n_bx):
             for ci in range(ncomp):
                 td, ta = tables[ci]
-                zz = np.zeros(64, dtype=np.int32)
-                size = read_symbol(huff[(0, td)])
-                preds[ci] += _jpeg_extend(br.take(size) if size else 0, size)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(huff[(1, ta)])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError(
-                                f"decode_jpeg: bad AC symbol {sym:#x}"
-                            )
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("decode_jpeg: AC run past block end")
-                    zz[k] = _jpeg_extend(br.take(size), size)
-                    k += 1
-                flat = np.zeros(64, dtype=np.int32)
-                flat[_JPEG_ZIGZAG] = zz
-                blocks[ci, by, bx] = flat.reshape(8, 8)
+                blocks[ci, by, bx], preds[ci] = _decode_one_block(
+                    br, huff, td, ta, preds[ci]
+                )
     return blocks, qt, h, w
+
+
+_SAMPLING_420 = [(2, 2), (1, 1), (1, 1)]
+
+
+def _decode_jpeg_blocks_420(
+    content: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Lossless decoder core for 4:2:0 chroma subsampling (SOF0
+    sampling factors Y=2x2, Cb=Cr=1x1): per MCU the scan interleaves
+    FOUR Y blocks (left-to-right, top-to-bottom) then one Cb and one
+    Cr block (T.81 A.2.3 MCU ordering), per-component DC predictors.
+    Returns (y_blocks[2*n_mby, 2*n_mbx, 8, 8],
+    cb_blocks[n_mby, n_mbx, 8, 8], cr_blocks[...], qt, h, w)."""
+    qt, h, w, ncomp, sampling, huff, tables, scan_at = _parse_jpeg_header(
+        content
+    )
+    if ncomp != 3 or sampling != _SAMPLING_420:
+        raise ValueError(
+            f"decode_jpeg_420: not a 4:2:0 payload (sampling {sampling})"
+        )
+    br = _entropy_reader(content, scan_at)
+    n_mby, n_mbx = (h + 15) // 16, (w + 15) // 16
+    y_blocks = np.zeros((2 * n_mby, 2 * n_mbx, 8, 8), dtype=np.int32)
+    cb_blocks = np.zeros((n_mby, n_mbx, 8, 8), dtype=np.int32)
+    cr_blocks = np.zeros((n_mby, n_mbx, 8, 8), dtype=np.int32)
+    preds = [0, 0, 0]
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            for vy in range(2):
+                for vx in range(2):
+                    td, ta = tables[0]
+                    (
+                        y_blocks[2 * mby + vy, 2 * mbx + vx],
+                        preds[0],
+                    ) = _decode_one_block(br, huff, td, ta, preds[0])
+            for ci, plane in ((1, cb_blocks), (2, cr_blocks)):
+                td, ta = tables[ci]
+                plane[mby, mbx], preds[ci] = _decode_one_block(
+                    br, huff, td, ta, preds[ci]
+                )
+    return y_blocks, cb_blocks, cr_blocks, qt, h, w
 
 
 def _idct_plane(blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
@@ -1477,9 +1661,12 @@ def decode_jpeg_rgb(content: bytes) -> np.ndarray:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Dispatch on the frame's component count: (h, w) for grayscale,
-    (h, w, 3) RGB for color — matching decode_ppm/decode_png's RGB
-    raster convention for the color case."""
+    """Dispatch on the frame's component count AND sampling factors:
+    (h, w) for grayscale, (h, w, 3) RGB for 4:4:4 and 4:2:0 color —
+    matching decode_ppm/decode_png's RGB raster convention."""
+    sampling = _parse_jpeg_header(content)[4]
+    if sampling == _SAMPLING_420:
+        return decode_jpeg_rgb_420(content)
     blocks, qt, h, w = _decode_jpeg_blocks(content)
     if blocks.shape[0] == 1:
         return _idct_plane(blocks[0], qt)[:h, :w]

@@ -3138,6 +3138,94 @@ def jpeg_block_dc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT — 4:2:0 chroma-subsampled color JPEG under the oracle (r8): the
+# subsampling stub closed.  Gray-valued (r=g=b=v) 16x16 macroblocks
+# make the closed form reach THROUGH the color machinery: BT.601 maps
+# them to Y=v, Cb=Cr=128 exactly; the exact-integer 2x2 downsample of
+# a constant-128 plane is 128; level-shifted chroma is all-zero, so
+# every chroma coefficient is 0 — while each of the FOUR Y blocks per
+# MCU carries DC=(v-128)/2 (even v, q00=16).  The hash therefore pins
+# the MCU interleave order (4 Y then Cb then Cr), the per-component
+# DC predictor chains, and the sampling-factor container round-trip.
+
+_J420_N = 16
+_J420_MB = 2  # 2x2 macroblocks -> 32x32 images, 16 Y + 4 Cb + 4 Cr blocks
+
+_J420_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_J420_N}),
+m AS (
+    SELECT doc_id,
+           unnest(generate_series(0, {_J420_MB * _J420_MB - 1})) AS mno
+    FROM ids
+),
+d AS (
+    SELECT doc_id,
+           (2 * ((doc_id * 7 + mno * 13) % 128) - 128) // 2 AS dc
+    FROM m
+)
+SELECT doc_id AS media_id,
+       CAST({4 * _J420_MB * _J420_MB} AS INT) AS n_y_blocks,
+       CAST(4 * sum(dc) AS BIGINT) AS y_dc_sum,
+       CAST(min(dc) AS BIGINT) AS y_dc_min,
+       CAST(max(dc) AS BIGINT) AS y_dc_max,
+       CAST(0 AS BIGINT) AS y_ac_abs_sum,
+       CAST(0 AS BIGINT) AS chroma_abs_sum
+FROM d GROUP BY 1
+"""
+
+
+@register(
+    "jpeg420_mcu_stats",
+    sql=_J420_SQL,
+    description=f"REAL 4:2:0 chroma-subsampled color JPEG under the "
+    f"oracle: {_J420_N} 32x32 RGB images of gray-valued 16x16 "
+    "macroblocks encode through the MCU-interleaved 4:2:0 pipeline "
+    "(BT.601, exact-integer 2x2 chroma downsample, 4-Y-then-Cb-then-Cr "
+    "scan with per-component DC prediction) and decode back through "
+    "the sampling-aware entropy core; Y DCs equal the closed form "
+    "(v-128)/2 x4 per MCU and EVERY chroma coefficient is exactly 0 — "
+    "the r6/r7 'subsampled JPEG honestly stubbed' scope line, now "
+    "implemented ([EXT] multimodal)",
+)
+def jpeg420_mcu_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mb = _J420_MB
+    enc, dec = M.encode_jpeg_rgb_420, M._decode_jpeg_blocks_420
+
+    def per_doc(doc_id):
+        import numpy as _np
+
+        vals = _np.array(
+            [2 * ((doc_id * 7 + m * 13) % 128) for m in range(mb * mb)],
+            dtype=_np.uint8,
+        ).reshape(mb, mb)
+        gray = _np.kron(vals, _np.ones((16, 16), dtype=_np.uint8))
+        img = _np.stack([gray] * 3, axis=-1)
+        y_b, cb_b, cr_b, _qt, _h, _w = dec(enc(img))
+        y64 = y_b.astype(_np.int64)
+        dc = y64[:, :, 0, 0]
+        y_ac_abs = int(_np.abs(y64).sum() - _np.abs(dc).sum())
+        chroma_abs = int(
+            _np.abs(cb_b.astype(_np.int64)).sum()
+            + _np.abs(cr_b.astype(_np.int64)).sum()
+        )
+        return [
+            (
+                doc_id, y_b.shape[0] * y_b.shape[1],
+                int(dc.sum()), int(dc.min()), int(dc.max()),
+                y_ac_abs, chroma_abs,
+            )
+        ]
+
+    return _media_stats_scan(
+        spark, sf_dir, _J420_N, per_doc,
+        ["media_id", "n_y_blocks", "y_dc_sum", "y_dc_min", "y_dc_max",
+         "y_ac_abs_sum", "chroma_abs_sum"],
+        "media_id long, n_y_blocks int, y_dc_sum long, y_dc_min long, "
+        "y_dc_max long, y_ac_abs_sum long, chroma_abs_sum long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # EXT — char n-gram LM fluency scoring under the oracle (r7): the
 # CCNet-style perplexity filter with an integer quantized-log score
 # (operators/lm.py — Σ floor(log2 cnt) over model hits, engine-exact

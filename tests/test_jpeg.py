@@ -227,3 +227,59 @@ def test_gray_decoder_refuses_color_payload_and_vice_versa():
     gray = encode_jpeg_gray(synth_gray(1, 8, 8))
     with pytest.raises(ValueError, match="expected 3 component"):
         decode_jpeg_rgb(gray)
+
+
+# ---------------------------------------------------------------------------
+# r8: 4:2:0 chroma subsampling — the MCU-interleaved color pipeline
+
+from magshield_data_pipeline_spark.operators import multimodal as M  # noqa: E402
+
+
+def test_420_entropy_layer_is_lossless():
+    # decoded quantized blocks must equal the encoder's bit-for-bit for
+    # ALL THREE components — pins the MCU interleave order (4 Y, Cb,
+    # Cr) and the per-component DC predictor chains
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (48, 32, 3), dtype=np.uint8)
+    y, cb, cr = M._rgb_to_ycbcr(img)
+    enc_y = M.quantize_blocks_gray(y)[0]
+    enc_cb = M.quantize_blocks_gray(M.downsample_420(cb))[0]
+    enc_cr = M.quantize_blocks_gray(M.downsample_420(cr))[0]
+    dec_y, dec_cb, dec_cr, qt, h, w = M._decode_jpeg_blocks_420(
+        M.encode_jpeg_rgb_420(img)
+    )
+    assert (dec_y == enc_y).all()
+    assert (dec_cb == enc_cb).all()
+    assert (dec_cr == enc_cr).all()
+    assert (h, w) == (48, 32)
+    assert dec_y.shape[:2] == (6, 4) and dec_cb.shape[:2] == (3, 2)
+
+
+def test_420_flat_gray_round_trips_pixel_exact():
+    # flat gray: Y flat (DC-only), chroma exactly 128 (all-zero
+    # coefficients) — the one case where a lossy codec must be exact
+    img = np.full((32, 48, 3), 106, dtype=np.uint8)
+    out = M.decode_jpeg(M.encode_jpeg_rgb_420(img))  # dispatch on SOF
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+def test_420_rejects_partial_mcus_and_444_path_rejects_420():
+    with pytest.raises(ValueError, match="16-multiple"):
+        M.encode_jpeg_rgb_420(np.zeros((24, 32, 3), dtype=np.uint8))
+    # the 1x1-sampling decoder must refuse a 4:2:0 payload, not misread
+    payload = M.encode_jpeg_rgb_420(np.zeros((16, 16, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="1x1 sampling"):
+        M._decode_jpeg_blocks(payload)
+    with pytest.raises(ValueError, match="not a 4:2:0"):
+        M._decode_jpeg_blocks_420(
+            M.encode_jpeg_rgb(np.zeros((16, 16, 3), dtype=np.uint8))
+        )
+
+
+def test_downsample_420_exact_integer_mean():
+    p = np.array([[0, 1], [2, 255]], dtype=np.uint8)
+    # (0+1+2+255+2)//4 = 65 — round-half-up integer mean, no float path
+    assert M.downsample_420(p).tolist() == [[65]]
+    with pytest.raises(ValueError, match="even"):
+        M.downsample_420(np.zeros((3, 4), dtype=np.uint8))
