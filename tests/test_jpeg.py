@@ -283,3 +283,13 @@ def test_downsample_420_exact_integer_mean():
     assert M.downsample_420(p).tolist() == [[65]]
     with pytest.raises(ValueError, match="even"):
         M.downsample_420(np.zeros((3, 4), dtype=np.uint8))
+
+
+def test_decode_media_dispatches_420_payloads():
+    # the decode_media image path must reach the 4:2:0 decoder through
+    # the same SOI sniff as the other JPEG layouts (an EVEN gray value:
+    # odd values put the flat-block DC exactly on the rounding half
+    # boundary, where the lossy quantizer legitimately moves the pixel)
+    img = np.full((16, 16, 3), 78, dtype=np.uint8)
+    out = M.decode_media(M.encode_jpeg_rgb_420(img), "image")
+    assert out.shape == (16, 16, 3) and (out == img).all()
