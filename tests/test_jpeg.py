@@ -293,3 +293,29 @@ def test_decode_media_dispatches_420_payloads():
     img = np.full((16, 16, 3), 78, dtype=np.uint8)
     out = M.decode_media(M.encode_jpeg_rgb_420(img), "image")
     assert out.shape == (16, 16, 3) and (out == img).all()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    mbs=st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=1, max_value=3),
+    ),
+)
+def test_420_entropy_lossless_property(seed, mbs):
+    # ANY image, ANY whole-MCU geometry: the decoded quantized blocks
+    # equal the encoder's for all three components (the lossless-layer
+    # contract extended from the single-seed case)
+    rng = np.random.default_rng(seed)
+    h, w = mbs[0] * 16, mbs[1] * 16
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    y, cb, cr = M._rgb_to_ycbcr(img)
+    enc = (
+        M.quantize_blocks_gray(y)[0],
+        M.quantize_blocks_gray(M.downsample_420(cb))[0],
+        M.quantize_blocks_gray(M.downsample_420(cr))[0],
+    )
+    dec = M._decode_jpeg_blocks_420(M.encode_jpeg_rgb_420(img))[:3]
+    for e, d in zip(enc, dec):
+        assert (e == d).all()
