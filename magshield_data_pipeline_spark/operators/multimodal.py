@@ -1387,12 +1387,12 @@ def encode_jpeg_rgb_420(img: np.ndarray) -> bytes:
     return _jpeg_container(h, w, 3, scan, sampling=_SAMPLING_420)
 
 
-def decode_jpeg_rgb_420(content: bytes) -> np.ndarray:
+def decode_jpeg_rgb_420(content: bytes, header=None) -> np.ndarray:
     """REAL decode of a 4:2:0 baseline JPEG: the MCU-interleaved
     lossless core, per-plane IDCT, chroma upsample by 2x2 pixel
     replication (the nearest-neighbor upsampler — a decoder-side
     choice T.81 leaves open), inverse BT.601, crop."""
-    y_b, cb_b, cr_b, qt, h, w = _decode_jpeg_blocks_420(content)
+    y_b, cb_b, cr_b, qt, h, w = _decode_jpeg_blocks_420(content, header)
     y = _idct_plane(y_b, qt)
     cb = _idct_plane(cb_b, qt).repeat(2, axis=0).repeat(2, axis=1)
     cr = _idct_plane(cr_b, qt).repeat(2, axis=0).repeat(2, axis=1)
@@ -1540,6 +1540,11 @@ def _decode_one_block(
             if run != 15:
                 raise ValueError(f"decode_jpeg: bad AC symbol {sym:#x}")
             k += 16  # ZRL
+            # k == 64 is a block exactly filled with zeros (legal);
+            # past it the stream is malformed — fail loud, same
+            # contract as the nonzero-run check below (ADVICE r8)
+            if k > 64:
+                raise ValueError("decode_jpeg: AC run past block end")
             continue
         k += run
         if k > 63:
@@ -1552,15 +1557,17 @@ def _decode_one_block(
 
 
 def _decode_jpeg_blocks(
-    content: bytes, expect_ncomp: int | None = None
+    content: bytes, expect_ncomp: int | None = None, header=None
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Lossless decoder core for the 1x1-sampled layouts: 1 (grayscale)
     or 3 (YCbCr 4:4:4) components, interleaved scan, per-component DC
     predictors and SOS-declared Huffman table ids. Returns
     (blocks[ncomp, n_by, n_bx, 8, 8], quant table, h, w).  4:2:0
-    payloads route through :func:`_decode_jpeg_blocks_420`."""
-    qt, h, w, ncomp, sampling, huff, tables, scan_at = _parse_jpeg_header(
-        content
+    payloads route through :func:`_decode_jpeg_blocks_420`.  ``header``
+    accepts a pre-parsed :func:`_parse_jpeg_header` tuple so dispatch
+    callers parse the marker stream once (ADVICE r8)."""
+    qt, h, w, ncomp, sampling, huff, tables, scan_at = (
+        header if header is not None else _parse_jpeg_header(content)
     )
     if any(s != (1, 1) for s in sampling):
         raise ValueError(
@@ -1589,16 +1596,17 @@ _SAMPLING_420 = [(2, 2), (1, 1), (1, 1)]
 
 
 def _decode_jpeg_blocks_420(
-    content: bytes,
+    content: bytes, header=None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
     """Lossless decoder core for 4:2:0 chroma subsampling (SOF0
     sampling factors Y=2x2, Cb=Cr=1x1): per MCU the scan interleaves
     FOUR Y blocks (left-to-right, top-to-bottom) then one Cb and one
     Cr block (T.81 A.2.3 MCU ordering), per-component DC predictors.
     Returns (y_blocks[2*n_mby, 2*n_mbx, 8, 8],
-    cb_blocks[n_mby, n_mbx, 8, 8], cr_blocks[...], qt, h, w)."""
-    qt, h, w, ncomp, sampling, huff, tables, scan_at = _parse_jpeg_header(
-        content
+    cb_blocks[n_mby, n_mbx, 8, 8], cr_blocks[...], qt, h, w).
+    ``header`` takes a pre-parsed tuple, as in :func:`_decode_jpeg_blocks`."""
+    qt, h, w, ncomp, sampling, huff, tables, scan_at = (
+        header if header is not None else _parse_jpeg_header(content)
     )
     if ncomp != 3 or sampling != _SAMPLING_420:
         raise ValueError(
@@ -1663,11 +1671,14 @@ def decode_jpeg_rgb(content: bytes) -> np.ndarray:
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Dispatch on the frame's component count AND sampling factors:
     (h, w) for grayscale, (h, w, 3) RGB for 4:4:4 and 4:2:0 color —
-    matching decode_ppm/decode_png's RGB raster convention."""
-    sampling = _parse_jpeg_header(content)[4]
-    if sampling == _SAMPLING_420:
-        return decode_jpeg_rgb_420(content)
-    blocks, qt, h, w = _decode_jpeg_blocks(content)
+    matching decode_ppm/decode_png's RGB raster convention.  The
+    marker stream is parsed ONCE and the tuple handed to the selected
+    decoder core (ADVICE r8 — this is the hot extract_features
+    mapInPandas path; header work must not double)."""
+    header = _parse_jpeg_header(content)
+    if header[4] == _SAMPLING_420:
+        return decode_jpeg_rgb_420(content, header)
+    blocks, qt, h, w = _decode_jpeg_blocks(content, header=header)
     if blocks.shape[0] == 1:
         return _idct_plane(blocks[0], qt)[:h, :w]
     y, cb, cr = (_idct_plane(blocks[ci], qt) for ci in range(3))

@@ -82,6 +82,7 @@ def bm25_topk(
     id_col: str,
     terms: list[str],
     k: int = 10,
+    cache_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per query term, the top-*k* documents by BM25 (rational-odds
     idf — see module docstring). Returns
@@ -94,15 +95,19 @@ def bm25_topk(
     single-row aggregate that cross-joins (broadcast, 1 row) onto the
     scored frame.
 
-    Cache lifecycle (ADVICE r7): the exploded ``words`` frame is
-    persisted so the scan+explode feeds dl/tf/df once per job, and the
-    CALLER owns its release — repeated calls over the SAME input are
-    deduped by the CacheManager (plan-identical), but calls over
-    DIFFERENT inputs in a long-lived session each add an entry that
-    lives until session end.  The persisted handle is exposed as
-    ``result.bm25_words_cache``; after the consuming action, release it
-    with ``result.bm25_words_cache.unpersist()`` (or
-    ``spark.catalog.clearCache()``).
+    Cache lifecycle (ADVICE r7, explicit channel per ADVICE r8): the
+    exploded ``words`` frame is persisted so the scan+explode feeds
+    dl/tf/df once per job, and the CALLER owns its release — repeated
+    calls over the SAME input are deduped by the CacheManager
+    (plan-identical), but calls over DIFFERENT inputs in a long-lived
+    session each add an entry that lives until session end.  Pass
+    ``cache_out=[]`` to receive the persisted handle explicitly (it is
+    appended); this channel survives any downstream transformation of
+    the result.  The legacy ``result.bm25_words_cache`` attribute is
+    still set for convenience, but it lives on THIS DataFrame object
+    only — any filter/select/join returns a new frame without it, so
+    read it before transforming (or use ``cache_out``).  Release with
+    ``handle.unpersist()`` after the consuming action.
     """
     if not terms:
         raise ValueError("bm25_topk: terms must be non-empty")
@@ -112,6 +117,8 @@ def bm25_topk(
     # invocations share one entry and unpersisting early would just
     # force a recompute mid-job
     words = doc_words(df, text_col, id_col).persist()
+    if cache_out is not None:
+        cache_out.append(words)
     dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     hits = words.filter(F.col("word").isin(*terms))
     tf = hits.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))

@@ -3670,7 +3670,8 @@ FROM bfs GROUP BY node
     "nation_hops_bfs",
     sql=_BFS_SQL,
     description=f"BFS shortest hops (≤{_BFS_MAX_HOPS}) from the "
-    "nationkey-0 nation over the top-"
+    "highest-outflow nation (data-derived source: sum(w) DESC, name "
+    "tiebreak — matching the oracle's start CTE) over the top-"
     f"{_BFS_FANOUT}-weighted trade edges: the iterative frontier-"
     "expansion algorithm (visited-set anti-join pruning per level) "
     "hash-proven against DuckDB's WITH RECURSIVE fixpoint — the "

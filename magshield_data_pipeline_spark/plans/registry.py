@@ -159,24 +159,26 @@ _WINDOW_SIZE = 50
 # covered — CORRECTNESS_r07 records every pinned query green and the
 # driver ran after the late-r7 commits — and are pruned as inert.)
 #
-# Round-8 pins (changes made with the r7 artifact on disk → pinned 8):
-# lm_fluency_scores / dsir_importance_weights moved their corpus scan
-# from a local _spread_corpus copy to the shared read_table_spread
-# (identical rule, dedup per ADVICE r7); bm25_topk_docs /
-# hybrid_rrf_retrieval under the new caller-owned cache-release handle
-# on bm25_topk (plan-neutral attribute, re-proven on principle).
+# (All five round-8 pins were proven green by CORRECTNESS_r08 —
+# last_green == pin_round made each mechanically inert — and are
+# pruned per the codified rule above.)
+#
+# Round-9 pins (changes made with the r8 artifact on disk → pinned 9):
+# bm25_topk_docs / hybrid_rrf_retrieval under the new explicit
+# cache_out release channel on bm25_topk (ADVICE r8 — plan-neutral
+# parameter, re-proven on principle); nation_hops_bfs after the
+# registry-description correction (metadata-only, cheapest possible
+# re-prove); python_sink_roundtrip under the staged-then-renamed
+# _SUCCESS manifest (ADVICE r8); jpeg_block_dc_stats /
+# jpeg420_mcu_stats under the parse-once decode_jpeg dispatch and the
+# ZRL past-block-end guard (ADVICE r8).
 _WINDOW_PINS: list[tuple[str, int]] = [
-    ("lm_fluency_scores", 8),
-    ("dsir_importance_weights", 8),
-    ("bm25_topk_docs", 8),
-    ("hybrid_rrf_retrieval", 8),
-    # late r8: read_events_stream now delegates to the generalized
-    # read_table_stream (identical path; behavior re-proven by the
-    # streaming pytest suite + three parity checks) — the one
-    # r7-fresh-green consumer re-proves under the driver too; the
-    # other stream consumers are r4/r6-stale and re-enter through the
-    # ordinary staleness tiers
-    ("stream_static_enrich", 8),
+    ("bm25_topk_docs", 9),
+    ("hybrid_rrf_retrieval", 9),
+    ("nation_hops_bfs", 9),
+    ("python_sink_roundtrip", 9),
+    ("jpeg_block_dc_stats", 9),
+    ("jpeg420_mcu_stats", 9),
 ]
 
 

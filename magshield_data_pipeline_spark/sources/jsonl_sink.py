@@ -89,8 +89,17 @@ class JsonlSinkWriter(DataSourceWriter):
             final = os.path.join(self.path, f"part-{job}-{i:05d}.jsonl")
             os.rename(m.staged_path, final)  # atomic publish per file
             counts[os.path.basename(final)] = m.n_rows
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        # stage-then-rename, same discipline as the part files (ADVICE
+        # r8): a driver crash mid-write must never leave a truncated
+        # _SUCCESS that manifest-gated readers would crash on — an
+        # unfinished publish looks unpublished, never half-published
+        manifest = os.path.join(self.path, "_SUCCESS")
+        staged_dir = os.path.join(self.path, "_staged")
+        os.makedirs(staged_dir, exist_ok=True)  # zero-partition jobs
+        staged_manifest = os.path.join(staged_dir, f"_SUCCESS-{job}")
+        with open(staged_manifest, "w") as f:
             json.dump({"files": counts, "rows": sum(counts.values())}, f)
+        os.rename(staged_manifest, manifest)
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -319,3 +319,30 @@ def test_420_entropy_lossless_property(seed, mbs):
     dec = M._decode_jpeg_blocks_420(M.encode_jpeg_rgb_420(img))[:3]
     for e, d in zip(enc, dec):
         assert (e == d).all()
+
+
+def test_zrl_run_past_block_end_fails_loud():
+    # ADVICE r8: a ZRL whose 16-zero run crosses the block boundary is
+    # malformed (T.81 F.2.2.2 — runs never cross blocks) and must raise
+    # exactly like a nonzero-coefficient run past the end, not be
+    # silently accepted.  DC "0" -> size 0; AC "0" -> ZRL: k walks
+    # 1, 17, 33, 49, then the 4th ZRL lands at 65 > 64.
+    huff = {(0, 0): {(0, 1): 0}, (1, 0): {(0, 1): 0xF0}}
+    br = M._BitReader(b"\x00")  # 8 zero bits: DC size-0 then ZRLs
+    with pytest.raises(ValueError, match="AC run past block end"):
+        M._decode_one_block(br, huff, 0, 0, 0)
+
+
+def test_zrl_filling_block_to_exactly_64_is_legal():
+    # the complementary bound: k == 64 is a block exactly filled —
+    # legal, loop exits without EOB.  DC "0" (size 0), AC "10" ->
+    # run=14/size=1 puts a coefficient at k=15 (k becomes 16), then
+    # three ZRLs "0" walk 32, 48, 64.  Bits: 0 10 1 0 0 0 -> 0x50.
+    huff = {(0, 0): {(0, 1): 0}, (1, 0): {(0, 1): 0xF0, (2, 2): 0xE1}}
+    br = M._BitReader(bytes([0b01010000]))
+    block, pred = M._decode_one_block(br, huff, 0, 0, 0)
+    assert pred == 0
+    # exactly one nonzero AC coefficient, at zigzag index 15, value +1
+    flat = np.zeros(64, dtype=np.int32)
+    flat[M._JPEG_ZIGZAG[15]] = 1
+    assert (block.reshape(-1) == flat).all()

@@ -74,3 +74,21 @@ def test_cache_handle_releases_the_words_frame(spark):
     assert words.storageLevel.useMemory  # persisted while in use
     words.unpersist(blocking=True)
     assert not words.storageLevel.useMemory  # released on demand
+
+
+def test_cache_handle_explicit_channel_survives_transformations(spark):
+    # ADVICE r8: the ad-hoc attribute lives on ONE DataFrame object —
+    # any downstream transformation returns a new frame without it.
+    # cache_out is the explicit channel that long-lived callers use.
+    df = spark.createDataFrame([(1, "alpha beta"), (2, "beta")],
+                               ["doc_id", "text"])
+    handles: list = []
+    out = R.bm25_topk(df, "text", "doc_id", ["beta"], k=2,
+                      cache_out=handles)
+    transformed = out.filter("rank = 1")  # attribute lost here...
+    assert not hasattr(transformed, "bm25_words_cache")
+    assert transformed.count() == 1
+    (words,) = handles  # ...but the explicit handle survives
+    assert words.storageLevel.useMemory
+    words.unpersist(blocking=True)
+    assert not words.storageLevel.useMemory
