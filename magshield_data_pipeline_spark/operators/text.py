@@ -771,7 +771,7 @@ def unicode_canonicalize(
     df: DataFrame,
     text_col: str = "text",
     nfc_col: str = "nfc_text",
-    stripped_col: str = "stripped_text",
+    stripped_col: str | None = "stripped_text",
 ) -> DataFrame:
     """Unicode canonicalization for dedup keys: NFC composition plus
     accent folding (NFD → drop combining marks, category Mn) — the
@@ -787,6 +787,10 @@ def unicode_canonicalize(
     transform in this repo.  DuckDB twin: ``nfc_normalize`` /
     ``strip_accents``, which is what makes the operator oracle-
     checkable end to end.
+
+    ``stripped_col=None`` skips the accent-folding pass entirely —
+    composition callers that key on the NFC form alone shouldn't pay
+    a second NFD traversal per row.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -794,10 +798,8 @@ def unicode_canonicalize(
     # schema object in place, poisoning df.columns with phantom fields
     schema = StructType(
         list(df.schema.fields)
-        + [
-            StructField(nfc_col, StringType()),
-            StructField(stripped_col, StringType()),
-        ]
+        + [StructField(nfc_col, StringType())]
+        + ([StructField(stripped_col, StringType())] if stripped_col else [])
     )
 
     def gen(batches):
@@ -817,9 +819,10 @@ def unicode_canonicalize(
 
         for pdf in batches:
             nfc_vals = pdf[text_col].map(nfc)
-            yield pdf.assign(
-                **{nfc_col: nfc_vals, stripped_col: nfc_vals.map(strip)}
-            )
+            extra = {nfc_col: nfc_vals}
+            if stripped_col:
+                extra[stripped_col] = nfc_vals.map(strip)
+            yield pdf.assign(**extra)
 
     return df.mapInPandas(gen, schema)
 
@@ -851,10 +854,14 @@ def gopher_quality_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     rules: dict | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document Gopher-style quality rule evaluation: one row per
     doc with the raw rule metrics, one boolean per fired rule, and the
-    final ``keep`` verdict (no rule fired).
+    final ``keep`` verdict (no rule fired).  ``keep_cols`` names extra
+    source columns to carry through (same one-scan convention as
+    :func:`document_profile` — composition callers gate on ``keep``
+    without a join-back that would re-evaluate the upstream plan).
 
     Every metric is a JVM-side expression over ONE projection of the
     text (no shuffle, no UDF): word stats from the whitespace-
@@ -910,6 +917,7 @@ def gopher_quality_flags(
         keep = c if keep is None else (keep | c)
     return df.select(
         _col(id_col),
+        *[F.col(c) for c in keep_cols],
         nw.cast("long").alias("n_words"),
         F.round(mean_len, 4).alias("mean_word_len"),
         F.round(symbol_ratio, 4).alias("symbol_ratio"),

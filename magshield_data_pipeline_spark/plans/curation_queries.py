@@ -2150,3 +2150,349 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return T.gopher_quality_flags(deco, text_col="t", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# [EXT] r9 north star — the FULL modern curation composition as ONE plan:
+# unicode NFC canonicalization → Gopher quality rules → LM-fluency gate
+# → exact dedup → LSH near-dup dedup → temperature mixture → sequence
+# packing.  Every stage already exists as an oracle-proven operator;
+# this query is the integration a 100 TB training-data build actually
+# runs, where persist lifetimes, exchange budgets and operator interface
+# mismatches surface (VERDICT r8 item 1).
+#
+# Deliberate perturbation (the fixture is pure-ASCII, exact-dup-free,
+# and perfectly source-balanced — three stages would otherwise be
+# no-ops with no teeth):
+#   - every doc gains a precomposed ' café' suffix; doc_id % 10 == 0
+#     docs additionally fan out a clone (+100000) whose suffix is the
+#     DECOMPOSED encoding — byte-distinct, NFC-identical, so exact
+#     dedup catches it ONLY through the NFC stage;
+#   - doc_id % 10 == 5 docs fan out a near-dup clone (+200000) that
+#     appends the doc's own 40-char prefix — caught by the LSH stage,
+#     not exact dedup;
+#   - doc_id % 4 == 0 docs are re-sourced to one large 'src_big' pool,
+#     skewing the otherwise-balanced mixture so the temperature stage
+#     actually downsamples.
+#
+# Gate constants are SELF-NORMALIZING so the pipeline behaves at every
+# SF: the fluency gate keeps docs whose per-gram quantized-log score is
+# >= the corpus mean via the integer cross-multiplication
+# lm_score * total_grams >= total_score * lm_grams — exact in both
+# engines, no float threshold, no fixed constant that drifts with
+# corpus size.  (At extreme corpus sizes the products approach int64
+# range — a production build would compare as DECIMAL(38); at every
+# tested SF they are < 2^42.)
+
+_V2_BUDGET = 2048
+_V2_NORM_T = r"trim(regexp_replace(lower(t), '\s+', ' ', 'g'))"
+_V2_WORDS = f"str_split({_V2_NORM_T}, ' ')"
+_V2_SHINGLES = (
+    "CASE WHEN len(w) >= 3 "
+    "THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)] "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+_V2_SIG = ", ".join(
+    f"list_min([md5('{i}|' || s) for s in sh]) AS h{i}"
+    for i in range(D.MINHASH_K)
+)
+_V2_BUCKETS = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(h{b * D.ROWS_PER_BAND} || h{b * D.ROWS_PER_BAND + 1}) AS bucket "
+    "FROM sig"
+    for b in range(D.MINHASH_BANDS)
+)
+
+_CURATION_V2_SQL = rf"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'src_big' ELSE source END AS source,
+           text
+    FROM documents
+),
+variants AS (
+    SELECT doc_id, source, text || ' caf' || chr(233) AS raw FROM base
+    UNION ALL
+    SELECT doc_id + 100000, source, text || ' caf' || 'e' || chr(769)
+    FROM base WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000, source,
+           text || ' caf' || chr(233) || ' ' || substr(text, 1, 40)
+    FROM base WHERE doc_id % 10 = 5
+),
+canon AS (SELECT doc_id, source, nfc_normalize(raw) AS t FROM variants),
+gm AS (
+    SELECT doc_id, source, t,
+        len({_V2_WORDS}) AS nw,
+        length(replace({_V2_NORM_T}, ' ', '')) AS total_chars,
+        length({_V2_NORM_T})
+            - length(replace({_V2_NORM_T}, '#', '')) AS hash_count,
+        len(str_split(t, chr(10))) AS n_lines,
+        len(list_filter(str_split(t, chr(10)),
+            x -> x LIKE '- %' OR x LIKE '* %')) AS bullets,
+        len(list_filter(str_split(t, chr(10)),
+            x -> x LIKE '%...')) AS ell_lines,
+        len(list_filter({_V2_WORDS},
+            x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        (CASE WHEN list_contains({_V2_WORDS}, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'a') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'and') THEN 1 ELSE 0 END
+        ) AS stop_hits
+    FROM canon
+),
+gated AS (
+    SELECT doc_id, source, t FROM gm
+    WHERE (nw BETWEEN 40 AND 100000)
+      AND ((total_chars / nw) BETWEEN 3.0 AND 10.0)
+      AND (hash_count / nw) < 0.05
+      AND (bullets / n_lines) < 0.3
+      AND (ell_lines / n_lines) < 0.2
+      AND (alpha_words / nw) >= 0.9
+      AND stop_hits >= 2
+),
+grams AS (
+    SELECT doc_id, substr(lower(t), CAST(i AS INT), 3) AS gram
+    FROM gated, unnest(generate_series(1, length(t) - 2)) AS u(i)
+),
+model AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY 1),
+scores AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(sum(length(bin(m.cnt)) - 1) AS BIGINT) AS lm_score
+    FROM grams g JOIN model m USING (gram)
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(lm_score) AS BIGINT) AS ts,
+           CAST(sum(lm_grams) AS BIGINT) AS tg
+    FROM scores
+),
+fl AS (
+    SELECT s.doc_id, g.source, g.t, s.lm_grams, s.lm_score
+    FROM scores s JOIN gated g USING (doc_id), tot
+    WHERE s.lm_score * tot.tg >= tot.ts * s.lm_grams
+),
+fps AS (SELECT *, md5({_V2_NORM_T}) AS fp FROM fl),
+ex AS (
+    SELECT doc_id, source, t, lm_grams, lm_score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fps
+    ) WHERE rn = 1
+),
+shw AS (SELECT doc_id, {_V2_WORDS} AS w FROM ex),
+shg AS (SELECT doc_id, {_V2_SHINGLES} AS sh FROM shw),
+sig AS (SELECT doc_id, {_V2_SIG} FROM shg),
+buckets AS ({_V2_BUCKETS}),
+losers AS (
+    SELECT DISTINCT b.doc_id FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+),
+nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+cnts AS (SELECT source, count(*) AS n_source FROM nd GROUP BY 1),
+thr AS (
+    SELECT source,
+           CAST(floor(sqrt(CAST((SELECT min(n_source) FROM cnts) AS DOUBLE)
+                           / CAST(n_source AS DOUBLE)) * 256) AS BIGINT)
+               AS keep_threshold
+    FROM cnts
+),
+mixed AS (
+    SELECT nd.doc_id, nd.source, nd.lm_grams, nd.lm_score,
+           len(regexp_split_to_array(trim(nd.t), '\s+')) AS n_tokens
+    FROM nd JOIN thr USING (source)
+    WHERE ({_hash_byte_sql("mix")}) < thr.keep_threshold
+),
+o AS (
+    SELECT doc_id, source, lm_grams, lm_score, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) - n_tokens AS BIGINT) AS start_off
+    FROM mixed
+)
+SELECT doc_id, source, lm_grams, lm_score,
+       CAST(n_tokens AS BIGINT) AS n_tokens, start_off,
+       CAST(start_off // {_V2_BUDGET} AS BIGINT) AS bin_id
+FROM o
+"""
+
+
+@register(
+    "curation_pipeline_v2",
+    sql=_CURATION_V2_SQL,
+    description="the FULL modern curation composition as ONE plan: "
+    "unicode NFC canonicalization (Arrow mapInPandas, pipelined with "
+    "the scan) -> Gopher quality rules (pure projection) -> corpus-"
+    "mean LM-fluency gate (integer cross-multiply, self-normalizing "
+    "across SFs) -> exact NFC-keyed dedup (min-struct partial agg) -> "
+    "LSH near-dup greedy drop (banded bucket join, never all-pairs) "
+    "-> temperature (alpha=0.5) source mixture (tiny rollup broadcast "
+    "back) -> per-source sequence packing (windowed running offsets). "
+    "Inputs perturbed so every stage provably removes rows: NFC-"
+    "identical byte-distinct clones, 5-word-tail near-dup clones, one "
+    "deliberately oversized source ([EXT] north-star composition, "
+    "VERDICT r8 item 1)",
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exchange budget of the whole chain (audited in COVERAGE.md and
+    # pinned by tests/test_plan_shapes.py): data-proportional shuffles
+    # ONLY at (1) the LM model rollup + per-doc score agg, (2) the
+    # exact-dedup fingerprint agg, (3) the LSH signature agg + bucket
+    # self-join, (4) the packing window — exactly the stages whose
+    # semantics require co-location.  The gates (Gopher, fluency
+    # threshold, mixture) are projections or broadcast joins; the NFC
+    # canonicalization rides the scan stage inside one mapInPandas.
+    #
+    # Persist lifecycle: four frames (gated, scores, survivors, nd)
+    # each feed 2-3 downstream subtrees, so they are persisted;
+    # lifetime is caller-owned by this repo's documented convention
+    # (CacheManager dedups the plan across repeated runs; release via
+    # spark.catalog.clearCache() — same contract as near_dup_clusters).
+    # Without the scores persist, the gram explode + per-doc rollup —
+    # the chain's most expensive aggregate — would evaluate once for
+    # the totals frame and once for the gate join.
+    from pyspark.sql import Window
+
+    from magshield_data_pipeline_spark.operators import lm as L
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("src_big"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        "text",
+    )
+    # variant fan-out as ONE conditional array explode — a projection,
+    # not a 3-way union of scans (one pass over the corpus)
+    variant_structs = F.array(
+        F.struct(
+            F.col("doc_id").alias("doc_id"),
+            F.concat("text", F.lit(" caf\u00e9")).alias("raw"),  # precomposed
+        ),
+        F.struct(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            # DECOMPOSED e + U+0301: byte-distinct, NFC-identical
+            F.concat("text", F.lit(" cafe\u0301")).alias("raw"),
+        ),
+        F.struct(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            # near-dup tail = the doc's OWN 40-char prefix: grams are
+            # corpus-typical so the clone's fluency tracks its base's
+            # (a rare-word tail would sink every clone at the LM gate
+            # before LSH ever saw it), yet the shingle set shifts
+            # enough that only MinHash — not the exact key — pairs it
+            F.concat(
+                "text", F.lit(" caf\u00e9 "), F.substring("text", 1, 40)
+            ).alias("raw"),
+        ),
+    )
+    wanted = (
+        F.lit(True),
+        F.col("doc_id") % 10 == 0,
+        F.col("doc_id") % 10 == 5,
+    )
+    variants = (
+        base.select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        variant_structs,
+                        F.array(*wanted),
+                        lambda v, keep: F.struct(
+                            v.alias("v"), keep.alias("keep")
+                        ),
+                    ),
+                    lambda x: x["keep"],
+                )
+            ).alias("e"),
+        )
+        .select(F.col("e.v.doc_id").alias("doc_id"), "source",
+                F.col("e.v.raw").alias("raw"))
+    )
+    canon = T.unicode_canonicalize(
+        variants, text_col="raw", nfc_col="t", stripped_col=None
+    )
+    gq = T.gopher_quality_flags(
+        canon, text_col="t", id_col="doc_id", keep_cols=("source", "t")
+    )
+    gated = gq.filter("keep").select("doc_id", "source", "t").persist()
+
+    model = L.train_ngram_counts(gated, "t", n=3)
+    scores = L.fluency_score(gated, model, "t", "doc_id", n=3).persist()
+    tot = scores.agg(
+        F.sum("lm_score").alias("ts"), F.sum("lm_grams").alias("tg")
+    )
+    fl = (
+        scores.join(gated, "doc_id")
+        .crossJoin(F.broadcast(tot))  # 1-row totals frame
+        .filter(
+            F.col("lm_score") * F.col("tg") >= F.col("ts") * F.col("lm_grams")
+        )
+        .select("doc_id", "source", "t", "lm_grams", "lm_score")
+    )
+    survivors = (
+        D.exact_dedup(fl, text_col="t", id_col="doc_id")
+        .select("doc_id", "source", "t", "lm_grams", "lm_score")
+        .persist()
+    )
+    buckets = D.lsh_band_buckets(survivors, text_col="t", id_col="doc_id")
+    losers = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    nd = survivors.join(losers, "doc_id", "left_anti").persist()
+
+    counts = nd.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    rates = counts.withColumn(
+        "n_min", F.min("n_source").over(Window.partitionBy())
+    ).select(
+        "source",
+        SA.temperature_threshold(F.col("n_source"), F.col("n_min")).alias(
+            "keep_threshold"
+        ),
+    )
+    mixed = (
+        nd.join(F.broadcast(rates), "source")
+        .filter(
+            SA.mixture_keep(
+                F.col("doc_id"), F.col("keep_threshold"), salt="mix"
+            )
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lm_grams",
+            "lm_score",
+            T.token_count("t").alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = mixed.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return o.select(
+        "doc_id",
+        "source",
+        "lm_grams",
+        "lm_score",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_off").cast("long").alias("start_off"),
+        F.floor(F.col("start_off") / _V2_BUDGET).alias("bin_id"),
+    )

@@ -179,6 +179,11 @@ _WINDOW_PINS: list[tuple[str, int]] = [
     ("python_sink_roundtrip", 9),
     ("jpeg_block_dc_stats", 9),
     ("jpeg420_mcu_stats", 9),
+    # r9 composition work: unicode_canonicalize gained stripped_col=None
+    # and gopher_quality_flags gained keep_cols (both behavior-neutral
+    # for the existing callers — re-proven on principle)
+    ("unicode_normalized_dedup", 9),
+    ("gopher_quality_flags", 9),
 ]
 
 

@@ -58,6 +58,9 @@ _ALLOW_BNLJ = {
     # scored (term, doc) rows × the ONE-row corpus stats frame
     # (N, avgdl) — BM25's global normalizers
     "bm25_topk_docs",
+    # per-doc fluency scores × the ONE-row corpus-totals frame — the
+    # self-normalizing LM gate's global mean
+    "curation_pipeline_v2",
     # grid build: keys × the day axis exploded from ONE span row —
     # bounded by calendar days, broadcast by construction
     "gap_fill_locf_daily",
@@ -634,3 +637,48 @@ def test_gap_fill_locf_exchange_budget(spark):
     assert _shuffles(plan) <= 4, plan[:1500]
     # every fact-side aggregate partial-aggregates before shuffling
     assert "partial_sum" in plan and "partial_min" in plan
+
+
+def test_curation_pipeline_v2_exchange_budget(spark):
+    # The r9 north-star composition (VERDICT r8 item 1): documented
+    # budget is data-proportional shuffles ONLY at the stages whose
+    # semantics require co-location — the LM model/score aggregates,
+    # the exact-dedup fingerprint agg, the LSH signature agg + bucket
+    # join, the mixture rollup, and the packing window.  The static
+    # plan prints shared persisted subtrees once per consumer, so
+    # budget is counted over UNIQUE exchange plan_ids, and every
+    # non-broadcast shuffle key must be one of the stage keys.
+    import re
+
+    df = QUERY_REGISTRY["curation_pipeline_v2"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # one Arrow mapInPandas (the NFC canonicalization), zero
+    # row-at-a-time Python UDFs anywhere in the chain
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    exchanges = {
+        m.group("pid"): m.group("kind")
+        for m in re.finditer(
+            r"Exchange (?P<kind>\w+)(?:\((?P<key>[^,)]*)[^)]*\))?"
+            r".*?plan_id=(?P<pid>\d+)",
+            plan,
+        )
+        if "Broadcast" not in m.group("kind")
+    }
+    keys = {
+        m.group("key").split("#")[0]
+        for m in re.finditer(
+            r"Exchange hashpartitioning\((?P<key>[^,#]+)#", plan
+        )
+    }
+    # every hash shuffle is on a semantic stage key — no accidental
+    # repartition on a non-key column anywhere in the chain
+    assert keys <= {"gram", "doc_id", "fp", "source", "band", "bucket"}, keys
+    # unique-exchange budget: model agg, score agg, totals single-
+    # partition, gate join (2 sides), fp agg, sig agg (×2 self-join
+    # sides pre-reuse), losers distinct, mixture rollup + its single-
+    # partition window, packing window, + the read_table_spread
+    # round-robin — bounded, with slack for AQE's join planning
+    assert len(exchanges) <= 16, sorted(exchanges.items())
+    # partial aggregation runs before every exchange-feeding aggregate
+    assert "partial_count" in plan and "partial_min" in plan
