@@ -184,6 +184,8 @@ _WINDOW_PINS: list[tuple[str, int]] = [
     # for the existing callers — re-proven on principle)
     ("unicode_normalized_dedup", 9),
     ("gopher_quality_flags", 9),
+    # r9: corpus LSH index materialized to parquet (VERDICT r8 item 3)
+    ("streaming_near_dup_candidates", 9),
 ]
 
 
