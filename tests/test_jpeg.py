@@ -346,3 +346,103 @@ def test_zrl_filling_block_to_exactly_64_is_legal():
     flat = np.zeros(64, dtype=np.int32)
     flat[M._JPEG_ZIGZAG[15]] = 1
     assert (block.reshape(-1) == flat).all()
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2, r9)
+
+
+def test_progressive_roundtrip_entropy_lossless():
+    # the multi-scan split (DC first + refine, two AC bands) must
+    # reassemble coefficients bit-equal to the encoder's quantized
+    # blocks — the lossless-layer contract shared with the sequential
+    # decoders
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    enc = M.encode_jpeg_gray_progressive(img)
+    blocks, qt, h, w = M.decode_jpeg_gray_progressive_blocks(enc)
+    assert (h, w) == (24, 32)
+    assert (blocks == M.quantize_blocks_gray(img)[0]).all()
+    # same coefficients -> pixel output identical to the BASELINE
+    # decode of the same image (both run the same IDCT on the same
+    # quantized blocks)
+    assert (
+        M.decode_jpeg_gray_progressive(enc)
+        == M.decode_jpeg_gray(M.encode_jpeg_gray(img))
+    ).all()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    shape=st.tuples(
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=1, max_value=30),
+    ),
+)
+def test_progressive_entropy_lossless_property(seed, shape):
+    # ANY image, ANY geometry (including non-multiple-of-8 edges and
+    # tiny single-block images): decoded quantized blocks equal the
+    # encoder's through the 4-scan progressive script
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    enc = M.encode_jpeg_gray_progressive(img)
+    blocks = M.decode_jpeg_gray_progressive_blocks(enc)[0]
+    assert (blocks == M.quantize_blocks_gray(img)[0]).all()
+
+
+def test_progressive_eobrun_spans_blocks():
+    # a constant image quantizes to all-AC-zero blocks: both AC band
+    # scans degenerate to ONE EOBn covering every block, and the DC
+    # successive-approximation pair must still reassemble the exact
+    # (v-128)/2 closed form (even v, q00=16)
+    img = np.full((32, 32), 78, dtype=np.uint8)
+    enc = M.encode_jpeg_gray_progressive(img)
+    blocks = M.decode_jpeg_gray_progressive_blocks(enc)[0]
+    assert (blocks[:, :, 0, 0] == (78 - 128) // 2).all()
+    assert np.abs(blocks).sum() == np.abs(blocks[:, :, 0, 0]).sum()
+    # the all-EOB AC scans should be tiny: 16 blocks fold into one
+    # EOB4 symbol (8 bits + 4 extra) per band
+    assert len(enc) < 400
+
+
+def test_progressive_dispatch_and_sniff():
+    img = np.full((16, 16), 78, dtype=np.uint8)
+    prog = M.encode_jpeg_gray_progressive(img)
+    base = M.encode_jpeg_gray(img)
+    assert M._is_progressive_jpeg(prog)
+    assert not M._is_progressive_jpeg(base)
+    # decode_media image path reaches the progressive decoder through
+    # the same SOI sniff as the other JPEG layouts
+    out = M.decode_media(prog, "image")
+    assert out.shape == (16, 16) and (out == img).all()
+
+
+def test_progressive_rejects_sequential_and_vice_versa():
+    img = np.full((16, 16), 78, dtype=np.uint8)
+    base = M.encode_jpeg_gray(img)
+    prog = M.encode_jpeg_gray_progressive(img)
+    with pytest.raises(ValueError, match="sequential frame"):
+        M.decode_jpeg_gray_progressive_blocks(base)
+    with pytest.raises(ValueError, match="baseline sequential"):
+        M._parse_jpeg_header(prog)
+
+
+def test_progressive_malformed_band_overrun_fails_loud():
+    # hand-build an AC scan whose first symbol's run walks past Se —
+    # the band-bounds guard must fire, mirroring the baseline block
+    # guard.  Scans: one DC first (all zero) then an AC 1-5 band scan
+    # whose run=14 crosses the 5-coefficient band.
+    img = np.full((8, 8), 78, dtype=np.uint8)
+    enc = bytearray(M.encode_jpeg_gray_progressive(img))
+    # find the AC 1-5 scan's SOS (Ss=1, Se=5) and corrupt its first
+    # entropy byte into run=14/size=1 (symbol 0xE1)
+    i = enc.find(bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x01, 0x05]))
+    assert i > 0
+    scan_at = i + 10  # SOS is 10 bytes: marker(2)+len(2)+payload(6)
+    codes = M._huffman_codes(M._JPEG_ACP_BITS, M._JPEG_ACP_SYMBOLS)
+    code, length = codes[0xE1]
+    assert length == 8
+    enc[scan_at] = code  # one full byte = the 8-bit symbol
+    with pytest.raises(ValueError, match="past band end|truncated|invalid"):
+        M.decode_jpeg_gray_progressive_blocks(bytes(enc))
