@@ -3837,3 +3837,142 @@ def nation_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.union(nxt)
         frontier = nxt
     return visited.select(F.col("node").alias("nation"), "hops")
+
+
+# ---------------------------------------------------------------------------
+# EXT — WEIGHTED shortest paths over the trade graph (r9): Bellman-
+# Ford-style iterative min-relaxation, proven against a RECURSIVE
+# path-enumeration oracle (VERDICT r8 item 5 — upgrades the graph
+# tier from hop counting to weighted distances)
+
+_WSP_FANOUT = 3   # top-k out-edges per node (denser than BFS's 2 so
+                  # cheaper multi-hop routes genuinely beat direct ones)
+_WSP_MAX_HOPS = 6
+_WSP_COST_NUM = 1_000_000_000  # cost = NUM // w: stronger link = cheaper
+
+_WSP_SQL = f"""
+WITH RECURSIVE flows AS (
+    SELECT n1.n_name AS src, n2.n_name AS dst, CAST(count(*) AS BIGINT) AS w
+    {{flow_join}}
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT src, dst, CAST({_WSP_COST_NUM} // w AS BIGINT) AS cost FROM (
+        SELECT src, dst, w,
+               -- md5-ranked edge pick, NOT top-by-weight: keeping only
+               -- the strongest edges makes every cost near-equal and
+               -- the triangle inequality then always favors the direct
+               -- edge (relaxation would never fire, measured r9); the
+               -- deterministic pseudo-random pick keeps weights spread
+               -- across their 24x range so multi-hop routes genuinely
+               -- undercut weak direct edges
+               row_number() OVER (
+                   PARTITION BY src ORDER BY md5(src || '|' || dst), dst)
+                   AS rn
+        FROM flows
+    ) WHERE rn <= {_WSP_FANOUT}
+),
+start AS (
+    SELECT src AS node FROM flows
+    GROUP BY src ORDER BY sum(w) DESC, src LIMIT 1
+),
+walk(node, dist, hops) AS (
+    SELECT node, CAST(0 AS BIGINT), 0 FROM start
+    UNION ALL
+    SELECT e.dst, w.dist + e.cost, w.hops + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.hops < {_WSP_MAX_HOPS}
+)
+SELECT node AS nation, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@register(
+    "nation_paths_weighted",
+    sql=_WSP_SQL.format(flow_join=NATION_FLOW_JOIN_SQL),
+    description=f"weighted shortest paths (≤{_WSP_MAX_HOPS} edges, "
+    f"integer cost {_WSP_COST_NUM}//w) from the highest-outflow "
+    f"nation over {_WSP_FANOUT} md5-picked trade edges per node: "
+    "Bellman-Ford-style iterative min-relaxation with frontier "
+    "pruning (only nodes improved last round relax — exact for the "
+    "hop-bounded semantics by prefix-coverage induction), hash-proven "
+    "against DuckDB's WITH RECURSIVE path enumeration + min rollup "
+    "([EXT] graph tier — the weighted upgrade of nation_hops_bfs)",
+)
+def nation_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: identical posture to nation_hops_bfs — ONE data-
+    # proportional stage (the fact-table edge rollup), then bounded
+    # per-level joins of the ≤25-row frontier against the checkpointed
+    # edge frame, broadcast both sides, localCheckpoint per round so
+    # level plans stay constant-size.  Frontier pruning is the exact
+    # hop-bounded Bellman-Ford: any ≤L-edge shortest path's prefix
+    # value was relaxed the round after it was last improved, so
+    # relaxing only the improved set covers every candidate (the same
+    # argument that makes delta-stepping correct).
+    from pyspark.sql.window import Window
+
+    flows = (
+        nation_flow_frame(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()  # consumed by the edge ranking AND the start pick
+    )
+    # md5-ranked pick (see the oracle comment): deterministic pseudo-
+    # random edges keep the cost spread wide enough that min-relaxation
+    # genuinely fires, unlike a top-by-weight pick
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(
+            F.md5(F.concat(F.col("src"), F.lit("|"), F.col("dst"))), "dst"
+        )
+    )
+    edges = (
+        flows.withColumn("rn", rn)
+        .filter(F.col("rn") <= _WSP_FANOUT)
+        .select(
+            "src",
+            "dst",
+            F.floor(F.lit(_WSP_COST_NUM) / F.col("w")).alias("cost"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    start = (
+        flows.groupBy("src")
+        .agg(F.sum("w").alias("wout"))
+        .orderBy(F.desc("wout"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    flows.unpersist()  # both consumers materialized (bm25 lifecycle rule)
+    best = start
+    frontier = start
+    for _ in range(_WSP_MAX_HOPS):
+        cand = (
+            frontier.join(F.broadcast(edges), frontier.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("cost")).alias("dist"),
+            )
+        )
+        merged = (
+            best.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)  # constant-size level plans
+        )
+        improved = (
+            merged.join(
+                F.broadcast(best.withColumnRenamed("dist", "old")),
+                "node",
+                "left",
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        best = merged
+        frontier = improved
+    return best.select(F.col("node").alias("nation"), "dist")
