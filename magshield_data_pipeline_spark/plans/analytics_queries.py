@@ -890,6 +890,127 @@ def l_diversity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t-closeness audit (r9): the distribution-distance completion of the
+# privacy family (PII r2, k-anonymity r7, l-diversity r8).  A group can
+# be k-anonymous AND l-diverse yet still leak when its sensitive
+# distribution DIFFERS sharply from the global one (Li et al., ICDE
+# 2007) — skewness disclosure.  Distance = total variation (half-L1),
+# kept EXACT by integer cross-multiplication:
+#   TVD(g) > t  <=>  t_den * SUM_b |n_gb*N - N_b*n_g| > 2*t_num*n_g*N
+# (every operand a BIGINT count — no float division anywhere, so the
+# violating set is bit-identical across engines; at extreme corpus
+# sizes the products approach int64 and a production build compares as
+# DECIMAL(38)).
+#
+# Deliberate perturbation (teeth): sampling noise makes every group's
+# TVD shrink like 1/sqrt(group size), so a fixed t cannot bite at all
+# scale factors on clean data.  Nations with key % 5 == 0 therefore
+# get their low balance bands (< 2) folded to 0 — a ~27% mass shift
+# whose TVD converges to ~0.135 as groups grow, safely above
+# t = 1/8 = 0.125: at sf0.1 the violating set is EXACTLY the 5 planted
+# nations, at sf0.01 noise adds a further real tail (21 of 25 — 4
+# clean groups provably pass).
+
+_TCLOSE_T_NUM, _TCLOSE_T_DEN = 1, 8
+
+_TCLOSE_SQL = f"""
+WITH b AS (
+    SELECT c_nationkey AS nation_key,
+           CASE WHEN c_nationkey % 5 = 0
+                     AND CAST(floor(c_acctbal / 1000) AS BIGINT) < 2
+                THEN 0
+                ELSE CAST(floor(c_acctbal / 1000) AS BIGINT) END AS band,
+           CAST(count(*) AS BIGINT) AS n_gb
+    FROM customer GROUP BY 1, 2
+),
+nb AS (SELECT band, CAST(sum(n_gb) AS BIGINT) AS n_b FROM b GROUP BY 1),
+tot AS (SELECT CAST(sum(n_gb) AS BIGINT) AS n_total FROM b),
+j AS (
+    SELECT b.nation_key, b.n_gb, nb.n_b, tot.n_total,
+           CAST(sum(b.n_gb) OVER (PARTITION BY b.nation_key) AS BIGINT)
+               AS n_g,
+           CAST(sum(nb.n_b) OVER (PARTITION BY b.nation_key) AS BIGINT)
+               AS nb_present
+    FROM b JOIN nb USING (band), tot
+),
+g AS (
+    SELECT nation_key,
+           CAST(max(n_g) AS BIGINT) AS group_size,
+           CAST(sum(abs(n_gb * n_total - n_b * n_g))
+                + max(n_g) * (max(n_total) - max(nb_present))
+                AS BIGINT) AS tvd_num,
+           CAST(2 * max(n_g) * max(n_total) AS BIGINT) AS tvd_den
+    FROM j GROUP BY 1
+)
+SELECT nation_key, group_size, tvd_num, tvd_den
+FROM g
+WHERE {_TCLOSE_T_DEN} * tvd_num > {_TCLOSE_T_NUM} * tvd_den
+"""
+
+
+@register(
+    "t_closeness_violations",
+    sql=_TCLOSE_SQL,
+    description=f"t-closeness audit (t = {_TCLOSE_T_NUM}/{_TCLOSE_T_DEN}, "
+    "Li et al. 2007): per-nation sensitive-band distributions whose "
+    "total-variation distance from the global distribution exceeds t "
+    "— the skewness-disclosure attack k-anonymity and l-diversity both "
+    "miss; exact integer cross-multiplied TVD (absent bands folded in "
+    "closed form), one fact scan + two rollups OF THE ROLLUP + a "
+    "1-row total broadcast; low bands of nations with key % 5 == 0 "
+    "deliberately folded so the violating set is provably non-trivial "
+    "at every SF ([EXT] privacy tier, completing PII / k-anonymity / "
+    "l-diversity)",
+)
+def t_closeness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: ONE data-proportional stage — the (nation, band) partial-
+    # agg rollup of the fact scan; everything downstream (global band
+    # rollup, 1-row total, per-group window + final agg) operates on
+    # the <= |nations| x |bands| rollup.  No UDFs, no joins against the
+    # fact table, integer arithmetic end to end.
+    from pyspark.sql.window import Window
+
+    customer = read_table(spark, sf_dir, "customer")
+    raw_band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    band = F.when(
+        (F.col("c_nationkey") % 5 == 0) & (raw_band < 2), F.lit(0).cast("long")
+    ).otherwise(raw_band)
+    b = (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nation_key"), band.alias("band")
+        )
+        .agg(F.count(F.lit(1)).alias("n_gb"))
+        .persist()  # three rollup consumers; released by CacheManager
+        # dedup across runs (documented caller-owned convention)
+    )
+    nb = b.groupBy("band").agg(F.sum("n_gb").alias("n_b"))
+    tot = b.agg(F.sum("n_gb").alias("n_total"))
+    w = Window.partitionBy("nation_key")
+    j = (
+        b.join(F.broadcast(nb), "band")
+        .crossJoin(F.broadcast(tot))  # 1-row global count
+        .withColumn("n_g", F.sum("n_gb").over(w))
+        .withColumn("nb_present", F.sum("n_b").over(w))
+    )
+    g = j.groupBy("nation_key").agg(
+        F.max("n_g").alias("group_size"),
+        (
+            F.sum(
+                F.abs(
+                    F.col("n_gb") * F.col("n_total")
+                    - F.col("n_b") * F.col("n_g")
+                )
+            )
+            + F.max("n_g") * (F.max("n_total") - F.max("nb_present"))
+        ).alias("tvd_num"),
+        (2 * F.max("n_g") * F.max("n_total")).alias("tvd_den"),
+    )
+    return g.filter(
+        _TCLOSE_T_DEN * F.col("tvd_num") > _TCLOSE_T_NUM * F.col("tvd_den")
+    )
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS (r8): heterogeneous rollups in ONE pass — the report
 # shape the reference builds by running one pandas groupby per sheet
 # (report.py) and that CUBE (corpus_cube_summary) over-produces

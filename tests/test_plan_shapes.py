@@ -61,6 +61,9 @@ _ALLOW_BNLJ = {
     # per-doc fluency scores × the ONE-row corpus-totals frame — the
     # self-normalizing LM gate's global mean
     "curation_pipeline_v2",
+    # (nation, band) rollup × the ONE-row global-count frame — the
+    # exact-integer TVD's normalizer
+    "t_closeness_violations",
     # grid build: keys × the day axis exploded from ONE span row —
     # bounded by calendar days, broadcast by construction
     "gap_fill_locf_daily",
