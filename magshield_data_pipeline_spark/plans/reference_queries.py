@@ -1695,14 +1695,19 @@ def paged_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(dest, "r", encoding="utf-8") as f:
         total = sum(1 for ln in f if ln.strip())
     P.register(spark)
-    # page size scales with the feed so the drain is ~4 micro-batches
-    # at any SF (the 50-row floor keeps even the sf0.001 feed multi-
-    # batch, so the INCREMENTAL path — offsets committed between
-    # batches — is always what runs, never a single-batch degenerate
-    # drain; each micro-batch pays a full plan + state round-trip, so
-    # page-per-500 at sf0.1 would be 30 framework round-trips
-    # measuring the scheduler, not the source)
-    page_size = max(50, -(-total // 4))
+    # page size scales with the feed so the drain is TWO micro-batches
+    # at any SF — the minimum that still proves the INCREMENTAL path
+    # (offsets committed between batches; the 50-row floor keeps even
+    # the sf0.001 feed multi-batch).  Each micro-batch is a ~2s
+    # PROTOCOL floor regardless of rows (measured r9: addBatch ~2s =
+    # the simple-reader round-trip — driver-side page prefetch, rows
+    # pickled to one executor stage, complete-mode state rewrite;
+    # getBatch/latestOffset are <50ms), so batch count, not data,
+    # decides this query's wall time: 4 pages measured 2x the wall of
+    # 2 pages at identical results.  readBetweenOffsets replay is
+    # pinned independently in tests/test_paged_source.py, so shrinking
+    # the drain loses no recovery coverage.
+    page_size = max(50, -(-total // 2))
     stream = (
         spark.readStream.format("paged_json")
         .schema(
