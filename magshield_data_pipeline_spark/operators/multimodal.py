@@ -1713,9 +1713,18 @@ _JPEG_ACP_SYMBOLS = sorted(
 _JPEG_ACP_BITS = [0] * 16
 _JPEG_ACP_BITS[7] = len(_JPEG_ACP_SYMBOLS)
 
-# (Ss, Se, Ah, Al) per scan — DC first at Al=1, DC refine to Al=0,
-# then the AC spectrum in two spectral-selection bands
-_JPEG_PROG_SCANS = ((0, 0, 0, 1), (0, 0, 1, 0), (1, 5, 0, 0), (6, 63, 0, 0))
+# (Ss, Se, Ah, Al) per scan — DC first at Al=1 then its refinement,
+# both AC spectral-selection bands first at Al=1, then each band's
+# successive-approximation refinement to full precision (a band's
+# first scan must precede its refinements; order across bands is free)
+_JPEG_PROG_SCANS = (
+    (0, 0, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
 
 
 def _prog_zz_blocks(blocks: np.ndarray) -> np.ndarray:
@@ -1763,7 +1772,12 @@ def _encode_ac_first_scan(
             eobrun -= min(eobrun, (1 << (r + 1)) - 1)
 
     for b in range(zz.shape[0]):
-        band = zz[b, ss : se + 1] >> al
+        # the AC point transform is a SIGN-MAGNITUDE shift (T.81
+        # G.1.2.2: |coef| >> Al, sign reattached) — an arithmetic
+        # shift would floor negatives toward -inf and the refinement
+        # bit could never reassemble them
+        raw = zz[b, ss : se + 1]
+        band = np.sign(raw) * (np.abs(raw) >> al)
         nz = np.nonzero(band)[0]
         if nz.size == 0:
             eobrun += 1
@@ -1788,6 +1802,79 @@ def _encode_ac_first_scan(
             run = 0
         if run:  # zero tail after the last nonzero -> starts an EOB run
             eobrun = 1
+    flush_eob()
+
+
+def _encode_ac_refine_scan(
+    zz: np.ndarray, ss: int, se: int, ah: int, al: int, bw: "_BitWriter"
+) -> None:
+    """AC successive-approximation refinement for band [ss, se]
+    (T.81 G.1.2.3, the jcphuff discipline): coefficients newly
+    significant at this precision (|coef| >> Al == 1) are coded as
+    run/size-1 symbols plus a sign bit; coefficients already nonzero
+    at the PRIOR precision each contribute one raw correction bit,
+    buffered and appended after the next emitted symbol; blocks with
+    nothing newly significant fold into an EOB run whose buffered
+    correction bits flush with the EOBn symbol."""
+    if ah - al != 1:
+        raise ValueError(
+            "encode_jpeg_progressive: AC refinement must lower Al by 1"
+        )
+    ac_codes = _huffman_codes(_JPEG_ACP_BITS, _JPEG_ACP_SYMBOLS)
+    eobrun = 0
+    be: list[int] = []  # correction bits buffered with the EOB run
+
+    def put_sym(sym: int) -> None:
+        code, length = ac_codes[sym]
+        bw.put(code, length)
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(eobrun.bit_length() - 1, 14)
+            put_sym(r << 4)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun -= min(eobrun, (1 << (r + 1)) - 1)
+        for bit in be:  # buffered correction bits ride the EOBn flush
+            bw.put(bit, 1)
+        be.clear()
+
+    for b in range(zz.shape[0]):
+        raw = zz[b, ss : se + 1]
+        absval = np.abs(raw) >> al
+        newly = np.nonzero(absval == 1)[0]
+        eob = int(newly[-1]) if newly.size else -1  # last newly-signif.
+        r = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for k in range(se - ss + 1):
+            t = int(absval[k])
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs only where they cannot fold into the EOB run
+            while r > 15 and k <= eob:
+                flush_eob()
+                put_sym(0xF0)
+                r -= 16
+                for bit in br:
+                    bw.put(bit, 1)
+                br = []
+            if t > 1:  # already nonzero at prior precision
+                br.append(t & 1)
+                continue
+            flush_eob()
+            put_sym((r << 4) | 1)
+            bw.put(1 if int(raw[k]) >= 0 else 0, 1)  # sign of the new coef
+            for bit in br:
+                bw.put(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:  # block tail folds into the EOB run
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
     flush_eob()
 
 
@@ -1826,8 +1913,10 @@ def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
         bw = _BitWriter()
         if ss == 0:
             _encode_dc_scan(zz, ah, al, bw)
-        else:
+        elif ah == 0:
             _encode_ac_first_scan(zz, ss, se, al, bw)
+        else:
+            _encode_ac_refine_scan(zz, ss, se, ah, al, bw)
         sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
         out += seg(0xFFDA, sos) + bw.flush()
     return out + b"\xff\xd9"
@@ -1962,43 +2051,102 @@ def decode_jpeg_gray_progressive_blocks(
                 for b in range(nb):
                     zz[b, 0] |= br.take(1) << al
         else:
-            if ah != 0:
-                raise ValueError(
-                    "decode_jpeg_progressive: AC refinement scans "
-                    "unsupported (encoder never emits them)"
-                )
             table = huff.get((1, ta))
             if table is None:
                 raise ValueError(
                     "decode_jpeg_progressive: missing AC Huffman table"
                 )
-            eobrun = 0
-            for b in range(nb):
-                if eobrun:
-                    eobrun -= 1
-                    continue
-                k = ss
-                while k <= se:
-                    sym = _read_symbol(br, table)
-                    r, s = sym >> 4, sym & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL: 16 zeros inside the band
-                            k += 16
-                            if k > se + 1:
-                                raise ValueError(
-                                    "decode_jpeg_progressive: ZRL past "
-                                    "band end"
+            if ah == 0:  # band first scan
+                eobrun = 0
+                for b in range(nb):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _read_symbol(br, table)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros inside the band
+                                k += 16
+                                if k > se + 1:
+                                    raise ValueError(
+                                        "decode_jpeg_progressive: ZRL "
+                                        "past band end"
+                                    )
+                                continue
+                            eobrun = (1 << r) - 1 + (br.take(r) if r else 0)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError(
+                                "decode_jpeg_progressive: AC run past "
+                                "band end"
+                            )
+                        # sign-magnitude point transform: magnitude
+                        # scaled back by Al, sign from the extend
+                        zz[b, k] = _jpeg_extend(br.take(s), s) << al
+                        k += 1
+            else:  # successive-approximation refinement (G.1.2.3)
+                if ah - al != 1:
+                    raise ValueError(
+                        "decode_jpeg_progressive: AC refinement must "
+                        "lower Al by exactly 1"
+                    )
+                p1 = 1 << al
+                eobrun = 0
+
+                def refine_nonzero(b: int, k: int) -> None:
+                    # one correction bit for an already-nonzero coef;
+                    # a 1-bit grows the magnitude by p1 toward its sign
+                    if br.take(1) and (abs(int(zz[b, k])) & p1) == 0:
+                        zz[b, k] += p1 if zz[b, k] >= 0 else -p1
+
+                for b in range(nb):
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _read_symbol(br, table)
+                            r, s = sym >> 4, sym & 0x0F
+                            newly = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError(
+                                        "decode_jpeg_progressive: "
+                                        "refinement size must be 1"
+                                    )
+                                newly = p1 if br.take(1) else -p1
+                            elif r != 15:
+                                eobrun = (1 << r) + (
+                                    br.take(r) if r else 0
                                 )
-                            continue
-                        eobrun = (1 << r) - 1 + (br.take(r) if r else 0)
-                        break
-                    k += r
-                    if k > se:
-                        raise ValueError(
-                            "decode_jpeg_progressive: AC run past band end"
-                        )
-                    zz[b, k] = _jpeg_extend(br.take(s), s) << al
-                    k += 1
+                                break
+                            # advance over r zero-HISTORY positions,
+                            # refining nonzero-history ones in passing
+                            while k <= se:
+                                if zz[b, k] != 0:
+                                    refine_nonzero(b, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newly:
+                                if k > se:
+                                    raise ValueError(
+                                        "decode_jpeg_progressive: "
+                                        "refinement run past band end"
+                                    )
+                                zz[b, k] = newly
+                            k += 1
+                    if eobrun > 0:
+                        # blocks inside the EOB run still carry one
+                        # correction bit per nonzero-history coef
+                        while k <= se:
+                            if zz[b, k] != 0:
+                                refine_nonzero(b, k)
+                            k += 1
+                        eobrun -= 1
     flat = np.zeros((nb, 64), dtype=np.int32)
     flat[:, _JPEG_ZIGZAG] = zz
     return flat.reshape(n_by, n_bx, 8, 8), qt, h, w

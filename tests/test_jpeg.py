@@ -402,8 +402,10 @@ def test_progressive_eobrun_spans_blocks():
     assert (blocks[:, :, 0, 0] == (78 - 128) // 2).all()
     assert np.abs(blocks).sum() == np.abs(blocks[:, :, 0, 0]).sum()
     # the all-EOB AC scans should be tiny: 16 blocks fold into one
-    # EOB4 symbol (8 bits + 4 extra) per band
-    assert len(enc) < 400
+    # EOB4 symbol (8 bits + 4 extra) per band scan — four band scans
+    # (two first passes + two refinements) on top of the ~380-byte
+    # marker/DHT envelope
+    assert len(enc) < 440
 
 
 def test_progressive_dispatch_and_sniff():
@@ -446,3 +448,21 @@ def test_progressive_malformed_band_overrun_fails_loud():
     enc[scan_at] = code  # one full byte = the 8-bit symbol
     with pytest.raises(ValueError, match="past band end|truncated|invalid"):
         M.decode_jpeg_gray_progressive_blocks(bytes(enc))
+
+
+def test_progressive_ac_refinement_is_load_bearing():
+    # drop the two AC refinement scans and the coefficients must come
+    # back WRONG (the low AC bit missing) — proving the refinement
+    # machinery, not the first passes alone, carries the exactness
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    expect = M.quantize_blocks_gray(img)[0]
+    # odd AC coefficient exists (so the Al=1 first pass loses a bit)
+    assert (np.abs(expect.reshape(-1, 64)[:, 1:]) % 2 == 1).any()
+    enc = M.encode_jpeg_gray_progressive(img)
+    qt, h, w, huff, scans = M._parse_jpeg_progressive(enc)
+    assert [s[4:6] for s in scans] == [
+        (0, 1), (1, 0), (0, 1), (0, 1), (1, 0), (1, 0)
+    ]  # (Ah, Al) per scan of the 6-scan script
+    full = M.decode_jpeg_gray_progressive_blocks(enc)[0]
+    assert (full == expect).all()
