@@ -381,3 +381,97 @@ def windowed_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(chunker(F.col("d.text").outer())).select(
         "doc_id", "pos", "n_words", "window_text"
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned table with time travel (r9): the cross-job append
+# LEDGER the jsonl_sink commit explicitly scopes out — versioned
+# manifests over immutable parquet files (sources/snapshots.py), the
+# Iceberg/Delta snapshot contract reduced to its core.  The version
+# chain here is overwrite -> append -> compact: v3 is logically
+# IDENTICAL to v2 (compaction is a physical rewrite), so the query's
+# per-version rollup pins time travel (v1 != v2), the append ledger
+# (v2 = v1 + new files), and compaction's logical-no-op contract
+# (v3 rows/revenue == v2) plus its physical effect (n_files 4 -> 1)
+# in one hash.
+
+_SNAP_SQL = """
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+v AS (
+    SELECT 1 AS version, 'overwrite' AS operation, 2 AS n_files,
+           count(*) AS n_rows, round(sum(o_totalprice), 2) AS revenue
+    FROM base WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT 2, 'append', 4, count(*), round(sum(o_totalprice), 2)
+    FROM base WHERE o_orderkey % 7 IN (0, 1)
+    UNION ALL
+    SELECT 3, 'compact', 1, count(*), round(sum(o_totalprice), 2)
+    FROM base WHERE o_orderkey % 7 IN (0, 1)
+)
+SELECT CAST(version AS BIGINT) AS version, operation,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_rows AS BIGINT) AS n_rows, revenue
+FROM v
+"""
+
+
+@register(
+    "snapshot_time_travel",
+    sql=_SNAP_SQL,
+    description="snapshot-versioned table (sources/snapshots.py — "
+    "versioned manifests over immutable parquet, exclusive-create "
+    "optimistic commit): an overwrite -> append -> compact chain is "
+    "committed once (write-once scratch), then every version is read "
+    "back by TIME TRAVEL and rolled up — the hash pins the append "
+    "ledger (v2 = v1 + new files), compaction's logical-no-op "
+    "contract (v3 content == v2 at 1/4 the files), and that older "
+    "snapshots stay readable after later commits; manifest-level "
+    "min/max file pruning is pinned by tests/test_snapshots.py "
+    "([EXT] lakehouse tier, completing merge_upsert/SCD2/compaction)",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: reads resolve a manifest (one small JSON), never a
+    # directory walk; each per-version rollup is a partial agg over
+    # exactly the listed files.  The build is write-once (scratch
+    # discipline) so repeated runs pay zero writes.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = scratch_path(
+        "snap_orders", sf_dir,
+        "overwrite(%7=0,2f) append(%7=1,2f) compact(1f) v1",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(
+            orders.filter(F.col("o_orderkey") % 7 == 0), tmp, n_files=2
+        )
+        SN.append(
+            orders.filter(F.col("o_orderkey") % 7 == 1), tmp, n_files=2
+        )
+        SN.compact(spark, tmp, n_files=1)
+
+    ensure_scratch(base, _build)
+    ops = {1: "overwrite", 2: "append", 3: "compact"}
+    per_version = [
+        SN.read(spark, base, v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.lit(ops[v]).alias("operation"),
+            F.lit(len(SN.read_manifest(base, v)["files"]))
+            .cast("long")
+            .alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        for v in SN.versions(base)
+    ]
+    out = per_version[0]
+    for frame in per_version[1:]:
+        out = out.unionByName(frame)
+    return out.select("version", "operation", "n_files", "n_rows", "revenue")

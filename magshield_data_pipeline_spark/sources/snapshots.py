@@ -1,0 +1,194 @@
+"""Snapshot-versioned parquet tables: the minimal table-format core —
+versioned manifests, time travel, append/overwrite/compaction — built
+on the same atomic-publish primitives as sinks.py / scratch.py.
+
+The jsonl_sink commit (sources/jsonl_sink.py) is the "one job lands
+atomically" primitive and its docstring names the gap on purpose: a
+cross-job append LEDGER is a table format's job.  This module is that
+ledger, reduced to its load-bearing core (the Iceberg/Delta snapshot
+contract, stdlib only):
+
+- a table is a directory: immutable data files under ``data/``, one
+  JSON manifest per VERSION under ``_manifests/vN.json`` listing the
+  exact files that make up that snapshot;
+- a manifest is published with stage-then-``os.link`` — exclusive
+  creation, so of two racing writers allocating the same version
+  exactly ONE wins and the loser retries at N+1 (optimistic
+  concurrency, the Iceberg commit protocol on a filesystem);
+- data files are IMMUTABLE and never deleted by table operations:
+  ``overwrite`` and ``compact`` publish a new manifest that simply
+  stops listing old files, so a reader holding version N's file list
+  is never broken by a later commit — snapshot isolation by
+  construction (a separate ``vacuum`` would reclaim unreferenced
+  files after a retention window; deliberately out of scope);
+- ``read`` resolves a version (default: latest) to its manifest and
+  scans exactly the listed files — time travel is just passing an
+  older version.
+
+At 100 TB this is precisely the scan contract that makes planning
+cheap: the manifest bounds the file listing (no directory walks), and
+per-file min/max column stats in the manifest let the reader prune
+files before Spark ever sees them (``min_max`` below records them;
+``read`` applies an optional ``prune`` range).
+
+Reference analog: none (the reference swaps ONE workbook per run —
+report.py's upload-then-delete); this is the [EXT] lakehouse tier
+generalization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+
+
+def _manifest_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_manifests")
+
+
+def versions(table_path: str) -> list[int]:
+    """All committed versions, ascending. A manifest file EXISTS iff
+    its commit completed (exclusive-create publish), so this listing
+    never sees a partial commit."""
+    d = _manifest_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_manifest(table_path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(table_path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def _publish_manifest(table_path: str, manifest: dict) -> int:
+    """Optimistic commit: stage the manifest, then exclusively link it
+    as the next version; on collision (a concurrent writer took the
+    number) retry at the next one.  Returns the committed version."""
+    d = _manifest_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
+    while True:
+        v = (versions(table_path) or [0])[-1] + 1
+        manifest["version"] = v
+        with open(staged, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        try:
+            os.link(staged, os.path.join(d, f"v{v}.json"))
+        except FileExistsError:
+            continue  # lost the race — re-stage against the new latest
+        os.unlink(staged)
+        return v
+
+
+def _write_data_files(df, table_path: str, n_files: int) -> list[dict]:
+    """Land *df* as exactly *n_files* immutable parquet files under a
+    commit-unique subdirectory of ``data/`` and return their manifest
+    entries (path relative to the table root, row count, and min/max
+    stats for every numeric column — the file-pruning index)."""
+    from pyspark.sql import functions as F
+
+    sub = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}")
+    target = os.path.join(table_path, sub)
+    df.repartition(n_files).write.parquet(target)
+    files = sorted(
+        f for f in os.listdir(target)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    spark = df.sparkSession
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in
+        ("long", "integer", "double", "float", "short", "decimal")
+    ]
+    entries = []
+    for name in files:
+        path = os.path.join(target, name)
+        pf = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in numeric:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        row = pf.agg(*aggs).collect()[0].asDict()
+        entries.append(
+            {
+                "path": os.path.join(sub, name),
+                "rows": row.pop("_n"),
+                "stats": {k: (None if v is None else float(v))
+                          for k, v in row.items()},
+            }
+        )
+    return entries
+
+
+def append(df, table_path: str, n_files: int = 2) -> int:
+    """Commit *df* as new files ON TOP of the latest snapshot."""
+    prior = versions(table_path)
+    carry = read_manifest(table_path, prior[-1])["files"] if prior else []
+    entries = _write_data_files(df, table_path, n_files)
+    return _publish_manifest(
+        table_path, {"operation": "append", "files": carry + entries}
+    )
+
+
+def overwrite(df, table_path: str, n_files: int = 2) -> int:
+    """Commit *df* as the ENTIRE table content; prior files stay on
+    disk (older snapshots remain readable) but are no longer listed."""
+    entries = _write_data_files(df, table_path, n_files)
+    return _publish_manifest(
+        table_path, {"operation": "overwrite", "files": entries}
+    )
+
+
+def compact(spark, table_path: str, n_files: int = 1) -> int:
+    """Rewrite the latest snapshot's content as *n_files* files —
+    logically a no-op (same rows), physically the small-file fix; a
+    reader of any prior version is untouched (its files are
+    immutable)."""
+    latest = versions(table_path)[-1]
+    entries = _write_data_files(read(spark, table_path, latest),
+                                table_path, n_files)
+    return _publish_manifest(
+        table_path, {"operation": "compact", "files": entries}
+    )
+
+
+def read(spark, table_path: str, version: int | None = None, *,
+         prune: tuple[str, float, float] | None = None):
+    """Scan snapshot *version* (default latest): exactly the manifest's
+    files, nothing else.  ``prune=(col, lo, hi)`` drops files whose
+    [min, max] range cannot intersect [lo, hi] BEFORE Spark plans the
+    scan — manifest-level file pruning (the caller still applies the
+    row-level filter; pruning only shrinks the file list)."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"snapshot table {table_path} has no versions")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs} at {table_path}")
+    manifest = read_manifest(table_path, v)
+    entries = manifest["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        kept = []
+        for e in entries:
+            mn, mx = e["stats"].get(f"min_{col}"), e["stats"].get(f"max_{col}")
+            if mn is None or mx is None or (mn <= hi and mx >= lo):
+                kept.append(e)
+        entries = kept
+    if not entries:
+        raise ValueError(
+            f"snapshot v{v} at {table_path} has no files after pruning"
+        )
+    return spark.read.parquet(
+        *[os.path.join(table_path, e["path"]) for e in entries]
+    )
