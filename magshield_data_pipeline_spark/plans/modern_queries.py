@@ -475,3 +475,60 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in per_version[1:]:
         out = out.unionByName(frame)
     return out.select("version", "operation", "n_files", "n_rows", "revenue")
+
+
+_SNAP_CDC_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(count(DISTINCT o_orderkey % 7) AS BIGINT) AS n_residues,
+       CAST(min(o_orderkey % 7) AS BIGINT) AS residue,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders WHERE o_orderkey % 7 = 1
+"""
+
+
+@register(
+    "snapshot_incremental_read",
+    sql=_SNAP_CDC_SQL,
+    description="incremental snapshot consumption (CDC): "
+    "sources/snapshots.py::read_changes scans ONLY the files ADDED "
+    "between two versions of the shared snapshot table (files are "
+    "immutable, so the file-list diff IS the row diff for the "
+    "append commit) — the hash proves the v1->v2 delta equals exactly "
+    "the appended residue-1 slice, touching none of v1's files; cost "
+    "proportional to the CHANGE, never the table ([EXT] lakehouse "
+    "tier, the incremental-downstream contract)",
+)
+def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shares snapshot_time_travel's write-once scratch table (same
+    # signature string -> same path; whichever query runs first builds).
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = scratch_path(
+        "snap_orders", sf_dir,
+        "overwrite(%7=0,2f) append(%7=1,2f) compact(1f) v1",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(
+            orders.filter(F.col("o_orderkey") % 7 == 0), tmp, n_files=2
+        )
+        SN.append(
+            orders.filter(F.col("o_orderkey") % 7 == 1), tmp, n_files=2
+        )
+        SN.compact(spark, tmp, n_files=1)
+
+    ensure_scratch(base, _build)
+    changes = SN.read_changes(spark, base, 1, 2)
+    return changes.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("o_orderkey") % 7).alias("n_residues"),
+        F.min(F.col("o_orderkey") % 7).alias("residue"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -19,11 +19,13 @@ contract, stdlib only):
   ``overwrite`` and ``compact`` publish a new manifest that simply
   stops listing old files, so a reader holding version N's file list
   is never broken by a later commit — snapshot isolation by
-  construction (a separate ``vacuum`` would reclaim unreferenced
-  files after a retention window; deliberately out of scope);
+  construction (``vacuum`` reclaims files referenced by no RETAINED
+  snapshot after a keep-newest-K retention window);
 - ``read`` resolves a version (default: latest) to its manifest and
   scans exactly the listed files — time travel is just passing an
-  older version.
+  older version; ``read_changes`` scans only the files ADDED between
+  two versions (exact CDC for append-only chains, cost proportional
+  to the change).
 
 At 100 TB this is precisely the scan contract that makes planning
 cheap: the manifest bounds the file listing (no directory walks), and
@@ -192,3 +194,62 @@ def read(spark, table_path: str, version: int | None = None, *,
     return spark.read.parquet(
         *[os.path.join(table_path, e["path"]) for e in entries]
     )
+
+
+def read_changes(spark, table_path: str, from_version: int,
+                 to_version: int):
+    """Incremental consumption: scan ONLY the files ADDED between two
+    snapshots (files are immutable, so the file-list diff IS the row
+    diff for append-only chains — exact CDC without a log).  For
+    chains containing overwrite/compact commits the added files may
+    restate rows; callers consuming across such commits diff at the
+    row level instead (orders_replica_diff is that operator).  Cost is
+    proportional to the CHANGE, never the table — the property that
+    makes incremental downstream jobs affordable at 100 TB."""
+    if from_version >= to_version:
+        raise ValueError(
+            f"read_changes: need from < to, got {from_version} >= "
+            f"{to_version}"
+        )
+    old = {e["path"] for e in read_manifest(table_path, from_version)["files"]}
+    added = [
+        e["path"]
+        for e in read_manifest(table_path, to_version)["files"]
+        if e["path"] not in old
+    ]
+    if not added:
+        raise ValueError(
+            f"read_changes: no files added between v{from_version} and "
+            f"v{to_version}"
+        )
+    return spark.read.parquet(
+        *[os.path.join(table_path, p) for p in added]
+    )
+
+
+def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
+    """Reclaim data files referenced by NO retained snapshot: keep the
+    newest *keep_versions* manifests (and their files), delete the
+    rest — the retention-windowed cleanup every snapshot format pairs
+    with immutable files.  Returns the deleted file paths.  The
+    retained manifests stay byte-identical, so time travel within the
+    retention window is unaffected; older version reads fail loudly on
+    the missing manifest rather than scanning half a snapshot."""
+    if keep_versions < 1:
+        raise ValueError("vacuum: keep_versions must be >= 1")
+    vs = versions(table_path)
+    keep, drop = vs[-keep_versions:], vs[:-keep_versions]
+    live = {
+        e["path"] for v in keep for e in read_manifest(table_path, v)["files"]
+    }
+    deleted = []
+    for v in drop:
+        for e in read_manifest(table_path, v)["files"]:
+            p = e["path"]
+            if p not in live:
+                full = os.path.join(table_path, p)
+                if os.path.exists(full):
+                    os.remove(full)
+                deleted.append(p)
+        os.remove(os.path.join(_manifest_dir(table_path), f"v{v}.json"))
+    return sorted(set(deleted))

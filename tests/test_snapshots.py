@@ -84,3 +84,41 @@ def test_read_rejects_unknown_and_empty(spark, tmp_path):
         S.read(spark, t, 7)
     with pytest.raises(ValueError, match="after pruning"):
         S.read(spark, t, prune=("k", 1e9, 2e9))
+
+
+def test_read_changes_is_the_file_diff(spark, tmp_path):
+    t = _tbl(tmp_path, "t6")
+    S.overwrite(spark.range(0, 10).withColumnRenamed("id", "k"), t)
+    S.append(spark.range(10, 14).withColumnRenamed("id", "k"), t)
+    S.append(spark.range(14, 15).withColumnRenamed("id", "k"), t)
+    # v1 -> v2: exactly the appended rows; cost = the change, not the table
+    assert sorted(r.k for r in S.read_changes(spark, t, 1, 2).collect()) \
+        == list(range(10, 14))
+    assert sorted(r.k for r in S.read_changes(spark, t, 1, 3).collect()) \
+        == list(range(10, 15))
+    with pytest.raises(ValueError, match="need from < to"):
+        S.read_changes(spark, t, 2, 2)
+
+
+def test_vacuum_reclaims_only_unreferenced_files(spark, tmp_path):
+    t = _tbl(tmp_path, "t7")
+    S.overwrite(spark.range(0, 6).withColumnRenamed("id", "k"), t, n_files=2)
+    S.append(spark.range(6, 9).withColumnRenamed("id", "k"), t, n_files=1)
+    S.compact(spark, t, n_files=1)  # v3 re-lists nothing from v1/v2
+    deleted = S.vacuum(t, keep_versions=1)
+    assert len(deleted) == 3  # v1's 2 files + v2's 1, none shared with v3
+    assert S.versions(t) == [3]
+    # the retained snapshot is fully readable after the reclaim
+    assert sorted(r.k for r in S.read(spark, t).collect()) == list(range(9))
+    # a vacuumed version fails loudly on its missing manifest
+    with pytest.raises(ValueError, match="not in"):
+        S.read(spark, t, 1)
+
+
+def test_vacuum_keeps_files_shared_with_retained_versions(spark, tmp_path):
+    t = _tbl(tmp_path, "t8")
+    S.overwrite(spark.range(0, 4).withColumnRenamed("id", "k"), t, n_files=1)
+    S.append(spark.range(4, 6).withColumnRenamed("id", "k"), t, n_files=1)
+    # v2 carries v1's file forward: dropping v1 must DELETE NOTHING
+    assert S.vacuum(t, keep_versions=1) == []
+    assert sorted(r.k for r in S.read(spark, t).collect()) == list(range(6))
