@@ -653,6 +653,11 @@ def test_curation_pipeline_v2_exchange_budget(spark):
     # non-broadcast shuffle key must be one of the stage keys.
     import re
 
+    # the pipeline persists 4 shared frames; if an earlier test (e.g.
+    # the oracle-parity sweep) already MATERIALIZED them, the plan
+    # shows InMemoryTableScan stubs and hides the very subtrees this
+    # test audits — clear the cache so the full build plan is printed
+    spark.catalog.clearCache()
     df = QUERY_REGISTRY["curation_pipeline_v2"].fn(spark, SF_SMALL)
     plan = _physical_plan(df)
     assert "CartesianProduct" not in plan
