@@ -778,3 +778,115 @@ def streaming_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = sndc_pairs_stream(spark, sf_dir)
     return W.run_available_now(pairs, output_mode="append", state_partitions=8)
 
+
+
+# ---------------------------------------------------------------------------
+# streaming curation gate (r9): the ingest-time half of the curation
+# funnel — unicode NFC canonicalization (Arrow mapInPandas) + the
+# Gopher rule gate running INSIDE a stream, proving the quality tier's
+# projection chain is append-legal and composes with the batch
+# pipeline (curation_pipeline_v2 is the backfill twin of this shape)
+
+_SCG_NORM = r"trim(regexp_replace(lower(t), '\s+', ' ', 'g'))"
+_SCG_WORDS = f"str_split({_SCG_NORM}, ' ')"
+
+_SCG_SQL = rf"""
+WITH deco AS (
+    SELECT doc_id, source,
+           text || chr(10) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '- bullet one' ELSE 'body one' END)
+           || ' caf' || chr(233) AS raw
+    FROM documents WHERE doc_id % 3 = 0
+),
+canon AS (SELECT doc_id, source, nfc_normalize(raw) AS t FROM deco),
+m AS (
+    SELECT doc_id, source,
+        len({_SCG_WORDS}) AS nw,
+        length(replace({_SCG_NORM}, ' ', '')) AS total_chars,
+        length({_SCG_NORM})
+            - length(replace({_SCG_NORM}, '#', '')) AS hash_count,
+        len(str_split(t, chr(10))) AS n_lines,
+        len(list_filter(str_split(t, chr(10)),
+            x -> x LIKE '- %' OR x LIKE '* %')) AS bullets,
+        len(list_filter(str_split(t, chr(10)),
+            x -> x LIKE '%...')) AS ell_lines,
+        len(list_filter({_SCG_WORDS},
+            x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        (CASE WHEN list_contains({_SCG_WORDS}, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_SCG_WORDS}, 'a') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_SCG_WORDS}, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_SCG_WORDS}, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_SCG_WORDS}, 'and') THEN 1 ELSE 0 END
+        ) AS stop_hits
+    FROM canon
+),
+flags AS (
+    SELECT doc_id, source,
+           (nw BETWEEN 40 AND 100000)
+           AND ((total_chars / nw) BETWEEN 3.0 AND 10.0)
+           AND (hash_count / nw) < 0.05
+           AND (bullets / n_lines) < 0.3
+           AND (ell_lines / n_lines) < 0.2
+           AND (alpha_words / nw) >= 0.9
+           AND stop_hits >= 2 AS keep
+    FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept
+FROM flags GROUP BY source
+"""
+
+
+@register(
+    "streaming_quality_gate",
+    sql=_SCG_SQL,
+    description="the curation quality gate running INSIDE a stream: "
+    "every 3rd document streams through unicode NFC canonicalization "
+    "(Arrow mapInPandas — stream-legal, pipelines inside the micro-"
+    "batch scan stage) and the Gopher rule set (pure projection), "
+    "rolled up per source under Trigger.AvailableNow; a bullet line "
+    "planted on the doc_id%5 residue plus the accented suffix give "
+    "both stages teeth — the ingest-time half of the curation funnel "
+    "(curation_pipeline_v2 is its backfill twin) ([EXT] streaming + "
+    "curation tiers)",
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: NFC + the rule projection are stateless (no watermark, no
+    # join state); the only stateful stage is the complete-mode
+    # per-source rollup — bounded by |sources|. Per-batch cost is the
+    # batch cost of the batch's rows, nothing corpus-shaped.
+    from magshield_data_pipeline_spark.operators import text as T
+
+    stream = W.read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    deco = stream.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("- bullet one"))
+            .otherwise(F.lit("body one")),
+            # DECOMPOSED e + U+0301 where the oracle appends the
+            # PRECOMPOSED chr(233): the two engines see different
+            # BYTES and the hashes meet only because the streaming
+            # NFC stage actually normalizes — the canonicalization is
+            # load-bearing for the check, not decorative
+            F.lit(" cafe\u0301"),
+        ).alias("raw"),
+    )
+    canon = T.unicode_canonicalize(
+        deco, text_col="raw", nfc_col="t", stripped_col=None
+    )
+    gq = T.gopher_quality_flags(
+        canon, text_col="t", id_col="doc_id", keep_cols=("source",)
+    )
+    rollup = gq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("keep"), F.lit(1))).alias("n_kept"),
+    )
+    return W.run_available_now(
+        rollup, output_mode="complete", state_partitions=8
+    )

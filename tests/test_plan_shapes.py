@@ -87,6 +87,7 @@ _EAGER = {
     "streaming_interval_join",
     "stream_static_enrich",
     "paged_stream_scan",
+    "streaming_quality_gate",
 }
 
 _LAZY_QUERIES = sorted(set(QUERY_REGISTRY) - _EAGER)
