@@ -1912,3 +1912,133 @@ def python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming append into the snapshot LEDGER (r9): foreachBatch +
+# idempotent per-epoch commit — the exactly-once streaming-lakehouse
+# contract (Structured Streaming replays a failed epoch with the SAME
+# batch id; sources/snapshots.py::append_stream_batch makes the replay
+# a no-op, so at-least-once delivery becomes exactly-once table state)
+
+_SSA_SQL = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS acctbal_sum,
+       CAST(2 AS BIGINT) AS n_versions,
+       CAST(2 AS BIGINT) AS n_epochs
+FROM customer
+GROUP BY 1
+"""
+
+
+@register(
+    "snapshot_stream_append",
+    sql=_SSA_SQL,
+    description="exactly-once STREAMING append into the snapshot "
+    "ledger: the paged customer stream drains in two micro-batches "
+    "through writeStream.foreachBatch, each epoch committed via "
+    "sources/snapshots.py::append_stream_batch (manifest records the "
+    "batch id; replays are no-ops — the Delta/Iceberg txn contract); "
+    "the final table reads back by manifest and must equal the full "
+    "batch rollup with EXACTLY 2 versions from 2 distinct epochs — a "
+    "double-commit or lost epoch breaks the hash ([EXT] streaming + "
+    "lakehouse composition)",
+)
+def snapshot_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: per epoch, cost is the epoch's rows (one parquet write +
+    # one manifest link); the ledger gives downstream consumers
+    # read_changes-style incremental access to exactly the new epoch.
+    import ast as _ast
+    import tempfile as _tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from magshield_data_pipeline_spark.sources import paged as P
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    dest = _customer_jsonl(sf_dir)
+    with open(dest, "r", encoding="utf-8") as f:
+        total = sum(1 for ln in f if ln.strip())
+    P.register(spark)
+    base = scratch_path(
+        "snap_stream_customer", sf_dir,
+        f"foreachBatch append_stream_batch 2 pages of {total} v1",
+    )
+
+    def _build(tmp: str) -> None:
+        page_size = max(50, -(-total // 2))
+        stream = (
+            spark.readStream.format("paged_json")
+            .schema(
+                "c_custkey bigint, c_name string, c_acctbal double, "
+                "c_mktsegment string"
+            )
+            .option("path", dest)
+            .option("pageSize", page_size)
+            .load()
+        )
+
+        def sink(batch_df, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return  # an empty trailing trigger commits nothing
+            SN.append_stream_batch(batch_df, tmp, int(batch_id), n_files=1)
+
+        name = f"snap_stream_{_uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                _tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
+            )
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                prog = q.lastProgress
+                if prog and prog["sources"]:
+                    end = prog["sources"][0]["endOffset"]
+                    end = (
+                        _ast.literal_eval(end) if isinstance(end, str) else end
+                    )
+                    if end and int(end.get("row", 0)) >= total:
+                        break
+                _time.sleep(0.2)
+            else:
+                raise TimeoutError(
+                    f"snapshot_stream_append: offset never reached {total}"
+                )
+            # let the final in-flight epoch COMMIT before stopping: the
+            # offset check above proves the source was fully read, not
+            # that foreachBatch finished writing the last table version
+            while _time.time() < deadline:
+                vs = SN.versions(tmp)
+                if vs and sum(
+                    e["rows"]
+                    for e in SN.read_manifest(tmp, vs[-1])["files"]
+                ) >= total:
+                    break
+                _time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    ensure_scratch(base, _build)
+    vs = SN.versions(base)
+    epochs = {SN.read_manifest(base, v)["batch_id"] for v in vs}
+    return (
+        SN.read(spark, base)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        )
+        .withColumn("n_versions", F.lit(len(vs)).cast("long"))
+        .withColumn("n_epochs", F.lit(len(epochs)).cast("long"))
+    )

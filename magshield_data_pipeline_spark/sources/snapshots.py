@@ -72,22 +72,42 @@ def read_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _publish_manifest(table_path: str, manifest: dict) -> int:
+def _publish_manifest(
+    table_path: str,
+    operation: str,
+    entries: list[dict],
+    carry: bool = False,
+) -> int:
     """Optimistic commit: stage the manifest, then exclusively link it
     as the next version; on collision (a concurrent writer took the
-    number) retry at the next one.  Returns the committed version."""
+    number) retry at the next one.  ``carry=True`` (append semantics)
+    re-resolves the carried-forward file list against the CURRENT
+    latest on every retry — a concurrent commit that wins the version
+    race must have its files carried, never lost-updated away (the
+    append-append conflict is resolvable by construction: both file
+    sets are additions).  Returns the committed version."""
     d = _manifest_dir(table_path)
     os.makedirs(d, exist_ok=True)
     staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
     while True:
-        v = (versions(table_path) or [0])[-1] + 1
-        manifest["version"] = v
+        prior = versions(table_path)
+        v = (prior or [0])[-1] + 1
+        carried = (
+            read_manifest(table_path, prior[-1])["files"]
+            if carry and prior
+            else []
+        )
+        manifest = {
+            "operation": operation,
+            "version": v,
+            "files": carried + entries,
+        }
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         try:
             os.link(staged, os.path.join(d, f"v{v}.json"))
         except FileExistsError:
-            continue  # lost the race — re-stage against the new latest
+            continue  # lost the race — re-resolve against the new latest
         os.unlink(staged)
         return v
 
@@ -133,22 +153,18 @@ def _write_data_files(df, table_path: str, n_files: int) -> list[dict]:
 
 
 def append(df, table_path: str, n_files: int = 2) -> int:
-    """Commit *df* as new files ON TOP of the latest snapshot."""
-    prior = versions(table_path)
-    carry = read_manifest(table_path, prior[-1])["files"] if prior else []
+    """Commit *df* as new files ON TOP of the latest snapshot (the
+    carried file list is resolved inside the commit's retry loop, so
+    concurrent appends compose instead of lost-updating)."""
     entries = _write_data_files(df, table_path, n_files)
-    return _publish_manifest(
-        table_path, {"operation": "append", "files": carry + entries}
-    )
+    return _publish_manifest(table_path, "append", entries, carry=True)
 
 
 def overwrite(df, table_path: str, n_files: int = 2) -> int:
     """Commit *df* as the ENTIRE table content; prior files stay on
     disk (older snapshots remain readable) but are no longer listed."""
     entries = _write_data_files(df, table_path, n_files)
-    return _publish_manifest(
-        table_path, {"operation": "overwrite", "files": entries}
-    )
+    return _publish_manifest(table_path, "overwrite", entries)
 
 
 def compact(spark, table_path: str, n_files: int = 1) -> int:
@@ -159,9 +175,7 @@ def compact(spark, table_path: str, n_files: int = 1) -> int:
     latest = versions(table_path)[-1]
     entries = _write_data_files(read(spark, table_path, latest),
                                 table_path, n_files)
-    return _publish_manifest(
-        table_path, {"operation": "compact", "files": entries}
-    )
+    return _publish_manifest(table_path, "compact", entries)
 
 
 def read(spark, table_path: str, version: int | None = None, *,
@@ -253,3 +267,57 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
                 deleted.append(p)
         os.remove(os.path.join(_manifest_dir(table_path), f"v{v}.json"))
     return sorted(set(deleted))
+
+
+def append_stream_batch(df, table_path: str, batch_id: int,
+                        n_files: int = 1) -> int | None:
+    """Exactly-once per-epoch commit for ``writeStream.foreachBatch``:
+    commit *df* as an append whose manifest RECORDS the epoch id, and
+    make replays no-ops — Structured Streaming re-runs a failed epoch
+    with the SAME batch_id, so idempotence of this call is what turns
+    the sink's at-least-once delivery into exactly-once table state
+    (the Delta/Iceberg ``txnAppId``/``txnVersion`` contract).
+
+    Returns the committed version, or ``None`` when this epoch was
+    already committed (replay) — decided BEFORE writing data files,
+    and re-checked after losing a manifest race, so two concurrent
+    attempts of one epoch commit exactly once."""
+    def _committed() -> bool:
+        return any(
+            read_manifest(table_path, v).get("batch_id") == batch_id
+            for v in versions(table_path)
+        )
+
+    if _committed():
+        return None
+    entries = _write_data_files(df, table_path, n_files)
+    d = _manifest_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
+    while True:
+        if _committed():  # a racing replay of THIS epoch won
+            if os.path.exists(staged):
+                os.unlink(staged)
+            return None
+        # resolve carry against the CURRENT latest inside the loop: a
+        # concurrent commit of a DIFFERENT epoch that wins the version
+        # race must have its files carried forward on our retry, never
+        # lost-updated away (the append-append conflict is resolvable
+        # by construction — both file sets are additions)
+        prior = versions(table_path)
+        carry = read_manifest(table_path, prior[-1])["files"] if prior else []
+        v = (prior or [0])[-1] + 1
+        manifest = {
+            "operation": "stream-append",
+            "batch_id": batch_id,
+            "version": v,
+            "files": carry + entries,
+        }
+        with open(staged, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        try:
+            os.link(staged, os.path.join(d, f"v{v}.json"))
+        except FileExistsError:
+            continue  # lost the version race — re-resolve and retry
+        os.unlink(staged)
+        return v

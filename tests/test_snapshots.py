@@ -45,19 +45,26 @@ def test_snapshot_isolation_old_versions_survive_overwrite(spark, tmp_path):
     assert sorted(r.k for r in S.read(spark, t).collect()) == [100, 101, 102]
 
 
-def test_manifest_publish_is_exclusive(spark, tmp_path):
+def test_manifest_publish_is_exclusive_and_composes(spark, tmp_path):
     # simulate a racing writer: pre-create the version the next commit
-    # would take; the commit must NOT clobber it (os.link is exclusive)
-    # and must land on the following number instead
+    # would take; the commit must NOT clobber it (os.link is exclusive),
+    # must land on the following number, AND must carry the racer's
+    # files forward (append-append conflicts compose, never lost-update)
     t = _tbl(tmp_path, "t3")
     S.overwrite(spark.range(3).withColumnRenamed("id", "k"), t)
     race = os.path.join(t, "_manifests", "v2.json")
+    sentinel = {"path": "data/raced/part-sentinel.parquet", "rows": 0,
+                "stats": {}}
     with open(race, "w") as f:
         json.dump({"version": 2, "operation": "race", "files":
-                   S.read_manifest(t, 1)["files"]}, f)
+                   S.read_manifest(t, 1)["files"] + [sentinel]}, f)
     v = S.append(spark.range(3, 5).withColumnRenamed("id", "k"), t)
     assert v == 3  # the loser retried past the raced version
     assert json.load(open(race))["operation"] == "race"  # untouched
+    # v3's carry was re-resolved against v2, so the racer's file stays
+    assert sentinel["path"] in {
+        e["path"] for e in S.read_manifest(t, 3)["files"]
+    }
 
 
 def test_file_pruning_skips_disjoint_ranges(spark, tmp_path):
@@ -122,3 +129,18 @@ def test_vacuum_keeps_files_shared_with_retained_versions(spark, tmp_path):
     # v2 carries v1's file forward: dropping v1 must DELETE NOTHING
     assert S.vacuum(t, keep_versions=1) == []
     assert sorted(r.k for r in S.read(spark, t).collect()) == list(range(6))
+
+
+def test_stream_batch_commit_is_exactly_once(spark, tmp_path):
+    t = _tbl(tmp_path, "t9")
+    b0 = spark.range(0, 4).withColumnRenamed("id", "k")
+    b1 = spark.range(4, 6).withColumnRenamed("id", "k")
+    assert S.append_stream_batch(b0, t, batch_id=0) == 1
+    assert S.append_stream_batch(b1, t, batch_id=1) == 2
+    # epoch REPLAY (failure re-run with the same batch_id): no-op,
+    # no new version, table content unchanged
+    assert S.append_stream_batch(b0, t, batch_id=0) is None
+    assert S.versions(t) == [1, 2]
+    assert sorted(r.k for r in S.read(spark, t).collect()) == list(range(6))
+    # the ledger records which epoch produced each version
+    assert S.read_manifest(t, 2)["batch_id"] == 1
