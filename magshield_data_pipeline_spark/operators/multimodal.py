@@ -96,14 +96,16 @@ def decode_media(content: bytes, kind: str):
     COMPRESSED lossy format: baseline JPEG — grayscale, YCbCr 4:4:4
     and 4:2:0 chroma-subsampled color (:func:`decode_jpeg`, real
     Huffman entropy decode + MCU interleave + IDCT + BT.601,
-    struct + numpy only), including PROGRESSIVE (SOF2) grayscale —
-    multi-scan spectral selection + DC successive approximation with
-    end-of-band run coding (:func:`decode_jpeg_gray_progressive`).
-    The remaining formats (progressive color JPEG, MP3/AAC, H.264)
-    genuinely need codec libraries (PIL/soundfile/pyav) that are not
-    installed in this environment and stay a clearly-marked stub;
-    every caller goes through ``extract_features``-style mapInPandas
-    so only this function changes when codecs are plugged in."""
+    struct + numpy only), including PROGRESSIVE (SOF2) grayscale AND
+    1x1-sampled color — multi-scan spectral selection + DC/AC
+    successive approximation with end-of-band run coding
+    (:func:`decode_jpeg_gray_progressive` /
+    :func:`decode_jpeg_rgb_progressive`).  The remaining formats
+    (progressive 4:2:0 JPEG, MP3/AAC, H.264) genuinely need codec
+    libraries (PIL/soundfile/pyav) that are not installed in this
+    environment and stay a clearly-marked stub; every caller goes
+    through ``extract_features``-style mapInPandas so only this
+    function changes when codecs are plugged in."""
     if content is not None:
         if kind == "image":
             if content[:2] == b"P6":
@@ -126,9 +128,9 @@ def decode_media(content: bytes, kind: str):
         f"real {kind} decoding of this payload requires a codec library "
         "(PIL/soundfile/ffmpeg) that is not available in this environment; "
         "supported without one: PPM (P6) / 8-bit RGB PNG / baseline "
-        "JPEG (grayscale + 4:4:4 + 4:2:0 color) / progressive grayscale "
-        "JPEG images, PCM WAV + FLAC audio, mono Y4M video — "
-        "progressive color JPEG and the perceptual codecs "
+        "JPEG (grayscale + 4:4:4 + 4:2:0 color) / progressive JPEG "
+        "(grayscale + 4:4:4 color) images, PCM WAV + FLAC audio, mono "
+        "Y4M video — progressive 4:2:0 JPEG and the perceptual codecs "
         "(MP3/AAC/H.264) need a real codec"
     )
 
@@ -1681,7 +1683,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     header work must not double); the progressive pre-check walks
     segment headers only, so it adds no second full parse."""
     if _is_progressive_jpeg(content):
-        return decode_jpeg_gray_progressive(content)
+        blocks, qt, h, w = _decode_jpeg_progressive_blocks(content)
+        if blocks.shape[0] == 1:
+            return _idct_plane(blocks[0], qt)[:h, :w]
+        y, cb, cr = (_idct_plane(blocks[ci], qt) for ci in range(3))
+        return _ycbcr_to_rgb(y, cb, cr)[:h, :w]
     header = _parse_jpeg_header(content)
     if header[4] == _SAMPLING_420:
         return decode_jpeg_rgb_420(content, header)
@@ -1735,22 +1741,31 @@ def _prog_zz_blocks(blocks: np.ndarray) -> np.ndarray:
     return blocks.reshape(n_by * n_bx, 64)[:, _JPEG_ZIGZAG].astype(np.int64)
 
 
-def _encode_dc_scan(zz: np.ndarray, ah: int, al: int, bw: "_BitWriter") -> None:
+def _encode_dc_scan(
+    zzs: list[np.ndarray], ah: int, al: int, bw: "_BitWriter"
+) -> None:
+    """DC scan over 1..N components: progressive DC scans MAY be
+    interleaved (T.81 G.1.2.1) — at 1x1 sampling the MCU is one block
+    per component, so the scan walks block positions row-major and
+    cycles components inside each MCU, each with its OWN predictor."""
+    ncomp, nb = len(zzs), zzs[0].shape[0]
     if ah == 0:  # first pass: Huffman-coded diffs of (DC >> Al)
         dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_SYMBOLS)
-        pred = 0
-        for b in range(zz.shape[0]):
-            v = int(zz[b, 0]) >> al  # arithmetic shift (T.81 G.1.2.1)
-            diff = v - pred
-            pred = v
-            size = _jpeg_category(diff)
-            code, length = dc_codes[size]
-            bw.put(code, length)
-            if size:
-                bw.put(_jpeg_amplitude_bits(diff, size), size)
-    else:  # refinement: one raw bit per block, no Huffman (G.1.2.1)
-        for b in range(zz.shape[0]):
-            bw.put((int(zz[b, 0]) >> al) & 1, 1)
+        preds = [0] * ncomp
+        for b in range(nb):
+            for ci in range(ncomp):
+                v = int(zzs[ci][b, 0]) >> al  # arithmetic (G.1.2.1)
+                diff = v - preds[ci]
+                preds[ci] = v
+                size = _jpeg_category(diff)
+                code, length = dc_codes[size]
+                bw.put(code, length)
+                if size:
+                    bw.put(_jpeg_amplitude_bits(diff, size), size)
+    else:  # refinement: one raw bit per component per MCU, no Huffman
+        for b in range(nb):
+            for ci in range(ncomp):
+                bw.put((int(zzs[ci][b, 0]) >> al) & 1, 1)
 
 
 def _encode_ac_first_scan(
@@ -1878,17 +1893,16 @@ def _encode_ac_refine_scan(
     flush_eob()
 
 
-def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
-    """Encode an (h, w) uint8 grayscale image as a PROGRESSIVE
-    JFIF/JPEG (SOF2) with struct + numpy only: the same lossy half as
-    baseline (:func:`quantize_blocks_gray`), then the 4-scan script
-    ``_JPEG_PROG_SCANS`` — DC successive approximation (first pass +
-    refinement bits) and two AC spectral-selection bands with
-    end-of-band run coding."""
+def _encode_jpeg_progressive(planes: list[np.ndarray], h: int, w: int) -> bytes:
+    """Shared SOF2 encoder over 1 (grayscale) or 3 (YCbCr 4:4:4,
+    1x1-sampled) quantized component planes: the DC scans interleave
+    every component (per-component predictors); each AC scan is
+    single-component as T.81 requires in progressive mode, so the
+    per-band first/refine script runs once per component."""
     import struct
 
-    blocks, h, w = quantize_blocks_gray(img)
-    zz = _prog_zz_blocks(blocks)
+    ncomp = len(planes)
+    zzs = [_prog_zz_blocks(p) for p in planes]
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1900,7 +1914,9 @@ def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
     app0 = (
         b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
     )
-    sof2 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    sof2 = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([ci + 1, 0x11, 0]) for ci in range(ncomp)
+    )
     out = (
         b"\xff\xd8"
         + seg(0xFFE0, app0)
@@ -1910,31 +1926,62 @@ def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
         + seg(0xFFC4, dht(1, _JPEG_ACP_BITS, _JPEG_ACP_SYMBOLS))
     )
     for ss, se, ah, al in _JPEG_PROG_SCANS:
-        bw = _BitWriter()
-        if ss == 0:
-            _encode_dc_scan(zz, ah, al, bw)
-        elif ah == 0:
-            _encode_ac_first_scan(zz, ss, se, al, bw)
-        else:
-            _encode_ac_refine_scan(zz, ss, se, ah, al, bw)
-        sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
-        out += seg(0xFFDA, sos) + bw.flush()
+        if ss == 0:  # DC: ONE interleaved scan covering every component
+            bw = _BitWriter()
+            _encode_dc_scan(zzs, ah, al, bw)
+            sos = bytes([ncomp]) + b"".join(
+                bytes([ci + 1, 0x00]) for ci in range(ncomp)
+            ) + bytes([ss, se, (ah << 4) | al])
+            out += seg(0xFFDA, sos) + bw.flush()
+        else:  # AC: one single-component scan per component
+            for ci in range(ncomp):
+                bw = _BitWriter()
+                if ah == 0:
+                    _encode_ac_first_scan(zzs[ci], ss, se, al, bw)
+                else:
+                    _encode_ac_refine_scan(zzs[ci], ss, se, ah, al, bw)
+                sos = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+                out += seg(0xFFDA, sos) + bw.flush()
     return out + b"\xff\xd9"
 
 
+def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale image as a PROGRESSIVE
+    JFIF/JPEG (SOF2) with struct + numpy only: the same lossy half as
+    baseline (:func:`quantize_blocks_gray`), then the 6-scan script
+    ``_JPEG_PROG_SCANS`` — DC successive approximation (first pass +
+    refinement bits), AC spectral selection (two bands) and AC
+    successive approximation (refinement scans)."""
+    blocks, h, w = quantize_blocks_gray(img)
+    return _encode_jpeg_progressive([blocks], h, w)
+
+
+def encode_jpeg_rgb_progressive(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as a PROGRESSIVE color
+    JFIF/JPEG (SOF2, YCbCr 4:4:4): BT.601 planes through the shared
+    6-scan script — interleaved DC scans with per-component
+    predictors, per-component AC band/refinement scans."""
+    y, cb, cr = _rgb_to_ycbcr(img)
+    planes = [quantize_blocks_gray(p)[0] for p in (y, cb, cr)]
+    h, w = img.shape[:2]
+    return _encode_jpeg_progressive(planes, h, w)
+
+
 def _parse_jpeg_progressive(content: bytes):
-    """Marker-stream parse for a grayscale progressive (SOF2) payload:
-    validates structure, builds Huffman tables from DHT, and returns
-    (qt, h, w, huff, scans) where scans is a list of
-    (td, ta, ss, se, ah, al, data) in stream order.  Scan data extends
-    to the next unstuffed marker (progressive streams interleave SOS
-    segments with entropy data, unlike the single-scan baseline)."""
+    """Marker-stream parse for a progressive (SOF2) payload — grayscale
+    or 1x1-sampled color: validates structure, builds Huffman tables
+    from DHT, and returns (qt, h, w, ncomp, huff, scans) where each
+    scan is (comps, ss, se, ah, al, data) and comps is the ordered
+    [(component_index, td, ta), ...] of the scan header.  Scan data
+    extends to the next unstuffed marker (progressive streams
+    interleave SOS segments with entropy data, unlike the single-scan
+    baseline)."""
     import struct
 
     if content[:2] != b"\xff\xd8":
         raise ValueError("decode_jpeg_progressive: missing SOI marker")
     pos = 2
-    qt = h = w = None
+    qt = h = w = ncomp = None
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     scans: list[tuple] = []
     while pos + 2 <= len(content):
@@ -1960,11 +2007,17 @@ def _parse_jpeg_progressive(content: bytes):
             qt = qt.reshape(8, 8)
         elif marker == 0xFFC2:
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    "decode_jpeg_progressive: only 8-bit grayscale "
-                    f"supported (prec={prec} ncomp={ncomp})"
+                    "decode_jpeg_progressive: only 8-bit 1- or "
+                    f"3-component supported (prec={prec} ncomp={ncomp})"
                 )
+            for ci in range(ncomp):
+                if payload[6 + 3 * ci + 1] != 0x11:
+                    raise ValueError(
+                        "decode_jpeg_progressive: only 1x1 sampling "
+                        "supported (progressive 4:2:0 out of scope)"
+                    )
         elif marker in (0xFFC0, 0xFFC1, 0xFFC3):
             raise ValueError(
                 "decode_jpeg_progressive: sequential frame — use "
@@ -1988,12 +2041,25 @@ def _parse_jpeg_progressive(content: bytes):
                 "decode_jpeg_progressive: restart intervals unsupported"
             )
         elif marker == 0xFFDA:
-            if payload[0] != 1:
+            ns = payload[0]
+            if ncomp is None or ns < 1 or ns > ncomp:
                 raise ValueError(
-                    "decode_jpeg_progressive: single-component scans only"
+                    "decode_jpeg_progressive: bad scan component count"
                 )
-            td, ta = payload[2] >> 4, payload[2] & 0x0F
-            ss, se, ahal = payload[3], payload[4], payload[5]
+            comps = []
+            for i in range(ns):
+                cs = payload[1 + 2 * i]
+                if not 1 <= cs <= ncomp:
+                    raise ValueError(
+                        "decode_jpeg_progressive: unknown scan component"
+                    )
+                tdta = payload[2 + 2 * i]
+                comps.append((cs - 1, tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = (
+                payload[1 + 2 * ns],
+                payload[2 + 2 * ns],
+                payload[3 + 2 * ns],
+            )
             ah, al = ahal >> 4, ahal & 0x0F
             data_start = pos + 2 + length
             # entropy data ends at the next UNSTUFFED marker
@@ -2002,29 +2068,31 @@ def _parse_jpeg_progressive(content: bytes):
                 if content[p] == 0xFF and content[p + 1] != 0x00:
                     break
                 p += 2 if content[p] == 0xFF else 1
-            scans.append((td, ta, ss, se, ah, al, content[data_start:p]))
+            scans.append((comps, ss, se, ah, al, content[data_start:p]))
             pos = p
             continue
         pos += 2 + length
     if qt is None or h is None or not scans:
         raise ValueError("decode_jpeg_progressive: missing DQT/SOF2/SOS")
-    return qt, h, w, huff, scans
+    return qt, h, w, ncomp, huff, scans
 
 
-def decode_jpeg_gray_progressive_blocks(
+def _decode_jpeg_progressive_blocks(
     content: bytes,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
-    """The progressive decoder's LOSSLESS half: parse the multi-scan
-    marker stream and apply each scan to the coefficient array — DC
-    first/refinement with the point transform, AC band scans with
-    EOB-run decoding.  Returns (blocks[n_by, n_bx, 8, 8] natural
-    order, quant table, h, w), bit-equal to the encoder's quantized
-    blocks — the same exactness contract as the sequential decoders."""
-    qt, h, w, huff, scans = _parse_jpeg_progressive(content)
+    """The progressive decoder's LOSSLESS half, 1 or 3 components:
+    parse the multi-scan marker stream and apply each scan to the
+    per-component coefficient arrays — interleaved DC first/refinement
+    with per-component predictors and the point transform, single-
+    component AC band scans with EOB-run decoding and successive-
+    approximation refinement (T.81 G.1.2.3 correction bits).  Returns
+    (blocks[ncomp, n_by, n_bx, 8, 8] natural order, qt, h, w),
+    bit-equal to the encoder's quantized blocks."""
+    qt, h, w, ncomp, huff, scans = _parse_jpeg_progressive(content)
     n_by, n_bx = (h + 7) // 8, (w + 7) // 8
     nb = n_by * n_bx
-    zz = np.zeros((nb, 64), dtype=np.int32)
-    for td, ta, ss, se, ah, al, data in scans:
+    zz = np.zeros((ncomp, nb, 64), dtype=np.int32)
+    for comps, ss, se, ah, al, data in scans:
         br = _BitReader(data)
         if ss == 0:
             if se != 0:
@@ -2032,16 +2100,23 @@ def decode_jpeg_gray_progressive_blocks(
                     "decode_jpeg_progressive: DC scan must have Se=0"
                 )
             if ah == 0:
-                table = huff.get((0, td))
-                if table is None:
-                    raise ValueError(
-                        "decode_jpeg_progressive: missing DC Huffman table"
-                    )
-                pred = 0
+                tables = []
+                for _ci, td, _ta in comps:
+                    t = huff.get((0, td))
+                    if t is None:
+                        raise ValueError(
+                            "decode_jpeg_progressive: missing DC "
+                            "Huffman table"
+                        )
+                    tables.append(t)
+                preds = [0] * len(comps)
                 for b in range(nb):
-                    size = _read_symbol(br, table)
-                    pred += _jpeg_extend(br.take(size) if size else 0, size)
-                    zz[b, 0] = pred << al
+                    for i, (ci, _td, _ta) in enumerate(comps):
+                        size = _read_symbol(br, tables[i])
+                        preds[i] += _jpeg_extend(
+                            br.take(size) if size else 0, size
+                        )
+                        zz[ci, b, 0] = preds[i] << al
             else:
                 if ah - al != 1:
                     raise ValueError(
@@ -2049,8 +2124,15 @@ def decode_jpeg_gray_progressive_blocks(
                         "lower Al by exactly 1"
                     )
                 for b in range(nb):
-                    zz[b, 0] |= br.take(1) << al
+                    for ci, _td, _ta in comps:
+                        zz[ci, b, 0] |= br.take(1) << al
         else:
+            if len(comps) != 1:
+                raise ValueError(
+                    "decode_jpeg_progressive: progressive AC scans "
+                    "are single-component (T.81 G.1)"
+                )
+            ci, _td, ta = comps[0]
             table = huff.get((1, ta))
             if table is None:
                 raise ValueError(
@@ -2085,7 +2167,7 @@ def decode_jpeg_gray_progressive_blocks(
                             )
                         # sign-magnitude point transform: magnitude
                         # scaled back by Al, sign from the extend
-                        zz[b, k] = _jpeg_extend(br.take(s), s) << al
+                        zz[ci, b, k] = _jpeg_extend(br.take(s), s) << al
                         k += 1
             else:  # successive-approximation refinement (G.1.2.3)
                 if ah - al != 1:
@@ -2099,8 +2181,8 @@ def decode_jpeg_gray_progressive_blocks(
                 def refine_nonzero(b: int, k: int) -> None:
                     # one correction bit for an already-nonzero coef;
                     # a 1-bit grows the magnitude by p1 toward its sign
-                    if br.take(1) and (abs(int(zz[b, k])) & p1) == 0:
-                        zz[b, k] += p1 if zz[b, k] >= 0 else -p1
+                    if br.take(1) and (abs(int(zz[ci, b, k])) & p1) == 0:
+                        zz[ci, b, k] += p1 if zz[ci, b, k] >= 0 else -p1
 
                 for b in range(nb):
                     k = ss
@@ -2124,7 +2206,7 @@ def decode_jpeg_gray_progressive_blocks(
                             # advance over r zero-HISTORY positions,
                             # refining nonzero-history ones in passing
                             while k <= se:
-                                if zz[b, k] != 0:
+                                if zz[ci, b, k] != 0:
                                     refine_nonzero(b, k)
                                 else:
                                     if r == 0:
@@ -2137,19 +2219,35 @@ def decode_jpeg_gray_progressive_blocks(
                                         "decode_jpeg_progressive: "
                                         "refinement run past band end"
                                     )
-                                zz[b, k] = newly
+                                zz[ci, b, k] = newly
                             k += 1
                     if eobrun > 0:
                         # blocks inside the EOB run still carry one
                         # correction bit per nonzero-history coef
                         while k <= se:
-                            if zz[b, k] != 0:
+                            if zz[ci, b, k] != 0:
                                 refine_nonzero(b, k)
                             k += 1
                         eobrun -= 1
-    flat = np.zeros((nb, 64), dtype=np.int32)
-    flat[:, _JPEG_ZIGZAG] = zz
-    return flat.reshape(n_by, n_bx, 8, 8), qt, h, w
+    flat = np.zeros((ncomp, nb, 64), dtype=np.int32)
+    for ci in range(ncomp):
+        flat[ci][:, _JPEG_ZIGZAG] = zz[ci]
+    return flat.reshape(ncomp, n_by, n_bx, 8, 8), qt, h, w
+
+
+def decode_jpeg_gray_progressive_blocks(
+    content: bytes,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Grayscale entry point over the shared progressive core: returns
+    (blocks[n_by, n_bx, 8, 8], qt, h, w) — the same exactness contract
+    as the sequential decoders."""
+    blocks, qt, h, w = _decode_jpeg_progressive_blocks(content)
+    if blocks.shape[0] != 1:
+        raise ValueError(
+            "decode_jpeg_gray_progressive: color payload — use "
+            "decode_jpeg_rgb_progressive"
+        )
+    return blocks[0], qt, h, w
 
 
 def decode_jpeg_gray_progressive(content: bytes) -> np.ndarray:
@@ -2158,6 +2256,20 @@ def decode_jpeg_gray_progressive(content: bytes) -> np.ndarray:
     sequential path."""
     blocks, qt, h, w = decode_jpeg_gray_progressive_blocks(content)
     return _idct_plane(blocks, qt)[:h, :w]
+
+
+def decode_jpeg_rgb_progressive(content: bytes) -> np.ndarray:
+    """REAL decode of a COLOR (YCbCr 4:4:4) PROGRESSIVE JPEG: the
+    shared multi-scan lossless core over three components, per-plane
+    IDCT, inverse BT.601, crop."""
+    blocks, qt, h, w = _decode_jpeg_progressive_blocks(content)
+    if blocks.shape[0] != 3:
+        raise ValueError(
+            "decode_jpeg_rgb_progressive: grayscale payload — use "
+            "decode_jpeg_gray_progressive"
+        )
+    y, cb, cr = (_idct_plane(blocks[ci], qt) for ci in range(3))
+    return _ycbcr_to_rgb(y, cb, cr)[:h, :w]
 
 
 def _is_progressive_jpeg(content: bytes) -> bool:

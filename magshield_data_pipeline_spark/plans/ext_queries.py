@@ -3297,7 +3297,7 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).reshape(nb // nbx, nbx)
         img = _np.kron(bvals, _np.ones((8, 8), dtype=_np.uint8))
         payload = enc(img)
-        n_scans = len(parse(payload)[4])
+        n_scans = len(parse(payload)[5])  # (qt, h, w, ncomp, huff, SCANS)
         blocks, _qt, _h, _w = dec(payload)
         b64 = blocks.astype(_np.int64)
         dc = b64[:, :, 0, 0]
@@ -3315,6 +3315,94 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          "dc_max", "ac_abs_sum"],
         "media_id long, n_blocks int, n_scans int, dc_sum long, "
         "dc_min long, dc_max long, ac_abs_sum long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — COLOR progressive JPEG under the oracle (r9, closing the
+# "progressive color" scope line the grayscale query left): gray-valued
+# (r=g=b) 8x8 tiles reach the closed form THROUGH the 3-component
+# machinery exactly as jpeg420_mcu_stats does — BT.601 maps them to
+# Y=v, Cb=Cr=128, so every chroma coefficient is 0 while Y DC =
+# (v-128)/2 — but the pipeline in between is now the INTERLEAVED
+# progressive DC scan (3 per-component predictors cycling inside each
+# MCU, split into an Al=1 first pass + refinement bits) plus six
+# single-component AC band/refinement scans whose all-zero chroma
+# bands fold into EOB runs.
+
+_JPROGC_N = 16
+_JPROGC_W, _JPROGC_H = 24, 16
+_JPROGC_NB = (_JPROGC_W // 8) * (_JPROGC_H // 8)
+
+_JPROGC_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_JPROGC_N}),
+b AS (
+    SELECT doc_id, unnest(generate_series(0, {_JPROGC_NB - 1})) AS bno
+    FROM ids
+),
+d AS (
+    SELECT doc_id,
+           (2 * ((doc_id * 5 + bno * 23) % 128) - 128) // 2 AS dc
+    FROM b
+)
+SELECT doc_id AS media_id,
+       CAST({_JPROGC_NB} AS INT) AS n_blocks,
+       CAST(sum(dc) AS BIGINT) AS y_dc_sum,
+       CAST(min(dc) AS BIGINT) AS y_dc_min,
+       CAST(max(dc) AS BIGINT) AS y_dc_max,
+       CAST(0 AS BIGINT) AS y_ac_abs_sum,
+       CAST(0 AS BIGINT) AS chroma_abs_sum
+FROM d GROUP BY 1
+"""
+
+
+@register(
+    "jpeg_progressive_rgb_stats",
+    sql=_JPROGC_SQL,
+    description=f"REAL progressive COLOR (SOF2, YCbCr 4:4:4) JPEG "
+    f"under the oracle: {_JPROGC_N} {_JPROGC_W}x{_JPROGC_H} RGB images "
+    "of gray-valued 8x8 tiles encode through the INTERLEAVED "
+    "progressive DC scan (three per-component predictors cycling per "
+    "MCU, successive-approximation split) plus six per-component AC "
+    "band/refinement scans, and decode back through the shared "
+    "multi-scan core; Y DCs equal the closed form (v-128)/2 and EVERY "
+    "chroma coefficient is exactly 0 (all-zero bands exercising the "
+    "EOB-run path per component) — the codec stub now names only "
+    "progressive 4:2:0 and the perceptual codecs ([EXT] multimodal)",
+)
+def jpeg_progressive_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nb, nbx = _JPROGC_NB, _JPROGC_W // 8
+    enc, dec = M.encode_jpeg_rgb_progressive, (
+        M._decode_jpeg_progressive_blocks
+    )
+
+    def per_doc(doc_id):
+        import numpy as _np
+
+        bvals = _np.array(
+            [2 * ((doc_id * 5 + b * 23) % 128) for b in range(nb)],
+            dtype=_np.uint8,
+        ).reshape(nb // nbx, nbx)
+        gray = _np.kron(bvals, _np.ones((8, 8), dtype=_np.uint8))
+        img = _np.repeat(gray[:, :, None], 3, axis=2)
+        blocks, _qt, _h, _w = dec(enc(img))
+        b64 = blocks.astype(_np.int64)
+        y_dc = b64[0, :, :, 0, 0]
+        y_ac = int(_np.abs(b64[0]).sum() - _np.abs(y_dc).sum())
+        chroma = int(_np.abs(b64[1:]).sum())
+        return [
+            (
+                doc_id, nb, int(y_dc.sum()), int(y_dc.min()),
+                int(y_dc.max()), y_ac, chroma,
+            )
+        ]
+
+    return _media_stats_scan(
+        spark, sf_dir, _JPROGC_N, per_doc,
+        ["media_id", "n_blocks", "y_dc_sum", "y_dc_min", "y_dc_max",
+         "y_ac_abs_sum", "chroma_abs_sum"],
+        "media_id long, n_blocks int, y_dc_sum long, y_dc_min long, "
+        "y_dc_max long, y_ac_abs_sum long, chroma_abs_sum long",
     )
 
 

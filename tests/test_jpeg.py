@@ -460,9 +460,66 @@ def test_progressive_ac_refinement_is_load_bearing():
     # odd AC coefficient exists (so the Al=1 first pass loses a bit)
     assert (np.abs(expect.reshape(-1, 64)[:, 1:]) % 2 == 1).any()
     enc = M.encode_jpeg_gray_progressive(img)
-    qt, h, w, huff, scans = M._parse_jpeg_progressive(enc)
-    assert [s[4:6] for s in scans] == [
+    qt, h, w, ncomp, huff, scans = M._parse_jpeg_progressive(enc)
+    assert ncomp == 1
+    assert [s[3:5] for s in scans] == [
         (0, 1), (1, 0), (0, 1), (0, 1), (1, 0), (1, 0)
     ]  # (Ah, Al) per scan of the 6-scan script
     full = M.decode_jpeg_gray_progressive_blocks(enc)[0]
     assert (full == expect).all()
+
+
+# --- color progressive (YCbCr 4:4:4, SOF2) --------------------------------
+
+
+def test_color_progressive_entropy_lossless_per_plane():
+    from magshield_data_pipeline_spark.operators.multimodal import (
+        synth_image,
+    )
+
+    img = synth_image(6, 21, 19)  # partial blocks both axes
+    enc = M.encode_jpeg_rgb_progressive(img)
+    blocks, qt, h, w = M._decode_jpeg_progressive_blocks(enc)
+    assert (h, w) == (19, 21) and blocks.shape[0] == 3
+    for ci, plane in enumerate(M._rgb_to_ycbcr(img)):
+        expected = quantize_blocks_gray(plane)[0]
+        assert np.array_equal(blocks[ci], expected), f"component {ci}"
+    # same coefficients as baseline 4:4:4 -> identical pixels
+    assert (
+        M.decode_jpeg_rgb_progressive(enc)
+        == M.decode_jpeg_rgb(M.encode_jpeg_rgb(img))
+    ).all()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    shape=st.tuples(
+        st.integers(min_value=1, max_value=25),
+        st.integers(min_value=1, max_value=25),
+    ),
+)
+def test_color_progressive_entropy_lossless_property(seed, shape):
+    # ANY color image, ANY geometry: all three planes' quantized
+    # blocks round-trip bit-exactly through the interleaved-DC +
+    # per-component-AC scan script
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    enc = M.encode_jpeg_rgb_progressive(img)
+    blocks = M._decode_jpeg_progressive_blocks(enc)[0]
+    for ci, plane in enumerate(M._rgb_to_ycbcr(img)):
+        assert np.array_equal(blocks[ci], quantize_blocks_gray(plane)[0])
+
+
+def test_color_progressive_dispatch_and_cross_rejection():
+    img = np.full((16, 16, 3), 130, dtype=np.uint8)
+    enc = M.encode_jpeg_rgb_progressive(img)
+    assert M._is_progressive_jpeg(enc)
+    out = M.decode_media(enc, "image")  # routes via decode_jpeg
+    assert out.shape == (16, 16, 3)
+    assert np.max(np.abs(out.astype(int) - 130)) <= 2  # flat, near-exact
+    with pytest.raises(ValueError, match="color payload"):
+        M.decode_jpeg_gray_progressive_blocks(enc)
+    gray = M.encode_jpeg_gray_progressive(np.full((8, 8), 78, np.uint8))
+    with pytest.raises(ValueError, match="grayscale payload"):
+        M.decode_jpeg_rgb_progressive(gray)
