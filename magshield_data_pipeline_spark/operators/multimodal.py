@@ -96,16 +96,17 @@ def decode_media(content: bytes, kind: str):
     COMPRESSED lossy format: baseline JPEG — grayscale, YCbCr 4:4:4
     and 4:2:0 chroma-subsampled color (:func:`decode_jpeg`, real
     Huffman entropy decode + MCU interleave + IDCT + BT.601,
-    struct + numpy only), including PROGRESSIVE (SOF2) grayscale AND
-    1x1-sampled color — multi-scan spectral selection + DC/AC
-    successive approximation with end-of-band run coding
-    (:func:`decode_jpeg_gray_progressive` /
-    :func:`decode_jpeg_rgb_progressive`).  The remaining formats
-    (progressive 4:2:0 JPEG, MP3/AAC, H.264) genuinely need codec
-    libraries (PIL/soundfile/pyav) that are not installed in this
-    environment and stay a clearly-marked stub; every caller goes
-    through ``extract_features``-style mapInPandas so only this
-    function changes when codecs are plugged in."""
+    struct + numpy only), including PROGRESSIVE (SOF2) in every
+    supported layout — grayscale, 4:4:4 and 4:2:0 color: multi-scan
+    spectral selection + DC/AC successive approximation with
+    end-of-band run coding (:func:`decode_jpeg_gray_progressive` /
+    :func:`decode_jpeg_rgb_progressive` /
+    :func:`decode_jpeg_rgb_progressive_420`).  The remaining formats
+    (MP3/AAC, H.264) are PERCEPTUAL codecs that genuinely need codec
+    libraries (soundfile/pyav) not installed in this environment and
+    stay a clearly-marked stub; every caller goes through
+    ``extract_features``-style mapInPandas so only this function
+    changes when codecs are plugged in."""
     if content is not None:
         if kind == "image":
             if content[:2] == b"P6":
@@ -128,10 +129,9 @@ def decode_media(content: bytes, kind: str):
         f"real {kind} decoding of this payload requires a codec library "
         "(PIL/soundfile/ffmpeg) that is not available in this environment; "
         "supported without one: PPM (P6) / 8-bit RGB PNG / baseline "
-        "JPEG (grayscale + 4:4:4 + 4:2:0 color) / progressive JPEG "
-        "(grayscale + 4:4:4 color) images, PCM WAV + FLAC audio, mono "
-        "Y4M video — progressive 4:2:0 JPEG and the perceptual codecs "
-        "(MP3/AAC/H.264) need a real codec"
+        "and progressive JPEG (each in grayscale, 4:4:4 and 4:2:0 "
+        "color) images, PCM WAV + FLAC audio, mono Y4M video — only "
+        "the perceptual codecs (MP3/AAC/H.264) need a real codec"
     )
 
 
@@ -1683,6 +1683,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     header work must not double); the progressive pre-check walks
     segment headers only, so it adds no second full parse."""
     if _is_progressive_jpeg(content):
+        if _parse_jpeg_progressive(content)[4] == _SAMPLING_420:
+            return decode_jpeg_rgb_progressive_420(content)
         blocks, qt, h, w = _decode_jpeg_progressive_blocks(content)
         if blocks.shape[0] == 1:
             return _idct_plane(blocks[0], qt)[:h, :w]
@@ -1741,31 +1743,57 @@ def _prog_zz_blocks(blocks: np.ndarray) -> np.ndarray:
     return blocks.reshape(n_by * n_bx, 64)[:, _JPEG_ZIGZAG].astype(np.int64)
 
 
+def _dc_mcu_order_1x1(ncomp: int, nb: int) -> list[tuple[int, int]]:
+    """Interleaved DC block order at 1x1 sampling: one block per
+    component per MCU, MCUs row-major."""
+    return [(ci, b) for b in range(nb) for ci in range(ncomp)]
+
+
+def _dc_mcu_order_420(n_mby: int, n_mbx: int) -> list[tuple[int, int]]:
+    """Interleaved DC block order at 4:2:0 (T.81 A.2.3): per MCU, FOUR
+    Y blocks (left-to-right, top-to-bottom) then one Cb and one Cr —
+    expressed as (component, flat index in that component's raster)."""
+    order: list[tuple[int, int]] = []
+    n_ybx = 2 * n_mbx
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            for vy in range(2):
+                for vx in range(2):
+                    order.append((0, (2 * mby + vy) * n_ybx + 2 * mbx + vx))
+            order.append((1, mby * n_mbx + mbx))
+            order.append((2, mby * n_mbx + mbx))
+    return order
+
+
 def _encode_dc_scan(
-    zzs: list[np.ndarray], ah: int, al: int, bw: "_BitWriter"
+    zzs: list[np.ndarray],
+    ah: int,
+    al: int,
+    bw: "_BitWriter",
+    order: list[tuple[int, int]] | None = None,
 ) -> None:
     """DC scan over 1..N components: progressive DC scans MAY be
-    interleaved (T.81 G.1.2.1) — at 1x1 sampling the MCU is one block
-    per component, so the scan walks block positions row-major and
-    cycles components inside each MCU, each with its OWN predictor."""
+    interleaved (T.81 G.1.2.1); *order* is the MCU-interleaved
+    (component, block) sequence (defaults to the 1x1 order), each
+    component with its OWN predictor."""
     ncomp, nb = len(zzs), zzs[0].shape[0]
+    if order is None:
+        order = _dc_mcu_order_1x1(ncomp, nb)
     if ah == 0:  # first pass: Huffman-coded diffs of (DC >> Al)
         dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_SYMBOLS)
         preds = [0] * ncomp
-        for b in range(nb):
-            for ci in range(ncomp):
-                v = int(zzs[ci][b, 0]) >> al  # arithmetic (G.1.2.1)
-                diff = v - preds[ci]
-                preds[ci] = v
-                size = _jpeg_category(diff)
-                code, length = dc_codes[size]
-                bw.put(code, length)
-                if size:
-                    bw.put(_jpeg_amplitude_bits(diff, size), size)
-    else:  # refinement: one raw bit per component per MCU, no Huffman
-        for b in range(nb):
-            for ci in range(ncomp):
-                bw.put((int(zzs[ci][b, 0]) >> al) & 1, 1)
+        for ci, b in order:
+            v = int(zzs[ci][b, 0]) >> al  # arithmetic (G.1.2.1)
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = _jpeg_category(diff)
+            code, length = dc_codes[size]
+            bw.put(code, length)
+            if size:
+                bw.put(_jpeg_amplitude_bits(diff, size), size)
+    else:  # refinement: one raw bit per block, no Huffman
+        for ci, b in order:
+            bw.put((int(zzs[ci][b, 0]) >> al) & 1, 1)
 
 
 def _encode_ac_first_scan(
@@ -1970,7 +1998,7 @@ def encode_jpeg_rgb_progressive(img: np.ndarray) -> bytes:
 def _parse_jpeg_progressive(content: bytes):
     """Marker-stream parse for a progressive (SOF2) payload — grayscale
     or 1x1-sampled color: validates structure, builds Huffman tables
-    from DHT, and returns (qt, h, w, ncomp, huff, scans) where each
+    from DHT, and returns (qt, h, w, ncomp, sampling, huff, scans) where each
     scan is (comps, ss, se, ah, al, data) and comps is the ordered
     [(component_index, td, ta), ...] of the scan header.  Scan data
     extends to the next unstuffed marker (progressive streams
@@ -1982,6 +2010,7 @@ def _parse_jpeg_progressive(content: bytes):
         raise ValueError("decode_jpeg_progressive: missing SOI marker")
     pos = 2
     qt = h = w = ncomp = None
+    sampling: list[tuple[int, int]] = []
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     scans: list[tuple] = []
     while pos + 2 <= len(content):
@@ -2012,12 +2041,15 @@ def _parse_jpeg_progressive(content: bytes):
                     "decode_jpeg_progressive: only 8-bit 1- or "
                     f"3-component supported (prec={prec} ncomp={ncomp})"
                 )
+            sampling = []
             for ci in range(ncomp):
-                if payload[6 + 3 * ci + 1] != 0x11:
-                    raise ValueError(
-                        "decode_jpeg_progressive: only 1x1 sampling "
-                        "supported (progressive 4:2:0 out of scope)"
-                    )
+                hv = payload[6 + 3 * ci + 1]
+                sampling.append((hv >> 4, hv & 0x0F))
+            if sampling not in ([(1, 1)] * ncomp, _SAMPLING_420):
+                raise ValueError(
+                    "decode_jpeg_progressive: only 1x1 or 4:2:0 "
+                    f"sampling supported (got {sampling})"
+                )
         elif marker in (0xFFC0, 0xFFC1, 0xFFC3):
             raise ValueError(
                 "decode_jpeg_progressive: sequential frame — use "
@@ -2074,7 +2106,107 @@ def _parse_jpeg_progressive(content: bytes):
         pos += 2 + length
     if qt is None or h is None or not scans:
         raise ValueError("decode_jpeg_progressive: missing DQT/SOF2/SOS")
-    return qt, h, w, ncomp, huff, scans
+    return qt, h, w, ncomp, sampling, huff, scans
+
+
+def _decode_ac_first_band(
+    br: "_BitReader", table: dict, zz2: np.ndarray, ss: int, se: int,
+    al: int,
+) -> None:
+    """Decode ONE single-component AC band-first scan into *zz2*
+    (shape (n_blocks, 64), zigzag order, component-raster block order):
+    in-band zero runs via ZRL, EOB runs across blocks, sign-magnitude
+    point transform by Al."""
+    nb = zz2.shape[0]
+    eobrun = 0
+    for b in range(nb):
+        if eobrun:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = _read_symbol(br, table)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: 16 zeros inside the band
+                    k += 16
+                    if k > se + 1:
+                        raise ValueError(
+                            "decode_jpeg_progressive: ZRL past band end"
+                        )
+                    continue
+                eobrun = (1 << r) - 1 + (br.take(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise ValueError(
+                    "decode_jpeg_progressive: AC run past band end"
+                )
+            zz2[b, k] = _jpeg_extend(br.take(s), s) << al
+            k += 1
+
+
+def _decode_ac_refine_band(
+    br: "_BitReader", table: dict, zz2: np.ndarray, ss: int, se: int,
+    al: int,
+) -> None:
+    """Decode ONE single-component AC successive-approximation
+    refinement scan into *zz2* (T.81 G.1.2.3): newly-significant
+    coefficients as run/size-1 symbols + sign bit, one correction bit
+    per already-nonzero coefficient passed over (including inside EOB
+    runs)."""
+    nb = zz2.shape[0]
+    p1 = 1 << al
+    eobrun = 0
+
+    def refine_nonzero(b: int, k: int) -> None:
+        # a 1-bit grows the magnitude by p1 toward the coef's sign
+        if br.take(1) and (abs(int(zz2[b, k])) & p1) == 0:
+            zz2[b, k] += p1 if zz2[b, k] >= 0 else -p1
+
+    for b in range(nb):
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _read_symbol(br, table)
+                r, s = sym >> 4, sym & 0x0F
+                newly = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "decode_jpeg_progressive: refinement size "
+                            "must be 1"
+                        )
+                    newly = p1 if br.take(1) else -p1
+                elif r != 15:
+                    eobrun = (1 << r) + (br.take(r) if r else 0)
+                    break
+                # advance over r zero-HISTORY positions, refining
+                # nonzero-history ones in passing
+                while k <= se:
+                    if zz2[b, k] != 0:
+                        refine_nonzero(b, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newly:
+                    if k > se:
+                        raise ValueError(
+                            "decode_jpeg_progressive: refinement run "
+                            "past band end"
+                        )
+                    zz2[b, k] = newly
+                k += 1
+        if eobrun > 0:
+            # blocks inside the EOB run still carry one correction bit
+            # per nonzero-history coef
+            while k <= se:
+                if zz2[b, k] != 0:
+                    refine_nonzero(b, k)
+                k += 1
+            eobrun -= 1
 
 
 def _decode_jpeg_progressive_blocks(
@@ -2088,7 +2220,14 @@ def _decode_jpeg_progressive_blocks(
     approximation refinement (T.81 G.1.2.3 correction bits).  Returns
     (blocks[ncomp, n_by, n_bx, 8, 8] natural order, qt, h, w),
     bit-equal to the encoder's quantized blocks."""
-    qt, h, w, ncomp, huff, scans = _parse_jpeg_progressive(content)
+    qt, h, w, ncomp, sampling, huff, scans = _parse_jpeg_progressive(
+        content
+    )
+    if sampling == _SAMPLING_420:
+        raise ValueError(
+            "decode_jpeg_progressive: 4:2:0 payloads route through "
+            "_decode_jpeg_progressive_blocks_420"
+        )
     n_by, n_bx = (h + 7) // 8, (w + 7) // 8
     nb = n_by * n_bx
     zz = np.zeros((ncomp, nb, 64), dtype=np.int32)
@@ -2139,96 +2278,14 @@ def _decode_jpeg_progressive_blocks(
                     "decode_jpeg_progressive: missing AC Huffman table"
                 )
             if ah == 0:  # band first scan
-                eobrun = 0
-                for b in range(nb):
-                    if eobrun:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        sym = _read_symbol(br, table)
-                        r, s = sym >> 4, sym & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL: 16 zeros inside the band
-                                k += 16
-                                if k > se + 1:
-                                    raise ValueError(
-                                        "decode_jpeg_progressive: ZRL "
-                                        "past band end"
-                                    )
-                                continue
-                            eobrun = (1 << r) - 1 + (br.take(r) if r else 0)
-                            break
-                        k += r
-                        if k > se:
-                            raise ValueError(
-                                "decode_jpeg_progressive: AC run past "
-                                "band end"
-                            )
-                        # sign-magnitude point transform: magnitude
-                        # scaled back by Al, sign from the extend
-                        zz[ci, b, k] = _jpeg_extend(br.take(s), s) << al
-                        k += 1
+                _decode_ac_first_band(br, table, zz[ci], ss, se, al)
             else:  # successive-approximation refinement (G.1.2.3)
                 if ah - al != 1:
                     raise ValueError(
                         "decode_jpeg_progressive: AC refinement must "
                         "lower Al by exactly 1"
                     )
-                p1 = 1 << al
-                eobrun = 0
-
-                def refine_nonzero(b: int, k: int) -> None:
-                    # one correction bit for an already-nonzero coef;
-                    # a 1-bit grows the magnitude by p1 toward its sign
-                    if br.take(1) and (abs(int(zz[ci, b, k])) & p1) == 0:
-                        zz[ci, b, k] += p1 if zz[ci, b, k] >= 0 else -p1
-
-                for b in range(nb):
-                    k = ss
-                    if eobrun == 0:
-                        while k <= se:
-                            sym = _read_symbol(br, table)
-                            r, s = sym >> 4, sym & 0x0F
-                            newly = 0
-                            if s:
-                                if s != 1:
-                                    raise ValueError(
-                                        "decode_jpeg_progressive: "
-                                        "refinement size must be 1"
-                                    )
-                                newly = p1 if br.take(1) else -p1
-                            elif r != 15:
-                                eobrun = (1 << r) + (
-                                    br.take(r) if r else 0
-                                )
-                                break
-                            # advance over r zero-HISTORY positions,
-                            # refining nonzero-history ones in passing
-                            while k <= se:
-                                if zz[ci, b, k] != 0:
-                                    refine_nonzero(b, k)
-                                else:
-                                    if r == 0:
-                                        break
-                                    r -= 1
-                                k += 1
-                            if newly:
-                                if k > se:
-                                    raise ValueError(
-                                        "decode_jpeg_progressive: "
-                                        "refinement run past band end"
-                                    )
-                                zz[ci, b, k] = newly
-                            k += 1
-                    if eobrun > 0:
-                        # blocks inside the EOB run still carry one
-                        # correction bit per nonzero-history coef
-                        while k <= se:
-                            if zz[ci, b, k] != 0:
-                                refine_nonzero(b, k)
-                            k += 1
-                        eobrun -= 1
+                _decode_ac_refine_band(br, table, zz[ci], ss, se, al)
     flat = np.zeros((ncomp, nb, 64), dtype=np.int32)
     for ci in range(ncomp):
         flat[ci][:, _JPEG_ZIGZAG] = zz[ci]
@@ -2291,3 +2348,189 @@ def _is_progressive_jpeg(content: bytes) -> bool:
         (length,) = struct.unpack(">H", content[pos + 2 : pos + 4])
         pos += 2 + length
     return False
+
+
+# ---------------------------------------------------------------------------
+# progressive 4:2:0 (r9, the last JPEG layout): interleaved DC scans
+# over the 4-Y-Cb-Cr MCU order, per-component AC scans over each
+# component's OWN raster (non-interleaved scans address data units in
+# component order, T.81 G.1/A.2.2 — NOT the MCU order)
+
+_JPEG_PROG_SCANS_420 = (
+    (0, 0, 0, 1),   # DC first (interleaved), Al=1
+    (0, 0, 1, 0),   # DC refinement (interleaved)
+    (1, 63, 0, 1),  # per component: full AC band first at Al=1
+    (1, 63, 1, 0),  # per component: AC refinement to full precision
+)
+
+
+def encode_jpeg_rgb_progressive_420(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as a PROGRESSIVE 4:2:0
+    chroma-subsampled JFIF/JPEG (SOF2, sampling Y=2x2, Cb=Cr=1x1):
+    the same lossy half as the baseline 4:2:0 encoder, then DC scans
+    interleaved in MCU order (4 Y, Cb, Cr — per-component predictors,
+    successive-approximation split) and per-component AC band +
+    refinement scans in component-raster order."""
+    import struct
+
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(
+            "encode_jpeg_rgb_progressive_420 expects (h, w, 3) uint8"
+        )
+    h, w = img.shape[:2]
+    if h % 16 or w % 16:
+        raise ValueError(
+            "encode_jpeg_rgb_progressive_420: dimensions must be "
+            f"multiples of 16 (whole MCUs); got {h}x{w}"
+        )
+    y, cb, cr = _rgb_to_ycbcr(img)
+    planes = [
+        quantize_blocks_gray(y)[0],
+        quantize_blocks_gray(downsample_420(cb))[0],
+        quantize_blocks_gray(downsample_420(cr))[0],
+    ]
+    zzs = [_prog_zz_blocks(p) for p in planes]
+    n_mby, n_mbx = h // 16, w // 16
+    order = _dc_mcu_order_420(n_mby, n_mbx)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls: int, bits: list[int], symbols: list[int]) -> bytes:
+        return bytes([cls << 4]) + bytes(bits) + bytes(symbols)
+
+    qt_zz = _JPEG_QUANT.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    app0 = (
+        b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    sof2 = struct.pack(">BHHB", 8, h, w, 3) + b"".join(
+        bytes([cid + 1, (sh << 4) | sv, 0])
+        for cid, (sh, sv) in enumerate(_SAMPLING_420)
+    )
+    out = (
+        b"\xff\xd8"
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, b"\x00" + qt_zz)
+        + seg(0xFFC2, sof2)
+        + seg(0xFFC4, dht(0, _JPEG_DC_BITS, _JPEG_DC_SYMBOLS))
+        + seg(0xFFC4, dht(1, _JPEG_ACP_BITS, _JPEG_ACP_SYMBOLS))
+    )
+    for ss, se, ah, al in _JPEG_PROG_SCANS_420:
+        if ss == 0:
+            bw = _BitWriter()
+            _encode_dc_scan(zzs, ah, al, bw, order=order)
+            sos = bytes([3]) + b"".join(
+                bytes([ci + 1, 0x00]) for ci in range(3)
+            ) + bytes([ss, se, (ah << 4) | al])
+            out += seg(0xFFDA, sos) + bw.flush()
+        else:
+            for ci in range(3):
+                bw = _BitWriter()
+                if ah == 0:
+                    _encode_ac_first_scan(zzs[ci], ss, se, al, bw)
+                else:
+                    _encode_ac_refine_scan(zzs[ci], ss, se, ah, al, bw)
+                sos = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+                out += seg(0xFFDA, sos) + bw.flush()
+    return out + b"\xff\xd9"
+
+
+def _decode_jpeg_progressive_blocks_420(
+    content: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """The 4:2:0 progressive decoder's LOSSLESS half: per-component
+    coefficient grids (Y at 2x the chroma grid), interleaved DC scans
+    walked in MCU order with per-component predictors, AC scans in
+    component-raster order via the shared band helpers.  Returns
+    (y_blocks[2*n_mby, 2*n_mbx, 8, 8], cb_blocks[n_mby, n_mbx, 8, 8],
+    cr_blocks[...], qt, h, w) — bit-equal to the encoder's quantized
+    blocks."""
+    qt, h, w, ncomp, sampling, huff, scans = _parse_jpeg_progressive(
+        content
+    )
+    if ncomp != 3 or sampling != _SAMPLING_420:
+        raise ValueError(
+            f"decode_jpeg_progressive_420: not a 4:2:0 payload "
+            f"({sampling})"
+        )
+    n_mby, n_mbx = (h + 15) // 16, (w + 15) // 16
+    nbs = [4 * n_mby * n_mbx, n_mby * n_mbx, n_mby * n_mbx]
+    zzs = [np.zeros((nb, 64), dtype=np.int32) for nb in nbs]
+    order = _dc_mcu_order_420(n_mby, n_mbx)
+    for comps, ss, se, ah, al, data in scans:
+        br = _BitReader(data)
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    "decode_jpeg_progressive: DC scan must have Se=0"
+                )
+            if len(comps) != 3:
+                raise ValueError(
+                    "decode_jpeg_progressive_420: DC scan must "
+                    "interleave all three components"
+                )
+            if ah == 0:
+                tables = {}
+                for ci, td, _ta in comps:
+                    t = huff.get((0, td))
+                    if t is None:
+                        raise ValueError(
+                            "decode_jpeg_progressive: missing DC "
+                            "Huffman table"
+                        )
+                    tables[ci] = t
+                preds = [0, 0, 0]
+                for ci, b in order:
+                    size = _read_symbol(br, tables[ci])
+                    preds[ci] += _jpeg_extend(
+                        br.take(size) if size else 0, size
+                    )
+                    zzs[ci][b, 0] = preds[ci] << al
+            else:
+                if ah - al != 1:
+                    raise ValueError(
+                        "decode_jpeg_progressive: DC refinement must "
+                        "lower Al by exactly 1"
+                    )
+                for ci, b in order:
+                    zzs[ci][b, 0] |= br.take(1) << al
+        else:
+            if len(comps) != 1:
+                raise ValueError(
+                    "decode_jpeg_progressive: progressive AC scans "
+                    "are single-component (T.81 G.1)"
+                )
+            ci, _td, ta = comps[0]
+            table = huff.get((1, ta))
+            if table is None:
+                raise ValueError(
+                    "decode_jpeg_progressive: missing AC Huffman table"
+                )
+            if ah == 0:
+                _decode_ac_first_band(br, table, zzs[ci], ss, se, al)
+            else:
+                if ah - al != 1:
+                    raise ValueError(
+                        "decode_jpeg_progressive: AC refinement must "
+                        "lower Al by exactly 1"
+                    )
+                _decode_ac_refine_band(br, table, zzs[ci], ss, se, al)
+    shapes = [(2 * n_mby, 2 * n_mbx), (n_mby, n_mbx), (n_mby, n_mbx)]
+    out = []
+    for zz2, (gy, gx) in zip(zzs, shapes):
+        flat = np.zeros_like(zz2)
+        flat[:, _JPEG_ZIGZAG] = zz2
+        out.append(flat.reshape(gy, gx, 8, 8))
+    return out[0], out[1], out[2], qt, h, w
+
+
+def decode_jpeg_rgb_progressive_420(content: bytes) -> np.ndarray:
+    """REAL decode of a PROGRESSIVE 4:2:0 color JPEG: the multi-scan
+    lossless core, per-plane IDCT, 2x2 chroma replication upsample,
+    inverse BT.601, crop — the same reconstruction tail as the
+    sequential 4:2:0 decoder."""
+    y_b, cb_b, cr_b, qt, h, w = _decode_jpeg_progressive_blocks_420(content)
+    y = _idct_plane(y_b, qt)
+    cb = _idct_plane(cb_b, qt).repeat(2, axis=0).repeat(2, axis=1)
+    cr = _idct_plane(cr_b, qt).repeat(2, axis=0).repeat(2, axis=1)
+    return _ycbcr_to_rgb(y[:h, :w], cb[:h, :w], cr[:h, :w])

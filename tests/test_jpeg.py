@@ -460,8 +460,8 @@ def test_progressive_ac_refinement_is_load_bearing():
     # odd AC coefficient exists (so the Al=1 first pass loses a bit)
     assert (np.abs(expect.reshape(-1, 64)[:, 1:]) % 2 == 1).any()
     enc = M.encode_jpeg_gray_progressive(img)
-    qt, h, w, ncomp, huff, scans = M._parse_jpeg_progressive(enc)
-    assert ncomp == 1
+    qt, h, w, ncomp, sampling, huff, scans = M._parse_jpeg_progressive(enc)
+    assert ncomp == 1 and sampling == [(1, 1)]
     assert [s[3:5] for s in scans] == [
         (0, 1), (1, 0), (0, 1), (0, 1), (1, 0), (1, 0)
     ]  # (Ah, Al) per scan of the 6-scan script
@@ -523,3 +523,49 @@ def test_color_progressive_dispatch_and_cross_rejection():
     gray = M.encode_jpeg_gray_progressive(np.full((8, 8), 78, np.uint8))
     with pytest.raises(ValueError, match="grayscale payload"):
         M.decode_jpeg_rgb_progressive(gray)
+
+
+# --- progressive 4:2:0 ----------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    mbs=st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=1, max_value=3),
+    ),
+)
+def test_progressive_420_entropy_lossless_property(seed, mbs):
+    # ANY image, ANY whole-MCU geometry: all three subsampled planes'
+    # quantized blocks round-trip bit-exactly through the interleaved
+    # 4-Y-Cb-Cr DC order + per-component AC band/refinement scans
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (mbs[0] * 16, mbs[1] * 16, 3), dtype=np.uint8)
+    enc = M.encode_jpeg_rgb_progressive_420(img)
+    y_b, cb_b, cr_b, qt, h, w = M._decode_jpeg_progressive_blocks_420(enc)
+    y, cb, cr = M._rgb_to_ycbcr(img)
+    assert np.array_equal(y_b, quantize_blocks_gray(y)[0])
+    assert np.array_equal(
+        cb_b, quantize_blocks_gray(M.downsample_420(cb))[0]
+    )
+    assert np.array_equal(
+        cr_b, quantize_blocks_gray(M.downsample_420(cr))[0]
+    )
+
+
+def test_progressive_420_pixel_parity_and_dispatch():
+    # same coefficients as the SEQUENTIAL 4:2:0 pipeline -> identical
+    # pixels; decode_media routes by the SOF2 + sampling sniff
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    prog = M.encode_jpeg_rgb_progressive_420(img)
+    seq = M.encode_jpeg_rgb_420(img)
+    assert (M.decode_media(prog, "image") == M.decode_jpeg_rgb_420(seq)).all()
+    # cross-layout rejection stays loud
+    with pytest.raises(ValueError, match="not a 4:2:0 payload"):
+        M._decode_jpeg_progressive_blocks_420(
+            M.encode_jpeg_rgb_progressive(img)
+        )
+    with pytest.raises(ValueError, match="route through"):
+        M._decode_jpeg_progressive_blocks(prog)
