@@ -286,3 +286,92 @@ def kmv_pair_overlap(kmv: DataFrame, k: int = KMV_K) -> DataFrame:
         F.round(jac, 6).alias("jaccard_est"),
         F.round(jac * union_est, 4).alias("intersection_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (r9): the bounded-memory top-k classic
+
+
+def misra_gries_candidates(
+    df: DataFrame,
+    key_col: str,
+    k: int = 16,
+    emit_partition_totals: bool = False,
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries (Misra & Gries 1982): k
+    counters per partition — increment a tracked key, evict-by-global-
+    decrement when a new key arrives with all counters full.  Returns
+    (key, mg_count) candidate rows, at most k per input partition.
+
+    The guarantee that makes it a CANDIDATE GENERATOR: a key with true
+    partition frequency > n_p/(k+1) always survives its partition's
+    summary, and a globally-heavy key (freq > N/k) is heavy in at
+    least one partition by pigeonhole — so the union of summaries is a
+    SUPERSET of the global heavy hitters whatever the partitioning.
+    Callers verify candidates with one exact counting pass over the
+    (tiny, broadcastable) candidate set — the standard two-pass
+    heavy-hitters protocol.
+
+    100 TB shape: state is k counters per task REGARDLESS of key
+    cardinality (unlike an exact groupBy, whose shuffle carries every
+    distinct key); the output is ≤ k×partitions rows.  Arrow
+    mapInPandas, dict state maintained across the partition's batches
+    — no shuffle until the trivially small candidate rollup.
+
+    ``emit_partition_totals=True`` appends ONE extra row per partition
+    with ``key = NULL`` and ``mg_count = rows seen`` — the global N
+    the heavy-hitter threshold needs, gathered in the SAME pass so the
+    two-pass protocol really is two scans (keys are never emitted as
+    NULL: null inputs are skipped, so the sentinel cannot collide)."""
+    if k < 1:
+        raise ValueError(f"misra_gries_candidates: k must be >= 1, got {k}")
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("mg_count", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as _pd
+
+        counters: dict[str, int] = {}
+        seen = 0
+        for pdf in batches:
+            for key in pdf[key_col]:
+                if key is None:
+                    continue
+                seen += 1
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:  # global decrement — the MG eviction step
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        rows = list(counters.items())
+        if emit_partition_totals:
+            rows.append((None, seen))
+        if rows:
+            yield _pd.DataFrame(rows, columns=["key", "mg_count"]).astype(
+                {"mg_count": "int64"}
+            )
+        else:
+            yield _pd.DataFrame(
+                {"key": _pd.Series(dtype="object"),
+                 "mg_count": _pd.Series(dtype="int64")}
+            )
+
+    return df.select(key_col).mapInPandas(gen, schema)

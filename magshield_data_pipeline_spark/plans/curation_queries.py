@@ -2496,3 +2496,98 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_off").cast("long").alias("start_off"),
         F.floor(F.col("start_off") / _V2_BUDGET).alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Misra-Gries heavy hitters (r9): the bounded-memory frequent-
+# items classic, completing the sketch tier (CMS/KMV/HLL/GK).
+#
+# Deliberate perturbation (teeth): the fixture vocabulary is 31
+# near-uniform words, so at any useful k either everything or nothing
+# is heavy.  Word rows of doc_id % 5 residues 0 and 1 are therefore
+# re-keyed to two planted hot tokens (~20% of mass each); the
+# remaining 31 words carry ~1.9% each — so at k=16 (threshold 6.25%)
+# the true heavy-hitter set is EXACTLY the two planted tokens, and the
+# MG summaries (16 counters over 33 live keys per partition) must keep
+# them through the decrement churn for the hash to match.
+
+_MG_K = 16
+
+_MG_SQL = f"""
+WITH w AS (
+    SELECT doc_id, unnest({{words}}) AS word FROM documents
+),
+keyed AS (
+    SELECT CASE WHEN doc_id % 5 = 0 THEN 'hot_token'
+                WHEN doc_id % 5 = 1 THEN 'warm_token'
+                ELSE word END AS key
+    FROM w
+),
+tot AS (SELECT count(*) AS n FROM keyed)
+SELECT key, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM keyed, tot
+GROUP BY key, tot.n
+HAVING count(*) * {_MG_K} > tot.n
+"""
+
+
+def _mg_sql() -> str:
+    from magshield_data_pipeline_spark.plans import ext_queries as X
+
+    return _MG_SQL.format(words=X._WORDS)
+
+
+@register(
+    "heavy_hitters_mg",
+    sql=_mg_sql(),
+    description=f"Misra-Gries heavy hitters (k={_MG_K}, Misra & Gries "
+    "1982): per-partition bounded summaries (16 counters per task "
+    "regardless of key cardinality — the memory bound an exact groupBy "
+    "cannot give) generate a candidate superset, then ONE exact "
+    "counting pass over the broadcast candidates verifies; output = "
+    f"keys with frequency * {_MG_K} > total.  Two hot tokens planted "
+    "on doc_id%5 residues make the true set exactly 2 rows among 33 "
+    "live keys, so the summaries' decrement churn is load-bearing for "
+    "the hash ([EXT] sketch tier, beside CMS/KMV/HLL/GK)",
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: genuinely TWO passes — pass 1 is shuffle-free (mapInPandas
+    # summaries, <= k+1 rows per task, carrying the per-partition
+    # totals the threshold needs); pass 2 broadcasts the tiny candidate
+    # set and exact-counts ONLY those keys (semi-join pruned before the
+    # partial agg).  The summaries frame is persisted (tiny) because
+    # the candidate set and the global N both read it; caller-owned
+    # lifetime per the repo convention.
+    from magshield_data_pipeline_spark.operators import sketches as SK
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias(
+            "word"
+        ),
+    )
+    keyed = words.select(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("hot_token"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("warm_token"))
+        .otherwise(F.col("word"))
+        .alias("key")
+    )
+    summaries = SK.misra_gries_candidates(
+        keyed, "key", k=_MG_K, emit_partition_totals=True
+    ).persist()
+    candidates = (
+        summaries.filter(F.col("key").isNotNull()).select("key").distinct()
+    )
+    tot = (
+        summaries.filter(F.col("key").isNull())
+        .agg(F.sum("mg_count").alias("n"))
+    )
+    exact = (
+        keyed.join(F.broadcast(candidates), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(tot))  # 1-row total
+        .filter(F.col("n_occurrences") * _MG_K > F.col("n"))
+    )
+    return exact.select("key", "n_occurrences")

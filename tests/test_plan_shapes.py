@@ -64,6 +64,9 @@ _ALLOW_BNLJ = {
     # (nation, band) rollup × the ONE-row global-count frame — the
     # exact-integer TVD's normalizer
     "t_closeness_violations",
+    # candidate exact counts × the ONE-row global-total frame (summed
+    # from the MG pass's per-partition sentinels)
+    "heavy_hitters_mg",
     # grid build: keys × the day axis exploded from ONE span row —
     # bounded by calendar days, broadcast by construction
     "gap_fill_locf_daily",

@@ -821,3 +821,49 @@ def test_q20_topk_preserves_string_id_dtypes(spark):
     got = out.collect()
     assert len(got) == 3 and all(r["query_id"] == "q-1" for r in got)
     assert all(r["vec_id"].startswith("doc-") for r in got)
+
+
+# --- Misra-Gries heavy hitters (r9) ---------------------------------------
+
+
+def test_misra_gries_keeps_heavy_keys_through_churn(spark):
+    from magshield_data_pipeline_spark.operators import sketches as SK
+
+    # 1 hot key (30%) + 70 singleton keys churning the 4 counters:
+    # MG(4) must keep 'hot' (freq > n/5 by a wide margin) in ONE
+    # partition whatever the arrival order
+    rows = [("hot",)] * 30 + [(f"u{i}",) for i in range(70)]
+    import random
+
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, ["key"]).coalesce(1)
+    cands = {
+        r.key
+        for r in SK.misra_gries_candidates(df, "key", k=4).collect()
+    }
+    assert "hot" in cands
+    assert len(cands) <= 4
+
+
+def test_misra_gries_partition_totals_sentinel(spark):
+    from magshield_data_pipeline_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), (None,)], ["key"]
+    ).repartition(2)
+    out = SK.misra_gries_candidates(
+        df, "key", k=8, emit_partition_totals=True
+    ).collect()
+    totals = [r.mg_count for r in out if r.key is None]
+    # nulls are SKIPPED from counting; one sentinel per non-empty
+    # partition, totals summing to the 3 non-null rows
+    assert sum(totals) == 3
+    assert {r.key for r in out if r.key is not None} == {"a", "b"}
+
+
+def test_misra_gries_rejects_bad_k(spark):
+    from magshield_data_pipeline_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([("a",)], ["key"])
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        SK.misra_gries_candidates(df, "key", k=0)
