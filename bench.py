@@ -37,10 +37,18 @@ def consume(df) -> None:
 
 
 def _abbrev(name: str) -> str:
-    # separator-free keys: ~180 B headroom at 94 queries vs underscored
-    # (the map in BENCH_local.json recovers full names; collisions fail
-    # loud at import via _abbrev_map)
-    return "".join(tok[:3] for tok in name.split("_"))
+    # separator-free keys: ~180 B headroom vs underscored (the map in
+    # BENCH_local.json recovers full names; collisions fail loud at
+    # import via _abbrev_map).  A token keeps its TRAILING DIGITS on
+    # top of the 3-char stem — 'progressive' vs 'progressive420'
+    # collided r9 (the guard caught it); cross-record comparisons
+    # translate through each record's own abbrev map, so the scheme
+    # change is safe
+    def short(tok: str) -> str:
+        m = re.match(r"^(.*?)(\d*)$", tok)
+        return m.group(1)[:3] + m.group(2)
+
+    return "".join(short(tok) for tok in name.split("_"))
 
 
 def _abbrev_map(names) -> dict[str, str]:
