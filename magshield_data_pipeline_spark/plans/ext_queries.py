@@ -4162,3 +4162,143 @@ def nation_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = merged
         frontier = improved
     return best.select(F.col("node").alias("nation"), "dist")
+
+
+# ---------------------------------------------------------------------------
+# EXT composition — the RAG INDEXING pipeline (r9): chunk -> chunk-level
+# exact dedup -> BM25 index over the surviving retrieval units.  The
+# second composition tier beside curation_pipeline_v2: where that one
+# builds TRAINING data, this is the retrieval-side build every RAG
+# deployment runs — and chaining makes the dedup stage load-bearing for
+# the index's statistics (dl/avgdl/df all shift when duplicate chunks
+# collapse, so a dedup defect breaks every downstream score hash).
+#
+# Deliberate perturbation (teeth): the fixture corpus is dup-free, so
+# every 6th document's text is replaced by ONE shared template — its
+# chunks collapse to a single representative under exact chunk dedup
+# (83 docs -> 1 chunk at sf0.01), shrinking the index and shifting the
+# BM25 normalizers measurably.
+
+_RAG_CHUNK_SIZE, _RAG_CHUNK_STRIDE = 500, 400
+_RAG_K = 5
+_RAG_TEMPLATE = (
+    "the shared template of plain filler words that every sixth "
+    "document now carries so its chunks collapse to one representative "
+    "under exact chunk dedup and the index stays small"
+)
+
+_RAG_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN '{_RAG_TEMPLATE}'
+                ELSE text END AS t
+    FROM documents
+),
+s AS (
+    SELECT doc_id, t,
+           unnest(generate_series(0, greatest(length(t) - 1, 0),
+                                  {_RAG_CHUNK_STRIDE})) AS cs
+    FROM base
+),
+chunks AS (
+    SELECT CAST(doc_id * 100 + cs // {_RAG_CHUNK_STRIDE} AS BIGINT) AS cid,
+           substring(t, CAST(cs AS INT) + 1, {_RAG_CHUNK_SIZE}) AS ctext
+    FROM s
+),
+sv AS (
+    SELECT cid, ctext FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(ctext) ORDER BY cid) AS rn
+        FROM chunks
+    ) WHERE rn = 1
+),
+words AS (
+    SELECT cid, unnest(regexp_extract_all(lower(ctext), '[a-z]+')) AS word
+    FROM sv
+),
+dl AS (SELECT cid, count(*) AS dl FROM words GROUP BY 1),
+hits AS (SELECT * FROM words WHERE word IN {_BM25_TERMS!r}),
+tf AS (SELECT cid, word, count(*) AS tf FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT word, count(DISTINCT cid) AS df FROM hits GROUP BY 1),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM dl
+),
+scored AS (
+    SELECT tf.word AS term, tf.cid,
+           CAST(tf.tf AS BIGINT) AS tf, CAST(dl.dl AS BIGINT) AS dl,
+           (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / stats.avgdl)) AS score
+    FROM tf
+    JOIN dl ON dl.cid = tf.cid
+    JOIN dfreq ON dfreq.word = tf.word
+    CROSS JOIN stats
+)
+SELECT term, cid, tf, dl, score, CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY term ORDER BY score DESC, cid) AS rank
+    FROM scored
+) q WHERE rank <= {_RAG_K}
+"""
+
+
+@register(
+    "rag_chunk_index_pipeline",
+    sql=_RAG_SQL,
+    description=f"the RAG INDEXING composition: overlapping "
+    f"{_RAG_CHUNK_SIZE}/{_RAG_CHUNK_STRIDE} character chunking -> "
+    "chunk-level exact dedup (min-struct partial agg on the raw chunk "
+    f"MD5) -> BM25 top-{_RAG_K} retrieval units per query term over "
+    "the SURVIVING chunks — dedup is load-bearing for every index "
+    "statistic (dl/avgdl/df shift when the planted every-6th-doc "
+    "template collapses to one representative), so the chain is "
+    "hash-proven end to end, not stage by stage ([EXT] retrieval "
+    "composition, beside the curation north star)",
+)
+def rag_chunk_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: chunking is a linear projection+explode (no shuffle);
+    # dedup is ONE partial-agg shuffle on the uniform chunk MD5; BM25
+    # adds its proven shape (persisted single word-explode feeding
+    # dl/tf/df, term-pruned shuffles, 1-row stats broadcast).  The
+    # bm25 words cache is released through the explicit cache_out
+    # channel once the plan is consumed — at bench/driver granularity
+    # the CacheManager dedups repeated runs.
+    from magshield_data_pipeline_spark.operators import retrieval as R
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0, F.lit(_RAG_TEMPLATE))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("t") - 1, F.lit(0)),
+        F.lit(_RAG_CHUNK_STRIDE),
+    )
+    chunks = base.select(
+        "doc_id", "t", F.posexplode(starts).alias("pos", "cs")
+    ).select(
+        (F.col("doc_id") * 100 + F.col("pos")).cast("long").alias("cid"),
+        F.col("t").substr(F.col("cs") + 1, F.lit(_RAG_CHUNK_SIZE)).alias(
+            "ctext"
+        ),
+    )
+    # chunk-level exact dedup: lowest cid per raw chunk MD5, as a
+    # min-struct partial agg (the exact_dedup shape on the RAW bytes —
+    # chunk boundaries are byte-exact retrieval units, so no
+    # whitespace normalization here)
+    sv = (
+        chunks.groupBy(F.md5("ctext").alias("_fp"))
+        .agg(F.min(F.struct("cid", "ctext")).alias("w"))
+        .select(F.col("w.cid").alias("cid"), F.col("w.ctext").alias("ctext"))
+    )
+    return R.bm25_topk(
+        sv, "ctext", "cid", list(_BM25_TERMS), k=_RAG_K
+    ).select("term", "cid", "tf", "dl", "score", "rank")

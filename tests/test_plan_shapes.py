@@ -67,6 +67,9 @@ _ALLOW_BNLJ = {
     # candidate exact counts × the ONE-row global-total frame (summed
     # from the MG pass's per-partition sentinels)
     "heavy_hitters_mg",
+    # BM25's ONE-row corpus stats cross, over chunks (same shape as
+    # bm25_topk_docs)
+    "rag_chunk_index_pipeline",
     # grid build: keys × the day axis exploded from ONE span row —
     # bounded by calendar days, broadcast by construction
     "gap_fill_locf_daily",
