@@ -133,14 +133,32 @@ def _write_data_files(df, table_path: str, n_files: int) -> list[dict]:
         if f.dataType.typeName() in
         ("long", "integer", "double", "float", "short", "decimal")
     ]
+    # per-file stats in ONE job keyed by input_file_name() — never a
+    # Spark job per file (a real table format reads them straight from
+    # the parquet footers; one grouped scan is the engine-level
+    # equivalent and stays O(1) jobs however many files the commit has)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in numeric:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    by_file = {
+        os.path.basename(r["_f"]): r
+        for r in (
+            spark.read.parquet(target)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()
+        )
+    }
     entries = []
     for name in files:
-        path = os.path.join(target, name)
-        pf = spark.read.parquet(path)
-        aggs = [F.count(F.lit(1)).alias("_n")]
-        for c in numeric:
-            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-        row = pf.agg(*aggs).collect()[0].asDict()
+        got = by_file.get(name)
+        if got is None:  # an empty part file groups to no row
+            entries.append(
+                {"path": os.path.join(sub, name), "rows": 0, "stats": {}}
+            )
+            continue
+        row = got.asDict()
+        row.pop("_f")
         entries.append(
             {
                 "path": os.path.join(sub, name),
@@ -283,10 +301,18 @@ def append_stream_batch(df, table_path: str, batch_id: int,
     and re-checked after losing a manifest race, so two concurrent
     attempts of one epoch commit exactly once."""
     def _committed() -> bool:
-        return any(
-            read_manifest(table_path, v).get("batch_id") == batch_id
-            for v in versions(table_path)
-        )
+        # newest-first with early stop: epoch ids commit in order for a
+        # stream, so the first stream-append manifest carrying a batch
+        # id BELOW ours proves ours was never committed — the check
+        # stays O(1) manifest reads per epoch on a long-running stream
+        # instead of O(versions)
+        for v in reversed(versions(table_path)):
+            bid = read_manifest(table_path, v).get("batch_id")
+            if bid == batch_id:
+                return True
+            if bid is not None and bid < batch_id:
+                return False
+        return False
 
     if _committed():
         return None

@@ -144,3 +144,15 @@ def test_stream_batch_commit_is_exactly_once(spark, tmp_path):
     assert sorted(r.k for r in S.read(spark, t).collect()) == list(range(6))
     # the ledger records which epoch produced each version
     assert S.read_manifest(t, 2)["batch_id"] == 1
+
+
+def test_commit_survives_empty_part_files(spark, tmp_path):
+    # 1 row split into 2 files leaves one part file EMPTY: the single
+    # grouped stats job sees no row for it, and the manifest must
+    # record it as rows=0 instead of crashing — reads stay correct
+    t = _tbl(tmp_path, "t10")
+    S.overwrite(spark.range(0, 1).withColumnRenamed("id", "k"), t,
+                n_files=2)
+    m = S.read_manifest(t, 1)
+    assert sorted(e["rows"] for e in m["files"]) == [0, 1]
+    assert [r.k for r in S.read(spark, t).collect()] == [0]
