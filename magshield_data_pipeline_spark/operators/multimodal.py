@@ -114,9 +114,10 @@ def decode_media(content: bytes, kind: str):
             if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
                 return decode_png(content)
             if content[:2] == b"\xff\xd8":
-                # JPEG: (h, w) grayscale (sequential or progressive)
-                # or (h, w, 3) RGB for 4:4:4 and 4:2:0 color;
-                # progressive COLOR payloads raise inside the decoder
+                # JPEG: (h, w) grayscale or (h, w, 3) RGB for 4:4:4
+                # and 4:2:0 color — sequential AND progressive (SOF2)
+                # in every layout; decode_jpeg dispatches on the frame
+                # header
                 return decode_jpeg(content)
         elif kind == "audio":
             if content[:4] == b"RIFF":
@@ -1679,13 +1680,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     (h, w, 3) RGB for 4:4:4 and 4:2:0 color — matching
     decode_ppm/decode_png's RGB raster convention.  The marker stream
     is parsed ONCE and the tuple handed to the selected decoder core
-    (ADVICE r8 — this is the hot extract_features mapInPandas path;
-    header work must not double); the progressive pre-check walks
-    segment headers only, so it adds no second full parse."""
+    on BOTH branches (ADVICE r8 + r9 — this is the hot
+    extract_features mapInPandas path; header work must not double);
+    the progressive pre-check (_is_progressive_jpeg) walks segment
+    headers only, so it adds no second full parse."""
     if _is_progressive_jpeg(content):
-        if _parse_jpeg_progressive(content)[4] == _SAMPLING_420:
-            return decode_jpeg_rgb_progressive_420(content)
-        blocks, qt, h, w = _decode_jpeg_progressive_blocks(content)
+        pheader = _parse_jpeg_progressive(content)
+        if pheader[4] == _SAMPLING_420:
+            return decode_jpeg_rgb_progressive_420(content, header=pheader)
+        blocks, qt, h, w = _decode_jpeg_progressive_blocks(
+            content, header=pheader)
         if blocks.shape[0] == 1:
             return _idct_plane(blocks[0], qt)[:h, :w]
         y, cb, cr = (_idct_plane(blocks[ci], qt) for ci in range(3))
@@ -2210,7 +2214,7 @@ def _decode_ac_refine_band(
 
 
 def _decode_jpeg_progressive_blocks(
-    content: bytes,
+    content: bytes, header=None,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """The progressive decoder's LOSSLESS half, 1 or 3 components:
     parse the multi-scan marker stream and apply each scan to the
@@ -2219,9 +2223,13 @@ def _decode_jpeg_progressive_blocks(
     component AC band scans with EOB-run decoding and successive-
     approximation refinement (T.81 G.1.2.3 correction bits).  Returns
     (blocks[ncomp, n_by, n_bx, 8, 8] natural order, qt, h, w),
-    bit-equal to the encoder's quantized blocks."""
-    qt, h, w, ncomp, sampling, huff, scans = _parse_jpeg_progressive(
-        content
+    bit-equal to the encoder's quantized blocks.  *header* is an
+    optional pre-parsed _parse_jpeg_progressive tuple — decode_jpeg
+    already parsed the marker stream for its dispatch, and the hot
+    mapInPandas path must not parse twice (ADVICE r9)."""
+    qt, h, w, ncomp, sampling, huff, scans = (
+        header if header is not None
+        else _parse_jpeg_progressive(content)
     )
     if sampling == _SAMPLING_420:
         raise ValueError(
@@ -2436,7 +2444,7 @@ def encode_jpeg_rgb_progressive_420(img: np.ndarray) -> bytes:
 
 
 def _decode_jpeg_progressive_blocks_420(
-    content: bytes,
+    content: bytes, header=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
     """The 4:2:0 progressive decoder's LOSSLESS half: per-component
     coefficient grids (Y at 2x the chroma grid), interleaved DC scans
@@ -2444,9 +2452,12 @@ def _decode_jpeg_progressive_blocks_420(
     component-raster order via the shared band helpers.  Returns
     (y_blocks[2*n_mby, 2*n_mbx, 8, 8], cb_blocks[n_mby, n_mbx, 8, 8],
     cr_blocks[...], qt, h, w) — bit-equal to the encoder's quantized
-    blocks."""
-    qt, h, w, ncomp, sampling, huff, scans = _parse_jpeg_progressive(
-        content
+    blocks.  *header* is an optional pre-parsed
+    _parse_jpeg_progressive tuple (same single-parse contract as the
+    full-resolution core)."""
+    qt, h, w, ncomp, sampling, huff, scans = (
+        header if header is not None
+        else _parse_jpeg_progressive(content)
     )
     if ncomp != 3 or sampling != _SAMPLING_420:
         raise ValueError(
@@ -2524,12 +2535,15 @@ def _decode_jpeg_progressive_blocks_420(
     return out[0], out[1], out[2], qt, h, w
 
 
-def decode_jpeg_rgb_progressive_420(content: bytes) -> np.ndarray:
+def decode_jpeg_rgb_progressive_420(content: bytes,
+                                    header=None) -> np.ndarray:
     """REAL decode of a PROGRESSIVE 4:2:0 color JPEG: the multi-scan
     lossless core, per-plane IDCT, 2x2 chroma replication upsample,
     inverse BT.601, crop — the same reconstruction tail as the
-    sequential 4:2:0 decoder."""
-    y_b, cb_b, cr_b, qt, h, w = _decode_jpeg_progressive_blocks_420(content)
+    sequential 4:2:0 decoder.  *header* threads decode_jpeg's
+    already-parsed marker stream through (single-parse contract)."""
+    y_b, cb_b, cr_b, qt, h, w = _decode_jpeg_progressive_blocks_420(
+        content, header=header)
     y = _idct_plane(y_b, qt)
     cb = _idct_plane(cb_b, qt).repeat(2, axis=0).repeat(2, axis=1)
     cr = _idct_plane(cr_b, qt).repeat(2, axis=0).repeat(2, axis=1)

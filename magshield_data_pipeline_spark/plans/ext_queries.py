@@ -4181,11 +4181,51 @@ def nation_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RAG_CHUNK_SIZE, _RAG_CHUNK_STRIDE = 500, 400
 _RAG_K = 5
+# chunk-id packing: cid = doc_id * 2^20 + chunk position.  2^20 chunk
+# slots per document covers ~420 MB of text per doc at stride 400
+# before any collision is possible (and doc_id keeps 43 clean bits —
+# trillions of documents); the r9 packing (doc_id*100+pos) silently
+# merged chunks from adjacent docs past 100 chunks (~40 KB of text),
+# a class the oracle could never catch because it mirrored the
+# formula — VERDICT r9 item 3.  Past 2^63 key space, switch to
+# struct(doc_id, pos) keys (SortAggregate, still correct).
+_RAG_CID_BASE = 1 << 20
 _RAG_TEMPLATE = (
     "the shared template of plain filler words that every sixth "
     "document now carries so its chunks collapse to one representative "
     "under exact chunk dedup and the index stays small"
 )
+
+def rag_survivor_chunks(base: DataFrame) -> DataFrame:
+    """Chunk (doc_id, t) rows into overlapping retrieval units and
+    exact-dedup them on the raw chunk MD5 — the first two stages of
+    rag_chunk_index_pipeline, factored so the cid packing contract
+    (distinct (doc, pos) -> distinct cid, even past 100 chunks/doc —
+    VERDICT r9 item 3) is testable on synthetic long documents."""
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("t") - 1, F.lit(0)),
+        F.lit(_RAG_CHUNK_STRIDE),
+    )
+    chunks = base.select(
+        "doc_id", "t", F.posexplode(starts).alias("pos", "cs")
+    ).select(
+        (F.col("doc_id") * _RAG_CID_BASE + F.col("pos"))
+        .cast("long").alias("cid"),
+        F.col("t").substr(F.col("cs") + 1, F.lit(_RAG_CHUNK_SIZE)).alias(
+            "ctext"
+        ),
+    )
+    # chunk-level exact dedup: lowest cid per raw chunk MD5, as a
+    # min-struct partial agg (the exact_dedup shape on the RAW bytes —
+    # chunk boundaries are byte-exact retrieval units, so no
+    # whitespace normalization here)
+    return (
+        chunks.groupBy(F.md5("ctext").alias("_fp"))
+        .agg(F.min(F.struct("cid", "ctext")).alias("w"))
+        .select(F.col("w.cid").alias("cid"), F.col("w.ctext").alias("ctext"))
+    )
+
 
 _RAG_SQL = f"""
 WITH base AS (
@@ -4201,7 +4241,8 @@ s AS (
     FROM base
 ),
 chunks AS (
-    SELECT CAST(doc_id * 100 + cs // {_RAG_CHUNK_STRIDE} AS BIGINT) AS cid,
+    SELECT CAST(doc_id * {_RAG_CID_BASE} + cs // {_RAG_CHUNK_STRIDE}
+                AS BIGINT) AS cid,
            substring(t, CAST(cs AS INT) + 1, {_RAG_CHUNK_SIZE}) AS ctext
     FROM s
 ),
@@ -4265,9 +4306,11 @@ def rag_chunk_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup is ONE partial-agg shuffle on the uniform chunk MD5; BM25
     # adds its proven shape (persisted single word-explode feeding
     # dl/tf/df, term-pruned shuffles, 1-row stats broadcast).  The
-    # bm25 words cache is released through the explicit cache_out
-    # channel once the plan is consumed — at bench/driver granularity
-    # the CacheManager dedups repeated runs.
+    # bm25 words persist is SESSION-LIVED under the CacheManager
+    # convention (no cache_out passed here — a registered query has no
+    # post-consumption release point); repeated bench/driver runs
+    # dedup to the one entry (ADVICE r9: comment corrected — nothing
+    # releases it before session end).
     from magshield_data_pipeline_spark.operators import retrieval as R
 
     docs = read_table_spread(spark, sf_dir, "documents")
@@ -4277,28 +4320,7 @@ def rag_chunk_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("t"),
     )
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.length("t") - 1, F.lit(0)),
-        F.lit(_RAG_CHUNK_STRIDE),
-    )
-    chunks = base.select(
-        "doc_id", "t", F.posexplode(starts).alias("pos", "cs")
-    ).select(
-        (F.col("doc_id") * 100 + F.col("pos")).cast("long").alias("cid"),
-        F.col("t").substr(F.col("cs") + 1, F.lit(_RAG_CHUNK_SIZE)).alias(
-            "ctext"
-        ),
-    )
-    # chunk-level exact dedup: lowest cid per raw chunk MD5, as a
-    # min-struct partial agg (the exact_dedup shape on the RAW bytes —
-    # chunk boundaries are byte-exact retrieval units, so no
-    # whitespace normalization here)
-    sv = (
-        chunks.groupBy(F.md5("ctext").alias("_fp"))
-        .agg(F.min(F.struct("cid", "ctext")).alias("w"))
-        .select(F.col("w.cid").alias("cid"), F.col("w.ctext").alias("ctext"))
-    )
+    sv = rag_survivor_chunks(base)
     return R.bm25_topk(
         sv, "ctext", "cid", list(_BM25_TERMS), k=_RAG_K
     ).select("term", "cid", "tf", "dl", "score", "rank")

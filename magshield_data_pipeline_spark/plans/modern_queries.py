@@ -532,3 +532,176 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("o_orderkey") % 7).alias("residue"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+_SNAP_EVOLVE_SQL = """
+WITH v2 AS (
+    SELECT o_orderkey AS k, o_totalprice AS price,
+           CAST(NULL AS VARCHAR) AS tag
+    FROM orders WHERE o_orderkey % 7 = 2
+    UNION ALL
+    SELECT o_orderkey, o_totalprice,
+           'b' || CAST(o_orderkey % 2 AS VARCHAR)
+    FROM orders WHERE o_orderkey % 7 = 3
+)
+SELECT tag, count(*) AS n_rows, round(sum(price), 2) AS revenue,
+       'k,price' AS v1_cols
+FROM v2 GROUP BY tag
+"""
+
+
+@register(
+    "snapshot_schema_evolution",
+    sql=_SNAP_EVOLVE_SQL,
+    description="schema evolution as a LEDGER commit "
+    "(sources/snapshots.py — manifests carry their schema): v1 commits "
+    "(k, price), v2 appends rows WITH a new 'tag' column; the v2 "
+    "manifest publishes the merged schema and readers fill null for "
+    "pre-evolution files WITHOUT rewriting them — the hash pins the "
+    "null-fill on exactly v1's rows AND (via the v1_cols literal) that "
+    "time travel to v1 still reads the pre-evolution schema; zero data "
+    "files rewritten is pinned by tests/test_snapshots.py ([EXT] "
+    "lakehouse tier, VERDICT r9 item 4)",
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the evolution commit is PURE METADATA (one manifest JSON);
+    # old files are never touched, and the reader's null-fill happens
+    # in the parquet scan itself (missing column in the footer -> null
+    # vector), so the cost of adding a column is zero data I/O at any
+    # table size.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    base = scratch_path(
+        "snap_evolve", sf_dir,
+        "overwrite(%7=2 k,price 1f) append(%7=3 +tag=b||k%2 1f) v1",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(orders.filter(F.col("k") % 7 == 2), tmp, n_files=1)
+        SN.append(
+            orders.filter(F.col("k") % 7 == 3).withColumn(
+                "tag", F.concat(F.lit("b"), (F.col("k") % 2).cast("string"))
+            ),
+            tmp, n_files=1,
+        )
+
+    ensure_scratch(base, _build)
+    v1_cols = ",".join(SN.read(spark, base, 1).columns)
+    return (
+        SN.read(spark, base)
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("revenue"),
+        )
+        .withColumn("v1_cols", F.lit(v1_cols))
+        .select("tag", "n_rows", "revenue", "v1_cols")
+    )
+
+
+_SNAP_MERGE_SQL = """
+WITH low AS (
+    SELECT o_orderkey AS k, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 7 = 4
+),
+high AS (
+    SELECT o_orderkey + 50000000 AS k, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 7 = 5
+),
+src AS (
+    SELECT k, price + 100000 AS price FROM low WHERE k % 13 = 0
+    UNION ALL
+    SELECT o_orderkey + 90000000 AS k, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 7 = 6
+),
+merged AS (
+    SELECT * FROM (SELECT * FROM low UNION ALL SELECT * FROM high) b
+    WHERE k NOT IN (SELECT k FROM src)
+    UNION ALL
+    SELECT * FROM src
+)
+SELECT CASE WHEN k >= 90000000 THEN 'insert'
+            WHEN k >= 50000000 THEN 'high_pass'
+            WHEN k % 13 = 0 THEN 'update'
+            ELSE 'low_pass' END AS bucket,
+       count(*) AS n_rows, round(sum(price), 2) AS revenue
+FROM merged GROUP BY 1
+"""
+
+
+@register(
+    "snapshot_merge_upsert",
+    sql=_SNAP_MERGE_SQL,
+    description="MERGE INTO as a copy-on-write ledger commit "
+    "(sources/snapshots.py::merge): a two-file table (low/high key "
+    "ranges) takes a source of low-range updates + brand-new inserts; "
+    "manifest min/max stats prove the high file CANNOT match, so only "
+    "the low file is rewritten and the high file is carried by "
+    "reference — the hash pins update-wins/insert/pass-through row "
+    "semantics across all four buckets; the untouched-file and "
+    "snapshot-isolation contracts are pinned by tests/test_snapshots.py "
+    "([EXT] lakehouse tier, VERDICT r9 item 5)",
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: rewrite cost is proportional to the files whose key range
+    # intersects the source's, never the table — the stats-pruned COW
+    # rewrite is what keeps point-ish MERGEs affordable at 100 TB.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = scratch_path(
+        "snap_merge", sf_dir,
+        "overwrite(%7=4 low 1f) append(%7=5 +50M high 1f) "
+        "merge(low%13=0 +100000, %7=6 +90M insert) v1",
+    )
+
+    def _build(tmp: str) -> None:
+        low = orders.filter(F.col("o_orderkey") % 7 == 4).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+        high = orders.filter(F.col("o_orderkey") % 7 == 5).select(
+            (F.col("o_orderkey") + 50_000_000).alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+        SN.overwrite(low, tmp, n_files=1)
+        SN.append(high, tmp, n_files=1)
+        updates = low.filter(F.col("k") % 13 == 0).select(
+            "k", (F.col("price") + 100_000).alias("price")
+        )
+        inserts = orders.filter(F.col("o_orderkey") % 7 == 6).select(
+            (F.col("o_orderkey") + 90_000_000).alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+        SN.merge(updates.unionByName(inserts), tmp, key="k", n_files=1)
+
+    ensure_scratch(base, _build)
+    merged = SN.read(spark, base)
+    return (
+        merged.groupBy(
+            F.when(F.col("k") >= 90_000_000, "insert")
+            .when(F.col("k") >= 50_000_000, "high_pass")
+            .when(F.col("k") % 13 == 0, "update")
+            .otherwise("low_pass")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("revenue"),
+        )
+        .select("bucket", "n_rows", "revenue")
+    )

@@ -25,7 +25,19 @@ contract, stdlib only):
   scans exactly the listed files — time travel is just passing an
   older version; ``read_changes`` scans only the files ADDED between
   two versions (exact CDC for append-only chains, cost proportional
-  to the change).
+  to the change);
+- every manifest CARRIES ITS SCHEMA: ``append`` merges new columns
+  into the carried schema (same-name type conflicts fail loudly), and
+  ``read`` applies the manifest schema so files written BEFORE an
+  added column return null for it — schema evolution as a ledger
+  commit, with time travel reading each version under the schema it
+  was committed with;
+- ``merge`` is copy-on-write MERGE INTO: the manifest's per-file
+  min/max stats identify the files that can contain matched keys,
+  ONLY those are rewritten (untouched files are carried by reference),
+  and the commit validates its base version at publish time —
+  a concurrent commit fails the merge loudly instead of being
+  lost-updated (the Iceberg serializable-conflict contract).
 
 At 100 TB this is precisely the scan contract that makes planning
 cheap: the manifest bounds the file listing (no directory walks), and
@@ -72,11 +84,37 @@ def read_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _merge_schema(carried: dict | None, new: dict) -> dict:
+    """Schema evolution rule: carried fields keep their position, new
+    columns are APPENDED; a same-name field whose type changed fails
+    loudly (type narrowing/widening needs an explicit rewrite, never a
+    silent cast — the Iceberg add-column-only contract)."""
+    if carried is None:
+        return new
+    by_name = {f["name"]: f for f in carried["fields"]}
+    for f in new["fields"]:
+        old = by_name.get(f["name"])
+        if old is None:
+            continue
+        if old["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution conflict on column {f['name']!r}: "
+                f"committed type {old['type']!r} vs incoming "
+                f"{f['type']!r} — add-column is the only implicit "
+                "evolution; type changes need an explicit overwrite"
+            )
+    merged_fields = list(carried["fields"]) + [
+        f for f in new["fields"] if f["name"] not in by_name
+    ]
+    return {"type": "struct", "fields": merged_fields}
+
+
 def _publish_manifest(
     table_path: str,
     operation: str,
     entries: list[dict],
     carry: bool = False,
+    schema: dict | None = None,
 ) -> int:
     """Optimistic commit: stage the manifest, then exclusively link it
     as the next version; on collision (a concurrent writer took the
@@ -85,23 +123,32 @@ def _publish_manifest(
     latest on every retry — a concurrent commit that wins the version
     race must have its files carried, never lost-updated away (the
     append-append conflict is resolvable by construction: both file
-    sets are additions).  Returns the committed version."""
+    sets are additions).  ``schema`` is the incoming data's schema
+    (``StructType.jsonValue()``); under ``carry`` it is merged into the
+    carried manifest's schema (add-column evolution), otherwise it
+    REPLACES the schema outright.  Returns the committed version."""
     d = _manifest_dir(table_path)
     os.makedirs(d, exist_ok=True)
     staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
     while True:
         prior = versions(table_path)
         v = (prior or [0])[-1] + 1
-        carried = (
-            read_manifest(table_path, prior[-1])["files"]
-            if carry and prior
-            else []
+        carried_manifest = (
+            read_manifest(table_path, prior[-1]) if carry and prior else None
         )
+        carried = carried_manifest["files"] if carried_manifest else []
+        committed_schema = schema
+        if schema is not None and carried_manifest is not None:
+            committed_schema = _merge_schema(
+                carried_manifest.get("schema"), schema
+            )
         manifest = {
             "operation": operation,
             "version": v,
             "files": carried + entries,
         }
+        if committed_schema is not None:
+            manifest["schema"] = committed_schema
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         try:
@@ -173,16 +220,27 @@ def _write_data_files(df, table_path: str, n_files: int) -> list[dict]:
 def append(df, table_path: str, n_files: int = 2) -> int:
     """Commit *df* as new files ON TOP of the latest snapshot (the
     carried file list is resolved inside the commit's retry loop, so
-    concurrent appends compose instead of lost-updating)."""
+    concurrent appends compose instead of lost-updating).  An append
+    whose *df* carries columns the table has never seen is the
+    ADD-COLUMN evolution commit: the published schema is the carried
+    schema plus the new columns, and readers of the new version see
+    null for them in every pre-evolution file."""
     entries = _write_data_files(df, table_path, n_files)
-    return _publish_manifest(table_path, "append", entries, carry=True)
+    return _publish_manifest(
+        table_path, "append", entries, carry=True,
+        schema=df.schema.jsonValue(),
+    )
 
 
 def overwrite(df, table_path: str, n_files: int = 2) -> int:
     """Commit *df* as the ENTIRE table content; prior files stay on
-    disk (older snapshots remain readable) but are no longer listed."""
+    disk (older snapshots remain readable) but are no longer listed.
+    The schema is replaced outright (overwrite is the explicit path
+    for type changes that ``append`` refuses)."""
     entries = _write_data_files(df, table_path, n_files)
-    return _publish_manifest(table_path, "overwrite", entries)
+    return _publish_manifest(
+        table_path, "overwrite", entries, schema=df.schema.jsonValue()
+    )
 
 
 def compact(spark, table_path: str, n_files: int = 1) -> int:
@@ -191,9 +249,11 @@ def compact(spark, table_path: str, n_files: int = 1) -> int:
     reader of any prior version is untouched (its files are
     immutable)."""
     latest = versions(table_path)[-1]
-    entries = _write_data_files(read(spark, table_path, latest),
-                                table_path, n_files)
-    return _publish_manifest(table_path, "compact", entries)
+    content = read(spark, table_path, latest)
+    entries = _write_data_files(content, table_path, n_files)
+    return _publish_manifest(
+        table_path, "compact", entries, schema=content.schema.jsonValue()
+    )
 
 
 def read(spark, table_path: str, version: int | None = None, *,
@@ -223,9 +283,24 @@ def read(spark, table_path: str, version: int | None = None, *,
         raise ValueError(
             f"snapshot v{v} at {table_path} has no files after pruning"
         )
-    return spark.read.parquet(
-        *[os.path.join(table_path, e["path"]) for e in entries]
-    )
+    return _scan(spark, table_path,
+                 [e["path"] for e in entries], manifest.get("schema"))
+
+
+def _scan(spark, table_path: str, rel_paths: list[str],
+          schema_json: dict | None):
+    """Scan exactly *rel_paths*, under the MANIFEST schema when the
+    commit recorded one: a file written before an add-column commit
+    lacks the column in its footer, and the reader fills it with null —
+    which is what makes schema evolution a pure metadata commit (zero
+    data files rewritten).  Manifests from before schemas were recorded
+    fall back to footer-inferred reads (their chains never evolved)."""
+    paths = [os.path.join(table_path, p) for p in rel_paths]
+    if schema_json is None:
+        return spark.read.parquet(*paths)
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(StructType.fromJson(schema_json)).parquet(*paths)
 
 
 def read_changes(spark, table_path: str, from_version: int,
@@ -254,9 +329,58 @@ def read_changes(spark, table_path: str, from_version: int,
             f"read_changes: no files added between v{from_version} and "
             f"v{to_version}"
         )
-    return spark.read.parquet(
-        *[os.path.join(table_path, p) for p in added]
-    )
+    return _scan(spark, table_path, added,
+                 read_manifest(table_path, to_version).get("schema"))
+
+
+def _discard_commit_dirs(table_path: str, entries: list[dict]) -> None:
+    """Remove the commit-unique ``data/snap-*`` subdirectories holding
+    *entries* — a discarded (never-published) commit's files, including
+    Spark's sidecars (``_SUCCESS``, ``.crc``), which manifests never
+    list.  Safe by construction: each commit writes into its OWN
+    uuid-named subdirectory, so these trees hold no other commit's
+    data."""
+    import shutil
+
+    for sub in {os.path.dirname(e["path"]) for e in entries}:
+        full = os.path.join(table_path, sub)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _hw_path(table_path: str) -> str:
+    return os.path.join(_manifest_dir(table_path), "_last_batch_id")
+
+
+def _read_high_water(table_path: str) -> int | None:
+    """Highest stream batch_id ever committed, persisted OUTSIDE the
+    vacuumable manifests — the durable half of the exactly-once check
+    (a replay of an epoch whose manifest vacuum already dropped must
+    still be detected; manifests alone cannot prove that)."""
+    try:
+        with open(_hw_path(table_path)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _advance_high_water(table_path: str, batch_id: int) -> None:
+    """Monotonic max-merge via staged-write + atomic replace.  Epochs
+    commit in order on a stream, so concurrent writers of this file are
+    replays of the SAME epoch (identical value) or a vacuum carrying
+    forward an OLDER one — a racing os.replace can only ever land a
+    value <= the true max transiently, and the very next commit
+    restores it; the check in append_stream_batch additionally scans
+    retained manifests, so no replay window opens."""
+    cur = _read_high_water(table_path)
+    if cur is not None and cur >= batch_id:
+        return
+    d = _manifest_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    staged = os.path.join(d, f".hw-{uuid.uuid4().hex}")
+    with open(staged, "w") as f:
+        f.write(str(batch_id))
+    os.replace(staged, _hw_path(table_path))
 
 
 def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
@@ -266,7 +390,11 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     with immutable files.  Returns the deleted file paths.  The
     retained manifests stay byte-identical, so time travel within the
     retention window is unaffected; older version reads fail loudly on
-    the missing manifest rather than scanning half a snapshot."""
+    the missing manifest rather than scanning half a snapshot.  Before
+    a stream-append manifest is dropped, its batch_id is carried into
+    the durable high-water file so the exactly-once replay check
+    survives the manifest's deletion (tables written before the
+    high-water file existed get it backfilled here)."""
     if keep_versions < 1:
         raise ValueError("vacuum: keep_versions must be >= 1")
     vs = versions(table_path)
@@ -276,7 +404,10 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     }
     deleted = []
     for v in drop:
-        for e in read_manifest(table_path, v)["files"]:
+        m = read_manifest(table_path, v)
+        if m.get("batch_id") is not None:
+            _advance_high_water(table_path, m["batch_id"])
+        for e in m["files"]:
             p = e["path"]
             if p not in live:
                 full = os.path.join(table_path, p)
@@ -285,6 +416,46 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
                 deleted.append(p)
         os.remove(os.path.join(_manifest_dir(table_path), f"v{v}.json"))
     return sorted(set(deleted))
+
+
+def remove_orphans(table_path: str, older_than_seconds: float = 0.0
+                   ) -> list[str]:
+    """Delete data files under ``data/`` referenced by NO manifest at
+    all — debris from a crash between writing data files and publishing
+    the manifest, or from a stream-append replay that lost its race
+    (Iceberg's ``remove_orphan_files``).  *older_than_seconds* is the
+    safety margin against an IN-FLIGHT commit whose manifest simply
+    hasn't published yet: only files whose mtime is at least that old
+    are removed (production default would be hours; tests pass 0).
+    Returns the deleted table-relative paths."""
+    import time
+
+    data_root = os.path.join(table_path, "data")
+    if not os.path.isdir(data_root):
+        return []
+    referenced = {
+        e["path"]
+        for v in versions(table_path)
+        for e in read_manifest(table_path, v)["files"]
+    }
+    cutoff = time.time() - older_than_seconds
+    deleted = []
+    for dirpath, _dirs, files in os.walk(data_root):
+        for name in files:
+            if not name.endswith(".parquet") or name.startswith("."):
+                continue  # Spark sidecars (_SUCCESS, .crc) aren't data
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, table_path)
+            if rel in referenced or os.path.getmtime(full) > cutoff:
+                continue
+            os.remove(full)
+            deleted.append(rel)
+    # prune now-empty commit subdirectories so the data tree doesn't
+    # accumulate husks of reclaimed commits
+    for dirpath, dirs, files in os.walk(data_root, topdown=False):
+        if dirpath != data_root and not dirs and not files:
+            os.rmdir(dirpath)
+    return sorted(deleted)
 
 
 def append_stream_batch(df, table_path: str, batch_id: int,
@@ -299,8 +470,15 @@ def append_stream_batch(df, table_path: str, batch_id: int,
     Returns the committed version, or ``None`` when this epoch was
     already committed (replay) — decided BEFORE writing data files,
     and re-checked after losing a manifest race, so two concurrent
-    attempts of one epoch commit exactly once."""
+    attempts of one epoch commit exactly once.  The decision consults
+    BOTH the retained manifests and the durable high-water batch_id
+    file (advanced on every commit, carried forward by ``vacuum``), so
+    a replay of an epoch whose manifest retention already dropped is
+    still a no-op — exactly-once survives vacuum."""
     def _committed() -> bool:
+        hw = _read_high_water(table_path)
+        if hw is not None and batch_id <= hw:
+            return True  # this epoch (or a later one) durably committed
         # newest-first with early stop: epoch ids commit in order for a
         # stream, so the first stream-append manifest carrying a batch
         # id BELOW ours proves ours was never committed — the check
@@ -314,6 +492,11 @@ def append_stream_batch(df, table_path: str, batch_id: int,
                 return False
         return False
 
+    def _discard(written: list[dict]) -> None:
+        # a lost replay race leaves OUR files referenced by no manifest;
+        # reclaim them here rather than leaning on remove_orphans
+        _discard_commit_dirs(table_path, written)
+
     if _committed():
         return None
     entries = _write_data_files(df, table_path, n_files)
@@ -324,6 +507,7 @@ def append_stream_batch(df, table_path: str, batch_id: int,
         if _committed():  # a racing replay of THIS epoch won
             if os.path.exists(staged):
                 os.unlink(staged)
+            _discard(entries)
             return None
         # resolve carry against the CURRENT latest inside the loop: a
         # concurrent commit of a DIFFERENT epoch that wins the version
@@ -331,13 +515,20 @@ def append_stream_batch(df, table_path: str, batch_id: int,
         # lost-updated away (the append-append conflict is resolvable
         # by construction — both file sets are additions)
         prior = versions(table_path)
-        carry = read_manifest(table_path, prior[-1])["files"] if prior else []
+        prior_manifest = (
+            read_manifest(table_path, prior[-1]) if prior else None
+        )
+        carry = prior_manifest["files"] if prior_manifest else []
         v = (prior or [0])[-1] + 1
         manifest = {
             "operation": "stream-append",
             "batch_id": batch_id,
             "version": v,
             "files": carry + entries,
+            "schema": _merge_schema(
+                prior_manifest.get("schema") if prior_manifest else None,
+                df.schema.jsonValue(),
+            ),
         }
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
@@ -346,4 +537,97 @@ def append_stream_batch(df, table_path: str, batch_id: int,
         except FileExistsError:
             continue  # lost the version race — re-resolve and retry
         os.unlink(staged)
+        _advance_high_water(table_path, batch_id)
         return v
+
+
+def merge(source_df, table_path: str, key: str, n_files: int = 1) -> int:
+    """Copy-on-write MERGE INTO: upsert *source_df* into the latest
+    snapshot by *key* — matched rows are replaced by the source row,
+    unmatched source rows insert, everything else passes through —
+    publishing a new version that REWRITES ONLY the files that can
+    contain a matched key.
+
+    The rewrite set is chosen by the manifest's per-file min/max stats
+    on *key* against the source's [min, max] key range (one tiny agg
+    job): a file whose key range is disjoint from the source's cannot
+    hold a match and is CARRIED BY REFERENCE, byte-untouched — at
+    100 TB this is the difference between rewriting a few files and
+    rewriting the table.  Files with no recorded stats for *key* are
+    conservatively rewritten.  Readers pinned to the prior version are
+    unaffected (immutable files — snapshot isolation), and the commit
+    validates its base version at publish time: if ANY other commit
+    landed since the merge read its base, the merge fails loudly
+    instead of lost-updating it (the Iceberg serializable-conflict
+    contract; the caller retries on the new base).
+
+    Row semantics are sinks.merge_upsert's (reference analog: the
+    replace-else-create upsert at one_drive.py:130-211, lifted from
+    file-by-name to row-by-key *as a ledger commit*)."""
+    from pyspark.sql import functions as F
+
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(
+            f"merge: {table_path} has no versions — commit an initial "
+            "overwrite/append first"
+        )
+    base_version = vs[-1]
+    manifest = read_manifest(table_path, base_version)
+    schema_json = manifest.get("schema")
+    if schema_json is not None:
+        table_cols = [f["name"] for f in schema_json["fields"]]
+        missing = [c for c in table_cols if c not in source_df.columns]
+        if missing:
+            raise ValueError(
+                f"merge: source is missing table columns {missing} — "
+                "MERGE rewrites whole rows; evolve the schema with an "
+                "append first if the source genuinely adds columns"
+            )
+    bounds = source_df.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        raise ValueError("merge: source has no rows (or all-null keys)")
+    lo, hi = bounds["lo"], bounds["hi"]
+    touched, untouched = [], []
+    for e in manifest["files"]:
+        mn = e["stats"].get(f"min_{key}")
+        mx = e["stats"].get(f"max_{key}")
+        if mn is None or mx is None or (mn <= hi and mx >= lo):
+            touched.append(e)
+        else:
+            untouched.append(e)
+    spark = source_df.sparkSession
+    if touched:
+        existing = _scan(
+            spark, table_path, [e["path"] for e in touched], schema_json
+        )
+        kept = existing.join(source_df.select(key), [key], "left_anti")
+        result = kept.unionByName(source_df.select(*existing.columns))
+    else:
+        result = source_df  # pure insert: no file can hold a match
+    entries = _write_data_files(result, table_path, n_files)
+    new_manifest = {
+        "operation": "merge",
+        "version": base_version + 1,
+        "files": untouched + entries,
+        "schema": _merge_schema(schema_json, source_df.schema.jsonValue()),
+    }
+    d = _manifest_dir(table_path)
+    staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
+    with open(staged, "w") as f:
+        json.dump(new_manifest, f, sort_keys=True)
+    try:
+        os.link(staged, os.path.join(d, f"v{base_version + 1}.json"))
+    except FileExistsError:
+        os.unlink(staged)
+        # our rewrite is unreferenced — reclaim its whole commit dir
+        _discard_commit_dirs(table_path, entries)
+        raise RuntimeError(
+            f"merge: concurrent commit took v{base_version + 1} at "
+            f"{table_path} after this merge read its base — retry the "
+            "merge against the new snapshot (serializable conflict)"
+        )
+    os.unlink(staged)
+    return base_version + 1

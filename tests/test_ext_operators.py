@@ -439,3 +439,39 @@ def test_stateless_band_buckets_is_aggregation_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Aggregate" not in plan, plan[:800]
+
+
+def test_rag_cid_packing_distinct_past_100_chunks(spark):
+    # VERDICT r9 item 3: the old cid = doc_id*100+pos packing silently
+    # merged chunks from ADJACENT docs once a doc exceeded 100 chunks
+    # (doc 1 pos 100 == doc 2 pos 0) — invisible to the oracle because
+    # it mirrored the formula.  Two adjacent 150-chunk docs must now
+    # yield 300 distinct cids with disjoint per-doc ranges.
+    from magshield_data_pipeline_spark.plans.ext_queries import (
+        _RAG_CHUNK_STRIDE,
+        _RAG_CID_BASE,
+        rag_survivor_chunks,
+    )
+
+    n_chunks = 150
+    # +10 (not +1): the tail chunk must span a full 9-char token so it
+    # contains the doc marker — a 1-char tail is the same digit in both
+    # docs and would legitimately dedup away
+    length = _RAG_CHUNK_STRIDE * (n_chunks - 1) + 10  # exactly 150 starts
+
+    def _text(doc): # non-repeating so no chunk dedups away
+        s = "".join(f"{doc}x{i:07d}" for i in range(length // 9 + 1))
+        return s[:length]
+
+    base = spark.createDataFrame(
+        [(1, _text(1)), (2, _text(2))], "doc_id long, t string"
+    )
+    sv = rag_survivor_chunks(base).collect()
+    assert len(sv) == 2 * n_chunks
+    cids = [r.cid for r in sv]
+    assert len(set(cids)) == 2 * n_chunks  # no silent merges
+    doc1 = {c for c in cids if c < 2 * _RAG_CID_BASE}
+    doc2 = set(cids) - doc1
+    assert len(doc1) == n_chunks and len(doc2) == n_chunks
+    assert max(doc1) == _RAG_CID_BASE + n_chunks - 1
+    assert min(doc2) == 2 * _RAG_CID_BASE

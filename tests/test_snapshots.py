@@ -156,3 +156,215 @@ def test_commit_survives_empty_part_files(spark, tmp_path):
     m = S.read_manifest(t, 1)
     assert sorted(e["rows"] for e in m["files"]) == [0, 1]
     assert [r.k for r in S.read(spark, t).collect()] == [0]
+
+
+def test_stream_replay_is_noop_even_after_vacuum(spark, tmp_path):
+    # ADVICE r9 (medium): _committed() used to scan only manifests, so
+    # vacuuming the epoch's manifest re-opened the replay window. The
+    # durable high-water file must keep the replay a no-op.
+    t = _tbl(tmp_path, "t11")
+    b0 = spark.range(0, 4).withColumnRenamed("id", "k")
+    b1 = spark.range(4, 6).withColumnRenamed("id", "k")
+    assert S.append_stream_batch(b0, t, batch_id=0) == 1
+    assert S.append_stream_batch(b1, t, batch_id=1) == 2
+    S.compact(spark, t, n_files=1)
+    S.vacuum(t, keep_versions=1)  # drops BOTH stream-append manifests
+    assert S.versions(t) == [3]
+    # replay of the vacuumed epochs: still exactly-once
+    assert S.append_stream_batch(b0, t, batch_id=0) is None
+    assert S.append_stream_batch(b1, t, batch_id=1) is None
+    assert S.versions(t) == [3]
+    assert sorted(r.k for r in S.read(spark, t).collect()) == list(range(6))
+
+
+def test_vacuum_backfills_high_water_from_dropped_manifests(spark, tmp_path):
+    # a table written before the high-water file existed: vacuum must
+    # carry the max dropped batch_id forward, not silently lose it
+    t = _tbl(tmp_path, "t12")
+    S.append_stream_batch(
+        spark.range(3).withColumnRenamed("id", "k"), t, batch_id=7
+    )
+    os.remove(os.path.join(t, "_manifests", "_last_batch_id"))  # pre-hw table
+    S.compact(spark, t, n_files=1)
+    S.vacuum(t, keep_versions=1)
+    assert S._read_high_water(t) == 7
+
+
+def test_remove_orphans_reclaims_unreferenced_files_only(spark, tmp_path):
+    t = _tbl(tmp_path, "t13")
+    S.overwrite(spark.range(4).withColumnRenamed("id", "k"), t, n_files=1)
+    orphan_dir = os.path.join(t, "data", "snap-crashed0000")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000-dead.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"debris")
+    deleted = S.remove_orphans(t, older_than_seconds=0.0)
+    assert deleted == [os.path.join("data", "snap-crashed0000",
+                                    "part-00000-dead.parquet")]
+    assert not os.path.exists(orphan_dir)  # empty husk pruned too
+    # every referenced file survived; the table is intact
+    assert sorted(r.k for r in S.read(spark, t).collect()) == [0, 1, 2, 3]
+
+
+def test_remove_orphans_respects_grace_window(spark, tmp_path):
+    # a file younger than the grace period is an IN-FLIGHT commit's
+    # data, not debris — it must survive
+    t = _tbl(tmp_path, "t14")
+    S.overwrite(spark.range(2).withColumnRenamed("id", "k"), t, n_files=1)
+    young_dir = os.path.join(t, "data", "snap-inflight000")
+    os.makedirs(young_dir)
+    young = os.path.join(young_dir, "part-00000-new.parquet")
+    with open(young, "wb") as f:
+        f.write(b"in-flight")
+    assert S.remove_orphans(t, older_than_seconds=3600) == []
+    assert os.path.exists(young)
+
+
+def test_lost_replay_race_discards_its_own_files(spark, tmp_path):
+    # ADVICE r9 (low): a replay that loses the race used to leave its
+    # written files as permanent orphans; now it reclaims them itself
+    t = _tbl(tmp_path, "t15")
+    df = spark.range(3).withColumnRenamed("id", "k")
+    assert S.append_stream_batch(df, t, batch_id=0) == 1
+    before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t, "data")) for f in fs
+    }
+    assert S.append_stream_batch(df, t, batch_id=0) is None  # replay
+    after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t, "data")) for f in fs
+    }
+    assert after == before  # no debris from the no-op replay
+
+
+def test_schema_evolution_append_nulls_old_files(spark, tmp_path):
+    # add-column evolution as a LEDGER commit: v2's manifest carries the
+    # widened schema, v1's files are never rewritten, and a v2 reader
+    # sees null for the new column on pre-evolution rows
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t16")
+    S.overwrite(spark.range(3).withColumnRenamed("id", "k"), t, n_files=1)
+    v1_files = {e["path"] for e in S.read_manifest(t, 1)["files"]}
+    S.append(
+        spark.range(3, 5).withColumnRenamed("id", "k")
+        .withColumn("tag", F.concat(F.lit("t"), F.col("k"))),
+        t, n_files=1,
+    )
+    m2 = S.read_manifest(t, 2)
+    assert v1_files <= {e["path"] for e in m2["files"]}  # zero rewrites
+    assert [f["name"] for f in m2["schema"]["fields"]] == ["k", "tag"]
+    rows = {r.k: r.tag for r in S.read(spark, t).collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "t3", 4: "t4"}
+    # time travel reads v1 under the schema it was committed with
+    assert S.read(spark, t, 1).columns == ["k"]
+
+
+def test_schema_evolution_type_conflict_fails_loudly(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t17")
+    S.overwrite(spark.range(3).withColumnRenamed("id", "k"), t, n_files=1)
+    bad = spark.range(3, 4).select(
+        F.col("id").cast("string").alias("k")
+    )
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        S.append(bad, t, n_files=1)
+
+
+def test_merge_rewrites_only_files_that_can_match(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t18")
+    low = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    high = spark.range(1000, 1010).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    S.overwrite(low, t, n_files=1)
+    S.append(high, t, n_files=1)
+    m_before = S.read_manifest(t, 2)
+    high_file = next(
+        e["path"] for e in m_before["files"] if e["stats"]["min_k"] >= 1000
+    )
+    low_file = next(
+        e["path"] for e in m_before["files"] if e["stats"]["min_k"] < 1000
+    )
+    # source touches only the low range: update k=3, insert k=42
+    src = spark.createDataFrame([(3, -1), (42, -2)], "k long, v long")
+    reader_v2 = S.read(spark, t, 2)  # pinned BEFORE the merge
+    v3 = S.merge(src, t, key="k", n_files=1)
+    assert v3 == 3
+    m_after = S.read_manifest(t, 3)
+    paths_after = {e["path"] for e in m_after["files"]}
+    assert high_file in paths_after   # disjoint file carried by reference
+    assert low_file not in paths_after  # matched-range file rewritten
+    got = {r.k: r.v for r in S.read(spark, t).collect()}
+    assert got[3] == -1 and got[42] == -2          # update + insert
+    assert got[5] == 50 and got[1005] == 10050     # pass-through both files
+    assert len(got) == 21
+    # snapshot isolation: the pinned v2 reader still sees pre-merge rows
+    old = {r.k: r.v for r in reader_v2.collect()}
+    assert old[3] == 30 and 42 not in old
+
+
+def test_merge_pure_insert_when_no_file_can_match(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t19")
+    S.overwrite(
+        spark.range(0, 5).select(F.col("id").alias("k"),
+                                 F.lit(1).alias("v")), t, n_files=1
+    )
+    # a type-changed column is refused loudly (v is int in the table)
+    src_long_v = spark.createDataFrame([(999, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        S.merge(src_long_v, t, key="k")
+    src_int = spark.createDataFrame([(999,)], "k long").withColumn(
+        "v", F.lit(2)
+    )
+    v2 = S.merge(src_int, t, key="k", n_files=1)
+    m1_files = {e["path"] for e in S.read_manifest(t, 1)["files"]}
+    m2 = S.read_manifest(t, v2)
+    assert m1_files <= {e["path"] for e in m2["files"]}  # nothing rewritten
+    assert sorted(r.k for r in S.read(spark, t).collect()) == \
+        [0, 1, 2, 3, 4, 999]
+
+
+def test_merge_fails_loudly_on_concurrent_commit(spark, tmp_path,
+                                                 monkeypatch):
+    import json as _json
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t20")
+    S.overwrite(
+        spark.range(3).select(F.col("id").alias("k")), t, n_files=1
+    )
+    # simulate a commit racing in AFTER merge read its base (v1) but
+    # BEFORE it publishes: inject the racer's v2 during the rewrite
+    real_write = S._write_data_files
+
+    def _write_then_race(df, table_path, n_files):
+        entries = real_write(df, table_path, n_files)
+        race = os.path.join(t, "_manifests", "v2.json")
+        if not os.path.exists(race):
+            with open(race, "w") as f:
+                _json.dump({"version": 2, "operation": "race",
+                            "files": S.read_manifest(t, 1)["files"]}, f)
+        return entries
+
+    monkeypatch.setattr(S, "_write_data_files", _write_then_race)
+    src = spark.createDataFrame([(1,)], "k long")
+    data_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t, "data")) for f in fs
+    }
+    with pytest.raises(RuntimeError, match="serializable conflict"):
+        S.merge(src, t, key="k")
+    data_after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t, "data")) for f in fs
+    }
+    assert data_after == data_before  # failed merge reclaimed its rewrite
