@@ -125,10 +125,30 @@ def incremental_exact_dedup(
 
     Returns the surviving batch rows as (id, fp, *keep)."""
     corpus_fp = corpus.select(fingerprint(text_col).alias("fp")).distinct()
+    return incremental_exact_dedup_indexed(
+        corpus_fp, batch, text_col, id_col, keep
+    )
+
+
+def incremental_exact_dedup_indexed(
+    corpus_fp: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`incremental_exact_dedup` against a MATERIALIZED
+    fingerprint index (*corpus_fp* has one ``fp`` column) — the shape
+    a per-epoch pipeline actually runs at 100 TB: the corpus is never
+    re-fingerprinted per batch; the index is written once and the
+    epoch plan scans a narrow (fp) parquet relation instead of the
+    corpus text (the batch-side plan contains no corpus-shaped
+    subtree — pinned by tests/test_plan_shapes.py for
+    incremental_curation_epoch)."""
     batch_fp = batch.select(
         F.col(id_col), *[F.col(c) for c in keep], fingerprint(text_col).alias("fp")
     )
-    fresh = batch_fp.join(corpus_fp, "fp", "left_anti")
+    fresh = batch_fp.join(corpus_fp.select("fp"), "fp", "left_anti")
     winner = F.min(F.struct(id_col, *keep)).alias("w")
     return (
         fresh.groupBy("fp")

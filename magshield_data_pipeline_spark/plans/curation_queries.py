@@ -2591,3 +2591,410 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") * _MG_K > F.col("n"))
     )
     return exact.select("key", "n_occurrences")
+
+
+# ---------------------------------------------------------------------------
+# [EXT] incremental curation over the snapshot ledger (r10 — VERDICT r9
+# item 1, the round's north star): curate ONLY the delta, never
+# re-curate the corpus.  The raw corpus is a snapshot-versioned table
+# (sources/snapshots.py); epoch 1 appends a delta; the epoch plan is
+#
+#   read_changes CDC  ->  NFC canonicalization  ->  Gopher gate
+#   ->  LM fluency gate against the MATERIALIZED corpus model/totals
+#   ->  exact dedup vs the MATERIALIZED corpus fingerprint index
+#       (+ intra-batch min-struct)
+#   ->  LSH near-dup vs the MATERIALIZED corpus bucket index
+#       (+ intra-batch collisions)
+#   ->  exactly-once append of the curated delta to the curated table
+#       (append_stream_batch, idempotent per epoch)
+#
+# Every corpus-derived artifact (fp index, LSH buckets, trigram model,
+# fluency totals) is written ONCE at build time; the per-epoch plan
+# scans only the delta files plus those narrow indexes — cost
+# proportional to the CHANGE, plan-pinned by tests/test_plan_shapes.py
+# (the production shape replacing the reference's full re-extract per
+# HTTP trigger, callable.py:118-156).
+#
+# Deliberate perturbation (teeth), one variant class per stage, each
+# visible in the output FUNNEL (stage, n_docs, id_sum):
+#   +1M fresh        (%5 in 2,3,4): word-order-REVERSED text — new
+#                    fingerprint, new shingle set; subject to the gates
+#   +2M exact clone  (%5=0): corpus text verbatim — killed ONLY by the
+#                    fingerprint anti-join vs the materialized index
+#   +3M/+4M NFC pair (%5=1): reversed text + precomposed vs DECOMPOSED
+#                    'café' — byte-distinct, NFC-identical; without NFC
+#                    the pair survives exact dedup and dies at LSH
+#                    instead, shifting the exact_unique funnel row
+#   +5M near-dup     (%5=2): corpus text + its own 40-char prefix —
+#                    survives every exact stage, killed ONLY by the
+#                    corpus LSH bucket probe
+#   +6M intra clone  (%5=3): byte-identical twin of that doc's +1M
+#                    fresh variant — killed by the intra-batch
+#                    min-struct (lowest id wins)
+
+_INC_NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_INC_REV = "array_to_string(list_reverse(str_split(text, ' ')), ' ')"
+
+
+def _inc_lsh_ctes(prefix: str, src: str, text_expr: str) -> str:
+    """CTE chain computing MinHash-LSH band buckets for *src* rows —
+    the SQL twin of operators/dedup.py::lsh_band_buckets, emitted
+    twice (corpus + batch) with distinct CTE names."""
+    norm = rf"trim(regexp_replace(lower({text_expr}), '\s+', ' ', 'g'))"
+    sig = ", ".join(
+        f"list_min([md5('{i}|' || s) for s in sh]) AS h{i}"
+        for i in range(D.MINHASH_K)
+    )
+    bands = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(h{b * D.ROWS_PER_BAND} || h{b * D.ROWS_PER_BAND + 1}) "
+        f"AS bucket FROM {prefix}_sig"
+        for b in range(D.MINHASH_BANDS)
+    )
+    return f"""{prefix}_w AS (
+    SELECT doc_id, str_split({norm}, ' ') AS w FROM {src}
+),
+{prefix}_sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN [array_to_string(w[i:i+2], ' ')
+                      for i in range(1, len(w) - 1)]
+                ELSE [array_to_string(w, ' ')] END AS sh
+    FROM {prefix}_w
+),
+{prefix}_sig AS (SELECT doc_id, {sig} FROM {prefix}_sh),
+{prefix}_buckets AS ({bands})"""
+
+
+_INC_SQL = rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+delta AS (
+    SELECT doc_id + 1000000 AS doc_id, {_INC_REV} AS text
+    FROM documents WHERE doc_id % 5 IN (2, 3, 4)
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, {_INC_REV} || ' caf' || chr(233)
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 4000000, {_INC_REV} || ' caf' || 'e' || chr(769)
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 5000000, text || ' ' || substr(text, 1, 40)
+    FROM documents WHERE doc_id % 5 = 2
+    UNION ALL
+    SELECT doc_id + 6000000, {_INC_REV}
+    FROM documents WHERE doc_id % 5 = 3
+),
+canon AS (SELECT doc_id, nfc_normalize(text) AS t FROM delta),
+gm AS (
+    SELECT doc_id, t,
+        len({_V2_WORDS}) AS nw,
+        length(replace({_V2_NORM_T}, ' ', '')) AS total_chars,
+        length({_V2_NORM_T})
+            - length(replace({_V2_NORM_T}, '#', '')) AS hash_count,
+        len(str_split(t, chr(10))) AS n_lines,
+        len(list_filter(str_split(t, chr(10)),
+            x -> x LIKE '- %' OR x LIKE '* %')) AS bullets,
+        len(list_filter(str_split(t, chr(10)),
+            x -> x LIKE '%...')) AS ell_lines,
+        len(list_filter({_V2_WORDS},
+            x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        (CASE WHEN list_contains({_V2_WORDS}, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'a') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'and') THEN 1 ELSE 0 END
+        ) AS stop_hits
+    FROM canon
+),
+gated AS (
+    SELECT doc_id, t FROM gm
+    WHERE (nw BETWEEN 40 AND 100000)
+      AND ((total_chars / nw) BETWEEN 3.0 AND 10.0)
+      AND (hash_count / nw) < 0.05
+      AND (bullets / n_lines) < 0.3
+      AND (ell_lines / n_lines) < 0.2
+      AND (alpha_words / nw) >= 0.9
+      AND stop_hits >= 2
+),
+cgrams AS (
+    SELECT doc_id, substr(lower(text), CAST(i AS INT), 3) AS gram
+    FROM corpus, unnest(generate_series(1, length(text) - 2)) AS u(i)
+),
+model AS (SELECT gram, count(*) AS cnt FROM cgrams GROUP BY 1),
+cscores AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(sum(length(bin(m.cnt)) - 1) AS BIGINT) AS lm_score
+    FROM cgrams g JOIN model m USING (gram)
+    GROUP BY 1
+),
+ctot AS (
+    SELECT CAST(sum(lm_score) AS BIGINT) AS ts,
+           CAST(sum(lm_grams) AS BIGINT) AS tg
+    FROM cscores
+),
+dgrams AS (
+    SELECT doc_id, substr(lower(t), CAST(i AS INT), 3) AS gram
+    FROM gated, unnest(generate_series(1, length(t) - 2)) AS u(i)
+),
+dscores AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(coalesce(sum(CASE WHEN m.cnt IS NOT NULL
+                                  THEN length(bin(m.cnt)) - 1 END),
+                         0) AS BIGINT) AS lm_score
+    FROM dgrams g LEFT JOIN model m USING (gram)
+    GROUP BY 1
+),
+fluent AS (
+    SELECT g.doc_id, g.t
+    FROM gated g JOIN dscores s USING (doc_id), ctot
+    WHERE s.lm_score * ctot.tg >= ctot.ts * s.lm_grams
+),
+cfp AS (SELECT DISTINCT md5({_INC_NORM_TEXT}) AS fp FROM corpus),
+bfp AS (SELECT doc_id, t, md5({_V2_NORM_T}) AS fp FROM fluent),
+fresh AS (SELECT * FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)),
+uniq AS (
+    SELECT doc_id, t FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fresh
+    ) WHERE rn = 1
+),
+{_inc_lsh_ctes("cb", "corpus", "text")},
+{_inc_lsh_ctes("bb", "uniq", "t")},
+vs_corpus AS (
+    SELECT DISTINCT b.doc_id FROM bb_buckets b
+    JOIN cb_buckets c ON b.band = c.band AND b.bucket = c.bucket
+),
+intra AS (
+    SELECT DISTINCT y.doc_id FROM bb_buckets x
+    JOIN bb_buckets y ON x.band = y.band AND x.bucket = y.bucket
+                     AND x.doc_id < y.doc_id
+),
+novel AS (
+    SELECT doc_id FROM uniq
+    WHERE doc_id NOT IN (SELECT doc_id FROM vs_corpus
+                         UNION SELECT doc_id FROM intra)
+)
+SELECT 'delta_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum FROM delta
+UNION ALL
+SELECT 'gated', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM gated
+UNION ALL
+SELECT 'fluent', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM fluent
+UNION ALL
+SELECT 'exact_unique', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM uniq
+UNION ALL
+SELECT 'novel', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM novel
+UNION ALL
+SELECT 'curated_total',
+       CAST((SELECT count(*) FROM corpus)
+            + (SELECT count(*) FROM novel) AS BIGINT),
+       CAST((SELECT sum(doc_id) FROM corpus)
+            + (SELECT sum(doc_id) FROM novel) AS BIGINT)
+"""
+
+
+def _inc_cur_paths(sf_dir: str) -> dict[str, str]:
+    import os
+
+    from magshield_data_pipeline_spark.sources.scratch import scratch_path
+
+    root = scratch_path(
+        "inc_cur", sf_dir,
+        "raw=v1(corpus 2f)+v2(delta 2f: rev%5in234+1M clone%5=0+2M "
+        "nfcpair%5=1+3M/+4M neardup%5=2+5M intraclone%5=3+6M) "
+        "idx=fp,lsh,model3,stats curated=v1(corpus ids) v1",
+    )
+    return {
+        "root": root,
+        "raw": os.path.join(root, "raw"),
+        "fp_idx": os.path.join(root, "fp_idx"),
+        "lsh_idx": os.path.join(root, "lsh_idx"),
+        "model": os.path.join(root, "model"),
+        "stats": os.path.join(root, "stats"),
+        "curated": os.path.join(root, "curated"),
+    }
+
+
+def inc_cur_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (write-once) the raw snapshot table + corpus indexes, run
+    the per-epoch curation chain over the CDC delta, and return every
+    stage frame — shared by the registered query, the plan pin, and
+    the stage-teeth tests."""
+    import os
+
+    from magshield_data_pipeline_spark.operators import lm as L
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import ensure_scratch
+
+    p = _inc_cur_paths(sf_dir)
+    rev = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp)
+        corpus = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        m5 = F.col("doc_id") % 5
+
+        def var(offset: int, cond, text_col):
+            return corpus.filter(cond).select(
+                (F.col("doc_id") + offset).alias("doc_id"),
+                text_col.alias("text"),
+            )
+
+        delta = (
+            var(1_000_000, m5.isin(2, 3, 4), rev)
+            .unionByName(var(2_000_000, m5 == 0, F.col("text")))
+            .unionByName(
+                var(3_000_000, m5 == 1,
+                    F.concat(rev, F.lit(" caf\u00e9")))  # precomposed
+            )
+            .unionByName(
+                var(4_000_000, m5 == 1,
+                    # DECOMPOSED e + U+0301: byte-distinct, NFC-equal
+                    F.concat(rev, F.lit(" cafe\u0301")))
+            )
+            .unionByName(
+                var(5_000_000, m5 == 2,
+                    F.concat(F.col("text"), F.lit(" "),
+                             F.substring("text", 1, 40)))
+            )
+            .unionByName(var(6_000_000, m5 == 3, rev))
+        )
+        raw = os.path.join(tmp, "raw")
+        SN.overwrite(corpus, raw, n_files=2)
+        SN.append(delta, raw, n_files=2)
+        corpus.select(T.fingerprint("text").alias("fp")).distinct() \
+            .write.parquet(os.path.join(tmp, "fp_idx"))
+        D.lsh_band_buckets(corpus).select(
+            "band", "bucket", F.col("doc_id").alias("corpus_doc")
+        ).write.parquet(os.path.join(tmp, "lsh_idx"))
+        model = L.train_ngram_counts(corpus, "text", n=3)
+        model.write.parquet(os.path.join(tmp, "model"))
+        cscores = L.fluency_score(
+            corpus, spark.read.parquet(os.path.join(tmp, "model")),
+            "text", "doc_id", n=3,
+        )
+        cscores.agg(
+            F.sum("lm_score").alias("ts"), F.sum("lm_grams").alias("tg")
+        ).write.parquet(os.path.join(tmp, "stats"))
+        SN.overwrite(
+            corpus.select("doc_id"), os.path.join(tmp, "curated"),
+            n_files=1,
+        )
+
+    ensure_scratch(p["root"], _build)
+    # ---- the per-epoch plan: everything below scans ONLY the delta
+    # files (read_changes) and the narrow materialized indexes
+    delta = SN.read_changes(spark, p["raw"], 1, 2)
+    canon = T.unicode_canonicalize(
+        delta, text_col="text", nfc_col="t", stripped_col=None
+    )
+    gq = T.gopher_quality_flags(
+        canon, text_col="t", id_col="doc_id", keep_cols=("t",)
+    )
+    gated = gq.filter("keep").select("doc_id", "t").persist()
+    scores = L.fluency_score(
+        gated, spark.read.parquet(p["model"]), "t", "doc_id", n=3
+    )
+    stats = spark.read.parquet(p["stats"])
+    fluent = (
+        scores.join(gated, "doc_id")
+        .crossJoin(F.broadcast(stats))  # 1-row corpus totals
+        .filter(
+            F.col("lm_score") * F.col("tg")
+            >= F.col("ts") * F.col("lm_grams")
+        )
+        .select("doc_id", "t")
+        .persist()
+    )
+    uniq = D.incremental_exact_dedup_indexed(
+        spark.read.parquet(p["fp_idx"]), fluent,
+        text_col="t", id_col="doc_id", keep=("t",),
+    ).persist()
+    bb = D.lsh_band_buckets(uniq, text_col="t", id_col="doc_id").persist()
+    corpus_idx = spark.read.parquet(p["lsh_idx"])
+    vs_corpus = bb.join(corpus_idx, ["band", "bucket"]).select("doc_id")
+    intra = (
+        bb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+    )
+    losers = vs_corpus.unionByName(intra).distinct()
+    novel = uniq.join(losers, "doc_id", "left_anti").persist()
+    return {
+        "paths": p,
+        "delta": delta,
+        "gated": gated,
+        "fluent": fluent,
+        "uniq": uniq,
+        "novel": novel,
+    }
+
+
+@register(
+    "incremental_curation_epoch",
+    sql=_INC_SQL,
+    description="incremental curation over the snapshot ledger "
+    "(VERDICT r9 item 1 — the production shape of a growing corpus): "
+    "read_changes CDC delta -> NFC -> Gopher gate -> LM fluency gate "
+    "against the MATERIALIZED corpus model + totals -> exact dedup vs "
+    "the MATERIALIZED corpus fingerprint index -> LSH near-dup vs the "
+    "MATERIALIZED corpus bucket index -> exactly-once append of the "
+    "curated delta (append_stream_batch, replay no-op); output is the "
+    "stage funnel (count + id checksum per stage), so every stage and "
+    "the ledger commit itself are hash-load-bearing; per-epoch cost "
+    "proportional to the DELTA, plan-pinned by tests/test_plan_shapes "
+    ".py (replaces the reference's full re-extract per trigger, "
+    "callable.py:118-156)",
+)
+def incremental_curation_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the epoch plan's only inputs are the delta files (CDC) and
+    # four narrow corpus-derived indexes (fp, buckets, trigram model,
+    # 1-row totals) — the corpus TEXT is never re-read, re-shingled or
+    # re-scored per epoch; at 100 TB each epoch costs O(delta) plus
+    # index-probe shuffles.  The curated append is idempotent per epoch
+    # (exactly-once under driver/bench re-runs — a replay that
+    # double-committed would shift the curated_total funnel row and
+    # fail the hash).
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    fr = inc_cur_epoch_frames(spark, sf_dir)
+    SN.append_stream_batch(
+        fr["novel"].select("doc_id"), fr["paths"]["curated"],
+        batch_id=1, n_files=1,
+    )
+    curated_now = SN.read(spark, fr["paths"]["curated"])
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+
+    out = (
+        row("delta_raw", fr["delta"])
+        .unionByName(row("gated", fr["gated"]))
+        .unionByName(row("fluent", fr["fluent"]))
+        .unionByName(row("exact_unique", fr["uniq"]))
+        .unionByName(row("novel", fr["novel"]))
+        .unionByName(row("curated_total", curated_now))
+    )
+    return out.select(
+        "stage", "n_docs", F.col("id_sum").cast("long").alias("id_sum")
+    )
