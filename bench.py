@@ -68,6 +68,18 @@ def main() -> int:
     # warm the JVM/codegen once on a trivial job so query timings measure
     # steady-state execution, not first-job startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ...and once on a REAL query (untimed): the r9 record showed the
+    # window-prefix queries absorbing first-real-job costs the trivial
+    # warmup doesn't touch (parquet footer readers, codegen of join/agg
+    # stages, AQE machinery, shuffle writers) — bm25_topk_docs at run
+    # position 1 measured 2.4x its steady-state wall (VERDICT r9,
+    # What's wrong #1).  Warming with the first registry query makes
+    # per-query numbers independent of their position in the run order.
+    _warm_name, _warm_spec = next(iter(QUERY_REGISTRY.items()))
+    consume(_warm_spec.fn(spark, sf_dir))
+    release_caches(spark)
+
+    load_start = os.getloadavg()  # ambient-load provenance for the record
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
@@ -110,6 +122,11 @@ def main() -> int:
                 "spread": spread,
                 "abbrev": abbrev,
                 "runs_per_query": n_runs,
+                "warmup_query": _warm_name,
+                "loadavg_1m": {
+                    "start": round(load_start[0], 2),
+                    "end": round(os.getloadavg()[0], 2),
+                },
                 "sf": sf,
             },
             f,

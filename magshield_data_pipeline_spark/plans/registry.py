@@ -163,33 +163,32 @@ _WINDOW_SIZE = 50
 # last_green == pin_round made each mechanically inert — and are
 # pruned per the codified rule above.)
 #
-# Round-9 pins (changes made with the r8 artifact on disk → pinned 9):
-# bm25_topk_docs / hybrid_rrf_retrieval under the new explicit
-# cache_out release channel on bm25_topk (ADVICE r8 — plan-neutral
-# parameter, re-proven on principle); nation_hops_bfs after the
-# registry-description correction (metadata-only, cheapest possible
-# re-prove); python_sink_roundtrip under the staged-then-renamed
-# _SUCCESS manifest (ADVICE r8); jpeg_block_dc_stats /
-# jpeg420_mcu_stats under the parse-once decode_jpeg dispatch and the
-# ZRL past-block-end guard (ADVICE r8).
+# (All ten round-9 pins were proven green by CORRECTNESS_r09 —
+# last_green == pin_round made each mechanically inert — and are
+# pruned per the codified rule above.)
+#
+# Round-10 pins (changes made with the r9 artifact on disk → pinned
+# 10): the three snapshot-table queries after sources/snapshots.py
+# gained schema-carrying manifests (every commit now writes a schema
+# field; reads apply it), the durable high-water batch_id and orphan
+# cleanup; the three progressive-JPEG queries after decode_jpeg
+# started threading its pre-parsed header into the progressive decoder
+# cores (single-parse, ADVICE r9); incremental_corpus_dedup after
+# incremental_exact_dedup was refactored to delegate to the new
+# _indexed variant (plan-identical by construction, re-proven on
+# principle); rag_chunk_index_pipeline after the chunk-id packing
+# widened from doc_id*100+pos to doc_id*2^20+pos (VERDICT r9 item 3 —
+# a genuine value change for >100-chunk docs, hash-identical on this
+# fixture's short docs).
 _WINDOW_PINS: list[tuple[str, int]] = [
-    ("bm25_topk_docs", 9),
-    ("hybrid_rrf_retrieval", 9),
-    ("nation_hops_bfs", 9),
-    ("python_sink_roundtrip", 9),
-    ("jpeg_block_dc_stats", 9),
-    ("jpeg420_mcu_stats", 9),
-    # r9 composition work: unicode_canonicalize gained stripped_col=None
-    # and gopher_quality_flags gained keep_cols (both behavior-neutral
-    # for the existing callers — re-proven on principle)
-    ("unicode_normalized_dedup", 9),
-    ("gopher_quality_flags", 9),
-    # r9: corpus LSH index materialized to parquet (VERDICT r8 item 3)
-    ("streaming_near_dup_candidates", 9),
-    # r9: drain shrunk to the 2-micro-batch incremental minimum
-    # (VERDICT r8 item 7 — the ~2s/batch protocol floor is batch-count
-    # bound, so this halves the registry's most expensive row)
-    ("paged_stream_scan", 9),
+    ("snapshot_time_travel", 10),
+    ("snapshot_incremental_read", 10),
+    ("snapshot_stream_append", 10),
+    ("jpeg_progressive_stats", 10),
+    ("jpeg_progressive_rgb_stats", 10),
+    ("jpeg_progressive420_stats", 10),
+    ("incremental_corpus_dedup", 10),
+    ("rag_chunk_index_pipeline", 10),
 ]
 
 
