@@ -2896,6 +2896,15 @@ def inc_cur_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
     # ---- the per-epoch plan: everything below scans ONLY the delta
     # files (read_changes) and the narrow materialized indexes
     delta = SN.read_changes(spark, p["raw"], 1, 2)
+    # conditional spread (read_table_spread's rule): the fixture delta
+    # lands as 2 files -> 2 scan splits, which would serialize the NFC
+    # mapInPandas + gram explode on 2 of 32 cores (measured 7.2 ->
+    # ~4-5 s median at sf0.1; the residue is Python-worker warmup on
+    # the first mapInPandas pass plus the persist materializations);
+    # a real epoch has many files and this is a no-op
+    target = min(spark.sparkContext.defaultParallelism, 16)
+    if delta.rdd.getNumPartitions() < target:
+        delta = delta.repartition(target)
     canon = T.unicode_canonicalize(
         delta, text_col="text", nfc_col="t", stripped_col=None
     )
