@@ -705,3 +705,71 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "n_rows", "revenue")
     )
+
+
+_SNAP_CLUSTER_SQL = """
+SELECT CAST(o_orderkey % 10 AS BIGINT) AS band,
+       count(*) AS n_rows, round(sum(o_totalprice), 2) AS revenue
+FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey <= 999
+GROUP BY 1
+"""
+
+
+def snap_cluster_base(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once scratch: an interleaved 4-file snapshot table of the
+    %7=3 orders slice, then a cluster_by compaction — shared by the
+    registered query and the file-count pin in tests."""
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_cluster", sf_dir,
+        "overwrite(%7=3 k,price 4f interleaved) compact(cluster k 4f) v1",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+        SN.overwrite(orders.filter(F.col("k") % 7 == 3), tmp, n_files=4)
+        SN.compact(spark, tmp, n_files=4, cluster_by=["k"])
+
+    return ensure_scratch(base, _build)
+
+
+@register(
+    "snapshot_clustered_prune",
+    sql=_SNAP_CLUSTER_SQL,
+    description="clustered compaction + manifest-stats pruning "
+    "(sources/snapshots.py — OPTIMIZE ... CLUSTER BY): an interleaved "
+    "4-file table is rewritten by compact(cluster_by=['k']) onto "
+    "disjoint key ranges; the query range-PRUNES the clustered "
+    "snapshot at the manifest level and applies the row filter — the "
+    "hash pins pruning SOUNDNESS (an off-by-one in the [min,max] "
+    "intersection would silently lose boundary rows); the file-count "
+    "reduction itself is pinned by tests/test_plan_shapes.py ([EXT] "
+    "lakehouse tier, r10)",
+)
+def snapshot_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: after a clustering rewrite the manifest's min/max stats
+    # become a real skipping index — the read plans over only the
+    # files whose range intersects [0, 999], before Spark lists
+    # anything; at 100 TB this is the difference between scanning a
+    # table and scanning a key range.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    base = snap_cluster_base(spark, sf_dir)
+    pruned = SN.read(spark, base, prune=("k", 0.0, 999.0))
+    return (
+        pruned.filter(F.col("k") <= 999)
+        .groupBy((F.col("k") % 10).alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("revenue"),
+        )
+        .select("band", "n_rows", "revenue")
+    )

@@ -159,33 +159,60 @@ def _publish_manifest(
         return v
 
 
-def _write_data_files(df, table_path: str, n_files: int) -> list[dict]:
+_NUMERIC_TYPES = ("long", "integer", "double", "float", "short", "decimal")
+
+
+def _stat_value(v):
+    """JSON-safe manifest stat: numerics as float, strings as-is.
+    Production formats truncate string bounds (Iceberg: 16 chars, with
+    increment-the-last-char upper-bound semantics so truncation never
+    under-reports a max); the fixture keys are short, so full values
+    keep the pruning logic exact without that machinery."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    return float(v)
+
+
+def _write_data_files(df, table_path: str, n_files: int,
+                      cluster_by: list[str] | None = None) -> list[dict]:
     """Land *df* as exactly *n_files* immutable parquet files under a
     commit-unique subdirectory of ``data/`` and return their manifest
     entries (path relative to the table root, row count, and min/max
-    stats for every numeric column — the file-pruning index)."""
+    stats for every numeric AND string column — the file-pruning
+    index).  ``cluster_by`` range-partitions + sorts the rows on the
+    given columns before writing, so each file covers a DISJOINT key
+    range and the min/max stats become a real pruning index (the
+    OPTIMIZE/CLUSTER BY story: interleaved data makes every file span
+    the full key range and stats prune nothing)."""
     from pyspark.sql import functions as F
 
     sub = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}")
     target = os.path.join(table_path, sub)
-    df.repartition(n_files).write.parquet(target)
+    arranged = (
+        df.repartitionByRange(n_files, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        if cluster_by
+        else df.repartition(n_files)
+    )
+    arranged.write.parquet(target)
     files = sorted(
         f for f in os.listdir(target)
         if f.endswith(".parquet") and not f.startswith(".")
     )
     spark = df.sparkSession
-    numeric = [
+    stat_cols = [
         f.name
         for f in df.schema.fields
-        if f.dataType.typeName() in
-        ("long", "integer", "double", "float", "short", "decimal")
+        if f.dataType.typeName() in _NUMERIC_TYPES + ("string",)
     ]
     # per-file stats in ONE job keyed by input_file_name() — never a
     # Spark job per file (a real table format reads them straight from
     # the parquet footers; one grouped scan is the engine-level
     # equivalent and stays O(1) jobs however many files the commit has)
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in numeric:
+    for c in stat_cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     by_file = {
         os.path.basename(r["_f"]): r
@@ -210,8 +237,7 @@ def _write_data_files(df, table_path: str, n_files: int) -> list[dict]:
             {
                 "path": os.path.join(sub, name),
                 "rows": row.pop("_n"),
-                "stats": {k: (None if v is None else float(v))
-                          for k, v in row.items()},
+                "stats": {k: _stat_value(v) for k, v in row.items()},
             }
         )
     return entries
@@ -243,14 +269,21 @@ def overwrite(df, table_path: str, n_files: int = 2) -> int:
     )
 
 
-def compact(spark, table_path: str, n_files: int = 1) -> int:
+def compact(spark, table_path: str, n_files: int = 1,
+            cluster_by: list[str] | None = None) -> int:
     """Rewrite the latest snapshot's content as *n_files* files —
     logically a no-op (same rows), physically the small-file fix; a
     reader of any prior version is untouched (its files are
-    immutable)."""
+    immutable).  ``cluster_by`` additionally range-clusters the
+    rewrite on the given columns (OPTIMIZE ... CLUSTER BY): files then
+    cover disjoint key ranges, turning the manifest min/max stats into
+    an effective pruning index for reads and stats-pruned MERGEs —
+    interleaved ingestion order makes every file span the whole key
+    range, and stats prune nothing until a clustering rewrite."""
     latest = versions(table_path)[-1]
     content = read(spark, table_path, latest)
-    entries = _write_data_files(content, table_path, n_files)
+    entries = _write_data_files(content, table_path, n_files,
+                                cluster_by=cluster_by)
     return _publish_manifest(
         table_path, "compact", entries, schema=content.schema.jsonValue()
     )

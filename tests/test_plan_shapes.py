@@ -793,3 +793,19 @@ def test_incremental_curation_epoch_is_delta_proportional(spark):
     plan = _physical_plan(fr["novel"])
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_snapshot_clustered_prune_scans_fewer_files(spark):
+    # the registered query's hash pins pruning soundness; this pins the
+    # pruning EFFECT: the clustered table has 4 files, and the [0, 999]
+    # range must plan over strictly fewer after the cluster_by rewrite
+    from magshield_data_pipeline_spark.plans.modern_queries import (
+        snap_cluster_base,
+    )
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    base = snap_cluster_base(spark, SF_SMALL)
+    full = SN.read(spark, base)
+    pruned = SN.read(spark, base, prune=("k", 0.0, 999.0))
+    assert len(full.inputFiles()) == 4
+    assert len(pruned.inputFiles()) < 4

@@ -368,3 +368,46 @@ def test_merge_fails_loudly_on_concurrent_commit(spark, tmp_path,
         for dp, _, fs in os.walk(os.path.join(t, "data")) for f in fs
     }
     assert data_after == data_before  # failed merge reclaimed its rewrite
+
+
+def test_merge_prunes_on_string_keys(spark, tmp_path):
+    # string min/max stats make MERGE's copy-on-write pruning work for
+    # non-numeric keys too (r10)
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t21")
+    low = spark.createDataFrame(
+        [(f"a{i:03d}", i) for i in range(20)], "k string, v long"
+    )
+    high = spark.createDataFrame(
+        [(f"z{i:03d}", i) for i in range(20)], "k string, v long"
+    )
+    S.overwrite(low, t, n_files=1)
+    S.append(high, t, n_files=1)
+    m = S.read_manifest(t, 2)
+    z_file = next(e["path"] for e in m["files"]
+                  if e["stats"]["min_k"].startswith("z"))
+    src = spark.createDataFrame([("a005", -1), ("b000", -2)],
+                                "k string, v long")
+    S.merge(src, t, key="k", n_files=1)
+    m3 = S.read_manifest(t, 3)
+    assert z_file in {e["path"] for e in m3["files"]}  # carried untouched
+    got = {r.k: r.v for r in S.read(spark, t).collect()}
+    assert got["a005"] == -1 and got["b000"] == -2 and got["z010"] == 10
+    assert len(got) == 41
+
+
+def test_clustered_compaction_makes_stats_prune(spark, tmp_path):
+    # interleaved ingestion: every file spans the whole key range and
+    # stats prune NOTHING; a cluster_by compaction rewrites files onto
+    # disjoint ranges and the same prune drops files (OPTIMIZE story)
+    t = _tbl(tmp_path, "t22")
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    S.overwrite(df, t, n_files=2)  # round-robin: both files span 0..99
+    assert len(S.read(spark, t, prune=("k", 0.0, 9.0)).inputFiles()) == 2
+    S.compact(spark, t, n_files=2, cluster_by=["k"])
+    pruned = S.read(spark, t, prune=("k", 0.0, 9.0))
+    assert len(pruned.inputFiles()) == 1
+    # pruning is sound: the range filter still sees every row
+    assert pruned.filter("k < 10").count() == 10
+    assert S.read(spark, t).count() == 100  # compact stays a no-op
