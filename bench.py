@@ -68,16 +68,21 @@ def main() -> int:
     # warm the JVM/codegen once on a trivial job so query timings measure
     # steady-state execution, not first-job startup
     spark.range(1000).selectExpr("sum(id)").collect()
-    # ...and once on a REAL query (untimed): the r9 record showed the
-    # window-prefix queries absorbing first-real-job costs the trivial
-    # warmup doesn't touch (parquet footer readers, codegen of join/agg
-    # stages, AQE machinery, shuffle writers) — bm25_topk_docs at run
-    # position 1 measured 2.4x its steady-state wall (VERDICT r9,
-    # What's wrong #1).  Warming with the first registry query makes
-    # per-query numbers independent of their position in the run order.
+    # ...and THREE untimed runs of a REAL query: the r10 adjudication
+    # of the r9 bm25 "regression" measured the same code at 1.18 s
+    # when first in the run order and 0.43 s at position 115 (idle
+    # box, medians) — accumulated JIT/C2 warmth is a smooth function
+    # of prior session execution (a 10-run single-query curve decays
+    # 1.39 -> 0.81 s and keeps falling), so sub-second queries early
+    # in the order read up to ~2.7x their deep-session wall.  Three
+    # real warmup runs compress the steepest part of that curve; the
+    # loadavg fields below record ambient conditions, and cross-round
+    # per-query comparisons remain valid only at like positions (the
+    # totals and the same-order shared set are the stable signals).
     _warm_name, _warm_spec = next(iter(QUERY_REGISTRY.items()))
-    consume(_warm_spec.fn(spark, sf_dir))
-    release_caches(spark)
+    for _ in range(3):
+        consume(_warm_spec.fn(spark, sf_dir))
+        release_caches(spark)
 
     load_start = os.getloadavg()  # ambient-load provenance for the record
 
