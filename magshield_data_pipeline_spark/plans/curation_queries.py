@@ -2256,7 +2256,7 @@ grams AS (
     SELECT doc_id, substr(lower(t), CAST(i AS INT), 3) AS gram
     FROM gated, unnest(generate_series(1, length(t) - 2)) AS u(i)
 ),
-model AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY 1),
+model AS MATERIALIZED (SELECT gram, count(*) AS cnt FROM grams GROUP BY 1),
 scores AS (
     SELECT g.doc_id,
            CAST(count(*) AS BIGINT) AS lm_grams,
@@ -2662,8 +2662,8 @@ def _inc_lsh_ctes(prefix: str, src: str, text_expr: str) -> str:
                 ELSE [array_to_string(w, ' ')] END AS sh
     FROM {prefix}_w
 ),
-{prefix}_sig AS (SELECT doc_id, {sig} FROM {prefix}_sh),
-{prefix}_buckets AS ({bands})"""
+{prefix}_sig AS MATERIALIZED (SELECT doc_id, {sig} FROM {prefix}_sh),
+{prefix}_buckets AS MATERIALIZED ({bands})"""
 
 
 _INC_SQL = rf"""
@@ -2722,7 +2722,7 @@ cgrams AS (
     SELECT doc_id, substr(lower(text), CAST(i AS INT), 3) AS gram
     FROM corpus, unnest(generate_series(1, length(text) - 2)) AS u(i)
 ),
-model AS (SELECT gram, count(*) AS cnt FROM cgrams GROUP BY 1),
+model AS MATERIALIZED (SELECT gram, count(*) AS cnt FROM cgrams GROUP BY 1),
 cscores AS (
     SELECT g.doc_id,
            CAST(count(*) AS BIGINT) AS lm_grams,
@@ -2730,7 +2730,7 @@ cscores AS (
     FROM cgrams g JOIN model m USING (gram)
     GROUP BY 1
 ),
-ctot AS (
+ctot AS MATERIALIZED (
     SELECT CAST(sum(lm_score) AS BIGINT) AS ts,
            CAST(sum(lm_grams) AS BIGINT) AS tg
     FROM cscores
@@ -2896,6 +2896,29 @@ def inc_cur_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
     # ---- the per-epoch plan: everything below scans ONLY the delta
     # files (read_changes) and the narrow materialized indexes
     delta = SN.read_changes(spark, p["raw"], 1, 2)
+    frames = curate_epoch(
+        spark, delta,
+        fp_idx=spark.read.parquet(p["fp_idx"]),
+        corpus_buckets=spark.read.parquet(p["lsh_idx"]),
+        model_df=spark.read.parquet(p["model"]),
+        stats_df=spark.read.parquet(p["stats"]),
+    )
+    frames["paths"] = p
+    return frames
+
+
+def curate_epoch(spark: SparkSession, delta: DataFrame, *,
+                 fp_idx: DataFrame, corpus_buckets: DataFrame,
+                 model_df: DataFrame, stats_df: DataFrame) -> dict:
+    """ONE curation epoch over a CDC *delta*, probing materialized
+    indexes: NFC -> Gopher gate -> LM fluency gate (corpus model +
+    1-row totals) -> exact dedup vs *fp_idx* (+ intra-batch) -> LSH
+    near-dup vs *corpus_buckets* (+ intra-batch).  Shared by the
+    epoch-1 query (static parquet indexes) and the epoch-2 query
+    (SNAPSHOT-TABLE indexes that evolve per epoch) — the same plan
+    probes whatever index version the caller resolves."""
+    from magshield_data_pipeline_spark.operators import lm as L
+
     # conditional spread (read_table_spread's rule): the fixture delta
     # lands as 2 files -> 2 scan splits, which would serialize the NFC
     # mapInPandas + gram explode on 2 of 32 cores (measured 7.2 ->
@@ -2912,13 +2935,10 @@ def inc_cur_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
         canon, text_col="t", id_col="doc_id", keep_cols=("t",)
     )
     gated = gq.filter("keep").select("doc_id", "t").persist()
-    scores = L.fluency_score(
-        gated, spark.read.parquet(p["model"]), "t", "doc_id", n=3
-    )
-    stats = spark.read.parquet(p["stats"])
+    scores = L.fluency_score(gated, model_df, "t", "doc_id", n=3)
     fluent = (
         scores.join(gated, "doc_id")
-        .crossJoin(F.broadcast(stats))  # 1-row corpus totals
+        .crossJoin(F.broadcast(stats_df))  # 1-row corpus totals
         .filter(
             F.col("lm_score") * F.col("tg")
             >= F.col("ts") * F.col("lm_grams")
@@ -2927,12 +2947,12 @@ def inc_cur_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
         .persist()
     )
     uniq = D.incremental_exact_dedup_indexed(
-        spark.read.parquet(p["fp_idx"]), fluent,
-        text_col="t", id_col="doc_id", keep=("t",),
+        fp_idx, fluent, text_col="t", id_col="doc_id", keep=("t",),
     ).persist()
     bb = D.lsh_band_buckets(uniq, text_col="t", id_col="doc_id").persist()
-    corpus_idx = spark.read.parquet(p["lsh_idx"])
-    vs_corpus = bb.join(corpus_idx, ["band", "bucket"]).select("doc_id")
+    vs_corpus = bb.join(
+        corpus_buckets.select("band", "bucket"), ["band", "bucket"]
+    ).select("doc_id")
     intra = (
         bb.alias("a")
         .join(
@@ -2946,7 +2966,6 @@ def inc_cur_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
     losers = vs_corpus.unionByName(intra).distinct()
     novel = uniq.join(losers, "doc_id", "left_anti").persist()
     return {
-        "paths": p,
         "delta": delta,
         "gated": gated,
         "fluent": fluent,
@@ -3002,6 +3021,420 @@ def incremental_curation_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("fluent", fr["fluent"]))
         .unionByName(row("exact_unique", fr["uniq"]))
         .unionByName(row("novel", fr["novel"]))
+        .unionByName(row("curated_total", curated_now))
+    )
+    return out.select(
+        "stage", "n_docs", F.col("id_sum").cast("long").alias("id_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] epoch 2 — the loop CLOSES (r10): the dedup indexes themselves
+# are snapshot tables that EVOLVE per epoch.  The build commits epoch 1
+# once (write-once scratch): its novel docs' fingerprints and LSH
+# buckets are APPENDED to the index tables (exactly-once per-epoch
+# commits), so the registered query is the steady-state production
+# shape — curate epoch 2's CDC delta against the EVOLVED index, never
+# against a recomputation of anything older.
+#
+# Deliberate perturbation (teeth): epoch-2 variants target docs that
+# exist ONLY in the evolved index (epoch 1's novel output, absent from
+# the original corpus), so the kill can only come from index evolution:
+#   +10M fresh2      (%5=0): reversed text — never produced before
+#                    (epoch 1 reversed residues 1-4 only); flows through
+#   +11M evolved-LSH (%5=1): plain reversed text — near-dup of epoch
+#                    1's +3M novel doc (reversed + ' café'), which is
+#                    NOT in the corpus index; killed ONLY by the
+#                    bucket rows epoch 1 appended
+#   +12M evolved-fp  (%5=2): byte-exact copy of epoch 1's +1M novel
+#                    text; killed ONLY by the fingerprint rows epoch 1
+#                    appended
+
+_INC2_OFF = {"fresh2": 10_000_000, "lsh2": 11_000_000, "fp2": 12_000_000}
+
+
+def _inc2_paths(sf_dir: str) -> dict[str, str]:
+    import os
+
+    from magshield_data_pipeline_spark.sources.scratch import scratch_path
+
+    root = scratch_path(
+        "inc_cur2", sf_dir,
+        "raw=v1(corpus)+v2(delta1 as inc_cur)+v3(delta2 rev%5=0+10M "
+        "rev%5=1+11M rev%5=2clone+12M) idx tables fp(fp,doc_id),lsh "
+        "evolve by epoch-1 append; curated v1+e1 v1",
+    )
+    return {
+        "root": root,
+        "raw": os.path.join(root, "raw"),
+        "fp_tbl": os.path.join(root, "fp_tbl"),
+        "lsh_tbl": os.path.join(root, "lsh_tbl"),
+        "model": os.path.join(root, "model"),
+        "stats": os.path.join(root, "stats"),
+        "curated": os.path.join(root, "curated"),
+    }
+
+
+def inc_cur2_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (write-once) the 3-version raw table, the SNAPSHOT-TABLE
+    indexes, and epoch 1's committed evolution; then run the epoch-2
+    curation chain against the EVOLVED index versions and return every
+    stage frame."""
+    import os
+
+    from magshield_data_pipeline_spark.operators import lm as L
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import ensure_scratch
+
+    p = _inc2_paths(sf_dir)
+    rev = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp)
+        corpus = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        m5 = F.col("doc_id") % 5
+
+        def var(offset: int, cond, text_col):
+            return corpus.filter(cond).select(
+                (F.col("doc_id") + offset).alias("doc_id"),
+                text_col.alias("text"),
+            )
+
+        delta1 = (
+            var(1_000_000, m5.isin(2, 3, 4), rev)
+            .unionByName(var(2_000_000, m5 == 0, F.col("text")))
+            .unionByName(
+                var(3_000_000, m5 == 1,
+                    F.concat(rev, F.lit(" café")))  # precomposed
+            )
+            .unionByName(
+                var(4_000_000, m5 == 1,
+                    # DECOMPOSED e + U+0301: byte-distinct, NFC-equal
+                    F.concat(rev, F.lit(" café")))
+            )
+            .unionByName(
+                var(5_000_000, m5 == 2,
+                    F.concat(F.col("text"), F.lit(" "),
+                             F.substring("text", 1, 40)))
+            )
+            .unionByName(var(6_000_000, m5 == 3, rev))
+        )
+        delta2 = (
+            var(_INC2_OFF["fresh2"], m5 == 0, rev)
+            .unionByName(var(_INC2_OFF["lsh2"], m5 == 1, rev))
+            # byte-exact copy of epoch 1's +1M novel text for %5=2 docs
+            .unionByName(var(_INC2_OFF["fp2"], m5 == 2, rev))
+        )
+        raw = os.path.join(tmp, "raw")
+        SN.overwrite(corpus, raw, n_files=2)
+        SN.append(delta1, raw, n_files=2)
+        SN.append(delta2, raw, n_files=2)
+        # indexes as SNAPSHOT TABLES: v1 = the corpus index
+        SN.overwrite(
+            corpus.groupBy(T.fingerprint("text").alias("fp"))
+            .agg(F.min("doc_id").alias("doc_id")),
+            os.path.join(tmp, "fp_tbl"), n_files=1,
+        )
+        SN.overwrite(
+            D.lsh_band_buckets(corpus).select(
+                "band", "bucket", F.col("doc_id").alias("corpus_doc")
+            ),
+            os.path.join(tmp, "lsh_tbl"), n_files=1,
+        )
+        model = L.train_ngram_counts(corpus, "text", n=3)
+        model.write.parquet(os.path.join(tmp, "model"))
+        cscores = L.fluency_score(
+            corpus, spark.read.parquet(os.path.join(tmp, "model")),
+            "text", "doc_id", n=3,
+        )
+        cscores.agg(
+            F.sum("lm_score").alias("ts"), F.sum("lm_grams").alias("tg")
+        ).write.parquet(os.path.join(tmp, "stats"))
+        SN.overwrite(
+            corpus.select("doc_id"), os.path.join(tmp, "curated"),
+            n_files=1,
+        )
+        # ---- EPOCH 1, committed once at build: curate delta1 against
+        # the v1 indexes, then EVOLVE — append the novel docs' ids,
+        # fingerprints and buckets as exactly-once epoch commits
+        e1 = curate_epoch(
+            spark, SN.read_changes(spark, raw, 1, 2),
+            fp_idx=SN.read(spark, os.path.join(tmp, "fp_tbl"), 1),
+            corpus_buckets=SN.read(spark, os.path.join(tmp, "lsh_tbl"), 1),
+            model_df=spark.read.parquet(os.path.join(tmp, "model")),
+            stats_df=spark.read.parquet(os.path.join(tmp, "stats")),
+        )
+        novel1 = e1["novel"]
+        SN.append_stream_batch(
+            novel1.select("doc_id"), os.path.join(tmp, "curated"),
+            batch_id=1, n_files=1,
+        )
+        SN.append_stream_batch(
+            novel1.select(T.fingerprint("t").alias("fp"), "doc_id"),
+            os.path.join(tmp, "fp_tbl"), batch_id=1, n_files=1,
+        )
+        SN.append_stream_batch(
+            D.lsh_band_buckets(novel1, text_col="t", id_col="doc_id")
+            .select("band", "bucket", F.col("doc_id").alias("corpus_doc")),
+            os.path.join(tmp, "lsh_tbl"), batch_id=1, n_files=1,
+        )
+
+    ensure_scratch(p["root"], _build)
+    # ---- the epoch-2 plan: the CDC delta + the index AT ITS EPOCH-2
+    # BASE VERSION (v2 = post-epoch-1) — nothing older is recomputed,
+    # and pinning the version (rather than "latest") is what makes the
+    # epoch idempotent: the registered query later appends epoch 2's
+    # own fingerprints as v3, and a replayed run must not anti-join
+    # the delta against its own committed output
+    frames = curate_epoch(
+        spark, SN.read_changes(spark, p["raw"], 2, 3),
+        fp_idx=SN.read(spark, p["fp_tbl"], 2),
+        corpus_buckets=SN.read(spark, p["lsh_tbl"], 2),
+        model_df=spark.read.parquet(p["model"]),
+        stats_df=spark.read.parquet(p["stats"]),
+    )
+    frames["paths"] = p
+    return frames
+
+
+def _inc_stage_ctes(pfx: str, delta_cte: str, fp_src: str,
+                    buckets_cte: str) -> str:
+    """The SQL twin of one curate_epoch() pass, parametrized so the
+    epoch-2 oracle can emit it twice (epoch 1 against the corpus
+    index, epoch 2 against the EVOLVED index) without duplicating the
+    gate / LM / dedup logic by hand."""
+    return f"""{pfx}canon AS (SELECT doc_id, nfc_normalize(text) AS t FROM {delta_cte}),
+{pfx}gm AS (
+    SELECT doc_id, t,
+        len({_V2_WORDS}) AS nw,
+        length(replace({_V2_NORM_T}, ' ', '')) AS total_chars,
+        length({_V2_NORM_T})
+            - length(replace({_V2_NORM_T}, '#', '')) AS hash_count,
+        len(str_split(t, chr(10))) AS n_lines,
+        len(list_filter(str_split(t, chr(10)),
+            x -> x LIKE '- %' OR x LIKE '* %')) AS bullets,
+        len(list_filter(str_split(t, chr(10)),
+            x -> x LIKE '%...')) AS ell_lines,
+        len(list_filter({_V2_WORDS},
+            x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        (CASE WHEN list_contains({_V2_WORDS}, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'a') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains({_V2_WORDS}, 'and') THEN 1 ELSE 0 END
+        ) AS stop_hits
+    FROM {pfx}canon
+),
+{pfx}gated AS MATERIALIZED (
+    SELECT doc_id, t FROM {pfx}gm
+    WHERE (nw BETWEEN 40 AND 100000)
+      AND ((total_chars / nw) BETWEEN 3.0 AND 10.0)
+      AND (hash_count / nw) < 0.05
+      AND (bullets / n_lines) < 0.3
+      AND (ell_lines / n_lines) < 0.2
+      AND (alpha_words / nw) >= 0.9
+      AND stop_hits >= 2
+),
+{pfx}grams AS (
+    SELECT doc_id, substr(lower(t), CAST(i AS INT), 3) AS gram
+    FROM {pfx}gated, unnest(generate_series(1, length(t) - 2)) AS u(i)
+),
+{pfx}scores AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(coalesce(sum(CASE WHEN m.cnt IS NOT NULL
+                                  THEN length(bin(m.cnt)) - 1 END),
+                         0) AS BIGINT) AS lm_score
+    FROM {pfx}grams g LEFT JOIN model m USING (gram)
+    GROUP BY 1
+),
+{pfx}fluent AS MATERIALIZED (
+    SELECT g.doc_id, g.t
+    FROM {pfx}gated g JOIN {pfx}scores s USING (doc_id), ctot
+    WHERE s.lm_score * ctot.tg >= ctot.ts * s.lm_grams
+),
+{pfx}bfp AS (SELECT doc_id, t, md5({_V2_NORM_T}) AS fp FROM {pfx}fluent),
+{pfx}fresh AS (
+    SELECT * FROM {pfx}bfp
+    WHERE fp NOT IN (SELECT fp FROM {fp_src})
+),
+{pfx}uniq AS MATERIALIZED (
+    SELECT doc_id, t FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM {pfx}fresh
+    ) WHERE rn = 1
+),
+{_inc_lsh_ctes(pfx + "bb", pfx + "uniq", "t")},
+{pfx}vs AS (
+    SELECT DISTINCT b.doc_id FROM {pfx}bb_buckets b
+    JOIN {buckets_cte} c ON b.band = c.band AND b.bucket = c.bucket
+),
+{pfx}intra AS (
+    SELECT DISTINCT y.doc_id FROM {pfx}bb_buckets x
+    JOIN {pfx}bb_buckets y ON x.band = y.band AND x.bucket = y.bucket
+                          AND x.doc_id < y.doc_id
+),
+{pfx}novel AS MATERIALIZED (
+    SELECT doc_id, t FROM {pfx}uniq
+    WHERE doc_id NOT IN (SELECT doc_id FROM {pfx}vs
+                         UNION SELECT doc_id FROM {pfx}intra)
+)"""
+
+
+_INC2_SQL = rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+delta1 AS MATERIALIZED (
+    SELECT doc_id + 1000000 AS doc_id, {_INC_REV} AS text
+    FROM documents WHERE doc_id % 5 IN (2, 3, 4)
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, {_INC_REV} || ' caf' || chr(233)
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 4000000, {_INC_REV} || ' caf' || 'e' || chr(769)
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 5000000, text || ' ' || substr(text, 1, 40)
+    FROM documents WHERE doc_id % 5 = 2
+    UNION ALL
+    SELECT doc_id + 6000000, {_INC_REV}
+    FROM documents WHERE doc_id % 5 = 3
+),
+delta2 AS MATERIALIZED (
+    SELECT doc_id + {_INC2_OFF["fresh2"]} AS doc_id, {_INC_REV} AS text
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + {_INC2_OFF["lsh2"]}, {_INC_REV}
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + {_INC2_OFF["fp2"]}, {_INC_REV}
+    FROM documents WHERE doc_id % 5 = 2
+),
+cgrams AS (
+    SELECT doc_id, substr(lower(text), CAST(i AS INT), 3) AS gram
+    FROM corpus, unnest(generate_series(1, length(text) - 2)) AS u(i)
+),
+model AS MATERIALIZED (SELECT gram, count(*) AS cnt FROM cgrams GROUP BY 1),
+cscores AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(sum(length(bin(m.cnt)) - 1) AS BIGINT) AS lm_score
+    FROM cgrams g JOIN model m USING (gram)
+    GROUP BY 1
+),
+ctot AS MATERIALIZED (
+    SELECT CAST(sum(lm_score) AS BIGINT) AS ts,
+           CAST(sum(lm_grams) AS BIGINT) AS tg
+    FROM cscores
+),
+cfp AS MATERIALIZED (
+    SELECT md5({_INC_NORM_TEXT}) AS fp, min(doc_id) AS doc_id
+    FROM corpus GROUP BY 1
+),
+{_inc_lsh_ctes("cb", "corpus", "text")},
+{_inc_stage_ctes("e1", "delta1", "cfp", "cb_buckets")},
+{_inc_lsh_ctes("nb1", "e1novel", "t")},
+evfp AS MATERIALIZED (
+    SELECT fp, doc_id FROM cfp
+    UNION ALL
+    SELECT md5({_V2_NORM_T}) AS fp, doc_id FROM e1novel
+),
+evb AS MATERIALIZED (
+    SELECT band, bucket FROM cb_buckets
+    UNION ALL
+    SELECT band, bucket FROM nb1_buckets
+),
+{_inc_stage_ctes("e2", "delta2", "evfp", "evb")}
+SELECT 'delta2_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum FROM delta2
+UNION ALL
+SELECT 'gated', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM e2gated
+UNION ALL
+SELECT 'fluent', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM e2fluent
+UNION ALL
+SELECT 'exact_unique', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM e2uniq
+UNION ALL
+SELECT 'novel', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM e2novel
+UNION ALL
+SELECT 'index_fps',
+       CAST((SELECT count(*) FROM evfp)
+            + (SELECT count(*) FROM e2novel) AS BIGINT),
+       CAST((SELECT sum(doc_id) FROM evfp)
+            + (SELECT sum(doc_id) FROM e2novel) AS BIGINT)
+UNION ALL
+SELECT 'curated_total',
+       CAST((SELECT count(*) FROM corpus)
+            + (SELECT count(*) FROM e1novel)
+            + (SELECT count(*) FROM e2novel) AS BIGINT),
+       CAST((SELECT sum(doc_id) FROM corpus)
+            + (SELECT sum(doc_id) FROM e1novel)
+            + (SELECT sum(doc_id) FROM e2novel) AS BIGINT)
+"""
+
+
+@register(
+    "incremental_curation_epoch2",
+    sql=_INC2_SQL,
+    description="the curation loop CLOSES (r10): the dedup indexes are "
+    "themselves snapshot tables that EVOLVE per epoch — epoch 1 "
+    "(committed once at build) appends its novel docs' fingerprints "
+    "and LSH buckets to the index tables; the query curates epoch 2's "
+    "CDC delta against the index AT ITS EPOCH-2 BASE VERSION and then "
+    "commits epoch 2's own evolution (ids, fps, buckets — exactly-once "
+    "batch 2).  Planted teeth target docs that exist ONLY in the "
+    "evolved index: byte-exact copies of epoch-1 novel texts die at "
+    "the evolved fingerprint probe, their near-dups at the evolved "
+    "bucket probe, fresh docs flow through; the index_fps and "
+    "curated_total funnel rows pin both evolution commits ([EXT] "
+    "north-star composition, steady-state shape)",
+)
+def incremental_curation_epoch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the steady-state epoch loop — per-epoch cost is the delta
+    # plus index probes; the index grows by |novel| per epoch and is
+    # never recomputed (epoch N probes the table version committed by
+    # epoch N-1, pinned so replays can't see their own output).
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    fr = inc_cur2_epoch_frames(spark, sf_dir)
+    p = fr["paths"]
+    novel = fr["novel"]
+    SN.append_stream_batch(
+        novel.select("doc_id"), p["curated"], batch_id=2, n_files=1
+    )
+    SN.append_stream_batch(
+        novel.select(T.fingerprint("t").alias("fp"), "doc_id"),
+        p["fp_tbl"], batch_id=2, n_files=1,
+    )
+    SN.append_stream_batch(
+        D.lsh_band_buckets(novel, text_col="t", id_col="doc_id")
+        .select("band", "bucket", F.col("doc_id").alias("corpus_doc")),
+        p["lsh_tbl"], batch_id=2, n_files=1,
+    )
+    curated_now = SN.read(spark, p["curated"])
+    index_now = SN.read(spark, p["fp_tbl"])
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+
+    out = (
+        row("delta2_raw", fr["delta"])
+        .unionByName(row("gated", fr["gated"]))
+        .unionByName(row("fluent", fr["fluent"]))
+        .unionByName(row("exact_unique", fr["uniq"]))
+        .unionByName(row("novel", fr["novel"]))
+        .unionByName(row("index_fps", index_now))
         .unionByName(row("curated_total", curated_now))
     )
     return out.select(

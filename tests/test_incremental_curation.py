@@ -71,3 +71,51 @@ def test_epoch_replay_is_exactly_once(spark):
     # the funnel's ledger row equals corpus + novel exactly
     n_corpus = SN.read(spark, curated, 1).count()
     assert first["curated_total"][0] == n_corpus + first["novel"][0]
+
+
+def test_epoch2_kills_come_only_from_index_evolution(spark):
+    from magshield_data_pipeline_spark.plans.curation_queries import (
+        _INC2_OFF,
+        inc_cur2_epoch_frames,
+    )
+
+    fr = inc_cur2_epoch_frames(spark, SF_SMALL)
+    fluent, uniq, novel = _ids(fr["fluent"]), _ids(fr["uniq"]), _ids(fr["novel"])
+
+    def cls(ids, lo):
+        return {i for i in ids if lo <= i < lo + 1_000_000}
+
+    # +12M byte-exact copies of epoch-1 NOVEL texts (absent from the
+    # corpus): reach dedup, and the kill can only come from the
+    # fingerprints epoch 1 APPENDED to the index table
+    fp2 = cls(fluent, _INC2_OFF["fp2"])
+    assert fp2, "no evolved-fp clone reached dedup — no teeth"
+    assert len(cls(uniq, _INC2_OFF["fp2"])) < len(fp2)
+    # +11M near-dups of epoch-1 novel docs: survive every exact stage,
+    # some die ONLY at the buckets epoch 1 appended
+    lsh2_uniq = cls(uniq, _INC2_OFF["lsh2"])
+    assert lsh2_uniq, "no evolved-LSH near-dup survived exact — no teeth"
+    assert len(cls(novel, _INC2_OFF["lsh2"])) < len(lsh2_uniq)
+    # fresh docs flow through to the commit
+    assert cls(novel, _INC2_OFF["fresh2"])
+
+
+def test_epoch2_replay_is_exactly_once_and_version_pinned(spark):
+    fn = QUERY_REGISTRY["incremental_curation_epoch2"].fn
+    first = {r.stage: (r.n_docs, r.id_sum) for r in fn(spark, SF_SMALL).collect()}
+    second = {r.stage: (r.n_docs, r.id_sum) for r in fn(spark, SF_SMALL).collect()}
+    # idempotent even though the query itself evolves the index with
+    # epoch 2's fingerprints: the epoch probes the index AT ITS BASE
+    # VERSION (v2), so a replay cannot anti-join its own output, and
+    # all three batch-2 commits are exactly-once
+    assert first == second
+    from magshield_data_pipeline_spark.plans.curation_queries import (
+        _inc2_paths,
+    )
+
+    p = _inc2_paths(SF_SMALL)
+    for tbl in ("curated", "fp_tbl", "lsh_tbl"):
+        assert SN.versions(p[tbl]) == [1, 2, 3], tbl
+        assert SN.read_manifest(p[tbl], 3)["batch_id"] == 2, tbl
+    # the ledger rows really are corpus + novel1 + novel2
+    assert first["curated_total"][0] == first["index_fps"][0]

@@ -61,6 +61,8 @@ _ALLOW_BNLJ = {
     # delta fluency scores × the ONE-row MATERIALIZED corpus totals
     # (ts, tg) — the incremental LM gate's threshold
     "incremental_curation_epoch",
+    # same 1-row totals cross, epoch-2 steady-state shape
+    "incremental_curation_epoch2",
     # per-doc fluency scores × the ONE-row corpus-totals frame — the
     # self-normalizing LM gate's global mean
     "curation_pipeline_v2",
@@ -766,7 +768,13 @@ def test_incremental_curation_epoch_is_delta_proportional(spark):
     p = fr["paths"]
 
     def _files(df):
-        return {f.replace("file:", "").lstrip("/") for f in df.inputFiles()}
+        # a persisted frame's plan is an InMemoryRelation whose
+        # inputFiles() is EMPTY — unpersist first so the file-set
+        # assertions below can never pass vacuously
+        df.unpersist()
+        files = {f.replace("file:", "").lstrip("/") for f in df.inputFiles()}
+        assert files, "no input files resolved — vacuous check"
+        return files
 
     v1_files = {
         os.path.join(p["raw"], e["path"]).lstrip("/")
@@ -809,3 +817,47 @@ def test_snapshot_clustered_prune_scans_fewer_files(spark):
     pruned = SN.read(spark, base, prune=("k", 0.0, 999.0))
     assert len(full.inputFiles()) == 4
     assert len(pruned.inputFiles()) < 4
+
+
+def test_incremental_curation_epoch2_probes_evolved_index_only(spark):
+    # Epoch 2's plan must scan ONLY the epoch-2 delta files plus the
+    # snapshot-table index files — never the corpus text, never
+    # epoch 1's delta: steady-state cost is the delta + index probes.
+    import os
+
+    from magshield_data_pipeline_spark.plans.curation_queries import (
+        inc_cur2_epoch_frames,
+    )
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    spark.catalog.clearCache()
+    fr = inc_cur2_epoch_frames(spark, SF_SMALL)
+    p = fr["paths"]
+
+    def _files(df):
+        df.unpersist()  # see the epoch-1 test: empty on InMemoryRelation
+        files = {f.replace("file:", "").lstrip("/") for f in df.inputFiles()}
+        assert files, "no input files resolved — vacuous check"
+        return files
+
+    def _manifest_files(tbl, v):
+        return {
+            os.path.join(p[tbl], e["path"]).lstrip("/")
+            for e in SN.read_manifest(p[tbl], v)["files"]
+        }
+
+    v1 = _manifest_files("raw", 1)
+    v2_added = _manifest_files("raw", 2) - v1
+    v3_added = _manifest_files("raw", 3) - _manifest_files("raw", 2)
+    assert v1 and v2_added and v3_added
+    for name in ("delta", "gated", "fluent", "uniq", "novel"):
+        files = _files(fr[name])
+        assert not (files & v1), f"{name} scans corpus files"
+        assert not (files & v2_added), f"{name} scans epoch-1 delta files"
+    assert _files(fr["delta"]) == v3_added
+    # the fingerprint probe reads the EVOLVED index version: both the
+    # corpus commit's file and epoch 1's appended file are inputs
+    uniq_files = _files(fr["uniq"])
+    fp_v2 = _manifest_files("fp_tbl", 2)
+    assert fp_v2 <= uniq_files
+    assert len(fp_v2) == 2  # corpus file + epoch-1 append file
