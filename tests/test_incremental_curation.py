@@ -119,3 +119,40 @@ def test_epoch2_replay_is_exactly_once_and_version_pinned(spark):
         assert SN.read_manifest(p[tbl], 3)["batch_id"] == 2, tbl
     # the ledger rows really are corpus + novel1 + novel2
     assert first["curated_total"][0] == first["index_fps"][0]
+
+
+def test_index_maintenance_preserves_epoch_exactly_once(spark, tmp_path):
+    # integration of the round's pieces: after epoch 2, run the
+    # MAINTENANCE pass a production table needs — compact the evolved
+    # fingerprint index and vacuum old versions — then replay epoch 2.
+    # Vacuum drops the stream-append manifests that recorded batch 2,
+    # so the replay's no-op now rests ENTIRELY on the durable
+    # high-water file (ADVICE r9 medium); the table content and the
+    # funnel must be byte-stable through maintenance + replay.
+    from magshield_data_pipeline_spark.plans.curation_queries import (
+        _inc2_paths,
+    )
+
+    import shutil
+
+    fn = QUERY_REGISTRY["incremental_curation_epoch2"].fn
+    before = {r.stage: (r.n_docs, r.id_sum) for r in fn(spark, SF_SMALL).collect()}
+    assert before["index_fps"] == before["curated_total"]
+    p = _inc2_paths(SF_SMALL)
+    # maintenance MUTATES the table (vacuum drops versions) — run it on
+    # a COPY so the shared write-once scratch keeps serving the
+    # registered query (which probes the index at version 2)
+    fp_tbl = str(tmp_path / "fp_tbl_copy")
+    shutil.copytree(p["fp_tbl"], fp_tbl)
+    n_before = SN.read(spark, fp_tbl).count()
+    SN.compact(spark, fp_tbl, n_files=1)          # v4: one file
+    dropped = SN.vacuum(fp_tbl, keep_versions=1)  # only v4 retained
+    assert dropped  # the pre-compaction files really were reclaimed
+    assert SN.versions(fp_tbl) == [4]
+    assert SN.read(spark, fp_tbl).count() == n_before
+    # epoch-2 replay after vacuum: batch 2's manifests are gone, the
+    # high-water file must still prove the epoch committed
+    assert SN.append_stream_batch(
+        SN.read(spark, fp_tbl).limit(1), fp_tbl, batch_id=2
+    ) is None
+    assert SN.versions(fp_tbl) == [4]
