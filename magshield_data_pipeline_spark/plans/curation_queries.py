@@ -3440,3 +3440,285 @@ def incremental_curation_epoch2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "stage", "n_docs", F.col("id_sum").cast("long").alias("id_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] model refresh (r10): the last static piece of the epoch loop
+# becomes versioned.  The LM gate's trigram model and fluency totals
+# were trained once on the original corpus; a production loop
+# periodically REFRESHES them from the curated table so the gate
+# tracks the corpus it actually guards.  The model is itself a
+# snapshot table: v1 = corpus-trained, v2 = retrained on
+# curated-as-of-epoch-1 (corpus + novel1 texts, resolved by joining
+# the curated ledger's PINNED version 2 back to the raw table — never
+# "latest", so the query is run-order independent of the epoch-2
+# query sharing the same scratch).
+#
+# Teeth: epoch 1's novel docs are word-REVERSED texts (+ café-suffixed
+# variants), so v2 genuinely contains grams v1 has never seen
+# (new_grams > 0), and re-scoring epoch 2's gated docs under
+# (model v2, totals v2) flips some LM-gate verdicts (gate_flips > 0 —
+# the refresh demonstrably changes curation decisions, it is not a
+# cosmetic recount).
+
+
+def _model_refresh_paths(sf_dir: str) -> dict[str, str]:
+    import os
+
+    from magshield_data_pipeline_spark.sources.scratch import scratch_path
+
+    root = scratch_path(
+        "inc_model", sf_dir,
+        "model_tbl v1=corpus-trained v2=retrain(curated@v2 join raw@v2) "
+        "3gram + stats_tbl committed totals v2",
+    )
+    return {
+        "root": root,
+        "model_tbl": os.path.join(root, "model_tbl"),
+        "stats_tbl": os.path.join(root, "stats_tbl"),
+    }
+
+
+_MODEL_REFRESH_SQL = rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+delta1 AS MATERIALIZED (
+    SELECT doc_id + 1000000 AS doc_id, {_INC_REV} AS text
+    FROM documents WHERE doc_id % 5 IN (2, 3, 4)
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, {_INC_REV} || ' caf' || chr(233)
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 4000000, {_INC_REV} || ' caf' || 'e' || chr(769)
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 5000000, text || ' ' || substr(text, 1, 40)
+    FROM documents WHERE doc_id % 5 = 2
+    UNION ALL
+    SELECT doc_id + 6000000, {_INC_REV}
+    FROM documents WHERE doc_id % 5 = 3
+),
+delta2 AS MATERIALIZED (
+    SELECT doc_id + {_INC2_OFF["fresh2"]} AS doc_id, {_INC_REV} AS text
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + {_INC2_OFF["lsh2"]}, {_INC_REV}
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + {_INC2_OFF["fp2"]}, {_INC_REV}
+    FROM documents WHERE doc_id % 5 = 2
+),
+cgrams AS MATERIALIZED (
+    SELECT doc_id, substr(lower(text), CAST(i AS INT), 3) AS gram
+    FROM corpus, unnest(generate_series(1, length(text) - 2)) AS u(i)
+),
+model AS MATERIALIZED (SELECT gram, count(*) AS cnt FROM cgrams GROUP BY 1),
+cscores AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(sum(length(bin(m.cnt)) - 1) AS BIGINT) AS lm_score
+    FROM cgrams g JOIN model m USING (gram)
+    GROUP BY 1
+),
+ctot AS MATERIALIZED (
+    SELECT CAST(sum(lm_score) AS BIGINT) AS ts,
+           CAST(sum(lm_grams) AS BIGINT) AS tg
+    FROM cscores
+),
+cfp AS MATERIALIZED (
+    SELECT md5({_INC_NORM_TEXT}) AS fp, min(doc_id) AS doc_id
+    FROM corpus GROUP BY 1
+),
+{_inc_lsh_ctes("cb", "corpus", "text")},
+{_inc_stage_ctes("e1", "delta1", "cfp", "cb_buckets")},
+curated1 AS MATERIALIZED (
+    SELECT doc_id, text FROM corpus
+    UNION ALL
+    SELECT d.doc_id, d.text FROM delta1 d
+    WHERE d.doc_id IN (SELECT doc_id FROM e1novel)
+),
+g2 AS MATERIALIZED (
+    SELECT doc_id, substr(lower(text), CAST(i AS INT), 3) AS gram
+    FROM curated1, unnest(generate_series(1, length(text) - 2)) AS u(i)
+),
+model2 AS MATERIALIZED (SELECT gram, count(*) AS cnt FROM g2 GROUP BY 1),
+sc2t AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(sum(length(bin(m.cnt)) - 1) AS BIGINT) AS lm_score
+    FROM g2 g JOIN model2 m USING (gram)
+    GROUP BY 1
+),
+ctot2 AS MATERIALIZED (
+    SELECT CAST(sum(lm_score) AS BIGINT) AS ts,
+           CAST(sum(lm_grams) AS BIGINT) AS tg
+    FROM sc2t
+),
+{_inc_stage_ctes("mr", "delta2", "cfp", "cb_buckets")},
+mrg AS MATERIALIZED (
+    SELECT doc_id, substr(lower(t), CAST(i AS INT), 3) AS gram
+    FROM mrgated, unnest(generate_series(1, length(t) - 2)) AS u(i)
+),
+sc1 AS MATERIALIZED (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(coalesce(sum(CASE WHEN m.cnt IS NOT NULL
+                                  THEN length(bin(m.cnt)) - 1 END),
+                         0) AS BIGINT) AS lm_score
+    FROM mrg g LEFT JOIN model m USING (gram)
+    GROUP BY 1
+),
+sc2 AS MATERIALIZED (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(coalesce(sum(CASE WHEN m.cnt IS NOT NULL
+                                  THEN length(bin(m.cnt)) - 1 END),
+                         0) AS BIGINT) AS lm_score
+    FROM mrg g LEFT JOIN model2 m USING (gram)
+    GROUP BY 1
+),
+kv1 AS (
+    SELECT doc_id,
+           (lm_score * (SELECT tg FROM ctot)
+            >= (SELECT ts FROM ctot) * lm_grams) AS keep
+    FROM sc1
+),
+kv2 AS (
+    SELECT doc_id,
+           (lm_score * (SELECT tg FROM ctot2)
+            >= (SELECT ts FROM ctot2) * lm_grams) AS keep
+    FROM sc2
+),
+flips AS (
+    SELECT kv1.doc_id FROM kv1 JOIN kv2 USING (doc_id)
+    WHERE kv1.keep <> kv2.keep
+)
+SELECT 'model_v1' AS stage, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(cnt) AS BIGINT) AS metric FROM model
+UNION ALL
+SELECT 'model_v2', CAST(count(*) AS BIGINT),
+       CAST(sum(cnt) AS BIGINT) FROM model2
+UNION ALL
+SELECT 'new_grams', CAST(count(*) AS BIGINT),
+       CAST(sum(cnt) AS BIGINT) FROM model2
+WHERE gram NOT IN (SELECT gram FROM model)
+UNION ALL
+SELECT 'gate_flips', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM flips
+"""
+
+
+@register(
+    "curation_model_refresh",
+    sql=_MODEL_REFRESH_SQL,
+    description="MODEL REFRESH in the epoch loop (r10): the LM gate's "
+    "trigram model + totals are versioned in a snapshot table — v1 "
+    "corpus-trained, v2 retrained on curated-as-of-epoch-1 (the PINNED "
+    "curated ledger version joined back to the raw table, so the query "
+    "is run-order independent); output pins both model versions' gram "
+    "statistics, the genuinely-new grams v2 learned from epoch 1's "
+    "reversed/caf\u00e9 novel texts, and the epoch-2 gate verdicts "
+    "that FLIP under (model v2, totals v2) — the refresh demonstrably "
+    "changes curation decisions, not just counts ([EXT] north-star "
+    "composition: the last static piece of the loop is now versioned)",
+)
+def curation_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the refresh is ONE training scan over the curated slice
+    # (ids semi-joined back to the raw table — both manifest-bounded
+    # snapshot reads) committed as model-table v2; scoring is the
+    # broadcast-model shape both times.  Gate-flip counting runs over
+    # epoch 2's gated delta only — the refresh audit costs O(delta),
+    # never O(corpus).
+    import os
+
+    from magshield_data_pipeline_spark.operators import lm as L
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import ensure_scratch
+
+    p2 = _inc2_paths(sf_dir)
+    mp = _model_refresh_paths(sf_dir)
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp)
+        # v1: the corpus-trained model + its totals (identical content
+        # to inc_cur2's parquet artifacts, committed as table versions)
+        tbl = os.path.join(tmp, "model_tbl")
+        st = os.path.join(tmp, "stats_tbl")
+        SN.overwrite(spark.read.parquet(p2["model"]), tbl, n_files=1)
+        SN.overwrite(spark.read.parquet(p2["stats"]), st, n_files=1)
+        # v2: retrain on curated-as-of-epoch-1 — the PINNED curated v2
+        # (corpus + novel1 ids), texts resolved from raw v2 — and
+        # commit the matching totals WITH the model (the totals are
+        # part of the model artifact: recomputing the training-set
+        # scores per consumer would be an O(corpus) tax on every gate)
+        curated_ids = SN.read(spark, p2["curated"], 2)
+        raw = SN.read(spark, p2["raw"], 2).select("doc_id", "text")
+        curated_docs = raw.join(curated_ids, "doc_id", "left_semi")
+        m2 = L.train_ngram_counts(curated_docs, "text", n=3)
+        SN.overwrite(m2, tbl, n_files=1)
+        m2_committed = SN.read(spark, tbl, 2)
+        SN.overwrite(
+            L.fluency_score(curated_docs, m2_committed, "text",
+                            "doc_id", n=3)
+            .agg(F.sum("lm_score").alias("ts"),
+                 F.sum("lm_grams").alias("tg")),
+            st, n_files=1,
+        )
+
+    # the refresh builds ON the epoch scratch: materialize it first
+    inc_cur2_epoch_frames(spark, sf_dir)
+    ensure_scratch(mp["root"], _build)
+    tbl, st = mp["model_tbl"], mp["stats_tbl"]
+    m1, m2 = SN.read(spark, tbl, 1), SN.read(spark, tbl, 2)
+    t1, t2 = SN.read(spark, st, 1), SN.read(spark, st, 2)
+
+    # gate flips over epoch 2's GATED delta only — computed directly
+    # (CDC read -> NFC -> Gopher), not via the full epoch-2 chain whose
+    # dedup stages this audit doesn't need
+    delta2 = SN.read_changes(spark, p2["raw"], 2, 3)
+    target = min(spark.sparkContext.defaultParallelism, 16)
+    if delta2.rdd.getNumPartitions() < target:
+        delta2 = delta2.repartition(target)
+    canon = T.unicode_canonicalize(
+        delta2, text_col="text", nfc_col="t", stripped_col=None
+    )
+    gated = T.gopher_quality_flags(
+        canon, text_col="t", id_col="doc_id", keep_cols=("t",)
+    ).filter("keep").select("doc_id", "t").persist()
+
+    def verdicts(model_df, tot):
+        return (
+            L.fluency_score(gated, model_df, "t", "doc_id", n=3)
+            .crossJoin(F.broadcast(tot))  # 1-row committed totals
+            .select(
+                "doc_id",
+                (F.col("lm_score") * F.col("tg")
+                 >= F.col("ts") * F.col("lm_grams")).alias("keep"),
+            )
+        )
+    v1 = verdicts(m1, t1)
+    v2 = verdicts(m2, t2)
+    flips = (
+        v1.withColumnRenamed("keep", "keep1")
+        .join(v2.withColumnRenamed("keep", "keep2"), "doc_id")
+        .filter(F.col("keep1") != F.col("keep2"))
+    )
+
+    def mrow(stage, df, metric_col):
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(metric_col).alias("metric"),
+        )
+
+    new_grams = m2.join(m1.select("gram"), "gram", "left_anti")
+    out = (
+        mrow("model_v1", m1, "cnt")
+        .unionByName(mrow("model_v2", m2, "cnt"))
+        .unionByName(mrow("new_grams", new_grams, "cnt"))
+        .unionByName(mrow("gate_flips", flips, "doc_id"))
+    )
+    return out.select(
+        "stage", "n_items", F.col("metric").cast("long").alias("metric")
+    )

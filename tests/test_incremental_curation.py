@@ -156,3 +156,17 @@ def test_index_maintenance_preserves_epoch_exactly_once(spark, tmp_path):
         SN.read(spark, fp_tbl).limit(1), fp_tbl, batch_id=2
     ) is None
     assert SN.versions(fp_tbl) == [4]
+
+
+def test_model_refresh_changes_decisions(spark):
+    # the refresh must be decision-load-bearing, not a recount: v2
+    # learned grams v1 never saw (epoch 1's reversed/café texts) and
+    # some epoch-2 gate verdicts flip under the refreshed model+totals
+    rows = {
+        r.stage: (r.n_items, r.metric)
+        for r in QUERY_REGISTRY["curation_model_refresh"]
+        .fn(spark, SF_SMALL).collect()
+    }
+    assert rows["new_grams"][0] > 0
+    assert rows["gate_flips"][0] > 0
+    assert rows["model_v2"][1] > rows["model_v1"][1]  # strictly more mass

@@ -63,6 +63,8 @@ _ALLOW_BNLJ = {
     "incremental_curation_epoch",
     # same 1-row totals cross, epoch-2 steady-state shape
     "incremental_curation_epoch2",
+    # two 1-row totals crosses (one per model version being compared)
+    "curation_model_refresh",
     # per-doc fluency scores × the ONE-row corpus-totals frame — the
     # self-normalizing LM gate's global mean
     "curation_pipeline_v2",
