@@ -411,3 +411,254 @@ def test_clustered_compaction_makes_stats_prune(spark, tmp_path):
     # pruning is sound: the range filter still sees every row
     assert pruned.filter("k < 10").count() == 10
     assert S.read(spark, t).count() == 100  # compact stays a no-op
+
+
+# --- row-level DELETE (copy-on-write, stats-pruned) ---------------------
+
+
+def test_delete_rewrites_only_files_that_can_match(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t23")
+    S.overwrite(spark.range(0, 100).select(F.col("id").alias("k"),
+                                           (F.col("id") * 10).alias("v")),
+                t, n_files=1)
+    # cluster into 4 disjoint-range files so stats can prune
+    S.compact(spark, t, n_files=4, cluster_by=["k"])
+    before = S.read_manifest(t, 2)["files"]
+    keys = spark.createDataFrame([(3,), (7,)], "k long")
+    v = S.delete(keys, t, key="k", n_files=1)
+    assert v == 3
+    after = S.read_manifest(t, 3)["files"]
+    # exactly the files whose range covers k in {3,7} were rewritten;
+    # the other three are carried by reference, byte-identical paths
+    carried = {e["path"] for e in before} & {e["path"] for e in after}
+    assert len(carried) == 3
+    got = sorted(r.k for r in S.read(spark, t).collect())
+    assert got == [k for k in range(100) if k not in (3, 7)]
+    # snapshot isolation: a reader pinned pre-delete still sees the rows
+    assert sorted(r.k for r in S.read(spark, t, 2).collect()) == list(range(100))
+
+
+def test_delete_disjoint_keys_is_a_carry_only_commit(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t24")
+    S.overwrite(spark.range(0, 10).select(F.col("id").alias("k")), t,
+                n_files=1)
+    keys = spark.createDataFrame([(999,), (1000,)], "k long")
+    v = S.delete(keys, t, key="k")
+    # no file's [min,max] can contain 999: nothing rewritten, but the
+    # commit still publishes (observable, and a txn marker could land)
+    assert v == 2
+    assert ({e["path"] for e in S.read_manifest(t, 1)["files"]}
+            == {e["path"] for e in S.read_manifest(t, 2)["files"]})
+    assert S.read(spark, t).count() == 10
+
+
+def test_delete_txn_replay_is_noop_even_after_vacuum(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t25")
+    S.overwrite(spark.range(0, 20).select(F.col("id").alias("k")), t,
+                n_files=1)
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    v = S.delete(keys, t, key="k", txn=("retraction", 1))
+    assert v == 2
+    # immediate replay: no-op, no new version
+    assert S.delete(keys, t, key="k", txn=("retraction", 1)) is None
+    assert S.versions(t) == [1, 2]
+    # age the txn manifest out of retention; the durable per-app
+    # high-water must keep the replay a no-op
+    S.append(spark.range(100, 103).select(F.col("id").alias("k")), t)
+    S.vacuum(t, keep_versions=1)
+    assert S.versions(t) == [3]
+    assert S.delete(keys, t, key="k", txn=("retraction", 1)) is None
+    assert S.versions(t) == [3]
+    # a NEW txn version still commits
+    keys2 = spark.createDataFrame([(5,)], "k long")
+    assert S.delete(keys2, t, key="k", txn=("retraction", 2)) == 4
+
+
+def test_merge_rejects_extra_source_columns(spark, tmp_path):
+    # ADVICE r10 (medium): extra source columns used to be silently
+    # dropped for rewritten rows yet published in the schema
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t26")
+    S.overwrite(spark.range(0, 5).select(F.col("id").alias("k"),
+                                         F.lit(1).alias("v")), t, n_files=1)
+    src = spark.createDataFrame([(2, 9, "hello")], "k long, v int, note string")
+    with pytest.raises(ValueError, match="columns .* the table lacks"):
+        S.merge(src, t, key="k")
+    # and the table is untouched by the refused merge
+    assert S.versions(t) == [1]
+
+
+def test_integer_stats_stay_exact_beyond_2_53(spark, tmp_path):
+    # ADVICE r10 (low): float64 coercion rounds keys beyond 2^53 and a
+    # rounded-narrower [min,max] silently mis-prunes
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t27")
+    big = (1 << 53) + 1  # not representable in float64
+    df = spark.createDataFrame([(big,), (big + 2,)], "k long")
+    S.overwrite(df, t, n_files=1)
+    stats = S.read_manifest(t, 1)["files"][0]["stats"]
+    assert stats["min_k"] == big and isinstance(stats["min_k"], int)
+    assert stats["max_k"] == big + 2
+    # merge on the exact boundary key must touch (rewrite) the file
+    src = spark.createDataFrame([(big, )], "k long")
+    S.merge(src.withColumn("dummy", F.lit(None).cast("long")).drop("dummy"),
+            t, key="k")
+    assert S.read(spark, t).count() == 2  # replaced, not duplicated
+
+
+def test_remove_orphans_default_grace_is_conservative(spark, tmp_path):
+    # ADVICE r10 (low): a default-arg call must never reap files an
+    # in-flight commit just wrote
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t28")
+    S.overwrite(spark.range(3).select(F.col("id").alias("k")), t, n_files=1)
+    orphan_dir = os.path.join(t, "data", "snap-inflight0001")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1fake")
+    assert S.remove_orphans(t) == []          # default: 24 h grace
+    assert os.path.exists(orphan)
+    deleted = S.remove_orphans(t, older_than_seconds=0.0)
+    assert deleted == [os.path.relpath(orphan, t)]
+
+
+# --- timestamp travel ----------------------------------------------------
+
+
+def test_timestamp_travel_agrees_with_version_travel(spark, tmp_path):
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t29")
+    S.overwrite(spark.range(0, 3).select(F.col("id").alias("k")), t)
+    _time.sleep(0.05)
+    S.append(spark.range(3, 6).select(F.col("id").alias("k")), t)
+    at1 = S.read_manifest(t, 1)["committed_at"]
+    at2 = S.read_manifest(t, 2)["committed_at"]
+    assert at1 < at2
+    mid = (at1 + at2) / 2
+    assert S.version_as_of(t, mid) == 1
+    assert S.version_as_of(t, at2) == 2
+    assert sorted(r.k for r in S.read(spark, t, as_of=mid).collect()) == [0, 1, 2]
+    assert sorted(r.k for r in S.read(spark, t, as_of=at2 + 1).collect()) \
+        == [0, 1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="predates the first commit"):
+        S.version_as_of(t, at1 - 10)
+    with pytest.raises(ValueError, match="version OR as_of"):
+        S.read(spark, t, 1, as_of=mid)
+
+
+# --- row-level CDC -------------------------------------------------------
+
+
+def _changes(spark, t, lo, hi):
+    rows = S.read_row_changes(spark, t, lo, hi).collect()
+    return sorted((r["_change_type"], r["_commit_version"], r["k"])
+                  for r in rows)
+
+
+def test_row_changes_append_is_insert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t30")
+    S.overwrite(spark.range(0, 2).select(F.col("id").alias("k")), t)
+    S.append(spark.range(2, 4).select(F.col("id").alias("k")), t)
+    assert _changes(spark, t, 1, 2) == [("insert", 2, 2), ("insert", 2, 3)]
+
+
+def test_row_changes_compact_emits_zero(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t31")
+    S.overwrite(spark.range(0, 50).select(F.col("id").alias("k")), t,
+                n_files=4)
+    S.compact(spark, t, n_files=1, cluster_by=["k"])
+    out = S.read_row_changes(spark, t, 1, 2)
+    # a maintenance commit must NOT wake downstream subscribers
+    assert out.count() == 0
+    assert "_change_type" in out.columns and "k" in out.columns
+
+
+def test_row_changes_merge_classifies_and_skips_carried_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t32")
+    S.overwrite(spark.range(0, 10).select(F.col("id").alias("k"),
+                                          (F.col("id") * 10).alias("v")),
+                t, n_files=1)
+    # update k=3 (new v), restate k=4 identically (carried), insert k=100
+    src = spark.createDataFrame([(3, 999), (4, 40), (100, 1000)],
+                                "k long, v long")
+    S.merge(src, t, key="k", n_files=1)
+    got = _changes(spark, t, 1, 2)
+    # k=4 is byte-identical after the rewrite: NO change row for it
+    assert got == [
+        ("insert", 2, 100),
+        ("update_postimage", 2, 3),
+        ("update_preimage", 2, 3),
+    ]
+    pre = [r for r in S.read_row_changes(spark, t, 1, 2).collect()
+           if r["_change_type"] == "update_preimage"][0]
+    post = [r for r in S.read_row_changes(spark, t, 1, 2).collect()
+            if r["_change_type"] == "update_postimage"][0]
+    assert (pre["v"], post["v"]) == (30, 999)
+
+
+def test_row_changes_delete_emits_preimage(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t33")
+    S.overwrite(spark.range(0, 10).select(F.col("id").alias("k"),
+                                          (F.col("id") + 100).alias("v")),
+                t, n_files=1)
+    keys = spark.createDataFrame([(2,), (5,)], "k long")
+    S.delete(keys, t, key="k")
+    got = _changes(spark, t, 1, 2)
+    assert got == [("delete", 2, 2), ("delete", 2, 5)]
+    # the pre-image carries the deleted rows' full values
+    vals = sorted(r["v"] for r in S.read_row_changes(spark, t, 1, 2).collect())
+    assert vals == [102, 105]
+
+
+def test_row_changes_overwrite_is_full_diff(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t34")
+    S.overwrite(spark.range(0, 4).select(F.col("id").alias("k")), t)
+    S.overwrite(spark.range(2, 6).select(F.col("id").alias("k")), t)
+    assert _changes(spark, t, 1, 2) == [
+        ("delete", 2, 0), ("delete", 2, 1),
+        ("insert", 2, 4), ("insert", 2, 5),
+    ]
+
+
+def test_row_changes_span_multiple_commit_types(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t35")
+    S.overwrite(spark.range(0, 6).select(F.col("id").alias("k"),
+                                         F.lit(1).cast("long").alias("v")),
+                t, n_files=1)
+    S.append(spark.createDataFrame([(10, 1)], "k long, v long"), t)   # v2
+    S.compact(spark, t, n_files=1, cluster_by=["k"])                  # v3
+    S.merge(spark.createDataFrame([(0, 7)], "k long, v long"), t,
+            key="k")                                                  # v4
+    S.delete(spark.createDataFrame([(10,)], "k long"), t, key="k")    # v5
+    got = _changes(spark, t, 1, 5)
+    assert got == [
+        ("delete", 5, 10),
+        ("insert", 2, 10),
+        ("update_postimage", 4, 0),
+        ("update_preimage", 4, 0),
+    ]
