@@ -3609,27 +3609,12 @@ SELECT 'gate_flips', CAST(count(*) AS BIGINT),
 """
 
 
-@register(
-    "curation_model_refresh",
-    sql=_MODEL_REFRESH_SQL,
-    description="MODEL REFRESH in the epoch loop (r10): the LM gate's "
-    "trigram model + totals are versioned in a snapshot table — v1 "
-    "corpus-trained, v2 retrained on curated-as-of-epoch-1 (the PINNED "
-    "curated ledger version joined back to the raw table, so the query "
-    "is run-order independent); output pins both model versions' gram "
-    "statistics, the genuinely-new grams v2 learned from epoch 1's "
-    "reversed/caf\u00e9 novel texts, and the epoch-2 gate verdicts "
-    "that FLIP under (model v2, totals v2) — the refresh demonstrably "
-    "changes curation decisions, not just counts ([EXT] north-star "
-    "composition: the last static piece of the loop is now versioned)",
-)
-def curation_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale: the refresh is ONE training scan over the curated slice
-    # (ids semi-joined back to the raw table — both manifest-bounded
-    # snapshot reads) committed as model-table v2; scoring is the
-    # broadcast-model shape both times.  Gate-flip counting runs over
-    # epoch 2's gated delta only — the refresh audit costs O(delta),
-    # never O(corpus).
+def model_refresh_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Ensure (write-once) the VERSIONED model + totals snapshot tables
+    on top of the inc_cur2 scratch — v1 corpus-trained, v2 retrained on
+    curated-as-of-epoch-1 — and return their paths.  Shared by
+    curation_model_refresh (the flip AUDIT) and
+    curation_retraction_epoch (the flip audit ACTING — r10 item 1)."""
     import os
 
     from magshield_data_pipeline_spark.operators import lm as L
@@ -3669,6 +3654,35 @@ def curation_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the refresh builds ON the epoch scratch: materialize it first
     inc_cur2_epoch_frames(spark, sf_dir)
     ensure_scratch(mp["root"], _build)
+    return mp
+
+
+@register(
+    "curation_model_refresh",
+    sql=_MODEL_REFRESH_SQL,
+    description="MODEL REFRESH in the epoch loop (r10): the LM gate's "
+    "trigram model + totals are versioned in a snapshot table — v1 "
+    "corpus-trained, v2 retrained on curated-as-of-epoch-1 (the PINNED "
+    "curated ledger version joined back to the raw table, so the query "
+    "is run-order independent); output pins both model versions' gram "
+    "statistics, the genuinely-new grams v2 learned from epoch 1's "
+    "reversed/café novel texts, and the epoch-2 gate verdicts "
+    "that FLIP under (model v2, totals v2) — the refresh demonstrably "
+    "changes curation decisions, not just counts ([EXT] north-star "
+    "composition: the last static piece of the loop is now versioned)",
+)
+def curation_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the refresh is ONE training scan over the curated slice
+    # (ids semi-joined back to the raw table — both manifest-bounded
+    # snapshot reads) committed as model-table v2; scoring is the
+    # broadcast-model shape both times.  Gate-flip counting runs over
+    # epoch 2's gated delta only — the refresh audit costs O(delta),
+    # never O(corpus).
+    from magshield_data_pipeline_spark.operators import lm as L
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    p2 = _inc2_paths(sf_dir)
+    mp = model_refresh_tables(spark, sf_dir)
     tbl, st = mp["model_tbl"], mp["stats_tbl"]
     m1, m2 = SN.read(spark, tbl, 1), SN.read(spark, tbl, 2)
     t1, t2 = SN.read(spark, st, 1), SN.read(spark, st, 2)
@@ -3721,4 +3735,434 @@ def curation_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "stage", "n_items", F.col("metric").cast("long").alias("metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] retraction epoch (r11): the flip audit ACTS.  curation_model_
+# refresh proves model v2 flips gate verdicts — but through r10 the
+# curated table was never corrected: docs v2 would reject stayed
+# curated forever (VERDICT r10 "What's missing" #1).  This epoch closes
+# that: flip-to-REJECT verdicts over the already-curated slice become a
+# row-level DELETE commit on the curated ledger (snapshots.delete —
+# stats-pruned copy-on-write, txn-idempotent), and flip-to-PASS docs
+# from epoch 2's gated delta are re-examined under the full dedup
+# chain (evolved fp + LSH indexes, pinned at their epoch-2 base
+# version) and ADMITTED as an exactly-once epoch append.
+#
+# Teeth: both directions are decision-load-bearing —
+#   - retracted > 0: curated docs that passed the v1 gate but fail
+#     under (model v2, totals v2) genuinely leave the table (the
+#     curated_final funnel row would shift on a double-applied or
+#     skipped retraction and fail the hash);
+#   - admitted > 0 but strictly fewer than the flip-to-pass set: the
+#     +12M byte-copies of epoch-1 novel texts die at the EVOLVED
+#     fingerprint probe and the +11M near-dups at the EVOLVED bucket
+#     probe, so re-admission provably respects the evolved index, not
+#     just the flipped gate.
+#
+# Run-order independence: every input is version-PINNED (curated@2,
+# raw@2, delta = raw 2->3, fp/lsh index@2, model/stats tables @1/@2),
+# and the epoch commits land on this query's OWN snapshot table —
+# never on the inc_cur2 scratch other queries read.  Replays are
+# no-ops at both commits (delete: durable app-txn high-water; append:
+# durable batch high-water), so repeated driver/bench runs see
+# identical ledger state.
+#
+# Reference analog: the replace-else-create upsert (one_drive.py:
+# 130-211) is "latest wins" at FILE grain; this is its honest scale-up
+# to row-grain retraction inside a closed curation loop.
+
+_RETRACT_SQL = rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+delta1 AS MATERIALIZED (
+    SELECT doc_id + 1000000 AS doc_id, {_INC_REV} AS text
+    FROM documents WHERE doc_id % 5 IN (2, 3, 4)
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, {_INC_REV} || ' caf' || chr(233)
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 4000000, {_INC_REV} || ' caf' || 'e' || chr(769)
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 5000000, text || ' ' || substr(text, 1, 40)
+    FROM documents WHERE doc_id % 5 = 2
+    UNION ALL
+    SELECT doc_id + 6000000, {_INC_REV}
+    FROM documents WHERE doc_id % 5 = 3
+),
+delta2 AS MATERIALIZED (
+    SELECT doc_id + {_INC2_OFF["fresh2"]} AS doc_id, {_INC_REV} AS text
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + {_INC2_OFF["lsh2"]}, {_INC_REV}
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + {_INC2_OFF["fp2"]}, {_INC_REV}
+    FROM documents WHERE doc_id % 5 = 2
+),
+cgrams AS MATERIALIZED (
+    SELECT doc_id, substr(lower(text), CAST(i AS INT), 3) AS gram
+    FROM corpus, unnest(generate_series(1, length(text) - 2)) AS u(i)
+),
+model AS MATERIALIZED (SELECT gram, count(*) AS cnt FROM cgrams GROUP BY 1),
+cscores AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(sum(length(bin(m.cnt)) - 1) AS BIGINT) AS lm_score
+    FROM cgrams g JOIN model m USING (gram)
+    GROUP BY 1
+),
+ctot AS MATERIALIZED (
+    SELECT CAST(sum(lm_score) AS BIGINT) AS ts,
+           CAST(sum(lm_grams) AS BIGINT) AS tg
+    FROM cscores
+),
+cfp AS MATERIALIZED (
+    SELECT md5({_INC_NORM_TEXT}) AS fp, min(doc_id) AS doc_id
+    FROM corpus GROUP BY 1
+),
+{_inc_lsh_ctes("cb", "corpus", "text")},
+{_inc_stage_ctes("e1", "delta1", "cfp", "cb_buckets")},
+curated1 AS MATERIALIZED (
+    SELECT doc_id, text FROM corpus
+    UNION ALL
+    SELECT d.doc_id, d.text FROM delta1 d
+    WHERE d.doc_id IN (SELECT doc_id FROM e1novel)
+),
+g2 AS MATERIALIZED (
+    SELECT doc_id, substr(lower(text), CAST(i AS INT), 3) AS gram
+    FROM curated1, unnest(generate_series(1, length(text) - 2)) AS u(i)
+),
+model2 AS MATERIALIZED (SELECT gram, count(*) AS cnt FROM g2 GROUP BY 1),
+sc2t AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(sum(length(bin(m.cnt)) - 1) AS BIGINT) AS lm_score
+    FROM g2 g JOIN model2 m USING (gram)
+    GROUP BY 1
+),
+ctot2 AS MATERIALIZED (
+    SELECT CAST(sum(lm_score) AS BIGINT) AS ts,
+           CAST(sum(lm_grams) AS BIGINT) AS tg
+    FROM sc2t
+),
+-- verdicts over the CURATED slice under both (model, totals) versions:
+-- one gram set (g2), two broadcast models — flip-to-reject retracts
+scc1 AS MATERIALIZED (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(coalesce(sum(CASE WHEN m.cnt IS NOT NULL
+                                  THEN length(bin(m.cnt)) - 1 END),
+                         0) AS BIGINT) AS lm_score
+    FROM g2 g LEFT JOIN model m USING (gram)
+    GROUP BY 1
+),
+kc AS MATERIALIZED (
+    SELECT a.doc_id,
+           (a.lm_score * (SELECT tg FROM ctot)
+            >= (SELECT ts FROM ctot) * a.lm_grams) AS keep1,
+           (b.lm_score * (SELECT tg FROM ctot2)
+            >= (SELECT ts FROM ctot2) * b.lm_grams) AS keep2
+    FROM scc1 a JOIN sc2t b USING (doc_id)
+),
+retract AS MATERIALIZED (
+    SELECT doc_id FROM kc WHERE keep1 AND NOT keep2
+),
+-- flip-to-pass candidates from epoch 2's gated delta, then the full
+-- dedup chain against the EVOLVED index (corpus + epoch-1 novel)
+{_inc_stage_ctes("mr", "delta2", "cfp", "cb_buckets")},
+mrg AS MATERIALIZED (
+    SELECT doc_id, substr(lower(t), CAST(i AS INT), 3) AS gram
+    FROM mrgated, unnest(generate_series(1, length(t) - 2)) AS u(i)
+),
+sc1 AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(coalesce(sum(CASE WHEN m.cnt IS NOT NULL
+                                  THEN length(bin(m.cnt)) - 1 END),
+                         0) AS BIGINT) AS lm_score
+    FROM mrg g LEFT JOIN model m USING (gram)
+    GROUP BY 1
+),
+sc2 AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS lm_grams,
+           CAST(coalesce(sum(CASE WHEN m.cnt IS NOT NULL
+                                  THEN length(bin(m.cnt)) - 1 END),
+                         0) AS BIGINT) AS lm_score
+    FROM mrg g LEFT JOIN model2 m USING (gram)
+    GROUP BY 1
+),
+kd AS MATERIALIZED (
+    SELECT a.doc_id,
+           (a.lm_score * (SELECT tg FROM ctot)
+            >= (SELECT ts FROM ctot) * a.lm_grams) AS keep1,
+           (b.lm_score * (SELECT tg FROM ctot2)
+            >= (SELECT ts FROM ctot2) * b.lm_grams) AS keep2
+    FROM sc1 a JOIN sc2 b USING (doc_id)
+),
+fcand AS MATERIALIZED (
+    SELECT g.doc_id, g.t FROM mrgated g
+    JOIN kd USING (doc_id)
+    WHERE NOT kd.keep1 AND kd.keep2
+),
+{_inc_lsh_ctes("nb1", "e1novel", "t")},
+evfp AS MATERIALIZED (
+    SELECT fp FROM cfp
+    UNION ALL
+    SELECT md5({_V2_NORM_T}) AS fp FROM e1novel
+),
+evb AS MATERIALIZED (
+    SELECT band, bucket FROM cb_buckets
+    UNION ALL
+    SELECT band, bucket FROM nb1_buckets
+),
+fbfp AS (SELECT doc_id, t, md5({_V2_NORM_T}) AS fp FROM fcand),
+ffresh AS (
+    SELECT * FROM fbfp WHERE fp NOT IN (SELECT fp FROM evfp)
+),
+funiq AS MATERIALIZED (
+    SELECT doc_id, t FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM ffresh
+    ) WHERE rn = 1
+),
+{_inc_lsh_ctes("fb", "funiq", "t")},
+fvs AS (
+    SELECT DISTINCT b.doc_id FROM fb_buckets b
+    JOIN evb c ON b.band = c.band AND b.bucket = c.bucket
+),
+fintra AS (
+    SELECT DISTINCT y.doc_id FROM fb_buckets x
+    JOIN fb_buckets y ON x.band = y.band AND x.bucket = y.bucket
+                     AND x.doc_id < y.doc_id
+),
+admit AS MATERIALIZED (
+    SELECT doc_id FROM funiq
+    WHERE doc_id NOT IN (SELECT doc_id FROM fvs
+                         UNION SELECT doc_id FROM fintra)
+)
+SELECT 'curated_base' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum FROM curated1
+UNION ALL
+SELECT 'retracted', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM retract
+UNION ALL
+SELECT 'admitted', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT) FROM admit
+UNION ALL
+SELECT 'curated_final',
+       CAST((SELECT count(*) FROM curated1)
+            - (SELECT count(*) FROM retract)
+            + (SELECT count(*) FROM admit) AS BIGINT),
+       CAST((SELECT sum(doc_id) FROM curated1)
+            - (SELECT coalesce(sum(doc_id), 0) FROM retract)
+            + (SELECT coalesce(sum(doc_id), 0) FROM admit) AS BIGINT)
+"""
+
+
+def _retract_paths(sf_dir: str) -> dict[str, str]:
+    import os
+
+    from magshield_data_pipeline_spark.sources.scratch import scratch_path
+
+    root = scratch_path(
+        "inc_retract", sf_dir,
+        "curated_tbl v1=curated@2(inc_cur2) then query commits v2=delete"
+        "(flip-to-reject, txn retraction/1) v3=admit append(batch 1)",
+    )
+    return {"root": root, "curated_tbl": os.path.join(root, "curated_tbl")}
+
+
+def retraction_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Compute the retraction epoch's frames (retract set, admit set,
+    verdicts) WITHOUT committing — shared by the registered query, the
+    plan-shape pin, and the teeth tests."""
+    from magshield_data_pipeline_spark.operators import lm as L
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    p2 = _inc2_paths(sf_dir)
+    mp = model_refresh_tables(spark, sf_dir)
+    m1 = SN.read(spark, mp["model_tbl"], 1)
+    m2 = SN.read(spark, mp["model_tbl"], 2)
+    t1 = SN.read(spark, mp["stats_tbl"], 1)
+    t2 = SN.read(spark, mp["stats_tbl"], 2)
+    target = min(spark.sparkContext.defaultParallelism, 16)
+
+    def dual_verdicts(docs: DataFrame, text_col: str) -> DataFrame:
+        # ONE gram-explode pass, BOTH model versions broadcast: the
+        # explode dominates the cost, so scoring v1 and v2 together
+        # halves the audit scan vs two fluency_score passes
+        grams = docs.select(
+            "doc_id",
+            F.explode_outer(
+                L.char_ngrams(F.lower(F.col(text_col)), 3)
+            ).alias("gram"),
+        )
+
+        def bits(c: str):
+            return F.when(
+                F.col(c).isNotNull(),
+                F.length(F.bin(F.col(c))) - F.lit(1),
+            ).otherwise(F.lit(0))
+
+        scored = (
+            grams
+            .join(F.broadcast(m1.withColumnRenamed("cnt", "c1")),
+                  "gram", "left")
+            .join(F.broadcast(m2.withColumnRenamed("cnt", "c2")),
+                  "gram", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("gram").alias("lm_grams"),
+                F.sum(bits("c1")).cast("long").alias("s1"),
+                F.sum(bits("c2")).cast("long").alias("s2"),
+            )
+        )
+        return (
+            scored
+            .crossJoin(F.broadcast(t1.select(
+                F.col("ts").alias("ts1"), F.col("tg").alias("tg1"))))
+            .crossJoin(F.broadcast(t2.select(
+                F.col("ts").alias("ts2"), F.col("tg").alias("tg2"))))
+            .select(
+                "doc_id",
+                (F.col("s1") * F.col("tg1")
+                 >= F.col("ts1") * F.col("lm_grams")).alias("keep1"),
+                (F.col("s2") * F.col("tg2")
+                 >= F.col("ts2") * F.col("lm_grams")).alias("keep2"),
+            )
+        )
+
+    # --- retract: flip-to-reject over the curated slice (pinned reads)
+    curated_ids = SN.read(spark, p2["curated"], 2)
+    raw2 = SN.read(spark, p2["raw"], 2).select("doc_id", "text")
+    cur_docs = raw2.join(curated_ids, "doc_id", "left_semi")
+    if cur_docs.rdd.getNumPartitions() < target:
+        cur_docs = cur_docs.repartition(target)
+    cv = dual_verdicts(cur_docs, "text")
+    retract = cv.filter(
+        F.col("keep1") & ~F.col("keep2")
+    ).select("doc_id").persist()
+
+    # --- admit: flip-to-pass among epoch 2's gated delta, then the
+    # full dedup chain vs the EVOLVED index at its pinned version
+    delta2 = SN.read_changes(spark, p2["raw"], 2, 3)
+    if delta2.rdd.getNumPartitions() < target:
+        delta2 = delta2.repartition(target)
+    canon = T.unicode_canonicalize(
+        delta2, text_col="text", nfc_col="t", stripped_col=None
+    )
+    gated = T.gopher_quality_flags(
+        canon, text_col="t", id_col="doc_id", keep_cols=("t",)
+    ).filter("keep").select("doc_id", "t").persist()
+    dv = dual_verdicts(gated, "t")
+    fcand = gated.join(
+        dv.filter(~F.col("keep1") & F.col("keep2")).select("doc_id"),
+        "doc_id",
+    )
+    uniqf = D.incremental_exact_dedup_indexed(
+        SN.read(spark, p2["fp_tbl"], 2), fcand,
+        text_col="t", id_col="doc_id", keep=("t",),
+    ).persist()
+    bbf = D.lsh_band_buckets(uniqf, text_col="t", id_col="doc_id").persist()
+    vsf = bbf.join(
+        SN.read(spark, p2["lsh_tbl"], 2).select("band", "bucket"),
+        ["band", "bucket"],
+    ).select("doc_id")
+    intraf = (
+        bbf.alias("a")
+        .join(
+            bbf.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+    )
+    admit = uniqf.join(
+        vsf.unionByName(intraf).distinct(), "doc_id", "left_anti"
+    ).select("doc_id").persist()
+    return {
+        "paths": {"p2": p2, "mp": mp},
+        "retract": retract,
+        "fcand": fcand,
+        "admit": admit,
+    }
+
+
+@register(
+    "curation_retraction_epoch",
+    sql=_RETRACT_SQL,
+    description="RETRACTION epoch — the flip audit ACTS (r11, VERDICT "
+    "r10 item 1): model v2's flip-to-REJECT verdicts over the curated "
+    "slice become a row-level DELETE commit on the curated ledger "
+    "(snapshots.delete: stats-pruned copy-on-write, app-txn idempotent "
+    "so a replayed retraction is a no-op even after vacuum), and "
+    "flip-to-PASS docs from epoch 2's gated delta are re-admitted as "
+    "an exactly-once append AFTER the full dedup chain against the "
+    "EVOLVED fp/LSH indexes at their pinned epoch-2 base version — "
+    "the +12M byte-copies die at the evolved fingerprint probe and "
+    "the +11M near-dups at the evolved bucket probe, so re-admission "
+    "respects the index, not just the flipped gate; the curated_final "
+    "funnel row pins both ledger commits (a double-applied retraction "
+    "or skipped admit shifts it and fails the hash)",
+)
+def curation_retraction_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the retract audit is ONE gram-explode over the curated
+    # slice scoring BOTH broadcast model versions (at 100 TB: one scan
+    # of the curated table, no corpus rescan — the models and totals
+    # are manifest-bounded snapshot reads); the admit pass costs
+    # O(delta) plus index probes.  The delete commit rewrites only
+    # files whose key range intersects the retract set; the admit
+    # append is exactly-once per epoch.  Both commits land on this
+    # query's OWN ledger table, every input is version-pinned, and
+    # replays of either commit are durable no-ops — repeated runs
+    # produce identical ledger state (hash-load-bearing via
+    # curated_final).
+    import os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import ensure_scratch
+
+    fr = retraction_frames(spark, sf_dir)
+    p2 = fr["paths"]["p2"]
+    rp = _retract_paths(sf_dir)
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp)
+        SN.overwrite(
+            SN.read(spark, p2["curated"], 2),
+            os.path.join(tmp, "curated_tbl"), n_files=2,
+        )
+
+    ensure_scratch(rp["root"], _build)
+    rt = rp["curated_tbl"]
+    # the epoch's two ledger commits — both idempotent under replay
+    SN.delete(fr["retract"], rt, key="doc_id",
+              txn=("model-v2-retraction", 1), n_files=2)
+    SN.append_stream_batch(fr["admit"], rt, batch_id=1, n_files=1)
+
+    base = SN.read(spark, rt, 1)   # pinned pre-retraction reader:
+    final = SN.read(spark, rt)     # still sees every retracted row
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+
+    out = (
+        row("curated_base", base)
+        .unionByName(row("retracted", fr["retract"]))
+        .unionByName(row("admitted", fr["admit"]))
+        .unionByName(row("curated_final", final))
+    )
+    return out.select(
+        "stage", "n_docs", F.col("id_sum").cast("long").alias("id_sum")
     )

@@ -167,28 +167,29 @@ _WINDOW_SIZE = 50
 # last_green == pin_round made each mechanically inert — and are
 # pruned per the codified rule above.)
 #
-# Round-10 pins (changes made with the r9 artifact on disk → pinned
-# 10): the three snapshot-table queries after sources/snapshots.py
-# gained schema-carrying manifests (every commit now writes a schema
-# field; reads apply it), the durable high-water batch_id and orphan
-# cleanup; the three progressive-JPEG queries after decode_jpeg
-# started threading its pre-parsed header into the progressive decoder
-# cores (single-parse, ADVICE r9); incremental_corpus_dedup after
-# incremental_exact_dedup was refactored to delegate to the new
-# _indexed variant (plan-identical by construction, re-proven on
-# principle); rag_chunk_index_pipeline after the chunk-id packing
-# widened from doc_id*100+pos to doc_id*2^20+pos (VERDICT r9 item 3 —
-# a genuine value change for >100-chunk docs, hash-identical on this
-# fixture's short docs).
+# (All eight round-10 pins were proven green by CORRECTNESS_r10 —
+# last_green == pin_round made each mechanically inert — and are
+# pruned per the codified rule above.)
+#
+# Round-11 pins (changes made with the r10 artifact on disk → pinned
+# 11): the six snapshot-table queries after sources/snapshots.py's
+# r11 rework (row-level delete with app-txns, row-level CDC,
+# committed_at timestamps in every manifest, integer-exact stats,
+# merge's extra-column guard + schema-publish change); the three
+# curation-loop queries that ride on the ledger (epoch/epoch2 through
+# read_changes + append_stream_batch, model refresh additionally
+# refactored to share model_refresh_tables with the new retraction
+# epoch).
 _WINDOW_PINS: list[tuple[str, int]] = [
-    ("snapshot_time_travel", 10),
-    ("snapshot_incremental_read", 10),
-    ("snapshot_stream_append", 10),
-    ("jpeg_progressive_stats", 10),
-    ("jpeg_progressive_rgb_stats", 10),
-    ("jpeg_progressive420_stats", 10),
-    ("incremental_corpus_dedup", 10),
-    ("rag_chunk_index_pipeline", 10),
+    ("snapshot_time_travel", 11),
+    ("snapshot_incremental_read", 11),
+    ("snapshot_stream_append", 11),
+    ("snapshot_schema_evolution", 11),
+    ("snapshot_merge_upsert", 11),
+    ("snapshot_clustered_prune", 11),
+    ("incremental_curation_epoch", 11),
+    ("incremental_curation_epoch2", 11),
+    ("curation_model_refresh", 11),
 ]
 
 

@@ -863,3 +863,60 @@ def test_incremental_curation_epoch2_probes_evolved_index_only(spark):
     fp_v2 = _manifest_files("fp_tbl", 2)
     assert fp_v2 <= uniq_files
     assert len(fp_v2) == 2  # corpus file + epoch-1 append file
+
+
+def test_retraction_epoch_plan_scopes(spark):
+    # r11: the retraction epoch's two sides have distinct cost scopes,
+    # both plan-pinned: the ADMIT chain scans only epoch-2 delta files
+    # plus the pinned index/model table files (never corpus text, never
+    # epoch-1's delta); the RETRACT audit scans the curated slice ONCE
+    # (raw v1+v2 — that IS its contract) but never epoch-2's delta.
+    import os
+
+    from magshield_data_pipeline_spark.plans.curation_queries import (
+        retraction_frames,
+    )
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    spark.catalog.clearCache()
+    fr = retraction_frames(spark, SF_SMALL)
+    # the frames persist INTERMEDIATES (gated/uniq) too — clear the
+    # whole cache so no InMemoryRelation hides a subtree's files from
+    # inputFiles() and makes the scope assertions vacuous
+    spark.catalog.clearCache()
+    p2 = fr["paths"]["p2"]
+
+    def _files(df):
+        files = {f.replace("file:", "").lstrip("/") for f in df.inputFiles()}
+        assert files, "no input files resolved — vacuous check"
+        return files
+
+    def _manifest_files(tbl, v):
+        return {
+            os.path.join(p2[tbl], e["path"]).lstrip("/")
+            for e in SN.read_manifest(p2[tbl], v)["files"]
+        }
+
+    v1 = _manifest_files("raw", 1)
+    v2_added = _manifest_files("raw", 2) - v1
+    v3_added = _manifest_files("raw", 3) - _manifest_files("raw", 2)
+    assert v1 and v2_added and v3_added
+
+    admit_files = _files(fr["admit"])
+    assert not (admit_files & v1), "admit chain scans corpus text"
+    assert not (admit_files & v2_added), "admit chain scans epoch-1 delta"
+    assert v3_added <= admit_files  # the CDC delta, all of it
+    # the dedup probes read the EVOLVED index at its pinned v2
+    assert _manifest_files("fp_tbl", 2) <= admit_files
+    assert _manifest_files("lsh_tbl", 2) <= admit_files
+
+    retract_files = _files(fr["retract"])
+    assert not (retract_files & v3_added), "retract audit scans the delta"
+    assert (v1 | v2_added) <= retract_files  # one curated-slice scan
+
+    # JVM-only scoring: the dual-model verdicts are gram explodes +
+    # broadcast joins; the only Python in either plan is the Arrow NFC
+    for name in ("retract", "admit"):
+        plan = _physical_plan(fr[name])
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
