@@ -157,3 +157,61 @@ def bm25_topk(
     # caller-owned release handle (see docstring: Cache lifecycle)
     result.bm25_words_cache = words
     return result
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    meta: DataFrame,
+    dfreq: DataFrame,
+    totals: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "cid",
+) -> DataFrame:
+    """BM25 top-*k* per query term scored from a MATERIALIZED inverted
+    index instead of the corpus text: *postings* (word, id, tf) is the
+    posting list, *meta* (id, dl) the per-unit length, *dfreq*
+    (word, df) the document frequencies, *totals* a 1-row frame
+    (n_chunks, sum_dl) — the committed index statistics.  The corpus
+    text is never touched: query cost is |terms| posting lists + a
+    broadcast stats row, which is the contract that makes a 100 TB
+    retrieval index usable (scoring from ``bm25_topk`` would re-scan
+    and re-tokenize the corpus per query).
+
+    Identical scoring chain to ``bm25_topk`` (``bm25_score_col``), so
+    an index maintained incrementally and a batch rebuild produce
+    bit-identical scores — the property rag_incremental_index's oracle
+    pins.  Returns (term, id, tf, dl, score, rank)."""
+    if not terms:
+        raise ValueError("bm25_topk_from_index: terms must be non-empty")
+    stats = totals.select(
+        F.col("n_chunks").cast("double").alias("n_docs"),
+        (F.col("sum_dl").cast("double")
+         / F.col("n_chunks").cast("double")).alias("avgdl"),
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    scored = (
+        postings.filter(F.col("word").isin(*terms))
+        .join(meta.select(id_col, "dl"), id_col)
+        .join(F.broadcast(dfreq.filter(F.col("word").isin(*terms))), "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("word").alias("term"),
+            F.col(id_col),
+            "tf",
+            "dl",
+            bm25_score_col(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+                idf,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

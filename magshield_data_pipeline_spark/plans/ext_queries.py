@@ -4324,3 +4324,335 @@ def rag_chunk_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bm25_topk(
         sv, "ctext", "cid", list(_BM25_TERMS), k=_RAG_K
     ).select("term", "cid", "tf", "dl", "score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# [EXT] incremental RAG index maintenance (r11, VERDICT r10 item 3):
+# rag_chunk_index_pipeline rebuilds chunks + BM25 statistics from
+# scratch each run; this query gives the retrieval index the same
+# treatment the fp/LSH dedup indexes got in epoch2 — the index IS a
+# set of snapshot tables, and an epoch indexes ONLY the novel docs'
+# chunks:
+#   chunks   (cid, ctext)       the retrieval units (write-only here)
+#   meta     (cid, fp, dl)      dedup-probe fingerprints + lengths
+#   postings (word, cid, tf)    the inverted index, word-clustered
+#   df       (word, df)         document frequencies, maintained by a
+#                               stats-pruned MERGE (df += delta) under
+#                               an app-txn so replays can't double-add
+#   totals   (epoch, n_chunks, sum_dl)  versioned normalizer commits
+# Scoring probes the EVOLVED index at pinned versions via
+# bm25_topk_from_index — the corpus text is never re-read, re-chunked
+# or re-tokenized, and the query-time cost is |terms| posting lists.
+#
+# Teeth: the delta plants two dup classes that must die at the
+# meta-fp probe — +700k %6=0 docs carry the SHARED TEMPLATE (whose one
+# surviving chunk is already indexed) and +700k %6=3 docs are
+# byte-copies of their corpus twin — while the rest (word-reversed
+# texts) are genuinely novel chunks that shift df/avgdl for the OLD
+# chunks too, so the top-k hash pins that the committed statistics
+# evolved exactly additively (a replayed epoch double-adding df, or a
+# dup chunk slipping past the probe, shifts every score).
+
+def _rag_inc_paths(sf_dir: str) -> dict[str, str]:
+    import os
+
+    from magshield_data_pipeline_spark.sources.scratch import scratch_path
+
+    root = scratch_path(
+        "rag_inc", sf_dir,
+        "raw v1=docs(%6=0 templ) v2=+700k delta(%6=0 templ/3 copy/else "
+        "rev); index tbls chunks,meta,postings(word-clustered),df,"
+        "totals built from v1; epoch appends novel + merges df txn",
+    )
+    return {
+        "root": root,
+        **{t: os.path.join(root, t)
+           for t in ("raw", "chunks", "meta", "postings", "df", "totals")},
+    }
+
+
+_RAG_INC_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN '{_RAG_TEMPLATE}'
+                ELSE text END AS t
+    FROM documents
+),
+s AS (
+    SELECT doc_id, t,
+           unnest(generate_series(0, greatest(length(t) - 1, 0),
+                                  {_RAG_CHUNK_STRIDE})) AS cs
+    FROM base
+),
+chunks AS (
+    SELECT CAST(doc_id * {_RAG_CID_BASE} + cs // {_RAG_CHUNK_STRIDE}
+                AS BIGINT) AS cid,
+           substring(t, CAST(cs AS INT) + 1, {_RAG_CHUNK_SIZE}) AS ctext
+    FROM s
+),
+sv AS MATERIALIZED (
+    SELECT cid, ctext FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(ctext) ORDER BY cid) AS rn
+        FROM chunks
+    ) WHERE rn = 1
+),
+dbase AS (
+    SELECT doc_id + 700000 AS doc_id, t FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 0 THEN '{_RAG_TEMPLATE}'
+                    WHEN doc_id % 6 = 3 THEN text
+                    ELSE array_to_string(list_reverse(str_split(text, ' ')),
+                                         ' ')
+               END AS t
+        FROM documents
+    )
+),
+ds AS (
+    SELECT doc_id, t,
+           unnest(generate_series(0, greatest(length(t) - 1, 0),
+                                  {_RAG_CHUNK_STRIDE})) AS cs
+    FROM dbase
+),
+dchunks AS (
+    SELECT CAST(doc_id * {_RAG_CID_BASE} + cs // {_RAG_CHUNK_STRIDE}
+                AS BIGINT) AS cid,
+           substring(t, CAST(cs AS INT) + 1, {_RAG_CHUNK_SIZE}) AS ctext
+    FROM ds
+),
+dsv AS (
+    SELECT cid, ctext FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(ctext) ORDER BY cid) AS rn
+        FROM dchunks
+    ) WHERE rn = 1
+),
+dnovel AS MATERIALIZED (
+    SELECT cid, ctext FROM dsv
+    WHERE md5(ctext) NOT IN (SELECT md5(ctext) FROM sv)
+),
+allsv AS MATERIALIZED (
+    SELECT cid, ctext FROM sv
+    UNION ALL
+    SELECT cid, ctext FROM dnovel
+),
+words AS (
+    SELECT cid, unnest(regexp_extract_all(lower(ctext), '[a-z]+')) AS word
+    FROM allsv
+),
+dl AS MATERIALIZED (SELECT cid, count(*) AS dl FROM words GROUP BY 1),
+hits AS (SELECT * FROM words WHERE word IN {_BM25_TERMS!r}),
+tf AS (SELECT cid, word, count(*) AS tf FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT word, count(DISTINCT cid) AS df FROM hits GROUP BY 1),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM dl
+),
+scored AS (
+    SELECT tf.word AS term, tf.cid,
+           CAST(tf.tf AS BIGINT) AS tf, CAST(dl.dl AS BIGINT) AS dl,
+           (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  / stats.avgdl)) AS score
+    FROM tf
+    JOIN dl ON dl.cid = tf.cid
+    JOIN dfreq ON dfreq.word = tf.word
+    CROSS JOIN stats
+)
+SELECT term, cid, tf, dl, score, CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY term ORDER BY score DESC, cid) AS rank
+    FROM scored
+) q WHERE rank <= {_RAG_K}
+"""
+
+
+def rag_inc_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (write-once) the raw table + the 5 index snapshot tables
+    from the v1 corpus, then compute the epoch's stage frames (delta
+    chunks, novel survivors, posting/df deltas) WITHOUT committing —
+    shared by the registered query, the plan pin, and the teeth
+    tests."""
+    import os
+
+    from magshield_data_pipeline_spark.operators import retrieval as R
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import ensure_scratch
+
+    p = _rag_inc_paths(sf_dir)
+    rev = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp)
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        base = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 6 == 0, F.lit(_RAG_TEMPLATE))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        delta = docs.select(
+            (F.col("doc_id") + 700000).alias("doc_id"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(_RAG_TEMPLATE))
+            .when(F.col("doc_id") % 6 == 3, F.col("text"))
+            .otherwise(rev).alias("text"),
+        )
+        raw = os.path.join(tmp, "raw")
+        SN.overwrite(base, raw, n_files=2)
+        SN.append(delta, raw, n_files=2)
+        # ---- index v1, built from the v1 corpus only
+        sv = rag_survivor_chunks(
+            SN.read(spark, raw, 1).select("doc_id", F.col("text").alias("t"))
+        ).persist()
+        words = R.doc_words(sv, "ctext", "cid").persist()
+        meta = (
+            words.groupBy("cid").agg(F.count(F.lit(1)).alias("dl"))
+            .join(sv.select("cid", F.md5("ctext").alias("fp")), "cid")
+            .select("cid", "fp", "dl")
+        ).persist()
+        postings = (
+            words.groupBy("word", "cid")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        SN.overwrite(sv.select("cid", "ctext"),
+                     os.path.join(tmp, "chunks"), n_files=1)
+        SN.overwrite(meta, os.path.join(tmp, "meta"), n_files=1)
+        SN.overwrite(postings, os.path.join(tmp, "postings"), n_files=1)
+        # cluster the posting lists by word: the manifest's string
+        # min/max stats become a real term-pruning index for reads
+        SN.compact(spark, os.path.join(tmp, "postings"), n_files=4,
+                   cluster_by=["word"])
+        SN.overwrite(
+            postings.groupBy("word").agg(F.count(F.lit(1)).alias("df")),
+            os.path.join(tmp, "df"), n_files=1,
+        )
+        SN.overwrite(
+            meta.agg(
+                F.lit(1).cast("long").alias("epoch"),
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("dl").alias("sum_dl"),
+            ),
+            os.path.join(tmp, "totals"), n_files=1,
+        )
+        for frame in (sv, words, meta):
+            frame.unpersist()
+
+    ensure_scratch(p["root"], _build)
+    from magshield_data_pipeline_spark.operators import retrieval as R2
+    from magshield_data_pipeline_spark.sources import snapshots as SN2
+
+    delta = SN2.read_changes(spark, p["raw"], 1, 2)
+    target = min(spark.sparkContext.defaultParallelism, 16)
+    if delta.rdd.getNumPartitions() < target:
+        delta = delta.repartition(target)
+    dsv = rag_survivor_chunks(delta.select("doc_id", F.col("text").alias("t")))
+    # the dedup probe: anti-join the delta's chunk fingerprints against
+    # the index's meta table at its PINNED pre-epoch version (a replay
+    # must not see its own committed fingerprints)
+    novel = (
+        dsv.withColumn("fp", F.md5("ctext"))
+        .join(SN2.read(spark, p["meta"], 1).select("fp"), "fp", "left_anti")
+        .persist()
+    )
+    dwords = R2.doc_words(novel, "ctext", "cid").persist()
+    nmeta = (
+        dwords.groupBy("cid").agg(F.count(F.lit(1)).alias("dl"))
+        .join(novel.select("cid", "fp"), "cid")
+        .select("cid", "fp", "dl")
+        .persist()
+    )
+    npost = (
+        dwords.groupBy("word", "cid").agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    ndf = npost.groupBy("word").agg(F.count(F.lit(1)).alias("df_delta"))
+    return {
+        "paths": p,
+        "delta": delta,
+        "dsv": dsv,
+        "novel": novel,
+        "nmeta": nmeta,
+        "npost": npost,
+        "ndf": ndf,
+    }
+
+
+@register(
+    "rag_incremental_index",
+    sql=_RAG_INC_SQL,
+    description="INCREMENTAL RAG index maintenance (r11, VERDICT r10 "
+    "item 3): the retrieval index is five snapshot tables (chunks, "
+    "fp/dl meta, word-clustered postings, df, versioned totals); the "
+    "epoch chunks ONLY the CDC delta, dedups against the meta table's "
+    "fingerprints at its pinned pre-epoch version (planted template + "
+    "byte-copy docs die there), appends the novel chunks' postings "
+    "exactly-once, folds df += delta via a stats-pruned MERGE under an "
+    "app-txn (a replay cannot double-add), and commits the new "
+    "normalizer totals as an epoch row; scoring probes the EVOLVED "
+    "index via bm25_topk_from_index — the oracle rebuilds the index "
+    "from scratch in SQL, so the hash pins that incremental "
+    "maintenance equals a batch rebuild bit-for-bit ([EXT] retrieval "
+    "composition, steady-state shape)",
+)
+def rag_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: per-epoch cost is O(delta chunks) + one fp anti-join
+    # against the meta table + |delta vocab| merged df rows (the
+    # word-clustered df/postings files make both the merge rewrite and
+    # the query-time term filter stats-prunable); query cost is
+    # |terms| posting lists + broadcast 1-row totals — the corpus text
+    # is NEVER re-read (plan-pinned by tests/test_plan_shapes.py).
+    from magshield_data_pipeline_spark.operators import retrieval as R
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    fr = rag_inc_epoch_frames(spark, sf_dir)
+    p = fr["paths"]
+    novel, nmeta, npost, ndf = (
+        fr["novel"], fr["nmeta"], fr["npost"], fr["ndf"]
+    )
+    # ---- the epoch's five index commits, each idempotent under replay
+    SN.append_stream_batch(novel.select("cid", "ctext"), p["chunks"],
+                           batch_id=2, n_files=1)
+    SN.append_stream_batch(nmeta, p["meta"], batch_id=2, n_files=1)
+    SN.append_stream_batch(npost, p["postings"], batch_id=2, n_files=1)
+    merged_df = (
+        ndf.join(
+            SN.read(spark, p["df"], 1).withColumnRenamed("df", "df_old"),
+            "word", "left",
+        )
+        .select(
+            "word",
+            (F.coalesce(F.col("df_old"), F.lit(0)) + F.col("df_delta"))
+            .cast("long").alias("df"),
+        )
+    )
+    SN.merge(merged_df, p["df"], key="word", txn=("rag-epoch", 2))
+    delta_tot = nmeta.agg(
+        F.count(F.lit(1)).alias("dn"), F.sum("dl").alias("dsum")
+    )
+    new_tot = (
+        SN.read(spark, p["totals"], 1)
+        .crossJoin(F.broadcast(delta_tot))  # 1-row x 1-row
+        .select(
+            F.lit(2).cast("long").alias("epoch"),
+            (F.col("n_chunks") + F.col("dn")).cast("long").alias("n_chunks"),
+            (F.col("sum_dl") + F.col("dsum")).cast("long").alias("sum_dl"),
+        )
+    )
+    SN.append_stream_batch(new_tot, p["totals"], batch_id=2, n_files=1)
+    # ---- scoring probes the EVOLVED index at pinned post-epoch
+    # versions; the word prune drops posting files whose [min,max]
+    # term range misses the query terms before Spark plans the scan
+    terms = sorted(_BM25_TERMS)
+    post = SN.read(spark, p["postings"], 3,
+                   prune=("word", terms[0], terms[-1]))
+    out = R.bm25_topk_from_index(
+        post,
+        SN.read(spark, p["meta"], 2),
+        SN.read(spark, p["df"], 2),
+        SN.read(spark, p["totals"], 2).filter(F.col("epoch") == 2),
+        list(_BM25_TERMS), k=_RAG_K,
+    )
+    return out.select("term", "cid", "tf", "dl", "score", "rank")

@@ -818,7 +818,8 @@ def append_stream_batch(df, table_path: str, batch_id: int,
         return v
 
 
-def merge(source_df, table_path: str, key: str, n_files: int = 1) -> int:
+def merge(source_df, table_path: str, key: str, n_files: int = 1,
+          txn: tuple[str, int] | None = None) -> int | None:
     """Copy-on-write MERGE INTO: upsert *source_df* into the latest
     snapshot by *key* — matched rows are replaced by the source row,
     unmatched source rows insert, everything else passes through —
@@ -840,9 +841,18 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1) -> int:
 
     Row semantics are sinks.merge_upsert's (reference analog: the
     replace-else-create upsert at one_drive.py:130-211, lifted from
-    file-by-name to row-by-key *as a ledger commit*)."""
+    file-by-name to row-by-key *as a ledger commit*).
+
+    ``txn=(app_id, version)`` makes the merge an application
+    transaction exactly as in ``delete``: a replay of an
+    already-committed (app, version) returns ``None`` without writing
+    anything, durable across vacuum — what lets an incremental-index
+    epoch fold additive statistics (e.g. df += delta) without a replay
+    double-applying the delta."""
     from pyspark.sql import functions as F
 
+    if txn is not None and _txn_committed(table_path, txn[0], txn[1]):
+        return None
     vs = versions(table_path)
     if not vs:
         raise ValueError(
@@ -912,8 +922,12 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1) -> int:
         "schema": (schema_json if schema_json is not None
                    else source_df.schema.jsonValue()),
     }
+    if txn is not None:
+        new_manifest["txn"] = list(txn)
     _publish_at_exactly(table_path, base_version + 1, new_manifest, entries,
                         op="merge")
+    if txn is not None:
+        _advance_txn(table_path, txn[0], txn[1])
     return base_version + 1
 
 

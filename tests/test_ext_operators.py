@@ -475,3 +475,48 @@ def test_rag_cid_packing_distinct_past_100_chunks(spark):
     assert len(doc1) == n_chunks and len(doc2) == n_chunks
     assert max(doc1) == _RAG_CID_BASE + n_chunks - 1
     assert min(doc2) == 2 * _RAG_CID_BASE
+
+
+def test_rag_incremental_epoch_kills_and_replay(spark):
+    # r11 (VERDICT r10 item 3): the epoch's dedup probe must kill BOTH
+    # planted dup classes (template docs and byte-copies of corpus
+    # docs), admit only genuinely novel chunks, and replaying the
+    # registered query must add NO index versions and return identical
+    # scores.
+    from magshield_data_pipeline_spark.plans.ext_queries import (
+        _RAG_CID_BASE,
+        rag_inc_epoch_frames,
+    )
+    from magshield_data_pipeline_spark.plans.registry import QUERY_REGISTRY
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from tests.conftest import SF_SMALL
+
+    fr = rag_inc_epoch_frames(spark, SF_SMALL)
+    n_delta_sv = fr["dsv"].count()
+    novel_cids = [r.cid for r in fr["novel"].select("cid").collect()]
+    assert 0 < len(novel_cids) < n_delta_sv, "no index kill — no teeth"
+    # every novel chunk comes from a reversed (genuinely new) doc:
+    # %6 in {0,3} (template / byte-copy) must all die at the fp probe
+    for cid in novel_cids:
+        orig_doc = cid // _RAG_CID_BASE - 700000
+        assert orig_doc % 6 not in (0, 3), f"dup chunk admitted: {cid}"
+    fn = QUERY_REGISTRY["rag_incremental_index"].fn
+    first = {(r.term, r.rank): (r.cid, r.tf, r.dl, r.score)
+             for r in fn(spark, SF_SMALL).collect()}
+    p = fr["paths"]
+    vs = {t: SN.versions(p[t])
+          for t in ("chunks", "meta", "postings", "df", "totals")}
+    assert vs == {"chunks": [1, 2], "meta": [1, 2], "postings": [1, 2, 3],
+                  "df": [1, 2], "totals": [1, 2]}
+    second = {(r.term, r.rank): (r.cid, r.tf, r.dl, r.score)
+              for r in fn(spark, SF_SMALL).collect()}
+    assert first == second
+    assert {t: SN.versions(p[t]) for t in vs} == vs
+    # the evolved df really is old + delta (additive fold, not rebuilt)
+    old_df = {r.word: r.df for r in SN.read(spark, p["df"], 1).collect()}
+    new_df = {r.word: r.df for r in SN.read(spark, p["df"], 2).collect()}
+    ndf = {r.word: r.df_delta for r in fr["ndf"].collect()}
+    for w, d in ndf.items():
+        assert new_df[w] == old_df.get(w, 0) + d
+    for w, d in old_df.items():
+        assert new_df[w] == d + ndf.get(w, 0)

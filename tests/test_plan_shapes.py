@@ -65,6 +65,12 @@ _ALLOW_BNLJ = {
     "incremental_curation_epoch2",
     # two 1-row totals crosses (one per model version being compared)
     "curation_model_refresh",
+    # the same two 1-row totals crosses (dual-model verdicts), plus the
+    # 1-row old-totals × 1-row delta-totals fold
+    "curation_retraction_epoch",
+    # index-backed BM25: scored posting rows × the ONE-row committed
+    # totals (n_chunks, sum_dl) — the versioned normalizer commit
+    "rag_incremental_index",
     # per-doc fluency scores × the ONE-row corpus-totals frame — the
     # self-normalizing LM gate's global mean
     "curation_pipeline_v2",
@@ -920,3 +926,54 @@ def test_retraction_epoch_plan_scopes(spark):
         plan = _physical_plan(fr[name])
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_rag_incremental_epoch_scans_no_preexisting_chunk_text(spark):
+    # r11 (VERDICT r10 item 3): the index epoch's cost must be the
+    # DELTA plus narrow index probes — no stage frame may read the v1
+    # corpus files or the chunks table's stored text; and the pinned
+    # word-range prune on the clustered postings must genuinely drop
+    # posting files at plan time.
+    import os
+
+    from magshield_data_pipeline_spark.plans.ext_queries import (
+        _BM25_TERMS,
+        rag_inc_epoch_frames,
+    )
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    spark.catalog.clearCache()
+    fr = rag_inc_epoch_frames(spark, SF_SMALL)
+    spark.catalog.clearCache()  # persisted intermediates hide files
+    p = fr["paths"]
+
+    def _files(df):
+        files = {f.replace("file:", "").lstrip("/") for f in df.inputFiles()}
+        assert files, "no input files resolved — vacuous check"
+        return files
+
+    def _manifest_files(tbl, v):
+        return {
+            os.path.join(p[tbl], e["path"]).lstrip("/")
+            for e in SN.read_manifest(p[tbl], v)["files"]
+        }
+
+    raw_v1 = _manifest_files("raw", 1)
+    raw_v2_added = _manifest_files("raw", 2) - raw_v1
+    chunks_v1 = _manifest_files("chunks", 1)
+    assert raw_v1 and raw_v2_added and chunks_v1
+    for name in ("delta", "dsv", "novel", "nmeta", "npost", "ndf"):
+        files = _files(fr[name])
+        assert not (files & raw_v1), f"{name} re-reads the corpus"
+        assert not (files & chunks_v1), f"{name} reads stored chunk text"
+    assert _files(fr["delta"]) == raw_v2_added
+    # the dedup probe reads the meta table at its PINNED v1
+    assert _manifest_files("meta", 1) <= _files(fr["novel"])
+    # manifest-level string pruning on the clustered posting lists:
+    # the [min(term), max(term)] range plans over strictly fewer files
+    terms = sorted(_BM25_TERMS)
+    all_post = SN.read(spark, p["postings"], 2)
+    pruned = SN.read(spark, p["postings"], 2,
+                     prune=("word", terms[0], terms[-1]))
+    assert len(all_post.inputFiles()) == 4
+    assert len(pruned.inputFiles()) < 4

@@ -662,3 +662,24 @@ def test_row_changes_span_multiple_commit_types(spark, tmp_path):
         ("update_postimage", 4, 0),
         ("update_preimage", 4, 0),
     ]
+
+
+def test_merge_txn_replay_is_noop_even_after_vacuum(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t36")
+    S.overwrite(spark.range(0, 10).select(F.col("id").alias("k"),
+                                          F.lit(0).cast("long").alias("v")),
+                t, n_files=1)
+    src = spark.createDataFrame([(3, 7), (100, 1)], "k long, v long")
+    assert S.merge(src, t, key="k", txn=("stats-fold", 1)) == 2
+    # replay: no-op, no version — a double-applied additive fold would
+    # otherwise corrupt the statistics it maintains
+    assert S.merge(src, t, key="k", txn=("stats-fold", 1)) is None
+    assert S.versions(t) == [1, 2]
+    # durability: vacuum the merge's manifest; the replay stays a no-op
+    S.append(spark.createDataFrame([(200, 2)], "k long, v long"), t)
+    S.vacuum(t, keep_versions=1)
+    assert S.merge(src, t, key="k", txn=("stats-fold", 1)) is None
+    # a NEW txn version still commits
+    assert S.merge(src, t, key="k", txn=("stats-fold", 2)) == 4
