@@ -26,6 +26,9 @@ _ALLOW_BNLJ = {
     # exact-verify side is brute_force_topk's bounded broadcast cross
     # (5 queries × corpus), same shape as embedding_quantized_recall
     "embedding_pq_recall",
+    # two PQ encode passes (broadcast codebook × corpus, pq_topk's
+    # shape) + the same bounded exact-verify cross
+    "ann_codebook_refresh",
     "kmeans_centroid_update",
     # both Lloyd iterations cross the corpus with the broadcast
     # centroid set (the assign_clusters shape, twice)
