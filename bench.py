@@ -127,6 +127,14 @@ def main() -> int:
 
     total = round(sum(timings.values()), 2)
     abbrev = _abbrev_map(timings)
+    load_end = round(os.getloadavg()[0], 2)
+    # self-describing conditions (VERDICT r10 "what's wrong" #1): a
+    # record taken on a loaded box must SAY so at the top level — the
+    # repo's own bench gate is loadavg < 0.2 at start, and BENCH_r10
+    # (start 2.11) read +9.8% vs the committed idle record at identical
+    # code; a naive reader of the JSON shouldn't have to know to check
+    # loadavg_1m to avoid misreading ambient noise as a regression
+    conditions = "idle" if load_start[0] < 0.2 else "degraded"
 
     # full record (full names + spreads) → committed repo file; smoke
     # runs at other SFs set $SPARK_GRAFT_BENCH_OUT so they never clobber
@@ -146,9 +154,10 @@ def main() -> int:
                 "runs_per_query": n_runs,
                 "session_chunk": chunk,
                 "warmup_query": next(iter(QUERY_REGISTRY)),
+                "conditions": conditions,
                 "loadavg_1m": {
                     "start": round(load_start[0], 2),
-                    "end": round(os.getloadavg()[0], 2),
+                    "end": load_end,
                 },
                 "sf": sf,
             },
@@ -164,6 +173,7 @@ def main() -> int:
             "metric": "total_query_wall_seconds",
             "value": total,
             "unit": "sec",
+            "conditions": conditions,
             "queries": compact,
             "sf": sf,
         },
@@ -191,6 +201,7 @@ def main() -> int:
                     "metric": "total_query_wall_seconds",
                     "value": total,
                     "unit": "sec",
+                    "conditions": conditions,
                     "queries": {},
                     "queries_truncated_to_slowest": 999,
                     "queries_total": len(compact),
@@ -214,6 +225,7 @@ def main() -> int:
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "conditions": conditions,
                 "queries": slowest,
                 "queries_truncated_to_slowest": len(slowest),
                 "queries_total": len(compact),
