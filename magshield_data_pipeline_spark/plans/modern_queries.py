@@ -899,3 +899,66 @@ def snapshot_row_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_sum").cast("long").alias("id_sum"),
         F.col("text_chars").cast("long").alias("text_chars"),
     )
+
+
+_SNAP_PART_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_partition_prune",
+    sql=_SNAP_PART_SQL,
+    description="identity PARTITION SPEC on the snapshot ledger (r11): "
+    "orders committed with partition_by='o_orderpriority' lay out "
+    "hive-style col=value files whose manifest entries record the "
+    "EXACT partition value; the read prunes to the two requested "
+    "priorities at the MANIFEST level (no directory discovery, no "
+    "min/max approximation — value-exact file selection) and the "
+    "partition column is restored from manifest metadata, not file "
+    "footers — the hash pins both the restored values and that no "
+    "out-of-partition row leaked in; the planned-file reduction is "
+    "pinned by tests/test_snapshots.py ([EXT] lakehouse tier, "
+    "completing the table-format read contract: version + timestamp + "
+    "stats-range + partition-value addressing)",
+)
+def snapshot_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: partition pruning is list-filtering on manifest metadata —
+    # zero I/O to decide, and at 100 TB the difference between
+    # scanning a table and scanning two partitions; the restored
+    # partition column is a per-file literal (whole-stage codegen
+    # constant), never a disk read.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = scratch_path(
+        "snap_part_orders", sf_dir, "overwrite partition_by=o_orderpriority"
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(orders, tmp, n_files=2,
+                     partition_by="o_orderpriority")
+
+    ensure_scratch(base, _build)
+    wanted = ["1-URGENT", "3-MEDIUM"]
+    pruned = SN.read(spark, base, partitions={"o_orderpriority": wanted})
+    return (
+        pruned.filter(F.col("o_orderpriority").isin(wanted))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("priority", "n_orders", "revenue")
+    )

@@ -186,29 +186,50 @@ def _stat_value(v):
 
 
 def _write_data_files(df, table_path: str, n_files: int,
-                      cluster_by: list[str] | None = None) -> list[dict]:
-    """Land *df* as exactly *n_files* immutable parquet files under a
-    commit-unique subdirectory of ``data/`` and return their manifest
-    entries (path relative to the table root, row count, and min/max
-    stats for every numeric AND string column — the file-pruning
-    index).  ``cluster_by`` range-partitions + sorts the rows on the
-    given columns before writing, so each file covers a DISJOINT key
-    range and the min/max stats become a real pruning index (the
+                      cluster_by: list[str] | None = None,
+                      partition_by: str | None = None) -> list[dict]:
+    """Land *df* as immutable parquet files under a commit-unique
+    subdirectory of ``data/`` and return their manifest entries (path
+    relative to the table root, row count, and min/max stats for every
+    numeric AND string column — the file-pruning index).
+
+    ``cluster_by`` range-partitions + sorts the rows on the given
+    columns before writing, so each file covers a DISJOINT key range
+    and the min/max stats become a real pruning index (the
     OPTIMIZE/CLUSTER BY story: interleaved data makes every file span
-    the full key range and stats prune nothing)."""
+    the full key range and stats prune nothing).
+
+    ``partition_by`` writes hive-layout ``col=value`` subdirectories
+    (one shuffle keyed on the partition column, at most *n_files*
+    files per value) and records the EXACT partition value on each
+    manifest entry — identity partition-spec: readers prune on
+    partition VALUES (not just min/max ranges), and ``_scan`` restores
+    the column from the manifest instead of the file footer.  Mutually
+    exclusive with ``cluster_by``."""
     from pyspark.sql import functions as F
 
+    if cluster_by and partition_by:
+        raise ValueError("pass cluster_by OR partition_by, not both")
     sub = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}")
     target = os.path.join(table_path, sub)
-    arranged = (
-        df.repartitionByRange(n_files, *cluster_by)
-        .sortWithinPartitions(*cluster_by)
-        if cluster_by
-        else df.repartition(n_files)
-    )
-    arranged.write.parquet(target)
+    if partition_by:
+        (
+            df.repartition(n_files, F.col(partition_by))
+            .write.partitionBy(partition_by)
+            .parquet(target)
+        )
+    else:
+        arranged = (
+            df.repartitionByRange(n_files, *cluster_by)
+            .sortWithinPartitions(*cluster_by)
+            if cluster_by
+            else df.repartition(n_files)
+        )
+        arranged.write.parquet(target)
     files = sorted(
-        f for f in os.listdir(target)
+        os.path.relpath(os.path.join(dirpath, f), target)
+        for dirpath, _dirs, names in os.walk(target)
+        for f in names
         if f.endswith(".parquet") and not f.startswith(".")
     )
     spark = df.sparkSession
@@ -216,16 +237,26 @@ def _write_data_files(df, table_path: str, n_files: int,
         f.name
         for f in df.schema.fields
         if f.dataType.typeName() in _NUMERIC_TYPES + ("string",)
+        and f.name != partition_by  # exact value recorded instead
     ]
     # per-file stats in ONE job keyed by input_file_name() — never a
     # Spark job per file (a real table format reads them straight from
     # the parquet footers; one grouped scan is the engine-level
-    # equivalent and stays O(1) jobs however many files the commit has)
+    # equivalent and stays O(1) jobs however many files the commit has).
+    # Keyed by path RELATIVE to the commit dir, not basename: a
+    # partitioned write reuses one task's part-file name across its
+    # col=value subdirectories, so basenames collide.
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in stat_cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    abs_target = os.path.abspath(target)
+
+    def _rel(file_uri: str) -> str:
+        p = file_uri.replace("file:", "")
+        return os.path.relpath(p, abs_target)
+
     by_file = {
-        os.path.basename(r["_f"]): r
+        _rel(r["_f"]): r
         for r in (
             spark.read.parquet(target)
             .groupBy(F.input_file_name().alias("_f"))
@@ -233,47 +264,67 @@ def _write_data_files(df, table_path: str, n_files: int,
             .collect()
         )
     }
+
+    def _partition_of(rel_name: str) -> dict | None:
+        if not partition_by:
+            return None
+        from urllib.parse import unquote
+
+        for comp in rel_name.split(os.sep)[:-1]:
+            if "=" in comp:
+                col, _, raw = comp.partition("=")
+                if col == partition_by:
+                    return {col: unquote(raw)}
+        raise ValueError(
+            f"partitioned write produced un-layouted file {rel_name!r}"
+        )
+
     entries = []
     for name in files:
         got = by_file.get(name)
-        if got is None:  # an empty part file groups to no row
-            entries.append(
-                {"path": os.path.join(sub, name), "rows": 0, "stats": {}}
-            )
-            continue
-        row = got.asDict()
-        row.pop("_f")
-        entries.append(
-            {
-                "path": os.path.join(sub, name),
-                "rows": row.pop("_n"),
-                "stats": {k: _stat_value(v) for k, v in row.items()},
-            }
-        )
+        entry = {"path": os.path.join(sub, name), "rows": 0, "stats": {}}
+        if got is not None:
+            row = got.asDict()
+            row.pop("_f")
+            entry["rows"] = row.pop("_n")
+            entry["stats"] = {k: _stat_value(v) for k, v in row.items()}
+        part = _partition_of(name)
+        if part is not None:
+            entry["partition"] = part
+        entries.append(entry)
     return entries
 
 
-def append(df, table_path: str, n_files: int = 2) -> int:
+def append(df, table_path: str, n_files: int = 2,
+           partition_by: str | None = None) -> int:
     """Commit *df* as new files ON TOP of the latest snapshot (the
     carried file list is resolved inside the commit's retry loop, so
     concurrent appends compose instead of lost-updating).  An append
     whose *df* carries columns the table has never seen is the
     ADD-COLUMN evolution commit: the published schema is the carried
     schema plus the new columns, and readers of the new version see
-    null for them in every pre-evolution file."""
-    entries = _write_data_files(df, table_path, n_files)
+    null for them in every pre-evolution file.  ``partition_by``
+    writes this commit's files under an identity partition spec (see
+    ``_write_data_files``); commits with different specs coexist in
+    one table — pruning applies wherever partition values are
+    recorded."""
+    entries = _write_data_files(df, table_path, n_files,
+                                partition_by=partition_by)
     return _publish_manifest(
         table_path, "append", entries, carry=True,
         schema=df.schema.jsonValue(),
     )
 
 
-def overwrite(df, table_path: str, n_files: int = 2) -> int:
+def overwrite(df, table_path: str, n_files: int = 2,
+              partition_by: str | None = None) -> int:
     """Commit *df* as the ENTIRE table content; prior files stay on
     disk (older snapshots remain readable) but are no longer listed.
     The schema is replaced outright (overwrite is the explicit path
-    for type changes that ``append`` refuses)."""
-    entries = _write_data_files(df, table_path, n_files)
+    for type changes that ``append`` refuses).  ``partition_by``
+    writes under an identity partition spec."""
+    entries = _write_data_files(df, table_path, n_files,
+                                partition_by=partition_by)
     return _publish_manifest(
         table_path, "overwrite", entries, schema=df.schema.jsonValue()
     )
@@ -329,14 +380,19 @@ def version_as_of(table_path: str, ts: float) -> int:
 
 def read(spark, table_path: str, version: int | None = None, *,
          as_of: float | None = None,
-         prune: tuple[str, float, float] | None = None):
+         prune: tuple[str, float, float] | None = None,
+         partitions: dict[str, list] | None = None):
     """Scan snapshot *version* (default latest): exactly the manifest's
     files, nothing else.  ``as_of=<unix ts>`` resolves the version by
     commit wall-time instead (timestamp travel; mutually exclusive with
     *version*).  ``prune=(col, lo, hi)`` drops files whose [min, max]
     range cannot intersect [lo, hi] BEFORE Spark plans the scan —
-    manifest-level file pruning (the caller still applies the row-level
-    filter; pruning only shrinks the file list)."""
+    manifest-level file pruning.  ``partitions={col: [v, ...]}`` keeps
+    only files whose recorded partition VALUE matches (exact identity
+    pruning for ``partition_by`` commits; files without partition
+    metadata are kept conservatively).  Either way the caller still
+    applies the row-level filter; pruning only shrinks the file
+    list."""
     if as_of is not None:
         if version is not None:
             raise ValueError("read: pass version OR as_of, not both")
@@ -357,28 +413,73 @@ def read(spark, table_path: str, version: int | None = None, *,
             if mn is None or mx is None or (mn <= hi and mx >= lo):
                 kept.append(e)
         entries = kept
+    if partitions:
+        wanted = {col: {str(x) for x in vals}
+                  for col, vals in partitions.items()}
+        entries = [
+            e for e in entries
+            if all(
+                col not in (e.get("partition") or {})
+                or e["partition"][col] in vals
+                for col, vals in wanted.items()
+            )
+        ]
     if not entries:
         raise ValueError(
             f"snapshot v{v} at {table_path} has no files after pruning"
         )
-    return _scan(spark, table_path,
-                 [e["path"] for e in entries], manifest.get("schema"))
+    return _scan(spark, table_path, entries, manifest.get("schema"))
 
 
-def _scan(spark, table_path: str, rel_paths: list[str],
+def _scan(spark, table_path: str, entries: list[dict],
           schema_json: dict | None):
-    """Scan exactly *rel_paths*, under the MANIFEST schema when the
-    commit recorded one: a file written before an add-column commit
-    lacks the column in its footer, and the reader fills it with null —
-    which is what makes schema evolution a pure metadata commit (zero
-    data files rewritten).  Manifests from before schemas were recorded
-    fall back to footer-inferred reads (their chains never evolved)."""
-    paths = [os.path.join(table_path, p) for p in rel_paths]
-    if schema_json is None:
-        return spark.read.parquet(*paths)
+    """Scan exactly the files of *entries*, under the MANIFEST schema
+    when the commit recorded one: a file written before an add-column
+    commit lacks the column in its footer, and the reader fills it
+    with null — which is what makes schema evolution a pure metadata
+    commit (zero data files rewritten).  Manifests from before schemas
+    were recorded fall back to footer-inferred reads (their chains
+    never evolved).
+
+    Entries carrying a ``partition`` (identity partition-spec writes)
+    are grouped by partition value and the column is RESTORED from the
+    manifest as a typed literal — hive-layout files don't store the
+    partition column in their footers, and the manifest (not directory
+    discovery) is the source of truth, exactly the Iceberg
+    partition-data-in-metadata contract."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    return spark.read.schema(StructType.fromJson(schema_json)).parquet(*paths)
+    full = StructType.fromJson(schema_json) if schema_json else None
+    groups: dict[tuple, list[str]] = {}
+    for e in entries:
+        key = tuple(sorted((e.get("partition") or {}).items()))
+        groups.setdefault(key, []).append(e["path"])
+    frames = []
+    for key in sorted(groups):
+        paths = [os.path.join(table_path, p) for p in groups[key]]
+        part = dict(key)
+        if full is None:
+            df = spark.read.parquet(*paths)
+            for c, v in part.items():
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(v))
+        else:
+            file_schema = StructType(
+                [f for f in full.fields if f.name not in part]
+            )
+            df = spark.read.schema(file_schema).parquet(*paths)
+            for f in full.fields:
+                if f.name in part:
+                    df = df.withColumn(
+                        f.name, F.lit(part[f.name]).cast(f.dataType)
+                    )
+            df = df.select(*[f.name for f in full.fields])
+        frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def read_changes(spark, table_path: str, from_version: int,
@@ -398,7 +499,7 @@ def read_changes(spark, table_path: str, from_version: int,
         )
     old = {e["path"] for e in read_manifest(table_path, from_version)["files"]}
     added = [
-        e["path"]
+        e
         for e in read_manifest(table_path, to_version)["files"]
         if e["path"] not in old
     ]
@@ -475,10 +576,8 @@ def read_row_changes(spark, table_path: str, from_version: int,
             )
         prev_paths = {e["path"] for e in prev["files"]}
         cur_paths = {e["path"] for e in cur["files"]}
-        added = [p for p in (e["path"] for e in cur["files"])
-                 if p not in prev_paths]
-        removed = [p for p in (e["path"] for e in prev["files"])
-                   if p not in cur_paths]
+        added = [e for e in cur["files"] if e["path"] not in prev_paths]
+        removed = [e for e in prev["files"] if e["path"] not in cur_paths]
         op = cur.get("operation")
         if op == "compact":
             continue  # same rows, new layout: no row changes by contract
@@ -906,7 +1005,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
     spark = source_df.sparkSession
     if touched:
         existing = _scan(
-            spark, table_path, [e["path"] for e in touched], schema_json
+            spark, table_path, touched, schema_json
         )
         kept = existing.join(source_df.select(key), [key], "left_anti")
         result = kept.unionByName(source_df.select(*existing.columns))
@@ -1011,7 +1110,7 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     if touched:
         spark = keys_df.sparkSession
         existing = _scan(
-            spark, table_path, [e["path"] for e in touched], schema_json
+            spark, table_path, touched, schema_json
         )
         kept = existing.join(keys, [key], "left_anti")
         entries = _write_data_files(kept, table_path, n_files)

@@ -683,3 +683,76 @@ def test_merge_txn_replay_is_noop_even_after_vacuum(spark, tmp_path):
     assert S.merge(src, t, key="k", txn=("stats-fold", 1)) is None
     # a NEW txn version still commits
     assert S.merge(src, t, key="k", txn=("stats-fold", 2)) == 4
+
+
+# --- identity partition spec -------------------------------------------
+
+
+def test_partitioned_write_records_values_and_read_restores_column(
+        spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t37")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("bucket"),
+    )
+    S.overwrite(df, t, n_files=2, partition_by="bucket")
+    m = S.read_manifest(t, 1)
+    # every entry carries its exact partition value
+    assert all(e.get("partition", {}).get("bucket") in {"0", "1", "2"}
+               for e in m["files"])
+    assert {e["partition"]["bucket"] for e in m["files"]} == {"0", "1", "2"}
+    # hive-layout files don't store the column; the manifest restores
+    # it typed per the committed schema
+    got = S.read(spark, t)
+    assert set(got.columns) == {"k", "bucket"}
+    rows = {(r.k, r.bucket) for r in got.collect()}
+    assert rows == {(i, str(i % 3)) for i in range(30)}
+
+
+def test_partition_pruning_is_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t38")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+    )
+    S.overwrite(df, t, n_files=1, partition_by="bucket")
+    full = S.read(spark, t)
+    pruned = S.read(spark, t, partitions={"bucket": ["1", "3"]})
+    # exact identity pruning: only the matching values' files planned
+    assert len(full.inputFiles()) == 4
+    assert len(pruned.inputFiles()) == 2
+    assert sorted(r.k for r in pruned.collect()) \
+        == [i for i in range(40) if i % 4 in (1, 3)]
+    # a non-partitioned append coexists: its files are kept
+    # conservatively under partition pruning
+    S.append(spark.createDataFrame([(100, "9")], "k long, bucket string"), t,
+             n_files=1)
+    mixed = S.read(spark, t, partitions={"bucket": ["1"]})
+    ks = sorted(r.k for r in mixed.collect())
+    assert 100 in ks and all(k % 4 == 1 for k in ks if k < 40)
+
+
+def test_partitioned_row_cdc_and_merge_still_work(spark, tmp_path):
+    # the partition column lives in manifest metadata, not footers —
+    # the before/after-image scans must restore it for CDC and merge
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t39")
+    df = spark.range(0, 12).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("side"),
+    )
+    S.overwrite(df, t, n_files=1, partition_by="side")
+    src = spark.createDataFrame([(2, "0"), (50, "0")], "k long, side string")
+    S.merge(src, t, key="k")
+    got = {(r.k, r.side) for r in S.read(spark, t).collect()}
+    assert (50, "0") in got and (2, "0") in got and len(got) == 13
+    ch = S.read_row_changes(spark, t, 1, 2)
+    kinds = {(r["_change_type"], r["k"]) for r in ch.collect()}
+    assert ("insert", 50) in kinds
+    assert not any(k == "update_postimage" and key == 2 for k, key in kinds) \
+        or ("update_preimage", 2) in kinds
