@@ -96,8 +96,12 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     chunk = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "48")))
+    # ambient-load provenance, sampled BEFORE the first session warmup —
+    # sampling after it measures the bench's own warmup, not the box
+    # (the r10/r11 records' start values were contaminated this way and
+    # could never read below the 0.2 idle gate)
+    load_start = os.getloadavg()
     spark = _fresh_session(sf_dir)
-    load_start = os.getloadavg()  # ambient-load provenance for the record
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
