@@ -962,3 +962,117 @@ def snapshot_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("priority", "n_orders", "revenue")
     )
+
+
+_SNAP_MOR_SQL = """
+WITH docs AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS payload FROM documents
+),
+reins AS (
+    SELECT doc_id, payload * 2 AS payload
+    FROM docs WHERE doc_id % 9 = 4 AND doc_id % 7 = 0
+),
+after_delete AS (SELECT * FROM docs WHERE doc_id % 9 <> 4),
+after_reinsert AS (
+    SELECT * FROM after_delete UNION ALL SELECT * FROM reins
+)
+SELECT 'base' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(payload) AS BIGINT) AS payload_sum FROM docs
+UNION ALL
+SELECT 'after_delete', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT)
+FROM after_delete
+UNION ALL
+SELECT 'after_reinsert', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT)
+FROM after_reinsert
+UNION ALL
+SELECT 'after_compact', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT)
+FROM after_reinsert
+UNION ALL
+SELECT 'cdc_deleted', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT)
+FROM docs WHERE doc_id % 9 = 4
+"""
+
+
+@register(
+    "snapshot_mor_delete",
+    sql=_SNAP_MOR_SQL,
+    description="MERGE-ON-READ equality deletes (r11): a scattered key "
+    "set is committed as an equality-DELETE FILE — zero data files "
+    "rewritten (the manifest's data list is byte-identical, pinned by "
+    "tests/test_snapshots.py) — and readers anti-join it; a key "
+    "re-inserted AFTER the delete survives because the delete applies "
+    "only to data files with a LOWER sequence number (the Iceberg v2 "
+    "contract, hash-pinned by the after_reinsert row's doubled "
+    "payload); compact() MATERIALIZES the deletes (after_compact == "
+    "after_reinsert with the delete files dropped), and the row-CDC "
+    "feed emits exactly the deleted rows' pre-images; completes the "
+    "delete story beside copy-on-write — COW for range-clustered "
+    "deletes, MOR for scattered retraction sets ([EXT] lakehouse "
+    "tier)",
+)
+def snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: a retraction set hash-scattered over a 100 TB corpus
+    # touches every file under copy-on-write; merge-on-read commits
+    # |keys| rows of delete file and rewrites NOTHING — the read-side
+    # anti-join costs one broadcast-able key set per scan until a
+    # scheduled compact materializes.  All reads below are
+    # version-pinned; the build is write-once.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("payload")
+    )
+    base = scratch_path(
+        "snap_mor_docs", sf_dir,
+        "v1=docs v2=mor-delete(%9=4) v3=append reinsert(%9=4&%7=0, "
+        "payload*2) v4=compact",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(docs, tmp, n_files=2)
+        SN.delete(
+            docs.filter(F.col("doc_id") % 9 == 4).select("doc_id"),
+            tmp, key="doc_id", mode="merge-on-read",
+        )
+        SN.append(
+            docs.filter((F.col("doc_id") % 9 == 4)
+                        & (F.col("doc_id") % 7 == 0))
+            .select("doc_id", (F.col("payload") * 2).alias("payload")),
+            tmp, n_files=1,
+        )
+        SN.compact(spark, tmp, n_files=1)
+
+    ensure_scratch(base, _build)
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("payload").alias("payload_sum"),
+        )
+
+    out = (
+        row("base", SN.read(spark, base, 1))
+        .unionByName(row("after_delete", SN.read(spark, base, 2)))
+        .unionByName(row("after_reinsert", SN.read(spark, base, 3)))
+        .unionByName(row("after_compact", SN.read(spark, base, 4)))
+        .unionByName(
+            row("cdc_deleted", SN.read_row_changes(spark, base, 1, 2)
+                .select("doc_id", "payload"))
+        )
+    )
+    return out.select(
+        "stage", "n_docs",
+        F.col("id_sum").cast("long").alias("id_sum"),
+        F.col("payload_sum").cast("long").alias("payload_sum"),
+    )

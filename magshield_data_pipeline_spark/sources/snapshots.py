@@ -143,12 +143,23 @@ def _publish_manifest(
             committed_schema = _merge_schema(
                 carried_manifest.get("schema"), schema
             )
+        # stamp this commit's NEW entries with their sequence number —
+        # what lets a merge-on-read delete file apply only to data
+        # committed BEFORE it (the Iceberg v2 sequence-number contract);
+        # carried entries keep the seq of the commit that created them
+        stamped = [{**e, "seq": v} for e in entries]
         manifest = {
             "operation": operation,
             "version": v,
             "committed_at": time.time(),
-            "files": carried + entries,
+            "files": carried + stamped,
         }
+        if carried_manifest and carried_manifest.get("delete_files"):
+            # appends COMPOSE with pending merge-on-read deletes: the
+            # delete files are carried forward (dropping them would
+            # silently undelete); overwrite/compact replace content and
+            # correctly drop them (compact is the materialization)
+            manifest["delete_files"] = carried_manifest["delete_files"]
         if committed_schema is not None:
             manifest["schema"] = committed_schema
         with open(staged, "w") as f:
@@ -428,7 +439,47 @@ def read(spark, table_path: str, version: int | None = None, *,
         raise ValueError(
             f"snapshot v{v} at {table_path} has no files after pruning"
         )
+    deletes = manifest.get("delete_files")
+    if deletes:
+        return _scan_with_deletes(spark, table_path, entries, deletes,
+                                  manifest.get("schema"))
     return _scan(spark, table_path, entries, manifest.get("schema"))
+
+
+def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
+                       delete_files: list[dict], schema_json: dict | None):
+    """Merge-on-read: scan the data files and ANTI-JOIN the pending
+    equality-delete files — a delete file applies ONLY to data files
+    whose sequence number is LOWER than its own (the Iceberg v2
+    contract), so a row re-inserted after the delete survives.  Data
+    entries are grouped by their applicable-delete set (few distinct
+    sets in practice: files before vs after each delete commit), each
+    group anti-joined once per delete key column."""
+    groups: dict[tuple, list[dict]] = {}
+    for e in data_entries:
+        applicable = tuple(
+            sorted(
+                (d["path"], d["key"]) for d in delete_files
+                if d.get("seq", 0) > e.get("seq", 0)
+            )
+        )
+        groups.setdefault(applicable, []).append(e)
+    frames = []
+    for applicable in sorted(groups):
+        df = _scan(spark, table_path, groups[applicable], schema_json)
+        by_key: dict[str, list[str]] = {}
+        for path, key in applicable:
+            by_key.setdefault(key, []).append(path)
+        for key, paths in sorted(by_key.items()):
+            keys = spark.read.parquet(
+                *[os.path.join(table_path, p) for p in paths]
+            ).select(key).distinct()
+            df = df.join(keys, [key], "left_anti")
+        frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _scan(spark, table_path: str, entries: list[dict],
@@ -581,6 +632,44 @@ def read_row_changes(spark, table_path: str, from_version: int,
         op = cur.get("operation")
         if op == "compact":
             continue  # same rows, new layout: no row changes by contract
+        if op == "delete" and cur.get("mode") == "merge-on-read":
+            # no data file changed hands: the commit's NEW equality-
+            # delete files define the change.  Pre-images come from the
+            # data files whose key range can contain the deleted keys
+            # (stats-pruned) AND whose sequence number the delete
+            # applies to, with the PRIOR pending deletes applied so
+            # already-invisible rows aren't re-emitted.
+            prev_del_paths = {d["path"] for d in prev.get("delete_files", [])}
+            new_dels = [d for d in cur.get("delete_files", [])
+                        if d["path"] not in prev_del_paths]
+            for d in new_dels:
+                dkey = d["key"]
+                keys = spark.read.parquet(
+                    os.path.join(table_path, d["path"])
+                ).select(dkey).distinct()
+                b = keys.agg(F.min(dkey).alias("lo"),
+                             F.max(dkey).alias("hi")
+                             ).collect()[0]  # single-row probe — bounded
+                cands = []
+                for e in cur["files"]:
+                    if e.get("seq", 0) >= d.get("seq", 0):
+                        continue  # delete applies only to older data
+                    mn = e["stats"].get(f"min_{dkey}")
+                    mx = e["stats"].get(f"max_{dkey}")
+                    if mn is None or mx is None or (
+                            mn <= b["hi"] and mx >= b["lo"]):
+                        cands.append(e)
+                if not cands:
+                    continue
+                img = _scan_with_deletes(
+                    spark, table_path, cands,
+                    prev.get("delete_files", []), cur.get("schema"),
+                ) if prev.get("delete_files") else _scan(
+                    spark, table_path, cands, cur.get("schema"))
+                pieces.append(
+                    tagged(img.join(keys, [dkey], "left_semi"), "delete", v)
+                )
+            continue
         after = (_scan(spark, table_path, added, cur.get("schema"))
                  if added else None)
         before = (_scan(spark, table_path, removed, prev.get("schema"))
@@ -769,7 +858,10 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     vs = versions(table_path)
     keep, drop = vs[-keep_versions:], vs[:-keep_versions]
     live = {
-        e["path"] for v in keep for e in read_manifest(table_path, v)["files"]
+        e["path"]
+        for v in keep
+        for m in [read_manifest(table_path, v)]
+        for e in m["files"] + m.get("delete_files", [])
     }
     deleted = []
     for v in drop:
@@ -781,7 +873,7 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
             # exactly as batch_id is carried — a replayed retraction must
             # stay a no-op even after its manifest is vacuumed
             _advance_txn(table_path, m["txn"][0], m["txn"][1])
-        for e in m["files"]:
+        for e in m["files"] + m.get("delete_files", []):
             p = e["path"]
             if p not in live:
                 full = os.path.join(table_path, p)
@@ -811,7 +903,8 @@ def remove_orphans(table_path: str, older_than_seconds: float = 86400.0
     referenced = {
         e["path"]
         for v in versions(table_path)
-        for e in read_manifest(table_path, v)["files"]
+        for m in [read_manifest(table_path, v)]
+        for e in m["files"] + m.get("delete_files", [])
     }
     cutoff = time.time() - older_than_seconds
     deleted = []
@@ -960,6 +1053,12 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
         )
     base_version = vs[-1]
     manifest = read_manifest(table_path, base_version)
+    if manifest.get("delete_files"):
+        raise ValueError(
+            "merge: table has pending merge-on-read delete files — "
+            "compact() to materialize them before a copy-on-write "
+            "merge (rewritten files would resurrect deleted rows)"
+        )
     schema_json = manifest.get("schema")
     if schema_json is not None:
         table_cols = [f["name"] for f in schema_json["fields"]]
@@ -1012,6 +1111,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
     else:
         result = source_df  # pure insert: no file can hold a match
     entries = _write_data_files(result, table_path, n_files)
+    entries = [{**e, "seq": base_version + 1} for e in entries]
     new_manifest = {
         "operation": "merge",
         "key": key,
@@ -1058,13 +1158,26 @@ def _publish_at_exactly(table_path: str, v: int, manifest: dict,
 
 
 def delete(keys_df, table_path: str, key: str, n_files: int = 1,
-           txn: tuple[str, int] | None = None) -> int | None:
-    """Row-level DELETE as a copy-on-write ledger commit: remove every
-    row of the latest snapshot whose *key* appears in *keys_df*,
-    rewriting ONLY the files whose manifest [min, max] range on *key*
-    can intersect the delete set (disjoint files are carried by
-    reference, byte-untouched — the same stats-pruned rewrite as
-    ``merge``, and at 100 TB the same a-few-files-not-the-table bound).
+           txn: tuple[str, int] | None = None,
+           mode: str = "copy-on-write") -> int | None:
+    """Row-level DELETE as a ledger commit: remove every row of the
+    latest snapshot whose *key* appears in *keys_df*.  Two modes — the
+    Iceberg v2 pair, chosen per call:
+
+    - ``copy-on-write`` (default): rewrite ONLY the files whose
+      manifest [min, max] range on *key* can intersect the delete set
+      (disjoint files are carried by reference, byte-untouched — the
+      same stats-pruned rewrite as ``merge``).  Best when deletes
+      cluster by key range.
+    - ``merge-on-read``: rewrite NOTHING — the key set itself is
+      committed as an EQUALITY-DELETE file; readers anti-join it, and
+      it applies only to data files with a LOWER sequence number, so a
+      later re-insert of the same key survives (the Iceberg v2
+      sequence-number contract).  Best for SCATTERED keys (a
+      retraction set hash-distributed over the corpus would touch
+      every file under copy-on-write); ``compact()`` materializes the
+      deletes and drops the delete files.
+
     Readers pinned to any prior version still see the deleted rows —
     snapshot isolation by construction — and the commit validates its
     base version at publish time (serializable conflict, loud failure).
@@ -1082,6 +1195,8 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     """
     from pyspark.sql import functions as F
 
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"delete: unknown mode {mode!r}")
     if txn is not None and _txn_committed(table_path, txn[0], txn[1]):
         return None
     vs = versions(table_path)
@@ -1092,6 +1207,36 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     base_version = vs[-1]
     manifest = read_manifest(table_path, base_version)
     schema_json = manifest.get("schema")
+    if mode == "merge-on-read":
+        entries = _write_data_files(
+            keys_df.select(key).distinct(), table_path, n_files
+        )
+        new_manifest = {
+            "operation": "delete",
+            "mode": "merge-on-read",
+            "key": key,
+            "version": base_version + 1,
+            "committed_at": time.time(),
+            "files": manifest["files"],  # untouched, carried whole
+            "delete_files": manifest.get("delete_files", []) + [
+                {**e, "key": key, "seq": base_version + 1} for e in entries
+            ],
+        }
+        if schema_json is not None:
+            new_manifest["schema"] = schema_json
+        if txn is not None:
+            new_manifest["txn"] = list(txn)
+        _publish_at_exactly(table_path, base_version + 1, new_manifest,
+                            entries, op="delete")
+        if txn is not None:
+            _advance_txn(table_path, txn[0], txn[1])
+        return base_version + 1
+    if manifest.get("delete_files"):
+        raise ValueError(
+            "delete: table has pending merge-on-read delete files — "
+            "compact() to materialize them before a copy-on-write "
+            "delete (rewritten files would resurrect deleted rows)"
+        )
     keys = keys_df.select(key).distinct()
     bounds = keys.agg(F.min(key).alias("lo"), F.max(key).alias("hi")
                       ).collect()[0]  # single-row agg probe — bounded
@@ -1113,7 +1258,8 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
             spark, table_path, touched, schema_json
         )
         kept = existing.join(keys, [key], "left_anti")
-        entries = _write_data_files(kept, table_path, n_files)
+        entries = [{**e, "seq": base_version + 1}
+                   for e in _write_data_files(kept, table_path, n_files)]
     # no touched files → every file's key range misses the delete set:
     # publish a carry-only manifest anyway so the txn marker lands and
     # the commit is observable (a no-op delete is still a commit)

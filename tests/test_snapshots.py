@@ -756,3 +756,112 @@ def test_partitioned_row_cdc_and_merge_still_work(spark, tmp_path):
     assert ("insert", 50) in kinds
     assert not any(k == "update_postimage" and key == 2 for k, key in kinds) \
         or ("update_preimage", 2) in kinds
+
+
+# --- merge-on-read equality deletes -------------------------------------
+
+
+def test_mor_delete_rewrites_nothing_and_reader_applies(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t40")
+    S.overwrite(spark.range(0, 20).select(F.col("id").alias("k"),
+                                          (F.col("id") * 2).alias("v")),
+                t, n_files=2)
+    before_files = [e["path"] for e in S.read_manifest(t, 1)["files"]]
+    keys = spark.createDataFrame([(3,), (7,), (11,)], "k long")
+    v = S.delete(keys, t, key="k", mode="merge-on-read")
+    assert v == 2
+    m = S.read_manifest(t, 2)
+    # ZERO data files rewritten: the file list is byte-identical
+    assert [e["path"] for e in m["files"]] == before_files
+    assert len(m["delete_files"]) == 1 and m["delete_files"][0]["key"] == "k"
+    # the reader anti-joins the equality-delete file
+    assert sorted(r.k for r in S.read(spark, t).collect()) \
+        == [k for k in range(20) if k not in (3, 7, 11)]
+    # snapshot isolation: pinned pre-delete reader sees everything
+    assert S.read(spark, t, 1).count() == 20
+
+
+def test_mor_delete_reinsert_survives_by_sequence_number(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t41")
+    S.overwrite(spark.range(0, 10).select(F.col("id").alias("k")), t,
+                n_files=1)
+    S.delete(spark.createDataFrame([(4,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    # re-insert the deleted key AFTER the delete: its data file has a
+    # HIGHER sequence number, so the delete must not apply to it
+    S.append(spark.createDataFrame([(4,)], "k long"), t, n_files=1)
+    got = sorted(r.k for r in S.read(spark, t).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+    # and the delete still applies to the ORIGINAL file's row: exactly
+    # one 4 (the re-inserted one), not two
+    assert got.count(4) == 1
+
+
+def test_mor_compact_materializes_and_unblocks_cow(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t42")
+    S.overwrite(spark.range(0, 12).select(F.col("id").alias("k"),
+                                          F.lit(1).cast("long").alias("v")),
+                t, n_files=1)
+    S.delete(spark.createDataFrame([(2,), (5,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    # copy-on-write ops refuse while equality-deletes are pending
+    src = spark.createDataFrame([(0, 9)], "k long, v long")
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        S.merge(src, t, key="k")
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        S.delete(spark.createDataFrame([(1,)], "k long"), t, key="k")
+    # compact() materializes: same rows, delete files dropped
+    S.compact(spark, t, n_files=1)
+    m = S.read_manifest(t, 3)
+    assert not m.get("delete_files")
+    assert sorted(r.k for r in S.read(spark, t).collect()) \
+        == [k for k in range(12) if k not in (2, 5)]
+    # and copy-on-write works again
+    assert S.merge(src, t, key="k") == 4
+    # vacuum now reclaims the delete file along with the old data
+    deleted = S.vacuum(t, keep_versions=1)
+    assert any("data/" in p for p in deleted)
+    assert sorted(r.k for r in S.read(spark, t).collect()) \
+        == [k for k in range(12) if k not in (2, 5)]
+
+
+def test_mor_delete_row_cdc_emits_visible_preimages_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t43")
+    S.overwrite(spark.range(0, 10).select(F.col("id").alias("k"),
+                                          (F.col("id") + 100).alias("v")),
+                t, n_files=1)
+    S.delete(spark.createDataFrame([(2,), (6,)], "k long"), t, key="k",
+             mode="merge-on-read")                                   # v2
+    # second MOR delete overlapping the first: k=6 is ALREADY invisible
+    # and must not be re-emitted as a change
+    S.delete(spark.createDataFrame([(6,), (8,)], "k long"), t, key="k",
+             mode="merge-on-read")                                   # v3
+    got2 = sorted((r["_change_type"], r["k"], r["v"])
+                  for r in S.read_row_changes(spark, t, 1, 2).collect())
+    assert got2 == [("delete", 2, 102), ("delete", 6, 106)]
+    got3 = sorted((r["_change_type"], r["k"], r["v"])
+                  for r in S.read_row_changes(spark, t, 2, 3).collect())
+    assert got3 == [("delete", 8, 108)]
+
+
+def test_mor_delete_txn_replay_is_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t44")
+    S.overwrite(spark.range(0, 6).select(F.col("id").alias("k")), t,
+                n_files=1)
+    keys = spark.createDataFrame([(1,)], "k long")
+    assert S.delete(keys, t, key="k", mode="merge-on-read",
+                    txn=("mor-retract", 1)) == 2
+    assert S.delete(keys, t, key="k", mode="merge-on-read",
+                    txn=("mor-retract", 1)) is None
+    assert S.versions(t) == [1, 2]
+    assert len(S.read_manifest(t, 2)["delete_files"]) == 1
