@@ -775,6 +775,53 @@ def snapshot_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def row_cdc_source_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (write-once) the merge/delete/compact-maintained source
+    table shared by snapshot_row_cdc (the feed) and snapshot_cdc_apply
+    (the replication loop): v1 = documents, v2 = MERGE corrections
+    (%7=3 texts '[corrected]') + late arrivals (+500k reversed %7=5),
+    v3 = DELETE %7=1, v4 = clustering compact.  Returns the table
+    path."""
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rev = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+    base = scratch_path(
+        "snap_rowcdc", sf_dir,
+        "v1=docs(2f) v2=merge(upd %7=3 +' [corrected]', ins +500k rev "
+        "%7=5) v3=delete(%7=1) v4=compact(cluster doc_id)",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(docs, tmp, n_files=2)
+        corrections = (
+            docs.filter(F.col("doc_id") % 7 == 3)
+            .select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" [corrected]")).alias("text"),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 7 == 5).select(
+                    (F.col("doc_id") + 500000).alias("doc_id"),
+                    rev.alias("text"),
+                )
+            )
+        )
+        SN.merge(corrections, tmp, key="doc_id", n_files=2)
+        SN.delete(
+            docs.filter(F.col("doc_id") % 7 == 1).select("doc_id"),
+            tmp, key="doc_id", n_files=1,
+        )
+        SN.compact(spark, tmp, n_files=1, cluster_by=["doc_id"])
+
+    ensure_scratch(base, _build)
+    return base
+
+
 _SNAP_ROW_CDC_SQL = """
 WITH corpus AS (SELECT doc_id, text FROM documents),
 upd AS (
@@ -838,42 +885,8 @@ def snapshot_row_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table reads 6 files' worth of rows; the compact commit is free
     # for every subscriber by contract (zero rows emitted).
     from magshield_data_pipeline_spark.sources import snapshots as SN
-    from magshield_data_pipeline_spark.sources.scratch import (
-        ensure_scratch,
-        scratch_path,
-    )
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    rev = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
-    base = scratch_path(
-        "snap_rowcdc", sf_dir,
-        "v1=docs(2f) v2=merge(upd %7=3 +' [corrected]', ins +500k rev "
-        "%7=5) v3=delete(%7=1) v4=compact(cluster doc_id)",
-    )
-
-    def _build(tmp: str) -> None:
-        SN.overwrite(docs, tmp, n_files=2)
-        corrections = (
-            docs.filter(F.col("doc_id") % 7 == 3)
-            .select(
-                "doc_id",
-                F.concat(F.col("text"), F.lit(" [corrected]")).alias("text"),
-            )
-            .unionByName(
-                docs.filter(F.col("doc_id") % 7 == 5).select(
-                    (F.col("doc_id") + 500000).alias("doc_id"),
-                    rev.alias("text"),
-                )
-            )
-        )
-        SN.merge(corrections, tmp, key="doc_id", n_files=2)
-        SN.delete(
-            docs.filter(F.col("doc_id") % 7 == 1).select("doc_id"),
-            tmp, key="doc_id", n_files=1,
-        )
-        SN.compact(spark, tmp, n_files=1, cluster_by=["doc_id"])
-
-    ensure_scratch(base, _build)
+    base = row_cdc_source_table(spark, sf_dir)
     ch = SN.read_row_changes(spark, base, 1, 4).persist()
 
     def crow(name: str, df: DataFrame) -> DataFrame:
@@ -1075,4 +1088,120 @@ def snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage", "n_docs",
         F.col("id_sum").cast("long").alias("id_sum"),
         F.col("payload_sum").cast("long").alias("payload_sum"),
+    )
+
+
+_SNAP_CDC_APPLY_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents),
+upd AS (
+    SELECT doc_id, text || ' [corrected]' AS text
+    FROM corpus WHERE doc_id % 7 = 3
+),
+ins AS (
+    SELECT doc_id + 500000 AS doc_id,
+           array_to_string(list_reverse(str_split(text, ' ')), ' ') AS text
+    FROM corpus WHERE doc_id % 7 = 5
+),
+applied_ups AS (
+    SELECT doc_id, text FROM upd UNION ALL SELECT doc_id, text FROM ins
+),
+dels AS (SELECT doc_id, text FROM corpus WHERE doc_id % 7 = 1),
+final AS (
+    SELECT doc_id, text FROM corpus WHERE doc_id % 7 NOT IN (1, 3)
+    UNION ALL SELECT doc_id, text FROM upd
+    UNION ALL SELECT doc_id, text FROM ins
+)
+SELECT 'applied_upserts' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars FROM applied_ups
+UNION ALL
+SELECT 'applied_deletes', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(length(text)) AS BIGINT)
+FROM dels
+UNION ALL
+SELECT 'replica_final', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(length(text)) AS BIGINT)
+FROM final
+UNION ALL
+SELECT 'source_final', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(length(text)) AS BIGINT)
+FROM final
+"""
+
+
+@register(
+    "snapshot_cdc_apply",
+    sql=_SNAP_CDC_APPLY_SQL,
+    description="CDC REPLICATION loop (r11): a replica table is "
+    "maintained purely by APPLYING the source's row-change feed — "
+    "commit 2's insert/update_postimage rows land via a stats-pruned "
+    "MERGE and commit 3's delete pre-image keys via a row DELETE, each "
+    "under an app-txn keyed to the SOURCE commit version so replays "
+    "apply nothing twice; the maintenance compact emits zero changes "
+    "and applies nothing; the replica_final and source_final rows must "
+    "be identical — the hash proves apply(feed) == source, the "
+    "contract that makes the row-CDC feed sufficient to maintain any "
+    "downstream copy ([EXT] lakehouse tier: read_row_changes + "
+    "merge(txn)/delete(txn) composed into replication)",
+)
+def snapshot_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: each apply step reads only the source commit's touched
+    # files (the CDC contract) and rewrites only the replica files its
+    # keys can live in (the merge/delete stats pruning) — replication
+    # cost is change x 2, never table-sized on either side; app-txns
+    # make the loop restartable mid-stream.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    src = row_cdc_source_table(spark, sf_dir)
+    rep = scratch_path(
+        "snap_cdc_replica", sf_dir,
+        "v1=source@1 copy; query applies CDC: v2 merge upserts "
+        "txn(cdc-apply,2), v3 delete txn(cdc-apply,3)",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(SN.read(spark, src, 1), tmp, n_files=2)
+
+    ensure_scratch(rep, _build)
+    # apply source commit 2 (the MERGE): upsert its post-images
+    ups = (
+        SN.read_row_changes(spark, src, 1, 2)
+        .filter(F.col("_change_type").isin("insert", "update_postimage"))
+        .select("doc_id", "text")
+    )
+    SN.merge(ups, rep, key="doc_id", n_files=2, txn=("cdc-apply", 2))
+    # apply source commit 3 (the DELETE): retract its pre-image keys
+    del_rows = (
+        SN.read_row_changes(spark, src, 2, 3)
+        .filter(F.col("_change_type") == "delete")
+        .select("doc_id", "text")
+        .persist()
+    )
+    SN.delete(del_rows.select("doc_id"), rep, key="doc_id",
+              txn=("cdc-apply", 3))
+    # source commit 4 is the clustering compact: zero changes, nothing
+    # to apply (snapshot_row_cdc pins that contract explicitly)
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("text_chars"),
+        )
+
+    out = (
+        row("applied_upserts", ups)
+        .unionByName(row("applied_deletes", del_rows))
+        .unionByName(row("replica_final", SN.read(spark, rep)))
+        .unionByName(row("source_final", SN.read(spark, src)))
+    )
+    return out.select(
+        "stage", "n_docs",
+        F.col("id_sum").cast("long").alias("id_sum"),
+        F.col("text_chars").cast("long").alias("text_chars"),
     )

@@ -865,3 +865,27 @@ def test_mor_delete_txn_replay_is_noop(spark, tmp_path):
                     txn=("mor-retract", 1)) is None
     assert S.versions(t) == [1, 2]
     assert len(S.read_manifest(t, 2)["delete_files"]) == 1
+
+
+def test_cdc_apply_replication_is_exactly_once(spark):
+    # the replication loop applies each source commit under an app-txn:
+    # a re-run must add NO replica versions and return identical rows
+    from magshield_data_pipeline_spark.plans.registry import QUERY_REGISTRY
+    from magshield_data_pipeline_spark.sources.scratch import scratch_path
+    from tests.conftest import SF_SMALL
+
+    fn = QUERY_REGISTRY["snapshot_cdc_apply"].fn
+    first = {r.stage: (r.n_docs, r.id_sum, r.text_chars)
+             for r in fn(spark, SF_SMALL).collect()}
+    assert first["replica_final"] == first["source_final"]
+    rep = scratch_path(
+        "snap_cdc_replica", SF_SMALL,
+        "v1=source@1 copy; query applies CDC: v2 merge upserts "
+        "txn(cdc-apply,2), v3 delete txn(cdc-apply,3)",
+    )
+    vs = S.versions(rep)
+    assert vs == [1, 2, 3]  # base, merge apply, delete apply
+    second = {r.stage: (r.n_docs, r.id_sum, r.text_chars)
+              for r in fn(spark, SF_SMALL).collect()}
+    assert first == second
+    assert S.versions(rep) == vs
