@@ -1133,23 +1133,28 @@ FROM final
     "snapshot_cdc_apply",
     sql=_SNAP_CDC_APPLY_SQL,
     description="CDC REPLICATION loop (r11): a replica table is "
-    "maintained purely by APPLYING the source's row-change feed — "
-    "commit 2's insert/update_postimage rows land via a stats-pruned "
-    "MERGE and commit 3's delete pre-image keys via a row DELETE, each "
-    "under an app-txn keyed to the SOURCE commit version so replays "
-    "apply nothing twice; the maintenance compact emits zero changes "
-    "and applies nothing; the replica_final and source_final rows must "
-    "be identical — the hash proves apply(feed) == source, the "
-    "contract that makes the row-CDC feed sufficient to maintain any "
-    "downstream copy ([EXT] lakehouse tier: read_row_changes + "
-    "merge(txn)/delete(txn) composed into replication)",
+    "maintained purely by APPLYING the source's row-change feed with "
+    "ZERO-REWRITE merge-on-read commits — commit 2's insert/"
+    "update_postimage rows land via merge(mode='merge-on-read') (one "
+    "atomic commit: post-image append + equality-delete of the "
+    "matched keys, no replica file rewritten) and commit 3's delete "
+    "pre-image keys via a merge-on-read DELETE file, each under an "
+    "app-txn keyed to the SOURCE commit version so replays apply "
+    "nothing twice; the loop then MATERIALIZES the pending deletes "
+    "with a guarded compact (replays see none pending and skip); the "
+    "replica_final and source_final rows must be identical — the hash "
+    "proves apply(feed) == source through the full MOR lifecycle "
+    "([EXT] lakehouse tier: read_row_changes + merge-on-read "
+    "composed into replication, the scattered-key production shape)",
 )
 def snapshot_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: each apply step reads only the source commit's touched
-    # files (the CDC contract) and rewrites only the replica files its
-    # keys can live in (the merge/delete stats pruning) — replication
-    # cost is change x 2, never table-sized on either side; app-txns
-    # make the loop restartable mid-stream.
+    # files (the CDC contract) and REWRITES NOTHING on the replica
+    # (merge-on-read: CDC keys are scattered by nature, so copy-on-
+    # write applies would touch most replica files) — replication cost
+    # is change-sized on both sides, with one scheduled compact
+    # amortizing the read-side anti-joins; app-txns make the loop
+    # restartable mid-stream.
     from magshield_data_pipeline_spark.sources import snapshots as SN
     from magshield_data_pipeline_spark.sources.scratch import (
         ensure_scratch,
@@ -1159,22 +1164,26 @@ def snapshot_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = row_cdc_source_table(spark, sf_dir)
     rep = scratch_path(
         "snap_cdc_replica", sf_dir,
-        "v1=source@1 copy; query applies CDC: v2 merge upserts "
-        "txn(cdc-apply,2), v3 delete txn(cdc-apply,3)",
+        "v1=source@1 copy; query applies CDC: v2 mor-merge upserts "
+        "txn(cdc-apply,2), v3 mor-delete txn(cdc-apply,3), v4 guarded "
+        "compact",
     )
 
     def _build(tmp: str) -> None:
         SN.overwrite(SN.read(spark, src, 1), tmp, n_files=2)
 
     ensure_scratch(rep, _build)
-    # apply source commit 2 (the MERGE): upsert its post-images
+    # apply source commit 2 (the MERGE): upsert its post-images as ONE
+    # zero-rewrite merge-on-read commit
     ups = (
         SN.read_row_changes(spark, src, 1, 2)
         .filter(F.col("_change_type").isin("insert", "update_postimage"))
         .select("doc_id", "text")
     )
-    SN.merge(ups, rep, key="doc_id", n_files=2, txn=("cdc-apply", 2))
-    # apply source commit 3 (the DELETE): retract its pre-image keys
+    SN.merge(ups, rep, key="doc_id", n_files=2, txn=("cdc-apply", 2),
+             mode="merge-on-read")
+    # apply source commit 3 (the DELETE): retract its pre-image keys as
+    # an equality-delete file
     del_rows = (
         SN.read_row_changes(spark, src, 2, 3)
         .filter(F.col("_change_type") == "delete")
@@ -1182,9 +1191,13 @@ def snapshot_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     SN.delete(del_rows.select("doc_id"), rep, key="doc_id",
-              txn=("cdc-apply", 3))
+              txn=("cdc-apply", 3), mode="merge-on-read")
     # source commit 4 is the clustering compact: zero changes, nothing
-    # to apply (snapshot_row_cdc pins that contract explicitly)
+    # to apply (snapshot_row_cdc pins that contract explicitly).
+    # Materialize the replica's pending deletes — guarded so a replay
+    # (which applied nothing) doesn't re-compact
+    if SN.read_manifest(rep, SN.versions(rep)[-1]).get("delete_files"):
+        SN.compact(spark, rep, n_files=2)
 
     def row(stage: str, df: DataFrame) -> DataFrame:
         return df.agg(

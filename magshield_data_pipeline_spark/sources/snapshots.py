@@ -670,6 +670,61 @@ def read_row_changes(spark, table_path: str, from_version: int,
                     tagged(img.join(keys, [dkey], "left_semi"), "delete", v)
                 )
             continue
+        if op == "merge" and cur.get("mode") == "merge-on-read":
+            # zero-rewrite upsert: added data files ARE the post-images;
+            # the before-image is the surviving OLDER rows for the
+            # source keys (stats-pruned candidates, prior deletes
+            # applied).  Classification then matches copy-on-write
+            # merge: keys absent before are inserts, present keys with
+            # any differing column emit pre+post, identical restatements
+            # emit nothing.
+            mkey = cur["key"]
+            after = _scan(spark, table_path, added, cur.get("schema"))
+            prev_del_paths = {d["path"] for d in prev.get("delete_files", [])}
+            new_del = [d for d in cur.get("delete_files", [])
+                       if d["path"] not in prev_del_paths]
+            keys = spark.read.parquet(*[
+                os.path.join(table_path, d["path"]) for d in new_del
+            ]).select(mkey).distinct()
+            b = keys.agg(F.min(mkey).alias("lo"),
+                         F.max(mkey).alias("hi")
+                         ).collect()[0]  # single-row probe — bounded
+            cands = []
+            for e in prev["files"]:
+                mn = e["stats"].get(f"min_{mkey}")
+                mx = e["stats"].get(f"max_{mkey}")
+                if mn is None or mx is None or (
+                        mn <= b["hi"] and mx >= b["lo"]):
+                    cands.append(e)
+            before = None
+            if cands:
+                img = _scan_with_deletes(
+                    spark, table_path, cands,
+                    prev.get("delete_files", []), prev.get("schema"),
+                ) if prev.get("delete_files") else _scan(
+                    spark, table_path, cands, prev.get("schema"))
+                before = img.join(keys, [mkey], "left_semi")
+            if before is None:
+                pieces.append(tagged(after, "insert", v))
+                continue
+            pieces.append(tagged(
+                after.join(before.select(mkey), [mkey], "left_anti"),
+                "insert", v))
+            common = [c for c in after.columns if c in set(before.columns)]
+            non_key = [c for c in common if c != mkey]
+            a2, b2 = after.alias("a"), before.alias("b")
+            changed = a2.join(
+                b2, F.col(f"a.{mkey}") == F.col(f"b.{mkey}"), "inner"
+            ).filter(~F.struct(
+                *[F.col(f"a.{c}") for c in non_key]).eqNullSafe(
+                F.struct(*[F.col(f"b.{c}") for c in non_key])))
+            pieces.append(tagged(
+                changed.select(*[F.col(f"b.{c}").alias(c) for c in common]),
+                "update_preimage", v))
+            pieces.append(tagged(
+                changed.select(*[F.col(f"a.{c}").alias(c) for c in common]),
+                "update_postimage", v))
+            continue
         after = (_scan(spark, table_path, added, cur.get("schema"))
                  if added else None)
         before = (_scan(spark, table_path, removed, prev.get("schema"))
@@ -1011,12 +1066,22 @@ def append_stream_batch(df, table_path: str, batch_id: int,
 
 
 def merge(source_df, table_path: str, key: str, n_files: int = 1,
-          txn: tuple[str, int] | None = None) -> int | None:
-    """Copy-on-write MERGE INTO: upsert *source_df* into the latest
-    snapshot by *key* — matched rows are replaced by the source row,
-    unmatched source rows insert, everything else passes through —
-    publishing a new version that REWRITES ONLY the files that can
-    contain a matched key.
+          txn: tuple[str, int] | None = None,
+          mode: str = "copy-on-write") -> int | None:
+    """MERGE INTO: upsert *source_df* into the latest snapshot by
+    *key* — matched rows are replaced by the source row, unmatched
+    source rows insert, everything else passes through.  Two modes,
+    the Iceberg v2 pair:
+
+    - ``copy-on-write`` (default): publish a new version that REWRITES
+      ONLY the files that can contain a matched key (details below).
+    - ``merge-on-read``: rewrite NOTHING — ONE atomic commit appends
+      the post-image rows (at the new sequence number) AND an
+      equality-delete file of the source keys (applying only to OLDER
+      data), so matched rows become invisible and their replacements
+      visible in the same snapshot.  Zero-rewrite upserts for
+      SCATTERED keys; composes with pending deletes; ``compact()``
+      materializes.
 
     The rewrite set is chosen by the manifest's per-file min/max stats
     on *key* against the source's [min, max] key range (one tiny agg
@@ -1043,6 +1108,8 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
     double-applying the delta."""
     from pyspark.sql import functions as F
 
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"merge: unknown mode {mode!r}")
     if txn is not None and _txn_committed(table_path, txn[0], txn[1]):
         return None
     vs = versions(table_path)
@@ -1053,7 +1120,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
         )
     base_version = vs[-1]
     manifest = read_manifest(table_path, base_version)
-    if manifest.get("delete_files"):
+    if mode == "copy-on-write" and manifest.get("delete_files"):
         raise ValueError(
             "merge: table has pending merge-on-read delete files — "
             "compact() to materialize them before a copy-on-write "
@@ -1087,6 +1154,38 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
         # with the extra-column guard above, a passing merge publishes the
         # table schema unchanged
         _merge_schema(schema_json, source_df.schema.jsonValue())
+    if mode == "merge-on-read":
+        v = base_version + 1
+        data_entries = [
+            {**e, "seq": v}
+            for e in _write_data_files(source_df, table_path, n_files)
+        ]
+        del_entries = [
+            {**e, "key": key, "seq": v}
+            for e in _write_data_files(
+                source_df.select(key).distinct(), table_path, 1
+            )
+        ]
+        new_manifest = {
+            "operation": "merge",
+            "mode": "merge-on-read",
+            "key": key,
+            "version": v,
+            "committed_at": time.time(),
+            "files": manifest["files"] + data_entries,
+            "delete_files": manifest.get("delete_files", []) + del_entries,
+        }
+        if schema_json is not None:
+            new_manifest["schema"] = schema_json
+        else:
+            new_manifest["schema"] = source_df.schema.jsonValue()
+        if txn is not None:
+            new_manifest["txn"] = list(txn)
+        _publish_at_exactly(table_path, v, new_manifest,
+                            data_entries + del_entries, op="merge")
+        if txn is not None:
+            _advance_txn(table_path, txn[0], txn[1])
+        return v
     bounds = source_df.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]

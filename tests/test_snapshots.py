@@ -880,12 +880,75 @@ def test_cdc_apply_replication_is_exactly_once(spark):
     assert first["replica_final"] == first["source_final"]
     rep = scratch_path(
         "snap_cdc_replica", SF_SMALL,
-        "v1=source@1 copy; query applies CDC: v2 merge upserts "
-        "txn(cdc-apply,2), v3 delete txn(cdc-apply,3)",
+        "v1=source@1 copy; query applies CDC: v2 mor-merge upserts "
+        "txn(cdc-apply,2), v3 mor-delete txn(cdc-apply,3), v4 guarded "
+        "compact",
     )
     vs = S.versions(rep)
-    assert vs == [1, 2, 3]  # base, merge apply, delete apply
+    # base, zero-rewrite merge apply, delete-file apply, materialization
+    assert vs == [1, 2, 3, 4]
+    assert not S.read_manifest(rep, 4).get("delete_files")
     second = {r.stage: (r.n_docs, r.id_sum, r.text_chars)
               for r in fn(spark, SF_SMALL).collect()}
     assert first == second
     assert S.versions(rep) == vs
+
+
+def test_mor_merge_is_zero_rewrite_upsert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t45")
+    S.overwrite(spark.range(0, 10).select(F.col("id").alias("k"),
+                                          (F.col("id") * 10).alias("v")),
+                t, n_files=2)
+    before_files = [e["path"] for e in S.read_manifest(t, 1)["files"]]
+    # update k=3, restate k=4 identically, insert k=100 — one commit
+    src = spark.createDataFrame([(3, 999), (4, 40), (100, 1000)],
+                                "k long, v long")
+    assert S.merge(src, t, key="k", mode="merge-on-read",
+                   txn=("mor-upsert", 1)) == 2
+    m = S.read_manifest(t, 2)
+    # every pre-existing data file carried byte-identical; post-images
+    # appended; one equality-delete file
+    assert set(before_files) <= {e["path"] for e in m["files"]}
+    assert len(m["files"]) > len(before_files)
+    assert len(m["delete_files"]) == 1
+    got = {(r.k, r.v) for r in S.read(spark, t).collect()}
+    want = {(k, k * 10) for k in range(10) if k != 3} | {(3, 999), (100, 1000)}
+    assert got == want
+    # replay: no-op; pinned pre-merge reader unaffected
+    assert S.merge(src, t, key="k", mode="merge-on-read",
+                   txn=("mor-upsert", 1)) is None
+    assert S.read(spark, t, 1).count() == 10
+    # CDC classification matches copy-on-write semantics: identical
+    # restatement (k=4) emits nothing
+    ch = sorted((r["_change_type"], r["k"], r["v"])
+                for r in S.read_row_changes(spark, t, 1, 2).collect())
+    assert ch == [
+        ("insert", 100, 1000),
+        ("update_postimage", 3, 999),
+        ("update_preimage", 3, 30),
+    ]
+    # compact materializes; content unchanged
+    S.compact(spark, t, n_files=1)
+    assert not S.read_manifest(t, 3).get("delete_files")
+    assert {(r.k, r.v) for r in S.read(spark, t).collect()} == want
+
+
+def test_mor_merge_then_mor_delete_layering(spark, tmp_path):
+    # layered pending deletes: a MOR merge's post-image must survive its
+    # own delete file but die to a LATER delete
+    from pyspark.sql import functions as F
+
+    t = _tbl(tmp_path, "t46")
+    S.overwrite(spark.range(0, 6).select(F.col("id").alias("k"),
+                                         F.lit(0).cast("long").alias("v")),
+                t, n_files=1)
+    S.merge(spark.createDataFrame([(2, 7)], "k long, v long"), t,
+            key="k", mode="merge-on-read")                        # v2
+    assert {(r.k, r.v) for r in S.read(spark, t).collect()} \
+        == {(k, 0) for k in range(6) if k != 2} | {(2, 7)}
+    S.delete(spark.createDataFrame([(2,)], "k long"), t, key="k",
+             mode="merge-on-read")                                # v3
+    got = {(r.k, r.v) for r in S.read(spark, t).collect()}
+    assert got == {(k, 0) for k in range(6) if k != 2}
