@@ -1218,3 +1218,173 @@ def snapshot_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_sum").cast("long").alias("id_sum"),
         F.col("text_chars").cast("long").alias("text_chars"),
     )
+
+
+_SNAP_IVM_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents),
+upd AS (
+    SELECT doc_id, text || ' [corrected]' AS text
+    FROM corpus WHERE doc_id % 7 = 3
+),
+ins AS (
+    SELECT doc_id + 500000 AS doc_id,
+           array_to_string(list_reverse(str_split(text, ' ')), ' ') AS text
+    FROM corpus WHERE doc_id % 7 = 5
+),
+state2 AS (
+    SELECT doc_id, text FROM corpus WHERE doc_id % 7 <> 3
+    UNION ALL SELECT doc_id, text FROM upd
+    UNION ALL SELECT doc_id, text FROM ins
+),
+state3 AS (SELECT * FROM state2 WHERE doc_id % 7 <> 1),
+g1 AS (
+    SELECT doc_id % 7 AS grp, count(*) AS n, sum(doc_id) AS ids,
+           sum(length(text)) AS ch
+    FROM corpus GROUP BY 1
+),
+g2 AS (
+    SELECT doc_id % 7 AS grp, count(*) AS n, sum(doc_id) AS ids,
+           sum(length(text)) AS ch
+    FROM state2 GROUP BY 1
+),
+g3 AS (
+    SELECT doc_id % 7 AS grp, count(*) AS n, sum(doc_id) AS ids,
+           sum(length(text)) AS ch
+    FROM state3 GROUP BY 1
+)
+SELECT 'init' AS stage, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(ids) AS BIGINT) AS id_sum,
+       CAST(sum(ch) AS BIGINT) AS text_chars FROM g1
+UNION ALL
+SELECT 'after_v2', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(sum(ids) AS BIGINT), CAST(sum(ch) AS BIGINT) FROM g2
+UNION ALL
+SELECT 'after_v3', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(sum(ids) AS BIGINT), CAST(sum(ch) AS BIGINT) FROM g3
+UNION ALL
+SELECT 'v4_delta', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'ledger_versions', CAST(3 AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'recompute', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(sum(ids) AS BIGINT), CAST(sum(ch) AS BIGINT) FROM g3
+"""
+
+
+@register(
+    "snapshot_ivm_view",
+    sql=_SNAP_IVM_SQL,
+    description="INCREMENTAL MATERIALIZED-VIEW maintenance off the "
+    "row-CDC feed (r11 — the canonical CDC subscriber, operators/"
+    "ivm.py): a per-group COUNT/SUM aggregate over the merge/delete/"
+    "compact-maintained corpus is materialized once at v1 and then "
+    "kept fresh by FOLDING each commit's signed row changes "
+    "(insert/update_postimage = +1, delete/update_preimage = -1, "
+    "Griffin-Libkin IVM) into the view as stats-pruned MERGE + "
+    "zero-count retract commits, each under an app transaction keyed "
+    "to the source version (replays are durable no-ops); the hash "
+    "pins every intermediate view state (init / after the MERGE "
+    "commit / after the DELETE commit, where group doc_id%7=1 dies "
+    "at count zero and is RETRACTED from the view), that the source's "
+    "clustering compact cost the subscriber NOTHING (v4_delta = 0 "
+    "rows, ledger_versions = 3 proves the refresh committed nothing "
+    "for it), and that the maintained view equals a from-scratch "
+    "group-by of the final table (recompute row) ([EXT] lakehouse "
+    "tier: refresh cost = O(touched files) + O(affected groups), "
+    "never O(table) — what makes a 100 TB aggregate affordable to "
+    "keep fresh)",
+)
+def snapshot_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: each refresh reads ONLY the source commit's touched files
+    # (the row-CDC contract) and rewrites ONLY the view files whose
+    # group range intersects the affected groups (manifest stats); the
+    # compact commit is consumed for free.  The from-scratch recompute
+    # exists to be compared against — production would never run it.
+    from magshield_data_pipeline_spark.operators import ivm
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    src = row_cdc_source_table(spark, sf_dir)
+    grp = F.col("doc_id") % 7
+    measures = {
+        "id_sum": F.col("doc_id"),
+        "text_chars": F.length("text").cast("long"),
+    }
+    view = scratch_path(
+        "snap_ivm_view", sf_dir,
+        "init@v1 grp=doc_id%7 measures=id_sum,text_chars; "
+        "refresh (1,2] (2,3] (3,4]; replay (2,3]",
+    )
+
+    def _build(tmp: str) -> None:
+        ivm.init_agg_view(spark, src, tmp, grp, "grp", measures,
+                          version=1)
+        for v in (2, 3, 4):
+            ivm.refresh_agg_view(
+                spark, src, tmp, grp, "grp", measures,
+                from_version=v - 1, to_version=v,
+            )
+        # replayed refresh: both app txns already committed -> no-op
+        # (a double-applied fold would shift after_v3 and break the hash)
+        ivm.refresh_agg_view(
+            spark, src, tmp, grp, "grp", measures,
+            from_version=2, to_version=3,
+        )
+
+    ensure_scratch(view, _build)
+
+    def vrow(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_rows").alias("n_docs"),
+            F.sum("id_sum").alias("id_sum"),
+            F.sum("text_chars").alias("text_chars"),
+        )
+
+    feed_v4 = SN.read_row_changes(spark, src, 3, 4)
+    recompute = (
+        SN.read(spark, src)
+        .groupBy(grp.alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text").cast("long")).alias("text_chars"),
+        )
+    )
+    out = (
+        vrow("init", SN.read(spark, view, 1))
+        .unionByName(vrow("after_v2", SN.read(spark, view, 2)))
+        .unionByName(vrow("after_v3", SN.read(spark, view, 3)))
+        .unionByName(
+            feed_v4.agg(
+                F.lit("v4_delta").alias("stage"),
+                F.count_distinct(F.col("doc_id") % 7).alias("n_groups"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("id_sum"),
+                F.sum(F.length("text")).alias("text_chars"),
+            )
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit("ledger_versions").alias("stage"),
+                F.lit(len(SN.versions(view))).cast("long").alias("n_groups"),
+                F.lit(None).cast("long").alias("n_docs"),
+                F.lit(None).cast("long").alias("id_sum"),
+                F.lit(None).cast("long").alias("text_chars"),
+            )
+        )
+        .unionByName(vrow("recompute", recompute))
+    )
+    return out.select(
+        "stage", "n_groups",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("id_sum").cast("long").alias("id_sum"),
+        F.col("text_chars").cast("long").alias("text_chars"),
+    )

@@ -1,0 +1,155 @@
+"""Incremental materialized-view maintenance (operators/ivm.py).
+
+A COUNT/SUM aggregate view over a snapshot-ledger table is kept fresh
+by folding the row-CDC feed — these tests pin the IVM contract:
+incremental == recompute after every commit type, groups retract at
+count zero, replays and crash-resumes are exactly-once, an empty feed
+(compact) commits nothing, and the view MERGE carries disjoint-range
+view files by reference (stats pruning, the O(affected groups) claim).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.operators import ivm
+from magshield_data_pipeline_spark.sources import snapshots as S
+
+
+def _src(spark, tmp_path, name="src"):
+    """v1: 6 rows over 3 groups; v2: MERGE (update k=1, insert k=7/8);
+    v3: DELETE group 0 entirely (k=3, k=6); v4: clustering compact."""
+    t = os.path.join(str(tmp_path), name)
+    rows = spark.range(1, 7).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+    S.overwrite(rows, t, n_files=2)
+    src = spark.createDataFrame(
+        [(1, 1, 999), (7, 1, 70), (8, 2, 80)], "k long, grp long, val long"
+    )
+    S.merge(src, t, key="k", n_files=1)
+    S.delete(spark.createDataFrame([(3,), (6,)], "k long"), t, key="k",
+             n_files=1)
+    S.compact(spark, t, n_files=1, cluster_by=["k"])
+    return t
+
+
+def _measures():
+    return {"val_sum": F.col("val")}
+
+
+def _grp():
+    return F.col("grp")
+
+
+def _maintain(spark, src, view, through: int):
+    ivm.init_agg_view(spark, src, view, _grp(), "grp", _measures(), version=1)
+    for v in range(2, through + 1):
+        ivm.refresh_agg_view(spark, src, view, _grp(), "grp", _measures(),
+                             from_version=v - 1, to_version=v)
+
+
+def test_incremental_equals_recompute_after_every_commit(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    for through in (2, 3, 4):
+        view = os.path.join(str(tmp_path), f"view_{through}")
+        _maintain(spark, src, view, through)
+        fresh = (
+            S.read(spark, src, through)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("val").alias("val_sum"))
+        )
+        got = S.read(spark, view).select("grp", "n_rows", "val_sum")
+        diff = got.exceptAll(fresh).unionByName(fresh.exceptAll(got))
+        assert not diff.head(1), f"diverged at source v{through}"
+
+
+def test_group_retracts_at_count_zero(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "view")
+    _maintain(spark, src, view, 3)
+    groups = sorted(r.grp for r in S.read(spark, view).collect())
+    assert groups == [1, 2]  # group 0 (k=3, k=6) died at count zero
+    # the retract is its own ledger commit; pinned readers still see it
+    assert 0 in {r.grp for r in S.read(spark, view, 2).collect()}
+    res = ivm.refresh_agg_view(spark, src, view, _grp(), "grp", _measures(),
+                               from_version=2, to_version=3)
+    # replay of the already-applied refresh: both txns refuse
+    assert res == {"applied": False, "groups_upserted": 0,
+                   "groups_deleted": 0}
+
+
+def test_replay_leaves_view_state_and_versions_unchanged(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "view")
+    _maintain(spark, src, view, 4)
+    vs = S.versions(view)
+    state = sorted(map(tuple, S.read(spark, view).collect()))
+    for v in (2, 3):
+        ivm.refresh_agg_view(spark, src, view, _grp(), "grp", _measures(),
+                             from_version=v - 1, to_version=v)
+    assert S.versions(view) == vs
+    assert sorted(map(tuple, S.read(spark, view).collect())) == state
+
+
+def test_empty_feed_commits_nothing(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "view")
+    _maintain(spark, src, view, 3)
+    vs = S.versions(view)
+    res = ivm.refresh_agg_view(spark, src, view, _grp(), "grp", _measures(),
+                               from_version=3, to_version=4)
+    # the source compact delivered zero row changes: no commit at all
+    assert res["applied"] is False
+    assert S.versions(view) == vs
+
+
+def test_crash_resume_completes_the_unfinished_half(spark, tmp_path):
+    # simulate a crash BETWEEN the refresh's two commits: the merge
+    # txn high-water is already advanced (as if the merge landed) but
+    # the retract never ran — re-running the refresh must skip the
+    # merge and complete the delete (the totality claim in the
+    # module docstring)
+    src = _src(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "view")
+    _maintain(spark, src, view, 2)
+    S._advance_txn(view, "ivm:m", 3)
+    res = ivm.refresh_agg_view(spark, src, view, _grp(), "grp", _measures(),
+                               from_version=2, to_version=3)
+    assert res["groups_upserted"] == 0  # merge half refused (committed)
+    assert res["groups_deleted"] == 1  # delete half completed
+    assert sorted(r.grp for r in S.read(spark, view).collect()) == [1, 2]
+
+
+def test_refresh_merge_carries_disjoint_view_files(spark, tmp_path):
+    # a 2-file clustered view + a source commit touching only the high
+    # group: the refresh MERGE must rewrite one view file and carry
+    # the other by reference — the stats-pruning half of the
+    # O(affected groups) cost claim
+    t = os.path.join(str(tmp_path), "src2")
+    rows = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+    S.overwrite(rows, t, n_files=1)
+    view = os.path.join(str(tmp_path), "view2")
+    ivm.init_agg_view(spark, t, view, _grp(), "grp", _measures(),
+                      version=1, n_files=2)
+    before = S.read_manifest(view, S.versions(view)[-1])["files"]
+    lows = [e["path"] for e in before if e["stats"]["max_grp"] <= 1]
+    assert len(before) == 2 and len(lows) == 1  # disjoint grp ranges
+    S.merge(spark.createDataFrame([(100, 3, 1000)],
+                                  "k long, grp long, val long"),
+            t, key="k", n_files=1)
+    ivm.refresh_agg_view(spark, t, view, _grp(), "grp", _measures(),
+                         from_version=1, to_version=2)
+    after = {e["path"] for e in
+             S.read_manifest(view, S.versions(view)[-1])["files"]}
+    assert lows[0] in after  # the grp<=1 file carried, byte-untouched
+    assert S.read(spark, view).filter("grp = 3").head().n_rows == 11
