@@ -1388,3 +1388,88 @@ def snapshot_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_sum").cast("long").alias("id_sum"),
         F.col("text_chars").cast("long").alias("text_chars"),
     )
+
+
+# probe constants for snapshot_bloom_prune — pure int math at import,
+# identical in the Spark query and the oracle SQL string
+_BLOOM_SCRAMBLE, _BLOOM_MOD = 2654435761, 1000000007
+_BLOOM_PRESENT = [
+    (i * _BLOOM_SCRAMBLE) % _BLOOM_MOD for i in (11, 222, 333)
+]
+_BLOOM_ABSENT = [12345, 67890]
+_BLOOM_PROBES = _BLOOM_PRESENT + _BLOOM_ABSENT
+
+_SNAP_BLOOM_SQL = f"""
+WITH t AS (
+    SELECT doc_id, (doc_id * {_BLOOM_SCRAMBLE}) % {_BLOOM_MOD} AS skey,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(skey AS BIGINT) AS skey,
+       n_chars
+FROM t WHERE skey IN ({", ".join(str(v) for v in _BLOOM_PROBES)})
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT)
+"""
+
+
+@register(
+    "snapshot_bloom_prune",
+    sql=_SNAP_BLOOM_SQL,
+    description="BLOOM-FILTER file skipping on the snapshot ledger "
+    "(r11 — the Iceberg-puffin shape, sources/snapshots.py): documents "
+    "keyed by a HASH-SCATTERED key (doc_id*2654435761 mod 1e9+7) are "
+    "committed as 8 files with a per-file Bloom sidecar (xxhash64 x4 "
+    "into a 64 Kbit bitmap, built engine-side as bit_or'd words and "
+    "written by Arrow group tasks — no bitmap routes through the "
+    "driver); every file spans nearly the full key range so min/max "
+    "stats prune NOTHING, and a 5-key point lookup via read(key_in=) "
+    "must skip files on bloom evidence alone — the hash pins lookup "
+    "SOUNDNESS (all present keys found with their payloads: a bloom "
+    "that wrongly excludes a file silently loses rows and breaks the "
+    "hash) and the literal audit row pins that pruning actually "
+    "HAPPENED (files_scanned < 8, else the flag flips to 0); absent "
+    "probe keys return nothing ([EXT] lakehouse tier: the point-lookup "
+    "path range stats can't serve — at 100 TB a needle query reads "
+    "k bit-probes per file instead of the table)",
+)
+def snapshot_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: bloom build is one extra engine-side pass at write time;
+    # the lookup consults len(files) sidecars (O(k) bit probes each,
+    # metadata-sized I/O) and scans only surviving files.  Range stats
+    # CANNOT serve this workload — the scrambled key makes every
+    # file's [min,max] span ~the full domain by construction.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_bloom_docs", sf_dir,
+        "overwrite 8f bloom(skey,64Kbit) skey=doc_id*2654435761%%1e9+7",
+    )
+
+    def _build(tmp: str) -> None:
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            ((F.col("doc_id") * _BLOOM_SCRAMBLE) % _BLOOM_MOD
+             ).alias("skey"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        SN.overwrite(docs.select("doc_id", "skey", "n_chars"), tmp,
+                     n_files=8, bloom_for={"skey": 1 << 16})
+
+    ensure_scratch(base, _build)
+    total = len(SN.read_manifest(base, 1)["files"])
+    hits = SN.read(spark, base, key_in=("skey", _BLOOM_PROBES))
+    scanned = hits.select(F.input_file_name()).distinct().count()
+    rows = hits.filter(F.col("skey").isin(_BLOOM_PROBES)).select(
+        "doc_id", "skey", "n_chars"
+    )
+    audit = spark.range(1).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit(1 if scanned < total else 0).cast("long").alias("skey"),
+        F.lit(total).cast("long").alias("n_chars"),
+    )
+    return rows.unionByName(audit)

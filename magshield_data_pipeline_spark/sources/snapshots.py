@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import struct
 import time
 import uuid
 
@@ -196,9 +197,139 @@ def _stat_value(v):
     return float(v)
 
 
+#: Bloom hash functions per filter: xxhash64(value, seed) for seed in
+#: range(_BLOOM_K) — the engine's own 64-bit hash, so probe hashing can
+#: be computed by the SAME expression and never drifts from the build.
+_BLOOM_K = 4
+
+
+def _bloom_position_exprs(col: str, m: int) -> list:
+    from pyspark.sql import functions as F
+
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m)).cast("long")
+        for s in range(_BLOOM_K)
+    ]
+
+
+def _attach_blooms(spark, table_path: str, target: str, abs_target: str,
+                   sub: str, entries: list[dict],
+                   bloom_for: dict[str, int]) -> None:
+    """Build one Bloom filter SIDECAR file per (data file, column) and
+    record it on the manifest entries — the Iceberg-puffin shape:
+    blobs live next to the commit's data files (``_blooms/`` under the
+    commit dir), the manifest carries ``{m, k, path}`` per column, and
+    readers consult the bitmap to skip files whose min/max range can't
+    prune (hash-scattered keys make every file span the full range, so
+    range stats keep everything; a bloom answers "definitely absent"
+    per file in O(k) bit probes).
+
+    *bloom_for* maps column -> filter size in BITS (caller-sized, like
+    parquet's ndv parameter: ~10 bits per expected distinct value per
+    file keeps the false-positive rate near 1%).  Build cost is one
+    extra pass over the just-written files, all engine-side: positions
+    are k xxhash64 expressions, the bitmap is assembled as 64-bit words
+    by ``bit_or`` (one shuffle keyed on (file, word)), and each file's
+    word list — at most m/64 rows — is written by an Arrow-batched
+    ``applyInPandas`` group task, so no bitmap ever routes through the
+    driver.  Files where the column is entirely null get no bloom and
+    are kept conservatively by readers (same contract as missing
+    stats)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    bloom_rel = os.path.join(sub, "_blooms")
+    abs_bloom = os.path.join(os.path.abspath(table_path), bloom_rel)
+    os.makedirs(abs_bloom, exist_ok=True)
+    by_path = {e["path"]: e for e in entries}
+    for col, m in bloom_for.items():
+        if m % 64 or m <= 0:
+            raise ValueError(
+                f"bloom_for[{col!r}]: bits must be a positive multiple "
+                f"of 64, got {m}"
+            )
+        pos = (
+            spark.read.parquet(target)
+            .where(F.col(col).isNotNull())
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(F.array(*_bloom_position_exprs(col, m))
+                          ).alias("_p"),
+            )
+            .distinct()
+        )
+        words = (
+            pos.select(
+                "_f",
+                (F.col("_p") / 64).cast("long").alias("_w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))"
+                ).alias("_b"),
+            )
+            .groupBy("_f", "_w")
+            .agg(F.bit_or("_b").alias("_bits"))
+        )
+        n_bytes = m // 8
+
+        def _write_bloom(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            file_uri = pdf["_f"].iloc[0]
+            rel_name = os.path.relpath(
+                file_uri.replace("file:", ""), abs_target
+            ).replace(os.sep, "__")
+            buf = bytearray(n_bytes)
+            for w, bits in zip(pdf["_w"], pdf["_bits"]):
+                struct.pack_into("<q", buf, int(w) * 8, int(bits))
+            name = f"{rel_name}.{col}.bloom"
+            with open(os.path.join(abs_bloom, name), "wb") as fh:
+                fh.write(bytes(buf))
+            return pd.DataFrame({"_f": [file_uri], "name": [name]})
+
+        got = words.groupBy("_f").applyInPandas(
+            _write_bloom, "_f string, name string"
+        ).collect()  # bounded: one row per data file in this commit
+        for r in got:
+            rel_name = os.path.relpath(
+                r["_f"].replace("file:", ""), abs_target
+            )
+            entry = by_path.get(os.path.join(sub, rel_name))
+            if entry is None:
+                raise ValueError(
+                    f"bloom build saw unknown file {rel_name!r}"
+                )
+            entry.setdefault("bloom", {})[col] = {
+                "m": m,
+                "k": _BLOOM_K,
+                "path": os.path.join(bloom_rel, r["name"]),
+            }
+
+
+def _bloom_probe_positions(spark, dtype, values: list, m: int
+                           ) -> list[list[int]]:
+    """Hash the probe *values* with the SAME engine expression the
+    build used (xxhash64 is seed- and type-sensitive, so computing the
+    positions in Python would silently diverge).  One tiny local job;
+    bounded: len(values) rows × k positions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    df = spark.createDataFrame(
+        [(v,) for v in values], StructType([StructField("c", dtype)])
+    )
+    rows = df.select(
+        F.array(*_bloom_position_exprs("c", m)).alias("ps")
+    ).collect()
+    return [[int(p) for p in r["ps"]] for r in rows]
+
+
+def _bloom_may_contain(buf: bytes, positions: list[int]) -> bool:
+    return all(buf[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
 def _write_data_files(df, table_path: str, n_files: int,
                       cluster_by: list[str] | None = None,
-                      partition_by: str | None = None) -> list[dict]:
+                      partition_by: str | None = None,
+                      bloom_for: dict[str, int] | None = None
+                      ) -> list[dict]:
     """Land *df* as immutable parquet files under a commit-unique
     subdirectory of ``data/`` and return their manifest entries (path
     relative to the table root, row count, and min/max stats for every
@@ -303,11 +434,15 @@ def _write_data_files(df, table_path: str, n_files: int,
         if part is not None:
             entry["partition"] = part
         entries.append(entry)
+    if bloom_for:
+        _attach_blooms(spark, table_path, target, abs_target, sub,
+                       entries, bloom_for)
     return entries
 
 
 def append(df, table_path: str, n_files: int = 2,
-           partition_by: str | None = None) -> int:
+           partition_by: str | None = None,
+           bloom_for: dict[str, int] | None = None) -> int:
     """Commit *df* as new files ON TOP of the latest snapshot (the
     carried file list is resolved inside the commit's retry loop, so
     concurrent appends compose instead of lost-updating).  An append
@@ -320,7 +455,8 @@ def append(df, table_path: str, n_files: int = 2,
     one table — pruning applies wherever partition values are
     recorded."""
     entries = _write_data_files(df, table_path, n_files,
-                                partition_by=partition_by)
+                                partition_by=partition_by,
+                                bloom_for=bloom_for)
     return _publish_manifest(
         table_path, "append", entries, carry=True,
         schema=df.schema.jsonValue(),
@@ -328,21 +464,24 @@ def append(df, table_path: str, n_files: int = 2,
 
 
 def overwrite(df, table_path: str, n_files: int = 2,
-              partition_by: str | None = None) -> int:
+              partition_by: str | None = None,
+              bloom_for: dict[str, int] | None = None) -> int:
     """Commit *df* as the ENTIRE table content; prior files stay on
     disk (older snapshots remain readable) but are no longer listed.
     The schema is replaced outright (overwrite is the explicit path
     for type changes that ``append`` refuses).  ``partition_by``
     writes under an identity partition spec."""
     entries = _write_data_files(df, table_path, n_files,
-                                partition_by=partition_by)
+                                partition_by=partition_by,
+                                bloom_for=bloom_for)
     return _publish_manifest(
         table_path, "overwrite", entries, schema=df.schema.jsonValue()
     )
 
 
 def compact(spark, table_path: str, n_files: int = 1,
-            cluster_by: list[str] | None = None) -> int:
+            cluster_by: list[str] | None = None,
+            bloom_for: dict[str, int] | None = None) -> int:
     """Rewrite the latest snapshot's content as *n_files* files —
     logically a no-op (same rows), physically the small-file fix; a
     reader of any prior version is untouched (its files are
@@ -355,7 +494,8 @@ def compact(spark, table_path: str, n_files: int = 1,
     latest = versions(table_path)[-1]
     content = read(spark, table_path, latest)
     entries = _write_data_files(content, table_path, n_files,
-                                cluster_by=cluster_by)
+                                cluster_by=cluster_by,
+                                bloom_for=bloom_for)
     return _publish_manifest(
         table_path, "compact", entries, schema=content.schema.jsonValue()
     )
@@ -392,7 +532,8 @@ def version_as_of(table_path: str, ts: float) -> int:
 def read(spark, table_path: str, version: int | None = None, *,
          as_of: float | None = None,
          prune: tuple[str, float, float] | None = None,
-         partitions: dict[str, list] | None = None):
+         partitions: dict[str, list] | None = None,
+         key_in: tuple[str, list] | None = None):
     """Scan snapshot *version* (default latest): exactly the manifest's
     files, nothing else.  ``as_of=<unix ts>`` resolves the version by
     commit wall-time instead (timestamp travel; mutually exclusive with
@@ -401,9 +542,17 @@ def read(spark, table_path: str, version: int | None = None, *,
     manifest-level file pruning.  ``partitions={col: [v, ...]}`` keeps
     only files whose recorded partition VALUE matches (exact identity
     pruning for ``partition_by`` commits; files without partition
-    metadata are kept conservatively).  Either way the caller still
-    applies the row-level filter; pruning only shrinks the file
-    list."""
+    metadata are kept conservatively).  ``key_in=(col, [v, ...])`` is
+    POINT-LOOKUP pruning: a file is kept only if its [min, max] range
+    admits at least one probe value AND, when the commit recorded a
+    Bloom sidecar for *col* (``bloom_for`` at write time), the bitmap
+    reports a possible hit for at least one value — the path that
+    skips files range stats can't (hash-scattered keys make every file
+    span the full range).  Entries without a bloom are kept whenever
+    their range admits a value; a point lookup that prunes EVERY file
+    returns an empty frame under the manifest schema (a miss is an
+    answer, not an error).  Either way the caller still applies the
+    row-level filter; pruning only shrinks the file list."""
     if as_of is not None:
         if version is not None:
             raise ValueError("read: pass version OR as_of, not both")
@@ -435,6 +584,50 @@ def read(spark, table_path: str, version: int | None = None, *,
                 for col, vals in wanted.items()
             )
         ]
+    if key_in is not None:
+        col, values = key_in
+        if not values:
+            raise ValueError("read: key_in needs at least one value")
+        dtype = None
+        if manifest.get("schema"):
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(manifest["schema"])
+            if col in st.fieldNames():
+                dtype = st[col].dataType
+        probes_by_m: dict[int, list[list[int]]] = {}
+        bufs: dict[str, bytes] = {}
+        kept = []
+        for e in entries:
+            mn, mx = e["stats"].get(f"min_{col}"), e["stats"].get(f"max_{col}")
+            in_range = [
+                v for v in values
+                if mn is None or mx is None or mn <= v <= mx
+            ]
+            if not in_range:
+                continue
+            meta = (e.get("bloom") or {}).get(col)
+            if meta is None or dtype is None:
+                kept.append(e)  # no bloom (or pre-schema chain): keep
+                continue
+            m = meta["m"]
+            if m not in probes_by_m:
+                probes_by_m[m] = _bloom_probe_positions(
+                    spark, dtype, list(values), m
+                )
+            if meta["path"] not in bufs:
+                with open(os.path.join(table_path, meta["path"]), "rb") as f:
+                    bufs[meta["path"]] = f.read()
+            buf = bufs[meta["path"]]
+            if any(_bloom_may_contain(buf, ps) for ps in probes_by_m[m]):
+                kept.append(e)
+        entries = kept
+        if not entries and manifest.get("schema"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
     if not entries:
         raise ValueError(
             f"snapshot v{v} at {table_path} has no files after pruning"
@@ -912,11 +1105,20 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
         raise ValueError("vacuum: keep_versions must be >= 1")
     vs = versions(table_path)
     keep, drop = vs[-keep_versions:], vs[:-keep_versions]
+
+    def _entry_paths(e: dict):
+        # a data file travels with its bloom sidecars: live entries
+        # keep them referenced, dropped entries reclaim them together
+        yield e["path"]
+        for meta in (e.get("bloom") or {}).values():
+            yield meta["path"]
+
     live = {
-        e["path"]
+        p
         for v in keep
         for m in [read_manifest(table_path, v)]
         for e in m["files"] + m.get("delete_files", [])
+        for p in _entry_paths(e)
     }
     deleted = []
     for v in drop:
@@ -929,12 +1131,12 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
             # stay a no-op even after its manifest is vacuumed
             _advance_txn(table_path, m["txn"][0], m["txn"][1])
         for e in m["files"] + m.get("delete_files", []):
-            p = e["path"]
-            if p not in live:
-                full = os.path.join(table_path, p)
-                if os.path.exists(full):
-                    os.remove(full)
-                deleted.append(p)
+            for p in _entry_paths(e):
+                if p not in live:
+                    full = os.path.join(table_path, p)
+                    if os.path.exists(full):
+                        os.remove(full)
+                    deleted.append(p)
         os.remove(os.path.join(_manifest_dir(table_path), f"v{v}.json"))
     return sorted(set(deleted))
 
