@@ -1473,3 +1473,95 @@ def snapshot_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(total).cast("long").alias("n_chars"),
     )
     return rows.unionByName(audit)
+
+
+_SNAP_ZORDER_SQL = """
+SELECT 'box' AS stage, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 300
+  AND o_totalprice BETWEEN 50000 AND 100000
+UNION ALL
+SELECT 'pruned_box', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'pruned_price_only', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+"""
+
+
+@register(
+    "snapshot_zorder_prune",
+    sql=_SNAP_ZORDER_SQL,
+    description="Z-ORDER clustering on the snapshot ledger (r11 — "
+    "OPTIMIZE ... ZORDER BY, sources/snapshots.py::compact(zorder_by=)): "
+    "orders are rewritten as 16 files ordered by the INTERLEAVED-BIT "
+    "Z-value of (o_custkey, o_totalprice) — 16 bits/dim, affine-scaled "
+    "against global [min,max] (one tiny agg job), the Z-value a flat "
+    "sum of 32 codegen terms, dropped before write — so every file "
+    "gets a tight bounding BOX over both columns at once; the query "
+    "prunes a 2-D box AND a price-only range at the MANIFEST level "
+    "(read(prune=[...]) ANDs per-column ranges) — the hash pins "
+    "pruning SOUNDNESS (the box rollup must equal the full-table "
+    "answer: a file wrongly dropped loses rows) and the two audit "
+    "rows pin that pruning HAPPENED on the box AND on the second "
+    "dimension alone — exactly what linear clustering cannot do "
+    "(tests pin linear keeps 16/16 on the price-only range) ([EXT] "
+    "lakehouse tier: multi-dimensional file skipping at 100 TB — "
+    "cluster once, prune every dimension)",
+)
+def snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the Z-value is computed once per clustering rewrite (one
+    # pass + one range shuffle); after it, every selective predicate
+    # on ANY clustered dimension prunes files from the manifest alone
+    # — no directory listing, no footer reads, no scan.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_zorder_orders", sf_dir,
+        "overwrite 2f; compact zorder(o_custkey,o_totalprice) 16f",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        SN.overwrite(orders, tmp, n_files=2)
+        SN.compact(spark, tmp, n_files=16,
+                   zorder_by=["o_custkey", "o_totalprice"])
+
+    ensure_scratch(base, _build)
+    total = len(SN.read_manifest(base, 2)["files"])
+    box = [("o_custkey", 100, 300), ("o_totalprice", 50000.0, 100000.0)]
+    pruned = SN.read(spark, base, prune=box)
+    box_files = pruned.select(F.input_file_name()).distinct().count()
+    price_files = (
+        SN.read(spark, base, prune=("o_totalprice", 50000.0, 100000.0))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    rollup = (
+        pruned.filter(
+            (F.col("o_custkey").between(100, 300))
+            & (F.col("o_totalprice").between(50000.0, 100000.0))
+        )
+        .agg(
+            F.lit("box").alias("stage"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+    def flag(stage: str, happened: bool) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(stage).alias("stage"),
+            F.lit(1 if happened else 0).cast("long").alias("n_orders"),
+            F.lit(None).cast("double").alias("revenue"),
+        )
+
+    return rollup.unionByName(
+        flag("pruned_box", box_files < total)
+    ).unionByName(flag("pruned_price_only", price_files < total))

@@ -325,10 +325,82 @@ def _bloom_may_contain(buf: bytes, positions: list[int]) -> bool:
     return all(buf[p >> 3] & (1 << (p & 7)) for p in positions)
 
 
+#: resolution of each dimension inside a Z-value (16 bits/dim keeps a
+#: 4-dim Z-value inside a signed 64-bit long)
+_Z_BITS = 16
+
+
+def _zorder_expr(df, cols: list[str]):
+    """Build the interleaved-bit Z-value Column for *cols*: each
+    column is affine-scaled to ``_Z_BITS`` bits against its global
+    [min, max] (ONE tiny agg job, single-row collect — bounded), then
+    bit i of column j lands at position ``i * n + j``.  The Z-value is
+    a flat SUM of ``_Z_BITS × n`` independent terms — no recurrence,
+    so whole-stage codegen sees one linear expression.  Interleaving
+    gives every file a tight bounding BOX over all *cols* at once,
+    which is what makes multi-column min/max pruning effective: linear
+    clustering sorts the first column perfectly and scatters the rest,
+    so a predicate on the second column prunes nothing."""
+    from pyspark.sql import functions as F
+
+    if len(cols) < 2:
+        raise ValueError("zorder_by needs at least 2 columns")
+    if _Z_BITS * len(cols) > 63:
+        raise ValueError(
+            f"zorder_by: {len(cols)} columns x {_Z_BITS} bits/dim "
+            "exceeds a 64-bit Z-value"
+        )
+    numeric = {
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() in _NUMERIC_TYPES
+    }
+    bad = [c for c in cols if c not in numeric]
+    if bad:
+        raise ValueError(f"zorder_by: non-numeric column(s) {bad}")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    row = df.agg(*aggs).collect()[0]  # single-row bounds probe — bounded
+    top = (1 << _Z_BITS) - 1
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo is None:
+            continue  # all-null dimension contributes nothing
+        span = float(hi) - float(lo)
+        scaled = (
+            F.lit(0).cast("long") if span <= 0 else
+            F.least(
+                F.lit(top).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(
+                        (F.col(c).cast("double") - float(lo))
+                        / span * top
+                    ).cast("long"),
+                ),
+            )
+        )
+        # nulls sort to the low corner (position 0), like NULLS FIRST
+        scaled = F.coalesce(scaled, F.lit(0).cast("long"))
+        for i in range(_Z_BITS):
+            weight = 1 << (i * n + j)
+            terms.append(
+                (F.shiftright(scaled, i).bitwiseAND(F.lit(1).cast("long")))
+                * F.lit(weight).cast("long")
+            )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
 def _write_data_files(df, table_path: str, n_files: int,
                       cluster_by: list[str] | None = None,
                       partition_by: str | None = None,
-                      bloom_for: dict[str, int] | None = None
+                      bloom_for: dict[str, int] | None = None,
+                      zorder_by: list[str] | None = None
                       ) -> list[dict]:
     """Land *df* as immutable parquet files under a commit-unique
     subdirectory of ``data/`` and return their manifest entries (path
@@ -350,8 +422,10 @@ def _write_data_files(df, table_path: str, n_files: int,
     exclusive with ``cluster_by``."""
     from pyspark.sql import functions as F
 
-    if cluster_by and partition_by:
-        raise ValueError("pass cluster_by OR partition_by, not both")
+    if sum(1 for x in (cluster_by, partition_by, zorder_by) if x) > 1:
+        raise ValueError(
+            "pass at most one of cluster_by / partition_by / zorder_by"
+        )
     sub = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}")
     target = os.path.join(table_path, sub)
     if partition_by:
@@ -360,6 +434,19 @@ def _write_data_files(df, table_path: str, n_files: int,
             .write.partitionBy(partition_by)
             .parquet(target)
         )
+    elif zorder_by:
+        # range-partition + sort on the interleaved Z-value, then drop
+        # it before writing: a projection after the sort keeps the
+        # layout, so files get tight multi-column bounding boxes with
+        # no helper column on disk
+        z = _zorder_expr(df, zorder_by)
+        arranged = (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        arranged.write.parquet(target)
     else:
         arranged = (
             df.repartitionByRange(n_files, *cluster_by)
@@ -481,7 +568,8 @@ def overwrite(df, table_path: str, n_files: int = 2,
 
 def compact(spark, table_path: str, n_files: int = 1,
             cluster_by: list[str] | None = None,
-            bloom_for: dict[str, int] | None = None) -> int:
+            bloom_for: dict[str, int] | None = None,
+            zorder_by: list[str] | None = None) -> int:
     """Rewrite the latest snapshot's content as *n_files* files —
     logically a no-op (same rows), physically the small-file fix; a
     reader of any prior version is untouched (its files are
@@ -495,7 +583,8 @@ def compact(spark, table_path: str, n_files: int = 1,
     content = read(spark, table_path, latest)
     entries = _write_data_files(content, table_path, n_files,
                                 cluster_by=cluster_by,
-                                bloom_for=bloom_for)
+                                bloom_for=bloom_for,
+                                zorder_by=zorder_by)
     return _publish_manifest(
         table_path, "compact", entries, schema=content.schema.jsonValue()
     )
@@ -531,7 +620,7 @@ def version_as_of(table_path: str, ts: float) -> int:
 
 def read(spark, table_path: str, version: int | None = None, *,
          as_of: float | None = None,
-         prune: tuple[str, float, float] | None = None,
+         prune: tuple[str, float, float] | list[tuple] | None = None,
          partitions: dict[str, list] | None = None,
          key_in: tuple[str, list] | None = None):
     """Scan snapshot *version* (default latest): exactly the manifest's
@@ -566,11 +655,20 @@ def read(spark, table_path: str, version: int | None = None, *,
     manifest = read_manifest(table_path, v)
     entries = manifest["files"]
     if prune is not None:
-        col, lo, hi = prune
+        # one (col, lo, hi) or a list of them (ANDed) — the multi-range
+        # form is what a Z-ordered layout serves: every range must
+        # intersect the file's per-column bounding box
+        ranges = [prune] if isinstance(prune[0], str) else list(prune)
         kept = []
         for e in entries:
-            mn, mx = e["stats"].get(f"min_{col}"), e["stats"].get(f"max_{col}")
-            if mn is None or mx is None or (mn <= hi and mx >= lo):
+            ok = True
+            for col, lo, hi in ranges:
+                mn = e["stats"].get(f"min_{col}")
+                mx = e["stats"].get(f"max_{col}")
+                if mn is not None and mx is not None and (mn > hi or mx < lo):
+                    ok = False
+                    break
+            if ok:
                 kept.append(e)
         entries = kept
     if partitions:
