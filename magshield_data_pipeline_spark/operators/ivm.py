@@ -126,8 +126,34 @@ def refresh_agg_view(
     half-updated view, but the already-committed half refuses to
     re-apply).
     """
-    _measure_cols(measures)
     ch = SN.read_row_changes(spark, source_path, from_version, to_version)
+    return apply_changes(
+        spark, view_path, ch, group, group_name, measures,
+        txn_version=to_version, app=app, n_files=n_files,
+    )
+
+
+def apply_changes(
+    spark: SparkSession,
+    view_path: str,
+    changes: DataFrame,
+    group: Column,
+    group_name: str,
+    measures: dict,
+    *,
+    txn_version: int,
+    app: str = "ivm",
+    n_files: int = 1,
+) -> dict:
+    """Fold an arbitrary frame of CDC rows (``_change_type`` +-signed,
+    e.g. one ``ledger_cdc`` micro-batch inside ``foreachBatch``) into
+    the maintained view — the streaming entry point.  *txn_version*
+    must be monotone per *app* (a stream passes its batch id; the
+    batch path passes the source version consumed).  Same return
+    shape and exactly-once contract as :func:`refresh_agg_view`."""
+    _measure_cols(measures)
+    ch = changes
+    to_version = txn_version
     sign = F.when(
         F.col("_change_type").isin(*_POS_CHANGES), F.lit(1)
     ).otherwise(F.lit(-1))

@@ -153,3 +153,62 @@ def test_refresh_merge_carries_disjoint_view_files(spark, tmp_path):
              S.read_manifest(view, S.versions(view)[-1])["files"]}
     assert lows[0] in after  # the grp<=1 file carried, byte-untouched
     assert S.read(spark, view).filter("grp = 3").head().n_rows == 11
+
+
+def test_streaming_fold_per_commit_equals_recompute(spark, tmp_path):
+    # ledger_cdc -> foreachBatch -> apply_changes, ONE COMMIT PER
+    # BATCH (distinct batch ids as txn versions): the streaming entry
+    # point must converge to the batch recompute, including the
+    # group-death retract arriving in its own micro-batch
+    import ast
+    import tempfile
+    import time
+
+    from magshield_data_pipeline_spark.sources import cdc_stream as C
+
+    src = _src(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "sview")
+    ivm.init_agg_view(spark, src, view, _grp(), "grp", _measures(),
+                      version=1)
+    C.register(spark)
+    stream = (
+        spark.readStream.format("ledger_cdc")
+        .option("path", src)
+        .load()  # maxVersionsPerBatch defaults to 1
+    )
+
+    def fold(bdf, bid):
+        ivm.apply_changes(spark, view, bdf, _grp(), "grp", _measures(),
+                          txn_version=int(bid), app="ivm-s")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                end = p["sources"][0]["endOffset"]
+                end = ast.literal_eval(end) if isinstance(end, str) else end
+                if end and int(end.get("version", 0)) >= 4:
+                    break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("stream never reached v4")
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    fresh = (
+        S.read(spark, src)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("val").alias("val_sum"))
+    )
+    got = S.read(spark, view).select("grp", "n_rows", "val_sum")
+    diff = got.exceptAll(fresh).unionByName(fresh.exceptAll(got))
+    assert not diff.head(1)
+    assert sorted(r.grp for r in got.collect()) == [1, 2]
