@@ -1843,3 +1843,127 @@ def snapshot_ivm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_SNAP_MGMT_SQL = """
+WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+corrected AS (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS o_totalprice
+    FROM o
+)
+SELECT 'baseline_tag' AS stage, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue FROM o
+UNION ALL
+SELECT 'corrected_tag', CAST(count(*) AS BIGINT),
+       round(sum(o_totalprice), 2) FROM corrected
+UNION ALL
+SELECT 'latest', CAST(count(*) AS BIGINT),
+       round(sum(o_totalprice), 2) FROM o
+UNION ALL
+SELECT 'violation_refused', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'constraints_live', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'versions_retained', CAST(3 AS BIGINT), CAST(NULL AS DOUBLE)
+"""
+
+
+@register(
+    "snapshot_table_mgmt",
+    sql=_SNAP_MGMT_SQL,
+    description="table MANAGEMENT tier on the ledger (r11, sources/"
+    "snapshots.py): TAGS as immutable refs + retention pins, ROLLBACK "
+    "as a forward metadata-only commit, and CHECK constraints as "
+    "versioned manifest metadata — v1 is tagged 'baseline', a MERGE "
+    "correction (+1000 on orderkey%13=0) is tagged 'corrected', "
+    "ROLLBACK restores the baseline state with zero data I/O (the "
+    "'latest' rollup must equal baseline while 'corrected_tag' "
+    "differs — a vacuous rollback can't hide), ADD CONSTRAINT "
+    "validates existing data then guards every later write, and "
+    "vacuum(keep_versions=1) retains EXACTLY the latest + both tagged "
+    "versions (versions_retained=3); the violation_refused row is "
+    "LIVE — every query run re-attempts an o_totalprice=-1 append and "
+    "must be refused by the O(delta) constraint check with the table "
+    "unchanged ([EXT] lakehouse tier: the Iceberg refs / Delta "
+    "RESTORE + CHECK-constraint contracts, completing the ledger's "
+    "operational surface)",
+)
+def snapshot_table_mgmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: tags and rollback are pure metadata (a rollback of a
+    # 100 TB table re-lists immutable files by reference); constraint
+    # enforcement costs one agg over the INCOMING rows per write
+    # (O(delta), single-row probe), never the table.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_mgmt_orders", sf_dir,
+        "v1 tag=baseline; v2 merge(+1000 %13=0) tag=corrected; "
+        "v3 rollback(1); v4 add_constraint(price_nonneg); vacuum(1)",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        SN.overwrite(orders, tmp, n_files=2)
+        SN.tag(tmp, "baseline")
+        corrections = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        )
+        SN.merge(corrections, tmp, key="o_orderkey", n_files=1)
+        SN.tag(tmp, "corrected")
+        SN.rollback(tmp, 1)
+        SN.add_constraint(spark, tmp, "price_nonneg", "o_totalprice >= 0")
+        SN.vacuum(tmp, keep_versions=1)
+
+    ensure_scratch(base, _build)
+
+    def rollup(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+
+    def flag(stage: str, val: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(stage).alias("stage"),
+            F.lit(val).cast("long").alias("n_orders"),
+            F.lit(None).cast("double").alias("revenue"),
+        )
+
+    # LIVE guard: re-attempt a violating append on every run — the
+    # constraint check refuses BEFORE any file lands, so the scratch
+    # table stays byte-identical across runs
+    refused = 0
+    try:
+        SN.append(
+            spark.createDataFrame(
+                [(-1, -1, -1.0)],
+                "o_orderkey long, o_custkey long, o_totalprice double",
+            ),
+            base,
+        )
+    except ValueError:
+        refused = 1
+    return (
+        rollup("baseline_tag", SN.read(spark, base, ref="baseline"))
+        .unionByName(rollup("corrected_tag",
+                            SN.read(spark, base, ref="corrected")))
+        .unionByName(rollup("latest", SN.read(spark, base)))
+        .unionByName(flag("violation_refused", refused))
+        .unionByName(
+            flag("constraints_live",
+                 len(SN.table_constraints(base)))
+        )
+        .unionByName(
+            flag("versions_retained", len(SN.versions(base)))
+        )
+    )

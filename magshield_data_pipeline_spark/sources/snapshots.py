@@ -117,6 +117,7 @@ def _publish_manifest(
     entries: list[dict],
     carry: bool = False,
     schema: dict | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """Optimistic commit: stage the manifest, then exclusively link it
     as the next version; on collision (a concurrent writer took the
@@ -135,9 +136,10 @@ def _publish_manifest(
     while True:
         prior = versions(table_path)
         v = (prior or [0])[-1] + 1
-        carried_manifest = (
-            read_manifest(table_path, prior[-1]) if carry and prior else None
+        latest_manifest = (
+            read_manifest(table_path, prior[-1]) if prior else None
         )
+        carried_manifest = latest_manifest if carry else None
         carried = carried_manifest["files"] if carried_manifest else []
         committed_schema = schema
         if schema is not None and carried_manifest is not None:
@@ -163,6 +165,15 @@ def _publish_manifest(
             manifest["delete_files"] = carried_manifest["delete_files"]
         if committed_schema is not None:
             manifest["schema"] = committed_schema
+        # CHECK constraints are table metadata: they survive EVERY
+        # commit type (including overwrite) until explicitly changed —
+        # pass constraints={} to drop them all
+        committed_constraints = (
+            constraints if constraints is not None
+            else (latest_manifest or {}).get("constraints")
+        )
+        if committed_constraints:
+            manifest["constraints"] = committed_constraints
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         try:
@@ -541,6 +552,7 @@ def append(df, table_path: str, n_files: int = 2,
     ``_write_data_files``); commits with different specs coexist in
     one table — pruning applies wherever partition values are
     recorded."""
+    _validate_constraints(df, table_path)
     entries = _write_data_files(df, table_path, n_files,
                                 partition_by=partition_by,
                                 bloom_for=bloom_for)
@@ -558,6 +570,7 @@ def overwrite(df, table_path: str, n_files: int = 2,
     The schema is replaced outright (overwrite is the explicit path
     for type changes that ``append`` refuses).  ``partition_by``
     writes under an identity partition spec."""
+    _validate_constraints(df, table_path)
     entries = _write_data_files(df, table_path, n_files,
                                 partition_by=partition_by,
                                 bloom_for=bloom_for)
@@ -620,13 +633,14 @@ def version_as_of(table_path: str, ts: float) -> int:
 
 def read(spark, table_path: str, version: int | None = None, *,
          as_of: float | None = None,
+         ref: str | None = None,
          prune: tuple[str, float, float] | list[tuple] | None = None,
          partitions: dict[str, list] | None = None,
          key_in: tuple[str, list] | None = None):
     """Scan snapshot *version* (default latest): exactly the manifest's
     files, nothing else.  ``as_of=<unix ts>`` resolves the version by
-    commit wall-time instead (timestamp travel; mutually exclusive with
-    *version*).  ``prune=(col, lo, hi)`` drops files whose [min, max]
+    commit wall-time (timestamp travel), ``ref="name"`` by tag — the
+    three pins are mutually exclusive.  ``prune=(col, lo, hi)`` drops files whose [min, max]
     range cannot intersect [lo, hi] BEFORE Spark plans the scan —
     manifest-level file pruning.  ``partitions={col: [v, ...]}`` keeps
     only files whose recorded partition VALUE matches (exact identity
@@ -642,9 +656,11 @@ def read(spark, table_path: str, version: int | None = None, *,
     returns an empty frame under the manifest schema (a miss is an
     answer, not an error).  Either way the caller still applies the
     row-level filter; pruning only shrinks the file list."""
+    if sum(x is not None for x in (version, as_of, ref)) > 1:
+        raise ValueError("read: pass at most one of version / as_of / ref")
+    if ref is not None:
+        version = resolve_ref(table_path, ref)
     if as_of is not None:
-        if version is not None:
-            raise ValueError("read: pass version OR as_of, not both")
         version = version_as_of(table_path, as_of)
     vs = versions(table_path)
     if not vs:
@@ -1189,8 +1205,8 @@ def _txn_committed(table_path: str, app: str, version: int) -> bool:
 
 def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     """Reclaim data files referenced by NO retained snapshot: keep the
-    newest *keep_versions* manifests (and their files), delete the
-    rest — the retention-windowed cleanup every snapshot format pairs
+    newest *keep_versions* manifests (and their files) plus every
+    TAGGED version, delete the rest — the retention-windowed cleanup every snapshot format pairs
     with immutable files.  Returns the deleted file paths.  The
     retained manifests stay byte-identical, so time travel within the
     retention window is unaffected; older version reads fail loudly on
@@ -1202,7 +1218,12 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     if keep_versions < 1:
         raise ValueError("vacuum: keep_versions must be >= 1")
     vs = versions(table_path)
-    keep, drop = vs[-keep_versions:], vs[:-keep_versions]
+    # TAGGED versions are retention pins: their manifests and files
+    # survive any retention window until the tag is deleted (the
+    # Iceberg ref-aware expiry contract)
+    pinned = set(tags(table_path).values())
+    keep = sorted(set(vs[-keep_versions:]) | (pinned & set(vs)))
+    drop = [v for v in vs if v not in set(keep)]
 
     def _entry_paths(e: dict):
         # a data file travels with its bloom sidecars: live entries
@@ -1322,6 +1343,7 @@ def append_stream_batch(df, table_path: str, batch_id: int,
 
     if _committed():
         return None
+    _validate_constraints(df, table_path)
     entries = _write_data_files(df, table_path, n_files)
     d = _manifest_dir(table_path)
     os.makedirs(d, exist_ok=True)
@@ -1354,6 +1376,8 @@ def append_stream_batch(df, table_path: str, batch_id: int,
                 df.schema.jsonValue(),
             ),
         }
+        if prior_manifest and prior_manifest.get("constraints"):
+            manifest["constraints"] = prior_manifest["constraints"]
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         try:
@@ -1420,6 +1444,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
         )
     base_version = vs[-1]
     manifest = read_manifest(table_path, base_version)
+    _validate_constraints(source_df, table_path)
     if mode == "copy-on-write" and manifest.get("delete_files"):
         raise ValueError(
             "merge: table has pending merge-on-read delete files — "
@@ -1479,6 +1504,8 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
             new_manifest["schema"] = schema_json
         else:
             new_manifest["schema"] = source_df.schema.jsonValue()
+        if manifest.get("constraints"):
+            new_manifest["constraints"] = manifest["constraints"]
         if txn is not None:
             new_manifest["txn"] = list(txn)
         _publish_at_exactly(table_path, v, new_manifest,
@@ -1520,6 +1547,8 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
         "schema": (schema_json if schema_json is not None
                    else source_df.schema.jsonValue()),
     }
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     if txn is not None:
         new_manifest["txn"] = list(txn)
     _publish_at_exactly(table_path, base_version + 1, new_manifest, entries,
@@ -1623,6 +1652,8 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
         }
         if schema_json is not None:
             new_manifest["schema"] = schema_json
+        if manifest.get("constraints"):
+            new_manifest["constraints"] = manifest["constraints"]
         if txn is not None:
             new_manifest["txn"] = list(txn)
         _publish_at_exactly(table_path, base_version + 1, new_manifest,
@@ -1671,6 +1702,8 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     }
     if schema_json is not None:
         new_manifest["schema"] = schema_json
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     if txn is not None:
         new_manifest["txn"] = list(txn)
     _publish_at_exactly(table_path, base_version + 1, new_manifest,
@@ -1678,3 +1711,196 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     if txn is not None:
         _advance_txn(table_path, txn[0], txn[1])
     return base_version + 1
+
+
+# ---------------------------------------------------------------------------
+# Table management: CHECK constraints, tags, rollback (r11)
+
+def table_constraints(table_path: str) -> dict[str, str]:
+    """The CHECK constraints recorded on the latest snapshot (empty if
+    none).  Constraints are MANIFEST metadata — versioned with the
+    table, carried by every commit type, visible to time travel."""
+    vs = versions(table_path)
+    if not vs:
+        return {}
+    return read_manifest(table_path, vs[-1]).get("constraints") or {}
+
+
+def _validate_constraints(df, table_path: str) -> None:
+    """Refuse rows that violate the table's CHECK constraints — SQL
+    CHECK semantics: a row fails only when the expression is FALSE
+    (null passes).  ONE agg job over the incoming rows, all
+    constraints at once (O(delta) enforcement: only new data pays),
+    single-row collect — bounded."""
+    from pyspark.sql import functions as F
+
+    cons = table_constraints(table_path)
+    if not cons:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.expr(expr).eqNullSafe(F.lit(False)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in sorted(cons.items())
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: int(row[name] or 0) for name in cons
+           if (row[name] or 0) > 0}
+    if bad:
+        raise ValueError(
+            f"CHECK constraint violation at {table_path}: "
+            + ", ".join(f"{n!r} fails on {c} incoming row(s)"
+                        for n, c in sorted(bad.items()))
+            + " — commit refused, table unchanged"
+        )
+
+
+def add_constraint(spark, table_path: str, name: str, expr: str) -> int:
+    """ADD a named CHECK constraint as a METADATA-ONLY ledger commit
+    (operation ``set-constraint``, files carried by reference): the
+    EXISTING data must already satisfy it — validated with one agg job
+    over the current snapshot, exactly Delta's ALTER TABLE ADD
+    CONSTRAINT contract — and every later append/overwrite/merge
+    validates its incoming rows (O(delta)) and refuses loudly on
+    violation.  Returns the committed version."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"add_constraint: {table_path} has no versions")
+    cons = table_constraints(table_path)
+    if name in cons:
+        raise ValueError(
+            f"add_constraint: {name!r} already exists "
+            f"({cons[name]!r}); drop it first"
+        )
+    from pyspark.sql import functions as F
+
+    existing = read(spark, table_path)
+    n_bad = existing.agg(
+        F.sum(
+            F.when(F.expr(expr).eqNullSafe(F.lit(False)), 1).otherwise(0)
+        ).alias("n")
+    ).collect()[0]["n"]  # single-row probe — bounded
+    if n_bad:
+        raise ValueError(
+            f"add_constraint: existing data violates {name!r} "
+            f"({expr}) on {int(n_bad)} row(s) — clean up first"
+        )
+    return _publish_manifest(
+        table_path, "set-constraint", [], carry=True,
+        constraints={**cons, name: expr},
+    )
+
+
+def drop_constraint(table_path: str, name: str) -> int:
+    """Remove a CHECK constraint — a metadata-only commit."""
+    cons = table_constraints(table_path)
+    if name not in cons:
+        raise ValueError(f"drop_constraint: no constraint {name!r}")
+    return _publish_manifest(
+        table_path, "set-constraint", [], carry=True,
+        constraints={k: v for k, v in cons.items() if k != name},
+    )
+
+
+def _refs_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_refs")
+
+
+def tag(table_path: str, name: str, version: int | None = None) -> int:
+    """Pin *version* (default: latest) under an immutable named TAG —
+    the Iceberg ref: a release label a reader can address
+    (``read(ref=...)``) and a RETENTION PIN (``vacuum`` never reclaims
+    a tagged version's manifest or files, however old).  Exclusive
+    create: re-tagging an existing name fails loudly (delete it
+    first); tag names are filesystem-safe identifiers."""
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"tag: unsafe name {name!r}")
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"tag: {table_path} has no versions")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"tag: version {v} not in {vs}")
+    d = _refs_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
+    with open(staged, "w") as f:
+        json.dump({"version": v, "created_at": time.time()}, f)
+    try:
+        os.link(staged, os.path.join(d, f"{name}.json"))
+    except FileExistsError:
+        raise ValueError(
+            f"tag: {name!r} already exists at {table_path} — tags are "
+            "immutable; delete_tag() first"
+        ) from None
+    finally:
+        os.unlink(staged)
+    return v
+
+
+def tags(table_path: str) -> dict[str, int]:
+    d = _refs_dir(table_path)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for fn in os.listdir(d):
+        if fn.endswith(".json") and not fn.startswith("."):
+            with open(os.path.join(d, fn)) as f:
+                out[fn[:-5]] = json.load(f)["version"]
+    return out
+
+
+def delete_tag(table_path: str, name: str) -> None:
+    p = os.path.join(_refs_dir(table_path), f"{name}.json")
+    if not os.path.exists(p):
+        raise ValueError(f"delete_tag: no tag {name!r} at {table_path}")
+    os.remove(p)
+
+
+def resolve_ref(table_path: str, ref: str) -> int:
+    got = tags(table_path)
+    if ref not in got:
+        raise ValueError(
+            f"ref {ref!r} not found at {table_path}; have {sorted(got)}"
+        )
+    return got[ref]
+
+
+def rollback(table_path: str, to_version: int) -> int:
+    """RESTORE the table to *to_version*'s full state (files, schema,
+    pending delete files, constraints) as a NEW commit — metadata-only
+    (zero data I/O: the target's immutable files are re-listed by
+    reference), history-preserving (the rolled-back versions stay
+    readable), and safe under concurrency (exclusive-create publish
+    with retry, like every commit).  The Delta RESTORE / Iceberg
+    rollback contract: undo is a forward commit, never a rewrite."""
+    vs = versions(table_path)
+    if to_version not in vs:
+        raise ValueError(f"rollback: version {to_version} not in {vs}")
+    target = read_manifest(table_path, to_version)
+    d = _manifest_dir(table_path)
+    while True:
+        latest = versions(table_path)[-1]
+        if latest == to_version:
+            return latest  # already there: no-op, no empty commit
+        manifest = {
+            k: v for k, v in target.items()
+            if k not in ("version", "committed_at", "operation",
+                         "batch_id", "txn")
+        }
+        manifest.update(
+            operation="rollback",
+            version=latest + 1,
+            committed_at=time.time(),
+            rollback_of=to_version,
+        )
+        staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
+        with open(staged, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        try:
+            os.link(staged, os.path.join(d, f"v{latest + 1}.json"))
+        except FileExistsError:
+            os.unlink(staged)
+            continue  # lost the race — re-resolve and retry
+        os.unlink(staged)
+        return latest + 1

@@ -555,7 +555,7 @@ def test_timestamp_travel_agrees_with_version_travel(spark, tmp_path):
         == [0, 1, 2, 3, 4, 5]
     with pytest.raises(ValueError, match="predates the first commit"):
         S.version_as_of(t, at1 - 10)
-    with pytest.raises(ValueError, match="version OR as_of"):
+    with pytest.raises(ValueError, match="at most one of version"):
         S.read(spark, t, 1, as_of=mid)
 
 

@@ -1,0 +1,138 @@
+"""Table management tier (sources/snapshots.py): tags, rollback,
+CHECK constraints.
+
+Pins: tags are immutable refs and vacuum retention pins; rollback is
+a metadata-only forward commit restoring the target's full state
+(files, schema, constraints) with history preserved; constraints are
+versioned manifest metadata validated on existing data at ADD time
+and on incoming rows (only) at every write path, with SQL CHECK null
+semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.sources import snapshots as S
+
+
+def _t(spark, tmp_path, name="t"):
+    t = os.path.join(str(tmp_path), name)
+    S.overwrite(
+        spark.range(10).select(F.col("id").alias("k"),
+                               (F.col("id") * 10).alias("v")),
+        t, n_files=1,
+    )
+    return t
+
+
+def test_tags_resolve_and_are_immutable(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    S.append(spark.createDataFrame([(99, 990)], "k long, v long"), t)
+    assert S.tag(t, "rel-1", version=1) == 1
+    assert S.tag(t, "head") == 2  # default: latest
+    assert S.tags(t) == {"rel-1": 1, "head": 2}
+    assert S.read(spark, t, ref="rel-1").count() == 10
+    with pytest.raises(ValueError, match="immutable"):
+        S.tag(t, "rel-1", version=2)
+    S.delete_tag(t, "rel-1")
+    with pytest.raises(ValueError, match="not found"):
+        S.read(spark, t, ref="rel-1")
+    with pytest.raises(ValueError, match="unsafe"):
+        S.tag(t, "../escape")
+
+
+def test_vacuum_retains_tagged_versions(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    S.tag(t, "pin", version=1)
+    for i in range(3):
+        S.append(spark.createDataFrame([(100 + i, 0)], "k long, v long"), t)
+    S.vacuum(t, keep_versions=1)
+    assert S.versions(t) == [1, 4]  # tag pinned v1 through the window
+    assert S.read(spark, t, ref="pin").count() == 10
+    S.delete_tag(t, "pin")
+    S.vacuum(t, keep_versions=1)
+    assert S.versions(t) == [4]  # unpinned: normal retention applies
+
+
+def test_rollback_is_metadata_only_and_history_preserving(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    before_files = {e["path"] for e in S.read_manifest(t, 1)["files"]}
+    S.merge(spark.createDataFrame([(3, 999)], "k long, v long"), t,
+            key="k")
+    v = S.rollback(t, 1)
+    assert v == 3
+    m = S.read_manifest(t, 3)
+    assert m["operation"] == "rollback" and m["rollback_of"] == 1
+    # zero data I/O: v1's files re-listed BY REFERENCE
+    assert {e["path"] for e in m["files"]} == before_files
+    assert sorted(r.v for r in S.read(spark, t).collect())[:4] \
+        == [0, 10, 20, 30]
+    # history preserved: the rolled-back merge stays readable
+    assert S.read(spark, t, 2).filter("k = 3").head().v == 999
+    # rolling back to the current state is a no-op, not an empty commit
+    assert S.rollback(t, 3) == 3
+    assert S.versions(t) == [1, 2, 3]
+
+
+def test_constraint_guards_every_write_path(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    S.add_constraint(spark, t, "v_nonneg", "v >= 0")
+    bad = spark.createDataFrame([(50, -1)], "k long, v long")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        S.append(bad, t)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        S.overwrite(bad, t)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        S.merge(bad, t, key="k")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        S.append_stream_batch(bad, t, batch_id=999)
+    # refusal leaves the table untouched (refused BEFORE files land)
+    assert S.versions(t) == [1, 2]
+    assert S.read(spark, t).count() == 10
+    # a conforming write still flows
+    S.append(spark.createDataFrame([(50, 5)], "k long, v long"), t)
+    assert S.read(spark, t).count() == 11
+
+
+def test_constraint_null_passes_sql_check_semantics(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    S.add_constraint(spark, t, "v_nonneg", "v >= 0")
+    S.append(spark.createDataFrame([(77, None)], "k long, v long"), t)
+    assert S.read(spark, t).filter("k = 77").head().v is None
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    with pytest.raises(ValueError, match="existing data violates"):
+        S.add_constraint(spark, t, "k_small", "k < 5")
+    assert S.table_constraints(t) == {}  # nothing committed
+
+
+def test_constraints_survive_commits_and_rollback_restores_them(
+        spark, tmp_path):
+    t = _t(spark, tmp_path)
+    S.add_constraint(spark, t, "v_nonneg", "v >= 0")  # v2
+    S.merge(spark.createDataFrame([(3, 333)], "k long, v long"), t,
+            key="k")  # v3
+    S.compact(spark, t, n_files=1)  # v4
+    assert S.table_constraints(t) == {"v_nonneg": "v >= 0"}
+    # rollback restores the TARGET's metadata: pre-constraint v1 state
+    S.rollback(t, 1)
+    assert S.table_constraints(t) == {}
+    # ... and rolling forward to v2's state brings it back
+    S.rollback(t, 2)
+    assert S.table_constraints(t) == {"v_nonneg": "v >= 0"}
+    S.drop_constraint(t, "v_nonneg")
+    assert S.table_constraints(t) == {}
+    S.append(spark.createDataFrame([(60, -6)], "k long, v long"), t)
+
+
+def test_constraint_time_travel_reads_versioned_metadata(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    v2 = S.add_constraint(spark, t, "v_nonneg", "v >= 0")
+    assert S.read_manifest(t, 1).get("constraints") is None
+    assert S.read_manifest(t, v2)["constraints"] == {"v_nonneg": "v >= 0"}
