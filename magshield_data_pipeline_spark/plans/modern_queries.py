@@ -1967,3 +1967,93 @@ def snapshot_table_mgmt(spark: SparkSession, sf_dir: str) -> DataFrame:
             flag("versions_retained", len(SN.versions(base)))
         )
     )
+
+
+_SNAP_MAINT_SQL = """
+WITH o AS (SELECT o_orderkey FROM orders),
+sl AS (SELECT o_orderkey FROM o WHERE o_orderkey % 101 BETWEEN 0 AND 4),
+allr AS (SELECT o_orderkey FROM o UNION ALL SELECT o_orderkey FROM sl)
+SELECT 'rows_intact' AS stage, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum FROM allr
+UNION ALL
+SELECT 'files_before', CAST(6 AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'files_after', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'large_carried', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'cdc_silent', CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'commits', CAST(7 AS BIGINT), CAST(NULL AS BIGINT)
+"""
+
+
+@register(
+    "snapshot_maintenance_plan",
+    sql=_SNAP_MAINT_SQL,
+    description="bin-pack OPTIMIZE + metadata tables (r11, sources/"
+    "snapshots.py): orders land as one ADEQUATE file plus five tiny "
+    "append files (the small-file problem); optimize(small_file_rows) "
+    "rewrites ONLY the five undersized files into one (files 6 -> 2, "
+    "counted through the .files METADATA TABLE at both versions — "
+    "manifest-only, zero data I/O) while the large file is CARRIED BY "
+    "REFERENCE (its path must survive into the new manifest), the "
+    "row-CDC feed across the maintenance commit is SILENT (cdc_silent "
+    "= 0, computed live from read_row_changes), the commit count "
+    "comes from DESCRIBE HISTORY, and rows_intact pins the rewrite "
+    "lost and invented nothing ([EXT] lakehouse tier: incremental "
+    "small-file maintenance — at 100 TB, OPTIMIZE costs the small "
+    "files, never the table, and subscribers never wake for it)",
+)
+def snapshot_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the rewrite scans only the undersized files; the audit
+    # surface (files_table / history) is pure manifest metadata.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_maint_orders", sf_dir,
+        "v1 overwrite(1f); v2-6 tiny appends (%101 in 0..4); "
+        "v7 optimize(small<full)",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select("o_orderkey")
+        SN.overwrite(orders, tmp, n_files=1)
+        for i in range(5):
+            SN.append(orders.filter(F.col("o_orderkey") % 101 == i),
+                      tmp, n_files=1)
+        SN.optimize(spark, tmp, small_file_rows=orders.count())
+
+    ensure_scratch(base, _build)
+
+    def flag(stage: str, val: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(stage).alias("stage"),
+            F.lit(val).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("orderkey_sum"),
+        )
+
+    pre_files = SN.files_table(spark, base, version=6)
+    post_files = SN.files_table(spark, base, version=7)
+    large_path = (
+        pre_files.orderBy(F.col("rows").desc()).head().path
+    )  # the one adequate file
+    carried = post_files.filter(F.col("path") == large_path).count()
+    silent = SN.read_row_changes(spark, base, 6, 7).count()
+    rollup = SN.read(spark, base).agg(
+        F.lit("rows_intact").alias("stage"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("orderkey_sum"),
+    )
+    return (
+        rollup
+        .unionByName(flag("files_before", pre_files.count()))
+        .unionByName(flag("files_after", post_files.count()))
+        .unionByName(flag("large_carried", carried))
+        .unionByName(flag("cdc_silent", silent))
+        .unionByName(flag("commits", SN.history(spark, base).count()))
+    )

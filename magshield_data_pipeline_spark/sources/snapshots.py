@@ -1904,3 +1904,137 @@ def rollback(table_path: str, to_version: int) -> int:
             continue  # lost the race — re-resolve and retry
         os.unlink(staged)
         return latest + 1
+
+
+# ---------------------------------------------------------------------------
+# Maintenance planning: bin-pack OPTIMIZE + metadata tables (r11)
+
+def optimize(spark, table_path: str, small_file_rows: int,
+             target_rows: int | None = None) -> int | None:
+    """Bin-pack OPTIMIZE: rewrite ONLY the latest snapshot's
+    UNDERSIZED data files (``rows < small_file_rows``) into
+    consolidated files of ~*target_rows* rows (default: one file),
+    carrying every adequately-sized file BY REFERENCE — the real
+    OPTIMIZE contract: small-file maintenance on a 100 TB table costs
+    the small files, never a full rewrite (``compact`` is the
+    everything-rewrite; this is the incremental maintenance loop runs
+    nightly).  Publishes as a ``compact`` operation (``mode:
+    bin-pack``) so the row-CDC feed stays SILENT by contract —
+    subscribers don't wake for layout maintenance.  Serializable: the
+    commit validates its base version at publish time and fails loudly
+    on a concurrent commit.  Returns the committed version, or
+    ``None`` when fewer than two files are undersized (nothing worth
+    packing — an empty maintenance commit would just churn manifests).
+    """
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"optimize: {table_path} has no versions")
+    base_version = vs[-1]
+    manifest = read_manifest(table_path, base_version)
+    if manifest.get("delete_files"):
+        raise ValueError(
+            "optimize: table has pending merge-on-read delete files — "
+            "compact() to materialize them first (bin-packing a subset "
+            "of files cannot reconcile sequence-numbered deletes)"
+        )
+    small = [e for e in manifest["files"] if e["rows"] < small_file_rows]
+    if len(small) < 2:
+        return None
+    big = [e for e in manifest["files"] if e["rows"] >= small_file_rows]
+    total = sum(e["rows"] for e in small)
+    n_out = (
+        1 if target_rows is None
+        else max(1, -(-total // max(1, target_rows)))
+    )
+    content = _scan(spark, table_path, small, manifest.get("schema"))
+    entries = [
+        {**e, "seq": base_version + 1}
+        for e in _write_data_files(content, table_path, n_out)
+    ]
+    new_manifest = {
+        "operation": "compact",
+        "mode": "bin-pack",
+        "version": base_version + 1,
+        "committed_at": time.time(),
+        "files": big + entries,
+    }
+    if manifest.get("schema") is not None:
+        new_manifest["schema"] = manifest["schema"]
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
+    _publish_at_exactly(table_path, base_version + 1, new_manifest,
+                        entries, op="optimize")
+    return base_version + 1
+
+
+def history(spark, table_path: str):
+    """The commit log as a DataFrame — DESCRIBE HISTORY: one row per
+    retained version with its operation, file/row footprint, and
+    commit metadata.  Pure manifest reads (bounded by the retention
+    window), zero data I/O — the self-description every table format
+    owes its operators."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    rows = []
+    for v in versions(table_path):
+        m = read_manifest(table_path, v)
+        rows.append((
+            v,
+            m.get("operation"),
+            m.get("mode"),
+            len(m["files"]),
+            len(m.get("delete_files") or []),
+            sum(e["rows"] for e in m["files"]),
+            float(m["committed_at"]) if m.get("committed_at") else None,
+            m.get("key"),
+            m.get("rollback_of"),
+        ))
+    schema = StructType([
+        StructField("version", LongType()),
+        StructField("operation", StringType()),
+        StructField("mode", StringType()),
+        StructField("n_files", LongType()),
+        StructField("n_delete_files", LongType()),
+        StructField("total_rows", LongType()),
+        StructField("committed_at", DoubleType()),
+        StructField("key", StringType()),
+        StructField("rollback_of", LongType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def files_table(spark, table_path: str, version: int | None = None):
+    """A snapshot's manifest entries as a DataFrame — the ``.files``
+    metadata table: path, row count, sequence number, partition value,
+    and which columns carry bloom sidecars.  Manifest-only (zero data
+    I/O); the planning surface file-count and skew audits read."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"files_table: {table_path} has no versions")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"files_table: version {v} not in {vs}")
+    rows = []
+    for e in read_manifest(table_path, v)["files"]:
+        part = e.get("partition")
+        rows.append((
+            e["path"],
+            e["rows"],
+            e.get("seq"),
+            json.dumps(part, sort_keys=True) if part else None,
+            ",".join(sorted(e.get("bloom") or {})) or None,
+        ))
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("rows", LongType()),
+        StructField("seq", LongType()),
+        StructField("partition", StringType()),
+        StructField("bloom_cols", StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)

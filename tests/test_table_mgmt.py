@@ -136,3 +136,66 @@ def test_constraint_time_travel_reads_versioned_metadata(spark, tmp_path):
     v2 = S.add_constraint(spark, t, "v_nonneg", "v >= 0")
     assert S.read_manifest(t, 1).get("constraints") is None
     assert S.read_manifest(t, v2)["constraints"] == {"v_nonneg": "v >= 0"}
+
+
+def test_optimize_binpacks_only_small_files(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "opt")
+    S.overwrite(spark.range(1000).select(F.col("id").alias("k")), t,
+                n_files=1)  # one adequate file
+    for i in range(4):
+        S.append(spark.range(i * 10, i * 10 + 10)
+                 .select(F.col("id").alias("k")), t, n_files=1)
+    big = S.read_manifest(t, 1)["files"][0]["path"]
+    v = S.optimize(spark, t, small_file_rows=100)
+    assert v == 6
+    m = S.read_manifest(t, 6)
+    assert m["operation"] == "compact" and m["mode"] == "bin-pack"
+    paths = {e["path"] for e in m["files"]}
+    assert big in paths and len(paths) == 2  # 4 small -> 1, big carried
+    assert S.read(spark, t).count() == 1040  # nothing lost or invented
+    # maintenance is silent for CDC subscribers
+    assert S.read_row_changes(spark, t, 5, 6).count() == 0
+
+
+def test_optimize_noop_when_nothing_to_pack(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    assert S.optimize(spark, t, small_file_rows=1) is None  # no small
+    S.append(spark.createDataFrame([(1, 1)], "k long, v long"), t,
+             n_files=1)
+    assert S.optimize(spark, t, small_file_rows=2) is None  # only one
+    assert S.versions(t) == [1, 2]  # no churn commits
+
+
+def test_optimize_respects_target_rows(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "opt2")
+    S.overwrite(spark.range(10).select(F.col("id").alias("k")), t,
+                n_files=1)
+    for i in range(4):
+        S.append(spark.range(100).select(F.col("id").alias("k")), t,
+                 n_files=1)
+    # 410 small rows at 200/file -> 3 output files
+    S.optimize(spark, t, small_file_rows=1000, target_rows=200)
+    assert len(S.read_manifest(t, 6)["files"]) == 3
+
+
+def test_history_and_files_metadata_tables(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    S.merge(spark.createDataFrame([(3, 333)], "k long, v long"), t,
+            key="k")
+    S.rollback(t, 1)
+    h = {r.version: r for r in S.history(spark, t).collect()}
+    assert [h[v].operation for v in (1, 2, 3)] \
+        == ["overwrite", "merge", "rollback"]
+    assert h[2].key == "k" and h[3].rollback_of == 1
+    assert h[1].total_rows == 10 and h[1].committed_at is not None
+    f = S.files_table(spark, t).collect()
+    assert all(r.rows > 0 and r.path.startswith("data/") for r in f)
+    # partition + bloom metadata surface through .files
+    t2 = os.path.join(str(tmp_path), "t2")
+    S.overwrite(
+        spark.range(8).select(F.col("id").alias("k"),
+                              (F.col("id") % 2).alias("p")),
+        t2, n_files=1, bloom_for={"k": 1 << 10},
+    )
+    r0 = S.files_table(spark, t2).head()
+    assert r0.bloom_cols == "k"
