@@ -212,3 +212,34 @@ def test_streaming_fold_per_commit_equals_recompute(spark, tmp_path):
     diff = got.exceptAll(fresh).unionByName(fresh.exceptAll(got))
     assert not diff.head(1)
     assert sorted(r.grp for r in got.collect()) == [1, 2]
+
+
+def test_refresh_feed_scans_only_touched_files(spark, tmp_path):
+    # the O(touched files) half of the refresh cost claim, at the
+    # PLAN level: a 6-file table takes one small merge; the refresh's
+    # change feed must list only the commit's before/after image files
+    # among its inputs — never the table
+    t = os.path.join(str(tmp_path), "scope")
+    rows = spark.range(0, 600).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+    S.overwrite(rows, t, n_files=1)
+    S.compact(spark, t, n_files=6, cluster_by=["k"])  # disjoint ranges
+    S.merge(spark.createDataFrame([(5, 2, 999)],
+                                  "k long, grp long, val long"),
+            t, key="k", n_files=1)
+    m2, m3 = S.read_manifest(t, 2), S.read_manifest(t, 3)
+    touched = ({e["path"] for e in m2["files"]}
+               ^ {e["path"] for e in m3["files"]})  # removed + added
+    assert 0 < len(touched) < 6
+    feed = S.read_row_changes(spark, t, 2, 3)
+    files = {f.replace("file:", "").lstrip("/")
+             for f in feed.inputFiles()}
+    assert files, "inputFiles empty — assertion would be vacuous"
+    allowed = {os.path.join(t, p).lstrip("/") for p in touched}
+    assert files <= allowed, (
+        f"feed read beyond the commit's touched files: "
+        f"{files - allowed}"
+    )
