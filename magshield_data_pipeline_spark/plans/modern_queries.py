@@ -2057,3 +2057,126 @@ def snapshot_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(flag("cdc_silent", silent))
         .unionByName(flag("commits", SN.history(spark, base).count()))
     )
+
+
+_SNAP_WAP_SQL = """
+WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+corr AS (
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           o_totalprice + 500 AS o_totalprice
+    FROM o WHERE o_orderkey % 17 = 0
+),
+published AS (
+    SELECT * FROM o UNION ALL SELECT * FROM corr
+),
+live AS (
+    SELECT * FROM (VALUES (-1, 1.0), (-2, 2.0), (-3, 3.0),
+                          (-4, 4.0), (-5, 5.0))
+        AS t(o_orderkey, o_totalprice)
+)
+SELECT 'published' AS stage, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue FROM published
+UNION ALL
+SELECT 'live_stage_isolated', CAST(count(*) AS BIGINT),
+       round(sum(o_totalprice), 2) FROM published
+UNION ALL
+SELECT 'live_audit_view', CAST(count(*) AS BIGINT),
+       round(sum(o_totalprice), 2)
+FROM (SELECT * FROM published UNION ALL SELECT * FROM live)
+UNION ALL
+SELECT 'discarded', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'after_discard', CAST(count(*) AS BIGINT),
+       round(sum(o_totalprice), 2) FROM published
+"""
+
+
+@register(
+    "snapshot_wap_audit",
+    sql=_SNAP_WAP_SQL,
+    description="WRITE-AUDIT-PUBLISH on the ledger (r11 — the Iceberg "
+    "wap.id staged-commit pattern, sources/snapshots.py): corrections "
+    "are STAGED outside the version chain, audited via read_staged "
+    "(the would-be snapshot), and published atomically — the "
+    "'published' rollup pins the graduated commit; then EVERY RUN "
+    "stages a fresh 5-row batch LIVE, proves isolation (the main "
+    "table's rollup is unchanged while the stage exists), audits the "
+    "would-be snapshot (exactly published+5 rows), and DISCARDS it — "
+    "the staged list returns to empty and the after_discard rollup "
+    "proves zero trace (a leaked stage or a discard that failed to "
+    "reclaim shifts the hashes); publish re-resolves against the "
+    "current latest, so append-append composes with commits that land "
+    "mid-audit (pinned in tests) ([EXT] lakehouse tier: how a 100 TB "
+    "pipeline gates data it cannot express as row constraints — "
+    "distribution checks, cross-table joins, model gates — before "
+    "production readers see it)",
+)
+def snapshot_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: staging costs the staged files only; audit reads are the
+    # ordinary manifest-scoped scan; publish is a metadata commit.
+    import uuid as _uuid
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_wap_orders", sf_dir,
+        "v1 overwrite; stage corrections(%17=0,+500,+10M keys); publish",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        SN.overwrite(orders, tmp, n_files=2)
+        corr = orders.filter(F.col("o_orderkey") % 17 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            (F.col("o_totalprice") + 500).alias("o_totalprice"),
+        )
+        SN.stage_append(corr, tmp, "corrections", n_files=1)
+        SN.publish_staged(tmp, "corrections")
+
+    ensure_scratch(base, _build)
+
+    def rollup(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+
+    # LIVE write-audit-discard loop, zero trace across runs
+    name = f"live-{_uuid.uuid4().hex[:8]}"
+    live = spark.createDataFrame(
+        [(-i, float(i)) for i in range(1, 6)],
+        "o_orderkey long, o_totalprice double",
+    )
+    SN.stage_append(live, base, name, n_files=1)
+    try:
+        # materialize the audit rows BEFORE discard frees the staged
+        # files — bounded: three single-row aggregates
+        audited = (
+            rollup("published", SN.read(spark, base))
+            .unionByName(rollup("live_stage_isolated",
+                                SN.read(spark, base)))
+            .unionByName(rollup("live_audit_view",
+                                SN.read_staged(spark, base, name)))
+            .collect()
+        )
+    finally:
+        SN.discard_staged(base, name)
+    audited_df = spark.createDataFrame(
+        audited, "stage string, n_orders long, revenue double"
+    )
+    return (
+        audited_df.unionByName(
+            spark.range(1).select(
+                F.lit("discarded").alias("stage"),
+                F.lit(len(SN.staged(base))).cast("long").alias("n_orders"),
+                F.lit(None).cast("double").alias("revenue"),
+            )
+        ).unionByName(rollup("after_discard", SN.read(spark, base)))
+    )

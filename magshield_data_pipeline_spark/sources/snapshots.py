@@ -2038,3 +2038,131 @@ def files_table(spark, table_path: str, version: int | None = None):
         StructField("bloom_cols", StringType()),
     ])
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish: staged commits (r11)
+
+def _wap_path(table_path: str, name: str) -> str:
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"wap: unsafe stage name {name!r}")
+    return os.path.join(_manifest_dir(table_path), f".wap-{name}.json")
+
+
+def stage_append(df, table_path: str, name: str, n_files: int = 2,
+                 bloom_for: dict[str, int] | None = None) -> None:
+    """WRITE-AUDIT-PUBLISH, the write step (the Iceberg ``wap.id``
+    staged-commit pattern): land *df*'s data files and a STAGED
+    manifest OUTSIDE the version chain — production readers of the
+    table see nothing, while auditors read the would-be snapshot via
+    :func:`read_staged` and run arbitrary quality checks against it.
+    :func:`publish_staged` then makes it the next version atomically
+    (re-validating against the CURRENT latest, so concurrent commits
+    compose instead of being lost-updated); :func:`discard_staged`
+    reclaims a failed audit's files.  CHECK constraints still validate
+    at write time — staging is for checks the engine can't express as
+    row predicates (distribution shifts, cross-table joins, model
+    gates).  Exactly one stage per *name* may exist (exclusive create,
+    same primitive as every commit)."""
+    _validate_constraints(df, table_path)
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"stage_append: {table_path} has no versions — "
+                         "commit an initial overwrite first")
+    p = _wap_path(table_path, name)
+    if os.path.exists(p):
+        raise ValueError(
+            f"stage_append: stage {name!r} already exists — publish or "
+            "discard it first"
+        )
+    entries = _write_data_files(df, table_path, n_files,
+                                bloom_for=bloom_for)
+    base = read_manifest(table_path, vs[-1])
+    staged = {
+        "operation": "wap-append",
+        "base_version": vs[-1],
+        "staged_at": time.time(),
+        "entries": entries,  # THIS stage's new files only
+        "schema": _merge_schema(base.get("schema"), df.schema.jsonValue()),
+    }
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(staged, f, sort_keys=True)
+    try:
+        os.link(tmp, p)
+    except FileExistsError:
+        _discard_commit_dirs(table_path, entries)
+        raise ValueError(
+            f"stage_append: stage {name!r} already exists (lost the "
+            "race) — publish or discard it first"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def staged(table_path: str) -> list[str]:
+    d = _manifest_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        fn[len(".wap-"):-len(".json")]
+        for fn in os.listdir(d)
+        if fn.startswith(".wap-") and fn.endswith(".json")
+        and ".tmp-" not in fn
+    )
+
+
+def read_staged(spark, table_path: str, name: str):
+    """The AUDIT surface: scan the would-be snapshot (current latest
+    plus the staged files) without publishing anything."""
+    p = _wap_path(table_path, name)
+    if not os.path.exists(p):
+        raise ValueError(f"read_staged: no stage {name!r} at {table_path}")
+    with open(p) as f:
+        st = json.load(f)
+    latest = read_manifest(table_path, versions(table_path)[-1])
+    return _scan(spark, table_path, latest["files"] + st["entries"],
+                 st.get("schema"))
+
+
+def publish_staged(table_path: str, name: str) -> int:
+    """The PUBLISH step: graduate the staged files into the version
+    chain as a normal append commit.  Because a staged append's files
+    are pure ADDITIONS, publish re-resolves against the CURRENT latest
+    (the base may have moved while the audit ran — append-append
+    composes by construction, the same rule as ``_publish_manifest``'s
+    carry retry); the staged manifest is consumed atomically so a
+    double publish fails loudly."""
+    p = _wap_path(table_path, name)
+    claimed = p + f".publishing-{uuid.uuid4().hex}"
+    try:
+        os.rename(p, claimed)  # atomic claim: exactly one publisher wins
+    except FileNotFoundError:
+        raise ValueError(
+            f"publish_staged: no stage {name!r} at {table_path} "
+            "(already published or discarded?)"
+        ) from None
+    try:
+        with open(claimed) as f:
+            st = json.load(f)
+        v = _publish_manifest(
+            table_path, "append", st["entries"], carry=True,
+            schema=st.get("schema"),
+        )
+    except BaseException:
+        os.rename(claimed, p)  # publish failed: the stage survives
+        raise
+    os.unlink(claimed)
+    return v
+
+
+def discard_staged(table_path: str, name: str) -> None:
+    """Reject a failed audit: remove the staged manifest and reclaim
+    its data files (they were never referenced by any version)."""
+    p = _wap_path(table_path, name)
+    if not os.path.exists(p):
+        raise ValueError(f"discard_staged: no stage {name!r}")
+    with open(p) as f:
+        st = json.load(f)
+    os.remove(p)
+    _discard_commit_dirs(table_path, st["entries"])
