@@ -1282,6 +1282,11 @@ def remove_orphans(table_path: str, older_than_seconds: float = 86400.0
         for m in [read_manifest(table_path, v)]
         for e in m["files"] + m.get("delete_files", [])
     }
+    # a WAP stage's files are referenced by its STAGED manifest, not a
+    # version — a pending audit must survive any orphan sweep
+    for name in staged(table_path):
+        with open(_wap_path(table_path, name)) as f:
+            referenced.update(e["path"] for e in json.load(f)["entries"])
     cutoff = time.time() - older_than_seconds
     deleted = []
     for dirpath, _dirs, files in os.walk(data_root):

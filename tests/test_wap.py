@@ -102,3 +102,14 @@ def test_staged_schema_evolution_carries_to_publish(spark, tmp_path):
     got = S.read(spark, t)
     assert got.schema.fieldNames() == ["k", "tag"]
     assert got.filter("tag = 'x'").count() == 1
+
+
+def test_pending_stage_survives_orphan_sweep(spark, tmp_path):
+    # a stage's files are referenced by the STAGED manifest, not a
+    # version — remove_orphans(0) must not reap a pending audit
+    t = _t(spark, tmp_path)
+    S.stage_append(spark.range(10, 12).select(F.col("id").alias("k")),
+                   t, "pending", n_files=1)
+    assert S.remove_orphans(t, older_than_seconds=0) == []
+    assert S.read_staged(spark, t, "pending").count() == 12
+    S.discard_staged(t, "pending")
