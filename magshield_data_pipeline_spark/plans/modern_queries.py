@@ -2180,3 +2180,76 @@ def snapshot_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).unionByName(rollup("after_discard", SN.read(spark, base)))
     )
+
+
+_SNAP_NDV_SQL = """
+SELECT 'doc_id' AS col, CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_ndv,
+       CAST(1 AS BIGINT) AS within_tolerance
+FROM documents
+UNION ALL
+SELECT 'grp50', CAST(count(DISTINCT doc_id % 50) AS BIGINT),
+       CAST(1 AS BIGINT) FROM documents
+UNION ALL
+SELECT 'grp7', CAST(count(DISTINCT doc_id % 7) AS BIGINT),
+       CAST(1 AS BIGINT) FROM documents
+"""
+
+
+@register(
+    "snapshot_ndv_stats",
+    sql=_SNAP_NDV_SQL,
+    description="NDV SKETCHES in the manifest (r11 — the Iceberg "
+    "theta-sketch-in-puffin idea as HyperLogLog, sources/snapshots.py"
+    "::approx_ndv): every data file records a 256-register HLL per "
+    "sketched column at write time (bucket/rank from the engine's own "
+    "xxhash64, one grouped agg per commit), and approx_ndv answers "
+    "COUNT(DISTINCT) from PURE MANIFEST METADATA — register merge is "
+    "a max, so the multi-file merge equals a single-pass sketch "
+    "exactly (pinned in tests via compact); the hash pins the exact "
+    "distinct counts (computed from data, matching the oracle) AND "
+    "that the metadata estimate lands within 15%% for a full-distinct "
+    "column, a 50-group column and a 7-group column (linear-counting "
+    "small-range correction live) — a wrong estimator flips the flag "
+    "([EXT] lakehouse tier: the cardinality statistics a planner "
+    "needs for join ordering and AQE hints, at 100 TB readable "
+    "without touching a single data file)",
+)
+def snapshot_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the sketch build is one engine-side agg folded into the
+    # write; the estimate is a driver-side register merge over
+    # manifest JSON — zero data I/O however large the table.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_ndv_docs", sf_dir,
+        "overwrite 8f ndv_for=[doc_id,grp50,grp7]",
+    )
+
+    def _build(tmp: str) -> None:
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 50).alias("grp50"),
+            (F.col("doc_id") % 7).alias("grp7"),
+        )
+        SN.overwrite(docs, tmp, n_files=8,
+                     ndv_for=["doc_id", "grp50", "grp7"])
+
+    ensure_scratch(base, _build)
+    tbl = SN.read(spark, base)
+    exact = tbl.agg(
+        F.count_distinct("doc_id").alias("doc_id"),
+        F.count_distinct("grp50").alias("grp50"),
+        F.count_distinct("grp7").alias("grp7"),
+    ).collect()[0]  # single-row probe — bounded
+    rows = []
+    for col in ("doc_id", "grp50", "grp7"):
+        est = SN.approx_ndv(base, col)
+        ok = 1 if abs(est / exact[col] - 1.0) <= 0.15 else 0
+        rows.append((col, int(exact[col]), ok))
+    return spark.createDataFrame(
+        rows, "col string, exact_ndv long, within_tolerance long"
+    )

@@ -407,11 +407,106 @@ def _zorder_expr(df, cols: list[str]):
     return z
 
 
+
+#: HyperLogLog registers per NDV sketch (m=256: ~6.5% standard error,
+#: 256 small ints of manifest JSON per file per column)
+_NDV_M = 256
+
+
+def _attach_ndv(spark, table_path: str, target: str, abs_target: str,
+                sub: str, entries: list[dict],
+                ndv_for: list[str]) -> None:
+    """Record a per-(file, column) HyperLogLog sketch on the manifest
+    entries — the Iceberg theta-sketch-in-puffin idea reduced to HLL:
+    ``approx_ndv`` then answers distinct-count questions from PURE
+    METADATA (register merge is a max, so the union of files is the
+    max of their registers — associative, order-free, and exactly
+    equal to a single-pass sketch over the same rows).  Build cost:
+    one engine-side agg over the just-written files (bucket =
+    xxhash64 mod m, register = leading-zero rank of the remaining 56
+    bits); the driver collects at most m rows per file — bounded
+    metadata, like the min/max stats."""
+    from pyspark.sql import functions as F
+
+    by_path = {e["path"]: e for e in entries}
+    for col in ndv_for:
+        h = F.xxhash64(F.col(col))
+        w = F.expr(f"shiftrightunsigned(xxhash64({col}), 8)")
+        rank = F.when(w == 0, F.lit(57)).otherwise(
+            F.lit(57) - F.length(F.expr(f"bin(shiftrightunsigned("
+                                        f"xxhash64({col}), 8))"))
+        )
+        regs = (
+            spark.read.parquet(target)
+            .where(F.col(col).isNotNull())
+            .select(
+                F.input_file_name().alias("_f"),
+                F.pmod(h, F.lit(_NDV_M)).cast("int").alias("_b"),
+                rank.cast("int").alias("_r"),
+            )
+            .groupBy("_f", "_b")
+            .agg(F.max("_r").alias("_r"))
+            .collect()
+        )  # bounded: at most m registers per file
+        per_file: dict[str, dict[str, int]] = {}
+        for r in regs:
+            rel = os.path.relpath(r["_f"].replace("file:", ""), abs_target)
+            per_file.setdefault(rel, {})[str(r["_b"])] = int(r["_r"])
+        for rel, registers in per_file.items():
+            entry = by_path.get(os.path.join(sub, rel))
+            if entry is None:
+                raise ValueError(f"ndv build saw unknown file {rel!r}")
+            entry.setdefault("ndv", {})[col] = {
+                "m": _NDV_M, "regs": registers,
+            }
+
+
+def approx_ndv(table_path: str, col: str, version: int | None = None
+               ) -> float:
+    """Approximate COUNT(DISTINCT col) from manifest metadata alone —
+    zero data I/O at any table size: merge every file's HLL registers
+    (max per bucket) and apply the standard HyperLogLog estimator with
+    the linear-counting small-range correction.  Raises when any file
+    lacks a sketch for *col* (rewrite with ``ndv_for=``) — a partial
+    merge would silently under-count."""
+    import math
+
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"approx_ndv: {table_path} has no versions")
+    v = vs[-1] if version is None else version
+    merged = [0] * _NDV_M
+    for e in read_manifest(table_path, v)["files"]:
+        sk = (e.get("ndv") or {}).get(col)
+        if sk is None:
+            if e["rows"] == 0:
+                continue  # an empty file has nothing to sketch
+            raise ValueError(
+                f"approx_ndv: file {e['path']!r} has no NDV sketch for "
+                f"{col!r} — write with ndv_for=[...] (or compact with it)"
+            )
+        if sk["m"] != _NDV_M:
+            raise ValueError(f"approx_ndv: register-count mismatch "
+                             f"({sk['m']} != {_NDV_M})")
+        for b, r in sk["regs"].items():
+            bi = int(b)
+            if r > merged[bi]:
+                merged[bi] = r
+    m = _NDV_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / sum(2.0 ** -r for r in merged)
+    zeros = merged.count(0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)  # linear counting, small range
+    return est
+
+
 def _write_data_files(df, table_path: str, n_files: int,
                       cluster_by: list[str] | None = None,
                       partition_by: str | None = None,
                       bloom_for: dict[str, int] | None = None,
-                      zorder_by: list[str] | None = None
+                      zorder_by: list[str] | None = None,
+                      ndv_for: list[str] | None = None
                       ) -> list[dict]:
     """Land *df* as immutable parquet files under a commit-unique
     subdirectory of ``data/`` and return their manifest entries (path
@@ -535,12 +630,16 @@ def _write_data_files(df, table_path: str, n_files: int,
     if bloom_for:
         _attach_blooms(spark, table_path, target, abs_target, sub,
                        entries, bloom_for)
+    if ndv_for:
+        _attach_ndv(spark, table_path, target, abs_target, sub,
+                    entries, ndv_for)
     return entries
 
 
 def append(df, table_path: str, n_files: int = 2,
            partition_by: str | None = None,
-           bloom_for: dict[str, int] | None = None) -> int:
+           bloom_for: dict[str, int] | None = None,
+           ndv_for: list[str] | None = None) -> int:
     """Commit *df* as new files ON TOP of the latest snapshot (the
     carried file list is resolved inside the commit's retry loop, so
     concurrent appends compose instead of lost-updating).  An append
@@ -555,7 +654,7 @@ def append(df, table_path: str, n_files: int = 2,
     _validate_constraints(df, table_path)
     entries = _write_data_files(df, table_path, n_files,
                                 partition_by=partition_by,
-                                bloom_for=bloom_for)
+                                bloom_for=bloom_for, ndv_for=ndv_for)
     return _publish_manifest(
         table_path, "append", entries, carry=True,
         schema=df.schema.jsonValue(),
@@ -564,7 +663,8 @@ def append(df, table_path: str, n_files: int = 2,
 
 def overwrite(df, table_path: str, n_files: int = 2,
               partition_by: str | None = None,
-              bloom_for: dict[str, int] | None = None) -> int:
+              bloom_for: dict[str, int] | None = None,
+              ndv_for: list[str] | None = None) -> int:
     """Commit *df* as the ENTIRE table content; prior files stay on
     disk (older snapshots remain readable) but are no longer listed.
     The schema is replaced outright (overwrite is the explicit path
@@ -573,7 +673,7 @@ def overwrite(df, table_path: str, n_files: int = 2,
     _validate_constraints(df, table_path)
     entries = _write_data_files(df, table_path, n_files,
                                 partition_by=partition_by,
-                                bloom_for=bloom_for)
+                                bloom_for=bloom_for, ndv_for=ndv_for)
     return _publish_manifest(
         table_path, "overwrite", entries, schema=df.schema.jsonValue()
     )
@@ -582,7 +682,8 @@ def overwrite(df, table_path: str, n_files: int = 2,
 def compact(spark, table_path: str, n_files: int = 1,
             cluster_by: list[str] | None = None,
             bloom_for: dict[str, int] | None = None,
-            zorder_by: list[str] | None = None) -> int:
+            zorder_by: list[str] | None = None,
+            ndv_for: list[str] | None = None) -> int:
     """Rewrite the latest snapshot's content as *n_files* files —
     logically a no-op (same rows), physically the small-file fix; a
     reader of any prior version is untouched (its files are
@@ -597,7 +698,8 @@ def compact(spark, table_path: str, n_files: int = 1,
     entries = _write_data_files(content, table_path, n_files,
                                 cluster_by=cluster_by,
                                 bloom_for=bloom_for,
-                                zorder_by=zorder_by)
+                                zorder_by=zorder_by,
+                                ndv_for=ndv_for)
     return _publish_manifest(
         table_path, "compact", entries, schema=content.schema.jsonValue()
     )

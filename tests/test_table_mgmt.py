@@ -199,3 +199,31 @@ def test_history_and_files_metadata_tables(spark, tmp_path):
     )
     r0 = S.files_table(spark, t2).head()
     assert r0.bloom_cols == "k"
+
+
+def test_ndv_sketch_merge_equals_single_pass(spark, tmp_path):
+    # HLL register merge is a max: the 8-file metadata estimate must
+    # EXACTLY equal a fresh single-file sketch over the same rows
+    t = os.path.join(str(tmp_path), "ndv")
+    rows = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("g"))
+    S.overwrite(rows, t, n_files=8, ndv_for=["k", "g"])
+    multi = {c: S.approx_ndv(t, c) for c in ("k", "g")}
+    S.compact(spark, t, n_files=1, ndv_for=["k", "g"])
+    for c in ("k", "g"):
+        assert S.approx_ndv(t, c) == multi[c]
+    # accuracy: within 15% for both the wide and the tiny cardinality
+    assert abs(multi["k"] / 20000 - 1) <= 0.15
+    assert abs(multi["g"] / 31 - 1) <= 0.15
+
+
+def test_ndv_missing_sketch_fails_loudly(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "ndv2")
+    S.overwrite(spark.range(10).select(F.col("id").alias("k")), t,
+                n_files=1, ndv_for=["k"])
+    S.append(spark.range(10, 20).select(F.col("id").alias("k")), t,
+             n_files=1)  # no sketch on this commit
+    with pytest.raises(ValueError, match="no NDV sketch"):
+        S.approx_ndv(t, "k")
+    # the sketched-only version still answers (time travel)
+    assert abs(S.approx_ndv(t, "k", version=1) / 10 - 1) <= 0.3
