@@ -2253,3 +2253,73 @@ def snapshot_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col string, exact_ndv long, within_tolerance long"
     )
+
+
+_SNAP_HIDDEN_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_totalprice
+FROM orders WHERE o_custkey IN (7, 43, 124)
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(16 AS DOUBLE)
+"""
+
+
+@register(
+    "snapshot_hidden_partition",
+    sql=_SNAP_HIDDEN_SQL,
+    description="HIDDEN PARTITIONING on the ledger (r11 — Iceberg "
+    "partition transforms, sources/snapshots.py): orders are "
+    "committed partition_by=('bucket','o_custkey',16) — the layout "
+    "key is a DERIVED value (xxhash64 mod 16), the raw column stays "
+    "in the data files, and each manifest entry records its partition "
+    "value AND the transform spec; the reader's point lookup "
+    "(read(key_in=('o_custkey',[...]))) never mentions the layout — "
+    "pruning maps the raw probe values through the recorded transform "
+    "(bucket hashing via the same engine expression as the write, so "
+    "no Python-hash drift) and keeps at most one bucket per probe "
+    "key; the hash pins lookup soundness (every order of the three "
+    "customers found — a wrong bucket mapping silently loses rows) "
+    "and the audit row pins that pruning HAPPENED (files scanned < "
+    "16, else the flag flips) ([EXT] lakehouse tier: the layout is an "
+    "implementation detail — queries stay correct when the partition "
+    "spec evolves, the contract directory-partitioned hive tables "
+    "can never give)",
+)
+def snapshot_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: pruning is manifest-list filtering plus one bounded probe
+    # job (hash the probe values); a 3-customer lookup on a 100 TB
+    # table reads at most 3 buckets' files, and the spec can evolve
+    # per commit (entries carry their own transform).
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_hidden_orders", sf_dir,
+        "overwrite partition_by=bucket(o_custkey,16) 1f/bucket",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        SN.overwrite(orders, tmp, n_files=1,
+                     partition_by=("bucket", "o_custkey", 16))
+
+    ensure_scratch(base, _build)
+    keys = [7, 43, 124]
+    total = len(SN.read_manifest(base, 1)["files"])
+    hits = SN.read(spark, base, key_in=("o_custkey", keys))
+    scanned = hits.select(F.input_file_name()).distinct().count()
+    rows = hits.filter(F.col("o_custkey").isin(keys)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    audit = spark.range(1).select(
+        F.lit(-1).cast("long").alias("o_orderkey"),
+        F.lit(1 if scanned < total else 0).cast("long").alias("o_custkey"),
+        F.lit(float(total)).alias("o_totalprice"),
+    )
+    return rows.unionByName(audit)

@@ -501,9 +501,85 @@ def approx_ndv(table_path: str, col: str, version: int | None = None
     return est
 
 
+
+def _partition_spec(partition_by):
+    """Normalize ``partition_by``: a plain string is the identity
+    spec; a tuple is a HIDDEN-PARTITIONING transform (the Iceberg
+    idea: the table partitions on a DERIVED value, readers keep
+    querying the raw column, and pruning maps raw predicates through
+    the transform) — ``("bucket", col, N)``, ``("truncate", col, W)``
+    (strings: prefix; integers: floor to a W-multiple) or
+    ``("month", col)``.  Returns (name, source, transform, param)."""
+    if partition_by is None:
+        return None
+    if isinstance(partition_by, str):
+        return (partition_by, partition_by, "identity", None)
+    t = partition_by[0]
+    if t == "bucket":
+        _, col, n = partition_by
+        return (f"_p_bucket_{col}", col, "bucket", int(n))
+    if t == "truncate":
+        _, col, w = partition_by
+        return (f"_p_truncate_{col}", col, "truncate", int(w))
+    if t == "month":
+        _, col = partition_by
+        return (f"_p_month_{col}", col, "month", None)
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
+def _transform_expr(spec, dtype_name: str):
+    """The engine-side Column computing a spec's partition value."""
+    from pyspark.sql import functions as F
+
+    _name, col, t, param = spec
+    if t == "identity":
+        return F.col(col)
+    if t == "bucket":
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(param)).cast("int")
+    if t == "truncate":
+        if dtype_name == "string":
+            return F.substring(F.col(col), 1, param)
+        return (F.col(col) - F.pmod(F.col(col), F.lit(param))).cast("long")
+    if t == "month":
+        return F.date_format(F.col(col), "yyyy-MM")
+    raise ValueError(f"unknown transform {t!r}")
+
+
+def _transform_probe_values(spark, spec, dtype, values: list) -> list[str]:
+    """Map raw probe *values* through a partition transform, AS
+    STRINGS (hive directory encoding).  Bucket hashes through a tiny
+    engine job so the probe uses the SAME xxhash64 as the write (the
+    no-Python-hash-drift rule, as with blooms); truncate is exact
+    integer/prefix arithmetic."""
+    _name, _col, t, param = spec
+    if t == "identity":
+        return [str(v) for v in values]
+    if t == "truncate":
+        return [
+            str(v[:param]) if isinstance(v, str) else str(v - (v % param))
+            for v in values
+        ]
+    if t == "bucket":
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        df = spark.createDataFrame(
+            [(v,) for v in values], StructType([StructField("c", dtype)])
+        )
+        rows = df.select(
+            F.pmod(F.xxhash64(F.col("c")), F.lit(param)).cast("int")
+            .alias("b")
+        ).collect()  # bounded: one row per probe value
+        return [str(r["b"]) for r in rows]
+    raise ValueError(
+        f"key_in cannot prune through transform {t!r} (equality "
+        "pruning supports identity/bucket/truncate)"
+    )
+
+
 def _write_data_files(df, table_path: str, n_files: int,
                       cluster_by: list[str] | None = None,
-                      partition_by: str | None = None,
+                      partition_by: str | tuple | None = None,
                       bloom_for: dict[str, int] | None = None,
                       zorder_by: list[str] | None = None,
                       ndv_for: list[str] | None = None
@@ -532,12 +608,22 @@ def _write_data_files(df, table_path: str, n_files: int,
         raise ValueError(
             "pass at most one of cluster_by / partition_by / zorder_by"
         )
+    spec = _partition_spec(partition_by)
     sub = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}")
     target = os.path.join(table_path, sub)
-    if partition_by:
+    if spec:
+        p_name, p_source, p_transform, _p = spec
+        dtype_name = dict(
+            (f.name, f.dataType.typeName()) for f in df.schema.fields
+        ).get(p_source)
+        if dtype_name is None:
+            raise ValueError(f"partition_by: no column {p_source!r}")
+        pv = _transform_expr(spec, dtype_name)
+        staged = (df if p_transform == "identity"
+                  else df.withColumn(p_name, pv))
         (
-            df.repartition(n_files, F.col(partition_by))
-            .write.partitionBy(partition_by)
+            staged.repartition(n_files, F.col(p_name))
+            .write.partitionBy(p_name)
             .parquet(target)
         )
     elif zorder_by:
@@ -572,7 +658,7 @@ def _write_data_files(df, table_path: str, n_files: int,
         f.name
         for f in df.schema.fields
         if f.dataType.typeName() in _NUMERIC_TYPES + ("string",)
-        and f.name != partition_by  # exact value recorded instead
+        and f.name != (spec[0] if spec else None)  # exact value recorded
     ]
     # per-file stats in ONE job keyed by input_file_name() — never a
     # Spark job per file (a real table format reads them straight from
@@ -601,14 +687,14 @@ def _write_data_files(df, table_path: str, n_files: int,
     }
 
     def _partition_of(rel_name: str) -> dict | None:
-        if not partition_by:
+        if not spec:
             return None
         from urllib.parse import unquote
 
         for comp in rel_name.split(os.sep)[:-1]:
             if "=" in comp:
                 col, _, raw = comp.partition("=")
-                if col == partition_by:
+                if col == spec[0]:
                     return {col: unquote(raw)}
         raise ValueError(
             f"partitioned write produced un-layouted file {rel_name!r}"
@@ -626,6 +712,11 @@ def _write_data_files(df, table_path: str, n_files: int,
         part = _partition_of(name)
         if part is not None:
             entry["partition"] = part
+            if spec[2] != "identity":
+                entry["partition_spec"] = {
+                    "name": spec[0], "source": spec[1],
+                    "transform": spec[2], "param": spec[3],
+                }
         entries.append(entry)
     if bloom_for:
         _attach_blooms(spark, table_path, target, abs_target, sub,
@@ -637,7 +728,7 @@ def _write_data_files(df, table_path: str, n_files: int,
 
 
 def append(df, table_path: str, n_files: int = 2,
-           partition_by: str | None = None,
+           partition_by: str | tuple | None = None,
            bloom_for: dict[str, int] | None = None,
            ndv_for: list[str] | None = None) -> int:
     """Commit *df* as new files ON TOP of the latest snapshot (the
@@ -662,7 +753,7 @@ def append(df, table_path: str, n_files: int = 2,
 
 
 def overwrite(df, table_path: str, n_files: int = 2,
-              partition_by: str | None = None,
+              partition_by: str | tuple | None = None,
               bloom_for: dict[str, int] | None = None,
               ndv_for: list[str] | None = None) -> int:
     """Commit *df* as the ENTIRE table content; prior files stay on
@@ -813,8 +904,31 @@ def read(spark, table_path: str, version: int | None = None, *,
                 dtype = st[col].dataType
         probes_by_m: dict[int, list[list[int]]] = {}
         bufs: dict[str, bytes] = {}
+        pv_by_spec: dict[tuple, set[str]] = {}
         kept = []
         for e in entries:
+            # hidden partitioning: a recorded partition TRANSFORM on
+            # this column maps the raw probe values through the
+            # transform and prunes on the directory value — the reader
+            # never needs to know the layout (the Iceberg contract)
+            sp = e.get("partition_spec")
+            if sp and sp["source"] == col and e.get("partition"):
+                key = (sp["transform"], sp["param"])
+                if key not in pv_by_spec:
+                    pv_by_spec[key] = set(_transform_probe_values(
+                        spark,
+                        (sp["name"], col, sp["transform"], sp["param"]),
+                        dtype, list(values),
+                    )) if dtype is not None else None
+                wanted_pv = pv_by_spec[key]
+                if (wanted_pv is not None
+                        and e["partition"].get(sp["name"]) is not None
+                        and e["partition"][sp["name"]] not in wanted_pv):
+                    continue
+            elif (e.get("partition") and col in e["partition"]):
+                # identity-partitioned entries prune on the exact value
+                if e["partition"][col] not in {str(v) for v in values}:
+                    continue
             mn, mx = e["stats"].get(f"min_{col}"), e["stats"].get(f"max_{col}")
             in_range = [
                 v for v in values

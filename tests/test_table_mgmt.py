@@ -227,3 +227,58 @@ def test_ndv_missing_sketch_fails_loudly(spark, tmp_path):
         S.approx_ndv(t, "k")
     # the sketched-only version still answers (time travel)
     assert abs(S.approx_ndv(t, "k", version=1) / 10 - 1) <= 0.3
+
+
+def test_hidden_partition_bucket_prunes_and_stays_sound(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "hp")
+    rows = spark.range(0, 5000).select(F.col("id").alias("k"),
+                                       (F.col("id") * 10).alias("v"))
+    S.overwrite(rows, t, n_files=1, partition_by=("bucket", "k", 8))
+    man = S.read_manifest(t, 1)
+    assert len(man["files"]) == 8
+    assert man["files"][0]["partition_spec"]["transform"] == "bucket"
+    got = S.read(spark, t, key_in=("k", [3, 4444]))
+    nf = got.select(F.input_file_name()).distinct().count()
+    assert nf <= 2  # at most one bucket per probe key
+    assert sorted(r.v for r in got.filter("k IN (3, 4444)").collect()) \
+        == [30, 44440]
+    # the raw column survives in the data files (hidden layout)
+    assert S.read(spark, t).columns == ["k", "v"]
+    assert S.read(spark, t).count() == 5000
+
+
+def test_hidden_partition_truncate_int_and_string(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "hpt")
+    rows = spark.range(0, 1000).select(F.col("id").alias("k"))
+    S.overwrite(rows, t, n_files=1, partition_by=("truncate", "k", 100))
+    got = S.read(spark, t, key_in=("k", [250]))
+    assert got.select(F.input_file_name()).distinct().count() == 1
+    assert got.filter("k = 250").count() == 1
+    t2 = os.path.join(str(tmp_path), "hps")
+    srows = spark.range(0, 100).select(
+        F.concat(F.lit("cat_"), (F.col("id") % 5).cast("string"),
+                 F.lit("_"), F.col("id").cast("string")).alias("s"))
+    S.overwrite(srows, t2, n_files=1, partition_by=("truncate", "s", 5))
+    got2 = S.read(spark, t2, key_in=("s", ["cat_3_13"]))
+    assert got2.select(F.input_file_name()).distinct().count() == 1
+    assert got2.filter("s = 'cat_3_13'").count() == 1
+
+
+def test_partition_spec_evolution_mixed_commits(spark, tmp_path):
+    # spec evolves per commit: bucket entries + identity entries +
+    # unpartitioned entries coexist; the lookup prunes each by its
+    # OWN recorded spec and keeps the rest conservatively
+    t = os.path.join(str(tmp_path), "hpe")
+    rows = spark.range(0, 400).select(F.col("id").alias("k"),
+                                      (F.col("id") % 4).alias("p"))
+    S.overwrite(rows, t, n_files=1, partition_by=("bucket", "k", 4))
+    S.append(spark.createDataFrame([(1000, 0)], "k long, p long"), t,
+             n_files=1)  # unpartitioned commit
+    got = S.read(spark, t, key_in=("k", [7, 1000]))
+    found = sorted(r.k for r in got.filter("k IN (7, 1000)").collect())
+    assert found == [7, 1000]
+    nf = got.select(F.input_file_name()).distinct().count()
+    # one bucket per probe key (k=1000's bucket file is kept too —
+    # the transform can't know the key is absent) + the conservative
+    # unpartitioned file
+    assert nf <= 3
