@@ -2323,3 +2323,87 @@ def snapshot_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(total)).alias("o_totalprice"),
     )
     return rows.unionByName(audit)
+
+
+_SNAP_PLANNER_SQL = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS nation_key,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+"""
+
+
+@register(
+    "snapshot_stats_planner",
+    sql=_SNAP_PLANNER_SQL,
+    description="METADATA-DRIVEN join planning over the ledger (r11, "
+    "sources/snapshots.py::table_rows): orders and customer live as "
+    "two snapshot tables; the broadcast side of their join is chosen "
+    "from MANIFEST row counts alone (immutable files make the "
+    "recorded per-entry counts exact — zero data I/O to decide, the "
+    "planner input a 100 TB catalog serves from metadata), the "
+    "chosen side gets F.broadcast, and the executed plan's "
+    "BroadcastHashJoin is pinned by tests; the audit row flips to 0 "
+    "if the metadata ever nominates the FACT side (customer must win "
+    "at every SF — TPC-H keeps a 10:1 orders:customer ratio), and "
+    "the per-nation rollup pins the join's correctness ([EXT] "
+    "lakehouse tier: cardinality statistics actually DRIVING a plan "
+    "decision, the loop NDV/rowcount metadata exists for)",
+)
+def snapshot_stats_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the broadcast decision costs two manifest reads; the join
+    # itself is one shuffle-free broadcast hash join at any fact size.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    root = scratch_path(
+        "snap_planner", sf_dir, "fact=orders(2f) dim=customer(1f)"
+    )
+    fact_t, dim_t = f"{root}/fact", f"{root}/dim"
+
+    def _build(tmp: str) -> None:
+        import os as _os
+
+        _os.makedirs(tmp)
+        SN.overwrite(
+            read_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            _os.path.join(tmp, "fact"), n_files=2,
+        )
+        SN.overwrite(
+            read_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            _os.path.join(tmp, "dim"), n_files=1,
+        )
+
+    ensure_scratch(root, _build)
+    fact, dim = SN.read(spark, fact_t), SN.read(spark, dim_t)
+    # the plan decision, from metadata alone
+    dim_is_small = SN.table_rows(dim_t) < SN.table_rows(fact_t)
+    small, big = (dim, fact) if dim_is_small else (fact, dim)
+    joined = big.join(
+        F.broadcast(small),
+        big["o_custkey"] == small["c_custkey"]
+        if dim_is_small else big["c_custkey"] == small["o_custkey"],
+    )
+    rollup = (
+        joined.groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    audit = spark.range(1).select(
+        F.lit(-1).cast("long").alias("nation_key"),
+        F.lit(1 if dim_is_small else 0).cast("long").alias("n_orders"),
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    return rollup.unionByName(audit)

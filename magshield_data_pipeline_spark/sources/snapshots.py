@@ -2387,3 +2387,22 @@ def discard_staged(table_path: str, name: str) -> None:
         st = json.load(f)
     os.remove(p)
     _discard_commit_dirs(table_path, st["entries"])
+
+
+def table_rows(table_path: str, version: int | None = None) -> int:
+    """Exact row count from manifest metadata — zero data I/O: data
+    files are immutable so the per-entry counts recorded at write time
+    stay true.  Refuses tables with PENDING merge-on-read deletes
+    (their visible count needs the equality-delete reconciliation a
+    scan does; ``compact()`` first) rather than over-counting."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"table_rows: {table_path} has no versions")
+    v = vs[-1] if version is None else version
+    m = read_manifest(table_path, v)
+    if m.get("delete_files"):
+        raise ValueError(
+            "table_rows: pending merge-on-read delete files make the "
+            "manifest count an over-estimate — compact() first"
+        )
+    return sum(e["rows"] for e in m["files"])

@@ -282,3 +282,30 @@ def test_partition_spec_evolution_mixed_commits(spark, tmp_path):
     # the transform can't know the key is absent) + the conservative
     # unpartitioned file
     assert nf <= 3
+
+
+def test_table_rows_metadata_count(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    assert S.table_rows(t) == 10
+    S.append(spark.createDataFrame([(50, 5)], "k long, v long"), t,
+             n_files=1)
+    assert S.table_rows(t) == 11
+    assert S.table_rows(t, version=1) == 10  # time travel counts too
+    S.delete(spark.createDataFrame([(1,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    with pytest.raises(ValueError, match="compact"):
+        S.table_rows(t)  # pending MOR deletes: refuse, don't overcount
+    S.compact(spark, t, n_files=1)
+    assert S.table_rows(t) == 10
+
+
+def test_stats_planner_broadcasts_the_metadata_small_side(spark, tmp_path):
+    from magshield_data_pipeline_spark.plans.modern_queries import (
+        snapshot_stats_planner,
+    )
+
+    df = snapshot_stats_planner(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the metadata decision held
+    audit = [r for r in df.collect() if r.nation_key == -1]
+    assert audit[0].n_orders == 1  # dim nominated, as metadata says
