@@ -309,3 +309,20 @@ def test_stats_planner_broadcasts_the_metadata_small_side(spark, tmp_path):
     assert "BroadcastHashJoin" in plan  # the metadata decision held
     audit = [r for r in df.collect() if r.nation_key == -1]
     assert audit[0].n_orders == 1  # dim nominated, as metadata says
+
+
+def test_hidden_partition_month_transform(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "hpm")
+    rows = spark.sql(
+        "SELECT id AS k, date_add(DATE'2024-01-01', CAST(id * 13 AS INT)"
+        ") AS d FROM range(30)"
+    )
+    S.overwrite(rows, t, n_files=1, partition_by=("month", "d"))
+    vals = {e["partition"]["_p_month_d"]
+            for e in S.read_manifest(t, 1)["files"]}
+    assert "2024-01" in vals and len(vals) > 5  # one dir per month
+    got = S.read(spark, t, partitions={"_p_month_d": ["2024-03"]})
+    assert got.count() > 0
+    assert all(str(r.d).startswith("2024-03") for r in got.collect())
+    # the raw date column is intact in the files
+    assert S.read(spark, t).count() == 30
