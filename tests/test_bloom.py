@@ -119,3 +119,48 @@ def test_vacuum_reclaims_bloom_sidecars_with_their_files(spark, tmp_path):
     assert os.path.exists(os.path.join(t, new))
     # the retained snapshot's lookup path still works end-to-end
     assert S.read(spark, t, key_in=("skey", [3])).count() >= 1
+
+
+def test_bloom_composes_with_hidden_partitioning(spark, tmp_path):
+    # bloom sidecars on a bucket-partitioned commit: partition pruning
+    # narrows to the probe keys' buckets, blooms then skip within them
+    # (file names under col=value dirs flatten into sidecar names)
+    t = os.path.join(str(tmp_path), "combo")
+    rows = spark.range(0, 4000).select(
+        ((F.col("id") * SCRAMBLE) % MOD).alias("skey"),
+        F.col("id").alias("doc_id"),
+    )
+    S.overwrite(rows, t, n_files=2,
+                partition_by=("bucket", "doc_id", 4),
+                bloom_for={"skey": 1 << 14})
+    man = S.read_manifest(t, 1)
+    assert all("bloom" in e and e.get("partition") for e in man["files"]
+               if e["rows"])
+    probes = [_skey(i) for i in (11, 222)]
+    got = S.read(spark, t, key_in=("skey", probes))
+    assert sorted(r.doc_id for r in
+                  got.filter(F.col("skey").isin(probes)).collect()) \
+        == [11, 222]
+    scanned = got.select(F.input_file_name()).distinct().count()
+    assert scanned < len(man["files"])
+
+
+def test_prune_partitions_and_key_in_compose(spark, tmp_path):
+    # the three manifest-pruning paths AND together without losing rows
+    t = os.path.join(str(tmp_path), "compose")
+    rows = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        ((F.col("id") * SCRAMBLE) % MOD).alias("skey"),
+    )
+    S.overwrite(rows, t, n_files=2, partition_by="p",
+                bloom_for={"skey": 1 << 14})
+    want = _skey(601)  # doc 601: p = '1'
+    got = S.read(
+        spark, t,
+        prune=("k", 0, 1000),
+        partitions={"p": ["1"]},
+        key_in=("skey", [want]),
+    )
+    assert [r.k for r in got.filter(F.col("skey") == want).collect()] \
+        == [601]
