@@ -159,17 +159,41 @@ def _commit_changes(table_path: str, v: int,
 class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
     """Offset = the last CONSUMED ledger version; each trigger advances
     by up to ``maxVersionsPerBatch`` commits (default 1 — one commit
-    per micro-batch keeps batches bounded by commit size)."""
+    per micro-batch keeps batches bounded by commit size).
+
+    ``initialSnapshot=true`` makes the FIRST micro-batch deliver the
+    table's full state at ``startVersion`` as ``insert`` rows (tagged
+    with that version) before any change batches — the bootstrap every
+    real subscriber needs (Delta's startingVersion contract): a
+    downstream replica or materialized view starts from the snapshot
+    and stays current off the feed, with the bootstrap checkpointed in
+    the offset (``snap``) so recovery replays it exactly once."""
 
     def __init__(self, options: dict, schema: StructType) -> None:
         self.path = options["path"]
         self.start = int(options.get("startversion", 1))
         self.max_per_batch = int(options.get("maxversionsperbatch", 1))
+        self.initial_snapshot = (
+            str(options.get("initialsnapshot", "false")).lower() == "true"
+        )
         self.fields = [f.name for f in schema.fields
                        if f.name not in META_COLS]
 
     def initialOffset(self) -> dict:
-        return {"version": self.start}
+        return {"version": self.start,
+                "snap": 0 if self.initial_snapshot else 1}
+
+    def _snapshot_rows(self) -> list[tuple]:
+        man = _manifest(self.path, self.start)
+        if man.get("delete_files"):
+            raise ValueError(
+                f"ledger_cdc: v{self.start} has pending merge-on-read "
+                "deletes — compact() before snapshot bootstrap"
+            )
+        return [
+            tuple(d[f] for f in self.fields) + ("insert", self.start)
+            for d in _rows_of(self.path, man["files"], self.fields)
+        ]
 
     def _range_rows(self, from_v: int, to_v: int) -> list[tuple]:
         # a LIST, not a generator: the simple-reader protocol pickles
@@ -181,14 +205,21 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple:
         v0 = int(start["version"])
+        if not start.get("snap", 1):
+            # bootstrap batch: the full snapshot at startVersion
+            return iter(self._snapshot_rows()), {"version": v0, "snap": 1}
         vs = _versions(self.path)
         latest = vs[-1] if vs else v0
         target = min(latest, v0 + self.max_per_batch)
         if target <= v0:
-            return iter([]), {"version": v0}
-        return iter(self._range_rows(v0, target)), {"version": target}
+            return iter([]), {"version": v0, "snap": 1}
+        return (iter(self._range_rows(v0, target)),
+                {"version": target, "snap": 1})
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        if not start.get("snap", 1):
+            # recovery of the bootstrap batch replays the snapshot
+            return iter(self._snapshot_rows())
         return iter(
             self._range_rows(int(start["version"]), int(end["version"]))
         )

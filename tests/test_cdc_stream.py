@@ -50,7 +50,7 @@ def test_stream_classifier_matches_batch_feed(spark, tmp_path):
     reader, _src = _reader(t, maxVersionsPerBatch=10)
     rows, off = reader.read({"version": 1})
     got = sorted(rows)
-    assert off == {"version": 5}
+    assert off == {"version": 5, "snap": 1}
     batch = S.read_row_changes(spark, t, 1, 5)
     want = sorted(
         tuple(r) for r in batch.select(
@@ -72,7 +72,7 @@ def test_one_commit_per_batch_by_default(spark, tmp_path):
     t = _chain(spark, tmp_path)
     reader, _ = _reader(t)
     rows, off = reader.read({"version": 1})
-    assert off == {"version": 2}
+    assert off == {"version": 2, "snap": 1}
     assert {r[-1] for r in rows} == {2}  # only commit v2's changes
 
 
@@ -88,7 +88,7 @@ def test_compact_commit_emits_zero_rows(spark, tmp_path):
     t = _chain(spark, tmp_path)
     reader, _ = _reader(t)
     rows, off = reader.read({"version": 3})  # (3, 4] = the compact
-    assert off == {"version": 4} and list(rows) == []
+    assert off == {"version": 4, "snap": 1} and list(rows) == []
 
 
 def test_schema_inferred_from_manifest(spark, tmp_path):
@@ -120,3 +120,47 @@ def test_vacuumed_offset_raises_loudly(spark, tmp_path):
     reader, _ = _reader(t)
     with pytest.raises(ValueError, match="vacuumed"):
         reader.read({"version": 1})
+
+
+def test_initial_snapshot_bootstraps_then_streams_changes(spark, tmp_path):
+    # Delta's startingVersion contract: batch 0 = the full v1 state as
+    # inserts, later batches = the change feed; applying snapshot +
+    # changes reproduces the table exactly
+    t = _chain(spark, tmp_path)
+    reader, _ = _reader(t, initialSnapshot=True, maxVersionsPerBatch=10)
+    off0 = reader.initialOffset()
+    assert off0 == {"version": 1, "snap": 0}
+    snap, off1 = reader.read(off0)
+    snap = list(snap)
+    assert off1 == {"version": 1, "snap": 1}
+    assert len(snap) == 199 and {r[-2] for r in snap} == {"insert"}
+    assert {r[-1] for r in snap} == {1}  # tagged with the start version
+    # recovery of the bootstrap batch replays it byte-identically
+    assert sorted(reader.readBetweenOffsets(off0, off1)) == sorted(snap)
+    changes, off2 = reader.read(off1)
+    state = {r[0]: r[1] for r in snap}  # k -> val
+    for r in sorted(changes, key=lambda x: x[-1]):
+        k, val, ct, _v = r
+        if ct in ("insert", "update_postimage"):
+            state[k] = val
+        elif ct == "delete":
+            state.pop(k)
+    want = {r.k: r.val for r in
+            __import__("magshield_data_pipeline_spark.sources.snapshots",
+                       fromlist=["read"]).read(spark, t).collect()}
+    assert state == want
+    assert off2["version"] == 5
+
+
+def test_initial_snapshot_refuses_pending_mor_deletes(spark, tmp_path):
+    import os
+
+    t = os.path.join(str(tmp_path), "morb")
+    S.overwrite(spark.range(5).select(F.col("id").alias("k")), t,
+                n_files=1)
+    S.delete(spark.createDataFrame([(2,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    # bootstrap FROM the version carrying pending deletes must refuse
+    reader, _ = _reader(t, initialSnapshot=True, startVersion=2)
+    with pytest.raises(ValueError, match="snapshot bootstrap"):
+        reader.read(reader.initialOffset())
