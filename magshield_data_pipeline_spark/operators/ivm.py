@@ -150,7 +150,26 @@ def apply_changes(
     the maintained view — the streaming entry point.  *txn_version*
     must be monotone per *app* (a stream passes its batch id; the
     batch path passes the source version consumed).  Same return
-    shape and exactly-once contract as :func:`refresh_agg_view`."""
+    shape and exactly-once contract as :func:`refresh_agg_view`.
+
+    Replay safety (ADVICE r11 high — a redelivered batch folded the
+    delta into the ALREADY-merged view, so the recomputed dead set
+    could retract a live group): the fold is applied in two commits
+    whose inputs make replays total —
+
+    1. the MERGE upserts every affected group INCLUDING groups whose
+       folded count reached zero (zeroed in place; groups born and
+       killed within one batch never touch the view).  A replay
+       no-ops on the txn marker, so the untrustworthy re-fold is
+       never applied.
+    2. the RETRACT deletes groups whose count **in the view itself**
+       is zero, restricted to this batch's affected groups — derived
+       from committed state, not from the re-fold, so it finds
+       exactly the zeros step 1 wrote: on a clean replay there are
+       none (no-op), after a crash between the commits the leftover
+       zeros are completed.  A view scan between the two commits may
+       observe count-zero rows (filter ``n_rows > 0`` for a
+       mid-refresh read); every completed refresh leaves none."""
     _measure_cols(measures)
     ch = changes
     to_version = txn_version
@@ -178,6 +197,7 @@ def apply_changes(
             delta.join(cur, [group_name], "left")
             .select(
                 group_name,
+                F.col(COUNT_COL).isNotNull().alias("_in_view"),
                 *[
                     (
                         F.coalesce(F.col(n), F.lit(0))
@@ -189,17 +209,28 @@ def apply_changes(
             .persist()
         )
         try:
-            live = folded.filter(F.col(COUNT_COL) > 0)
-            dead = folded.filter(F.col(COUNT_COL) == 0).select(group_name)
-            # both counts are over the persisted fold — bounded by the
-            # number of affected groups, never the group universe
-            n_up, n_dead = live.count(), dead.count()
-            if n_up:
+            # groups at zero that never existed in the view (insert +
+            # delete within one batch) are dropped; zeros that DO exist
+            # ride the merge so upsert+zeroing is one atomic commit
+            upserts = folded.filter(
+                (F.col(COUNT_COL) > 0) | F.col("_in_view")
+            ).drop("_in_view")
+            n_up = upserts.filter(F.col(COUNT_COL) > 0).count()
+            if upserts.head(1):
                 if SN.merge(
-                    live, view_path, key=group_name, n_files=n_files,
+                    upserts, view_path, key=group_name, n_files=n_files,
                     txn=(f"{app}:m", to_version),
                 ) is None:
                     n_up = 0  # replay — the merge already landed
+            # retract from COMMITTED view state among affected groups —
+            # bounded by the delta's group count, trustworthy on replay
+            dead = (
+                SN.read(spark, view_path)
+                .join(delta.select(group_name), [group_name], "left_semi")
+                .filter(F.col(COUNT_COL) == 0)
+                .select(group_name)
+            )
+            n_dead = dead.count()
             if n_dead:
                 if SN.delete(
                     dead, view_path, key=group_name, n_files=n_files,

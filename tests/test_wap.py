@@ -113,3 +113,23 @@ def test_pending_stage_survives_orphan_sweep(spark, tmp_path):
     assert S.remove_orphans(t, older_than_seconds=0) == []
     assert S.read_staged(spark, t, "pending").count() == 12
     S.discard_staged(t, "pending")
+
+
+def test_publish_refuses_constraint_drift_since_stage(spark, tmp_path):
+    # ADVICE r11 low (TOCTOU): a constraint added between stage-time
+    # validation and publish would graduate unvalidated rows — the
+    # publish must refuse loudly; re-staging validates under the new
+    # set
+    t = _t(spark, tmp_path)
+    S.stage_append(spark.range(10, 15).select(F.col("id").alias("k")),
+                   t, "drift", n_files=1)
+    S.add_constraint(spark, t, "k_small", "k < 100")
+    with pytest.raises(ValueError, match="constraints changed"):
+        S.publish_staged(t, "drift")
+    # the stage survives the refused publish for discard/re-stage
+    assert S.staged(t) == ["drift"]
+    S.discard_staged(t, "drift")
+    df = spark.range(10, 15).select(F.col("id").alias("k"))
+    S.stage_append(df, t, "drift2", n_files=1)
+    S.publish_staged(t, "drift2")
+    assert S.read(spark, t).count() == 15

@@ -112,3 +112,18 @@ def test_zorder_three_dims(spark, tmp_path):
     # every single dimension prunes something on a tight range
     for col, lo, hi in (("a", 0, 5), ("b", 0, 99), ("c", 0, 499)):
         assert _files(S.read(spark, t, prune=(col, lo, hi))) < 8
+
+
+def test_zorder_all_null_columns_degrades_gracefully(spark, tmp_path):
+    # ADVICE r11 low: terms[0] raised IndexError when every z-order
+    # column was entirely null — must degrade to an unclustered
+    # rewrite, not crash
+    t = os.path.join(str(tmp_path), "allnull")
+    rows = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    )
+    S.overwrite(rows, t, n_files=1)
+    v = S.compact(spark, t, n_files=2, zorder_by=["a", "b"])
+    assert S.read(spark, t, v).count() == 20
