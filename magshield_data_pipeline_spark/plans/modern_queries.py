@@ -2417,3 +2417,747 @@ def snapshot_stats_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("revenue"),
     )
     return rollup.unionByName(audit)
+
+
+# ---------------------------------------------------------------------------
+# r12: streaming CDC across merge-on-read commits (VERDICT r11 item 1)
+
+def mor_cdc_source_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (write-once) the MERGE-ON-READ-maintained corpus the r11
+    verdict called the production-shaped table: v1 = documents, v2 =
+    MOR MERGE (zero-rewrite upsert: '[corrected]' texts for %7=3,
+    +500k reversed inserts for %7=5), v3 = MOR DELETE of %7=1
+    (equality-delete file, no data file touched), v4 = append
+    RE-INSERTING the %21=15 subset of the deleted keys with
+    ' [revived]' texts (the sequence-number contract: the v3 delete
+    must NOT suppress them), v5 = metadata-only set-constraint, v6 =
+    compact (materializes the pending deletes).  Returns the path."""
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rev = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+    base = scratch_path(
+        "snap_morcdc", sf_dir,
+        "v1=docs(2f) v2=mor-merge(upd %7=3 +' [corrected]', ins +500k "
+        "rev %7=5) v3=mor-delete(%7=1) v4=append(%21=15 +' [revived]') "
+        "v5=set-constraint v6=compact",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(docs, tmp, n_files=2)
+        corrections = (
+            docs.filter(F.col("doc_id") % 7 == 3)
+            .select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" [corrected]")).alias("text"),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 7 == 5).select(
+                    (F.col("doc_id") + 500000).alias("doc_id"),
+                    rev.alias("text"),
+                )
+            )
+        )
+        SN.merge(corrections, tmp, key="doc_id", n_files=2,
+                 mode="merge-on-read")
+        SN.delete(
+            docs.filter(F.col("doc_id") % 7 == 1).select("doc_id"),
+            tmp, key="doc_id", mode="merge-on-read",
+        )
+        SN.append(
+            docs.filter(F.col("doc_id") % 21 == 15).select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" [revived]")).alias("text"),
+            ),
+            tmp, n_files=1,
+        )
+        SN.add_constraint(spark, tmp, "doc_id_nonneg", "doc_id >= 0")
+        SN.compact(spark, tmp, n_files=1, cluster_by=["doc_id"])
+
+    ensure_scratch(base, _build)
+    return base
+
+
+_SNAP_CDC_STREAM_MOR_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents),
+upd AS (
+    SELECT doc_id, text || ' [corrected]' AS text
+    FROM corpus WHERE doc_id % 7 = 3
+),
+ins AS (
+    SELECT doc_id + 500000 AS doc_id,
+           array_to_string(list_reverse(str_split(text, ' ')), ' ') AS text
+    FROM corpus WHERE doc_id % 7 = 5
+),
+revived AS (
+    SELECT doc_id, text || ' [revived]' AS text
+    FROM corpus WHERE doc_id % 21 = 15
+),
+allch AS (
+    SELECT 'insert' AS change, doc_id, text FROM ins
+    UNION ALL
+    SELECT 'update_preimage', doc_id, text FROM corpus WHERE doc_id % 7 = 3
+    UNION ALL
+    SELECT 'update_postimage', doc_id, text FROM upd
+    UNION ALL
+    SELECT 'delete', doc_id, text FROM corpus WHERE doc_id % 7 = 1
+    UNION ALL
+    SELECT 'insert', doc_id, text FROM revived
+),
+final AS (
+    SELECT doc_id, text FROM corpus WHERE doc_id % 7 NOT IN (1, 3)
+    UNION ALL SELECT doc_id, text FROM upd
+    UNION ALL SELECT doc_id, text FROM ins
+    UNION ALL SELECT doc_id, text FROM revived
+)
+SELECT change, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars
+FROM allch GROUP BY change
+UNION ALL
+SELECT 'stream_total', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(length(text)) AS BIGINT)
+FROM allch
+UNION ALL
+SELECT 'final_state', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(length(text)) AS BIGINT)
+FROM final
+"""
+
+
+@register(
+    "snapshot_cdc_stream_mor",
+    sql=_SNAP_CDC_STREAM_MOR_SQL,
+    description="STREAMING CDC across MERGE-ON-READ commits (r12 — "
+    "VERDICT r11 item 1, the gap it ranked first): readStream.format("
+    "'ledger_cdc') subscribes to a corpus maintained the way the repo "
+    "itself recommends for scattered keys — a zero-rewrite MOR MERGE "
+    "(update pre/post pairs + inserts reconstructed by joining the "
+    "new data files against the SURVIVING older rows), a MOR DELETE "
+    "(pre-images resolved from the equality-delete file through "
+    "sequence-number reconciliation, stats-pruned to intersecting "
+    "files), an append RE-INSERTING deleted keys (the v3 delete "
+    "applies only to OLDER sequence numbers, so the revived rows "
+    "must stream as inserts and survive in the final state), a "
+    "metadata-only set-constraint (zero rows, the stream advances "
+    "instead of wedging — ADVICE r11 high), and a materializing "
+    "compact (silent); the hash pins the per-type funnel, the stream "
+    "total, and the post-compact visible state ([EXT] the production "
+    "shape at 100 TB: scattered-key upserts never rewrite data files "
+    "and the subscription still survives every commit type)",
+)
+def snapshot_cdc_stream_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: per-trigger cost = each commit's AFFECTED files (added
+    # files + carried files whose applicable equality-delete set
+    # changed, stats-pruned) — never the table; one micro-batch covers
+    # the whole chain (maxVersionsPerBatch=5), so the simple-reader
+    # protocol floor, not data, sets wall time here.
+    import ast as _ast
+    import tempfile as _tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from magshield_data_pipeline_spark.sources import cdc_stream as C
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+
+    base = mor_cdc_source_table(spark, sf_dir)
+    C.register(spark)
+    stream = (
+        spark.readStream.format("ledger_cdc")
+        .option("path", base)
+        .option("startversion", 1)
+        .option("maxversionsperbatch", 5)
+        .load()
+    )
+    name = f"cdc_mor_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+                _tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            prog = q.lastProgress
+            if prog and prog["sources"]:
+                end = prog["sources"][0]["endOffset"]
+                end = _ast.literal_eval(end) if isinstance(end, str) else end
+                if end and int(end.get("version", 0)) >= 6:
+                    break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                "snapshot_cdc_stream_mor: offset never reached v6"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    ch = spark.table(name).persist()
+
+    def crow(label, df: DataFrame) -> DataFrame:
+        return df.agg(
+            label.alias("change"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(F.length("text")).cast("long").alias("text_chars"),
+        )
+
+    out = crow(F.lit("stream_total"), ch)
+    for t in ("insert", "update_preimage", "update_postimage", "delete"):
+        out = out.unionByName(
+            crow(F.lit(t), ch.filter(F.col("_change_type") == t))
+        )
+    # the post-compact visible state: revived keys present, deleted
+    # keys (minus revivals) absent — the read-side half of the
+    # sequence-number contract the stream just delivered
+    out = out.unionByName(
+        crow(F.lit("final_state"), SN.read(spark, base))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r12: join-view IVM (VERDICT r11 item 2) + MIN/MAX IVM (item 4)
+
+_SNAP_IVM_JOIN_SQL = """
+WITH a1 AS (
+    SELECT o_orderkey AS k, o_custkey AS cust,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+b1 AS (SELECT c_custkey AS cust, c_nationkey AS nation FROM customer),
+a2 AS (
+    SELECT k, cust,
+           CASE WHEN k % 10 = 3 THEN cents + 100050 ELSE cents END AS cents
+    FROM a1
+    UNION ALL
+    SELECT k + 600000000, cust, cents FROM a1 WHERE k % 10 = 7
+),
+b2 AS (SELECT * FROM b1 WHERE nation <> 3),
+s1 AS (SELECT nation, count(*) AS n, sum(cents) AS rev
+       FROM a1 JOIN b1 USING (cust) GROUP BY nation),
+s2 AS (SELECT nation, count(*) AS n, sum(cents) AS rev
+       FROM a2 JOIN b1 USING (cust) GROUP BY nation),
+s3 AS (SELECT nation, count(*) AS n, sum(cents) AS rev
+       FROM a2 JOIN b2 USING (cust) GROUP BY nation)
+SELECT 'init' AS stage, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents FROM s1
+UNION ALL
+SELECT 'after_a', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(sum(rev) AS BIGINT) FROM s2
+UNION ALL
+SELECT 'after_b', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(sum(rev) AS BIGINT) FROM s3
+UNION ALL
+SELECT 'recompute', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(sum(rev) AS BIGINT) FROM s3
+UNION ALL
+SELECT 'ledger_versions', CAST(4 AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT)
+"""
+
+
+@register(
+    "snapshot_ivm_join_view",
+    sql=_SNAP_IVM_JOIN_SQL,
+    description="JOIN-VIEW incremental maintenance (r12 — VERDICT r11 "
+    "item 2): the canonical warehouse materialized view, revenue per "
+    "nation = orders x customer, maintained from BOTH tables' row-CDC "
+    "feeds via the signed delta-join identity dA x B_new + A_old x dB "
+    "(operators/ivm.py:refresh_join_agg_view) — an A-side MERGE "
+    "(repricing %10=3 orders, inserting %10=7 twins) folds through "
+    "the customer snapshot, then a B-side DELETE (nation 3's "
+    "customers leave) retracts that nation's group at count zero "
+    "through the same atomic-zero + committed-state-retract commits "
+    "as the single-table fold; the hash pins every stage state, the "
+    "view's commit count (4 = init + A-fold + the B-fold's zero-merge "
+    "+ retract), and maintained == recompute; measures are integer "
+    "CENTS so the incremental fold is exact ([EXT] at 100 TB each "
+    "refresh joins a CHANGE-sized frame against one snapshot side — "
+    "broadcastable — never table x table)",
+)
+def snapshot_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: dA/dB are the commits' touched files; dA x B_new
+    # broadcasts the delta side; the fold rewrites only view files
+    # whose nation range intersects the affected groups.
+    import os as _os
+
+    from magshield_data_pipeline_spark.operators import ivm
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        cents.alias("cents"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    root = scratch_path(
+        "snap_ivm_join", sf_dir,
+        "a=orders(k,cust,cents) b=customer(cust,nation); "
+        "a2=merge(%10=3 +100050, ins %10=7 +6e8) b2=delete(nation 3); "
+        "view init(1,1) refresh(a2) refresh(b2)",
+    )
+    a_t = _os.path.join(root, "a")
+    b_t = _os.path.join(root, "b")
+    view = _os.path.join(root, "view")
+    grp = F.col("nation")
+    measures = {"revenue_cents": F.col("cents")}
+    on = ("cust", "cust")
+
+    def _build(tmp: str) -> None:
+        a_tmp, b_tmp = _os.path.join(tmp, "a"), _os.path.join(tmp, "b")
+        v_tmp = _os.path.join(tmp, "view")
+        SN.overwrite(orders, a_tmp, n_files=2)
+        SN.overwrite(cust, b_tmp, n_files=1)
+        ivm.init_join_agg_view(spark, a_tmp, b_tmp, v_tmp, on, grp,
+                               "nation", measures,
+                               a_version=1, b_version=1)
+        repriced = orders.withColumn(
+            "cents",
+            F.when(F.col("k") % 10 == 3,
+                   F.col("cents") + 100050).otherwise(F.col("cents")),
+        ).filter(F.col("k") % 10 == 3)
+        twins = orders.filter(F.col("k") % 10 == 7).select(
+            (F.col("k") + 600000000).alias("k"), "cust", "cents"
+        )
+        SN.merge(repriced.unionByName(twins), a_tmp, key="k", n_files=2)
+        ivm.refresh_join_agg_view(
+            spark, a_tmp, b_tmp, v_tmp, on, grp, "nation", measures,
+            a_from=1, a_to=2, b_from=1, b_to=1, txn_version=1)
+        SN.delete(cust.filter(F.col("nation") == 3).select("cust"),
+                  b_tmp, key="cust", n_files=1)
+        ivm.refresh_join_agg_view(
+            spark, a_tmp, b_tmp, v_tmp, on, grp, "nation", measures,
+            a_from=2, a_to=2, b_from=1, b_to=2, txn_version=2)
+        # replayed second refresh: all txns committed -> durable no-op
+        ivm.refresh_join_agg_view(
+            spark, a_tmp, b_tmp, v_tmp, on, grp, "nation", measures,
+            a_from=2, a_to=2, b_from=1, b_to=2, txn_version=2)
+
+    ensure_scratch(root, _build)
+
+    def vrow(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_rows").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+
+    a_df, b_df = SN.read(spark, a_t), SN.read(spark, b_t)
+    recompute = (
+        a_df.join(b_df, a_df["cust"] == b_df["cust"])
+        .groupBy(F.col("nation"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("cents").alias("revenue_cents"))
+    )
+    return (
+        vrow("init", SN.read(spark, view, 1))
+        .unionByName(vrow("after_a", SN.read(spark, view, 2)))
+        .unionByName(vrow("after_b", SN.read(spark, view, 4)))
+        .unionByName(vrow("recompute", recompute))
+        .unionByName(
+            spark.range(1).select(
+                F.lit("ledger_versions").alias("stage"),
+                F.lit(len(SN.versions(view))).cast("long")
+                .alias("n_groups"),
+                F.lit(None).cast("long").alias("n_orders"),
+                F.lit(None).cast("long").alias("revenue_cents"),
+            )
+        )
+    )
+
+
+_SNAP_IVM_MINMAX_SQL = """
+WITH d AS (
+    SELECT doc_id, doc_id % 7 AS grp,
+           CAST(length(text) AS BIGINT) AS v
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, grp, v,
+           row_number() OVER (PARTITION BY grp
+                              ORDER BY v DESC, doc_id DESC) AS rn
+    FROM d
+),
+survivors AS (
+    SELECT doc_id, grp, v FROM ranked WHERE rn > 1 AND grp <> 6
+),
+g_init AS (
+    SELECT grp, count(*) AS n, min(v) AS lo, max(v) AS hi
+    FROM d GROUP BY grp
+),
+g_final AS (
+    SELECT grp, count(*) AS n, min(v) AS lo, max(v) AS hi
+    FROM survivors GROUP BY grp
+)
+SELECT 'init' AS stage, CAST(grp AS BIGINT) AS grp,
+       CAST(n AS BIGINT) AS n_vals, CAST(lo AS BIGINT) AS min_v,
+       CAST(hi AS BIGINT) AS max_v
+FROM g_init
+UNION ALL
+SELECT 'final', CAST(grp AS BIGINT), CAST(n AS BIGINT),
+       CAST(lo AS BIGINT), CAST(hi AS BIGINT)
+FROM g_final
+UNION ALL
+SELECT 'versions', CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+       CAST(5 AS BIGINT), CAST(NULL AS BIGINT)
+"""
+
+
+@register(
+    "snapshot_ivm_minmax",
+    sql=_SNAP_IVM_MINMAX_SQL,
+    description="MIN/MAX incremental maintenance via auxiliary "
+    "count-per-value state (r12 — VERDICT r11 item 4): min/max have "
+    "no additive inverse under deletes, so the view is backed by an "
+    "aux ledger of live (group, value) multiplicities "
+    "(operators/ivm.py:refresh_minmax_view) — a DELETE of every "
+    "group's CURRENT MAXIMUM document (row_number argmax, planted) "
+    "converges each group's max to the runner-up from aux state "
+    "alone, never a source rescan, and a second DELETE emptying group "
+    "6 retracts it; the hash pins per-group init and final "
+    "(n_vals, min, max), plus the view (3) and aux (5) commit counts "
+    "— the aux count proves the zero-merge + retract pairs committed "
+    "exactly as designed ([EXT] at 100 TB the refresh reads the "
+    "commit's touched files + the AFFECTED groups' aux rows; state "
+    "bound = live distinct (group, value) pairs)",
+)
+def snapshot_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import Window as _W
+
+    from magshield_data_pipeline_spark.operators import ivm
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("grp"),
+        F.length("text").cast("long").alias("v"),
+    )
+    root = scratch_path(
+        "snap_ivm_minmax", sf_dir,
+        "src=docs(doc_id,grp=%7,v=len); v2=delete argmax(v,doc_id) "
+        "per grp; v3=delete grp 6; minmax view + aux",
+    )
+    src_t = _os.path.join(root, "src")
+    view_t = _os.path.join(root, "view")
+    aux_t = _os.path.join(root, "aux")
+    grp, val = F.col("grp"), F.col("v")
+
+    def _build(tmp: str) -> None:
+        s, vw, ax = (_os.path.join(tmp, x) for x in ("src", "view", "aux"))
+        SN.overwrite(docs, s, n_files=2)
+        ivm.init_minmax_view(spark, s, vw, ax, grp, "grp", val, "v",
+                             version=1)
+        w = _W.partitionBy("grp").orderBy(F.desc("v"), F.desc("doc_id"))
+        tops = (docs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("doc_id"))
+        SN.delete(tops, s, key="doc_id", n_files=1)
+        ivm.refresh_minmax_view(spark, s, vw, ax, grp, "grp", val, "v",
+                                from_version=1, to_version=2)
+        SN.delete(docs.filter(F.col("grp") == 6).select("doc_id"), s,
+                  key="doc_id", n_files=1)
+        ivm.refresh_minmax_view(spark, s, vw, ax, grp, "grp", val, "v",
+                                from_version=2, to_version=3)
+        # replay of the last refresh: all four txns refuse
+        ivm.refresh_minmax_view(spark, s, vw, ax, grp, "grp", val, "v",
+                                from_version=2, to_version=3)
+
+    ensure_scratch(root, _build)
+
+    def stage(label: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("stage"), F.col("grp"),
+            F.col("n_vals").cast("long"),
+            F.col("min_v").cast("long"), F.col("max_v").cast("long"),
+        )
+
+    init_view = SN.read(spark, view_t, 1).withColumnRenamed(
+        "min_v", "min_v").withColumnRenamed("max_v", "max_v")
+    final_view = SN.read(spark, view_t)
+    counts = spark.range(1).select(
+        F.lit("versions").alias("stage"),
+        F.lit(-1).cast("long").alias("grp"),
+        F.lit(len(SN.versions(view_t))).cast("long").alias("n_vals"),
+        F.lit(len(SN.versions(aux_t))).cast("long").alias("min_v"),
+        F.lit(None).cast("long").alias("max_v"),
+    )
+    return (
+        stage("init", init_view)
+        .unionByName(stage("final", final_view))
+        .unionByName(counts)
+    )
+
+
+# ---------------------------------------------------------------------------
+# r12: NDV sketches DRIVE a plan decision (VERDICT r11 item 3)
+
+_SNAP_SKEW_SQL = """
+WITH d AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS v FROM documents
+),
+skewed AS (
+    SELECT CASE WHEN doc_id % 10 < 9 THEN 0 ELSE doc_id END AS k, v
+    FROM d
+),
+uniform AS (SELECT doc_id AS k, v FROM d),
+gs AS (SELECT k, sum(v) AS sv, count(*) AS n FROM skewed GROUP BY k),
+gu AS (SELECT k, sum(v) AS sv, count(*) AS n FROM uniform GROUP BY k)
+SELECT 'skewed' AS table_name, CAST(1 AS BIGINT) AS salted,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(sv) AS BIGINT) AS v_sum
+FROM gs
+UNION ALL
+SELECT 'uniform', CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(n) AS BIGINT), CAST(sum(sv) AS BIGINT)
+FROM gu
+"""
+
+
+@register(
+    "snapshot_skew_planner",
+    sql=_SNAP_SKEW_SQL,
+    description="NDV-DRIVEN SKEW PLANNING (r12 — VERDICT r11 item 3: "
+    "'make the sketches drive a plan decision'): two ledger tables "
+    "carry manifest HLL NDV sketches on their aggregation key — one "
+    "with a PLANTED hot key (90% of documents on key 0), one uniform "
+    "— and the aggregation strategy is chosen from METADATA ALONE "
+    "(zero data I/O: rows/NDV ratio from table_rows + approx_ndv, "
+    "threshold 5x): the skewed table routes through the salted "
+    "two-stage aggregate (operators/scale.py:salted_sum_count, the "
+    "hot key's work spread over 16 tasks), the uniform table through "
+    "the plain single-stage groupBy; the ``salted`` column is the "
+    "decision AS AN AUDIT LITERAL — if the sketches ever misjudge "
+    "the planted skew (or fire on uniform data) the hash breaks — "
+    "and the aggregate values pin that both strategies compute the "
+    "same answer; the salt stage's presence/absence is additionally "
+    "plan-pinned in tests/test_skew_planner.py ([EXT] at 100 TB this "
+    "is the metadata-driven twin of AQE skew handling: the decision "
+    "costs one manifest read, before any shuffle is planned)",
+)
+def snapshot_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the decision reads manifest sketches only; the salted
+    # path adds one narrow extra partial-agg stage, which is exactly
+    # what the hot key needs and what uniform data should not pay.
+    import os as _os
+
+    from magshield_data_pipeline_spark.operators.scale import (
+        salted_sum_count,
+    )
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("v")
+    )
+    skew_k = F.when(F.col("doc_id") % 10 < 9, F.lit(0)).otherwise(
+        F.col("doc_id")
+    ).cast("long")
+    root = scratch_path(
+        "snap_skewplan", sf_dir,
+        "skewed=k(90% hot 0) uniform=k(doc_id), ndv_for=[k], 4 files",
+    )
+    skew_t = _os.path.join(root, "skewed")
+    uni_t = _os.path.join(root, "uniform")
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(
+            docs.select(skew_k.alias("k"), "v"),
+            _os.path.join(tmp, "skewed"), n_files=4, ndv_for=["k"],
+        )
+        SN.overwrite(
+            docs.select(F.col("doc_id").alias("k"), "v"),
+            _os.path.join(tmp, "uniform"), n_files=4, ndv_for=["k"],
+        )
+
+    ensure_scratch(root, _build)
+
+    def planned_agg(table: str):
+        """The decision, from manifest metadata alone; returns
+        (salted?, per-key aggregate frame)."""
+        rows = SN.table_rows(table)
+        ndv = SN.approx_ndv(table, "k")
+        salted = rows / max(ndv, 1.0) > 5.0
+        df = SN.read(spark, table)
+        if salted:
+            agg = salted_sum_count(df, "k", "v", salt_buckets=16)
+        else:
+            agg = df.groupBy("k").agg(
+                F.sum("v").alias("sum_v"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        return salted, agg
+
+    out = None
+    for label, table in (("skewed", skew_t), ("uniform", uni_t)):
+        salted, agg = planned_agg(table)
+        row = agg.agg(
+            F.lit(label).alias("table_name"),
+            F.lit(1 if salted else 0).cast("long").alias("salted"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_v").cast("long").alias("v_sum"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r12: named branches / fast-forward publish (VERDICT r11 item 5)
+
+_SNAP_BRANCH_SQL = """
+WITH base AS (SELECT doc_id, text FROM documents),
+b1 AS (
+    SELECT doc_id + 700000 AS doc_id, text || ' [b1]' AS text
+    FROM base WHERE doc_id % 10 = 1
+),
+b2 AS (
+    SELECT doc_id + 800000 AS doc_id, text || ' [b2]' AS text
+    FROM base WHERE doc_id % 10 = 2
+),
+mid AS (
+    SELECT doc_id + 900000 AS doc_id, text || ' [mid]' AS text
+    FROM base WHERE doc_id % 10 = 0
+),
+tip AS (
+    SELECT * FROM base UNION ALL SELECT * FROM b1 UNION ALL
+    SELECT * FROM b2
+),
+final AS (
+    SELECT * FROM tip UNION ALL SELECT * FROM mid
+)
+SELECT 'main_during_branch' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars FROM base
+UNION ALL
+SELECT 'branch_tip', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT) FROM tip
+UNION ALL
+SELECT 'main_final', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT) FROM final
+UNION ALL
+SELECT 'history', CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+       CAST(NULL AS BIGINT)
+"""
+
+
+@register(
+    "snapshot_branch_publish",
+    sql=_SNAP_BRANCH_SQL,
+    description="NAMED BRANCHES with fast-forward publish (r12 — "
+    "VERDICT r11 item 5, generalizing WAP's single staged commit to "
+    "the Iceberg branch model, sources/snapshots.py): an audit branch "
+    "anchored at the corpus base takes TWO branch commits while a "
+    "main append lands mid-branch; the hash pins that main was "
+    "UNCHANGED while the branch was open (main_during_branch, "
+    "captured live during the build), the branch tip read was "
+    "base + chain (branch_tip, also captured live via read_branch), "
+    "publish fast-forwarded main COMPOSING with the mid-branch commit "
+    "(main_final = base + mid + both branch batches), and history "
+    "shows exactly 3 graduated/mid appends across 4 versions ([EXT] "
+    "multi-commit WAP at 100 TB: a whole validation campaign lands "
+    "atomically-in-order, vacuum-safe via the base retention pin)",
+)
+def snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: branch commits are ordinary append file-writes outside
+    # the version chain; publish is pure manifest work (zero data
+    # I/O) — the chain graduates by reference.
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _batch(mod: int, off: int, tag: str) -> DataFrame:
+        return docs.filter(F.col("doc_id") % 10 == mod).select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" [{tag}]")).alias("text"),
+        )
+
+    root = scratch_path(
+        "snap_branch", sf_dir,
+        "base=docs; branch audit: b1(%10=1 +7e5), b2(%10=2 +8e5); "
+        "mid main append(%10=0 +9e5); publish",
+    )
+    t = _os.path.join(root, "t")
+    audit_t = _os.path.join(root, "audit")
+
+    def _build(tmp: str) -> None:
+        tt = _os.path.join(tmp, "t")
+        SN.overwrite(docs, tt, n_files=2)
+        SN.create_branch(tt, "audit")
+        SN.branch_append(_batch(1, 700000, "b1"), tt, "audit", n_files=1)
+        SN.branch_append(_batch(2, 800000, "b2"), tt, "audit", n_files=1)
+        # captured LIVE while the branch is open: main sees nothing,
+        # the branch tip sees base + chain
+        main_during = SN.read(spark, tt).agg(
+            F.lit("main_during_branch").alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(F.length("text")).cast("long").alias("text_chars"),
+        )
+        tip = SN.read_branch(spark, tt, "audit").agg(
+            F.lit("branch_tip").alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(F.length("text")).cast("long").alias("text_chars"),
+        )
+        main_during.unionByName(tip).coalesce(1).write.parquet(
+            _os.path.join(tmp, "audit")
+        )
+        SN.append(_batch(0, 900000, "mid"), tt, n_files=1)
+        SN.publish_branch(tt, "audit")
+
+    ensure_scratch(root, _build)
+    final = SN.read(spark, t).agg(
+        F.lit("main_final").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+    )
+    hist = SN.history(spark, t)
+    history_row = spark.range(1).select(
+        F.lit("history").alias("stage"),
+        F.lit(int(hist.filter(F.col("operation") == "append").count()))
+        .cast("long").alias("n_docs"),
+        F.lit(len(SN.versions(t))).cast("long").alias("id_sum"),
+        F.lit(None).cast("long").alias("text_chars"),
+    )
+    return (
+        spark.read.parquet(audit_t)
+        .unionByName(final)
+        .unionByName(history_row)
+    )

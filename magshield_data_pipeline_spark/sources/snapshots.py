@@ -1573,6 +1573,14 @@ def remove_orphans(table_path: str, older_than_seconds: float = 86400.0
     for name in staged(table_path):
         with open(_wap_path(table_path, name)) as f:
             referenced.update(e["path"] for e in json.load(f)["entries"])
+    # likewise a BRANCH's files are referenced only by its branch
+    # manifests until publish — a pending branch must survive (r12)
+    for name in branches(table_path):
+        for k in branch_versions(table_path, name):
+            with open(_branch_commit_path(table_path, name, k)) as f:
+                referenced.update(
+                    e["path"] for e in json.load(f)["entries"]
+                )
     cutoff = time.time() - older_than_seconds
     deleted = []
     for dirpath, _dirs, files in os.walk(data_root):
@@ -2506,3 +2514,229 @@ def table_rows(table_path: str, version: int | None = None) -> int:
             "manifest count an over-estimate — compact() first"
         )
     return sum(e["rows"] for e in m["files"])
+
+
+# ---------------------------------------------------------------------------
+# Named branches: commit CHAINS off main + fast-forward publish (r12 —
+# VERDICT r11 item 5, generalizing WAP's single staged commit to the
+# Iceberg branch model).  A branch is a sequence of append commits
+# anchored at a base main version, stored OUTSIDE the version chain
+# (dot-prefixed manifests `versions()` never sees): production readers
+# of main see nothing, branch readers see base-state + branch commits,
+# and `publish_branch` fast-forwards main by replaying the chain as
+# ordinary append commits — each graduated commit appears in history(),
+# and append-append composition means main commits that landed
+# mid-branch are carried, never lost-updated.  The base version is
+# pinned with a retention tag so vacuum cannot reclaim the snapshot the
+# branch builds on; branch data files are referenced by the branch
+# manifests for `remove_orphans`.
+
+def _branch_base_path(table_path: str, name: str) -> str:
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"branch: unsafe branch name {name!r}")
+    return os.path.join(_manifest_dir(table_path), f".branch-{name}.json")
+
+
+def _branch_commit_path(table_path: str, name: str, k: int) -> str:
+    return os.path.join(_manifest_dir(table_path),
+                        f".branchc-{name}-v{k}.json")
+
+
+def create_branch(table_path: str, name: str,
+                  from_version: int | None = None) -> int:
+    """Create branch *name* anchored at *from_version* (default:
+    latest).  The anchor is TAGGED (`branch-base-<name>`) so vacuum
+    retains it for the branch's whole life.  Exclusive create — one
+    branch per name.  Returns the base version."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"create_branch: {table_path} has no versions")
+    base = vs[-1] if from_version is None else from_version
+    if base not in vs:
+        raise ValueError(f"create_branch: version {base} not in {vs}")
+    p = _branch_base_path(table_path, name)
+    if os.path.exists(p):
+        raise ValueError(
+            f"create_branch: branch {name!r} already exists — publish "
+            "or discard it first"
+        )
+    tag(table_path, f"branch-base-{name}", base)
+    payload = {
+        "base_version": base,
+        "created_at": time.time(),
+        # the constraint set branch appends validate against; publish
+        # refuses if main's set drifts (same TOCTOU close as WAP)
+        "constraints": table_constraints(table_path),
+    }
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    try:
+        os.link(tmp, p)
+    except FileExistsError:
+        delete_tag(table_path, f"branch-base-{name}")
+        raise ValueError(
+            f"create_branch: branch {name!r} already exists (lost the "
+            "race)"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return base
+
+
+def branches(table_path: str) -> list[str]:
+    d = _manifest_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in os.listdir(d):
+        m = re.fullmatch(r"\.branch-([A-Za-z0-9._-]+)\.json", fn)
+        if m:
+            out.append(m.group(1))
+    return sorted(out)
+
+
+def branch_versions(table_path: str, name: str) -> list[int]:
+    """The branch's commit numbers, 1..k (empty for a fresh branch)."""
+    if not os.path.exists(_branch_base_path(table_path, name)):
+        raise ValueError(f"branch {name!r} not found at {table_path}")
+    d = _manifest_dir(table_path)
+    out = []
+    pat = re.compile(rf"\.branchc-{re.escape(name)}-v(\d+)\.json")
+    for fn in os.listdir(d):
+        m = pat.fullmatch(fn)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _branch_state(table_path: str, name: str) -> tuple[dict, list[dict]]:
+    """(base payload, ordered branch commit payloads)."""
+    with open(_branch_base_path(table_path, name)) as f:
+        base = json.load(f)
+    commits = []
+    for k in branch_versions(table_path, name):
+        with open(_branch_commit_path(table_path, name, k)) as f:
+            commits.append(json.load(f))
+    return base, commits
+
+
+def branch_append(df, table_path: str, name: str,
+                  n_files: int = 2) -> int:
+    """Commit *df* as the branch's next append — invisible to main.
+    Validates CHECK constraints against the set recorded at branch
+    creation (publish re-checks main hasn't drifted).  Returns the
+    branch-local commit number.  Concurrent branch writers race on the
+    exclusive commit link; the loser retries at the next number."""
+    base, commits = _branch_state(table_path, name)
+    _validate_constraints(df, table_path, base.get("constraints") or {})
+    base_manifest = read_manifest(table_path, base["base_version"])
+    schema = base_manifest.get("schema")
+    for c in commits:
+        schema = c.get("schema") or schema
+    merged_schema = (
+        _merge_schema(schema, df.schema.jsonValue())
+        if schema is not None else df.schema.jsonValue()
+    )
+    entries = _write_data_files(df, table_path, n_files)
+    while True:
+        ks = branch_versions(table_path, name)
+        k = (ks[-1] if ks else 0) + 1
+        payload = {
+            "operation": "branch-append",
+            "branch": name,
+            "branch_version": k,
+            "committed_at": time.time(),
+            "entries": entries,
+            "schema": merged_schema,
+        }
+        p = _branch_commit_path(table_path, name, k)
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, sort_keys=True)
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            continue  # lost the race — retry at the next number
+        finally:
+            os.unlink(tmp)
+        return k
+
+
+def read_branch(spark, table_path: str, name: str):
+    """Scan the branch tip: the base snapshot's state plus every
+    branch commit — pending merge-on-read deletes at the base apply
+    exactly as a read() of that version would."""
+    base, commits = _branch_state(table_path, name)
+    base_manifest = read_manifest(table_path, base["base_version"])
+    entries = list(base_manifest["files"])
+    schema = base_manifest.get("schema")
+    for c in commits:
+        entries = entries + c["entries"]
+        schema = c.get("schema") or schema
+    deletes = base_manifest.get("delete_files")
+    if deletes:
+        return _scan_with_deletes(spark, table_path, entries, deletes,
+                                  schema)
+    return _scan(spark, table_path, entries, schema)
+
+
+def publish_branch(table_path: str, name: str) -> list[int]:
+    """FAST-FORWARD main over the branch: each branch commit graduates
+    as an ordinary append commit IN ORDER (so history() shows the
+    chain), composing with any main commits that landed mid-branch
+    (append-append carry).  Atomic claim via base-file rename — one
+    publisher wins; a failed publish restores the branch.  Refuses if
+    main's constraint set drifted since the branch was created (the
+    staged rows cannot be revalidated cheaply — re-branch).  Returns
+    the main versions created, in branch order."""
+    p = _branch_base_path(table_path, name)
+    claimed = p + f".publishing-{uuid.uuid4().hex}"
+    try:
+        os.rename(p, claimed)
+    except FileNotFoundError:
+        raise ValueError(
+            f"publish_branch: no branch {name!r} at {table_path} "
+            "(already published or discarded?)"
+        ) from None
+    try:
+        with open(claimed) as f:
+            base = json.load(f)
+        if table_constraints(table_path) != (base.get("constraints") or {}):
+            raise ValueError(
+                f"publish_branch: table constraints changed since "
+                f"branch {name!r} was created — discard and re-branch "
+                "under the current constraint set"
+            )
+        published = []
+        d = _manifest_dir(table_path)
+        pat = re.compile(rf"\.branchc-{re.escape(name)}-v(\d+)\.json")
+        ks = sorted(int(m.group(1)) for fn in os.listdir(d)
+                    for m in [pat.fullmatch(fn)] if m)
+        for k in ks:
+            with open(_branch_commit_path(table_path, name, k)) as f:
+                c = json.load(f)
+            v = _publish_manifest(
+                table_path, "append", c["entries"], carry=True,
+                schema=c.get("schema"),
+            )
+            published.append(v)
+            os.unlink(_branch_commit_path(table_path, name, k))
+    except BaseException:
+        os.rename(claimed, p)  # publish failed: the branch survives
+        raise
+    os.unlink(claimed)
+    delete_tag(table_path, f"branch-base-{name}")
+    return published
+
+
+def discard_branch(table_path: str, name: str) -> None:
+    """Drop the branch: remove its manifests, reclaim its data files
+    (never referenced by any main version), release the base pin."""
+    base, commits = _branch_state(table_path, name)
+    for k in branch_versions(table_path, name):
+        os.unlink(_branch_commit_path(table_path, name, k))
+    os.remove(_branch_base_path(table_path, name))
+    delete_tag(table_path, f"branch-base-{name}")
+    for c in commits:
+        _discard_commit_dirs(table_path, c["entries"])

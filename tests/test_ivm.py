@@ -290,3 +290,179 @@ def test_refresh_feed_scans_only_touched_files(spark, tmp_path):
         f"feed read beyond the commit's touched files: "
         f"{files - allowed}"
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: join-view IVM (VERDICT r11 item 2)
+
+def _ab(spark, tmp_path):
+    """orders-shaped A (k, cust, price) and customer-shaped B
+    (cust, nation): the canonical warehouse join view."""
+    a = os.path.join(str(tmp_path), "a")
+    b = os.path.join(str(tmp_path), "b")
+    S.overwrite(spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 11, 300), (4, 12, 400)],
+        "k long, cust long, price long"), a, n_files=1)
+    S.overwrite(spark.createDataFrame(
+        [(10, 0), (11, 0), (12, 1)], "cust long, nation long"),
+        b, n_files=1)
+    return a, b
+
+
+def _jmeasures():
+    return {"revenue": F.col("price")}
+
+
+def test_join_view_tracks_changes_on_both_sides(spark, tmp_path):
+    a, b = _ab(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "jview")
+    ivm.init_join_agg_view(spark, a, b, view, ("cust", "cust"),
+                           F.col("nation"), "nation", _jmeasures(),
+                           a_version=1, b_version=1)
+    got = {r.nation: (r.n_rows, r.revenue)
+           for r in S.read(spark, view).collect()}
+    assert got == {0: (3, 600), 1: (1, 400)}
+    # A-side merge: reprice k=1 (100 -> 150), insert k=5 for cust 12
+    S.merge(spark.createDataFrame([(1, 10, 150), (5, 12, 50)],
+                                  "k long, cust long, price long"),
+            a, key="k", n_files=1)
+    r1 = ivm.refresh_join_agg_view(
+        spark, a, b, view, ("cust", "cust"), F.col("nation"), "nation",
+        _jmeasures(), a_from=1, a_to=2, b_from=1, b_to=1, txn_version=1)
+    assert r1["applied"]
+    got = {r.nation: (r.n_rows, r.revenue)
+           for r in S.read(spark, view).collect()}
+    assert got == {0: (3, 650), 1: (2, 450)}
+    # B-side delete: nation 1's only customer leaves -> group retracts
+    S.delete(spark.createDataFrame([(12,)], "cust long"), b, key="cust",
+             n_files=1)
+    r2 = ivm.refresh_join_agg_view(
+        spark, a, b, view, ("cust", "cust"), F.col("nation"), "nation",
+        _jmeasures(), a_from=2, a_to=2, b_from=1, b_to=2, txn_version=2)
+    assert r2["groups_deleted"] == 1
+    got = {r.nation: (r.n_rows, r.revenue)
+           for r in S.read(spark, view).collect()}
+    assert got == {0: (3, 650)}
+    audit = ivm.join_view_equals_recompute(
+        spark, a, b, view, ("cust", "cust"), F.col("nation"), "nation",
+        _jmeasures())
+    assert audit.head(1) == []
+
+
+def test_join_view_same_batch_changes_both_sides(spark, tmp_path):
+    # the asymmetric form (dA x B_new + A_old x dB) must not
+    # double-count when ONE refresh folds changes on BOTH tables
+    a, b = _ab(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "jview2")
+    ivm.init_join_agg_view(spark, a, b, view, ("cust", "cust"),
+                           F.col("nation"), "nation", _jmeasures(),
+                           a_version=1, b_version=1)
+    # A: insert k=6 for cust 11; B: move cust 11 to nation 2
+    S.merge(spark.createDataFrame([(6, 11, 600)],
+                                  "k long, cust long, price long"),
+            a, key="k", n_files=1)
+    S.merge(spark.createDataFrame([(11, 2)], "cust long, nation long"),
+            b, key="cust", n_files=1)
+    ivm.refresh_join_agg_view(
+        spark, a, b, view, ("cust", "cust"), F.col("nation"), "nation",
+        _jmeasures(), a_from=1, a_to=2, b_from=1, b_to=2, txn_version=1)
+    audit = ivm.join_view_equals_recompute(
+        spark, a, b, view, ("cust", "cust"), F.col("nation"), "nation",
+        _jmeasures())
+    assert audit.head(1) == []
+    got = {r.nation: (r.n_rows, r.revenue)
+           for r in S.read(spark, view).collect()}
+    # nation 0 lost cust 11's order (300); nation 2 gained both 11-orders
+    assert got == {0: (2, 300), 1: (1, 400), 2: (2, 900)}
+
+
+def test_join_view_replay_is_noop(spark, tmp_path):
+    a, b = _ab(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "jview3")
+    ivm.init_join_agg_view(spark, a, b, view, ("cust", "cust"),
+                           F.col("nation"), "nation", _jmeasures(),
+                           a_version=1, b_version=1)
+    S.merge(spark.createDataFrame([(1, 10, 150)],
+                                  "k long, cust long, price long"),
+            a, key="k", n_files=1)
+    kw = dict(a_from=1, a_to=2, b_from=1, b_to=1, txn_version=1)
+    ivm.refresh_join_agg_view(spark, a, b, view, ("cust", "cust"),
+                              F.col("nation"), "nation", _jmeasures(), **kw)
+    vs = S.versions(view)
+    state = sorted(map(tuple, S.read(spark, view).collect()))
+    r = ivm.refresh_join_agg_view(spark, a, b, view, ("cust", "cust"),
+                                  F.col("nation"), "nation",
+                                  _jmeasures(), **kw)
+    assert r["applied"] is False
+    assert S.versions(view) == vs
+    assert sorted(map(tuple, S.read(spark, view).collect())) == state
+
+
+# ---------------------------------------------------------------------------
+# r12: MIN/MAX IVM via auxiliary count-per-value state (item 4)
+
+def _mm_src(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "mm_src")
+    S.overwrite(spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 50), (3, 0, 50), (4, 0, 90),
+         (5, 1, 7), (6, 1, 7)],
+        "k long, grp long, v long"), t, n_files=1)
+    return t
+
+
+def test_minmax_delete_of_extremum_converges_to_runner_up(spark, tmp_path):
+    src = _mm_src(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "mm_view")
+    aux = os.path.join(str(tmp_path), "mm_aux")
+    ivm.init_minmax_view(spark, src, view, aux, F.col("grp"), "grp",
+                         F.col("v"), "v", version=1)
+    got = {r.grp: (r.n_vals, r.min_v, r.max_v)
+           for r in S.read(spark, view).collect()}
+    assert got == {0: (4, 10, 90), 1: (2, 7, 7)}
+    # delete the group-0 maximum (k=4, v=90): max must fall to 50
+    # WITHOUT a source rescan (runner-up known from aux state)
+    S.delete(spark.createDataFrame([(4,)], "k long"), src, key="k",
+             n_files=1)
+    r = ivm.refresh_minmax_view(spark, src, view, aux, F.col("grp"),
+                                "grp", F.col("v"), "v",
+                                from_version=1, to_version=2)
+    assert r["applied"]
+    got = {r.grp: (r.n_vals, r.min_v, r.max_v)
+           for r in S.read(spark, view).collect()}
+    assert got == {0: (3, 10, 50), 1: (2, 7, 7)}
+    # delete ONE of the duplicated 50s: max stays 50 (multiplicity)
+    S.delete(spark.createDataFrame([(2,)], "k long"), src, key="k",
+             n_files=1)
+    ivm.refresh_minmax_view(spark, src, view, aux, F.col("grp"), "grp",
+                            F.col("v"), "v", from_version=2, to_version=3)
+    got = {r.grp: (r.n_vals, r.min_v, r.max_v)
+           for r in S.read(spark, view).collect()}
+    assert got == {0: (2, 10, 50), 1: (2, 7, 7)}
+    audit = ivm.minmax_view_equals_recompute(
+        spark, src, view, F.col("grp"), "grp", F.col("v"), "v")
+    assert audit.head(1) == []
+
+
+def test_minmax_group_retracts_and_replay_is_noop(spark, tmp_path):
+    src = _mm_src(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "mm_view2")
+    aux = os.path.join(str(tmp_path), "mm_aux2")
+    ivm.init_minmax_view(spark, src, view, aux, F.col("grp"), "grp",
+                         F.col("v"), "v", version=1)
+    # group 1 loses BOTH rows -> retract
+    S.delete(spark.createDataFrame([(5,), (6,)], "k long"), src, key="k",
+             n_files=1)
+    r = ivm.refresh_minmax_view(spark, src, view, aux, F.col("grp"),
+                                "grp", F.col("v"), "v",
+                                from_version=1, to_version=2)
+    assert r["groups_deleted"] == 1
+    assert sorted(x.grp for x in S.read(spark, view).collect()) == [0]
+    vs_view, vs_aux = S.versions(view), S.versions(aux)
+    r2 = ivm.refresh_minmax_view(spark, src, view, aux, F.col("grp"),
+                                 "grp", F.col("v"), "v",
+                                 from_version=1, to_version=2)
+    assert r2["applied"] is False
+    assert S.versions(view) == vs_view and S.versions(aux) == vs_aux
+    audit = ivm.minmax_view_equals_recompute(
+        spark, src, view, F.col("grp"), "grp", F.col("v"), "v")
+    assert audit.head(1) == []
