@@ -3161,3 +3161,129 @@ def snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(final)
         .unionByName(history_row)
     )
+
+
+_SNAP_TXN_GROUP_SQL = """
+WITH base AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+epoch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+),
+curated AS (SELECT * FROM base UNION ALL SELECT * FROM epoch),
+idx AS (
+    SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS fp
+    FROM curated
+)
+SELECT 'curated_cut' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM curated
+UNION ALL
+SELECT 'index_cut', CAST(count(*) AS BIGINT), CAST(sum(fp) AS BIGINT)
+FROM idx
+UNION ALL
+SELECT 'pending_after', CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'versions', CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+"""
+
+
+@register(
+    "snapshot_txn_group",
+    sql=_SNAP_TXN_GROUP_SQL,
+    description="CROSS-TABLE COMMIT GROUP with roll-forward recovery "
+    "(r12 — the residual of VERDICT r11 item 4: the torn-epoch gap; "
+    "sources/snapshots.py:publish_commit_group): a curation epoch "
+    "stages its curated-corpus delta AND the matching fingerprint-"
+    "index delta as branches on two tables, a durable journal records "
+    "the group intent, and the build then reproduces a CRASH after "
+    "member 1 published (curated advanced, index torn, journal "
+    "pending) — recover_commit_groups rolls the group FORWARD: the "
+    "index member graduates, both tables get the `txn-<gid>` cut tag, "
+    "the journal retires; the hash pins both members' states AT THE "
+    "CUT TAG (reader-addressable consistent cut), zero pending "
+    "groups, and exactly 2 versions per table (completed once, "
+    "doubled never) ([EXT] at 100 TB this closes the multi-table "
+    "epoch: curated + fp + LSH land all-or-all, vacuum-safe, instead "
+    "of converging across replays)",
+)
+def snapshot_txn_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: group publish is pure manifest work per member (the
+    # branches already hold the data files); recovery cost = the
+    # journal's member list, never data.
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = (F.col("doc_id") * 2654435761) % 1000000007
+    root = scratch_path(
+        "snap_txn_group", sf_dir,
+        "curated=%3=0+epoch(%3=1), idx=fp(curated); crash after "
+        "member 1, roll-forward recovery, cut tag txn-epoch",
+    )
+    cur_t = _os.path.join(root, "curated")
+    idx_t = _os.path.join(root, "idx")
+    grp_root = _os.path.join(root, "groups")
+
+    def _build(tmp: str) -> None:
+        ct, it = _os.path.join(tmp, "curated"), _os.path.join(tmp, "idx")
+        gr = _os.path.join(tmp, "groups")
+        base = docs.filter(F.col("doc_id") % 3 == 0)
+        SN.overwrite(base, ct, n_files=2)
+        SN.overwrite(base.select("doc_id", fp.alias("fp")), it, n_files=2)
+        epoch = docs.filter(F.col("doc_id") % 3 == 1)
+        SN.create_branch(ct, "epoch")
+        SN.branch_append(epoch, ct, "epoch", n_files=1)
+        SN.create_branch(it, "epoch")
+        SN.branch_append(epoch.select("doc_id", fp.alias("fp")), it,
+                         "epoch", n_files=1)
+        # reproduce the on-disk state of a crash DURING the group
+        # publish: the journal landed (intent durable) and member 1
+        # (curated) graduated, then the process died — member 2 is
+        # torn and only the journal knows
+        d = _os.path.join(gr, "_txn_groups")
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, "group-epoch.json"), "w") as f:
+            _json.dump({
+                "group_id": "epoch",
+                "created_at": _time.time(),
+                "members": [[ct, "epoch"], [it, "epoch"]],
+            }, f, sort_keys=True)
+        SN.publish_branch(ct, "epoch")
+        assert len(SN.versions(it)) == 1  # the torn state is real
+        got = SN.recover_commit_groups(gr)
+        assert got["epoch"][ct] == [] and got["epoch"][it] == [2]
+
+    ensure_scratch(root, _build)
+    cur_cut = SN.read(spark, cur_t, ref="txn-epoch").agg(
+        F.lit("curated_cut").alias("stage"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+    idx_cut = SN.read(spark, idx_t, ref="txn-epoch").agg(
+        F.lit("index_cut").alias("stage"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("fp").cast("long").alias("id_sum"),
+    )
+    pending = spark.range(1).select(
+        F.lit("pending_after").alias("stage"),
+        F.lit(len(SN.pending_commit_groups(grp_root))).cast("long")
+        .alias("n_rows"),
+        F.lit(None).cast("long").alias("id_sum"),
+    )
+    versions_row = spark.range(1).select(
+        F.lit("versions").alias("stage"),
+        F.lit(len(SN.versions(cur_t))).cast("long").alias("n_rows"),
+        F.lit(len(SN.versions(idx_t))).cast("long").alias("id_sum"),
+    )
+    return (
+        cur_cut.unionByName(idx_cut).unionByName(pending)
+        .unionByName(versions_row)
+    )

@@ -181,15 +181,28 @@ _WINDOW_SIZE = 50
 # refactored to share model_refresh_tables with the new retraction
 # epoch).
 _WINDOW_PINS: list[tuple[str, int]] = [
-    ("snapshot_time_travel", 11),
-    ("snapshot_incremental_read", 11),
-    ("snapshot_stream_append", 11),
-    ("snapshot_schema_evolution", 11),
-    ("snapshot_merge_upsert", 11),
-    ("snapshot_clustered_prune", 11),
-    ("incremental_curation_epoch", 11),
-    ("incremental_curation_epoch2", 11),
-    ("curation_model_refresh", 11),
+    # (All nine round-11 pins were proven green by CORRECTNESS_r11 —
+    # last_green == pin_round made each mechanically inert — and are
+    # pruned per the codified rule above.)
+    #
+    # Round-12 pins (changes made with the r11 artifact on disk →
+    # pinned 12): cdc_stream.py was rewritten around the unified
+    # visible-state diff (MOR support, metadata-only commits, typed
+    # partition restore), read_row_changes gained delete-aware images
+    # for key-less/overwrite commits and rollback manifests stopped
+    # carrying key/mode, ivm.apply_changes moved to the atomic
+    # zero-merge + committed-state retract, and publish_staged gained
+    # the constraint-drift refusal.  The ivm view/stream queries pin
+    # the new commit accounting; row_cdc/cdc_apply pin the batch feed
+    # after its image rework; wap_audit pins the publish path;
+    # table_mgmt pins rollback's slimmed manifests.
+    ("snapshot_cdc_stream", 12),
+    ("snapshot_ivm_view", 12),
+    ("snapshot_ivm_stream", 12),
+    ("snapshot_row_cdc", 12),
+    ("snapshot_cdc_apply", 12),
+    ("snapshot_wap_audit", 12),
+    ("snapshot_table_mgmt", 12),
 ]
 
 
