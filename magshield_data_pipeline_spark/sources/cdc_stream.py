@@ -48,7 +48,12 @@ import os
 from collections import Counter
 from typing import Iterator, List
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 META_COLS = ("_change_type", "_commit_version")
@@ -356,6 +361,145 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+class LedgerCdcPartition(InputPartition):
+    """One unit of executor-side CDC materialization: ``kind`` is
+    ``snapshot_file`` (bootstrap: one base file + its applicable
+    delete files), ``insert_file`` (append fast path: one added
+    file), or ``commit_diff`` (one whole non-append commit — the
+    multiset diff needs the commit's affected files together, so it
+    stays a single unit, but on an EXECUTOR, not the driver)."""
+
+    def __init__(self, kind: str, payload: dict) -> None:
+        self.kind = kind
+        self.payload = payload
+
+
+class LedgerCdcDistStreamReader(DataSourceStreamReader):
+    """The DISTRIBUTED twin of :class:`LedgerCdcStreamReader` (r12):
+    the simple-reader protocol materializes every batch's rows on the
+    driver — bounded by commit size, but still the one non-scalable
+    seam the r11 notes documented.  This reader plans partitions from
+    MANIFEST METADATA ONLY on the driver and materializes rows on
+    executors:
+
+    - a snapshot bootstrap fans out one partition PER BASE FILE (its
+      applicable equality-deletes shipped in the partition spec);
+    - an append/stream-append commit fans out one partition PER ADDED
+      FILE (pure inserts, embarrassingly parallel);
+    - any other commit becomes ONE ``commit_diff`` partition running
+      the same visible-state diff as the simple reader — per-commit
+      memory moves off the driver, and distinct commits in a batch
+      diff in parallel.
+
+    No ``maxVersionsPerBatch``: each trigger drains to the table's
+    latest version (the partition plan, not the batch count, bounds
+    memory).  Offsets are identical to the simple reader's
+    (``{"version": v, "snap": 0|1}``), so checkpoints carry the same
+    meaning.  Rows are bit-identical to the simple reader — pinned in
+    tests/test_cdc_stream.py."""
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.path = options["path"]
+        self.start = int(options.get("startversion", 1))
+        self.initial_snapshot = (
+            str(options.get("initialsnapshot", "false")).lower() == "true"
+        )
+        self.fields = [f.name for f in schema.fields
+                       if f.name not in META_COLS]
+        self.types = {f.name: f.dataType for f in schema.fields
+                      if f.name not in META_COLS}
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start,
+                "snap": 0 if self.initial_snapshot else 1}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.path)
+        return {"version": vs[-1] if vs else self.start, "snap": 1}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[LedgerCdcPartition] = []
+        v0 = int(start["version"])
+        if not start.get("snap", 1):
+            man = _manifest(self.path, v0)
+            dels = man.get("delete_files") or []
+            for e in man["files"]:
+                parts.append(LedgerCdcPartition("snapshot_file", {
+                    "entry": e,
+                    "deletes": [d for d in _applicable(dels, e)
+                                if _may_hit(e, d)],
+                    "version": v0,
+                }))
+        for v in range(v0 + 1, int(end["version"]) + 1):
+            cur = _manifest(self.path, v)
+            prev = _manifest(self.path, v - 1)
+            if cur.get("operation") == "compact":
+                continue
+            prev_paths = {e["path"] for e in prev["files"]}
+            added = [e for e in cur["files"]
+                     if e["path"] not in prev_paths]
+            removed = any(e["path"] not in {x["path"] for x in cur["files"]}
+                          for e in prev["files"])
+            same_dels = (
+                {d["path"] for d in prev.get("delete_files") or []}
+                == {d["path"] for d in cur.get("delete_files") or []}
+            )
+            if not added and not removed and same_dels:
+                continue  # metadata-only commit: zero partitions
+            if (cur.get("operation") in ("append", "stream-append")
+                    and same_dels and not removed):
+                for e in added:
+                    parts.append(LedgerCdcPartition("insert_file", {
+                        "entry": e, "version": v,
+                    }))
+            else:
+                parts.append(LedgerCdcPartition("commit_diff",
+                                                {"version": v}))
+        return parts or [LedgerCdcPartition("noop", {})]
+
+    def read(self, partition: LedgerCdcPartition):
+        p = partition.payload
+        if partition.kind == "noop":
+            return iter([])
+        if partition.kind == "snapshot_file":
+            rows = _visible_rows(self.path, [p["entry"]], p["deletes"],
+                                 self.fields, self.types, {})
+            v = p["version"]
+            return iter(
+                tuple(d[f] for f in self.fields) + ("insert", v)
+                for d in rows
+            )
+        if partition.kind == "insert_file":
+            rows = _rows_of(self.path, [p["entry"]], self.fields,
+                            self.types)
+            v = p["version"]
+            return iter(
+                tuple(d[f] for f in self.fields) + ("insert", v)
+                for d in rows
+            )
+        return iter(_commit_changes(self.path, p["version"],
+                                    self.fields, self.types))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are ledger versions; nothing external to ack
+
+
+class LedgerCdcDistDataSource(DataSource):
+    """``spark.readStream.format("ledger_cdc_dist")`` — executor-side
+    row materialization (see :class:`LedgerCdcDistStreamReader`);
+    schema inference shared with the simple source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ledger_cdc_dist"
+
+    def schema(self) -> StructType:
+        return LedgerCdcDataSource.schema(self)
+
+    def streamReader(self, schema: StructType) -> LedgerCdcDistStreamReader:
+        return LedgerCdcDistStreamReader(dict(self.options), schema)
+
+
 class LedgerCdcDataSource(DataSource):
     """``spark.readStream.format("ledger_cdc").option("path", t)`` —
     schema is INFERRED from the table's latest manifest (its committed
@@ -403,3 +547,4 @@ def register(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(LedgerCdcDataSource)
+    spark.dataSource.register(LedgerCdcDistDataSource)

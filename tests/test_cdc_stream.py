@@ -324,3 +324,105 @@ def test_mor_replay_between_offsets_deterministic(spark, tmp_path):
     a = list(reader.readBetweenOffsets({"version": 1}, {"version": 4}))
     b = list(reader.readBetweenOffsets({"version": 1}, {"version": 4}))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# r12: distributed stream reader (executor-side materialization)
+
+def _dist_reader(t, **opts):
+    src = C.LedgerCdcDistDataSource(
+        options={"path": t, **{k.lower(): str(v) for k, v in opts.items()}}
+    )
+    return src.streamReader(src.schema()), src
+
+
+def _drain_dist(reader, start):
+    end = reader.latestOffset()
+    rows = []
+    for p in reader.partitions(start, end):
+        rows.extend(reader.read(p))
+    return rows, end
+
+
+def test_dist_partition_plan_shapes(spark, tmp_path):
+    t = _mor_chain(spark, tmp_path)
+    reader, _ = _dist_reader(t)
+    parts = reader.partitions({"version": 1, "snap": 1},
+                              {"version": 6, "snap": 1})
+    kinds = [p.kind for p in parts]
+    # v2 MOR merge + v3 MOR delete -> commit_diff each; v4 append ->
+    # one insert_file per added file; v5 set-constraint + v6 compact
+    # -> no partitions at all
+    assert kinds == ["commit_diff", "commit_diff", "insert_file"]
+
+
+def test_dist_append_fans_out_per_file(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "fan")
+    S.overwrite(spark.range(10).select(F.col("id").alias("k")), t,
+                n_files=1)
+    S.append(spark.range(10, 40).select(F.col("id").alias("k")), t,
+             n_files=3)
+    reader, _ = _dist_reader(t)
+    parts = reader.partitions({"version": 1, "snap": 1},
+                              {"version": 2, "snap": 1})
+    assert [p.kind for p in parts] == ["insert_file"] * 3
+
+
+def test_dist_rows_match_simple_reader_cow_and_mor(spark, tmp_path):
+    for chain, last in ((_chain, 5), (_mor_chain, 6)):
+        t = chain(spark, tmp_path, name=f"par_{last}")
+        simple, _ = _reader(t, maxVersionsPerBatch=10)
+        want = sorted(simple._range_rows(1, last))
+        dist, _ = _dist_reader(t)
+        got, end = _drain_dist(dist, {"version": 1, "snap": 1})
+        assert end == {"version": last, "snap": 1}
+        assert sorted(got) == want
+
+
+def test_dist_bootstrap_applies_deletes_per_file(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "dboot")
+    S.overwrite(spark.range(9).select(F.col("id").alias("k")), t,
+                n_files=3)
+    S.delete(spark.createDataFrame([(2,), (7,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    simple, _ = _reader(t, initialSnapshot=True, startVersion=2)
+    want = sorted(simple._snapshot_rows())
+    dist, _ = _dist_reader(t, initialSnapshot=True, startVersion=2)
+    parts = dist.partitions({"version": 2, "snap": 0},
+                            {"version": 2, "snap": 1})
+    assert [p.kind for p in parts] == ["snapshot_file"] * 3
+    got = sorted(r for p in parts for r in dist.read(p))
+    assert got == want
+
+
+def test_dist_stream_end_to_end_matches_batch_feed(spark, tmp_path):
+    import tempfile
+    import uuid as _uuid
+
+    t = _mor_chain(spark, tmp_path, name="dist_e2e")
+    C.register(spark)
+    name = f"dist_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("ledger_cdc_dist")
+        .option("path", t)
+        .option("startversion", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.table(name)
+        .select("k", "val", "_change_type", "_commit_version").collect()
+    )
+    batch = S.read_row_changes(spark, t, 1, 6)
+    want = sorted(
+        tuple(r) for r in batch.select(
+            "k", "val", "_change_type", "_commit_version").collect()
+    )
+    assert got == want
