@@ -1642,7 +1642,8 @@ def append_stream_batch(df, table_path: str, batch_id: int,
 
     if _committed():
         return None
-    _validate_constraints(df, table_path)
+    validated = table_constraints(table_path)
+    _validate_constraints(df, table_path, validated)
     entries = _write_data_files(df, table_path, n_files)
     d = _manifest_dir(table_path)
     os.makedirs(d, exist_ok=True)
@@ -1675,8 +1676,15 @@ def append_stream_batch(df, table_path: str, batch_id: int,
                 df.schema.jsonValue(),
             ),
         }
-        if prior_manifest and prior_manifest.get("constraints"):
-            manifest["constraints"] = prior_manifest["constraints"]
+        carried_cons = (prior_manifest or {}).get("constraints") or {}
+        if carried_cons != (validated or {}):
+            # same TOCTOU close as _publish_manifest (ADVICE r11): a
+            # constraint that landed since this epoch validated must
+            # re-validate the batch before the commit carries it
+            _validate_constraints(df, table_path, carried_cons)
+            validated = carried_cons
+        if carried_cons:
+            manifest["constraints"] = carried_cons
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         try:

@@ -426,3 +426,30 @@ def test_dist_stream_end_to_end_matches_batch_feed(spark, tmp_path):
             "k", "val", "_change_type", "_commit_version").collect()
     )
     assert got == want
+
+
+def test_stream_across_add_column_commit(spark, tmp_path):
+    # an add-column evolution mid-range: the stream schema is the
+    # LATEST manifest's, and pre-evolution commits null-fill the new
+    # column — pinned against the batch feed
+    t = os.path.join(str(tmp_path), "evo")
+    S.overwrite(spark.range(3).select(F.col("id").alias("k")), t,
+                n_files=1)
+    S.append(spark.createDataFrame([(10, "x"), (11, "y")],
+                                   "k long, tag string"), t, n_files=1)
+    S.append(spark.createDataFrame([(20, "z")], "k long, tag string"),
+             t, n_files=1)
+    reader, src = _reader(t, maxVersionsPerBatch=10)
+    assert "tag" in src.schema().fieldNames()
+    rows, off = reader.read({"version": 1})
+    got = sorted(rows)
+    assert off == {"version": 3, "snap": 1}
+    batch = S.read_row_changes(spark, t, 1, 3)
+    want = sorted(tuple(r) for r in batch.select(
+        "k", "tag", "_change_type", "_commit_version").collect())
+    assert got == want
+    assert (10, "x", "insert", 2) in got
+    # dist twin agrees
+    dist, _ = _dist_reader(t)
+    drows, _ = _drain_dist(dist, {"version": 1, "snap": 1})
+    assert sorted(drows) == want
