@@ -379,6 +379,137 @@ def refresh_join_agg_view(
     )
 
 
+def refresh_chain_agg_view(
+    spark: SparkSession,
+    tables: list[tuple[str, int, int]],
+    view_path: str,
+    ons: list[tuple[str, str]],
+    group: Column,
+    group_name: str,
+    measures: dict,
+    *,
+    txn_version: int,
+    app: str = "ivm-chain",
+    n_files: int = 1,
+) -> dict:
+    """Maintain an aggregate over an N-TABLE JOIN CHAIN from every
+    table's row-CDC feed — the telescoped delta-join identity::
+
+        Δ(T¹⋈…⋈Tⁿ) = Σᵢ  T¹₀⋈…⋈Tⁱ⁻¹₀  ⋈ ΔTⁱ ⋈  Tⁱ⁺¹₁⋈…⋈Tⁿ₁
+
+    (tables LEFT of the changing one at their OLD versions, tables
+    RIGHT of it at their NEW versions — the same asymmetry as the
+    two-table form, applied per position; add-and-subtract the mixed
+    terms to prove it).  *tables* is ``[(path, from_v, to_v), ...]``
+    in chain order; ``ons[j] = (col_in_Tj, col_in_Tj+1)`` joins
+    adjacent tables — column names must be DISTINCT across the chain
+    (TPC-H style ``l_/o_/c_`` prefixes).  Tables with ``from == to``
+    contribute no delta term but still appear as join sides.
+
+    Scale shape: every term is rooted at ONE table's change-sized
+    feed and joins outward against full snapshots — each join is
+    (delta-rooted frame) ⋈ (one table), broadcastable when the delta
+    is small and AQE-planned otherwise, never table × table.  The
+    canonical warehouse view (revenue per nation = lineitem ⋈ orders
+    ⋈ customer) refreshes as three such terms.  Fold semantics,
+    exactly-once transactions, and the return shape match
+    :func:`apply_changes`."""
+    n = len(tables)
+    if len(ons) != n - 1:
+        raise ValueError(
+            f"refresh_chain_agg_view: {n} tables need {n - 1} join "
+            f"conditions, got {len(ons)}"
+        )
+    olds = [SN.read(spark, p, vf) for p, vf, _vt in tables]
+    news = [SN.read(spark, p, vt) for p, _vf, vt in tables]
+    terms = []
+    for i, (p, vf, vt) in enumerate(tables):
+        if vt <= vf:
+            continue  # no changes on this table this refresh
+        cur = _signed_cdc(SN.read_row_changes(spark, p, vf, vt))
+        for j in range(i, n - 1):  # rightward, NEW versions
+            lcol, rcol = ons[j]
+            cur = cur.join(news[j + 1], F.col(lcol) == F.col(rcol))
+        for j in range(i - 1, -1, -1):  # leftward, OLD versions
+            lcol, rcol = ons[j]
+            cur = olds[j].join(cur, F.col(lcol) == F.col(rcol))
+        terms.append(cur.select(
+            group.alias(group_name),
+            F.col("_sign"),
+            *[expr.alias(name) for name, expr in measures.items()],
+        ))
+    if not terms:
+        return {"applied": False, "groups_upserted": 0,
+                "groups_deleted": 0}
+    signed = terms[0]
+    for t in terms[1:]:
+        signed = signed.unionByName(t)
+    changes = signed.withColumn(
+        "_change_type",
+        F.when(F.col("_sign") > 0, F.lit("insert")).otherwise(
+            F.lit("delete")
+        ),
+    ).drop("_sign")
+    return apply_changes(
+        spark, view_path, changes, F.col(group_name), group_name,
+        {name: F.col(name) for name in measures},
+        txn_version=txn_version, app=app, n_files=n_files,
+    )
+
+
+def init_chain_agg_view(
+    spark: SparkSession,
+    tables: list[tuple[str, int]],
+    view_path: str,
+    ons: list[tuple[str, str]],
+    group: Column,
+    group_name: str,
+    measures: dict,
+    *,
+    n_files: int = 1,
+) -> int:
+    """Materialize the chain view from scratch at the given
+    ``[(path, version), ...]`` and commit it as the view's v1."""
+    frames = [SN.read(spark, p, v) for p, v in tables]
+    joined = frames[0]
+    for j, f in enumerate(frames[1:]):
+        lcol, rcol = ons[j]
+        joined = joined.join(f, F.col(lcol) == F.col(rcol))
+    agg = joined.groupBy(group.alias(group_name)).agg(
+        F.count(F.lit(1)).alias(COUNT_COL),
+        *[F.sum(expr).alias(name) for name, expr in measures.items()],
+    )
+    v = SN.overwrite(agg, view_path, n_files=n_files)
+    if n_files > 1:
+        v = SN.compact(spark, view_path, n_files=n_files,
+                       cluster_by=[group_name])
+    return v
+
+
+def chain_view_equals_recompute(
+    spark: SparkSession,
+    table_paths: list[str],
+    view_path: str,
+    ons: list[tuple[str, str]],
+    group: Column,
+    group_name: str,
+    measures: dict,
+) -> DataFrame:
+    """Audit frame: maintained chain view vs a from-scratch join +
+    group-by at every table's latest version — empty iff converged."""
+    frames = [SN.read(spark, p) for p in table_paths]
+    joined = frames[0]
+    for j, f in enumerate(frames[1:]):
+        lcol, rcol = ons[j]
+        joined = joined.join(f, F.col(lcol) == F.col(rcol))
+    fresh = joined.groupBy(group.alias(group_name)).agg(
+        F.count(F.lit(1)).alias(COUNT_COL),
+        *[F.sum(expr).alias(n) for n, expr in measures.items()],
+    )
+    view = SN.read(spark, view_path).select(*fresh.columns)
+    return view.exceptAll(fresh).unionByName(fresh.exceptAll(view))
+
+
 def join_view_equals_recompute(
     spark: SparkSession,
     a_path: str,

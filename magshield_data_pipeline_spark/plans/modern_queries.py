@@ -3352,3 +3352,164 @@ def snapshot_cdc_stream_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         crow(F.lit("final_state"), SN.read(spark, base))
     )
     return out
+
+
+_SNAP_IVM_CHAIN_SQL = """
+WITH a1 AS (
+    SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+),
+b1 AS (SELECT o_orderkey, o_custkey FROM orders),
+c1 AS (SELECT c_custkey, c_nationkey FROM customer),
+a2 AS (SELECT * FROM a1 WHERE l_orderkey % 10 <> 4),
+b2 AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 7
+                THEN (o_custkey * 7) % 100 + 1
+                ELSE o_custkey END AS o_custkey
+    FROM b1
+),
+c2 AS (SELECT * FROM c1 WHERE c_nationkey <> 5),
+s1 AS (
+    SELECT c_nationkey AS nation, count(*) AS n, sum(cents) AS rev
+    FROM a1 JOIN b1 ON l_orderkey = o_orderkey
+            JOIN c1 ON o_custkey = c_custkey
+    GROUP BY 1
+),
+s2 AS (
+    SELECT c_nationkey AS nation, count(*) AS n, sum(cents) AS rev
+    FROM a2 JOIN b2 ON l_orderkey = o_orderkey
+            JOIN c2 ON o_custkey = c_custkey
+    GROUP BY 1
+)
+SELECT 'init' AS stage, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_lines,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents FROM s1
+UNION ALL
+SELECT 'final', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(sum(rev) AS BIGINT) FROM s2
+UNION ALL
+SELECT 'recompute', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(sum(rev) AS BIGINT) FROM s2
+UNION ALL
+SELECT 'ledger_versions', CAST(3 AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT)
+"""
+
+
+@register(
+    "snapshot_ivm_chain_view",
+    sql=_SNAP_IVM_CHAIN_SQL,
+    description="THREE-TABLE CHAIN IVM — the r11 verdict's canonical "
+    "warehouse view verbatim (revenue per nation = lineitem x orders "
+    "x customer), maintained by the telescoped delta-join identity "
+    "(operators/ivm.py:refresh_chain_agg_view: tables LEFT of the "
+    "changing one at OLD versions, RIGHT of it at NEW): ONE refresh "
+    "folds SIMULTANEOUS changes on all three tables — a lineitem "
+    "DELETE (%10=4 order lines), an orders MERGE re-routing %10=7 "
+    "orders to different customers (revenue moves between nations), "
+    "and a customer DELETE (nation 5's customers leave, taking their "
+    "orders' revenue including just-re-routed ones — the asymmetric "
+    "version pinning makes that ordering exact) — and nation 5 "
+    "retracts at count zero; the hash pins init/final stage sums in "
+    "integer cents, maintained == recompute, and the view's 3-commit "
+    "ledger (init + atomic fold + retract) ([EXT] every term is "
+    "delta-rooted: change-sized frame joined outward against one "
+    "snapshot at a time, broadcastable, never table x table)",
+)
+def snapshot_ivm_chain_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from magshield_data_pipeline_spark.operators import ivm
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    ons = [("l_orderkey", "o_orderkey"), ("o_custkey", "c_custkey")]
+    grp = F.col("c_nationkey")
+    measures = {"revenue_cents": F.col("cents")}
+    root = scratch_path(
+        "snap_ivm_chain", sf_dir,
+        "a=lineitem(cents) b=orders c=customer; a2=del %10=4, "
+        "b2=reroute %10=7 cust*7%100+1, c2=del nation 5; one fold",
+    )
+    a_t, b_t, c_t, view = (
+        _os.path.join(root, x) for x in ("a", "b", "c", "view")
+    )
+
+    def _build(tmp: str) -> None:
+        at, bt, ct = (_os.path.join(tmp, x) for x in ("a", "b", "c"))
+        vt = _os.path.join(tmp, "view")
+        SN.overwrite(li, at, n_files=2)
+        SN.overwrite(orders, bt, n_files=2)
+        SN.overwrite(cust, ct, n_files=1)
+        ivm.init_chain_agg_view(
+            spark, [(at, 1), (bt, 1), (ct, 1)], vt, ons, grp,
+            "nation", measures)
+        SN.delete(
+            li.filter(F.col("l_orderkey") % 10 == 4)
+            .select("l_orderkey").distinct(),
+            at, key="l_orderkey", n_files=2)
+        SN.merge(
+            orders.filter(F.col("o_orderkey") % 10 == 7).select(
+                "o_orderkey",
+                ((F.col("o_custkey") * 7) % 100 + 1).alias("o_custkey"),
+            ),
+            bt, key="o_orderkey", n_files=2)
+        SN.delete(
+            cust.filter(F.col("c_nationkey") == 5).select("c_custkey"),
+            ct, key="c_custkey", n_files=1)
+        ivm.refresh_chain_agg_view(
+            spark, [(at, 1, 2), (bt, 1, 2), (ct, 1, 2)], vt, ons, grp,
+            "nation", measures, txn_version=1)
+        # replayed fold: both txns committed -> durable no-op
+        ivm.refresh_chain_agg_view(
+            spark, [(at, 1, 2), (bt, 1, 2), (ct, 1, 2)], vt, ons, grp,
+            "nation", measures, txn_version=1)
+
+    ensure_scratch(root, _build)
+
+    def vrow(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_rows").cast("long").alias("n_lines"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+
+    a_df = SN.read(spark, a_t)
+    b_df = SN.read(spark, b_t)
+    c_df = SN.read(spark, c_t)
+    recompute = (
+        a_df.join(b_df, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c_df, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(grp.alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("cents").alias("revenue_cents"))
+    )
+    return (
+        vrow("init", SN.read(spark, view, 1))
+        .unionByName(vrow("final", SN.read(spark, view)))
+        .unionByName(vrow("recompute", recompute))
+        .unionByName(
+            spark.range(1).select(
+                F.lit("ledger_versions").alias("stage"),
+                F.lit(len(SN.versions(view))).cast("long")
+                .alias("n_groups"),
+                F.lit(None).cast("long").alias("n_lines"),
+                F.lit(None).cast("long").alias("revenue_cents"),
+            )
+        )
+    )

@@ -466,3 +466,90 @@ def test_minmax_group_retracts_and_replay_is_noop(spark, tmp_path):
     audit = ivm.minmax_view_equals_recompute(
         spark, src, view, F.col("grp"), "grp", F.col("v"), "v")
     assert audit.head(1) == []
+
+
+# ---------------------------------------------------------------------------
+# r12: N-table chain IVM (the verdict's canonical 3-table view)
+
+def _abc(spark, tmp_path):
+    """lineitem-shaped A (line, ord, amt), orders-shaped B (ord2,
+    cust), customer-shaped C (cust2, nation) — distinct column names
+    per the chain contract."""
+    a = os.path.join(str(tmp_path), "ca")
+    b = os.path.join(str(tmp_path), "cb")
+    c = os.path.join(str(tmp_path), "cc")
+    S.overwrite(spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 101, 30), (4, 102, 40)],
+        "line long, ord long, amt long"), a, n_files=1)
+    S.overwrite(spark.createDataFrame(
+        [(100, 10), (101, 11), (102, 12)], "ord2 long, cust long"),
+        b, n_files=1)
+    S.overwrite(spark.createDataFrame(
+        [(10, 0), (11, 0), (12, 1)], "cust2 long, nation long"),
+        c, n_files=1)
+    return a, b, c
+
+
+_ONS = [("ord", "ord2"), ("cust", "cust2")]
+
+
+def _cmeasures():
+    return {"revenue": F.col("amt")}
+
+
+def test_chain_view_folds_changes_on_all_three_tables(spark, tmp_path):
+    a, b, c = _abc(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "cview")
+    ivm.init_chain_agg_view(spark, [(a, 1), (b, 1), (c, 1)], view, _ONS,
+                            F.col("nation"), "nation", _cmeasures())
+    got = {r.nation: (r.n_rows, r.revenue)
+           for r in S.read(spark, view).collect()}
+    assert got == {0: (3, 60), 1: (1, 40)}
+    # one refresh folding SIMULTANEOUS changes on all three tables:
+    # A: delete line 2 (-20 from nation 0)
+    # B: re-route order 101 from cust 11 to cust 12 (30 moves 0 -> 1)
+    # C: delete cust 12 / nation 1 entirely (kills the group AFTER the
+    #    re-route lands — order matters, the identity handles it)
+    S.delete(spark.createDataFrame([(2,)], "line long"), a, key="line",
+             n_files=1)
+    S.merge(spark.createDataFrame([(101, 12)], "ord2 long, cust long"),
+            b, key="ord2", n_files=1)
+    S.delete(spark.createDataFrame([(12,)], "cust2 long"), c,
+             key="cust2", n_files=1)
+    r = ivm.refresh_chain_agg_view(
+        spark, [(a, 1, 2), (b, 1, 2), (c, 1, 2)], view, _ONS,
+        F.col("nation"), "nation", _cmeasures(), txn_version=1)
+    assert r["applied"] and r["groups_deleted"] == 1
+    got = {r.nation: (r.n_rows, r.revenue)
+           for r in S.read(spark, view).collect()}
+    # nation 1 retracted (cust 12 gone takes order 102 AND the
+    # re-routed order 101 with it); nation 0 keeps only line 1
+    assert got == {0: (1, 10)}
+    audit = ivm.chain_view_equals_recompute(
+        spark, [a, b, c], view, _ONS, F.col("nation"), "nation",
+        _cmeasures())
+    assert audit.head(1) == []
+
+
+def test_chain_view_unchanged_tables_contribute_no_terms(spark, tmp_path):
+    a, b, c = _abc(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "cview2")
+    ivm.init_chain_agg_view(spark, [(a, 1), (b, 1), (c, 1)], view, _ONS,
+                            F.col("nation"), "nation", _cmeasures())
+    # only A changes; B and C pass from == to
+    S.merge(spark.createDataFrame([(5, 102, 5)],
+                                  "line long, ord long, amt long"),
+            a, key="line", n_files=1)
+    r = ivm.refresh_chain_agg_view(
+        spark, [(a, 1, 2), (b, 1, 1), (c, 1, 1)], view, _ONS,
+        F.col("nation"), "nation", _cmeasures(), txn_version=1)
+    assert r["applied"]
+    audit = ivm.chain_view_equals_recompute(
+        spark, [a, b, c], view, _ONS, F.col("nation"), "nation",
+        _cmeasures())
+    assert audit.head(1) == []
+    # and a replay is a durable no-op
+    r2 = ivm.refresh_chain_agg_view(
+        spark, [(a, 1, 2), (b, 1, 1), (c, 1, 1)], view, _ONS,
+        F.col("nation"), "nation", _cmeasures(), txn_version=1)
+    assert r2["applied"] is False
