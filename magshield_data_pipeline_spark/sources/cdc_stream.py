@@ -114,15 +114,20 @@ def _cast_part(raw, dtype) -> object:
 def _rows_of(table_path: str, entries: list[dict], fields: list[str],
              types: dict | None = None) -> list[dict]:
     """Materialize the rows of *entries* as dicts under the stream's
-    field set: missing columns null-fill (schema evolution), partition
-    values restore from manifest metadata (identity spec, TYPED via
-    the stream schema), and file order is path-sorted so replays are
-    byte-deterministic."""
+    field set: only the REQUESTED columns are read from each file
+    (column pruning — a projected CDC subscriber never pays for the
+    table's width), missing columns null-fill (schema evolution /
+    projection), partition values restore from manifest metadata
+    (identity spec, TYPED via the stream schema), and file order is
+    path-sorted so replays are byte-deterministic."""
     import pyarrow.parquet as pq
 
     out: list[dict] = []
     for e in sorted(entries, key=lambda x: x["path"]):
-        tbl = pq.read_table(os.path.join(table_path, e["path"]))
+        full = os.path.join(table_path, e["path"])
+        have = set(pq.read_schema(full).names)
+        cols = [c for c in fields if c in have]
+        tbl = pq.read_table(full, columns=cols)
         part = e.get("partition") or {}
         for d in tbl.to_pylist():
             row = {f: d.get(f) for f in fields}
@@ -167,10 +172,13 @@ def _visible_rows(table_path: str, entries: list[dict],
 
     out: list[dict] = []
     for e in sorted(entries, key=lambda x: x["path"]):
-        rows = _rows_of(table_path, [e], fields, types)
-        for d in _applicable(delete_files, e):
-            if not _may_hit(e, d):
-                continue
+        dels = [d for d in _applicable(delete_files, e)
+                if _may_hit(e, d)]
+        # a projected field set may exclude a delete key: read it as a
+        # working column for the anti-join, then strip it
+        extras = sorted({d["key"] for d in dels} - set(fields))
+        rows = _rows_of(table_path, [e], list(fields) + extras, types)
+        for d in dels:
             if d["path"] not in keysets:
                 col = pq.read_table(
                     os.path.join(table_path, d["path"]),
@@ -179,6 +187,8 @@ def _visible_rows(table_path: str, entries: list[dict],
                 keysets[d["path"]] = frozenset(col)
             ks = keysets[d["path"]]
             rows = [r for r in rows if r[d["key"]] not in ks]
+        if extras:
+            rows = [{f: r[f] for f in fields} for r in rows]
         out.extend(rows)
     return out
 
@@ -247,27 +257,41 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
             affected_prev.append(e_prev)
             affected_cur.append(e_cur)
 
+    # under a column PROJECTION the merge key may be excluded from the
+    # output — materialize it as a working column anyway so update
+    # pre/post pairing stays exact, and strip it on emission.  (The
+    # diff itself runs on key + projected columns, so a change in an
+    # UNSELECTED column cancels — projection-CDC semantics: the feed
+    # of the projected view.)
+    key = cur.get("key")
+    int_fields = list(fields)
+    if key is not None and key not in int_fields:
+        int_fields.append(key)
+    n_out = len(fields)
+
+    def proj(t: tuple) -> tuple:
+        return t[:n_out]
+
     keysets: dict = {}
     before = _visible_rows(table_path, affected_prev, prev_dels,
-                           fields, types, keysets)
+                           int_fields, types, keysets)
     after = _visible_rows(table_path, affected_cur, cur_dels,
-                          fields, types, keysets)
-    b = Counter(tuple(d[f] for f in fields) for d in before)
-    a = Counter(tuple(d[f] for f in fields) for d in after)
+                          int_fields, types, keysets)
+    b = Counter(tuple(d[f] for f in int_fields) for d in before)
+    a = Counter(tuple(d[f] for f in int_fields) for d in after)
     dels, ins = b - a, a - b
 
-    key = cur.get("key")
-    if key is None or key not in fields:
-        out = [t + ("delete", v) for t in sorted(dels, key=repr)
+    if key is None:
+        out = [proj(t) + ("delete", v) for t in sorted(dels, key=repr)
                for _ in range(dels[t])]
-        out += [t + ("insert", v) for t in sorted(ins, key=repr)
+        out += [proj(t) + ("insert", v) for t in sorted(ins, key=repr)
                 for _ in range(ins[t])]
         return out
 
     # keyed classification: a key with both a retracted and an emitted
     # row is an update (pre/post pair); one-sided keys are pure
     # deletes/inserts — the batch feed's merge contract
-    ki = fields.index(key)
+    ki = int_fields.index(key)
     del_by_key: dict = {}
     ins_by_key: dict = {}
     for t in sorted(dels, key=repr):
@@ -280,10 +304,10 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
         il = ins_by_key.get(k, [])
         n_pair = min(len(dl), len(il))
         for i in range(n_pair):
-            out.append(dl[i] + ("update_preimage", v))
-            out.append(il[i] + ("update_postimage", v))
-        out += [t + ("delete", v) for t in dl[n_pair:]]
-        out += [t + ("insert", v) for t in il[n_pair:]]
+            out.append(proj(dl[i]) + ("update_preimage", v))
+            out.append(proj(il[i]) + ("update_postimage", v))
+        out += [proj(t) + ("delete", v) for t in dl[n_pair:]]
+        out += [proj(t) + ("insert", v) for t in il[n_pair:]]
     return out
 
 
@@ -524,8 +548,28 @@ class LedgerCdcDataSource(DataSource):
                 "commit once to publish one"
             )
         base = StructType.fromJson(man["schema"])
+        fields = list(base.fields)
+        wanted = self.options.get("columns")
+        if wanted:
+            # COLUMN PROJECTION: the subscriber names the columns it
+            # needs and never pays for the table's width — executor/
+            # driver reads prune to exactly these (plus working
+            # columns for delete keys and update pairing, stripped on
+            # emission).  Semantics: the CDC feed OF THE PROJECTED
+            # VIEW — a commit changing only unselected columns emits
+            # nothing.
+            names = [c.strip() for c in wanted.split(",") if c.strip()]
+            have = {f.name for f in fields}
+            missing = [c for c in names if c not in have]
+            if missing:
+                raise ValueError(
+                    f"ledger_cdc: option('columns') names {missing} "
+                    f"not in the table schema {sorted(have)}"
+                )
+            by_name = {f.name: f for f in fields}
+            fields = [by_name[c] for c in names]
         return StructType(
-            list(base.fields)
+            fields
             + [
                 StructField("_change_type", StringType()),
                 StructField("_commit_version", LongType()),

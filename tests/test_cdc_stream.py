@@ -453,3 +453,79 @@ def test_stream_across_add_column_commit(spark, tmp_path):
     dist, _ = _dist_reader(t)
     drows, _ = _drain_dist(dist, {"version": 1, "snap": 1})
     assert sorted(drows) == want
+
+
+def test_column_projection_feed(spark, tmp_path):
+    # option('columns') = the CDC feed OF THE PROJECTED VIEW: reads
+    # prune to the named columns, the merge key is materialized
+    # internally for update pairing (and stripped), and a commit
+    # touching ONLY unselected columns emits nothing
+    t = os.path.join(str(tmp_path), "proj")
+    S.overwrite(
+        spark.range(1, 6).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("val"),
+            F.lit("pad").alias("wide"),
+        ),
+        t, n_files=1,
+    )
+    # v2: change val for k=2 (selected) and wide for k=3 (unselected)
+    S.merge(
+        spark.createDataFrame([(2, 999, "pad"), (3, 30, "CHANGED")],
+                              "k long, val long, wide string"),
+        t, key="k", n_files=1,
+    )
+    # full feed sees both updates
+    full, _ = _reader(t)
+    rows_full, _ = full.read({"version": 1})
+    assert {r[0] for r in rows_full if r[-2] == "update_postimage"} \
+        == {2, 3}
+    # projected feed (val only, key EXCLUDED from the projection):
+    # the k=3 change cancels, the k=2 change pairs
+    src = C.LedgerCdcDataSource(
+        options={"path": t, "columns": "val"}
+    )
+    assert src.schema().fieldNames() == [
+        "val", "_change_type", "_commit_version"]
+    reader = src.simpleStreamReader(src.schema())
+    rows, _ = reader.read({"version": 1})
+    assert sorted(rows) == [
+        (20, "update_preimage", 2), (999, "update_postimage", 2)]
+    # dist twin under the same projection agrees
+    dsrc = C.LedgerCdcDistDataSource(
+        options={"path": t, "columns": "val"}
+    )
+    dreader = dsrc.streamReader(dsrc.schema())
+    got = sorted(r for p in dreader.partitions(
+        {"version": 1, "snap": 1}, {"version": 2, "snap": 1})
+        for r in dreader.read(p))
+    assert got == [(20, "update_preimage", 2),
+                   (999, "update_postimage", 2)]
+    # unknown column fails loudly
+    bad = C.LedgerCdcDataSource(options={"path": t, "columns": "nope"})
+    with pytest.raises(ValueError, match="not in the table schema"):
+        bad.schema()
+
+
+def test_column_projection_with_mor_deletes(spark, tmp_path):
+    # the delete KEY can be outside the projection: it is read as a
+    # working column for the anti-join and stripped from the output
+    t = os.path.join(str(tmp_path), "projmor")
+    S.overwrite(
+        spark.range(1, 6).select(F.col("id").alias("k"),
+                                 (F.col("id") * 10).alias("val")),
+        t, n_files=1,
+    )
+    S.delete(spark.createDataFrame([(4,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    src = C.LedgerCdcDataSource(options={"path": t, "columns": "val"})
+    reader = src.simpleStreamReader(src.schema())
+    rows, _ = reader.read({"version": 1})
+    assert list(rows) == [(40, "delete", 2)]
+    # bootstrap at v2 applies the pending delete under the projection
+    src2 = C.LedgerCdcDataSource(options={
+        "path": t, "columns": "val", "initialsnapshot": "true",
+        "startversion": "2"})
+    r2 = src2.simpleStreamReader(src2.schema())
+    snap, _ = r2.read(r2.initialOffset())
+    assert sorted(x[0] for x in snap) == [10, 20, 30, 50]
