@@ -3513,3 +3513,114 @@ def snapshot_ivm_chain_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_SNAP_BRANCH_REWRITE_SQL = """
+WITH base AS (SELECT doc_id, text FROM documents),
+tip AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 2 THEN text || ' [fixed]'
+                ELSE text END AS text
+    FROM base WHERE doc_id % 9 <> 5
+)
+SELECT 'main_during_branch' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars FROM base
+UNION ALL
+SELECT 'branch_tip', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT) FROM tip
+UNION ALL
+SELECT 'main_final', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT) FROM tip
+UNION ALL
+SELECT 'history', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT)
+"""
+
+
+@register(
+    "snapshot_branch_rewrite",
+    sql=_SNAP_BRANCH_REWRITE_SQL,
+    description="REWRITE commits on a branch (r12 session 2 — "
+    "branch_merge / branch_delete_rows, sources/snapshots.py): a "
+    "correction campaign MERGES '[fixed]' texts for %9=2 docs and "
+    "row-DELETES %9=5 docs entirely on the branch — both stats-pruned "
+    "copy-on-write rewrites recording the FULL post-state, invisible "
+    "to main (main_during_branch captured live mid-campaign) — then "
+    "publish fast-forwards main replaying the chain at base+1.. (the "
+    "Iceberg rule: rewrite chains publish only from an unmoved base; "
+    "the moved-base refusal is test-pinned), so history shows one "
+    "merge + one delete across 3 versions; the hash pins the live "
+    "tip (read_branch == the final state), main before/after, and "
+    "the op counts ([EXT] multi-commit correction campaigns audit "
+    "and land as a unit at 100 TB, data files written once)",
+)
+def snapshot_branch_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: branch rewrites cost the same stats-pruned file rewrites
+    # as main merges; publish is pure manifest replay (zero data I/O).
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = scratch_path(
+        "snap_branch_rw", sf_dir,
+        "base=docs; branch fix: merge(%9=2 +' [fixed]'), "
+        "delete(%9=5); publish from unmoved base",
+    )
+    t = _os.path.join(root, "t")
+    audit_t = _os.path.join(root, "audit")
+
+    def _build(tmp: str) -> None:
+        tt = _os.path.join(tmp, "t")
+        SN.overwrite(docs, tt, n_files=2)
+        SN.create_branch(tt, "fix")
+        SN.branch_merge(
+            docs.filter(F.col("doc_id") % 9 == 2).select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" [fixed]")).alias("text"),
+            ),
+            tt, "fix", key="doc_id", n_files=2,
+        )
+        SN.branch_delete_rows(
+            docs.filter(F.col("doc_id") % 9 == 5).select("doc_id"),
+            tt, "fix", key="doc_id", n_files=2,
+        )
+
+        def srow(stage: str, df: DataFrame) -> DataFrame:
+            return df.agg(
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+                F.sum(F.length("text")).cast("long").alias("text_chars"),
+            )
+
+        srow("main_during_branch", SN.read(spark, tt)).unionByName(
+            srow("branch_tip", SN.read_branch(spark, tt, "fix"))
+        ).coalesce(1).write.parquet(_os.path.join(tmp, "audit"))
+        SN.publish_branch(tt, "fix")
+
+    ensure_scratch(root, _build)
+    final = SN.read(spark, t).agg(
+        F.lit("main_final").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+    )
+    hist = SN.history(spark, t)
+    history_row = spark.range(1).select(
+        F.lit("history").alias("stage"),
+        F.lit(int(hist.filter(F.col("operation") == "merge").count()))
+        .cast("long").alias("n_docs"),
+        F.lit(int(hist.filter(F.col("operation") == "delete").count()))
+        .cast("long").alias("id_sum"),
+        F.lit(len(SN.versions(t))).cast("long").alias("text_chars"),
+    )
+    return (
+        spark.read.parquet(audit_t)
+        .unionByName(final)
+        .unionByName(history_row)
+    )

@@ -144,10 +144,18 @@ def _publish_manifest(
         carried_manifest = latest_manifest if carry else None
         carried = carried_manifest["files"] if carried_manifest else []
         committed_schema = schema
-        if schema is not None and carried_manifest is not None:
-            committed_schema = _merge_schema(
-                carried_manifest.get("schema"), schema
-            )
+        if carried_manifest is not None:
+            if schema is None:
+                # metadata-only commit (set-constraint): CARRY the
+                # recorded schema — dropping it reverted readers of the
+                # new version to footer inference, losing evolved
+                # columns' null-fill (latent since r11, surfaced by
+                # branch_merge reading a set-constraint base) (r12)
+                committed_schema = carried_manifest.get("schema")
+            else:
+                committed_schema = _merge_schema(
+                    carried_manifest.get("schema"), schema
+                )
         # stamp this commit's NEW entries with their sequence number —
         # what lets a merge-on-read delete file apply only to data
         # committed BEFORE it (the Iceberg v2 sequence-number contract);
@@ -2647,17 +2655,50 @@ def branch_append(df, table_path: str, name: str,
         if schema is not None else df.schema.jsonValue()
     )
     entries = _write_data_files(df, table_path, n_files)
+    return _branch_commit(table_path, name, {
+        "operation": "branch-append",
+        "entries": entries,
+        "schema": merged_schema,
+    })
+
+
+def _branch_tip(table_path: str, name: str) -> tuple[dict, list, list,
+                                                     dict | None]:
+    """(base payload, tip file list, pending delete files, schema):
+    append commits extend the running file list; merge/delete commits
+    record the FULL post-state and replace it."""
+    base, commits = _branch_state(table_path, name)
+    base_manifest = read_manifest(table_path, base["base_version"])
+    files = list(base_manifest["files"])
+    schema = base_manifest.get("schema")
+    for c in commits:
+        if "files" in c:
+            files = list(c["files"])  # full-state commit (merge/delete)
+        else:
+            files = files + c["entries"]
+        schema = c.get("schema") or schema
+    return base, files, base_manifest.get("delete_files") or [], schema
+
+
+def read_branch(spark, table_path: str, name: str):
+    """Scan the branch tip: the base snapshot's state plus every
+    branch commit — pending merge-on-read deletes at the base apply
+    exactly as a read() of that version would."""
+    _base, files, deletes, schema = _branch_tip(table_path, name)
+    if deletes:
+        return _scan_with_deletes(spark, table_path, files, deletes,
+                                  schema)
+    return _scan(spark, table_path, files, schema)
+
+
+def _branch_commit(table_path: str, name: str, payload: dict) -> int:
+    """Exclusive-create the branch's next commit manifest (shared by
+    append/merge/delete); retries on a lost number race."""
     while True:
         ks = branch_versions(table_path, name)
         k = (ks[-1] if ks else 0) + 1
-        payload = {
-            "operation": "branch-append",
-            "branch": name,
-            "branch_version": k,
-            "committed_at": time.time(),
-            "entries": entries,
-            "schema": merged_schema,
-        }
+        payload = {**payload, "branch": name, "branch_version": k,
+                   "committed_at": time.time()}
         p = _branch_commit_path(table_path, name, k)
         tmp = p + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -2671,30 +2712,121 @@ def branch_append(df, table_path: str, name: str,
         return k
 
 
-def read_branch(spark, table_path: str, name: str):
-    """Scan the branch tip: the base snapshot's state plus every
-    branch commit — pending merge-on-read deletes at the base apply
-    exactly as a read() of that version would."""
-    base, commits = _branch_state(table_path, name)
-    base_manifest = read_manifest(table_path, base["base_version"])
-    entries = list(base_manifest["files"])
-    schema = base_manifest.get("schema")
-    for c in commits:
-        entries = entries + c["entries"]
-        schema = c.get("schema") or schema
-    deletes = base_manifest.get("delete_files")
-    if deletes:
-        return _scan_with_deletes(spark, table_path, entries, deletes,
-                                  schema)
-    return _scan(spark, table_path, entries, schema)
+def branch_merge(source_df, table_path: str, name: str, key: str,
+                 n_files: int = 1) -> int:
+    """MERGE INTO the branch tip by *key* — the same stats-pruned
+    copy-on-write rewrite as :func:`merge`, landed as a branch commit
+    recording the FULL post-state (so later reads and the publish
+    replay it exactly); main sees nothing until publish.  A branch
+    whose base carries pending merge-on-read deletes refuses (compact
+    main first, then branch).  Returns the branch commit number."""
+    from pyspark.sql import functions as F
+
+    base, files, dels, schema_json = _branch_tip(table_path, name)
+    if dels:
+        raise ValueError(
+            "branch_merge: the branch base has pending merge-on-read "
+            "delete files — compact() main before branching rewrites"
+        )
+    if schema_json is not None:
+        # column guard BEFORE constraint validation: a constraint
+        # expression may reference a column the malformed source lacks
+        table_cols = [f["name"] for f in schema_json["fields"]]
+        missing = [c for c in table_cols if c not in source_df.columns]
+        extra = [c for c in source_df.columns if c not in table_cols]
+        if missing or extra:
+            raise ValueError(
+                f"branch_merge: source columns must equal the branch "
+                f"schema (missing {missing}, extra {extra}) — evolve "
+                "with branch_append first"
+            )
+        _merge_schema(schema_json, source_df.schema.jsonValue())
+    _validate_constraints(source_df, table_path,
+                          base.get("constraints") or {})
+    bounds = source_df.agg(F.min(key).alias("lo"),
+                           F.max(key).alias("hi")).collect()[0]
+    if bounds["lo"] is None:
+        raise ValueError("branch_merge: source has no rows")
+    lo, hi = bounds["lo"], bounds["hi"]
+    touched = [e for e in files
+               if e["stats"].get(f"min_{key}") is None
+               or e["stats"].get(f"max_{key}") is None
+               or (e["stats"][f"min_{key}"] <= hi
+                   and e["stats"][f"max_{key}"] >= lo)]
+    untouched = [e for e in files if e not in touched]
+    spark = source_df.sparkSession
+    if touched:
+        existing = _scan(spark, table_path, touched, schema_json)
+        kept = existing.join(source_df.select(key), [key], "left_anti")
+        result = kept.unionByName(source_df.select(*existing.columns))
+    else:
+        result = source_df
+    entries = _write_data_files(result, table_path, n_files)
+    return _branch_commit(table_path, name, {
+        "operation": "branch-merge",
+        "key": key,
+        "entries": entries,
+        "files": untouched + entries,
+        "schema": (schema_json if schema_json is not None
+                   else source_df.schema.jsonValue()),
+    })
+
+
+def branch_delete_rows(keys_df, table_path: str, name: str, key: str,
+                       n_files: int = 1) -> int:
+    """Row-level DELETE on the branch tip by *key* (stats-pruned
+    copy-on-write rewrite, full post-state recorded) — main sees
+    nothing until publish.  Returns the branch commit number."""
+    from pyspark.sql import functions as F
+
+    base, files, dels, schema_json = _branch_tip(table_path, name)
+    if dels:
+        raise ValueError(
+            "branch_delete_rows: the branch base has pending "
+            "merge-on-read delete files — compact() main first"
+        )
+    keys = keys_df.select(key).distinct()
+    bounds = keys.agg(F.min(key).alias("lo"),
+                      F.max(key).alias("hi")).collect()[0]
+    if bounds["lo"] is None:
+        raise ValueError("branch_delete_rows: keys_df has no rows")
+    lo, hi = bounds["lo"], bounds["hi"]
+    touched = [e for e in files
+               if e["stats"].get(f"min_{key}") is None
+               or e["stats"].get(f"max_{key}") is None
+               or (e["stats"][f"min_{key}"] <= hi
+                   and e["stats"][f"max_{key}"] >= lo)]
+    untouched = [e for e in files if e not in touched]
+    entries: list[dict] = []
+    if touched:
+        spark = keys_df.sparkSession
+        existing = _scan(spark, table_path, touched, schema_json)
+        kept = existing.join(keys, [key], "left_anti")
+        entries = _write_data_files(kept, table_path, n_files)
+    payload = {
+        "operation": "branch-delete",
+        "key": key,
+        "entries": entries,
+        "files": untouched + entries,
+    }
+    if schema_json is not None:
+        payload["schema"] = schema_json
+    return _branch_commit(table_path, name, payload)
 
 
 def publish_branch(table_path: str, name: str) -> list[int]:
     """FAST-FORWARD main over the branch: each branch commit graduates
-    as an ordinary append commit IN ORDER (so history() shows the
-    chain), composing with any main commits that landed mid-branch
-    (append-append carry).  Atomic claim via base-file rename — one
-    publisher wins; a failed publish restores the branch.  Refuses if
+    as a main commit IN ORDER (so history() shows the chain).  An
+    append-only chain composes with any main commits that landed
+    mid-branch (append-append carry); a chain holding REWRITE commits
+    (branch_merge / branch_delete_rows) recorded full post-states
+    anchored at the base, so it publishes only while main still sits
+    at the base — the Iceberg fast-forward rule — and refuses loudly
+    otherwise.  Atomic claim via base-file rename — one publisher
+    wins; a publish that fails before its first commit restores the
+    branch intact (a mid-chain serializable conflict leaves the
+    published prefix on main and the unpublished remainder on the
+    branch, now only discardable — the error says so).  Refuses if
     main's constraint set drifted since the branch was created (the
     staged rows cannot be revalidated cheaply — re-branch).  Returns
     the main versions created, in branch order."""
@@ -2721,13 +2853,62 @@ def publish_branch(table_path: str, name: str) -> list[int]:
         pat = re.compile(rf"\.branchc-{re.escape(name)}-v(\d+)\.json")
         ks = sorted(int(m.group(1)) for fn in os.listdir(d)
                     for m in [pat.fullmatch(fn)] if m)
+        commits = []
         for k in ks:
             with open(_branch_commit_path(table_path, name, k)) as f:
-                c = json.load(f)
-            v = _publish_manifest(
-                table_path, "append", c["entries"], carry=True,
-                schema=c.get("schema"),
+                commits.append((k, json.load(f)))
+        appends_only = all(
+            c.get("operation") == "branch-append" for _k, c in commits
+        )
+        if not appends_only and versions(table_path)[-1] != \
+                base["base_version"]:
+            # a merge/delete branch commit recorded a FULL post-state
+            # anchored at the base — main moving underneath makes that
+            # state stale; appends compose, rewrites do not (the
+            # Iceberg fast-forward rule)
+            raise ValueError(
+                f"publish_branch: main advanced past the branch base "
+                f"v{base['base_version']} and branch {name!r} holds "
+                "rewrite commits (merge/delete) — fast-forward "
+                "requires an unmoved base; discard and re-branch"
             )
+        for k, c in commits:
+            if appends_only:
+                v = _publish_manifest(
+                    table_path, "append", c["entries"], carry=True,
+                    schema=c.get("schema"),
+                )
+            else:
+                # replay the chain at exactly base+1.. — any concurrent
+                # commit fails the exclusive link loudly and the except
+                # handler restores the branch (no torn publish: the
+                # first link is also the first side effect)
+                v = versions(table_path)[-1] + 1
+                new_paths = {e["path"] for e in c["entries"]}
+                op = {"branch-append": "append",
+                      "branch-merge": "merge",
+                      "branch-delete": "delete"}[c["operation"]]
+                files = c.get("files")
+                if files is None:  # append inside a mixed chain
+                    files = read_manifest(table_path, v - 1)["files"] \
+                        + c["entries"]
+                manifest = {
+                    "operation": op,
+                    "version": v,
+                    "committed_at": time.time(),
+                    "files": [
+                        {**e, "seq": v} if e["path"] in new_paths else e
+                        for e in files
+                    ],
+                }
+                if c.get("schema") is not None:
+                    manifest["schema"] = c["schema"]
+                if c.get("key") is not None:
+                    manifest["key"] = c["key"]
+                if base.get("constraints"):
+                    manifest["constraints"] = base["constraints"]
+                _publish_at_exactly(table_path, v, manifest, [],
+                                    op="publish_branch")
             published.append(v)
             os.unlink(_branch_commit_path(table_path, name, k))
     except BaseException:

@@ -129,3 +129,102 @@ def test_double_publish_and_missing_branch_fail_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         S.create_branch(t, "x")
     S.discard_branch(t, "x")
+
+
+# ---------------------------------------------------------------------------
+# r12 session 2: rewrite commits on branches (merge / delete)
+
+def test_branch_merge_invisible_then_publishes(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "bm")
+    S.overwrite(
+        spark.range(10).select(F.col("id").alias("k"),
+                               (F.col("id") * 10).alias("val")),
+        t, n_files=2,
+    )
+    S.create_branch(t, "fix")
+    S.branch_merge(
+        spark.createDataFrame([(3, 999), (50, 500)], "k long, val long"),
+        t, "fix", key="k", n_files=1,
+    )
+    # main untouched; branch tip shows the upsert
+    assert S.read(spark, t).filter("k = 3").head().val == 30
+    tip = {r.k: r.val for r in S.read_branch(spark, t, "fix").collect()}
+    assert tip[3] == 999 and tip[50] == 500 and len(tip) == 11
+    published = S.publish_branch(t, "fix")
+    assert published == [2]
+    got = {r.k: r.val for r in S.read(spark, t).collect()}
+    assert got[3] == 999 and got[50] == 500 and len(got) == 11
+    ops = [r.operation for r in S.history(spark, t).collect()]
+    assert "merge" in ops
+
+
+def test_mixed_chain_append_merge_delete_publishes_in_order(spark,
+                                                            tmp_path):
+    t = os.path.join(str(tmp_path), "mix")
+    S.overwrite(
+        spark.range(10).select(F.col("id").alias("k"),
+                               (F.col("id") * 10).alias("val")),
+        t, n_files=1,
+    )
+    S.create_branch(t, "c")
+    S.branch_append(
+        spark.createDataFrame([(20, 200), (21, 210)], "k long, val long"),
+        t, "c", n_files=1)
+    S.branch_merge(
+        spark.createDataFrame([(20, 999)], "k long, val long"),
+        t, "c", key="k", n_files=1)
+    S.branch_delete_rows(
+        spark.createDataFrame([(5,), (21,)], "k long"), t, "c", key="k",
+        n_files=1)
+    tip = {r.k: r.val for r in S.read_branch(spark, t, "c").collect()}
+    assert tip[20] == 999 and 5 not in tip and 21 not in tip
+    assert len(tip) == 10  # 10 base - 1 deleted + 2 added - 1 deleted
+    published = S.publish_branch(t, "c")
+    assert published == [2, 3, 4]
+    got = {r.k: r.val for r in S.read(spark, t).collect()}
+    assert got == tip
+    ops = [r.operation for r in S.history(spark, t).orderBy("version")
+           .collect()]
+    assert ops == ["overwrite", "append", "merge", "delete"]
+    # time travel into the graduated chain works
+    assert S.read(spark, t, 2).count() == 12
+
+
+def test_rewrite_chain_refuses_when_main_advanced(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "conf")
+    S.overwrite(
+        spark.range(10).select(F.col("id").alias("k"),
+                               (F.col("id") * 10).alias("val")),
+        t, n_files=1,
+    )
+    S.create_branch(t, "r")
+    S.branch_merge(
+        spark.createDataFrame([(3, 999)], "k long, val long"),
+        t, "r", key="k", n_files=1)
+    S.append(spark.createDataFrame([(30, 300)], "k long, val long"), t,
+             n_files=1)  # main moves
+    with pytest.raises(ValueError, match="fast-forward requires"):
+        S.publish_branch(t, "r")
+    assert S.branches(t) == ["r"]  # branch survives for discard
+    S.discard_branch(t, "r")
+    assert S.read(spark, t).filter("k = 3").head().val == 30
+
+
+def test_branch_merge_validates_and_prunes(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "bv")
+    S.overwrite(
+        spark.range(10).select(F.col("id").alias("k"),
+                               (F.col("id") * 10).alias("val")),
+        t, n_files=1,
+    )
+    S.add_constraint(spark, t, "val_pos", "val >= 0")
+    S.create_branch(t, "g")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        S.branch_merge(
+            spark.createDataFrame([(1, -5)], "k long, val long"),
+            t, "g", key="k", n_files=1)
+    with pytest.raises(ValueError, match="source columns must equal"):
+        S.branch_merge(
+            spark.createDataFrame([(1,)], "k long"), t, "g", key="k",
+            n_files=1)
+    S.discard_branch(t, "g")

@@ -326,3 +326,24 @@ def test_hidden_partition_month_transform(spark, tmp_path):
     assert all(str(r.d).startswith("2024-03") for r in got.collect())
     # the raw date column is intact in the files
     assert S.read(spark, t).count() == 30
+
+
+def test_set_constraint_commit_carries_schema(spark, tmp_path):
+    # r12 regression (latent since r11): a metadata-only set-constraint
+    # commit DROPPED the recorded schema, reverting readers of the new
+    # version to footer inference — on an evolved table that loses the
+    # add-column null-fill
+    import os
+
+    t = os.path.join(str(tmp_path), "evo_cons")
+    S.overwrite(spark.range(5).select(F.col("id").alias("k")), t,
+                n_files=1)
+    S.append(spark.createDataFrame([(10, "x")], "k long, tag string"),
+             t, n_files=1)  # add-column evolution
+    v = S.add_constraint(spark, t, "k_nonneg", "k >= 0")
+    man = S.read_manifest(t, v)
+    assert man.get("schema") is not None
+    assert [f["name"] for f in man["schema"]["fields"]] == ["k", "tag"]
+    got = S.read(spark, t, v)
+    assert got.schema.fieldNames() == ["k", "tag"]
+    assert got.filter("tag IS NULL").count() == 5  # null-fill intact
