@@ -422,6 +422,16 @@ def refresh_chain_agg_view(
         )
     olds = [SN.read(spark, p, vf) for p, vf, _vt in tables]
     news = [SN.read(spark, p, vt) for p, _vf, vt in tables]
+    seen: dict = {}
+    for i, df in enumerate(news):
+        for c in df.columns:
+            if c in seen:
+                raise ValueError(
+                    f"refresh_chain_agg_view: column {c!r} appears in "
+                    f"both table {seen[c]} and table {i} — chain "
+                    "columns must be distinct (alias before committing)"
+                )
+            seen[c] = i
     terms = []
     for i, (p, vf, vt) in enumerate(tables):
         if vt <= vf:
