@@ -529,3 +529,52 @@ def test_column_projection_with_mor_deletes(spark, tmp_path):
     r2 = src2.simpleStreamReader(src2.schema())
     snap, _ = r2.read(r2.initialOffset())
     assert sorted(x[0] for x in snap) == [10, 20, 30, 50]
+
+
+def test_dist_stream_checkpoint_restart_resumes(spark, tmp_path):
+    # stop the stream, commit more, restart on the SAME checkpoint:
+    # only the new commits are delivered (offset = ledger version,
+    # persisted by the engine across restarts)
+    import tempfile
+    import uuid as _uuid
+
+    t = os.path.join(str(tmp_path), "restart")
+    S.overwrite(spark.range(5).select(F.col("id").alias("k")), t,
+                n_files=1)
+    S.append(spark.createDataFrame([(10,)], "k long"), t, n_files=1)
+    C.register(spark)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_restart_")
+    sink = os.path.join(str(tmp_path), f"sink_{_uuid.uuid4().hex[:8]}")
+
+    def _run():
+        # a FILE sink (memory sinks refuse checkpoint recovery)
+        q = (
+            spark.readStream.format("ledger_cdc_dist")
+            .option("path", t)
+            .option("startversion", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    got1 = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got1 == [10]  # (1, 2] only
+    # more commits land while the stream is down
+    S.append(spark.createDataFrame([(20,), (21,)], "k long"), t,
+             n_files=1)
+    S.delete(spark.createDataFrame([(10,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    _run()
+    got2 = sorted(
+        (r.k, r._change_type)
+        for r in spark.read.parquet(sink).collect()
+    )
+    # ONLY the new commits appended: the restart resumed at v2, not v1
+    assert got2 == [(10, "delete"), (10, "insert"),
+                    (20, "insert"), (21, "insert")]
