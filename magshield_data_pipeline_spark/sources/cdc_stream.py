@@ -139,6 +139,96 @@ def _rows_of(table_path: str, entries: list[dict], fields: list[str],
     return out
 
 
+_FILTER_OPS = {
+    ">=": lambda a, b: a is not None and a >= b,
+    "<=": lambda a, b: a is not None and a <= b,
+    ">": lambda a, b: a is not None and a > b,
+    "<": lambda a, b: a is not None and a < b,
+    "=": lambda a, b: a is not None and a == b,
+}
+
+
+def _table_types(table_path: str, fallback_schema) -> dict:
+    """Column -> DataType from the table's LATEST manifest schema
+    (every column, not just the projected stream fields); falls back
+    to the stream schema for pre-schema chains."""
+    vs = _versions(table_path)
+    if vs:
+        man = _manifest(table_path, vs[-1])
+        if man.get("schema"):
+            full = StructType.fromJson(man["schema"])
+            return {f.name: f.dataType for f in full.fields}
+    return {f.name: f.dataType for f in fallback_schema.fields
+            if f.name not in META_COLS}
+
+
+def _parse_filters(spec: str, types: dict) -> list[tuple]:
+    """Parse ``option("filters", "k>=100;tag='x'")`` into
+    ``[(col, op, typed_value)]`` — conjunctions of ``col <op>
+    literal`` only (the stats-prunable fragment).  Values coerce
+    through the TABLE column's type; unknown columns or operators
+    fail loudly."""
+    out = []
+    for clause in spec.split(";"):
+        clause = clause.strip()
+        if not clause:
+            continue
+        for op in (">=", "<=", ">", "<", "="):
+            if op in clause:
+                col, _, raw = clause.partition(op)
+                col, raw = col.strip(), raw.strip()
+                break
+        else:
+            raise ValueError(
+                f"ledger_cdc: cannot parse filter clause {clause!r} — "
+                "supported: col >=|<=|>|<|= literal, ';'-joined"
+            )
+        if col not in types:
+            raise ValueError(
+                f"ledger_cdc: filter column {col!r} not in the table "
+                f"schema {sorted(types)}"
+            )
+        if raw.startswith("'") and raw.endswith("'"):
+            val: object = raw[1:-1]
+        else:
+            val = _cast_part(raw, types[col])
+        out.append((col, op, val))
+    return out
+
+
+def _file_may_match(e: dict, filters: list[tuple]) -> bool:
+    """Manifest-stats pruning for a filter conjunction: a file whose
+    [min, max] range on a filtered column cannot satisfy the clause
+    contributes NO rows after the row filter — skipping the read is a
+    pure optimization (sound per file, no cross-file coordination).
+    Conservative (kept) when stats are missing."""
+    for col, op, val in filters:
+        mn = e.get("stats", {}).get(f"min_{col}")
+        mx = e.get("stats", {}).get(f"max_{col}")
+        if mn is None or mx is None:
+            continue
+        if op == ">=" and mx < val:
+            return False
+        if op == ">" and mx <= val:
+            return False
+        if op == "<=" and mn > val:
+            return False
+        if op == "<" and mn >= val:
+            return False
+        if op == "=" and (mn > val or mx < val):
+            return False
+    return True
+
+
+def _row_pred(filters: list[tuple]):
+    ops = [(c, _FILTER_OPS[op], v) for c, op, v in filters]
+
+    def pred(row: dict) -> bool:
+        return all(f(row[c], v) for c, f, v in ops)
+
+    return pred
+
+
 def _applicable(delete_files: list[dict], e: dict) -> list[dict]:
     """The delete files that apply to data entry *e*: strictly NEWER
     sequence numbers only (Iceberg v2 — re-inserts survive)."""
@@ -194,7 +284,8 @@ def _visible_rows(table_path: str, entries: list[dict],
 
 
 def _commit_changes(table_path: str, v: int, fields: list[str],
-                    types: dict | None = None) -> list[tuple]:
+                    types: dict | None = None,
+                    filters: list[tuple] | None = None) -> list[tuple]:
     """Classify commit *v*'s net row changes — the pure-Python,
     driver-side twin of snapshots.read_row_changes, covering EVERY
     commit type (pinned against the batch feed in tests).  The
@@ -239,11 +330,19 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
     def tup(d: dict, change: str) -> tuple:
         return tuple(d[f] for f in fields) + (change, v)
 
+    filters = filters or []
+    f_extras = sorted({c for c, _op, _v in filters} - set(fields))
+    pred = _row_pred(filters) if filters else None
+
     if op in ("append", "stream-append") and not new_dels and not gone_dels:
         # fast path: new files carry THIS commit's sequence number, so
-        # no pending delete (all older) can apply — pure inserts
-        return [tup(d, "insert")
-                for d in _rows_of(table_path, added, fields, types)]
+        # no pending delete (all older) can apply — pure inserts;
+        # filter pushdown prunes whole files by manifest stats first
+        kept = [e for e in added if _file_may_match(e, filters)]
+        rows = _rows_of(table_path, kept, list(fields) + f_extras, types)
+        if pred is not None:
+            rows = [r for r in rows if pred(r)]
+        return [tup(d, "insert") for d in rows]
 
     affected_prev = list(removed)
     affected_cur = list(added)
@@ -265,6 +364,8 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
     # of the projected view.)
     key = cur.get("key")
     int_fields = list(fields)
+    for extra in f_extras:
+        int_fields.append(extra)
     if key is not None and key not in int_fields:
         int_fields.append(key)
     n_out = len(fields)
@@ -272,11 +373,23 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
     def proj(t: tuple) -> tuple:
         return t[:n_out]
 
+    # filter pushdown prunes the affected-file lists per file (sound:
+    # a file whose stats range misses the filter contributes no rows
+    # after the row filter; the bag diff of filtered rows == the
+    # filter of the bag diff)
+    if filters:
+        affected_prev = [e for e in affected_prev
+                         if _file_may_match(e, filters)]
+        affected_cur = [e for e in affected_cur
+                        if _file_may_match(e, filters)]
     keysets: dict = {}
     before = _visible_rows(table_path, affected_prev, prev_dels,
                            int_fields, types, keysets)
     after = _visible_rows(table_path, affected_cur, cur_dels,
                           int_fields, types, keysets)
+    if pred is not None:
+        before = [r for r in before if pred(r)]
+        after = [r for r in after if pred(r)]
     b = Counter(tuple(d[f] for f in int_fields) for d in before)
     a = Counter(tuple(d[f] for f in int_fields) for d in after)
     dels, ins = b - a, a - b
@@ -333,8 +446,13 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
         )
         self.fields = [f.name for f in schema.fields
                        if f.name not in META_COLS]
-        self.types = {f.name: f.dataType for f in schema.fields
-                      if f.name not in META_COLS}
+        # types from the TABLE schema (not the projected stream
+        # schema): filter/delete-key working columns outside the
+        # projection still need typed partition restore and literal
+        # coercion
+        self.types = _table_types(self.path, schema)
+        self.filters = _parse_filters(options.get("filters", ""),
+                                      self.types)
 
     def initialOffset(self) -> dict:
         return {"version": self.start,
@@ -343,11 +461,19 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
     def _snapshot_rows(self) -> list[tuple]:
         # the bootstrap delivers the VISIBLE state at startVersion —
         # pending merge-on-read deletes are reconciled exactly as a
-        # read() of that version would (sequence-number contract)
+        # read() of that version would (sequence-number contract);
+        # filters prune files by manifest stats before any read
         man = _manifest(self.path, self.start)
-        rows = _visible_rows(self.path, man["files"],
+        files = [e for e in man["files"]
+                 if _file_may_match(e, self.filters)]
+        extras = sorted({c for c, _o, _v in self.filters}
+                        - set(self.fields))
+        rows = _visible_rows(self.path, files,
                              man.get("delete_files") or [],
-                             self.fields, self.types, {})
+                             list(self.fields) + extras, self.types, {})
+        if self.filters:
+            pred = _row_pred(self.filters)
+            rows = [r for r in rows if pred(r)]
         return [
             tuple(d[f] for f in self.fields) + ("insert", self.start)
             for d in rows
@@ -359,7 +485,8 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
         out: list[tuple] = []
         for v in range(from_v + 1, to_v + 1):
             out.extend(
-                _commit_changes(self.path, v, self.fields, self.types)
+                _commit_changes(self.path, v, self.fields, self.types,
+                                self.filters)
             )
         return out
 
@@ -430,8 +557,9 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
         )
         self.fields = [f.name for f in schema.fields
                        if f.name not in META_COLS]
-        self.types = {f.name: f.dataType for f in schema.fields
-                      if f.name not in META_COLS}
+        self.types = _table_types(self.path, schema)
+        self.filters = _parse_filters(options.get("filters", ""),
+                                      self.types)
 
     def initialOffset(self) -> dict:
         return {"version": self.start,
@@ -448,6 +576,8 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
             man = _manifest(self.path, v0)
             dels = man.get("delete_files") or []
             for e in man["files"]:
+                if not _file_may_match(e, self.filters):
+                    continue  # filter pushdown: metadata-pruned
                 parts.append(LedgerCdcPartition("snapshot_file", {
                     "entry": e,
                     "deletes": [d for d in _applicable(dels, e)
@@ -473,6 +603,8 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
             if (cur.get("operation") in ("append", "stream-append")
                     and same_dels and not removed):
                 for e in added:
+                    if not _file_may_match(e, self.filters):
+                        continue  # filter pushdown: metadata-pruned
                     parts.append(LedgerCdcPartition("insert_file", {
                         "entry": e, "version": v,
                     }))
@@ -485,24 +617,33 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
         p = partition.payload
         if partition.kind == "noop":
             return iter([])
+        extras = sorted({c for c, _o, _v in self.filters}
+                        - set(self.fields))
+        pred = _row_pred(self.filters) if self.filters else None
         if partition.kind == "snapshot_file":
             rows = _visible_rows(self.path, [p["entry"]], p["deletes"],
-                                 self.fields, self.types, {})
+                                 list(self.fields) + extras,
+                                 self.types, {})
+            if pred is not None:
+                rows = [r for r in rows if pred(r)]
             v = p["version"]
             return iter(
                 tuple(d[f] for f in self.fields) + ("insert", v)
                 for d in rows
             )
         if partition.kind == "insert_file":
-            rows = _rows_of(self.path, [p["entry"]], self.fields,
-                            self.types)
+            rows = _rows_of(self.path, [p["entry"]],
+                            list(self.fields) + extras, self.types)
+            if pred is not None:
+                rows = [r for r in rows if pred(r)]
             v = p["version"]
             return iter(
                 tuple(d[f] for f in self.fields) + ("insert", v)
                 for d in rows
             )
         return iter(_commit_changes(self.path, p["version"],
-                                    self.fields, self.types))
+                                    self.fields, self.types,
+                                    self.filters))
 
     def commit(self, end: dict) -> None:
         pass  # offsets are ledger versions; nothing external to ack

@@ -578,3 +578,108 @@ def test_dist_stream_checkpoint_restart_resumes(spark, tmp_path):
     # ONLY the new commits appended: the restart resumed at v2, not v1
     assert got2 == [(10, "delete"), (10, "insert"),
                     (20, "insert"), (21, "insert")]
+
+
+# ---------------------------------------------------------------------------
+# r12 session 2: predicate pushdown (option('filters', ...))
+
+def test_filtered_feed_prunes_files_and_rows(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "filt")
+    S.overwrite(spark.range(1).select(F.col("id").alias("k"),
+                                      F.col("id").alias("val")),
+                t, n_files=1)
+    # a CLUSTERED append: 4 files with disjoint k ranges
+    rows = spark.range(1, 401).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val"))
+    e = S._write_data_files(rows, t, 4, cluster_by=["k"])
+    S._publish_manifest(t, "append", e, carry=True,
+                        schema=rows.schema.jsonValue())
+    # dist reader: the k >= 301 filter must plan ONE insert partition
+    dsrc = C.LedgerCdcDistDataSource(
+        options={"path": t, "filters": "k>=301"})
+    dr = dsrc.streamReader(dsrc.schema())
+    parts = dr.partitions({"version": 1, "snap": 1},
+                          {"version": 2, "snap": 1})
+    assert [p.kind for p in parts] == ["insert_file"]  # 3 of 4 pruned
+    got = sorted(r for p in parts for r in dr.read(p))
+    assert len(got) == 100 and all(r[0] >= 301 for r in got)
+    # simple reader agrees
+    src = C.LedgerCdcDataSource(options={"path": t, "filters": "k>=301"})
+    rr = src.simpleStreamReader(src.schema())
+    rows2, _ = rr.read({"version": 1})
+    assert sorted(rows2) == got
+
+
+def test_filter_boundary_crossing_updates_relabel(spark, tmp_path):
+    # the filtered feed is the feed OF THE FILTERED VIEW: an update
+    # moving a row INTO the range is an insert, OUT of it a delete,
+    # WITHIN it a pre/post pair
+    t = os.path.join(str(tmp_path), "fb")
+    S.overwrite(
+        spark.createDataFrame([(1, 5), (2, 50), (3, 60)],
+                              "k long, val long"),
+        t, n_files=1,
+    )
+    S.merge(
+        spark.createDataFrame(
+            [(1, 40), (2, 7), (3, 70)], "k long, val long"),
+        t, key="k", n_files=1,
+    )
+    src = C.LedgerCdcDataSource(options={"path": t, "filters": "val>=10"})
+    reader = src.simpleStreamReader(src.schema())
+    rows, _ = reader.read({"version": 1})
+    got = sorted(rows)
+    assert got == [
+        (1, 40, "insert", 2),             # entered the range
+        (2, 50, "delete", 2),             # left the range
+        (3, 60, "update_preimage", 2),    # moved within it
+        (3, 70, "update_postimage", 2),
+    ]
+    # value+sign sets match batch-feed-then-filter (only labels of
+    # boundary crossers differ, by design)
+    batch = S.read_row_changes(spark, t, 1, 2).filter("val >= 10")
+    sign = {"insert": 1, "update_postimage": 1,
+            "update_preimage": -1, "delete": -1}
+    want = sorted((r.k, r.val, sign[r._change_type])
+                  for r in batch.collect())
+    assert sorted((r[0], r[1], sign[r[2]]) for r in got) == want
+
+
+def test_filter_column_outside_projection(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "fp")
+    S.overwrite(
+        spark.range(1, 9).select(F.col("id").alias("k"),
+                                 (F.col("id") * 10).alias("val")),
+        t, n_files=1,
+    )
+    S.append(spark.range(9, 15).select(F.col("id").alias("k"),
+                                       (F.col("id") * 10).alias("val")),
+             t, n_files=1)
+    src = C.LedgerCdcDataSource(
+        options={"path": t, "columns": "val", "filters": "k>=12"})
+    reader = src.simpleStreamReader(src.schema())
+    rows, _ = reader.read({"version": 1})
+    assert sorted(rows) == [(120, "insert", 2), (130, "insert", 2),
+                            (140, "insert", 2)]
+
+
+def test_filter_parse_and_bootstrap(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "fparse")
+    S.overwrite(spark.range(10).select(F.col("id").alias("k")), t,
+                n_files=1)
+    with pytest.raises(ValueError, match="cannot parse filter"):
+        C.LedgerCdcDataSource(
+            options={"path": t, "filters": "k !! 3"}
+        ).simpleStreamReader(
+            C.LedgerCdcDataSource(options={"path": t}).schema())
+    with pytest.raises(ValueError, match="not in the table schema"):
+        C.LedgerCdcDataSource(
+            options={"path": t, "filters": "zz>=1"}
+        ).simpleStreamReader(
+            C.LedgerCdcDataSource(options={"path": t}).schema())
+    src = C.LedgerCdcDataSource(
+        options={"path": t, "filters": "k>=4;k<8",
+                 "initialsnapshot": "true"})
+    reader = src.simpleStreamReader(src.schema())
+    snap, _ = reader.read(reader.initialOffset())
+    assert sorted(r[0] for r in snap) == [4, 5, 6, 7]
