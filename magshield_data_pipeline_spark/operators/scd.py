@@ -1,0 +1,152 @@
+"""Incremental SCD TYPE-2 dimension maintenance off the row-CDC feed.
+
+The canonical warehouse consumer of a change feed: a HISTORY table
+tracking every version of every key as a ``[valid_from, valid_to)``
+interval in source-commit versions (``valid_to IS NULL`` = current
+row).  The reference pipeline rewrites its whole extract per run
+(/root/reference/function_app.py loop), so "history" there is whatever
+the CRM returns today; a ledger-backed mirror can instead maintain the
+full history INCREMENTALLY — each refresh consumes exactly one window
+of ``snapshots.read_row_changes`` and upserts O(changed keys) rows.
+
+Mechanics per refresh window ``(from_v, to_v]``:
+
+1. The feed's events are reduced to a per-key TIMELINE: the mirror's
+   existing current row enters at its recorded ``valid_from``, every
+   ``insert``/``update_postimage`` opens a new interval at its commit
+   version, every ``delete`` closes one.  A single ``lead(version)``
+   window per key assigns each open interval its closing version —
+   multi-commit windows (update→update→delete of one key) collapse
+   correctly without per-commit loops.
+2. The affected slice of the mirror is read STATS-PRUNED: only files
+   whose key range intersects the delta's ``[min, max]`` are scanned
+   (the mirror is key-clustered, so at 100 TB this reads a few files,
+   never the dimension).
+3. The result upserts as ONE ``snapshots.merge`` keyed on a packed
+   ``(key, valid_from)`` surrogate, under an app transaction keyed to
+   ``to_v`` — a replayed or crash-resumed refresh is a durable no-op
+   (single-commit atomicity: closures and openings land together, so
+   no torn intermediate state exists even mid-crash).
+4. An empty window (the source's compact/metadata commits) commits
+   NOTHING — maintenance never wakes the mirror.
+
+Everything is DataFrame ops (filters, one window function, one merge);
+no Python row loops, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from magshield_data_pipeline_spark.sources import snapshots as SN
+
+#: surrogate-id packing: _scd_id = key * _FROM_SPAN + valid_from.
+#: Bounds checked at refresh time — valid_from is a ledger commit
+#: version (< 10^7 commits) and keys must stay below 2^63 / 10^7
+#: (~9.2e11; TPC-H and the cid-packed corpora sit far inside).  A
+#: 63-bit key space would use a string surrogate instead (merge's
+#: stats pruning works on string min/max too) at a modest pruning
+#: cost.
+_FROM_SPAN = 10_000_000
+_MAX_KEY = (2**63 - 1) // _FROM_SPAN
+
+
+def _scd_id(key_col, from_col):
+    return (key_col.cast("long") * F.lit(_FROM_SPAN)
+            + from_col.cast("long")).alias("_scd_id")
+
+
+def init_scd2(spark, source_path: str, mirror_path: str, key: str,
+              attrs: list[str], version: int) -> int:
+    """Materialize the mirror from source snapshot *version*: every row
+    becomes a current interval ``[version, NULL)``.  One pass over the
+    source; the mirror lands key-clustered so later refreshes
+    stats-prune their reads and merges."""
+    src = SN.read(spark, source_path, version)
+    rows = src.select(
+        F.col(key).cast("long").alias(key),
+        *[F.col(a) for a in attrs],
+        F.lit(version).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    ).withColumn("_scd_id", _scd_id(F.col(key), F.col("valid_from")))
+    v = SN.overwrite(rows, mirror_path, n_files=2)
+    # cluster on the surrogate (== key order at equal valid_from) so
+    # the per-refresh mirror read and merge rewrite stats-prune
+    return SN.compact(spark, mirror_path, n_files=2,
+                      cluster_by=["_scd_id"])
+
+
+def refresh_scd2(spark, source_path: str, mirror_path: str, key: str,
+                 attrs: list[str], from_version: int, to_version: int,
+                 app_id: str | None = None) -> int | None:
+    """Fold the source's ``(from_version, to_version]`` row changes
+    into the mirror.  Returns the mirror's new version, or None when
+    the window was empty or already applied (replay)."""
+    app = app_id or f"scd2:{mirror_path}"
+    feed = SN.read_row_changes(spark, source_path, from_version,
+                               to_version)
+    opens = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(
+        F.col(key).cast("long").alias(key),
+        *[F.col(a) for a in attrs],
+        F.col("_commit_version").cast("long").alias("_ver"),
+        F.lit(True).alias("_is_open"),
+    )
+    closes = feed.filter(F.col("_change_type") == "delete").select(
+        F.col(key).cast("long").alias(key),
+        *[F.lit(None).cast(feed.schema[a].dataType).alias(a)
+          for a in attrs],
+        F.col("_commit_version").cast("long").alias("_ver"),
+        F.lit(False).alias("_is_open"),
+    )
+    events = opens.unionByName(closes)
+    # one bounded probe: the delta's key envelope (drives the pruned
+    # mirror read) + the packing-overflow guard + the empty-window
+    # early-out.  O(1) rows collected however large the delta.
+    env = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(key).alias("lo"), F.max(key).alias("hi"),
+    ).collect()[0]
+    if not env["n"]:
+        return None  # compact/metadata-only window: mirror untouched
+    if env["hi"] > _MAX_KEY or env["lo"] < 0:
+        raise ValueError(
+            f"refresh_scd2: key {env['hi']} outside the packed "
+            f"surrogate range [0, {_MAX_KEY}] — use a string surrogate"
+        )
+    # the affected keys' CURRENT rows enter the timeline at their
+    # recorded valid_from; files outside the delta's key envelope are
+    # never read (manifest stats pruning on the clustered mirror)
+    affected = events.select(key).distinct()
+    current = (
+        SN.read(spark, mirror_path, prune=(key, env["lo"], env["hi"]))
+        .filter(F.col("valid_to").isNull())
+        .join(affected, [key], "left_semi")
+        .select(
+            key, *attrs,
+            F.col("valid_from").alias("_ver"),
+            F.lit(True).alias("_is_open"),
+        )
+    )
+    timeline = current.unionByName(events)
+    nxt = F.lead("_ver").over(
+        Window.partitionBy(key).orderBy("_ver")
+    )
+    upserts = (
+        timeline.withColumn("valid_to", nxt)
+        .filter(F.col("_is_open"))
+        .select(
+            key, *attrs,
+            F.col("_ver").alias("valid_from"),
+            "valid_to",
+        )
+        .withColumn("_scd_id", _scd_id(F.col(key), F.col("valid_from")))
+    )
+    # ONE commit carries closures and openings together — atomic by
+    # construction, and the app txn makes a replayed window a durable
+    # no-op (no IVM-style recomputed-retract hazard: nothing here is
+    # derived from post-merge state)
+    return SN.merge(upserts, mirror_path, key="_scd_id", n_files=1,
+                    txn=(app, to_version))

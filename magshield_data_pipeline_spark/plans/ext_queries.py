@@ -4861,3 +4861,163 @@ def ann_codebook_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("in1") != F.col("in2"), 1).otherwise(0))
         .cast("long").alias("flips"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — deterministic epoch shuffle: reproducible per-epoch placement
+
+_N_EPOCH_SHARDS = 16
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH e AS (
+    SELECT doc_id,
+           ({_hash_byte_sql("epoch1")}) % {_N_EPOCH_SHARDS} AS s1,
+           ({_hash_byte_sql("epoch2")}) % {_N_EPOCH_SHARDS} AS s2
+    FROM documents
+),
+long AS (
+    SELECT 1 AS epoch, s1 AS shard, doc_id FROM e
+    UNION ALL
+    SELECT 2 AS epoch, s2 AS shard, doc_id FROM e
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM long GROUP BY epoch, shard
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM e WHERE s1 <> s2),
+       CAST(NULL AS BIGINT)
+"""
+
+
+@register(
+    "epoch_shuffle_plan",
+    sql=_EPOCH_SHUFFLE_SQL,
+    description="deterministic EPOCH SHUFFLE for multi-epoch training "
+    "(r12): each epoch's global permutation is a salted-hash shard "
+    "assignment (md5 die, epoch in the salt) — reproducible across "
+    "runs/engines/partitionings, zero sort, zero state: the placement "
+    "of a doc in epoch e is a pure projection, so a 100 TB corpus "
+    "re-shuffles per epoch with ONE map-side hash + the per-shard "
+    "rollup shuffle, never a global sort-by-random (whose rand(seed) "
+    "is partition-position dependent and irreproducible after "
+    "repartitioning); the audit row pins that epochs actually PERMUTE "
+    "(count of docs whose shard moved between epoch 1 and 2 — "
+    "expected ~15/16 of the corpus, 0 would flag a dead salt) "
+    "([EXT] training-data tier)",
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure projection per epoch + one groupBy; the within-shard read
+    # order at training time is (shard, hash) — also stateless.
+    from magshield_data_pipeline_spark.operators import sampling as SA
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id",
+        (SA._hash_byte(F.col("doc_id"), "epoch1")
+         % _N_EPOCH_SHARDS).alias("s1"),
+        (SA._hash_byte(F.col("doc_id"), "epoch2")
+         % _N_EPOCH_SHARDS).alias("s2"),
+    )
+    long = e.select(
+        F.lit(1).cast("long").alias("epoch"),
+        F.col("s1").cast("long").alias("shard"), "doc_id",
+    ).unionByName(e.select(
+        F.lit(2).cast("long").alias("epoch"),
+        F.col("s2").cast("long").alias("shard"), "doc_id",
+    ))
+    per_shard = long.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    moved = e.filter(F.col("s1") != F.col("s2")).agg(
+        F.lit(-1).cast("long").alias("epoch"),
+        F.lit(-1).cast("long").alias("shard"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.lit(None).cast("long").alias("id_sum"),
+    )
+    return per_shard.unionByName(moved)
+
+
+# ---------------------------------------------------------------------------
+# EXT — global token-budget shard plan: two-phase distributed prefix sum
+
+_TOKEN_SHARD_BUDGET = 4096   # tokens per output shard
+_TOKEN_RANGE_W = 1024        # doc_ids per prefix-sum range
+
+_TOKEN_SHARD_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+o AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+           ) - n_tokens AS BIGINT) AS start_off
+    FROM t
+)
+SELECT doc_id, n_tokens, start_off,
+       CAST(floor(start_off / {_TOKEN_SHARD_BUDGET}) AS BIGINT) AS shard_id
+FROM o
+"""
+
+
+@register(
+    "token_shard_plan",
+    sql=_TOKEN_SHARD_SQL,
+    description="GLOBAL token-budget shard plan as a TWO-PHASE "
+    "distributed prefix sum (r12): every document gets its exact "
+    "start offset in the corpus-wide concatenated token stream and "
+    "the fixed-budget output shard that offset falls in — but "
+    "computed WITHOUT the global single-partition window a naive "
+    "cumsum needs: phase 1 sums tokens per doc-id RANGE (map-side "
+    "partial agg over ~corpus/1024 tiny rows), phase 2 prefix-sums "
+    "the range subtotals (a window over the subtotal table only) and "
+    "broadcasts the offsets back, so each doc's offset = its range's "
+    "offset + the within-range running sum (window partitioned BY "
+    "range — bounded partitions at any corpus size); the oracle is "
+    "the naive global cumsum, pinning the decomposition exactly "
+    "equal ([EXT] training-data tier: the shard-manifest planner for "
+    "writing ~equal-token output files at 100 TB)",
+)
+def token_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the only unbounded-order window runs over range SUBTOTALS
+    # (corpus/1024 rows; cascade another level if that ever matters);
+    # per-doc work is hash-partitioned by range. Nothing single-
+    # partition grows with the corpus.
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / _TOKEN_RANGE_W).alias("_rng"),
+    )
+    sub = t.groupBy("_rng").agg(F.sum("n_tokens").alias("_rt"))
+    w_rng = (
+        Window.orderBy("_rng")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = sub.withColumn(
+        "_off", F.sum("_rt").over(w_rng) - F.col("_rt")
+    ).select("_rng", "_off")
+    w_in = (
+        Window.partitionBy("_rng").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.join(F.broadcast(offs), "_rng")
+        .withColumn(
+            "start_off",
+            F.col("_off") + F.sum("n_tokens").over(w_in)
+            - F.col("n_tokens"),
+        )
+        .select(
+            "doc_id", "n_tokens", "start_off",
+            F.floor(F.col("start_off") / _TOKEN_SHARD_BUDGET)
+            .alias("shard_id"),
+        )
+    )

@@ -3624,3 +3624,305 @@ def snapshot_branch_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(final)
         .unionByName(history_row)
     )
+
+
+_SNAP_SPEC_EVOLVE_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_totalprice
+FROM orders WHERE o_custkey IN (7, 43, 124)
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+"""
+
+
+@register(
+    "snapshot_partition_evolution",
+    sql=_SNAP_SPEC_EVOLVE_SQL,
+    description="PARTITION SPEC EVOLUTION on the ledger (r12 — "
+    "Iceberg's marquee metadata feature, sources/snapshots.py::"
+    "set_partition_spec): the table DECLARES bucket(o_custkey, 8), the "
+    "writer commits half the orders with partition_by=CURRENT_SPEC "
+    "(layout resolved from table metadata, not the call site), the "
+    "spec then EVOLVES to bucket(o_custkey, 16) as a metadata-only "
+    "commit and the second half lands 16-bucketed — zero bytes of "
+    "gen-1 data rewritten; the point lookup afterwards prunes EACH "
+    "generation through ITS OWN recorded transform (the per-entry "
+    "spec the manifest carries), so the probe reads at most 3 buckets "
+    "per generation; the hash pins soundness (every order of the "
+    "three customers is split across BOTH generations by orderkey "
+    "parity — a wrong bucket mapping in either generation silently "
+    "loses rows) and the audit flag flips to 0 unless gen-1 committed "
+    "under param 8, gen-2 under param 16, AND both generations "
+    "actually pruned ([EXT] lakehouse tier: re-partitioning a 100 TB "
+    "table costs one manifest write, not a rewrite — the contract "
+    "hive-layout tables can never give)",
+)
+def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: spec evolution is one metadata commit; the lookup is
+    # manifest-list filtering + one bounded bucket-hash probe job per
+    # distinct (transform, param) — a 3-key probe on a 100 TB table
+    # reads <= 3 buckets per spec generation, never the table.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_spec_evolve", sf_dir,
+        "set-spec bucket8 / append evens CURRENT_SPEC / set-spec "
+        "bucket16 / append odds CURRENT_SPEC, 1f per bucket",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        SN.set_partition_spec(tmp, ("bucket", "o_custkey", 8))   # v1
+        SN.append(orders.filter(F.col("o_orderkey") % 2 == 0), tmp,
+                  n_files=1, partition_by=SN.CURRENT_SPEC)        # v2
+        SN.set_partition_spec(tmp, ("bucket", "o_custkey", 16))  # v3
+        SN.append(orders.filter(F.col("o_orderkey") % 2 == 1), tmp,
+                  n_files=1, partition_by=SN.CURRENT_SPEC)        # v4
+
+    ensure_scratch(base, _build)
+    manifest = SN.read_manifest(base, SN.versions(base)[-1])
+    # which spec each commit's files were written under, BY sequence
+    # number — pins that CURRENT_SPEC resolved v1's declaration for the
+    # v2 append and v3's for the v4 append
+    param_by_seq: dict[int, set] = {}
+    for e in manifest["files"]:
+        param_by_seq.setdefault(e["seq"], set()).add(
+            (e.get("partition_spec") or {}).get("param")
+        )
+    specs_ok = (param_by_seq.get(2) == {8} and param_by_seq.get(4) == {16})
+    gen1 = [e for e in manifest["files"] if e["seq"] == 2]
+    gen2 = [e for e in manifest["files"] if e["seq"] == 4]
+    keys = [7, 43, 124]
+    hits = SN.read(spark, base, key_in=("o_custkey", keys))
+    scanned = {  # bounded: <= 3 bucket files per spec generation
+        r["_f"] for r in
+        hits.select(F.input_file_name().alias("_f")).distinct().collect()
+    }
+
+    def _n_scanned(gen: list[dict]) -> int:
+        return sum(
+            1 for e in gen if any(f.endswith(e["path"]) for f in scanned)
+        )
+
+    s1, s2 = _n_scanned(gen1), _n_scanned(gen2)
+    pruned_both = (1 <= s1 < len(gen1)) and (1 <= s2 < len(gen2))
+    rows = hits.filter(F.col("o_custkey").isin(keys)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    audit = spark.range(1).select(
+        F.lit(-1).cast("long").alias("o_orderkey"),
+        F.lit(1 if (specs_ok and pruned_both) else 0).cast("long")
+        .alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    return rows.unionByName(audit)
+
+
+_SNAP_SCD2_SQL = """
+WITH corpus AS (SELECT doc_id, length(text) AS len FROM documents),
+hist AS (
+    SELECT doc_id, 1 AS vf, CAST(NULL AS BIGINT) AS vt, len
+    FROM corpus WHERE doc_id % 7 NOT IN (1, 3)
+    UNION ALL
+    SELECT doc_id, 1, 2, len FROM corpus WHERE doc_id % 7 = 3
+    UNION ALL
+    SELECT doc_id, 2, CAST(NULL AS BIGINT), len + 12
+    FROM corpus WHERE doc_id % 7 = 3
+    UNION ALL
+    SELECT doc_id, 1, 3, len FROM corpus WHERE doc_id % 7 = 1
+    UNION ALL
+    SELECT doc_id + 500000, 2, CAST(NULL AS BIGINT), len
+    FROM corpus WHERE doc_id % 7 = 5
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(vf AS BIGINT) AS valid_from,
+       CAST(vt AS BIGINT) AS valid_to,
+       CAST(len AS BIGINT) AS n_chars
+FROM hist
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(4 AS BIGINT), CAST(NULL AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM hist WHERE vt IS NULL)
+"""
+
+
+@register(
+    "snapshot_scd2_mirror",
+    sql=_SNAP_SCD2_SQL,
+    description="INCREMENTAL SCD TYPE-2 dimension maintenance off the "
+    "row-CDC feed (r12 — operators/scd.py, the canonical warehouse "
+    "change-feed consumer): the merge/delete/compact-maintained corpus "
+    "is mirrored as a HISTORY table of [valid_from, valid_to) "
+    "intervals, initialized at v1 and then maintained by folding each "
+    "commit window's row changes — inserts/update-postimages open "
+    "intervals, deletes and successor versions close them, all "
+    "collapsed per key by ONE lead() window over the (current-row + "
+    "events) timeline and upserted as ONE app-txn merge keyed on a "
+    "packed (key, valid_from) surrogate, so closures and openings land "
+    "atomically and a replayed window is a durable no-op; the hash "
+    "pins the full interval algebra (updated docs: closed-at-2 + "
+    "corrected-current-from-2; deleted docs: closed-at-3; late "
+    "arrivals: current-from-2; untouched docs: current-from-1) and "
+    "the audit row pins COMPACT-SILENCE + REPLAY-IDEMPOTENCE (mirror "
+    "has exactly 4 ledger versions: init+cluster+2 refreshes — the "
+    "compact window and the replayed window committed nothing) "
+    "([EXT] lakehouse tier: refresh cost = O(changed keys), with the "
+    "mirror read and the merge rewrite both stats-pruned to the "
+    "delta's key envelope — at 100 TB the dimension's history stays "
+    "fresh without ever rescanning the dimension)",
+)
+def snapshot_scd2_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: each refresh reads the source commit's touched files (the
+    # row-CDC contract) plus the mirror files intersecting the delta's
+    # key envelope (manifest min/max on the key-clustered layout), and
+    # rewrites only the merge-matched mirror files.  No per-commit
+    # loops: a multi-commit window collapses in one window function.
+    from magshield_data_pipeline_spark.operators import scd
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    src = row_cdc_source_table(spark, sf_dir)
+    mirror = scratch_path(
+        "snap_scd2", sf_dir,
+        "init@v1 key=doc_id attrs=text; refresh (1,2] (2,3] (3,4]; "
+        "replay (1,2]; packed surrogate; key-clustered",
+    )
+
+    def _build(tmp: str) -> None:
+        scd.init_scd2(spark, src, tmp, "doc_id", ["text"], version=1)
+        for v in (2, 3, 4):
+            scd.refresh_scd2(spark, src, tmp, "doc_id", ["text"],
+                             from_version=v - 1, to_version=v)
+        # replayed window: the app txn already covers to_version=2 —
+        # durable no-op (a re-applied fold would corrupt the history
+        # and break the hash)
+        scd.refresh_scd2(spark, src, tmp, "doc_id", ["text"],
+                         from_version=1, to_version=2)
+
+    ensure_scratch(mirror, _build)
+    hist = SN.read(spark, mirror)
+    rows = hist.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "valid_from", "valid_to",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    audit = hist.filter(F.col("valid_to").isNull()).agg(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit(len(SN.versions(mirror))).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_chars"),
+    )
+    return rows.unionByName(audit)
+
+
+_SNAP_PURGE_SQL = """
+WITH dels AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey % 8 = 3 AND o_orderkey <= 1500
+),
+reborn AS (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderkey % 8 = 3 AND o_orderkey <= 100
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_totalprice
+FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+       CAST(-1.0 AS DOUBLE)
+FROM reborn
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+"""
+
+
+@register(
+    "snapshot_mor_purge",
+    sql=_SNAP_PURGE_SQL,
+    description="TARGETED MOR delete purge — minor compaction (r12, "
+    "sources/snapshots.py::purge_deletes, the Iceberg "
+    "rewrite_position_deletes / Delta REORG PURGE shape): a clustered "
+    "orders ledger takes a merge-on-read DELETE confined to the low "
+    "key range plus a later re-insert of some deleted keys (higher "
+    "sequence number), then purge_deletes materializes the pending "
+    "equality-delete files into ONLY the data files their key ranges "
+    "can hit — disjoint files are carried by reference, "
+    "byte-untouched, chosen from manifest stats with zero data I/O; "
+    "the hash pins purge soundness (deleted keys stay gone, "
+    "re-inserted keys SURVIVE — the sequence-number contract — and "
+    "every untouched row is intact) and the audit flag flips unless "
+    "at least one file was carried, at least one rewritten, the "
+    "delete files are gone, and the purge commit was CDC-SILENT "
+    "(a compact variant: content-identical restatement wakes no "
+    "subscriber) ([EXT] lakehouse tier: shedding deletes on a 100 TB "
+    "table costs O(affected files), not the O(table) a full compact "
+    "pays)",
+)
+def snapshot_mor_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the affected set comes from manifest min/max vs the
+    # delete files' key envelopes (the _delete_may_hit pruning shared
+    # with CDC); only those files are scanned+rewritten, the rest of
+    # the table is carried by reference in the manifest.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_mor_purge", sf_dir,
+        "v1 orders / v2 cluster(o_orderkey,4f) / v3 MOR-delete "
+        "%8==3<=1500 / v4 reinsert <=100 price=-1 / v5 purge",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        SN.overwrite(orders, tmp, n_files=1)
+        SN.compact(spark, tmp, n_files=4, cluster_by=["o_orderkey"])
+        dels = orders.filter(
+            (F.col("o_orderkey") % 8 == 3) & (F.col("o_orderkey") <= 1500)
+        ).select("o_orderkey")
+        SN.delete(dels, tmp, key="o_orderkey", mode="merge-on-read")
+        reborn = orders.filter(
+            (F.col("o_orderkey") % 8 == 3) & (F.col("o_orderkey") <= 100)
+        ).select(
+            "o_orderkey", "o_custkey",
+            F.lit(-1.0).alias("o_totalprice"),
+        )
+        SN.append(reborn, tmp, n_files=1)
+        SN.purge_deletes(spark, tmp)
+
+    ensure_scratch(base, _build)
+    v = SN.versions(base)[-1]
+    pre = {e["path"] for e in SN.read_manifest(base, v - 1)["files"]}
+    m = SN.read_manifest(base, v)
+    post = {e["path"] for e in m["files"]}
+    carried, rewritten = len(post & pre), len(post - pre)
+    cdc_silent = SN.read_row_changes(spark, base, v - 1, v).count() == 0
+    flag = int(
+        m.get("mode") == "purge-deletes"
+        and not m.get("delete_files")
+        and carried >= 1 and rewritten >= 1
+        and cdc_silent
+    )
+    rows = SN.read(spark, base).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    audit = spark.range(1).select(
+        F.lit(-1).cast("long").alias("o_orderkey"),
+        F.lit(flag).cast("long").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    return rows.unionByName(audit)

@@ -196,6 +196,17 @@ _WINDOW_PINS: list[tuple[str, int]] = [
     # the new commit accounting; row_cdc/cdc_apply pin the batch feed
     # after its image rework; wap_audit pins the publish path;
     # table_mgmt pins rollback's slimmed manifests.
+    # session-3 r12 additions: _publish_manifest gained the carried
+    # active-partition-spec key and append/overwrite the CURRENT_SPEC
+    # resolution — pin the transform-prune neighbor (the new
+    # snapshot_partition_evolution query enters via tier 3 untouched).
+    ("snapshot_hidden_partition", 12),
+    # session-3: merge/delete/optimize manifests now carry table
+    # metadata via _carry_table_meta (spec evolution) — pin one query
+    # per rewritten commit path (purge/scd2/evolution enter via tier 3)
+    ("snapshot_merge_upsert", 12),
+    ("snapshot_mor_delete", 12),
+    ("snapshot_maintenance_plan", 12),
     ("snapshot_cdc_stream", 12),
     ("snapshot_ivm_view", 12),
     ("snapshot_ivm_stream", 12),

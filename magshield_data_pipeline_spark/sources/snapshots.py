@@ -111,6 +111,21 @@ def _merge_schema(carried: dict | None, new: dict) -> dict:
     return {"type": "struct", "fields": merged_fields}
 
 
+#: default for ``_publish_manifest(partition_spec=...)``: carry the
+#: latest manifest's active spec forward unchanged (every commit type
+#: keeps the table's declared layout until ``set_partition_spec``
+#: explicitly changes it — the same carry contract as constraints).
+_SPEC_CARRY = object()
+
+#: writer sentinel: ``append(..., partition_by=CURRENT_SPEC)`` lays the
+#: commit's files out under the table's ACTIVE partition spec (set by
+#: ``set_partition_spec``) — the Iceberg writer contract: the table
+#: metadata owns the layout, writers just honor whatever is current,
+#: and a spec evolution changes how NEW data lands without touching a
+#: byte of old data.
+CURRENT_SPEC = object()
+
+
 def _publish_manifest(
     table_path: str,
     operation: str,
@@ -120,6 +135,7 @@ def _publish_manifest(
     constraints: dict | None = None,
     validated: dict | None = None,
     revalidate=None,
+    partition_spec=_SPEC_CARRY,
 ) -> int:
     """Optimistic commit: stage the manifest, then exclusively link it
     as the next version; on collision (a concurrent writer took the
@@ -194,6 +210,17 @@ def _publish_manifest(
             validated = committed_constraints
         if committed_constraints:
             manifest["constraints"] = committed_constraints
+        # the ACTIVE partition spec is table metadata like constraints:
+        # carried by every commit until explicitly re-declared; per-FILE
+        # specs on manifest entries are untouched (old files keep the
+        # layout they were written with — partition EVOLUTION never
+        # rewrites data)
+        committed_spec = (
+            partition_spec if partition_spec is not _SPEC_CARRY
+            else (latest_manifest or {}).get("partition_spec")
+        )
+        if committed_spec is not None:
+            manifest["partition_spec"] = committed_spec
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         try:
@@ -602,6 +629,74 @@ def _transform_probe_values(spark, spec, dtype, values: list) -> list[str]:
     )
 
 
+def _spec_to_partition_by(sp: dict | None):
+    """A stored spec dict back to the ``partition_by`` argument form
+    (None / identity column name / transform tuple)."""
+    if sp is None:
+        return None
+    t = sp["transform"]
+    if t == "identity":
+        return sp["source"]
+    if t == "month":
+        return ("month", sp["source"])
+    return (t, sp["source"], sp["param"])
+
+
+def set_partition_spec(table_path: str, partition_by) -> int:
+    """Declare the table's ACTIVE partition spec as a METADATA-ONLY
+    ledger commit (operation ``set-partition-spec``, files carried by
+    reference) — Iceberg partition-spec EVOLUTION: existing files keep
+    the spec they were written under (each manifest entry records its
+    own transform, and the reader prunes every file through ITS
+    recorded spec), while writers passing ``partition_by=CURRENT_SPEC``
+    lay out new commits under the new declaration.  Nothing is
+    rewritten: evolving month(date) → bucket(key, 16) on a 100 TB
+    table costs one manifest write, and a point lookup afterwards
+    prunes the old generation through the month transform's stats and
+    the new generation through the bucket directory values.  Pass
+    ``None`` to clear the spec (new CURRENT_SPEC writes land
+    unpartitioned).  Returns the committed version.
+
+    Reference analog: the reference rewrites its whole extract per run
+    (callable.py), so layout changes are free there; an immutable
+    ledger needs the spec to be VERSIONED metadata instead.
+    """
+    spec = _partition_spec(partition_by)  # validates the transform
+    if spec is None:
+        stored = {}  # tombstone: explicit CLEAR (None would mean carry)
+    else:
+        name, source, transform, param = spec
+        stored = {"name": name, "source": source,
+                  "transform": transform, "param": param}
+    return _publish_manifest(
+        table_path, "set-partition-spec", [], carry=True,
+        partition_spec=stored,
+    )
+
+
+def active_partition_spec(table_path: str, version: int | None = None):
+    """The table's active partition spec at *version* (default latest),
+    in ``partition_by`` argument form — None when never set or cleared
+    (the empty-dict tombstone ``set_partition_spec(path, None)``
+    writes)."""
+    vs = versions(table_path)
+    if not vs:
+        return None
+    v = vs[-1] if version is None else version
+    sp = read_manifest(table_path, v).get("partition_spec")
+    return _spec_to_partition_by(sp or None)
+
+
+def _resolve_partition_by(table_path: str, partition_by):
+    """Writer-side CURRENT_SPEC resolution: the sentinel reads the
+    active spec off the latest manifest; anything else passes through
+    (an explicit per-commit spec always wins — that is what makes
+    mixed-spec tables possible at all)."""
+    if partition_by is CURRENT_SPEC:
+        return active_partition_spec(table_path)
+    return partition_by
+
+
 def _write_data_files(df, table_path: str, n_files: int,
                       cluster_by: list[str] | None = None,
                       partition_by: str | tuple | None = None,
@@ -766,7 +861,10 @@ def append(df, table_path: str, n_files: int = 2,
     writes this commit's files under an identity partition spec (see
     ``_write_data_files``); commits with different specs coexist in
     one table — pruning applies wherever partition values are
-    recorded."""
+    recorded.  ``partition_by=CURRENT_SPEC`` resolves the table's
+    ACTIVE spec (``set_partition_spec``) at write time — the writer
+    that keeps honoring the declared layout across spec evolutions."""
+    partition_by = _resolve_partition_by(table_path, partition_by)
     validated = table_constraints(table_path)
     _validate_constraints(df, table_path, validated)
     entries = _write_data_files(df, table_path, n_files,
@@ -788,7 +886,9 @@ def overwrite(df, table_path: str, n_files: int = 2,
     disk (older snapshots remain readable) but are no longer listed.
     The schema is replaced outright (overwrite is the explicit path
     for type changes that ``append`` refuses).  ``partition_by``
-    writes under an identity partition spec."""
+    writes under an identity partition spec; ``CURRENT_SPEC`` resolves
+    the table's active spec like ``append``."""
+    partition_by = _resolve_partition_by(table_path, partition_by)
     validated = table_constraints(table_path)
     _validate_constraints(df, table_path, validated)
     entries = _write_data_files(df, table_path, n_files,
@@ -1693,6 +1793,8 @@ def append_stream_batch(df, table_path: str, batch_id: int,
             validated = carried_cons
         if carried_cons:
             manifest["constraints"] = carried_cons
+        if (prior_manifest or {}).get("partition_spec"):
+            manifest["partition_spec"] = prior_manifest["partition_spec"]
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         try:
@@ -1819,8 +1921,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
             new_manifest["schema"] = schema_json
         else:
             new_manifest["schema"] = source_df.schema.jsonValue()
-        if manifest.get("constraints"):
-            new_manifest["constraints"] = manifest["constraints"]
+        _carry_table_meta(new_manifest, manifest)
         if txn is not None:
             new_manifest["txn"] = list(txn)
         _publish_at_exactly(table_path, v, new_manifest,
@@ -1862,8 +1963,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
         "schema": (schema_json if schema_json is not None
                    else source_df.schema.jsonValue()),
     }
-    if manifest.get("constraints"):
-        new_manifest["constraints"] = manifest["constraints"]
+    _carry_table_meta(new_manifest, manifest)
     if txn is not None:
         new_manifest["txn"] = list(txn)
     _publish_at_exactly(table_path, base_version + 1, new_manifest, entries,
@@ -1871,6 +1971,21 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
     if txn is not None:
         _advance_txn(table_path, txn[0], txn[1])
     return base_version + 1
+
+
+def _carry_table_meta(new_manifest: dict, prior: dict | None) -> dict:
+    """Copy versioned TABLE metadata (CHECK constraints, the active
+    partition spec) from *prior* onto a hand-built manifest — every
+    commit type carries both until explicitly changed (the same
+    contract ``_publish_manifest`` enforces for carry-path commits).
+    The cleared-spec tombstone (empty dict) is falsy and drops here,
+    which is exactly its meaning."""
+    if prior:
+        if prior.get("constraints"):
+            new_manifest["constraints"] = prior["constraints"]
+        if prior.get("partition_spec"):
+            new_manifest["partition_spec"] = prior["partition_spec"]
+    return new_manifest
 
 
 def _publish_at_exactly(table_path: str, v: int, manifest: dict,
@@ -1967,8 +2082,7 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
         }
         if schema_json is not None:
             new_manifest["schema"] = schema_json
-        if manifest.get("constraints"):
-            new_manifest["constraints"] = manifest["constraints"]
+        _carry_table_meta(new_manifest, manifest)
         if txn is not None:
             new_manifest["txn"] = list(txn)
         _publish_at_exactly(table_path, base_version + 1, new_manifest,
@@ -2017,8 +2131,7 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     }
     if schema_json is not None:
         new_manifest["schema"] = schema_json
-    if manifest.get("constraints"):
-        new_manifest["constraints"] = manifest["constraints"]
+    _carry_table_meta(new_manifest, manifest)
     if txn is not None:
         new_manifest["txn"] = list(txn)
     _publish_at_exactly(table_path, base_version + 1, new_manifest,
@@ -2282,10 +2395,71 @@ def optimize(spark, table_path: str, small_file_rows: int,
     }
     if manifest.get("schema") is not None:
         new_manifest["schema"] = manifest["schema"]
-    if manifest.get("constraints"):
-        new_manifest["constraints"] = manifest["constraints"]
+    _carry_table_meta(new_manifest, manifest)
     _publish_at_exactly(table_path, base_version + 1, new_manifest,
                         entries, op="optimize")
+    return base_version + 1
+
+
+def purge_deletes(spark, table_path: str, n_files: int = 1) -> int | None:
+    """MINOR compaction: materialize the pending merge-on-read
+    equality-delete files into the data files they can actually hit,
+    and NOTHING else — the Iceberg ``rewrite_position_deletes``/
+    Delta ``REORG PURGE`` shape, and the scale-honest alternative to
+    ``compact()`` (which rewrites the whole table to shed deletes).
+
+    The affected set is chosen from manifest stats alone: a data file
+    is rewritten only when some delete file with a HIGHER sequence
+    number has an intersecting key range (``_delete_may_hit`` — the
+    same pruning the CDC image computation uses); every other file is
+    carried by reference, byte-untouched.  On a 100 TB table where a
+    retraction touched a few key ranges, this rewrites those files and
+    drops the delete files in one commit — O(affected), never
+    O(table).  Returns the new version, or None when there are no
+    pending delete files (nothing to purge is not an error)."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"purge_deletes: {table_path} has no versions")
+    base_version = vs[-1]
+    manifest = read_manifest(table_path, base_version)
+    deletes = manifest.get("delete_files")
+    if not deletes:
+        return None
+    affected = [
+        e for e in manifest["files"]
+        if any(d.get("seq", 0) > e.get("seq", 0) and _delete_may_hit(e, d)
+               for d in deletes)
+    ]
+    untouched = [e for e in manifest["files"] if e not in affected]
+    entries: list[dict] = []
+    if affected:
+        # scan ONLY the affected files with their applicable deletes
+        # reconciled (sequence-number semantics preserved), rewrite
+        # them clean
+        survivors = _scan_with_deletes(
+            spark, table_path, affected, deletes, manifest.get("schema")
+        )
+        entries = [
+            {**e, "seq": base_version + 1}
+            for e in _write_data_files(survivors, table_path, n_files)
+        ]
+    new_manifest = {
+        # published as a compact variant (like optimize's bin-pack):
+        # visible content is IDENTICAL before and after, so every CDC
+        # consumer's "compact = zero changes" contract applies verbatim
+        "operation": "compact",
+        "mode": "purge-deletes",
+        "version": base_version + 1,
+        "committed_at": time.time(),
+        "files": untouched + entries,
+        # delete_files intentionally dropped: this commit materializes
+        # them into the affected files' rewrites
+    }
+    if manifest.get("schema") is not None:
+        new_manifest["schema"] = manifest["schema"]
+    _carry_table_meta(new_manifest, manifest)
+    _publish_at_exactly(table_path, base_version + 1, new_manifest,
+                        entries, op="purge_deletes")
     return base_version + 1
 
 
@@ -2905,8 +3079,7 @@ def publish_branch(table_path: str, name: str) -> list[int]:
                     manifest["schema"] = c["schema"]
                 if c.get("key") is not None:
                     manifest["key"] = c["key"]
-                if base.get("constraints"):
-                    manifest["constraints"] = base["constraints"]
+                _carry_table_meta(manifest, base)
                 _publish_at_exactly(table_path, v, manifest, [],
                                     op="publish_branch")
             published.append(v)

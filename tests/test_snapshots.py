@@ -952,3 +952,55 @@ def test_mor_merge_then_mor_delete_layering(spark, tmp_path):
              mode="merge-on-read")                                # v3
     got = {(r.k, r.v) for r in S.read(spark, t).collect()}
     assert got == {(k, 0) for k in range(6) if k != 2}
+
+
+def test_purge_deletes_rewrites_only_hit_files(spark, tmp_path):
+    # MINOR compaction (r12): pending equality-delete files are
+    # materialized into ONLY the data files their key ranges can hit;
+    # disjoint files are carried byte-identical, and the purge commit
+    # is CDC-silent (a compact variant)
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    t = _os.path.join(str(tmp_path), "purge")
+    rows = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    S.overwrite(rows, t, n_files=1)
+    S.compact(spark, t, n_files=4, cluster_by=["k"])  # disjoint ranges
+    before = {e["path"] for e in S.read_manifest(t, 2)["files"]}
+    # MOR-delete a set confined to the low key range
+    S.delete(spark.createDataFrame([(5,), (17,), (42,)], "k long"),
+             t, key="k", mode="merge-on-read")
+    v = S.purge_deletes(spark, t, n_files=1)
+    m = S.read_manifest(t, v)
+    assert m.get("mode") == "purge-deletes"
+    assert not m.get("delete_files")
+    carried = {e["path"] for e in m["files"]} & before
+    # the three keys live in one clustered file; the other three files
+    # must be carried by reference, byte-untouched
+    assert len(carried) == 3
+    got = sorted(r.k for r in S.read(spark, t).collect())
+    assert got == [k for k in range(400) if k not in (5, 17, 42)]
+    # CDC-silent: the feed emits nothing for the purge commit
+    assert S.read_row_changes(spark, t, v - 1, v).count() == 0
+    # nothing pending: purge is a no-op returning None
+    assert S.purge_deletes(spark, t) is None
+
+
+def test_purge_deletes_respects_sequence_numbers(spark, tmp_path):
+    # a key re-inserted AFTER its delete file must survive the purge
+    # (the Iceberg v2 sequence-number contract _scan_with_deletes pins)
+    import os as _os
+
+    t = _os.path.join(str(tmp_path), "purge_seq")
+    S.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"), t, n_files=1)
+    S.delete(spark.createDataFrame([(1,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    S.append(spark.createDataFrame([(1, "a-reborn")], "k long, v string"),
+             t, n_files=1)  # newer seq: the delete must not apply
+    v = S.purge_deletes(spark, t)
+    got = sorted((r.k, r.v) for r in S.read(spark, t).collect())
+    assert got == [(1, "a-reborn"), (2, "b")]
+    assert not S.read_manifest(t, v).get("delete_files")

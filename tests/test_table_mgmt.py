@@ -347,3 +347,100 @@ def test_set_constraint_commit_carries_schema(spark, tmp_path):
     got = S.read(spark, t, v)
     assert got.schema.fieldNames() == ["k", "tag"]
     assert got.filter("tag IS NULL").count() == 5  # null-fill intact
+
+
+def test_declared_spec_set_carry_and_clear(spark, tmp_path):
+    # the ACTIVE spec is versioned table metadata: set as a
+    # metadata-only commit, carried by every later commit type,
+    # cleared by an explicit tombstone (r12 partition evolution)
+    t = _t(spark, tmp_path)
+    assert S.active_partition_spec(t) is None
+    v = S.set_partition_spec(t, ("bucket", "k", 8))
+    assert S.active_partition_spec(t) == ("bucket", "k", 8)
+    man = S.read_manifest(t, v)
+    assert man["operation"] == "set-partition-spec"
+    assert man.get("schema") is not None  # metadata commit keeps schema
+    # carried through a data commit and a constraint commit
+    S.append(spark.createDataFrame([(50, 5)], "k long, v long"), t)
+    S.add_constraint(spark, t, "k_pos", "k >= 0")
+    assert S.active_partition_spec(t) == ("bucket", "k", 8)
+    # identity and month forms round-trip too
+    S.set_partition_spec(t, "k")
+    assert S.active_partition_spec(t) == "k"
+    # explicit clear; later commits stay cleared
+    S.set_partition_spec(t, None)
+    assert S.active_partition_spec(t) is None
+    S.append(spark.createDataFrame([(51, 5)], "k long, v long"), t)
+    assert S.active_partition_spec(t) is None
+    # time travel reads the spec of its era
+    assert S.active_partition_spec(t, version=v) == ("bucket", "k", 8)
+
+
+def test_current_spec_writer_follows_evolution(spark, tmp_path):
+    # append(partition_by=CURRENT_SPEC) resolves the declared spec at
+    # write time: files land under whatever the table declares, and a
+    # spec evolution re-routes NEW commits without touching old files
+    t = os.path.join(str(tmp_path), "cs")
+    rows = spark.range(0, 300).select(F.col("id").alias("k"),
+                                      (F.col("id") * 2).alias("v"))
+    S.set_partition_spec(t, ("bucket", "k", 4))  # declared before data
+    S.append(rows.filter("k < 150"), t, n_files=1,
+             partition_by=S.CURRENT_SPEC)
+    S.set_partition_spec(t, ("bucket", "k", 8))
+    S.append(rows.filter("k >= 150"), t, n_files=1,
+             partition_by=S.CURRENT_SPEC)
+    man = S.read_manifest(t, S.versions(t)[-1])
+    by_seq = {}
+    for e in man["files"]:
+        by_seq.setdefault(e["seq"], set()).add(
+            (e.get("partition_spec") or {}).get("param"))
+    assert by_seq[2] == {4} and by_seq[4] == {8}
+    # the point lookup prunes each generation under its own transform
+    got = S.read(spark, t, key_in=("k", [10, 200]))
+    assert sorted(r.k for r in got.filter("k IN (10, 200)").collect()) \
+        == [10, 200]
+    assert got.select(F.input_file_name()).distinct().count() <= 4
+    # CURRENT_SPEC with no declaration ever made writes unpartitioned
+    t2 = os.path.join(str(tmp_path), "cs2")
+    S.append(rows.limit(5), t2, n_files=1, partition_by=S.CURRENT_SPEC)
+    m2 = S.read_manifest(t2, 1)
+    assert all("partition" not in e for e in m2["files"])
+
+
+def test_spec_commit_is_cdc_silent(spark, tmp_path):
+    # set-partition-spec is metadata-only: the row-CDC feed emits zero
+    # rows for it and downstream subscribers never wake
+    t = _t(spark, tmp_path)
+    v = S.set_partition_spec(t, ("truncate", "k", 100))
+    ch = S.read_row_changes(spark, t, v - 1, v)
+    assert ch.count() == 0
+
+
+def test_declared_spec_survives_every_commit_type(spark, tmp_path):
+    # the active spec is carried by hand-built manifests too (merge
+    # COW/MOR, delete COW/MOR, optimize, stream-append) — the same
+    # carry contract as constraints (r12 session-3 fix)
+    t = _t(spark, tmp_path)
+    S.set_partition_spec(t, ("bucket", "k", 4))
+    S.merge(spark.createDataFrame([(3, 33)], "k long, v long"), t,
+            key="k")
+    assert S.active_partition_spec(t) == ("bucket", "k", 4)
+    S.merge(spark.createDataFrame([(4, 44)], "k long, v long"), t,
+            key="k", mode="merge-on-read")
+    assert S.active_partition_spec(t) == ("bucket", "k", 4)
+    S.compact(spark, t, n_files=1)
+    assert S.active_partition_spec(t) == ("bucket", "k", 4)
+    S.delete(spark.createDataFrame([(4,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    assert S.active_partition_spec(t) == ("bucket", "k", 4)
+    S.compact(spark, t, n_files=1)
+    S.delete(spark.createDataFrame([(3,)], "k long"), t, key="k")
+    assert S.active_partition_spec(t) == ("bucket", "k", 4)
+    S.optimize(spark, t, small_file_rows=1000)
+    assert S.active_partition_spec(t) == ("bucket", "k", 4)
+    S.append_stream_batch(
+        spark.createDataFrame([(60, 6)], "k long, v long"), t, batch_id=0)
+    assert S.active_partition_spec(t) == ("bucket", "k", 4)
+    # rollback restores the spec OF THAT ERA (full-state contract)
+    S.rollback(t, 1)
+    assert S.active_partition_spec(t) is None
