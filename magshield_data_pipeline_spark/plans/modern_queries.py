@@ -3926,3 +3926,368 @@ def snapshot_mor_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("o_totalprice"),
     )
     return rows.unionByName(audit)
+
+
+_SNAP_RECLUSTER_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_totalprice
+FROM orders
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+       -o_totalprice
+FROM orders WHERE o_orderkey < 400
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+"""
+
+
+@register(
+    "snapshot_recluster",
+    sql=_SNAP_RECLUSTER_SQL,
+    description="INCREMENTAL RECLUSTERING — the liquid-clustering "
+    "shape (r12, sources/snapshots.py::recluster): a range-clustered "
+    "orders ledger takes an append confined to the LOW key range "
+    "(fresh ingest interleaving with the clustered base), and "
+    "recluster rewrites ONLY the overlap group — files whose "
+    "manifest [min,max] intervals on the clustering key intersect, "
+    "found by a metadata-only sort+sweep — while every disjoint file "
+    "is carried by reference, byte-untouched; the hash pins content "
+    "identity (base rows + the negated-price marker slice, nothing "
+    "lost or duplicated by the rewrite) and the audit flag flips "
+    "unless files were carried, the overlap group was rewritten, the "
+    "post-state is PAIRWISE-DISJOINT again (min/max stats prune like "
+    "an index), and the commit was CDC-silent (a compact variant) "
+    "([EXT] lakehouse tier: keeping a 100 TB table clustered costs "
+    "O(each ingest's overlap group) per cycle, never the O(table) "
+    "full re-sort compact(cluster_by) pays)",
+)
+def snapshot_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the rewrite set is decided from manifest stats (zero data
+    # I/O); steady-state each recluster touches the seam files of the
+    # latest ingest.  The no-op precheck (already disjoint -> None) is
+    # the same sweep.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_recluster", sf_dir,
+        "v1 orders / v2 cluster(o_orderkey,4f) / v3 append low-range "
+        "<400 neg-price 2f / v4 recluster",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        SN.overwrite(orders, tmp, n_files=1)
+        SN.compact(spark, tmp, n_files=4, cluster_by=["o_orderkey"])
+        low = orders.filter(F.col("o_orderkey") < 400).select(
+            "o_orderkey", "o_custkey",
+            (-F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        SN.append(low, tmp, n_files=2)
+        SN.recluster(spark, tmp, ["o_orderkey"])
+
+    ensure_scratch(base, _build)
+    v = SN.versions(base)[-1]
+    pre = {e["path"] for e in SN.read_manifest(base, v - 1)["files"]}
+    m = SN.read_manifest(base, v)
+    post = {e["path"] for e in m["files"]}
+    carried, rewritten = len(post & pre), len(post - pre)
+    spans = sorted(
+        (e["stats"]["min_o_orderkey"], e["stats"]["max_o_orderkey"])
+        for e in m["files"]
+    )
+    disjoint = all(
+        spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+    )
+    cdc_silent = SN.read_row_changes(spark, base, v - 1, v).count() == 0
+    flag = int(
+        m.get("mode") == "recluster"
+        and carried >= 2 and rewritten >= 1
+        and disjoint and cdc_silent
+    )
+    rows = SN.read(spark, base).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    audit = spark.range(1).select(
+        F.lit(-1).cast("long").alias("o_orderkey"),
+        F.lit(flag).cast("long").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    return rows.unionByName(audit)
+
+
+_SNAP_AGG_PUSH_SQL = """
+WITH merged AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 4 THEN o_totalprice + 100000
+                ELSE o_totalprice END AS p
+    FROM orders
+    UNION ALL SELECT 900000, 0.5
+),
+final AS (SELECT * FROM merged WHERE o_orderkey % 13 <> 6)
+SELECT 'v1' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_totalprice) AS min_p, max(o_totalprice) AS max_p
+FROM orders
+UNION ALL
+SELECT 'final', CAST(count(*) AS BIGINT), min(p), max(p) FROM final
+"""
+
+
+@register(
+    "snapshot_agg_pushdown",
+    sql=_SNAP_AGG_PUSH_SQL,
+    description="AGGREGATE PUSHDOWN to manifest metadata (r12, "
+    "sources/snapshots.py::table_column_stats — the Iceberg "
+    "manifest-served count/min/max, Spark DSv2 "
+    "SupportsPushDownAggregates shape): an orders ledger takes a "
+    "repricing MERGE (+100k on %11=4, a new extremum) plus a 0.5-price "
+    "insert (a new minimum) and a copy-on-write DELETE (%13=6), and "
+    "count(*)/min/max of o_totalprice are answered from the MANIFEST "
+    "ALONE — immutable files keep write-time bounds true, rewrites "
+    "re-record them, so the table extremum is the extremum of "
+    "per-file bounds with zero data I/O (pytest proves the answer "
+    "survives the data directory being physically moved away); the "
+    "version-pinned 'v1' row pins TIME-TRAVEL stats (the original "
+    "extrema before the merge), and the refusal paths (pending MOR "
+    "deletes, stat-less files) fail loudly rather than guess "
+    "([EXT] lakehouse tier: the planner/BI probes a 100 TB catalog "
+    "answers without touching a data byte)",
+)
+def snapshot_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: both rows cost two manifest reads; no Spark job touches
+    # data files (the stats arrive as Python scalars, stamped into a
+    # 2-row literal frame).
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_agg_push", sf_dir,
+        "v1 orders 3f / v2 merge reprice %11=4 +100k + insert 900000@0.5 "
+        "/ v3 cow-delete %13=6",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        SN.overwrite(orders, tmp, n_files=3)
+        repriced = orders.filter(F.col("o_orderkey") % 11 == 4).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 100000).alias("o_totalprice"),
+        ).unionByName(spark.range(1).select(
+            F.lit(900000).cast(orders.schema["o_orderkey"].dataType)
+            .alias("o_orderkey"),
+            F.lit(1).cast(orders.schema["o_custkey"].dataType)
+            .alias("o_custkey"),
+            F.lit(0.5).alias("o_totalprice"),
+        ))
+        SN.merge(repriced, tmp, key="o_orderkey")
+        SN.delete(
+            orders.filter(F.col("o_orderkey") % 13 == 6)
+            .select("o_orderkey"),
+            tmp, key="o_orderkey",
+        )
+
+    ensure_scratch(base, _build)
+    s1 = SN.table_column_stats(base, "o_totalprice", version=1)
+    s3 = SN.table_column_stats(base, "o_totalprice")
+    return spark.createDataFrame(
+        [("v1", s1["rows"], float(s1["min"]), float(s1["max"])),
+         ("final", s3["rows"], float(s3["min"]), float(s3["max"]))],
+        "stage string, n_rows long, min_p double, max_p double",
+    )
+
+
+_SNAP_RENAME_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+),
+fixed AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 2 THEN text || ' [fixed]'
+                ELSE text END AS body
+    FROM corpus
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(body) AS BIGINT) AS n_chars
+FROM fixed
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(4 AS BIGINT)
+UNION ALL
+SELECT CAST(-2 AS BIGINT),
+       (SELECT CAST(sum(length(text)) AS BIGINT) FROM corpus
+        WHERE doc_id % 2 = 0)
+"""
+
+
+@register(
+    "snapshot_column_rename",
+    sql=_SNAP_RENAME_SQL,
+    description="COLUMN RENAME without rewrite (r12, sources/"
+    "snapshots.py::rename_column — the Iceberg rename contract: "
+    "column identity is table metadata, not a byte in every file): "
+    "the even-doc half commits under column 'text', the column is "
+    "RENAMED to 'body' as a metadata-only commit, the odd half "
+    "appends under the new name, and a MERGE then corrects %7=2 docs "
+    "ACROSS BOTH ERAS — its copy-on-write rewrite reads pre-rename "
+    "files through the per-file era mapping (every rename newer than "
+    "a file's sequence number is undone to find the stored footer "
+    "name), so a naive schema-swap would null-fill half the corpus "
+    "and break the hash; the audit rows pin the 4-version ledger "
+    "(overwrite + rename + append + merge: zero extra rewrites) and "
+    "TIME TRAVEL to v1 still reading the old name (the -2 row sums "
+    "length('text') at v1) ([EXT] lakehouse tier: renaming a column "
+    "on a 100 TB table costs one manifest write; CDC windows split "
+    "at the rename and the stream readers refuse loudly — the "
+    "documented era boundary)",
+)
+def snapshot_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the rename is one metadata commit; era mapping costs a
+    # per-file dict lookup at plan time (files group by era, one scan
+    # per era — two eras here however large the table).
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_col_rename", sf_dir,
+        "v1 evens(text) / v2 rename text->body / v3 append odds(body) "
+        "/ v4 merge %7=2 ' [fixed]' across eras",
+    )
+
+    def _build(tmp: str) -> None:
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        SN.overwrite(docs.filter(F.col("doc_id") % 2 == 0), tmp,
+                     n_files=2)
+        SN.rename_column(tmp, "text", "body")
+        SN.append(
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", F.col("text").alias("body")),
+            tmp, n_files=2)
+        fixes = (
+            SN.read(spark, tmp)
+            .filter(F.col("doc_id") % 7 == 2)
+            .select("doc_id",
+                    F.concat(F.col("body"), F.lit(" [fixed]"))
+                    .alias("body"))
+        )
+        SN.merge(fixes, tmp, key="doc_id")
+
+    ensure_scratch(base, _build)
+    rows = SN.read(spark, base).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("body").cast("long").alias("n_chars"),
+    )
+    v1 = SN.read(spark, base, 1)  # time travel: pre-rename era/name
+    audit = spark.range(1).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit(len(SN.versions(base))).cast("long").alias("n_chars"),
+    ).unionByName(v1.agg(
+        F.lit(-2).cast("long").alias("doc_id"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    ))
+    return rows.unionByName(audit)
+
+
+_SNAP_DEFAULT_SQL = """
+WITH c AS (SELECT doc_id, length(text) AS len FROM documents),
+tagged AS (
+    SELECT doc_id, len,
+           CASE WHEN doc_id % 7 = 2 THEN 'fixed'
+                WHEN doc_id % 2 = 0 THEN 'archive'
+                WHEN doc_id % 3 = 0 THEN 'web'
+                WHEN doc_id % 3 = 1 THEN 'books'
+                ELSE NULL END AS tag
+    FROM c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(len AS BIGINT) AS n_chars,
+       tag
+FROM tagged
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(4 AS BIGINT), CAST(NULL AS VARCHAR)
+UNION ALL
+SELECT CAST(-2 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS VARCHAR)
+"""
+
+
+@register(
+    "snapshot_add_column_default",
+    sql=_SNAP_DEFAULT_SQL,
+    description="ADD COLUMN with an INITIAL DEFAULT (r12, sources/"
+    "snapshots.py::add_column — the Iceberg initial-default / Delta "
+    "default-value contract): the even-doc half commits without a "
+    "'tag' column, add_column(default='archive') lands as a "
+    "metadata-only commit, the odd half appends with explicit tags "
+    "INCLUDING genuine nulls, and a MERGE then fixes %7=2 docs across "
+    "both eras; the read must return 'archive' (not null) for every "
+    "pre-add file's row, the explicit values AND real nulls for "
+    "post-add rows, and 'fixed' for the merged rows — the per-file "
+    "sequence-number era boundary, so a reader that null-fills "
+    "pre-add files (plain schema evolution) or back-fills post-add "
+    "nulls both break the hash; audit rows pin the 4-version ledger "
+    "(zero rewrites beyond the merge) and time travel to v1 showing "
+    "the ORIGINAL 2-column schema ([EXT] lakehouse tier: backfilling "
+    "a new column's default on a 100 TB table costs one manifest "
+    "write, not a table rewrite)",
+)
+def snapshot_add_column_default(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    # Scale: the default is filled at scan time per era group (one
+    # literal projection on pre-add files); rewrites materialize it
+    # incrementally.  No backfill job exists anywhere.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_add_default", sf_dir,
+        "v1 evens / v2 add tag default=archive / v3 odds explicit "
+        "tags(web,books,null by %3) / v4 merge %7=2 tag=fixed",
+    )
+
+    def _build(tmp: str) -> None:
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        SN.overwrite(docs.filter(F.col("doc_id") % 2 == 0), tmp,
+                     n_files=2)
+        SN.add_column(tmp, "tag", "string", default="archive")
+        odds = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("web"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("books"))
+            .otherwise(F.lit(None).cast("string")).alias("tag"),
+        )
+        SN.append(odds, tmp, n_files=2)
+        fixes = (
+            SN.read(spark, tmp)
+            .filter(F.col("doc_id") % 7 == 2)
+            .select("doc_id", "text", F.lit("fixed").alias("tag"))
+        )
+        SN.merge(fixes, tmp, key="doc_id")
+
+    ensure_scratch(base, _build)
+    rows = SN.read(spark, base).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        "tag",
+    )
+    audit = spark.createDataFrame(
+        [(-1, len(SN.versions(base)), None),
+         (-2, len(SN.read(spark, base, 1).columns), None)],
+        "doc_id long, n_chars long, tag string",
+    )
+    return rows.unionByName(audit)

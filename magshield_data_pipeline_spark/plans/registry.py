@@ -201,6 +201,15 @@ _WINDOW_PINS: list[tuple[str, int]] = [
     # resolution — pin the transform-prune neighbor (the new
     # snapshot_partition_evolution query enters via tier 3 untouched).
     ("snapshot_hidden_partition", 12),
+    # session-3 wave 3: _scan gained the rename era mapping (every read
+    # path re-planned), branch scans thread base renames, merge/delete/
+    # stream-append write under the active spec — pin the read-path and
+    # branch-scan neighbors (the new rename/purge/recluster/agg queries
+    # enter via tier 3)
+    ("snapshot_time_travel", 12),
+    ("snapshot_schema_evolution", 12),
+    ("snapshot_branch_rewrite", 12),
+    ("snapshot_stream_append", 12),
     # session-3: merge/delete/optimize manifests now carry table
     # metadata via _carry_table_meta (spec evolution) — pin one query
     # per rewritten commit path (purge/scd2/evolution enter via tier 3)

@@ -309,6 +309,18 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
     instead of wedging (ADVICE r11 high)."""
     cur = _manifest(table_path, v)
     prev = _manifest(table_path, v - 1)
+    if cur.get("renames") or cur.get("defaults"):
+        # the stream readers materialize rows from file footers by
+        # NAME; a table with rename history needs the per-file era
+        # mapping only the batch feed implements (read_row_changes /
+        # _scan) — refuse loudly rather than mis-map columns (r12
+        # honest scope edge, same pattern as the former MOR refusal)
+        raise ValueError(
+            "ledger_cdc: table has column-rename/default history — the "
+            "streaming reader does not map per-file stored names; "
+            "consume via snapshots.read_row_changes (split windows at "
+            "the rename commit)"
+        )
     op = cur.get("operation")
     if op == "compact":
         return []  # same rows, new layout: zero changes by contract
@@ -492,6 +504,13 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple:
         v0 = int(start["version"])
+        if (_manifest(self.path, v0).get("renames")
+                or _manifest(self.path, v0).get("defaults")):
+            raise ValueError(
+                "ledger_cdc: table has column-rename/default history — the "
+                "streaming reader does not map per-file stored names; "
+                "consume via snapshots.read_row_changes"
+            )
         if not start.get("snap", 1):
             # bootstrap batch: the full snapshot at startVersion
             return iter(self._snapshot_rows()), {"version": v0, "snap": 1}
@@ -572,6 +591,13 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         parts: list[LedgerCdcPartition] = []
         v0 = int(start["version"])
+        if (_manifest(self.path, v0).get("renames")
+                or _manifest(self.path, v0).get("defaults")):
+            raise ValueError(
+                "ledger_cdc_dist: table has column-rename/default history — "
+                "the streaming reader does not map per-file stored "
+                "names; consume via snapshots.read_row_changes"
+            )
         if not start.get("snap", 1):
             man = _manifest(self.path, v0)
             dels = man.get("delete_files") or []
@@ -587,6 +613,13 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
         for v in range(v0 + 1, int(end["version"]) + 1):
             cur = _manifest(self.path, v)
             prev = _manifest(self.path, v - 1)
+            if cur.get("renames") or cur.get("defaults"):
+                raise ValueError(
+                    "ledger_cdc_dist: table has column-rename/default history "
+                    "— the streaming reader does not map per-file "
+                    "stored names; consume via "
+                    "snapshots.read_row_changes"
+                )
             if cur.get("operation") == "compact":
                 continue
             prev_paths = {e["path"] for e in prev["files"]}

@@ -136,6 +136,10 @@ def _publish_manifest(
     validated: dict | None = None,
     revalidate=None,
     partition_spec=_SPEC_CARRY,
+    schema_replace: bool = False,
+    rename_event: dict | None = None,
+    default_event: dict | None = None,
+    defaults_replace: list | None = None,
 ) -> int:
     """Optimistic commit: stage the manifest, then exclusively link it
     as the next version; on collision (a concurrent writer took the
@@ -168,6 +172,11 @@ def _publish_manifest(
                 # columns' null-fill (latent since r11, surfaced by
                 # branch_merge reading a set-constraint base) (r12)
                 committed_schema = carried_manifest.get("schema")
+            elif schema_replace:
+                # rename_column: the transformed schema replaces the
+                # carried one outright (merging would keep the old
+                # field AND append the new at the end)
+                committed_schema = schema
             else:
                 committed_schema = _merge_schema(
                     carried_manifest.get("schema"), schema
@@ -221,6 +230,30 @@ def _publish_manifest(
         )
         if committed_spec is not None:
             manifest["partition_spec"] = committed_spec
+        # column-rename history is table metadata too: carried by every
+        # commit; a rename_event is stamped with THIS commit's version
+        # (resolved inside the retry loop) — readers undo renames newer
+        # than a file's sequence number to find its stored column names
+        committed_renames = (latest_manifest or {}).get("renames")
+        if rename_event is not None:
+            committed_renames = list(committed_renames or []) + [
+                {**rename_event, "v": v}
+            ]
+        if committed_renames:
+            manifest["renames"] = committed_renames
+        # initial-default history: a column added WITH a default fills
+        # that value (not null) in files older than the add commit —
+        # carried like renames, version-stamped inside the retry loop
+        committed_defaults = (
+            defaults_replace if defaults_replace is not None
+            else (latest_manifest or {}).get("defaults")
+        )
+        if default_event is not None:
+            committed_defaults = list(committed_defaults or []) + [
+                {**default_event, "v": v}
+            ]
+        if committed_defaults:
+            manifest["defaults"] = committed_defaults
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         try:
@@ -1096,8 +1129,12 @@ def read(spark, table_path: str, version: int | None = None, *,
     deletes = manifest.get("delete_files")
     if deletes:
         return _scan_with_deletes(spark, table_path, entries, deletes,
-                                  manifest.get("schema"))
-    return _scan(spark, table_path, entries, manifest.get("schema"))
+                                  manifest.get("schema"),
+                                  renames=manifest.get("renames"),
+                                  defaults=manifest.get("defaults"))
+    return _scan(spark, table_path, entries, manifest.get("schema"),
+                 renames=manifest.get("renames"),
+                 defaults=manifest.get("defaults"))
 
 
 def _delete_may_hit(e: dict, d: dict) -> bool:
@@ -1115,7 +1152,9 @@ def _delete_may_hit(e: dict, d: dict) -> bool:
 
 
 def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
-                       delete_files: list[dict], schema_json: dict | None):
+                       delete_files: list[dict], schema_json: dict | None,
+                       renames: list[dict] | None = None,
+                       defaults: list[dict] | None = None):
     """Merge-on-read: scan the data files and ANTI-JOIN the pending
     equality-delete files — a delete file applies ONLY to data files
     whose sequence number is LOWER than its own (the Iceberg v2
@@ -1134,7 +1173,8 @@ def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
         groups.setdefault(applicable, []).append(e)
     frames = []
     for applicable in sorted(groups):
-        df = _scan(spark, table_path, groups[applicable], schema_json)
+        df = _scan(spark, table_path, groups[applicable], schema_json,
+                   renames=renames, defaults=defaults)
         by_key: dict[str, list[str]] = {}
         for path, key in applicable:
             by_key.setdefault(key, []).append(path)
@@ -1151,7 +1191,8 @@ def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
 
 
 def _scan(spark, table_path: str, entries: list[dict],
-          schema_json: dict | None):
+          schema_json: dict | None, renames: list[dict] | None = None,
+          defaults: list[dict] | None = None):
     """Scan exactly the files of *entries*, under the MANIFEST schema
     when the commit recorded one: a file written before an add-column
     commit lacks the column in its footer, and the reader fills it
@@ -1160,6 +1201,12 @@ def _scan(spark, table_path: str, entries: list[dict],
     were recorded fall back to footer-inferred reads (their chains
     never evolved).
 
+    *renames* is the manifest's column-rename history: for each file,
+    every rename NEWER than the file's sequence number is undone to
+    find the name the column is STORED under in that file's footer,
+    and the read aliases it back to the current name — rename as pure
+    metadata, per-era (``rename_column``).
+
     Entries carrying a ``partition`` (identity partition-spec writes)
     are grouped by partition value and the column is RESTORED from the
     manifest as a typed literal — hive-layout files don't store the
@@ -1167,31 +1214,75 @@ def _scan(spark, table_path: str, entries: list[dict],
     discovery) is the source of truth, exactly the Iceberg
     partition-data-in-metadata contract."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     full = StructType.fromJson(schema_json) if schema_json else None
+    rename_hist = sorted(renames or [], key=lambda r: r["v"])
+    default_hist = defaults or []
+
+    def _fills(seq: int) -> tuple:
+        # initial defaults (add_column(default=...)): a file committed
+        # BEFORE the add stores no such column — it reads back as the
+        # declared default, not null (the Iceberg initial-default /
+        # Delta default-value contract); files from after the add keep
+        # their genuine values including real nulls
+        return tuple(
+            (d["col"], d["value"]) for d in default_hist
+            if d["v"] > seq
+        )
+
+    def _stored_names(seq: int) -> tuple:
+        # current field name -> stored footer name for a file committed
+        # at *seq*: undo renames newer than the file, newest first
+        out = []
+        for f in (full.fields if full else ()):
+            n = f.name
+            for r in reversed(rename_hist):
+                if r["v"] > seq and r["new"] == n:
+                    n = r["old"]
+            out.append((f.name, n))
+        return tuple(out)
+
     groups: dict[tuple, list[str]] = {}
     for e in entries:
-        key = tuple(sorted((e.get("partition") or {}).items()))
+        key = (
+            tuple(sorted((e.get("partition") or {}).items())),
+            _stored_names(e.get("seq", 0)) if rename_hist else (),
+            _fills(e.get("seq", 0)) if default_hist else (),
+        )
         groups.setdefault(key, []).append(e["path"])
     frames = []
     for key in sorted(groups):
+        part_key, stored, fills = key
         paths = [os.path.join(table_path, p) for p in groups[key]]
-        part = dict(key)
+        part = dict(part_key)
         if full is None:
             df = spark.read.parquet(*paths)
             for c, v in part.items():
                 if c not in df.columns:
                     df = df.withColumn(c, F.lit(v))
         else:
-            file_schema = StructType(
-                [f for f in full.fields if f.name not in part]
-            )
+            stored_of = dict(stored) if stored else {
+                f.name: f.name for f in full.fields
+            }
+            file_schema = StructType([
+                StructField(stored_of[f.name], f.dataType, f.nullable)
+                for f in full.fields if f.name not in part
+            ])
             df = spark.read.schema(file_schema).parquet(*paths)
+            df = df.select(*[
+                F.col(stored_of[f.name]).alias(f.name)
+                for f in full.fields if f.name not in part
+            ])
             for f in full.fields:
                 if f.name in part:
                     df = df.withColumn(
                         f.name, F.lit(part[f.name]).cast(f.dataType)
+                    )
+            for col, value in fills:
+                if col not in part:
+                    df = df.withColumn(
+                        col, F.lit(value).cast(full[col].dataType)
                     )
             df = df.select(*[f.name for f in full.fields])
         frames.append(df)
@@ -1227,8 +1318,10 @@ def read_changes(spark, table_path: str, from_version: int,
             f"read_changes: no files added between v{from_version} and "
             f"v{to_version}"
         )
-    return _scan(spark, table_path, added,
-                 read_manifest(table_path, to_version).get("schema"))
+    to_m = read_manifest(table_path, to_version)
+    return _scan(spark, table_path, added, to_m.get("schema"),
+                 renames=to_m.get("renames"),
+                 defaults=to_m.get("defaults"))
 
 
 def read_row_changes(spark, table_path: str, from_version: int,
@@ -1282,6 +1375,17 @@ def read_row_changes(spark, table_path: str, from_version: int,
         return df.withColumn("_change_type", F.lit(change_type)) \
                  .withColumn("_commit_version", F.lit(commit_v).cast("long"))
 
+    to_renames = read_manifest(table_path, to_version).get("renames") or []
+    spanned = [r for r in to_renames
+               if from_version < r["v"] <= to_version]
+    if spanned:
+        raise ValueError(
+            "read_row_changes: window spans a column rename at "
+            f"v{spanned[0]['v']} ({spanned[0]['old']!r} -> "
+            f"{spanned[0]['new']!r}) — change rows before and after "
+            "carry different column names; split the window at the "
+            "rename commit"
+        )
     pieces = []
     for v in range(from_version + 1, to_version + 1):
         if v not in vs:
@@ -1332,8 +1436,12 @@ def read_row_changes(spark, table_path: str, from_version: int,
                 img = _scan_with_deletes(
                     spark, table_path, cands,
                     prev.get("delete_files", []), cur.get("schema"),
+                    renames=cur.get("renames"),
+                    defaults=cur.get("defaults"),
                 ) if prev.get("delete_files") else _scan(
-                    spark, table_path, cands, cur.get("schema"))
+                    spark, table_path, cands, cur.get("schema"),
+                    renames=cur.get("renames"),
+                    defaults=cur.get("defaults"))
                 pieces.append(
                     tagged(img.join(keys, [dkey], "left_semi"), "delete", v)
                 )
@@ -1347,7 +1455,9 @@ def read_row_changes(spark, table_path: str, from_version: int,
             # any differing column emit pre+post, identical restatements
             # emit nothing.
             mkey = cur["key"]
-            after = _scan(spark, table_path, added, cur.get("schema"))
+            after = _scan(spark, table_path, added, cur.get("schema"),
+                          renames=cur.get("renames"),
+                          defaults=cur.get("defaults"))
             prev_del_paths = {d["path"] for d in prev.get("delete_files", [])}
             new_del = [d for d in cur.get("delete_files", [])
                        if d["path"] not in prev_del_paths]
@@ -1369,8 +1479,12 @@ def read_row_changes(spark, table_path: str, from_version: int,
                 img = _scan_with_deletes(
                     spark, table_path, cands,
                     prev.get("delete_files", []), prev.get("schema"),
+                    renames=prev.get("renames"),
+                    defaults=prev.get("defaults"),
                 ) if prev.get("delete_files") else _scan(
-                    spark, table_path, cands, prev.get("schema"))
+                    spark, table_path, cands, prev.get("schema"),
+                    renames=prev.get("renames"),
+                    defaults=prev.get("defaults"))
                 before = img.join(keys, [mkey], "left_semi")
             if before is None:
                 pieces.append(tagged(after, "insert", v))
@@ -1420,15 +1534,24 @@ def read_row_changes(spark, table_path: str, from_version: int,
                     aff_prev.append(prev_by[p])
                     aff_cur.append(cur_by[p])
             after = (_scan_with_deletes(spark, table_path, aff_cur,
-                                        cur_dels, cur.get("schema"))
+                                        cur_dels, cur.get("schema"),
+                                        renames=cur.get("renames"),
+                                        defaults=cur.get("defaults"))
                      if aff_cur else None)
             before = (_scan_with_deletes(spark, table_path, aff_prev,
-                                         prev_dels, prev.get("schema"))
+                                         prev_dels, prev.get("schema"),
+                                         renames=prev.get("renames"),
+                                         defaults=prev.get("defaults"))
                       if aff_prev else None)
         else:
-            after = (_scan(spark, table_path, added, cur.get("schema"))
+            after = (_scan(spark, table_path, added, cur.get("schema"),
+                           renames=cur.get("renames"),
+                           defaults=cur.get("defaults"))
                      if added else None)
-            before = (_scan(spark, table_path, removed, prev.get("schema"))
+            before = (_scan(spark, table_path, removed,
+                            prev.get("schema"),
+                            renames=prev.get("renames"),
+                            defaults=prev.get("defaults"))
                       if removed else None)
         if op in ("append", "stream-append"):
             if after is not None:
@@ -1617,6 +1740,37 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     # Iceberg ref-aware expiry contract)
     pinned = set(tags(table_path).values())
     keep = sorted(set(vs[-keep_versions:]) | (pinned & set(vs)))
+    return _reclaim_versions(table_path, vs, keep)
+
+
+def expire_snapshots(table_path: str, older_than: float,
+                     keep_last: int = 1) -> list[str]:
+    """AGE-based retention — the Iceberg ``expire_snapshots``
+    contract, the production twin of the count-based ``vacuum``: drop
+    every version whose ``committed_at`` predates *older_than* (a unix
+    timestamp), always keeping the newest *keep_last* versions and
+    every TAGGED version regardless of age.  Same reclamation
+    machinery as vacuum (live-file reference counting, batch-id and
+    app-txn high-water carry, bloom sidecars travel with their data
+    files); returns the deleted file paths.  Versions without a
+    recorded ``committed_at`` (pre-timestamp chains) are treated as
+    infinitely old — age retention on them keeps only pins and the
+    keep_last window."""
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    vs = versions(table_path)
+    pinned = set(tags(table_path).values())
+    young = {
+        v for v in vs
+        if (read_manifest(table_path, v).get("committed_at") or 0.0)
+        >= older_than
+    }
+    keep = sorted(set(vs[-keep_last:]) | (pinned & set(vs)) | young)
+    return _reclaim_versions(table_path, vs, keep)
+
+
+def _reclaim_versions(table_path: str, vs: list[int],
+                      keep: list[int]) -> list[str]:
     drop = [v for v in vs if v not in set(keep)]
 
     def _entry_paths(e: dict):
@@ -1752,7 +1906,13 @@ def append_stream_batch(df, table_path: str, batch_id: int,
         return None
     validated = table_constraints(table_path)
     _validate_constraints(df, table_path, validated)
-    entries = _write_data_files(df, table_path, n_files)
+    # streamed batches land under the table's ACTIVE partition spec
+    # when one is declared — the same writer contract as merge/delete
+    # rewrites: the declared layout owns every write path
+    entries = _write_data_files(
+        df, table_path, n_files,
+        partition_by=active_partition_spec(table_path),
+    )
     d = _manifest_dir(table_path)
     os.makedirs(d, exist_ok=True)
     staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
@@ -1896,11 +2056,17 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
         # with the extra-column guard above, a passing merge publishes the
         # table schema unchanged
         _merge_schema(schema_json, source_df.schema.jsonValue())
+    # rewrites and post-images land under the table's ACTIVE partition
+    # spec (when one is declared): an upsert-maintained table keeps its
+    # declared layout instead of gradually shedding partition metadata
+    # with every rewritten file (the Iceberg writer contract)
+    active_pb = active_partition_spec(table_path)
     if mode == "merge-on-read":
         v = base_version + 1
         data_entries = [
             {**e, "seq": v}
-            for e in _write_data_files(source_df, table_path, n_files)
+            for e in _write_data_files(source_df, table_path, n_files,
+                                       partition_by=active_pb)
         ]
         del_entries = [
             {**e, "key": key, "seq": v}
@@ -1946,13 +2112,16 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
     spark = source_df.sparkSession
     if touched:
         existing = _scan(
-            spark, table_path, touched, schema_json
+            spark, table_path, touched, schema_json,
+            renames=manifest.get("renames"),
+            defaults=manifest.get("defaults"),
         )
         kept = existing.join(source_df.select(key), [key], "left_anti")
         result = kept.unionByName(source_df.select(*existing.columns))
     else:
         result = source_df  # pure insert: no file can hold a match
-    entries = _write_data_files(result, table_path, n_files)
+    entries = _write_data_files(result, table_path, n_files,
+                                partition_by=active_pb)
     entries = [{**e, "seq": base_version + 1} for e in entries]
     new_manifest = {
         "operation": "merge",
@@ -1985,6 +2154,10 @@ def _carry_table_meta(new_manifest: dict, prior: dict | None) -> dict:
             new_manifest["constraints"] = prior["constraints"]
         if prior.get("partition_spec"):
             new_manifest["partition_spec"] = prior["partition_spec"]
+        if prior.get("renames"):
+            new_manifest["renames"] = prior["renames"]
+        if prior.get("defaults"):
+            new_manifest["defaults"] = prior["defaults"]
     return new_manifest
 
 
@@ -2114,11 +2287,19 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     if touched:
         spark = keys_df.sparkSession
         existing = _scan(
-            spark, table_path, touched, schema_json
+            spark, table_path, touched, schema_json,
+            renames=manifest.get("renames"),
+            defaults=manifest.get("defaults"),
         )
         kept = existing.join(keys, [key], "left_anti")
-        entries = [{**e, "seq": base_version + 1}
-                   for e in _write_data_files(kept, table_path, n_files)]
+        entries = [
+            {**e, "seq": base_version + 1}
+            for e in _write_data_files(
+                kept, table_path, n_files,
+                # rewrites keep the declared layout (see merge)
+                partition_by=active_partition_spec(table_path),
+            )
+        ]
     # no touched files → every file's key range misses the delete set:
     # publish a carry-only manifest anyway so the txn marker lands and
     # the commit is observable (a no-op delete is still a commit)
@@ -2381,7 +2562,9 @@ def optimize(spark, table_path: str, small_file_rows: int,
         1 if target_rows is None
         else max(1, -(-total // max(1, target_rows)))
     )
-    content = _scan(spark, table_path, small, manifest.get("schema"))
+    content = _scan(spark, table_path, small, manifest.get("schema"),
+                    renames=manifest.get("renames"),
+                    defaults=manifest.get("defaults"))
     entries = [
         {**e, "seq": base_version + 1}
         for e in _write_data_files(content, table_path, n_out)
@@ -2437,7 +2620,9 @@ def purge_deletes(spark, table_path: str, n_files: int = 1) -> int | None:
         # reconciled (sequence-number semantics preserved), rewrite
         # them clean
         survivors = _scan_with_deletes(
-            spark, table_path, affected, deletes, manifest.get("schema")
+            spark, table_path, affected, deletes, manifest.get("schema"),
+            renames=manifest.get("renames"),
+            defaults=manifest.get("defaults"),
         )
         entries = [
             {**e, "seq": base_version + 1}
@@ -2460,6 +2645,113 @@ def purge_deletes(spark, table_path: str, n_files: int = 1) -> int | None:
     _carry_table_meta(new_manifest, manifest)
     _publish_at_exactly(table_path, base_version + 1, new_manifest,
                         entries, op="purge_deletes")
+    return base_version + 1
+
+
+def recluster(spark, table_path: str, cluster_by: list[str],
+              n_files: int | None = None) -> int | None:
+    """INCREMENTAL clustering — the Delta liquid-clustering shape, and
+    the scale-honest alternative to ``compact(cluster_by=...)`` (which
+    rewrites the whole table to restore layout): rewrite ONLY the files
+    whose key ranges OVERLAP another file's, leaving every
+    already-disjoint file carried by reference, byte-untouched.
+
+    The decision is manifest metadata alone: files are grouped by
+    interval overlap on the FIRST clustering column (a sort + sweep
+    over the manifest entries — the pruning-relevant dimension; deeper
+    columns order rows within the rewrite).  A file with no recorded
+    stats on that column is treated as spanning everything
+    (conservatively rewritten).  Steady state on a 100 TB table: each
+    ingest's new files overlap each other and a handful of old files
+    at the range seams — recluster rewrites those groups and nothing
+    else, and the table converges back to pairwise-disjoint files
+    whose min/max stats prune like an index.
+
+    Pending merge-on-read deletes are MATERIALIZED into the rewritten
+    groups (their scan reconciles applicable delete files, and the
+    rewrite's higher sequence number ends their applicability there)
+    while staying in force for the untouched files — visible content
+    is identical before and after, so the commit publishes as a
+    compact variant and every CDC consumer stays silent.
+
+    Returns the new version, or None when every file is already
+    disjoint (nothing to do is not an error)."""
+    if not cluster_by:
+        raise ValueError("recluster: cluster_by needs >= 1 column")
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"recluster: {table_path} has no versions")
+    base_version = vs[-1]
+    manifest = read_manifest(table_path, base_version)
+    col = cluster_by[0]
+    neg_inf, pos_inf = object(), object()  # sort-stable sentinels
+
+    def _bounds(e: dict):
+        mn = e.get("stats", {}).get(f"min_{col}")
+        mx = e.get("stats", {}).get(f"max_{col}")
+        return (neg_inf if mn is None else mn,
+                pos_inf if mx is None else mx)
+
+    # sweep entries in min order, chaining a group while intervals
+    # overlap — stat-less files sort first and their +inf max chains
+    # them (and everything after) into one group
+    def _key(e):
+        mn, _ = _bounds(e)
+        return (0, 0) if mn is neg_inf else (1, mn)
+
+    ordered = sorted(manifest["files"], key=_key)
+    groups: list[list[dict]] = []
+    group_hi = None
+    for e in ordered:
+        mn, mx = _bounds(e)
+        if (groups and group_hi is not None
+                and (group_hi is pos_inf or mn is neg_inf
+                     or mn <= group_hi)):
+            groups[-1].append(e)
+            if group_hi is not pos_inf and (
+                    mx is pos_inf or mx > group_hi):
+                group_hi = mx
+        else:
+            groups.append([e])
+            group_hi = mx
+    affected = [e for g in groups if len(g) > 1 for e in g]
+    if not affected:
+        return None  # already pairwise-disjoint: no commit
+    untouched = [e for g in groups if len(g) == 1 for e in g]
+    deletes = manifest.get("delete_files") or []
+    content = (_scan_with_deletes(spark, table_path, affected, deletes,
+                                  manifest.get("schema"),
+                                  renames=manifest.get("renames"),
+                                  defaults=manifest.get("defaults"))
+               if deletes
+               else _scan(spark, table_path, affected,
+                          manifest.get("schema"),
+                          renames=manifest.get("renames"),
+                          defaults=manifest.get("defaults")))
+    entries = [
+        {**e, "seq": base_version + 1}
+        for e in _write_data_files(
+            content, table_path,
+            n_files if n_files is not None else max(1, len(affected)),
+            cluster_by=cluster_by,
+        )
+    ]
+    new_manifest = {
+        "operation": "compact",  # content-identical: CDC-silent
+        "mode": "recluster",
+        "version": base_version + 1,
+        "committed_at": time.time(),
+        "files": untouched + entries,
+    }
+    if deletes:
+        # still in force for the untouched files (lower seq); the
+        # rewritten entries' higher seq ends their applicability there
+        new_manifest["delete_files"] = deletes
+    if manifest.get("schema") is not None:
+        new_manifest["schema"] = manifest["schema"]
+    _carry_table_meta(new_manifest, manifest)
+    _publish_at_exactly(table_path, base_version + 1, new_manifest,
+                        entries, op="recluster")
     return base_version + 1
 
 
@@ -2622,7 +2914,8 @@ def read_staged(spark, table_path: str, name: str):
         st = json.load(f)
     latest = read_manifest(table_path, versions(table_path)[-1])
     return _scan(spark, table_path, latest["files"] + st["entries"],
-                 st.get("schema"))
+                 st.get("schema"), renames=latest.get("renames"),
+                 defaults=latest.get("defaults"))
 
 
 def publish_staged(table_path: str, name: str) -> int:
@@ -2704,6 +2997,196 @@ def table_rows(table_path: str, version: int | None = None) -> int:
             "manifest count an over-estimate — compact() first"
         )
     return sum(e["rows"] for e in m["files"])
+
+
+def add_column(table_path: str, name: str, dtype: str,
+               default=None) -> int:
+    """ADD a column as a METADATA-ONLY commit, optionally with an
+    INITIAL DEFAULT — the Iceberg initial-default / Delta
+    default-value contract: files written BEFORE this commit have no
+    such footer column and read back as *default* (not null), while
+    files written after carry their genuine values including real
+    nulls.  The per-file boundary is the sequence number (the same
+    era mapping renames use), so zero data files are rewritten and a
+    later rewrite of an old file MATERIALIZES the default at its new
+    sequence number.  ``default=None`` is the classic add-column
+    (pre-evolution files read null) — the behavior append's implicit
+    add-column evolution already gives, here as an explicit command.
+
+    *dtype* is a Spark type name (``long``/``double``/``string``/...)
+    as accepted by schema JSON."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"add_column: {table_path} has no versions")
+    m = read_manifest(table_path, vs[-1])
+    schema = m.get("schema")
+    if schema is None:
+        raise ValueError(
+            "add_column: chain has no recorded schema — commit once "
+            "with a schema-recording writer first"
+        )
+    names = [f["name"] for f in schema["fields"]]
+    if name in names:
+        raise ValueError(f"add_column: {name!r} already exists")
+    new_schema = {
+        **schema,
+        "fields": schema["fields"] + [
+            {"name": name, "type": dtype, "nullable": True,
+             "metadata": {}}
+        ],
+    }
+    return _publish_manifest(
+        table_path, "add-column", [], carry=True,
+        schema=new_schema, schema_replace=True,
+        default_event=(
+            {"col": name, "value": default} if default is not None
+            else None
+        ),
+    )
+
+
+def rename_column(table_path: str, old: str, new: str) -> int:
+    """RENAME a column as a METADATA-ONLY commit — zero data files
+    rewritten (the Iceberg rename contract: column identity is table
+    metadata, not a byte in every file).  The manifest schema carries
+    the new name; the rename EVENT (old, new, commit version) is
+    appended to the table's rename history, and every scan undoes the
+    renames NEWER than a file's sequence number to find the column's
+    stored name in that file (``_scan`` era mapping) — so files written
+    before and after the rename read back under one current name.
+
+    Stats/bloom sidecars recorded under the old name stop serving
+    pruning for pre-rename files (readers keep them conservatively —
+    correctness is never at stake, only skip efficiency, and the next
+    rewrite of a file re-records under the current name).
+
+    Refusals (all loud, table unchanged): unknown/duplicate names; a
+    chain with no recorded schema; PENDING merge-on-read delete files
+    (their key column name is frozen at delete time — compact()/
+    purge_deletes() first); open BRANCHES or STAGED commits (their
+    replay restamps sequence numbers, which would mis-date the files
+    against the rename — publish or discard first); renaming a column
+    that is any file's partition source or the table's active
+    partition-spec source (partition values/probes are keyed by
+    source name)."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"rename_column: {table_path} has no versions")
+    m = read_manifest(table_path, vs[-1])
+    schema = m.get("schema")
+    if schema is None:
+        raise ValueError(
+            "rename_column: chain has no recorded schema — pre-schema "
+            "chains cannot rename (footer inference has no name map)"
+        )
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"rename_column: no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"rename_column: {new!r} already exists")
+    if m.get("delete_files"):
+        raise ValueError(
+            "rename_column: pending merge-on-read delete files are "
+            "keyed by the old name — compact()/purge_deletes() first"
+        )
+    if branches(table_path):
+        raise ValueError(
+            "rename_column: open branches replay with fresh sequence "
+            "numbers and would mis-date their files against the "
+            "rename — publish or discard branches first"
+        )
+    if staged(table_path):
+        raise ValueError(
+            "rename_column: staged commits replay with fresh sequence "
+            "numbers — publish or discard stages first"
+        )
+    for cname, cexpr in (m.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(old)}\b", cexpr):
+            raise ValueError(
+                f"rename_column: CHECK constraint {cname!r} references "
+                f"{old!r} — drop/re-add it under the new name first"
+            )
+    sp = m.get("partition_spec")
+    if sp and sp.get("source") == old:
+        raise ValueError(
+            f"rename_column: {old!r} is the active partition-spec "
+            "source — clear or re-declare the spec first"
+        )
+    for e in m["files"]:
+        esp = e.get("partition_spec")
+        if (esp and esp.get("source") == old) or (
+                e.get("partition") and old in e["partition"]):
+            raise ValueError(
+                f"rename_column: {old!r} is a partition source of "
+                f"file {e['path']!r} — partitioned columns cannot "
+                "rename without a rewrite"
+            )
+    new_schema = {
+        **schema,
+        "fields": [
+            {**f, "name": new} if f["name"] == old else f
+            for f in schema["fields"]
+        ],
+    }
+    # initial defaults follow the column to its new name (they fill by
+    # CURRENT name at scan time)
+    new_defaults = None
+    if any(d["col"] == old for d in m.get("defaults") or []):
+        new_defaults = [
+            {**d, "col": new} if d["col"] == old else d
+            for d in m["defaults"]
+        ]
+    return _publish_manifest(
+        table_path, "rename-column", [], carry=True,
+        schema=new_schema, schema_replace=True,
+        rename_event={"old": old, "new": new},
+        defaults_replace=new_defaults,
+    )
+
+
+def table_column_stats(table_path: str, col: str,
+                       version: int | None = None) -> dict:
+    """Exact ``{rows, min, max}`` for *col* from manifest metadata
+    alone — the aggregate-pushdown path (Iceberg answers
+    count/min/max scans from manifests; Spark's DSv2 exposes the same
+    via SupportsPushDownAggregates): data files are immutable, so the
+    per-file bounds recorded at write time stay true, and the table
+    extremum is the extremum of the per-file bounds.  Zero data I/O —
+    the answer survives the data files being physically unreachable
+    (test-pinned).  Refuses pending merge-on-read deletes (a deleted
+    row could BE the recorded extremum; ``compact()``/
+    ``purge_deletes()`` first) and columns with any stat-less file
+    (no recorded bounds — e.g. an all-null file or a pre-stats
+    commit — would make the extremum a guess)."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"table_column_stats: {table_path} has no versions")
+    v = vs[-1] if version is None else version
+    m = read_manifest(table_path, v)
+    if m.get("delete_files"):
+        raise ValueError(
+            "table_column_stats: pending merge-on-read delete files "
+            "make manifest bounds unreliable (a deleted row could be "
+            "the extremum) — compact()/purge_deletes() first"
+        )
+    if not m["files"]:
+        raise ValueError(
+            f"table_column_stats: v{v} at {table_path} lists no files"
+        )
+    mns, mxs, rows = [], [], 0
+    for e in m["files"]:
+        rows += e["rows"]
+        mn = e.get("stats", {}).get(f"min_{col}")
+        mx = e.get("stats", {}).get(f"max_{col}")
+        if mn is None or mx is None:
+            raise ValueError(
+                f"table_column_stats: file {e['path']!r} has no "
+                f"recorded bounds for {col!r} — manifest stats cannot "
+                "answer exactly; scan instead"
+            )
+        mns.append(mn)
+        mxs.append(mx)
+    return {"rows": rows, "min": min(mns), "max": max(mxs)}
 
 
 # ---------------------------------------------------------------------------
@@ -2858,11 +3341,15 @@ def read_branch(spark, table_path: str, name: str):
     """Scan the branch tip: the base snapshot's state plus every
     branch commit — pending merge-on-read deletes at the base apply
     exactly as a read() of that version would."""
-    _base, files, deletes, schema = _branch_tip(table_path, name)
+    base, files, deletes, schema = _branch_tip(table_path, name)
+    base_m = read_manifest(table_path, base["base_version"])
     if deletes:
         return _scan_with_deletes(spark, table_path, files, deletes,
-                                  schema)
-    return _scan(spark, table_path, files, schema)
+                                  schema, renames=base_m.get("renames"),
+                                  defaults=base_m.get("defaults"))
+    return _scan(spark, table_path, files, schema,
+                 renames=base_m.get("renames"),
+                 defaults=base_m.get("defaults"))
 
 
 def _branch_commit(table_path: str, name: str, payload: dict) -> int:
@@ -2930,7 +3417,13 @@ def branch_merge(source_df, table_path: str, name: str, key: str,
     untouched = [e for e in files if e not in touched]
     spark = source_df.sparkSession
     if touched:
-        existing = _scan(spark, table_path, touched, schema_json)
+        existing = _scan(
+            spark, table_path, touched, schema_json,
+            renames=read_manifest(
+                table_path, base["base_version"]).get("renames"),
+            defaults=read_manifest(
+                table_path, base["base_version"]).get("defaults"),
+        )
         kept = existing.join(source_df.select(key), [key], "left_anti")
         result = kept.unionByName(source_df.select(*existing.columns))
     else:
@@ -2974,7 +3467,13 @@ def branch_delete_rows(keys_df, table_path: str, name: str, key: str,
     entries: list[dict] = []
     if touched:
         spark = keys_df.sparkSession
-        existing = _scan(spark, table_path, touched, schema_json)
+        existing = _scan(
+            spark, table_path, touched, schema_json,
+            renames=read_manifest(
+                table_path, base["base_version"]).get("renames"),
+            defaults=read_manifest(
+                table_path, base["base_version"]).get("defaults"),
+        )
         kept = existing.join(keys, [key], "left_anti")
         entries = _write_data_files(kept, table_path, n_files)
     payload = {

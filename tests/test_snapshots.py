@@ -346,8 +346,8 @@ def test_merge_fails_loudly_on_concurrent_commit(spark, tmp_path,
     # BEFORE it publishes: inject the racer's v2 during the rewrite
     real_write = S._write_data_files
 
-    def _write_then_race(df, table_path, n_files):
-        entries = real_write(df, table_path, n_files)
+    def _write_then_race(df, table_path, n_files, **kw):
+        entries = real_write(df, table_path, n_files, **kw)
         race = os.path.join(t, "_manifests", "v2.json")
         if not os.path.exists(race):
             with open(race, "w") as f:
@@ -1004,3 +1004,131 @@ def test_purge_deletes_respects_sequence_numbers(spark, tmp_path):
     got = sorted((r.k, r.v) for r in S.read(spark, t).collect())
     assert got == [(1, "a-reborn"), (2, "b")]
     assert not S.read_manifest(t, v).get("delete_files")
+
+
+def test_recluster_rewrites_only_overlapping_files(spark, tmp_path):
+    # liquid-clustering shape (r12): after a clustered base, a small
+    # append confined to one key range must trigger a rewrite of ONLY
+    # that range's overlap group; disjoint files are carried untouched
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    t = _os.path.join(str(tmp_path), "liq")
+    rows = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    S.overwrite(rows, t, n_files=1)
+    S.compact(spark, t, n_files=4, cluster_by=["k"])  # disjoint base
+    base_files = {e["path"] for e in S.read_manifest(t, 2)["files"]}
+    # already disjoint: recluster is a no-op returning None
+    assert S.recluster(spark, t, ["k"]) is None
+    # append keys confined to the LOW range (duplicates are fine for
+    # append semantics; marker value distinguishes them)
+    S.append(spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")), t, n_files=2)
+    v = S.recluster(spark, t, ["k"])
+    m = S.read_manifest(t, v)
+    assert m["operation"] == "compact" and m["mode"] == "recluster"
+    carried = {e["path"] for e in m["files"]} & base_files
+    assert len(carried) == 3  # only the low-range file was rewritten
+    # post state: all files pairwise disjoint on k again
+    spans = sorted(
+        (e["stats"][f"min_k"], e["stats"][f"max_k"]) for e in m["files"])
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    # content identical to pre-recluster (CDC-silent compact contract)
+    got = S.read(spark, t).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")).collect()[0]
+    assert (got["n"], got["sv"]) == (450, sum(3 * k for k in range(400)) - 50)
+    assert S.read_row_changes(spark, t, v - 1, v).count() == 0
+
+
+def test_recluster_materializes_deletes_in_rewritten_groups(spark, tmp_path):
+    # pending MOR deletes stay in force for carried files and are
+    # materialized into the rewritten group (sequence-number safety:
+    # the rewrite must not resurrect deleted rows)
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    t = _os.path.join(str(tmp_path), "liq_del")
+    rows = spark.range(0, 200).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    S.overwrite(rows, t, n_files=1)
+    S.compact(spark, t, n_files=2, cluster_by=["k"])  # [0,99] [100,199]
+    S.delete(spark.createDataFrame([(5,), (150,)], "k long"), t,
+             key="k", mode="merge-on-read")
+    S.append(spark.range(0, 30).select(
+        F.col("id").alias("k"), F.lit(-7).cast("long").alias("v")), t, n_files=1)
+    v = S.recluster(spark, t, ["k"])
+    m = S.read_manifest(t, v)
+    # the delete files remain (they still guard the carried high file)
+    assert m.get("delete_files")
+    got = sorted((r.k, r.v) for r in S.read(spark, t).collect())
+    expect = sorted(
+        [(k, k) for k in range(200) if k not in (5, 150)]
+        + [(k, -7) for k in range(30)]
+    )
+    assert got == expect
+
+
+def test_table_column_stats_metadata_only(spark, tmp_path):
+    # exact count/min/max served from the manifest — proven zero data
+    # I/O by answering AFTER the data directory is physically moved
+    # away (r12 aggregate pushdown)
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    t = _os.path.join(str(tmp_path), "aggp")
+    S.overwrite(spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 97).alias("v")),
+        t, n_files=3)
+    S.merge(spark.createDataFrame([(50, 9999), (301, -3)],
+                                  "k long, v long"), t, key="k")
+    got = S.table_column_stats(t, "v")
+    assert got == {"rows": 301, "min": -3, "max": 9999}
+    # move the data away: metadata still answers
+    shutil.move(_os.path.join(t, "data"), _os.path.join(str(tmp_path), "x"))
+    assert S.table_column_stats(t, "v") == got
+    shutil.move(_os.path.join(str(tmp_path), "x"), _os.path.join(t, "data"))
+    # pending MOR deletes refuse (the extremum could be a deleted row)
+    S.delete(spark.createDataFrame([(50,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    with pytest.raises(ValueError, match="compact"):
+        S.table_column_stats(t, "v")
+    S.purge_deletes(spark, t)
+    # after the purge the deleted extremum (9999) is gone: the bounds
+    # re-recorded by the rewrite give the true max of the survivors
+    after = S.table_column_stats(t, "v")
+    assert after["rows"] == 300 and after["max"] == 96 and after["min"] == -3
+
+
+def test_expire_snapshots_age_based(spark, tmp_path):
+    # age-based retention: versions older than the horizon expire,
+    # tagged pins and the keep_last window survive regardless (r12)
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    t = _os.path.join(str(tmp_path), "exp")
+    S.overwrite(spark.range(5).select(F.col("id").alias("k")), t,
+                n_files=1)                                   # v1 (old)
+    S.append(spark.createDataFrame([(10,)], "k long"), t)    # v2 (old)
+    S.tag(t, "keepme", version=1)
+    cutoff = _time.time() + 0.5  # everything so far is "old"
+    _time.sleep(0.6)
+    S.append(spark.createDataFrame([(11,)], "k long"), t)    # v3 (young)
+    S.append(spark.createDataFrame([(12,)], "k long"), t)    # v4 (young)
+    deleted = S.expire_snapshots(t, older_than=cutoff)
+    # v2 expired (old, unpinned); v1 survives via tag; v3/v4 young
+    assert S.versions(t) == [1, 3, 4]
+    assert deleted == []  # v2's files are all still referenced by v3/v4
+    assert S.read(spark, t, ref="keepme").count() == 5
+    assert S.read(spark, t).count() == 8
+    # keep_last floor: even with a future horizon, the newest stays
+    S.expire_snapshots(t, older_than=_time.time() + 1000)
+    assert S.versions(t) == [1, 4]
+    with pytest.raises(ValueError, match="keep_last"):
+        S.expire_snapshots(t, older_than=0, keep_last=0)

@@ -444,3 +444,194 @@ def test_declared_spec_survives_every_commit_type(spark, tmp_path):
     # rollback restores the spec OF THAT ERA (full-state contract)
     S.rollback(t, 1)
     assert S.active_partition_spec(t) is None
+
+
+def test_merge_and_delete_rewrites_keep_declared_layout(spark, tmp_path):
+    # an upsert-maintained table with a declared spec keeps its layout:
+    # merge/delete rewrites land partitioned under the active spec
+    # instead of shedding partition metadata file by file (r12)
+    t = os.path.join(str(tmp_path), "mspec")
+    rows = spark.range(0, 200).select(F.col("id").alias("k"),
+                                      (F.col("id") * 2).alias("v"))
+    S.set_partition_spec(t, ("bucket", "k", 4))
+    S.append(rows, t, n_files=1, partition_by=S.CURRENT_SPEC)
+    S.merge(spark.createDataFrame([(10, -1), (500, -2)], "k long, v long"),
+            t, key="k")
+    m = S.read_manifest(t, S.versions(t)[-1])
+    assert all(
+        (e.get("partition_spec") or {}).get("param") == 4
+        for e in m["files"]
+    )
+    S.delete(spark.createDataFrame([(11,)], "k long"), t, key="k")
+    m = S.read_manifest(t, S.versions(t)[-1])
+    assert all(
+        (e.get("partition_spec") or {}).get("param") == 4
+        for e in m["files"]
+    )
+    got = S.read(spark, t, key_in=("k", [10, 500, 11, 12]))
+    vals = sorted((r.k, r.v) for r in
+                  got.filter("k IN (10, 500, 11, 12)").collect())
+    assert vals == [(10, -1), (12, 24), (500, -2)]
+
+
+def test_stream_appends_follow_declared_layout(spark, tmp_path):
+    # streamed batches land under the active spec too (every write
+    # path honors the declared layout)
+    t = os.path.join(str(tmp_path), "sspec")
+    S.set_partition_spec(t, ("bucket", "k", 4))
+    for b in range(2):
+        S.append_stream_batch(
+            spark.range(b * 50, b * 50 + 50).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+            t, batch_id=b)
+    m = S.read_manifest(t, S.versions(t)[-1])
+    assert m["files"] and all(
+        (e.get("partition_spec") or {}).get("param") == 4
+        for e in m["files"]
+    )
+    got = S.read(spark, t, key_in=("k", [7, 77]))
+    assert sorted(r.k for r in got.filter("k IN (7, 77)").collect()) \
+        == [7, 77]
+
+
+def test_rename_column_reads_across_eras(spark, tmp_path):
+    # rename is metadata-only: files written BEFORE the rename store
+    # the old footer name, and every read maps them per-era (r12)
+    t = os.path.join(str(tmp_path), "ren")
+    S.overwrite(spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        t, n_files=2)
+    v_ren = S.rename_column(t, "v", "val")
+    m = S.read_manifest(t, v_ren)
+    assert m["operation"] == "rename-column"
+    assert [f["name"] for f in m["schema"]["fields"]] == ["k", "val"]
+    assert m["renames"] == [{"old": "v", "new": "val", "v": v_ren}]
+    got = S.read(spark, t)
+    assert got.columns == ["k", "val"]
+    # values intact — a naive schema-swap would null-fill old files
+    assert got.agg(F.sum("val")).collect()[0][0] == sum(
+        2 * k for k in range(100))
+    # post-rename append mixes eras in one table
+    S.append(spark.createDataFrame([(200, 999)], "k long, val long"), t,
+             n_files=1)
+    got = S.read(spark, t)
+    assert got.filter("k = 200").collect()[0]["val"] == 999
+    assert got.count() == 101
+    # a merge REWRITE reads pre-rename files correctly (value-bearing)
+    S.merge(spark.createDataFrame([(3, -3)], "k long, val long"), t,
+            key="k")
+    got = {r.k: r.val for r in S.read(spark, t).collect()}
+    assert got[3] == -3 and got[4] == 8 and got[200] == 999
+    # chained second rename: two-era undo
+    S.rename_column(t, "val", "value")
+    got = S.read(spark, t)
+    assert got.columns == ["k", "value"]
+    assert got.filter("k = 4").collect()[0]["value"] == 8
+    # time travel reads each era under ITS name
+    assert S.read(spark, t, 1).columns == ["k", "v"]
+    # rollback to the pre-rename version restores the old schema
+    S.rollback(t, 1)
+    assert S.read(spark, t).columns == ["k", "v"]
+
+
+def test_rename_column_refusals(spark, tmp_path):
+    t = _t(spark, tmp_path)  # columns k, v
+    with pytest.raises(ValueError, match="no column"):
+        S.rename_column(t, "zzz", "y")
+    with pytest.raises(ValueError, match="already exists"):
+        S.rename_column(t, "v", "k")
+    S.add_constraint(spark, t, "v_ok", "v >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        S.rename_column(t, "v", "val")
+    S.drop_constraint(t, "v_ok")
+    S.delete(spark.createDataFrame([(1,)], "k long"), t, key="k",
+             mode="merge-on-read")
+    with pytest.raises(ValueError, match="pending"):
+        S.rename_column(t, "v", "val")
+    S.purge_deletes(spark, t)
+    S.create_branch(t, "b1")
+    with pytest.raises(ValueError, match="branch"):
+        S.rename_column(t, "v", "val")
+    S.discard_branch(t, "b1")
+    S.rename_column(t, "v", "val")  # now clean: succeeds
+    assert S.read(spark, t).columns == ["k", "val"]
+    # partition-source columns refuse
+    t2 = os.path.join(str(tmp_path), "renp")
+    S.overwrite(spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")),
+        t2, n_files=1, partition_by=("bucket", "k", 4))
+    with pytest.raises(ValueError, match="partition"):
+        S.rename_column(t2, "k", "kk")
+
+
+def test_rename_column_cdc_contract(spark, tmp_path):
+    # the batch feed serves windows wholly before/after a rename and
+    # refuses spanning windows; the stream readers refuse entirely
+    t = os.path.join(str(tmp_path), "rencdc")
+    S.overwrite(spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        t, n_files=1)
+    S.merge(spark.createDataFrame([(1, -1)], "k long, v long"), t,
+            key="k")                                            # v2
+    S.rename_column(t, "v", "val")                              # v3
+    S.merge(spark.createDataFrame([(2, -2)], "k long, val long"), t,
+            key="k")                                            # v4
+    before = S.read_row_changes(spark, t, 1, 2)
+    assert "v" in before.columns
+    assert before.filter("_change_type = 'update_postimage'"
+                         ).collect()[0]["v"] == -1
+    after = S.read_row_changes(spark, t, 3, 4)
+    assert "val" in after.columns
+    # the post-rename merge rewrote PRE-rename files: its pre-images
+    # must come back under the current name with true values
+    pre = {r.k: r.val for r in after.filter(
+        "_change_type = 'update_preimage'").collect()}
+    assert pre == {2: 4}
+    with pytest.raises(ValueError, match="rename"):
+        S.read_row_changes(spark, t, 1, 4)
+    # the rename commit alone is a zero-row window... spanning refusal
+    # applies to (2, 3] too since the event sits at v3
+    with pytest.raises(ValueError, match="rename"):
+        S.read_row_changes(spark, t, 2, 3)
+
+
+def test_add_column_with_initial_default(spark, tmp_path):
+    # files written BEFORE the add read the declared default (not
+    # null); files after keep genuine values including real nulls (r12)
+    t = _t(spark, tmp_path)  # 10 rows (k, v), v1
+    S.add_column(t, "tier", "string", default="legacy")
+    got = S.read(spark, t)
+    assert got.columns == ["k", "v", "tier"]
+    assert got.filter("tier = 'legacy'").count() == 10
+    S.append(spark.createDataFrame(
+        [(100, 0, "gold"), (101, 0, None)],
+        "k long, v long, tier string"), t, n_files=1)
+    got = S.read(spark, t)
+    assert got.filter("tier = 'legacy'").count() == 10
+    assert got.filter("tier = 'gold'").count() == 1
+    assert got.filter("tier IS NULL").count() == 1  # genuine null kept
+    # classic add-column (no default): pre-evolution files read null
+    S.add_column(t, "score", "long")
+    got = S.read(spark, t)
+    assert got.filter("score IS NULL").count() == 12
+    # a rewrite MATERIALIZES the default at its new sequence number
+    S.merge(spark.createDataFrame([(1, -1, "vip", 5)],
+                                  "k long, v long, tier string, "
+                                  "score long"), t, key="k")
+    got = {r.k: (r.tier, r.score) for r in S.read(spark, t).collect()}
+    assert got[1] == ("vip", 5)
+    assert got[2] == ("legacy", None)  # untouched old-era rows intact
+    # time travel before the add: old schema, no phantom column
+    assert S.read(spark, t, 1).columns == ["k", "v"]
+    # duplicate add refuses
+    with pytest.raises(ValueError, match="already exists"):
+        S.add_column(t, "tier", "string")
+
+
+def test_default_follows_rename(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    S.add_column(t, "tier", "string", default="legacy")
+    S.rename_column(t, "tier", "grade")
+    got = S.read(spark, t)
+    assert got.columns == ["k", "v", "grade"]
+    assert got.filter("grade = 'legacy'").count() == 10
