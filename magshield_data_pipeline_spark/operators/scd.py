@@ -83,9 +83,28 @@ def refresh_scd2(spark, source_path: str, mirror_path: str, key: str,
     """Fold the source's ``(from_version, to_version]`` row changes
     into the mirror.  Returns the mirror's new version, or None when
     the window was empty or already applied (replay)."""
-    app = app_id or f"scd2:{mirror_path}"
     feed = SN.read_row_changes(spark, source_path, from_version,
                                to_version)
+    return apply_scd2_changes(
+        spark, mirror_path, feed, key, attrs, txn_version=to_version,
+        app_id=app_id,
+    )
+
+
+def apply_scd2_changes(spark, mirror_path: str, feed, key: str,
+                       attrs: list[str], txn_version: int,
+                       app_id: str | None = None) -> int | None:
+    """Fold a pre-materialized change frame (``_change_type`` /
+    ``_commit_version`` tagged rows — the batch feed's window or a
+    ``ledger_cdc`` stream micro-batch) into the mirror under app
+    transaction ``(app_id, txn_version)``.  The STREAMING form: inside
+    ``foreachBatch`` pass the batch frame with the stream batch id as
+    *txn_version* (monotonic per checkpoint), and a replayed batch is
+    a durable no-op — the same exactly-once contract as
+    ``ivm.apply_changes``.  Multi-commit batches collapse in the one
+    lead() window (the timeline handles update→update→delete chains
+    regardless of how commits batch)."""
+    app = app_id or f"scd2:{mirror_path}"
     opens = feed.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).select(
@@ -149,4 +168,4 @@ def refresh_scd2(spark, source_path: str, mirror_path: str, key: str,
     # no-op (no IVM-style recomputed-retract hazard: nothing here is
     # derived from post-merge state)
     return SN.merge(upserts, mirror_path, key="_scd_id", n_files=1,
-                    txn=(app, to_version))
+                    txn=(app, txn_version))

@@ -309,14 +309,15 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
     instead of wedging (ADVICE r11 high)."""
     cur = _manifest(table_path, v)
     prev = _manifest(table_path, v - 1)
-    if cur.get("renames") or cur.get("defaults"):
+    if (cur.get("renames") or cur.get("defaults")
+            or cur.get("drops")):
         # the stream readers materialize rows from file footers by
         # NAME; a table with rename history needs the per-file era
         # mapping only the batch feed implements (read_row_changes /
         # _scan) — refuse loudly rather than mis-map columns (r12
         # honest scope edge, same pattern as the former MOR refusal)
         raise ValueError(
-            "ledger_cdc: table has column-rename/default history — the "
+            "ledger_cdc: table has column rename/default/drop history — the "
             "streaming reader does not map per-file stored names; "
             "consume via snapshots.read_row_changes (split windows at "
             "the rename commit)"
@@ -505,9 +506,10 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple:
         v0 = int(start["version"])
         if (_manifest(self.path, v0).get("renames")
-                or _manifest(self.path, v0).get("defaults")):
+                or _manifest(self.path, v0).get("defaults")
+                or _manifest(self.path, v0).get("drops")):
             raise ValueError(
-                "ledger_cdc: table has column-rename/default history — the "
+                "ledger_cdc: table has column rename/default/drop history — the "
                 "streaming reader does not map per-file stored names; "
                 "consume via snapshots.read_row_changes"
             )
@@ -592,9 +594,10 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
         parts: list[LedgerCdcPartition] = []
         v0 = int(start["version"])
         if (_manifest(self.path, v0).get("renames")
-                or _manifest(self.path, v0).get("defaults")):
+                or _manifest(self.path, v0).get("defaults")
+                or _manifest(self.path, v0).get("drops")):
             raise ValueError(
-                "ledger_cdc_dist: table has column-rename/default history — "
+                "ledger_cdc_dist: table has column rename/default/drop history — "
                 "the streaming reader does not map per-file stored "
                 "names; consume via snapshots.read_row_changes"
             )
@@ -613,9 +616,10 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
         for v in range(v0 + 1, int(end["version"]) + 1):
             cur = _manifest(self.path, v)
             prev = _manifest(self.path, v - 1)
-            if cur.get("renames") or cur.get("defaults"):
+            if (cur.get("renames") or cur.get("defaults")
+            or cur.get("drops")):
                 raise ValueError(
-                    "ledger_cdc_dist: table has column-rename/default history "
+                    "ledger_cdc_dist: table has column rename/default/drop history "
                     "— the streaming reader does not map per-file "
                     "stored names; consume via "
                     "snapshots.read_row_changes"

@@ -140,6 +140,8 @@ def _publish_manifest(
     rename_event: dict | None = None,
     default_event: dict | None = None,
     defaults_replace: list | None = None,
+    drop_event: dict | None = None,
+    drops_replace: list | None = None,
 ) -> int:
     """Optimistic commit: stage the manifest, then exclusively link it
     as the next version; on collision (a concurrent writer took the
@@ -173,14 +175,39 @@ def _publish_manifest(
                 # branch_merge reading a set-constraint base) (r12)
                 committed_schema = carried_manifest.get("schema")
             elif schema_replace:
-                # rename_column: the transformed schema replaces the
-                # carried one outright (merging would keep the old
-                # field AND append the new at the end)
+                # rename/drop/add_column: the transformed schema
+                # replaces the carried one outright (merging would keep
+                # the old field AND append the new at the end)
                 committed_schema = schema
             else:
                 committed_schema = _merge_schema(
                     carried_manifest.get("schema"), schema
                 )
+                # re-introducing a DROPPED name via implicit add-column
+                # evolution would resurrect old files' stale bytes —
+                # the drop/re-add handshake requires add_column (which
+                # masks them with an initial default)
+                dropped = {
+                    d["col"] for d in
+                    (carried_manifest.get("drops") or [])
+                }
+                carried_names = {
+                    f["name"] for f in
+                    (carried_manifest.get("schema") or {"fields": []})
+                    ["fields"]
+                }
+                revived = [
+                    f["name"] for f in schema["fields"]
+                    if f["name"] in dropped
+                    and f["name"] not in carried_names
+                ]
+                if revived:
+                    raise ValueError(
+                        f"column(s) {revived} were previously DROPPED "
+                        "— re-add via snapshots.add_column (implicit "
+                        "re-introduction would resurrect old files' "
+                        "stale values)"
+                    )
         # stamp this commit's NEW entries with their sequence number —
         # what lets a merge-on-read delete file apply only to data
         # committed BEFORE it (the Iceberg v2 sequence-number contract);
@@ -254,6 +281,16 @@ def _publish_manifest(
             ]
         if committed_defaults:
             manifest["defaults"] = committed_defaults
+        committed_drops = (
+            drops_replace if drops_replace is not None
+            else (latest_manifest or {}).get("drops")
+        )
+        if drop_event is not None:
+            committed_drops = list(committed_drops or []) + [
+                {**drop_event, "v": v}
+            ]
+        if committed_drops:
+            manifest["drops"] = committed_drops
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         try:
@@ -2158,6 +2195,8 @@ def _carry_table_meta(new_manifest: dict, prior: dict | None) -> dict:
             new_manifest["renames"] = prior["renames"]
         if prior.get("defaults"):
             new_manifest["defaults"] = prior["defaults"]
+        if prior.get("drops"):
+            new_manifest["drops"] = prior["drops"]
     return new_manifest
 
 
@@ -2999,6 +3038,82 @@ def table_rows(table_path: str, version: int | None = None) -> int:
     return sum(e["rows"] for e in m["files"])
 
 
+def drop_column(table_path: str, name: str) -> int:
+    """DROP a column as a METADATA-ONLY commit — zero files rewritten:
+    the manifest schema loses the field and every scan's projection
+    simply stops reading it (the bytes stay in old files, invisible).
+    The drop is recorded in the table's ``drops`` history so the name
+    cannot be silently re-introduced by append's implicit add-column
+    evolution — re-adding a dropped name must go through
+    ``add_column``, which masks the old files' stale stored bytes with
+    the new column's initial default (the resurrection hazard Iceberg
+    solves with field IDs; a name-based chain solves it with the
+    drop/re-add handshake).  Refusals: the last column; partition
+    sources (active spec, any file's recorded spec/value); CHECK
+    constraints referencing the name; a pending merge-on-read delete
+    keyed on it; open branches or staged commits (consistency with
+    rename)."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"drop_column: {table_path} has no versions")
+    m = read_manifest(table_path, vs[-1])
+    schema = m.get("schema")
+    if schema is None:
+        raise ValueError(
+            "drop_column: chain has no recorded schema — pre-schema "
+            "chains cannot evolve"
+        )
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"drop_column: no column {name!r} in {names}")
+    if len(names) == 1:
+        raise ValueError("drop_column: cannot drop the last column")
+    for d in m.get("delete_files") or []:
+        if d.get("key") == name:
+            raise ValueError(
+                f"drop_column: pending merge-on-read delete files are "
+                f"keyed on {name!r} — compact()/purge_deletes() first"
+            )
+    if branches(table_path):
+        raise ValueError(
+            "drop_column: open branches — publish or discard first"
+        )
+    if staged(table_path):
+        raise ValueError(
+            "drop_column: staged commits — publish or discard first"
+        )
+    for cname, cexpr in (m.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(name)}\b", cexpr):
+            raise ValueError(
+                f"drop_column: CHECK constraint {cname!r} references "
+                f"{name!r} — drop it first"
+            )
+    sp = m.get("partition_spec")
+    if sp and sp.get("source") == name:
+        raise ValueError(
+            f"drop_column: {name!r} is the active partition-spec "
+            "source — clear the spec first"
+        )
+    for e in m["files"]:
+        esp = e.get("partition_spec")
+        if (esp and esp.get("source") == name) or (
+                e.get("partition") and name in e["partition"]):
+            raise ValueError(
+                f"drop_column: {name!r} is a partition source of file "
+                f"{e['path']!r} — partitioned columns cannot drop "
+                "without a rewrite"
+            )
+    new_schema = {
+        **schema,
+        "fields": [f for f in schema["fields"] if f["name"] != name],
+    }
+    return _publish_manifest(
+        table_path, "drop-column", [], carry=True,
+        schema=new_schema, schema_replace=True,
+        drop_event={"col": name},
+    )
+
+
 def add_column(table_path: str, name: str, dtype: str,
                default=None) -> int:
     """ADD a column as a METADATA-ONLY commit, optionally with an
@@ -3035,12 +3150,21 @@ def add_column(table_path: str, name: str, dtype: str,
              "metadata": {}}
         ],
     }
+    was_dropped = any(
+        d["col"] == name for d in m.get("drops") or []
+    )
     return _publish_manifest(
         table_path, "add-column", [], carry=True,
         schema=new_schema, schema_replace=True,
+        # a re-added dropped name records an event even with no user
+        # default: the fill MASKS the old files' stale stored bytes
         default_event=(
-            {"col": name, "value": default} if default is not None
-            else None
+            {"col": name, "value": default}
+            if default is not None or was_dropped else None
+        ),
+        drops_replace=(
+            [d for d in m["drops"] if d["col"] != name]
+            if was_dropped else None
         ),
     )
 

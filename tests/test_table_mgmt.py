@@ -635,3 +635,64 @@ def test_default_follows_rename(spark, tmp_path):
     got = S.read(spark, t)
     assert got.columns == ["k", "v", "grade"]
     assert got.filter("grade = 'legacy'").count() == 10
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    t = _t(spark, tmp_path)  # (k, v)
+    S.drop_column(t, "v")
+    got = S.read(spark, t)
+    assert got.columns == ["k"] and got.count() == 10
+    # time travel still sees the dropped column in its era
+    assert S.read(spark, t, 1).columns == ["k", "v"]
+    # appends no longer need (or accept implicit revival of) the name
+    S.append(spark.createDataFrame([(50,)], "k long"), t, n_files=1)
+    assert S.read(spark, t).columns == ["k"]
+    with pytest.raises(ValueError, match="cannot drop the last"):
+        S.drop_column(t, "k")
+    with pytest.raises(ValueError, match="no column"):
+        S.drop_column(t, "zzz")
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_path):
+    # the resurrection hazard: old files still STORE the dropped
+    # column's bytes; re-adding the name must read the new default,
+    # never the stale values (r12 drop/re-add handshake)
+    t = _t(spark, tmp_path)  # v holds k*10
+    S.drop_column(t, "v")
+    # implicit revival via append refuses loudly
+    with pytest.raises(ValueError, match="previously DROPPED"):
+        S.append(spark.createDataFrame([(60, 1)], "k long, v long"), t)
+    # the blessed path: add_column masks stale bytes with the default
+    S.add_column(t, "v", "long", default=-1)
+    got = {r.k: r.v for r in S.read(spark, t).collect()}
+    assert set(got.values()) == {-1}  # never k*10
+    # post-re-add writes carry genuine values
+    S.append(spark.createDataFrame([(70, 7)], "k long, v long"), t,
+             n_files=1)
+    got = {r.k: r.v for r in S.read(spark, t).collect()}
+    assert got[70] == 7 and got[0] == -1
+    # re-add with NO default masks with null, same protection
+    t2 = os.path.join(str(tmp_path), "d2")
+    S.overwrite(spark.createDataFrame([(1, 11)], "k long, w long"), t2,
+                n_files=1)
+    S.drop_column(t2, "w")
+    S.add_column(t2, "w", "long")
+    assert S.read(spark, t2).collect()[0]["w"] is None
+
+
+def test_drop_column_refusals(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    S.add_constraint(spark, t, "v_ok", "v >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        S.drop_column(t, "v")
+    S.drop_constraint(t, "v_ok")
+    S.create_branch(t, "b")
+    with pytest.raises(ValueError, match="branch"):
+        S.drop_column(t, "v")
+    S.discard_branch(t, "b")
+    t2 = os.path.join(str(tmp_path), "dp")
+    S.overwrite(spark.range(10).select(F.col("id").alias("k"),
+                                       (F.col("id") % 2).alias("p")),
+                t2, n_files=1, partition_by="p")
+    with pytest.raises(ValueError, match="partition"):
+        S.drop_column(t2, "p")
