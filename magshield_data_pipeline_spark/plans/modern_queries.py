@@ -4501,3 +4501,125 @@ def snapshot_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey long, o_totalprice double, o_custkey long",
     )
     return rows.unionByName(audit)
+
+
+_SNAP_MAINTAIN_SQL = """
+WITH dels AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey % 8 = 3 AND o_orderkey <= 1500
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT), CAST(-1.0 AS DOUBLE)
+FROM orders WHERE o_orderkey < 200
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT), CAST(-2.0 AS DOUBLE)
+FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 300
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(1.0 AS DOUBLE)
+"""
+
+
+@register(
+    "snapshot_auto_maintain",
+    sql=_SNAP_MAINTAIN_SQL,
+    description="ONE-CALL MAINTENANCE POLICY (r12, sources/snapshots."
+    "py::maintain — the nightly loop a 100 TB operator runs): a "
+    "clustered orders ledger is deliberately degraded (a scattered "
+    "MOR delete + two tiny overlapping low-range appends), then ONE "
+    "maintain() call composes purge_deletes -> bin-pack optimize -> "
+    "recluster in the order that converges (purge first because "
+    "bin-pack refuses pending deletes; bin-pack BEFORE recluster "
+    "because merging small disjoint files interleaves ranges that "
+    "reclustering then restores) — every decision from manifest "
+    "metadata, every commit a CDC-silent compact variant; the hash "
+    "pins visible-content identity through all three rewrites "
+    "(deleted keys stay gone, later re-appends of those keys survive "
+    "by sequence number, marker prices intact) and the audit flag "
+    "flips unless the action report was exactly [purge, optimize, "
+    "recluster], the post-state is pairwise-disjoint with no delete "
+    "files and no sub-threshold files, all maintenance commits "
+    "emitted ZERO CDC rows, and an immediate second maintain() "
+    "returned [] (convergence) ([EXT] lakehouse tier: the operational "
+    "loop, composed and self-verifying)",
+)
+def snapshot_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: each pass is O(affected) — purge touches delete-hit
+    # files, bin-pack the small files, recluster the overlap groups;
+    # the healthy-table second call costs three manifest reads.
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base = scratch_path(
+        "snap_auto_maint", sf_dir,
+        "cluster4f / MOR-del %8=3<=1500 / small appends <200:-1, "
+        "100-300:-2 / maintain(small=250, cluster=o_orderkey) x2",
+    )
+
+    def _build(tmp: str) -> None:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        SN.overwrite(orders, tmp, n_files=1)
+        SN.compact(spark, tmp, n_files=4, cluster_by=["o_orderkey"])
+        SN.delete(
+            orders.filter((F.col("o_orderkey") % 8 == 3)
+                          & (F.col("o_orderkey") <= 1500))
+            .select("o_orderkey"),
+            tmp, key="o_orderkey", mode="merge-on-read",
+        )
+        v_before = SN.versions(tmp)[-1]
+        SN.append(orders.filter(F.col("o_orderkey") < 200).select(
+            "o_orderkey", F.lit(-1.0).alias("o_totalprice")),
+            tmp, n_files=1)
+        SN.append(orders.filter((F.col("o_orderkey") >= 100)
+                                & (F.col("o_orderkey") < 300)).select(
+            "o_orderkey", F.lit(-2.0).alias("o_totalprice")),
+            tmp, n_files=1)
+        v_messy = SN.versions(tmp)[-1]
+        report = SN.maintain(spark, tmp, small_file_rows=250,
+                             cluster_by=["o_orderkey"],
+                             orphan_grace_seconds=1e9)
+        report2 = SN.maintain(spark, tmp, small_file_rows=250,
+                              cluster_by=["o_orderkey"],
+                              orphan_grace_seconds=1e9)
+        m = SN.read_manifest(tmp, SN.versions(tmp)[-1])
+        spans = sorted(
+            (e["stats"]["min_o_orderkey"], e["stats"]["max_o_orderkey"])
+            for e in m["files"]
+        )
+        disjoint = all(spans[i][1] < spans[i + 1][0]
+                       for i in range(len(spans) - 1))
+        healthy = (not m.get("delete_files")
+                   and all(e["rows"] >= 250 or len(m["files"]) == 1
+                           for e in m["files"]))
+        silent = SN.read_row_changes(
+            spark, tmp, v_messy, SN.versions(tmp)[-1]).count() == 0
+        flag = int(
+            [r["action"] for r in report]
+            == ["purge_deletes", "optimize", "recluster"]
+            and report2 == [] and disjoint and healthy and silent
+            and v_before < v_messy
+        )
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        flag = _json.load(f)["flag"]
+    rows = SN.read(spark, base).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_totalprice",
+    )
+    audit = spark.range(1).select(
+        F.lit(-1).cast("long").alias("o_orderkey"),
+        F.lit(float(flag)).alias("o_totalprice"),
+    )
+    return rows.unionByName(audit)

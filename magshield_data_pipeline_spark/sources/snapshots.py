@@ -2794,6 +2794,59 @@ def recluster(spark, table_path: str, cluster_by: list[str],
     return base_version + 1
 
 
+def maintain(spark, table_path: str, *, small_file_rows: int,
+             cluster_by: list[str] | None = None,
+             orphan_grace_seconds: float = 86400.0,
+             expire_older_than: float | None = None,
+             keep_last: int = 1) -> list[dict]:
+    """One-call MAINTENANCE POLICY loop — what a 100 TB operator runs
+    nightly: every decision is made from the latest manifest (zero
+    data I/O to decide), every data action is a compact-variant commit
+    (CDC-SILENT: subscribers never wake for maintenance), and the
+    composition order makes the passes converge instead of undoing
+    each other:
+
+    1. ``purge_deletes`` — materialize pending merge-on-read deletes
+       into only the files they hit (must run first: bin-pack and
+       metadata counts refuse under pending deletes);
+    2. ``optimize`` — bin-pack files smaller than *small_file_rows*
+       (merging small disjoint files interleaves key ranges, so this
+       runs BEFORE reclustering, which then restores disjointness);
+    3. ``recluster`` — rewrite only the overlap groups on
+       *cluster_by* (skipped when no clustering is declared);
+    4. ``remove_orphans`` — reclaim unreferenced files older than the
+       grace window;
+    5. ``expire_snapshots`` — age-based manifest retention, only when
+       *expire_older_than* is given (tagged pins always survive).
+
+    Returns the action report: one ``{"action", ...}`` dict per pass
+    that actually did something — an already-healthy table returns
+    ``[]``, and re-running maintain immediately is a no-op (the
+    convergence test)."""
+    report: list[dict] = []
+    v = purge_deletes(spark, table_path)
+    if v is not None:
+        report.append({"action": "purge_deletes", "version": v})
+    v = optimize(spark, table_path, small_file_rows)
+    if v is not None:
+        report.append({"action": "optimize", "version": v})
+    if cluster_by:
+        v = recluster(spark, table_path, cluster_by)
+        if v is not None:
+            report.append({"action": "recluster", "version": v})
+    orphans = remove_orphans(table_path,
+                             older_than_seconds=orphan_grace_seconds)
+    if orphans:
+        report.append({"action": "remove_orphans", "files": len(orphans)})
+    if expire_older_than is not None:
+        expired = expire_snapshots(table_path, expire_older_than,
+                                   keep_last=keep_last)
+        if expired:
+            report.append({"action": "expire_snapshots",
+                           "files": len(expired)})
+    return report
+
+
 def history(spark, table_path: str):
     """The commit log as a DataFrame — DESCRIBE HISTORY: one row per
     retained version with its operation, file/row footprint, and

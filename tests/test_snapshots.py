@@ -1132,3 +1132,50 @@ def test_expire_snapshots_age_based(spark, tmp_path):
     assert S.versions(t) == [1, 4]
     with pytest.raises(ValueError, match="keep_last"):
         S.expire_snapshots(t, older_than=0, keep_last=0)
+
+
+def test_maintain_policy_converges(spark, tmp_path):
+    # the nightly loop: purge -> bin-pack -> recluster -> orphan GC,
+    # all metadata-decided, all CDC-silent; a second run is a no-op
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    t = _os.path.join(str(tmp_path), "maint")
+    rows = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    S.overwrite(rows, t, n_files=1)
+    S.compact(spark, t, n_files=4, cluster_by=["k"])
+    # mess it up: MOR delete + two tiny overlapping appends
+    S.delete(spark.createDataFrame([(5,), (360,)], "k long"), t,
+             key="k", mode="merge-on-read")
+    S.append(spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")),
+        t, n_files=1)
+    S.append(spark.range(200, 205).select(
+        F.col("id").alias("k"), F.lit(-2).cast("long").alias("v")),
+        t, n_files=1)
+    v_before = S.versions(t)[-1]
+    report = S.maintain(spark, t, small_file_rows=50, cluster_by=["k"],
+                        orphan_grace_seconds=1e9)
+    actions = [r["action"] for r in report]
+    assert actions[:3] == ["purge_deletes", "optimize", "recluster"]
+    m = S.read_manifest(t, S.versions(t)[-1])
+    assert not m.get("delete_files")
+    spans = sorted((e["stats"]["min_k"], e["stats"]["max_k"])
+                   for e in m["files"])
+    assert all(spans[i][1] < spans[i + 1][0]
+               for i in range(len(spans) - 1))
+    assert all(e["rows"] >= 50 or len(m["files"]) == 1
+               for e in m["files"])
+    # content identical to pre-maintenance visible state
+    got = S.read(spark, t).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()[0]
+    expect_n = 400 - 2 + 15
+    assert got["n"] == expect_n
+    # every maintenance commit was CDC-silent
+    assert S.read_row_changes(
+        spark, t, v_before, S.versions(t)[-1]).count() == 0
+    # convergence: an immediate second run does nothing
+    assert S.maintain(spark, t, small_file_rows=50, cluster_by=["k"],
+                      orphan_grace_seconds=1e9) == []
