@@ -4623,3 +4623,162 @@ def snapshot_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(flag)).alias("o_totalprice"),
     )
     return rows.unionByName(audit)
+
+
+_SNAP_CONCURRENT_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS payload
+    FROM documents WHERE doc_id % 2 = 0
+),
+race1 AS (  -- concurrent append, key-disjoint: the rebase carries it
+    SELECT doc_id + 10000000 AS doc_id, CAST(length(text) AS BIGINT) AS payload
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 = 1
+),
+race2 AS (  -- concurrent append under a SERIALIZABLE merge: merge refused
+    SELECT doc_id + 20000000 AS doc_id, CAST(length(text) AS BIGINT) AS payload
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 = 2
+),
+race3 AS (  -- concurrent OVERLAPPING append: snapshot merge refused too
+    SELECT doc_id, CAST(length(text) AS BIGINT) + 1000000 AS payload
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 100 = 2
+),
+merged AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN payload * 5 ELSE payload END
+           AS payload
+    FROM base
+),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM race1),
+v3 AS (SELECT * FROM merged UNION ALL SELECT * FROM race1),
+final AS (
+    SELECT * FROM v3
+    UNION ALL SELECT * FROM race2
+    UNION ALL SELECT * FROM race3
+)
+SELECT 'v1_base' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(payload) AS BIGINT) AS payload_sum FROM base
+UNION ALL
+SELECT 'v2_concurrent', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT) FROM v2
+UNION ALL
+SELECT 'v3_rebased_merge', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT) FROM v3
+UNION ALL
+SELECT 'final', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT) FROM final
+UNION ALL
+SELECT 'audit', 5, 2, 111
+"""
+
+
+@register(
+    "snapshot_concurrent_merge",
+    sql=_SNAP_CONCURRENT_SQL,
+    description="Multi-writer COMMIT REBASE (r12): a copy-on-write "
+    "merge that loses the version race to a key-DISJOINT concurrent "
+    "append REBASES onto the new snapshot instead of failing — the "
+    "already-written rewrite files are re-targeted with one manifest "
+    "link (file-level validation from manifest stats: read set still "
+    "live, no new delete files, no added file overlapping the source "
+    "key range), the Iceberg commit.retry/snapshot-isolation contract "
+    "that lets 1000 concurrent writers compose instead of all-but-one "
+    "failing per round; a SERIALIZABLE merge under the same race "
+    "refuses loudly (audit-pinned), and a snapshot-isolation merge "
+    "racing an OVERLAPPING append refuses as a true conflict — both "
+    "leave the winner's append committed and the merge unapplied "
+    "([EXT] lakehouse tier)",
+)
+def snapshot_concurrent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the rebase re-links a manifest, never re-reads or
+    # re-writes data — conflict validation is pure manifest-stats
+    # arithmetic on the intervening commits' added/removed file lists,
+    # so a lost race costs O(files-in-commit) metadata, not a redone
+    # rewrite of touched files.  All arms are deterministic via the
+    # race_inject hook (the injected commit IS a concurrent writer
+    # winning the race).
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("payload")
+    )
+    base_df = docs.filter(F.col("doc_id") % 2 == 0)
+    race1_df = docs.filter((F.col("doc_id") % 2 == 1)
+                           & (F.col("doc_id") % 3 == 1)).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "payload")
+    race2_df = docs.filter((F.col("doc_id") % 2 == 1)
+                           & (F.col("doc_id") % 3 == 2)).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"), "payload")
+    race3_df = base_df.filter(F.col("doc_id") % 100 == 2).select(
+        "doc_id", (F.col("payload") + 1000000).alias("payload"))
+    upd = base_df.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", (F.col("payload") * 5).alias("payload"))
+
+    base = scratch_path(
+        "snap_concurrent", sf_dir,
+        "v1=evens v2=race1(+10M odd%3=1) v3=rebased merge(%10=0 x5) "
+        "v4=race2(+20M, serializable refusal) v5=race3(overlap refusal)",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(base_df, tmp, n_files=2)
+        SN.merge(upd, tmp, key="doc_id", isolation="snapshot",
+                 race_inject=lambda: SN.append(race1_df, tmp, n_files=1))
+        try:
+            SN.merge(upd.withColumn("payload", F.col("payload") * 9),
+                     tmp, key="doc_id", isolation="serializable",
+                     race_inject=lambda: SN.append(race2_df, tmp,
+                                                   n_files=1))
+            raise AssertionError("serializable merge must refuse a race")
+        except RuntimeError:
+            pass
+        try:
+            SN.merge(upd.withColumn("payload", F.col("payload") * 11),
+                     tmp, key="doc_id", isolation="snapshot",
+                     race_inject=lambda: SN.append(race3_df, tmp,
+                                                   n_files=1))
+            raise AssertionError("overlapping race must be a true conflict")
+        except RuntimeError:
+            pass
+
+    ensure_scratch(base, _build)
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("payload").cast("long").alias("payload_sum"),
+        )
+
+    vs = SN.versions(base)
+    m2 = SN.read_manifest(base, 2)
+    m3 = SN.read_manifest(base, 3)
+    m4 = SN.read_manifest(base, 4)
+    m5 = SN.read_manifest(base, 5)
+    m1_paths = {e["path"] for e in SN.read_manifest(base, 1)["files"]}
+    race1_paths = {e["path"] for e in m2["files"]} - m1_paths
+    carried = race1_paths <= {e["path"] for e in m3["files"]}
+    audit_flag = (
+        100 * int(carried)
+        + 10 * int(m4.get("operation") == "append")
+        + int(m5.get("operation") == "append")
+    )
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(len(vs)).cast("long").alias("n_docs"),
+        F.lit(int(m3.get("rebased_from") or 0)).cast("long")
+        .alias("id_sum"),
+        F.lit(audit_flag).cast("long").alias("payload_sum"),
+    )
+    return (
+        row("v1_base", SN.read(spark, base, 1))
+        .unionByName(row("v2_concurrent", SN.read(spark, base, 2)))
+        .unionByName(row("v3_rebased_merge", SN.read(spark, base, 3)))
+        .unionByName(row("final", SN.read(spark, base, 5)))
+        .unionByName(audit)
+    )
