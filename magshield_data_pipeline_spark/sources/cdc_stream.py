@@ -237,9 +237,13 @@ def _applicable(delete_files: list[dict], e: dict) -> list[dict]:
 
 
 def _may_hit(e: dict, d: dict) -> bool:
-    """Can delete file *d*'s key range intersect data entry *e*'s?
-    Conservative (True) when either side lacks stats — pruning only
+    """Can delete file *d* affect data entry *e*?  Positional deletes
+    (``kind: "positional"``) address exact files — their ``targets``
+    list IS the affected set; equality deletes intersect by key range,
+    conservative (True) when either side lacks stats — pruning only
     shrinks the affected-file set, never the answer."""
+    if d.get("kind") == "positional":
+        return e["path"] in (d.get("targets") or ())
     k = d["key"]
     mn = e.get("stats", {}).get(f"min_{k}")
     mx = e.get("stats", {}).get(f"max_{k}")
@@ -264,11 +268,32 @@ def _visible_rows(table_path: str, entries: list[dict],
     for e in sorted(entries, key=lambda x: x["path"]):
         dels = [d for d in _applicable(delete_files, e)
                 if _may_hit(e, d)]
+        eq = [d for d in dels if d.get("kind") != "positional"]
+        pos = [d for d in dels if d.get("kind") == "positional"]
         # a projected field set may exclude a delete key: read it as a
         # working column for the anti-join, then strip it
-        extras = sorted({d["key"] for d in dels} - set(fields))
+        extras = sorted({d["key"] for d in eq} - set(fields))
         rows = _rows_of(table_path, [e], list(fields) + extras, types)
-        for d in dels:
+        # positional deletes FIRST: ordinals are physical file-row
+        # indices, and _rows_of reads one file in order, so enumerate()
+        # IS the coordinate (apply before any row is dropped)
+        if pos:
+            dead: set[int] = set()
+            for d in pos:
+                ck = ("pos", d["path"])
+                if ck not in keysets:
+                    t = pq.read_table(
+                        os.path.join(table_path, d["path"]),
+                        columns=["file_rel", "pos"],
+                    )
+                    m: dict = {}
+                    for fr, p in zip(t["file_rel"].to_pylist(),
+                                     t["pos"].to_pylist()):
+                        m.setdefault(fr, set()).add(p)
+                    keysets[ck] = m
+                dead |= keysets[ck].get(e["path"], set())
+            rows = [r for i, r in enumerate(rows) if i not in dead]
+        for d in eq:
             if d["path"] not in keysets:
                 col = pq.read_table(
                     os.path.join(table_path, d["path"]),

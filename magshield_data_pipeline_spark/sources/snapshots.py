@@ -1175,9 +1175,13 @@ def read(spark, table_path: str, version: int | None = None, *,
 
 
 def _delete_may_hit(e: dict, d: dict) -> bool:
-    """Can equality-delete file *d*'s key range intersect data entry
-    *e*'s?  Conservative (True) when either side lacks stats — used
-    only to PRUNE the affected-file set for CDC image computation."""
+    """Can delete file *d* affect data entry *e*?  Positional deletes
+    address exact files (their ``targets`` list IS the affected set);
+    equality deletes intersect by key range, conservative (True) when
+    either side lacks stats — used only to PRUNE the affected-file set
+    for CDC image computation and purge_deletes."""
+    if d.get("kind") == "positional":
+        return e["path"] in (d.get("targets") or ())
     k = d["key"]
     mn = e.get("stats", {}).get(f"min_{k}")
     mx = e.get("stats", {}).get(f"max_{k}")
@@ -1191,29 +1195,63 @@ def _delete_may_hit(e: dict, d: dict) -> bool:
 def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
                        delete_files: list[dict], schema_json: dict | None,
                        renames: list[dict] | None = None,
-                       defaults: list[dict] | None = None):
+                       defaults: list[dict] | None = None,
+                       with_pos: bool = False):
     """Merge-on-read: scan the data files and ANTI-JOIN the pending
-    equality-delete files — a delete file applies ONLY to data files
-    whose sequence number is LOWER than its own (the Iceberg v2
-    contract), so a row re-inserted after the delete survives.  Data
-    entries are grouped by their applicable-delete set (few distinct
-    sets in practice: files before vs after each delete commit), each
-    group anti-joined once per delete key column."""
+    delete files.  Two delete forms, the Iceberg v2 pair:
+
+    - EQUALITY deletes apply ONLY to data files whose sequence number
+      is LOWER than their own (re-inserts survive), anti-joined on the
+      recorded key column;
+    - POSITIONAL deletes (``kind: "positional"``, from
+      ``delete_where``) address exact ``(file, row ordinal)``
+      coordinates — they apply to precisely their ``targets`` files
+      (immutability makes the seq check redundant: a re-insert lands
+      in a NEW file a position can never address), anti-joined on
+      ``(_file_rel, _pos)`` attached engine-side from
+      ``_metadata.row_index``.
+
+    Data entries are grouped by their applicable-delete set (few
+    distinct sets in practice), each group anti-joined once; files
+    targeted by no positional delete never pay for the position
+    columns.  ``with_pos=True`` keeps ``_file_rel``/``_pos`` on the
+    output rows (``delete_where`` computing its match set)."""
+    from pyspark.sql import functions as F
+
+    eq_dels = [d for d in delete_files
+               if d.get("kind", "equality") != "positional"]
+    pos_dels = [d for d in delete_files if d.get("kind") == "positional"]
     groups: dict[tuple, list[dict]] = {}
     for e in data_entries:
-        applicable = tuple(
+        eq_app = tuple(
             sorted(
-                (d["path"], d["key"]) for d in delete_files
+                (d["path"], d["key"]) for d in eq_dels
                 if d.get("seq", 0) > e.get("seq", 0)
             )
         )
-        groups.setdefault(applicable, []).append(e)
+        pos_app = tuple(sorted(
+            d["path"] for d in pos_dels
+            if e["path"] in set(d.get("targets") or ())
+        ))
+        groups.setdefault((eq_app, pos_app), []).append(e)
     frames = []
     for applicable in sorted(groups):
+        eq_app, pos_app = applicable
+        need_pos = with_pos or bool(pos_app)
         df = _scan(spark, table_path, groups[applicable], schema_json,
-                   renames=renames, defaults=defaults)
+                   renames=renames, defaults=defaults, with_pos=need_pos)
+        if pos_app:
+            dels = spark.read.parquet(
+                *[os.path.join(table_path, p) for p in pos_app]
+            ).select(
+                F.col("file_rel").alias("_file_rel"),
+                F.col("pos").alias("_pos"),
+            )
+            df = df.join(dels, ["_file_rel", "_pos"], "left_anti")
+        if bool(pos_app) and not with_pos:
+            df = df.drop("_file_rel", "_pos")
         by_key: dict[str, list[str]] = {}
-        for path, key in applicable:
+        for path, key in eq_app:
             by_key.setdefault(key, []).append(path)
         for key, paths in sorted(by_key.items()):
             keys = spark.read.parquet(
@@ -1229,7 +1267,7 @@ def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
 
 def _scan(spark, table_path: str, entries: list[dict],
           schema_json: dict | None, renames: list[dict] | None = None,
-          defaults: list[dict] | None = None):
+          defaults: list[dict] | None = None, with_pos: bool = False):
     """Scan exactly the files of *entries*, under the MANIFEST schema
     when the commit recorded one: a file written before an add-column
     commit lacks the column in its footer, and the reader fills it
@@ -1249,7 +1287,14 @@ def _scan(spark, table_path: str, entries: list[dict],
     manifest as a typed literal — hive-layout files don't store the
     partition column in their footers, and the manifest (not directory
     discovery) is the source of truth, exactly the Iceberg
-    partition-data-in-metadata contract."""
+    partition-data-in-metadata contract.
+
+    ``with_pos=True`` additionally attaches ``_file_rel`` (the file's
+    manifest-relative path) and ``_pos`` (the row's ordinal WITHIN its
+    file, from the parquet reader's ``_metadata.row_index``) — the
+    (file, position) coordinate that positional delete files address
+    (``delete_where``).  Engine-side metadata columns, zero extra
+    I/O."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
@@ -1293,8 +1338,15 @@ def _scan(spark, table_path: str, entries: list[dict],
         part_key, stored, fills = key
         paths = [os.path.join(table_path, p) for p in groups[key]]
         part = dict(part_key)
+        pos_cols = ["_fp", "_pos"] if with_pos else []
         if full is None:
             df = spark.read.parquet(*paths)
+            if with_pos:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_fp"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                )
             for c, v in part.items():
                 if c not in df.columns:
                     df = df.withColumn(c, F.lit(v))
@@ -1307,10 +1359,16 @@ def _scan(spark, table_path: str, entries: list[dict],
                 for f in full.fields if f.name not in part
             ])
             df = spark.read.schema(file_schema).parquet(*paths)
+            if with_pos:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_fp"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                )
             df = df.select(*[
                 F.col(stored_of[f.name]).alias(f.name)
                 for f in full.fields if f.name not in part
-            ])
+            ], *pos_cols)
             for f in full.fields:
                 if f.name in part:
                     df = df.withColumn(
@@ -1321,11 +1379,22 @@ def _scan(spark, table_path: str, entries: list[dict],
                     df = df.withColumn(
                         col, F.lit(value).cast(full[col].dataType)
                     )
-            df = df.select(*[f.name for f in full.fields])
+            df = df.select(*[f.name for f in full.fields], *pos_cols)
         frames.append(df)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    if with_pos:
+        # normalize the reader's file URI (file:/... or file:///...)
+        # to the manifest-relative path the delete files address
+        prefix = os.path.abspath(table_path) + os.sep
+        out = out.withColumn(
+            "_file_rel",
+            F.expr(
+                "substring(regexp_replace(_fp, '^file:/+', '/'), "
+                f"{len(prefix) + 1})"
+            ),
+        ).drop("_fp")
     return out
 
 
@@ -1441,6 +1510,38 @@ def read_row_changes(spark, table_path: str, from_version: int,
         op = cur.get("operation")
         if op == "compact":
             continue  # same rows, new layout: no row changes by contract
+        if op == "delete" and cur.get("mode") == "positional":
+            # no data file changed hands: the commit's NEW positional
+            # delete files define the change.  Pre-images come from
+            # exactly the TARGET files (file identity, no stats
+            # pruning needed), with the PRIOR pending deletes applied
+            # so already-invisible rows aren't re-emitted, semi-joined
+            # on the (file, ordinal) coordinates.
+            prev_del_paths = {d["path"] for d in prev.get("delete_files", [])}
+            new_dels = [d for d in cur.get("delete_files", [])
+                        if d["path"] not in prev_del_paths]
+            for d in new_dels:
+                tset = set(d.get("targets") or ())
+                cands = [e for e in cur["files"] if e["path"] in tset]
+                if not cands:
+                    continue
+                img = _scan_with_deletes(
+                    spark, table_path, cands,
+                    prev.get("delete_files", []), cur.get("schema"),
+                    renames=cur.get("renames"),
+                    defaults=cur.get("defaults"), with_pos=True,
+                )
+                coords = spark.read.parquet(
+                    os.path.join(table_path, d["path"])
+                ).select(
+                    F.col("file_rel").alias("_file_rel"),
+                    F.col("pos").alias("_pos"),
+                )
+                gone = img.join(
+                    coords, ["_file_rel", "_pos"], "left_semi"
+                ).drop("_file_rel", "_pos")
+                pieces.append(tagged(gone, "delete", v))
+            continue
         if op == "delete" and cur.get("mode") == "merge-on-read":
             # no data file changed hands: the commit's NEW equality-
             # delete files define the change.  Pre-images come from the
@@ -2641,6 +2742,159 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     committed = _publish_optimistic(
         table_path, base_version, new_manifest, entries, op="delete",
         isolation=isolation, rebase=_cow_del_rebase,
+        race_inject=race_inject,
+    )
+    if txn is not None:
+        _advance_txn(table_path, txn[0], txn[1])
+    return committed
+
+
+def delete_where(spark, table_path: str, predicate: str,
+                 txn: tuple[str, int] | None = None,
+                 isolation: str = "serializable",
+                 race_inject=None) -> int | None:
+    """Predicate DELETE as POSITIONAL delete files — the second
+    Iceberg v2 delete form beside ``delete``'s equality deletes, and
+    the deletion-vector analog (Delta DVs / Iceberg v3 store the same
+    (file, ordinal) coordinates as a bitmap sidecar):
+
+    - the predicate is evaluated ONCE over the current snapshot's
+      VISIBLE rows with each row's ``(file, ordinal)`` coordinate
+      attached engine-side (``_metadata.row_index`` — no synthetic id,
+      no shuffle); the matching coordinates are committed as a delete
+      file listing ``(file_rel, pos)`` pairs;
+    - NO data file is rewritten; readers anti-join targeted files on
+      the coordinate pair (an equi-join AQE broadcasts when the delete
+      set is small), untargeted files never pay anything;
+    - applicability is by FILE IDENTITY (the recorded ``targets``),
+      not sequence number: files are immutable, so a position can
+      never address later data — re-inserted rows trivially survive;
+    - works on tables with NO key column and with duplicate rows
+      (deletes exactly the matched physical rows) — what equality
+      deletes cannot express;
+    - ``compact()`` / ``purge_deletes()`` materialize, the row-CDC
+      feeds emit exactly the deleted pre-images, and ``txn`` gives
+      the same durable replay-no-op contract as ``delete``.
+
+    Why this beats the copy-on-write predicate delete at 100 TB: a
+    low-selectivity predicate scattered over the corpus (a PII purge,
+    a contamination retraction) touches most files — COW rewrites
+    them all; this commits one coordinate list sized by the MATCHES.
+
+    ``isolation="snapshot"`` rebases over concurrent commits when
+    every target file is still live, no delete file changed hands,
+    and table metadata didn't drift; the predicate stays evaluated
+    at THIS snapshot (concurrent appends' matching rows survive — the
+    documented snapshot-isolation semantics; use serializable when
+    the predicate must cover them).
+
+    Zero matches publishes a carry-only commit (observable no-op, the
+    txn marker still lands).  Returns the committed version, or None
+    on a replayed txn."""
+    from pyspark.sql import functions as F
+
+    if isolation not in ("serializable", "snapshot"):
+        raise ValueError(f"delete_where: unknown isolation {isolation!r}")
+    if txn is not None and _txn_committed(table_path, txn[0], txn[1]):
+        return None
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(
+            f"delete_where: {table_path} has no versions — nothing to "
+            "delete"
+        )
+    base_version = vs[-1]
+    manifest = read_manifest(table_path, base_version)
+    schema_json = manifest.get("schema")
+    dels = manifest.get("delete_files") or []
+    if dels:
+        visible = _scan_with_deletes(
+            spark, table_path, manifest["files"], dels, schema_json,
+            renames=manifest.get("renames"),
+            defaults=manifest.get("defaults"), with_pos=True,
+        )
+    else:
+        visible = _scan(
+            spark, table_path, manifest["files"], schema_json,
+            renames=manifest.get("renames"),
+            defaults=manifest.get("defaults"), with_pos=True,
+        )
+    matches = visible.filter(predicate).select(
+        F.col("_file_rel").alias("file_rel"), F.col("_pos").alias("pos")
+    )
+    targets = sorted(
+        r["file_rel"]
+        for r in matches.select("file_rel").distinct().collect()
+    )  # bounded by the snapshot's FILE count, never its rows
+    v = base_version + 1
+    if not targets:
+        new_manifest = {
+            "operation": "delete",
+            "mode": "positional",
+            "version": v,
+            "committed_at": time.time(),
+            "files": manifest["files"],
+        }
+        if dels:
+            new_manifest["delete_files"] = dels
+        if schema_json is not None:
+            new_manifest["schema"] = schema_json
+        _carry_table_meta(new_manifest, manifest)
+        if txn is not None:
+            new_manifest["txn"] = list(txn)
+        entries: list[dict] = []
+    else:
+        entries = [
+            {**e, "kind": "positional", "targets": targets, "seq": v}
+            for e in _write_data_files(matches, table_path, 1)
+        ]
+        new_manifest = {
+            "operation": "delete",
+            "mode": "positional",
+            "version": v,
+            "committed_at": time.time(),
+            "files": manifest["files"],
+            "delete_files": dels + entries,
+        }
+        if schema_json is not None:
+            new_manifest["schema"] = schema_json
+        _carry_table_meta(new_manifest, manifest)
+        if txn is not None:
+            new_manifest["txn"] = list(txn)
+
+    def _pos_rebase(latest: dict, new_v: int):
+        why = _meta_drift(manifest, latest)
+        if why:
+            return why
+        latest_paths = {e["path"] for e in latest["files"]}
+        if not set(targets) <= latest_paths:
+            return ("a concurrent commit rewrote/removed file(s) this "
+                    "positional delete targets")
+        if ({d["path"] for d in latest.get("delete_files") or []}
+                != {d["path"] for d in dels}):
+            return "delete files changed concurrently"
+        restamped = [{**d, "seq": new_v} for d in entries]
+        m2 = {
+            "operation": "delete",
+            "mode": "positional",
+            "version": new_v,
+            "committed_at": time.time(),
+            "rebased_from": v,
+            "files": latest["files"],
+        }
+        if dels or restamped:
+            m2["delete_files"] = (latest.get("delete_files") or []) \
+                + restamped
+        if schema_json is not None:
+            m2["schema"] = schema_json
+        _carry_table_meta(m2, latest)
+        if txn is not None:
+            m2["txn"] = list(txn)
+        return m2, restamped
+
+    committed = _publish_optimistic(
+        table_path, base_version, new_manifest, entries,
+        op="delete_where", isolation=isolation, rebase=_pos_rebase,
         race_inject=race_inject,
     )
     if txn is not None:
