@@ -4921,3 +4921,261 @@ def snapshot_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("cdc_deleted", cdc))
         .unionByName(audit)
     )
+
+
+_SNAP_RUNTIME_PRUNE_SQL = """
+WITH fact AS (
+    SELECT l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT)
+           AS cents
+    FROM lineitem
+),
+dim_a AS (
+    SELECT s_suppkey FROM supplier
+    WHERE s_suppkey * 8 <= (SELECT max(s_suppkey) FROM supplier)
+),
+dim_b AS (
+    SELECT s_suppkey FROM supplier WHERE s_suppkey IN (1, 5, 9)
+),
+arm_a AS (
+    SELECT f.l_suppkey, f.cents FROM fact f
+    JOIN dim_a d ON f.l_suppkey = d.s_suppkey
+),
+arm_b AS (
+    SELECT f.l_suppkey, f.cents FROM fact f
+    JOIN dim_b d ON f.l_suppkey = d.s_suppkey
+)
+SELECT 'arm_a_bottom_eighth' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_suppkey) AS BIGINT) AS key_sum,
+       CAST(sum(cents) AS BIGINT) AS cents_sum FROM arm_a
+UNION ALL
+SELECT 'arm_b_point_keys', CAST(count(*) AS BIGINT),
+       CAST(sum(l_suppkey) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM arm_b
+UNION ALL
+SELECT 'audit', 11, 11, 1
+"""
+
+
+@register(
+    "snapshot_runtime_prune",
+    sql=_SNAP_RUNTIME_PRUNE_SQL,
+    description="RUNTIME join-driven file pruning (r12) — the "
+    "dynamic-partition-pruning analog for ledger tables: before the "
+    "fact scan is planned, one tiny aggregate over the FILTERED "
+    "dimension side picks the strategy (point-lookup probes through "
+    "range stats + Bloom + hidden-partition transforms when the dim "
+    "key set is small; [min,max] range pruning when it isn't) and "
+    "only the fact files that can hold a matching key are scanned — "
+    "a range-local dim filter prunes a suppkey-clustered fact to "
+    "~1/8th of its files, a 3-key dim to <=3 files (both audit-"
+    "pinned via the read report, soundness hash-load-bearing: a "
+    "wrongly-skipped file loses revenue and breaks the hash); at "
+    "100 TB this is a dim-filtered fact join reading a few files "
+    "instead of the table ([EXT] lakehouse tier)",
+)
+def snapshot_runtime_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the probe is one agg over the SMALL dim side (it is the
+    # broadcast side by premise); file selection is manifest-stats
+    # arithmetic on the driver; the scan plans only surviving files.
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    fact = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    base = scratch_path(
+        "snap_runtime_prune", sf_dir,
+        "v1=lineitem(l_suppkey,cents) v2=compact cluster_by l_suppkey "
+        "n_files=8",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(fact, tmp, n_files=4)
+        SN.compact(spark, tmp, n_files=8, cluster_by=["l_suppkey"])
+
+    ensure_scratch(base, _build)
+
+    max_supp = supp.agg(F.max("s_suppkey")).collect()[0][0]
+    dim_a = supp.filter(F.col("s_suppkey") * 8 <= F.lit(max_supp)).select(
+        "s_suppkey")
+    dim_b = supp.filter(F.col("s_suppkey").isin(1, 5, 9)).select(
+        "s_suppkey")
+
+    rep_a: dict = {}
+    rep_b: dict = {}
+    fact_a = SN.read_join_pruned(
+        spark, base, dim_a, key="l_suppkey", dim_key="s_suppkey",
+        report=rep_a,
+    )
+    fact_b = SN.read_join_pruned(
+        spark, base, dim_b, key="l_suppkey", dim_key="s_suppkey",
+        report=rep_b,
+    )
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_suppkey").cast("long").alias("key_sum"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+
+    arm_a = fact_a.join(
+        F.broadcast(dim_a),
+        fact_a["l_suppkey"] == dim_a["s_suppkey"],
+    ).select("l_suppkey", "cents")
+    arm_b = fact_b.join(
+        F.broadcast(dim_b),
+        fact_b["l_suppkey"] == dim_b["s_suppkey"],
+    ).select("l_suppkey", "cents")
+
+    pruned_flags = (
+        10 * int(rep_a["files_scanned"] < rep_a["files_total"])
+        + int(rep_b["files_scanned"] < rep_b["files_total"])
+    )
+    strategy_flags = (
+        10 * int(rep_a["strategy"] in ("point-lookup", "range"))
+        + int(rep_b["strategy"] == "point-lookup")
+    )
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(pruned_flags).cast("long").alias("n_rows"),
+        F.lit(strategy_flags).cast("long").alias("key_sum"),
+        F.lit(int(rep_b["files_scanned"] <= 3)).cast("long")
+        .alias("cents_sum"),
+    )
+    return (
+        row("arm_a_bottom_eighth", arm_a)
+        .unionByName(row("arm_b_point_keys", arm_b))
+        .unionByName(audit)
+    )
+
+
+_SNAP_WIDEN_SQL = """
+WITH base AS (
+    SELECT CAST(doc_id AS INTEGER) AS doc_id,
+           CAST(length(text) AS INTEGER) AS payload
+    FROM documents
+),
+grown AS (
+    SELECT CAST(doc_id AS BIGINT) + 5000000000 AS doc_id,
+           CAST(payload AS BIGINT) * 2 AS payload
+    FROM base WHERE doc_id % 11 = 5
+),
+v3 AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(payload AS BIGINT) AS payload FROM base
+    UNION ALL SELECT doc_id, payload FROM grown
+)
+SELECT 'v1_narrow' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(payload) AS BIGINT) AS payload_sum FROM base
+UNION ALL
+SELECT 'v3_beyond_int32', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT) FROM v3
+UNION ALL
+SELECT 'audit', 3, 111, 1
+"""
+
+
+@register(
+    "snapshot_type_widening",
+    sql=_SNAP_WIDEN_SQL,
+    description="METADATA-ONLY type widening (r12): an int32 id "
+    "column outgrows its type and widen_column promotes it to BIGINT "
+    "as ONE manifest link — zero data files rewritten (file list "
+    "byte-identical, audit-pinned), the widen event joins the "
+    "manifest's era history, and every scan reads pre-widen files "
+    "under their STORED narrow type then up-casts engine-side "
+    "(lossless whitelist only: int->long, short->int/long, "
+    "float->double; int->double refused — longs above 2^53 lose "
+    "precision); ids beyond int32 then append normally and mix with "
+    "old-era files under one manifest type, time travel reads v1 "
+    "under its own narrow schema, CDC is silent across the widen, "
+    "and narrower writers refuse loudly (the Iceberg v3 "
+    "type-promotion contract); at 100 TB the id-outgrows-int32 "
+    "migration is one commit, not a table rewrite ([EXT] lakehouse "
+    "tier)",
+)
+def snapshot_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the widen commit is pure manifest metadata; the read-side
+    # up-cast happens inside the scan projection (whole-stage codegen,
+    # no extra pass); file-era grouping adds no job — it only splits
+    # the scan's file list.
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.length("text").cast("int").alias("payload"),
+    )
+    base = scratch_path(
+        "snap_widen", sf_dir,
+        "v1=docs(int,int) v2=widen doc_id->long v3=append +5e9(%11=5, "
+        "payload x2)",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(docs, tmp, n_files=2)
+        SN.widen_column(tmp, "doc_id", "long")
+        SN.append(
+            docs.filter(F.col("doc_id") % 11 == 5).select(
+                (F.col("doc_id").cast("long") + 5000000000)
+                .alias("doc_id"),
+                (F.col("payload").cast("long") * 2).alias("payload"),
+            ).withColumn("payload", F.col("payload").cast("int")),
+            tmp, n_files=1,
+        )
+        m1, m2 = SN.read_manifest(tmp, 1), SN.read_manifest(tmp, 2)
+        zero_rewrite = [e["path"] for e in m2["files"]] == [
+            e["path"] for e in m1["files"]
+        ]
+        wide_now = dict(SN.read(spark, tmp, 2).dtypes)["doc_id"] == "bigint"
+        narrow_then = dict(SN.read(spark, tmp, 1).dtypes)["doc_id"] == "int"
+        cdc_silent = SN.read_row_changes(spark, tmp, 1, 2).count() == 0
+        try:
+            SN.append(docs.limit(1), tmp)  # narrow writer must refuse
+            narrow_refused = False
+        except ValueError:
+            narrow_refused = True
+        flag = (100 * int(zero_rewrite)
+                + 10 * int(wide_now and narrow_then)
+                + int(cdc_silent))
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag,
+                        "refused": int(narrow_refused)}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        auds = _json.load(f)
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("payload").cast("long").alias("payload_sum"),
+        )
+
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(len(SN.versions(base))).cast("long").alias("n_docs"),
+        F.lit(auds["flag"]).cast("long").alias("id_sum"),
+        F.lit(auds["refused"]).cast("long").alias("payload_sum"),
+    )
+    return (
+        row("v1_narrow", SN.read(spark, base, 1))
+        .unionByName(row("v3_beyond_int32", SN.read(spark, base, 3)))
+        .unionByName(audit)
+    )

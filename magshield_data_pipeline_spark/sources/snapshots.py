@@ -142,6 +142,8 @@ def _publish_manifest(
     defaults_replace: list | None = None,
     drop_event: dict | None = None,
     drops_replace: list | None = None,
+    widen_event: dict | None = None,
+    widens_replace: list | None = None,
 ) -> int:
     """Optimistic commit: stage the manifest, then exclusively link it
     as the next version; on collision (a concurrent writer took the
@@ -291,6 +293,19 @@ def _publish_manifest(
             ]
         if committed_drops:
             manifest["drops"] = committed_drops
+        # type-widening history: carried like renames, version-stamped
+        # inside the retry loop — readers resolve each file's stored
+        # (narrower) physical type from the events newer than its seq
+        committed_widens = (
+            widens_replace if widens_replace is not None
+            else (latest_manifest or {}).get("widens")
+        )
+        if widen_event is not None:
+            committed_widens = list(committed_widens or []) + [
+                {**widen_event, "v": v}
+            ]
+        if committed_widens:
+            manifest["widens"] = committed_widens
         with open(staged, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         try:
@@ -993,7 +1008,11 @@ def compact(spark, table_path: str, n_files: int = 1,
                                 zorder_by=zorder_by,
                                 ndv_for=ndv_for)
     return _publish_manifest(
-        table_path, "compact", entries, schema=content.schema.jsonValue()
+        table_path, "compact", entries, schema=content.schema.jsonValue(),
+        # every rewritten file now stores the CURRENT (widened) types:
+        # the widen era history is inert and is retired here, which is
+        # what re-enables rename/drop on previously-widened columns
+        widens_replace=[],
     )
 
 
@@ -1030,7 +1049,8 @@ def read(spark, table_path: str, version: int | None = None, *,
          ref: str | None = None,
          prune: tuple[str, float, float] | list[tuple] | None = None,
          partitions: dict[str, list] | None = None,
-         key_in: tuple[str, list] | None = None):
+         key_in: tuple[str, list] | None = None,
+         report: dict | None = None):
     """Scan snapshot *version* (default latest): exactly the manifest's
     files, nothing else.  ``as_of=<unix ts>`` resolves the version by
     commit wall-time (timestamp travel), ``ref="name"`` by tag — the
@@ -1049,7 +1069,12 @@ def read(spark, table_path: str, version: int | None = None, *,
     their range admits a value; a point lookup that prunes EVERY file
     returns an empty frame under the manifest schema (a miss is an
     answer, not an error).  Either way the caller still applies the
-    row-level filter; pruning only shrinks the file list."""
+    row-level filter; pruning only shrinks the file list.
+
+    ``report``, when a dict, is filled with ``files_total`` /
+    ``files_scanned`` after pruning — the observability hook that lets
+    callers (and tests) pin that pruning actually HAPPENED, not just
+    that the answer was right."""
     if sum(x is not None for x in (version, as_of, ref)) > 1:
         raise ValueError("read: pass at most one of version / as_of / ref")
     if ref is not None:
@@ -1064,6 +1089,8 @@ def read(spark, table_path: str, version: int | None = None, *,
         raise ValueError(f"version {v} not in {vs} at {table_path}")
     manifest = read_manifest(table_path, v)
     entries = manifest["files"]
+    if report is not None:
+        report["files_total"] = len(entries)
     if prune is not None:
         # one (col, lo, hi) or a list of them (ANDed) — the multi-range
         # form is what a Z-ordered layout serves: every range must
@@ -1156,9 +1183,13 @@ def read(spark, table_path: str, version: int | None = None, *,
         if not entries and manifest.get("schema"):
             from pyspark.sql.types import StructType
 
+            if report is not None:
+                report["files_scanned"] = 0
             return spark.createDataFrame(
                 [], StructType.fromJson(manifest["schema"])
             )
+    if report is not None:
+        report["files_scanned"] = len(entries)
     if not entries:
         raise ValueError(
             f"snapshot v{v} at {table_path} has no files after pruning"
@@ -1168,10 +1199,71 @@ def read(spark, table_path: str, version: int | None = None, *,
         return _scan_with_deletes(spark, table_path, entries, deletes,
                                   manifest.get("schema"),
                                   renames=manifest.get("renames"),
-                                  defaults=manifest.get("defaults"))
+                                  defaults=manifest.get("defaults"), widens=manifest.get("widens"))
     return _scan(spark, table_path, entries, manifest.get("schema"),
                  renames=manifest.get("renames"),
-                 defaults=manifest.get("defaults"))
+                 defaults=manifest.get("defaults"), widens=manifest.get("widens"))
+
+
+def read_join_pruned(spark, table_path: str, dim_df, key: str, *,
+                     dim_key: str | None = None, max_probes: int = 256,
+                     version: int | None = None,
+                     report: dict | None = None):
+    """RUNTIME file pruning from a join's dimension side — the
+    dynamic-partition-pruning analog for ledger tables: before the
+    fact scan is planned, ONE tiny aggregate over the (already
+    filtered) *dim_df* decides which fact files can possibly hold a
+    matching *key*, and only those are scanned.
+
+    Strategy, picked from the dim side's observed cardinality:
+
+    - ``<= max_probes`` distinct keys → POINT-LOOKUP pruning: the
+      exact key set probes each file's [min, max] range, Bloom
+      sidecar, and hidden-partition transform (``read(key_in=...)``)
+      — the path that prunes what range stats can't;
+    - more → RANGE pruning on the dim side's [min, max]
+      (``read(prune=...)``) — still exact for range-localized
+      dimension filters, and never collects an unbounded key list to
+      the driver.
+
+    The caller joins the returned frame to *dim_df* as usual; pruning
+    only shrank the file list, so the join result is byte-identical
+    to scanning everything (wrongly skipping a file would LOSE rows —
+    soundness is result-load-bearing).  At 100 TB this is the
+    difference between a dim-filtered fact join reading a few files
+    and reading the table: the probe costs one dim-side agg (the dim
+    is small by premise — that's why it's the broadcast side).
+
+    ``report`` receives ``files_total`` / ``files_scanned`` /
+    ``strategy`` / ``n_probes`` for audit pinning."""
+    from pyspark.sql import functions as F
+
+    dk = dim_key or key
+    probe = dim_df.agg(
+        F.countDistinct(dk).alias("n"),
+        F.min(dk).alias("lo"),
+        F.max(dk).alias("hi"),
+    ).collect()[0]  # single-row probe over the SMALL dim side — bounded
+    if report is not None:
+        report["n_probes"] = int(probe["n"])
+    if probe["n"] == 0:
+        df = read(spark, table_path, version, report=report).limit(0)
+        if report is not None:
+            report["files_scanned"] = 0
+            report["strategy"] = "empty-dim"
+        return df
+    if probe["n"] <= max_probes:
+        values = [
+            r[dk] for r in dim_df.select(dk).distinct().collect()
+        ]  # bounded by max_probes by construction
+        if report is not None:
+            report["strategy"] = "point-lookup"
+        return read(spark, table_path, version,
+                    key_in=(key, values), report=report)
+    if report is not None:
+        report["strategy"] = "range"
+    return read(spark, table_path, version,
+                prune=(key, probe["lo"], probe["hi"]), report=report)
 
 
 def _delete_may_hit(e: dict, d: dict) -> bool:
@@ -1196,7 +1288,8 @@ def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
                        delete_files: list[dict], schema_json: dict | None,
                        renames: list[dict] | None = None,
                        defaults: list[dict] | None = None,
-                       with_pos: bool = False):
+                       with_pos: bool = False,
+                       widens: list[dict] | None = None):
     """Merge-on-read: scan the data files and ANTI-JOIN the pending
     delete files.  Two delete forms, the Iceberg v2 pair:
 
@@ -1239,7 +1332,8 @@ def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
         eq_app, pos_app = applicable
         need_pos = with_pos or bool(pos_app)
         df = _scan(spark, table_path, groups[applicable], schema_json,
-                   renames=renames, defaults=defaults, with_pos=need_pos)
+                   renames=renames, defaults=defaults, with_pos=need_pos,
+                   widens=widens)
         if pos_app:
             dels = spark.read.parquet(
                 *[os.path.join(table_path, p) for p in pos_app]
@@ -1267,7 +1361,8 @@ def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
 
 def _scan(spark, table_path: str, entries: list[dict],
           schema_json: dict | None, renames: list[dict] | None = None,
-          defaults: list[dict] | None = None, with_pos: bool = False):
+          defaults: list[dict] | None = None, with_pos: bool = False,
+          widens: list[dict] | None = None):
     """Scan exactly the files of *entries*, under the MANIFEST schema
     when the commit recorded one: a file written before an add-column
     commit lacks the column in its footer, and the reader fills it
@@ -1294,13 +1389,47 @@ def _scan(spark, table_path: str, entries: list[dict],
     file, from the parquet reader's ``_metadata.row_index``) — the
     (file, position) coordinate that positional delete files address
     (``delete_where``).  Engine-side metadata columns, zero extra
-    I/O."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StructField, StructType
+    I/O.
 
+    *widens* is the manifest's type-widening history
+    (``widen_column``): a file committed BEFORE a widen commit stores
+    the column under its NARROWER physical type — the read uses the
+    stored type for that file's era and casts up engine-side (exact
+    by construction: only lossless promotions are ever recorded)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    _ATOMIC_TYPES = {
+        "short": ShortType(),
+        "integer": IntegerType(),
+        "long": LongType(),
+        "float": FloatType(),
+        "double": DoubleType(),
+    }
     full = StructType.fromJson(schema_json) if schema_json else None
     rename_hist = sorted(renames or [], key=lambda r: r["v"])
     default_hist = defaults or []
+    widen_hist = sorted(widens or [], key=lambda w: w["v"])
+
+    def _stored_types(seq: int) -> tuple:
+        # (col, narrower type name) for columns this file's era stores
+        # under a pre-widen physical type: the EARLIEST widen commit
+        # newer than the file names what the file actually stores
+        out = []
+        for f in (full.fields if full else ()):
+            for w in widen_hist:
+                if w["col"] == f.name and w["v"] > seq:
+                    out.append((f.name, w["from"]))
+                    break
+        return tuple(out)
 
     def _fills(seq: int) -> tuple:
         # initial defaults (add_column(default=...)): a file committed
@@ -1331,11 +1460,13 @@ def _scan(spark, table_path: str, entries: list[dict],
             tuple(sorted((e.get("partition") or {}).items())),
             _stored_names(e.get("seq", 0)) if rename_hist else (),
             _fills(e.get("seq", 0)) if default_hist else (),
+            _stored_types(e.get("seq", 0)) if widen_hist else (),
         )
         groups.setdefault(key, []).append(e["path"])
     frames = []
     for key in sorted(groups):
-        part_key, stored, fills = key
+        part_key, stored, fills, narrow = key
+        narrow_of = dict(narrow)
         paths = [os.path.join(table_path, p) for p in groups[key]]
         part = dict(part_key)
         pos_cols = ["_fp", "_pos"] if with_pos else []
@@ -1355,7 +1486,12 @@ def _scan(spark, table_path: str, entries: list[dict],
                 f.name: f.name for f in full.fields
             }
             file_schema = StructType([
-                StructField(stored_of[f.name], f.dataType, f.nullable)
+                StructField(
+                    stored_of[f.name],
+                    (_ATOMIC_TYPES[narrow_of[f.name]]
+                     if f.name in narrow_of else f.dataType),
+                    f.nullable,
+                )
                 for f in full.fields if f.name not in part
             ])
             df = spark.read.schema(file_schema).parquet(*paths)
@@ -1378,6 +1514,13 @@ def _scan(spark, table_path: str, entries: list[dict],
                 if col not in part:
                     df = df.withColumn(
                         col, F.lit(value).cast(full[col].dataType)
+                    )
+            for col in narrow_of:
+                if col not in part:
+                    # lossless up-cast from the file era's stored type
+                    # to the widened manifest type (widen_column)
+                    df = df.withColumn(
+                        col, F.col(col).cast(full[col].dataType)
                     )
             df = df.select(*[f.name for f in full.fields], *pos_cols)
         frames.append(df)
@@ -1427,7 +1570,7 @@ def read_changes(spark, table_path: str, from_version: int,
     to_m = read_manifest(table_path, to_version)
     return _scan(spark, table_path, added, to_m.get("schema"),
                  renames=to_m.get("renames"),
-                 defaults=to_m.get("defaults"))
+                 defaults=to_m.get("defaults"), widens=to_m.get("widens"))
 
 
 def read_row_changes(spark, table_path: str, from_version: int,
@@ -1529,7 +1672,7 @@ def read_row_changes(spark, table_path: str, from_version: int,
                     spark, table_path, cands,
                     prev.get("delete_files", []), cur.get("schema"),
                     renames=cur.get("renames"),
-                    defaults=cur.get("defaults"), with_pos=True,
+                    defaults=cur.get("defaults"), widens=cur.get("widens"), with_pos=True,
                 )
                 coords = spark.read.parquet(
                     os.path.join(table_path, d["path"])
@@ -1575,11 +1718,11 @@ def read_row_changes(spark, table_path: str, from_version: int,
                     spark, table_path, cands,
                     prev.get("delete_files", []), cur.get("schema"),
                     renames=cur.get("renames"),
-                    defaults=cur.get("defaults"),
+                    defaults=cur.get("defaults"), widens=cur.get("widens"),
                 ) if prev.get("delete_files") else _scan(
                     spark, table_path, cands, cur.get("schema"),
                     renames=cur.get("renames"),
-                    defaults=cur.get("defaults"))
+                    defaults=cur.get("defaults"), widens=cur.get("widens"))
                 pieces.append(
                     tagged(img.join(keys, [dkey], "left_semi"), "delete", v)
                 )
@@ -1595,7 +1738,7 @@ def read_row_changes(spark, table_path: str, from_version: int,
             mkey = cur["key"]
             after = _scan(spark, table_path, added, cur.get("schema"),
                           renames=cur.get("renames"),
-                          defaults=cur.get("defaults"))
+                          defaults=cur.get("defaults"), widens=cur.get("widens"))
             prev_del_paths = {d["path"] for d in prev.get("delete_files", [])}
             new_del = [d for d in cur.get("delete_files", [])
                        if d["path"] not in prev_del_paths]
@@ -1618,11 +1761,11 @@ def read_row_changes(spark, table_path: str, from_version: int,
                     spark, table_path, cands,
                     prev.get("delete_files", []), prev.get("schema"),
                     renames=prev.get("renames"),
-                    defaults=prev.get("defaults"),
+                    defaults=prev.get("defaults"), widens=prev.get("widens"),
                 ) if prev.get("delete_files") else _scan(
                     spark, table_path, cands, prev.get("schema"),
                     renames=prev.get("renames"),
-                    defaults=prev.get("defaults"))
+                    defaults=prev.get("defaults"), widens=prev.get("widens"))
                 before = img.join(keys, [mkey], "left_semi")
             if before is None:
                 pieces.append(tagged(after, "insert", v))
@@ -1674,22 +1817,22 @@ def read_row_changes(spark, table_path: str, from_version: int,
             after = (_scan_with_deletes(spark, table_path, aff_cur,
                                         cur_dels, cur.get("schema"),
                                         renames=cur.get("renames"),
-                                        defaults=cur.get("defaults"))
+                                        defaults=cur.get("defaults"), widens=cur.get("widens"))
                      if aff_cur else None)
             before = (_scan_with_deletes(spark, table_path, aff_prev,
                                          prev_dels, prev.get("schema"),
                                          renames=prev.get("renames"),
-                                         defaults=prev.get("defaults"))
+                                         defaults=prev.get("defaults"), widens=prev.get("widens"))
                       if aff_prev else None)
         else:
             after = (_scan(spark, table_path, added, cur.get("schema"),
                            renames=cur.get("renames"),
-                           defaults=cur.get("defaults"))
+                           defaults=cur.get("defaults"), widens=cur.get("widens"))
                      if added else None)
             before = (_scan(spark, table_path, removed,
                             prev.get("schema"),
                             renames=prev.get("renames"),
-                            defaults=prev.get("defaults"))
+                            defaults=prev.get("defaults"), widens=prev.get("widens"))
                       if removed else None)
         if op in ("append", "stream-append"):
             if after is not None:
@@ -2305,7 +2448,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
         existing = _scan(
             spark, table_path, touched, schema_json,
             renames=manifest.get("renames"),
-            defaults=manifest.get("defaults"),
+            defaults=manifest.get("defaults"), widens=manifest.get("widens"),
         )
         kept = existing.join(source_df.select(key), [key], "left_anti")
         result = kept.unionByName(source_df.select(*existing.columns))
@@ -2378,6 +2521,8 @@ def _carry_table_meta(new_manifest: dict, prior: dict | None) -> dict:
             new_manifest["defaults"] = prior["defaults"]
         if prior.get("drops"):
             new_manifest["drops"] = prior["drops"]
+        if prior.get("widens"):
+            new_manifest["widens"] = prior["widens"]
     return new_manifest
 
 
@@ -2433,7 +2578,7 @@ def _meta_drift(base_m: dict, latest_m: dict) -> str | None:
     constraint set) — conservative refusal, the caller redoes the whole
     operation on the new base."""
     for k in ("constraints", "partition_spec", "renames",
-              "defaults", "drops"):
+              "defaults", "drops", "widens"):
         if (base_m.get(k) or None) != (latest_m.get(k) or None):
             return f"table metadata {k!r} changed concurrently"
 
@@ -2688,7 +2833,7 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
         existing = _scan(
             spark, table_path, touched, schema_json,
             renames=manifest.get("renames"),
-            defaults=manifest.get("defaults"),
+            defaults=manifest.get("defaults"), widens=manifest.get("widens"),
         )
         kept = existing.join(keys, [key], "left_anti")
         entries = [
@@ -2811,13 +2956,13 @@ def delete_where(spark, table_path: str, predicate: str,
         visible = _scan_with_deletes(
             spark, table_path, manifest["files"], dels, schema_json,
             renames=manifest.get("renames"),
-            defaults=manifest.get("defaults"), with_pos=True,
+            defaults=manifest.get("defaults"), widens=manifest.get("widens"), with_pos=True,
         )
     else:
         visible = _scan(
             spark, table_path, manifest["files"], schema_json,
             renames=manifest.get("renames"),
-            defaults=manifest.get("defaults"), with_pos=True,
+            defaults=manifest.get("defaults"), widens=manifest.get("widens"), with_pos=True,
         )
     matches = visible.filter(predicate).select(
         F.col("_file_rel").alias("file_rel"), F.col("_pos").alias("pos")
@@ -3144,7 +3289,7 @@ def optimize(spark, table_path: str, small_file_rows: int,
     )
     content = _scan(spark, table_path, small, manifest.get("schema"),
                     renames=manifest.get("renames"),
-                    defaults=manifest.get("defaults"))
+                    defaults=manifest.get("defaults"), widens=manifest.get("widens"))
     entries = [
         {**e, "seq": base_version + 1}
         for e in _write_data_files(content, table_path, n_out)
@@ -3202,7 +3347,7 @@ def purge_deletes(spark, table_path: str, n_files: int = 1) -> int | None:
         survivors = _scan_with_deletes(
             spark, table_path, affected, deletes, manifest.get("schema"),
             renames=manifest.get("renames"),
-            defaults=manifest.get("defaults"),
+            defaults=manifest.get("defaults"), widens=manifest.get("widens"),
         )
         entries = [
             {**e, "seq": base_version + 1}
@@ -3302,12 +3447,12 @@ def recluster(spark, table_path: str, cluster_by: list[str],
     content = (_scan_with_deletes(spark, table_path, affected, deletes,
                                   manifest.get("schema"),
                                   renames=manifest.get("renames"),
-                                  defaults=manifest.get("defaults"))
+                                  defaults=manifest.get("defaults"), widens=manifest.get("widens"))
                if deletes
                else _scan(spark, table_path, affected,
                           manifest.get("schema"),
                           renames=manifest.get("renames"),
-                          defaults=manifest.get("defaults")))
+                          defaults=manifest.get("defaults"), widens=manifest.get("widens")))
     entries = [
         {**e, "seq": base_version + 1}
         for e in _write_data_files(
@@ -3548,7 +3693,7 @@ def read_staged(spark, table_path: str, name: str):
     latest = read_manifest(table_path, versions(table_path)[-1])
     return _scan(spark, table_path, latest["files"] + st["entries"],
                  st.get("schema"), renames=latest.get("renames"),
-                 defaults=latest.get("defaults"))
+                 defaults=latest.get("defaults"), widens=latest.get("widens"))
 
 
 def publish_staged(table_path: str, name: str) -> int:
@@ -3668,6 +3813,12 @@ def drop_column(table_path: str, name: str) -> int:
                 f"drop_column: pending merge-on-read delete files are "
                 f"keyed on {name!r} — compact()/purge_deletes() first"
             )
+    if any(w["col"] == name for w in m.get("widens") or []):
+        raise ValueError(
+            f"drop_column: {name!r} has type-widening history — a "
+            "later re-add would mis-type old files' stored bytes; "
+            "compact() first to materialize the widened type"
+        )
     if branches(table_path):
         raise ValueError(
             "drop_column: open branches — publish or discard first"
@@ -3807,6 +3958,12 @@ def rename_column(table_path: str, old: str, new: str) -> int:
             "rename_column: pending merge-on-read delete files are "
             "keyed by the old name — compact()/purge_deletes() first"
         )
+    if any(w["col"] == old for w in m.get("widens") or []):
+        raise ValueError(
+            f"rename_column: {old!r} has type-widening history — the "
+            "widen era mapping is keyed by name; compact() first to "
+            "materialize the widened type, then rename"
+        )
     if branches(table_path):
         raise ValueError(
             "rename_column: open branches replay with fresh sequence "
@@ -3859,6 +4016,88 @@ def rename_column(table_path: str, old: str, new: str) -> int:
         schema=new_schema, schema_replace=True,
         rename_event={"old": old, "new": new},
         defaults_replace=new_defaults,
+    )
+
+
+#: lossless type promotions ``widen_column`` accepts — exactly the
+#: Iceberg/Parquet-safe set: every value of the narrower type is
+#: representable bit-exactly in the wider one (int→double is NOT here:
+#: longs above 2^53 lose precision)
+_WIDEN_OK = {
+    ("short", "integer"),
+    ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
+def widen_column(table_path: str, name: str, to_type: str) -> int:
+    """TYPE WIDENING as a METADATA-ONLY commit — zero data files
+    rewritten (the Iceberg v3 type-promotion contract): the manifest
+    schema carries the wider type, the widen EVENT (col, from, to,
+    commit version) joins the table's widen history, and every scan
+    reads each file under the physical type its ERA stored (the
+    earliest widen newer than the file's sequence number names it)
+    then up-casts engine-side — lossless by construction because only
+    the promotions in ``_WIDEN_OK`` are accepted (int→long,
+    short→int/long, float→double; int→double is refused: longs above
+    2^53 lose precision).
+
+    After the widen, appends must carry the WIDENED type (the
+    schema-merge conflict guard still fails loudly on a narrower
+    writer — writers cast before appending, the Iceberg
+    write-current-schema contract).  ``compact()`` materializes the
+    wide type everywhere and retires the widen history, which
+    re-enables rename/drop on the column (both refuse while widen
+    history is live — the era mapping is keyed by name).
+
+    At 100 TB this is the schema migration that matters: an id column
+    outgrowing int32 is one manifest link, not a table rewrite.
+
+    Refusals: unknown column, no recorded schema, non-whitelisted
+    promotion, same-type no-op, rename history on the column."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"widen_column: {table_path} has no versions")
+    m = read_manifest(table_path, vs[-1])
+    schema = m.get("schema")
+    if schema is None:
+        raise ValueError(
+            "widen_column: chain has no recorded schema — pre-schema "
+            "chains cannot evolve types"
+        )
+    by_name = {f["name"]: f for f in schema["fields"]}
+    if name not in by_name:
+        raise ValueError(
+            f"widen_column: no column {name!r} in {sorted(by_name)}"
+        )
+    frm = by_name[name]["type"]
+    if frm == to_type:
+        raise ValueError(
+            f"widen_column: {name!r} is already {to_type!r}"
+        )
+    if (frm, to_type) not in _WIDEN_OK:
+        raise ValueError(
+            f"widen_column: {frm!r} -> {to_type!r} is not a lossless "
+            f"promotion; allowed: {sorted(_WIDEN_OK)}"
+        )
+    if any(r["old"] == name or r["new"] == name
+           for r in m.get("renames") or []):
+        raise ValueError(
+            f"widen_column: {name!r} has rename history — the widen "
+            "era mapping is keyed by name; compact() first"
+        )
+    new_schema = {
+        "type": "struct",
+        "fields": [
+            {**f, "type": to_type} if f["name"] == name else f
+            for f in schema["fields"]
+        ],
+    }
+    return _publish_manifest(
+        table_path, "widen-column", [], carry=True,
+        schema=new_schema, schema_replace=True,
+        widen_event={"col": name, "from": frm, "to": to_type},
     )
 
 
@@ -4064,10 +4303,10 @@ def read_branch(spark, table_path: str, name: str):
     if deletes:
         return _scan_with_deletes(spark, table_path, files, deletes,
                                   schema, renames=base_m.get("renames"),
-                                  defaults=base_m.get("defaults"))
+                                  defaults=base_m.get("defaults"), widens=base_m.get("widens"))
     return _scan(spark, table_path, files, schema,
                  renames=base_m.get("renames"),
-                 defaults=base_m.get("defaults"))
+                 defaults=base_m.get("defaults"), widens=base_m.get("widens"))
 
 
 def _branch_commit(table_path: str, name: str, payload: dict) -> int:
@@ -4141,6 +4380,8 @@ def branch_merge(source_df, table_path: str, name: str, key: str,
                 table_path, base["base_version"]).get("renames"),
             defaults=read_manifest(
                 table_path, base["base_version"]).get("defaults"),
+            widens=read_manifest(
+                table_path, base["base_version"]).get("widens"),
         )
         kept = existing.join(source_df.select(key), [key], "left_anti")
         result = kept.unionByName(source_df.select(*existing.columns))
@@ -4191,6 +4432,8 @@ def branch_delete_rows(keys_df, table_path: str, name: str, key: str,
                 table_path, base["base_version"]).get("renames"),
             defaults=read_manifest(
                 table_path, base["base_version"]).get("defaults"),
+            widens=read_manifest(
+                table_path, base["base_version"]).get("widens"),
         )
         kept = existing.join(keys, [key], "left_anti")
         entries = _write_data_files(kept, table_path, n_files)
