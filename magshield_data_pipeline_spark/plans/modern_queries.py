@@ -5179,3 +5179,139 @@ def snapshot_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("v3_beyond_int32", SN.read(spark, base, 3)))
         .unionByName(audit)
     )
+
+
+_SNAP_UPDATE_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS payload
+    FROM documents
+),
+v2 AS (
+    SELECT doc_id,
+           CASE WHEN payload % 5 = 2 THEN payload * 10 + 1
+                ELSE payload END AS payload
+    FROM base
+),
+v3 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 6 THEN 0 ELSE payload END AS payload
+    FROM v2
+),
+pre AS (SELECT doc_id, payload FROM base WHERE payload % 5 = 2),
+post AS (SELECT doc_id, payload * 10 + 1 AS payload FROM base
+         WHERE payload % 5 = 2)
+SELECT 'v1_base' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(payload) AS BIGINT) AS payload_sum FROM base
+UNION ALL
+SELECT 'v2_updated', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT) FROM v2
+UNION ALL
+SELECT 'v3_chained', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT) FROM v3
+UNION ALL
+SELECT 'v4_purged', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT) FROM v3
+UNION ALL
+SELECT 'cdc_preimages', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT) FROM pre
+UNION ALL
+SELECT 'cdc_postimages', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT) FROM post
+UNION ALL
+SELECT 'audit', 4, 111, 1
+"""
+
+
+@register(
+    "snapshot_update_where",
+    sql=_SNAP_UPDATE_SQL,
+    description="Positional UPDATE (r12): predicate UPDATE ... SET as "
+    "ONE atomic merge-on-read commit — the matched rows' (file, "
+    "ordinal) coordinates land as a positional delete file AND their "
+    "post-images (assignment exprs evaluated engine-side, cast to "
+    "declared types) as new data files in a single manifest link, so "
+    "no reader ever sees the rows missing; untouched files carried "
+    "byte-identically (audit-pinned), cost O(matches) — the "
+    "scattered PII-rewrite shape that would rewrite most of a 100 TB "
+    "table under copy-on-write; chained updates compose on visible "
+    "state, purge_deletes materializes CDC-silently, and the row-CDC "
+    "feed emits update_preimage/update_postimage pairs with no-op "
+    "assignments cancelled, bit-equal between batch and streaming "
+    "readers (test-pinned); completes the DML matrix beside append/"
+    "merge/delete/delete_where ([EXT] lakehouse tier)",
+)
+def snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: match scan pushes the predicate into parquet; the commit
+    # writes coordinates + post-images only; readers anti-join
+    # targeted files on (file, pos) — AQE broadcasts the small side.
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("payload")
+    )
+    base = scratch_path(
+        "snap_update", sf_dir,
+        "v1=docs v2=update(payload%5=2 -> x10+1) v3=update(doc_id%13=6 "
+        "-> 0) v4=purge",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(docs, tmp, n_files=3)
+        SN.update_where(spark, tmp, "payload % 5 = 2",
+                        {"payload": "payload * 10 + 1"})
+        SN.update_where(spark, tmp, "doc_id % 13 = 6", {"payload": "0"})
+        SN.purge_deletes(spark, tmp)
+        m1, m2 = SN.read_manifest(tmp, 1), SN.read_manifest(tmp, 2)
+        carried = {e["path"] for e in m1["files"]} <= {
+            e["path"] for e in m2["files"]
+        }
+        atomic = (m2["operation"] == "update"
+                  and m2.get("mode") == "positional"
+                  and len(SN.versions(tmp)) == 4)
+        silent = SN.read_row_changes(spark, tmp, 3, 4).count() == 0
+        flag = 100 * int(carried) + 10 * int(atomic) + int(silent)
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        flag = _json.load(f)["flag"]
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("payload").cast("long").alias("payload_sum"),
+        )
+
+    cdc = SN.read_row_changes(spark, base, 1, 2)
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(len(SN.versions(base))).cast("long").alias("n_docs"),
+        F.lit(flag).cast("long").alias("id_sum"),
+        F.lit(1).cast("long").alias("payload_sum"),
+    )
+    return (
+        row("v1_base", SN.read(spark, base, 1))
+        .unionByName(row("v2_updated", SN.read(spark, base, 2)))
+        .unionByName(row("v3_chained", SN.read(spark, base, 3)))
+        .unionByName(row("v4_purged", SN.read(spark, base, 4)))
+        .unionByName(row(
+            "cdc_preimages",
+            cdc.filter("_change_type = 'update_preimage'")
+            .select("doc_id", "payload")))
+        .unionByName(row(
+            "cdc_postimages",
+            cdc.filter("_change_type = 'update_postimage'")
+            .select("doc_id", "payload")))
+        .unionByName(audit)
+    )

@@ -433,9 +433,18 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
     dels, ins = b - a, a - b
 
     if key is None:
-        out = [proj(t) + ("delete", v) for t in sorted(dels, key=repr)
+        # a positional UPDATE commit (update_where: delete coordinates
+        # + post-image files in one link) tags its multiset diff as an
+        # update pair — same Counter-diff rows as the batch feed, same
+        # tags, bit-equal parity
+        t_del, t_ins = (
+            ("update_preimage", "update_postimage")
+            if op == "update" and cur.get("mode") == "positional"
+            else ("delete", "insert")
+        )
+        out = [proj(t) + (t_del, v) for t in sorted(dels, key=repr)
                for _ in range(dels[t])]
-        out += [proj(t) + ("insert", v) for t in sorted(ins, key=repr)
+        out += [proj(t) + (t_ins, v) for t in sorted(ins, key=repr)
                 for _ in range(ins[t])]
         return out
 

@@ -1653,6 +1653,55 @@ def read_row_changes(spark, table_path: str, from_version: int,
         op = cur.get("operation")
         if op == "compact":
             continue  # same rows, new layout: no row changes by contract
+        if op == "update" and cur.get("mode") == "positional":
+            # one atomic commit: positional delete of the matched
+            # coordinates + their post-image files.  Pre-images are
+            # the coordinate rows (prior deletes applied), post-images
+            # the added files; identical restatements cancel via the
+            # multiset diff (a no-op assignment emits nothing) — the
+            # same Counter-diff contract the streaming classifier uses,
+            # so the two feeds stay bit-equal.
+            prev_del_paths = {d["path"] for d in prev.get("delete_files", [])}
+            new_dels = [d for d in cur.get("delete_files", [])
+                        if d["path"] not in prev_del_paths]
+            before = None
+            for d in new_dels:
+                tset = set(d.get("targets") or ())
+                cands = [e for e in cur["files"] if e["path"] in tset]
+                if not cands:
+                    continue
+                img = _scan_with_deletes(
+                    spark, table_path, cands,
+                    prev.get("delete_files", []), cur.get("schema"),
+                    renames=cur.get("renames"),
+                    defaults=cur.get("defaults"),
+                    widens=cur.get("widens"), with_pos=True,
+                )
+                coords = spark.read.parquet(
+                    os.path.join(table_path, d["path"])
+                ).select(
+                    F.col("file_rel").alias("_file_rel"),
+                    F.col("pos").alias("_pos"),
+                )
+                got = img.join(
+                    coords, ["_file_rel", "_pos"], "left_semi"
+                ).drop("_file_rel", "_pos")
+                before = got if before is None else before.unionByName(got)
+            after = (_scan(spark, table_path, added, cur.get("schema"),
+                           renames=cur.get("renames"),
+                           defaults=cur.get("defaults"),
+                           widens=cur.get("widens"))
+                     if added else None)
+            if before is not None and after is not None:
+                pieces.append(tagged(before.exceptAll(
+                    after.select(*before.columns)), "update_preimage", v))
+                pieces.append(tagged(after.exceptAll(
+                    before.select(*after.columns)), "update_postimage", v))
+            elif after is not None:
+                pieces.append(tagged(after, "update_postimage", v))
+            elif before is not None:
+                pieces.append(tagged(before, "update_preimage", v))
+            continue
         if op == "delete" and cur.get("mode") == "positional":
             # no data file changed hands: the commit's NEW positional
             # delete files define the change.  Pre-images come from
@@ -3040,6 +3089,181 @@ def delete_where(spark, table_path: str, predicate: str,
     committed = _publish_optimistic(
         table_path, base_version, new_manifest, entries,
         op="delete_where", isolation=isolation, rebase=_pos_rebase,
+        race_inject=race_inject,
+    )
+    if txn is not None:
+        _advance_txn(table_path, txn[0], txn[1])
+    return committed
+
+
+def update_where(spark, table_path: str, predicate: str,
+                 assignments: dict[str, str], n_files: int = 1,
+                 txn: tuple[str, int] | None = None,
+                 isolation: str = "serializable",
+                 race_inject=None) -> int | None:
+    """Predicate UPDATE as ONE atomic merge-on-read commit — the
+    Delta/Iceberg ``UPDATE ... SET`` shape, completing the DML matrix
+    beside append/merge/delete/delete_where: the matching rows'
+    ``(file, ordinal)`` coordinates are committed as a positional
+    delete file AND their post-images (each ``assignments`` expr
+    evaluated engine-side, cast to the column's declared type) as new
+    data files, in a single manifest link — readers of the new
+    version see the update applied, readers of any prior version see
+    nothing, and there is no window where the rows are missing.
+
+    Zero untouched bytes rewritten: cost is O(matches), so a
+    scattered low-selectivity update (a PII rewrite across a 100 TB
+    corpus) commits coordinates + post-images instead of rewriting
+    most files.  Works on key-less/duplicate-row tables (coordinates,
+    not keys).  Post-images validate against CHECK constraints; the
+    CDC feeds emit ``update_preimage``/``update_postimage`` rows with
+    identical restatements cancelled (a no-op assignment emits
+    nothing), bit-equal between the batch and streaming readers;
+    ``compact()``/``purge_deletes()`` materialize.
+
+    The match set is computed twice (coordinates job + post-image
+    job) — deterministic by construction: immutable files, one pinned
+    snapshot, the same pushed-down predicate.
+
+    ``isolation="snapshot"`` rebases like ``delete_where`` (targets
+    still live, delete set unchanged, no metadata drift); ``txn``
+    gives the durable replay-no-op contract.  Zero matches publishes
+    a carry-only commit.  Returns the version, or None on replay."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if isolation not in ("serializable", "snapshot"):
+        raise ValueError(f"update_where: unknown isolation {isolation!r}")
+    if not assignments:
+        raise ValueError("update_where: no assignments")
+    if txn is not None and _txn_committed(table_path, txn[0], txn[1]):
+        return None
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(
+            f"update_where: {table_path} has no versions — nothing to "
+            "update"
+        )
+    base_version = vs[-1]
+    manifest = read_manifest(table_path, base_version)
+    schema_json = manifest.get("schema")
+    dels = manifest.get("delete_files") or []
+    bad = [c for c in assignments
+           if schema_json is not None
+           and c not in {f["name"] for f in schema_json["fields"]}]
+    if bad:
+        raise ValueError(
+            f"update_where: assignment column(s) {bad} not in the "
+            "table schema — UPDATE never evolves the schema"
+        )
+    scan_kw = dict(renames=manifest.get("renames"),
+                   defaults=manifest.get("defaults"),
+                   widens=manifest.get("widens"), with_pos=True)
+    if dels:
+        visible = _scan_with_deletes(spark, table_path,
+                                     manifest["files"], dels,
+                                     schema_json, **scan_kw)
+    else:
+        visible = _scan(spark, table_path, manifest["files"],
+                        schema_json, **scan_kw)
+    matched = visible.filter(predicate)
+    coords = matched.select(
+        F.col("_file_rel").alias("file_rel"), F.col("_pos").alias("pos")
+    )
+    targets = sorted(
+        r["file_rel"]
+        for r in coords.select("file_rel").distinct().collect()
+    )  # bounded by the snapshot's FILE count
+    v = base_version + 1
+    if not targets:
+        new_manifest = {
+            "operation": "update",
+            "mode": "positional",
+            "version": v,
+            "committed_at": time.time(),
+            "files": manifest["files"],
+        }
+        if dels:
+            new_manifest["delete_files"] = dels
+        if schema_json is not None:
+            new_manifest["schema"] = schema_json
+        _carry_table_meta(new_manifest, manifest)
+        if txn is not None:
+            new_manifest["txn"] = list(txn)
+        entries: list[dict] = []
+        data_entries: list[dict] = []
+        del_entries: list[dict] = []
+    else:
+        post = matched.drop("_file_rel", "_pos")
+        if schema_json is not None:
+            st = StructType.fromJson(schema_json)
+            for col, expr in sorted(assignments.items()):
+                post = post.withColumn(
+                    col, F.expr(expr).cast(st[col].dataType)
+                )
+        else:
+            for col, expr in sorted(assignments.items()):
+                post = post.withColumn(col, F.expr(expr))
+        _validate_constraints(post, table_path)
+        data_entries = [
+            {**e, "seq": v}
+            for e in _write_data_files(
+                post, table_path, n_files,
+                partition_by=active_partition_spec(table_path),
+            )
+        ]
+        del_entries = [
+            {**e, "kind": "positional", "targets": targets, "seq": v}
+            for e in _write_data_files(coords, table_path, 1)
+        ]
+        entries = data_entries + del_entries
+        new_manifest = {
+            "operation": "update",
+            "mode": "positional",
+            "version": v,
+            "committed_at": time.time(),
+            "files": manifest["files"] + data_entries,
+            "delete_files": dels + del_entries,
+        }
+        if schema_json is not None:
+            new_manifest["schema"] = schema_json
+        _carry_table_meta(new_manifest, manifest)
+        if txn is not None:
+            new_manifest["txn"] = list(txn)
+
+    def _upd_rebase(latest: dict, new_v: int):
+        why = _meta_drift(manifest, latest)
+        if why:
+            return why
+        latest_paths = {e["path"] for e in latest["files"]}
+        if not set(targets) <= latest_paths:
+            return ("a concurrent commit rewrote/removed file(s) this "
+                    "update targets")
+        if ({d["path"] for d in latest.get("delete_files") or []}
+                != {d["path"] for d in dels}):
+            return "delete files changed concurrently"
+        d2 = [{**e, "seq": new_v} for e in data_entries]
+        dl2 = [{**d, "seq": new_v} for d in del_entries]
+        m2 = {
+            "operation": "update",
+            "mode": "positional",
+            "version": new_v,
+            "committed_at": time.time(),
+            "rebased_from": v,
+            "files": latest["files"] + d2,
+        }
+        if dels or dl2:
+            m2["delete_files"] = (latest.get("delete_files") or []) + dl2
+        if schema_json is not None:
+            m2["schema"] = schema_json
+        _carry_table_meta(m2, latest)
+        if txn is not None:
+            m2["txn"] = list(txn)
+        return m2, d2 + dl2
+
+    committed = _publish_optimistic(
+        table_path, base_version, new_manifest, entries,
+        op="update_where", isolation=isolation, rebase=_upd_rebase,
         race_inject=race_inject,
     )
     if txn is not None:
