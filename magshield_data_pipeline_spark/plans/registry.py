@@ -223,6 +223,24 @@ _WINDOW_PINS: list[tuple[str, int]] = [
     ("snapshot_cdc_apply", 12),
     ("snapshot_wap_audit", 12),
     ("snapshot_table_mgmt", 12),
+    # session-4 r12 additions (r11 artifact still the latest → pin 12):
+    # _scan gained widen-era types + (file,pos) coordinates,
+    # _scan_with_deletes the positional-delete kind split, merge/delete
+    # moved to _publish_optimistic (snapshot-isolation rebase),
+    # purge_deletes/_delete_may_hit went kind-aware, compact retires
+    # widen history, drop/rename gained widen guards, and the stream
+    # classifier's _may_hit/_visible_rows handle positional deletes
+    # with op=update tag mapping.  The five new queries
+    # (concurrent_merge/positional_delete/runtime_prune/type_widening/
+    # update_where) enter via tier 3; these pin the touched NEIGHBORS.
+    ("snapshot_mor_purge", 12),
+    ("snapshot_cdc_stream_mor", 12),
+    ("snapshot_cdc_stream_dist", 12),
+    ("snapshot_scd2_stream", 12),
+    ("snapshot_auto_maintain", 12),
+    ("snapshot_drop_column", 12),
+    ("snapshot_column_rename", 12),
+    ("snapshot_bloom_prune", 12),
 ]
 
 

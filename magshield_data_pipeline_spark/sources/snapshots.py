@@ -1050,7 +1050,8 @@ def read(spark, table_path: str, version: int | None = None, *,
          prune: tuple[str, float, float] | list[tuple] | None = None,
          partitions: dict[str, list] | None = None,
          key_in: tuple[str, list] | None = None,
-         report: dict | None = None):
+         report: dict | None = None,
+         with_coords: bool = False):
     """Scan snapshot *version* (default latest): exactly the manifest's
     files, nothing else.  ``as_of=<unix ts>`` resolves the version by
     commit wall-time (timestamp travel), ``ref="name"`` by tag — the
@@ -1074,7 +1075,13 @@ def read(spark, table_path: str, version: int | None = None, *,
     ``report``, when a dict, is filled with ``files_total`` /
     ``files_scanned`` after pruning — the observability hook that lets
     callers (and tests) pin that pruning actually HAPPENED, not just
-    that the answer was right."""
+    that the answer was right.
+
+    ``with_coords=True`` appends ``_file_rel`` / ``_pos`` columns —
+    each row's physical (file, ordinal) coordinate, the same address
+    positional deletes use (engine-side ``_metadata.row_index``, zero
+    extra I/O): row-grain provenance for debugging, dedup lineage, or
+    building external indexes keyed to physical rows."""
     if sum(x is not None for x in (version, as_of, ref)) > 1:
         raise ValueError("read: pass at most one of version / as_of / ref")
     if ref is not None:
@@ -1199,10 +1206,14 @@ def read(spark, table_path: str, version: int | None = None, *,
         return _scan_with_deletes(spark, table_path, entries, deletes,
                                   manifest.get("schema"),
                                   renames=manifest.get("renames"),
-                                  defaults=manifest.get("defaults"), widens=manifest.get("widens"))
+                                  defaults=manifest.get("defaults"),
+                                  widens=manifest.get("widens"),
+                                  with_pos=with_coords)
     return _scan(spark, table_path, entries, manifest.get("schema"),
                  renames=manifest.get("renames"),
-                 defaults=manifest.get("defaults"), widens=manifest.get("widens"))
+                 defaults=manifest.get("defaults"),
+                 widens=manifest.get("widens"),
+                 with_pos=with_coords)
 
 
 def read_join_pruned(spark, table_path: str, dim_df, key: str, *,
@@ -3826,6 +3837,47 @@ def files_table(spark, table_path: str, version: int | None = None):
         StructField("seq", LongType()),
         StructField("partition", StringType()),
         StructField("bloom_cols", StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def delete_files_table(spark, table_path: str,
+                       version: int | None = None):
+    """A snapshot's PENDING delete files as a DataFrame — the
+    ``.delete_files`` metadata table beside ``files_table``: kind
+    (equality/positional), key or target count, row count, sequence
+    number.  Manifest-only (zero data I/O) — what a maintenance
+    scheduler reads to decide when a ``purge_deletes`` pass pays for
+    itself (read amplification = pending delete rows x targeted
+    files)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"delete_files_table: {table_path} has no versions")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"delete_files_table: version {v} not in {vs}")
+    rows = []
+    for d in read_manifest(table_path, v).get("delete_files") or []:
+        kind = d.get("kind", "equality")
+        rows.append((
+            d["path"],
+            kind,
+            d.get("key"),
+            len(d.get("targets") or []) if kind == "positional" else None,
+            d["rows"],
+            d.get("seq"),
+        ))
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("kind", StringType()),
+        StructField("key", StringType()),
+        StructField("n_targets", LongType()),
+        StructField("rows", LongType()),
+        StructField("seq", LongType()),
     ])
     return spark.createDataFrame(rows, schema)
 

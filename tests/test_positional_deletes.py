@@ -207,3 +207,46 @@ def test_cow_operations_refuse_pending_positional_deletes(
     with pytest.raises(ValueError, match="pending"):
         S.delete(spark.range(5).select(F.col("id").alias("k")), t,
                  key="k")
+
+
+def test_read_with_coords_exposes_row_provenance(spark, tmp_path):
+    t = _tbl(tmp_path, "coords")
+    S.overwrite(_kv(spark, 0, 60), t, n_files=2)
+    out = S.read(spark, t, with_coords=True)
+    assert {"_file_rel", "_pos"} <= set(out.columns)
+    rows = out.collect()
+    assert len(rows) == 60
+    # coordinates are exactly the positional-delete address space:
+    # per-file ordinals 0..n-1 over the manifest's relative paths
+    paths = {e["path"] for e in S.read_manifest(t, 1)["files"]}
+    assert {r["_file_rel"] for r in rows} == paths
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["_file_rel"], []).append(r["_pos"])
+    for ps in by_file.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # coordinates survive pending deletes (visible rows keep their
+    # PHYSICAL ordinals — holes, not renumbering)
+    S.delete_where(spark, t, "v = 0")
+    vis = S.read(spark, t, with_coords=True).collect()
+    assert all(r.v != 0 for r in vis)
+    assert len(vis) == 60 - len([i for i in range(60) if i % 7 == 0])
+
+
+def test_delete_files_metadata_table(spark, tmp_path):
+    t = _tbl(tmp_path, "dmeta")
+    S.overwrite(_kv(spark, 0, 100), t, n_files=2)
+    S.delete(spark.range(0, 5).select(F.col("id").alias("k")), t,
+             key="k", mode="merge-on-read")
+    S.delete_where(spark, t, "v = 3")
+    meta = {r.kind: r for r in
+            S.delete_files_table(spark, t).collect()}
+    assert meta["equality"].key == "k" and meta["equality"].rows == 5
+    assert meta["positional"].key is None
+    assert meta["positional"].n_targets >= 1
+    assert meta["positional"].rows == len(
+        [i for i in range(5, 100) if i % 7 == 3])
+    # empty after purge; prior version still answers
+    S.purge_deletes(spark, t)
+    assert S.delete_files_table(spark, t).count() == 0
+    assert S.delete_files_table(spark, t, version=3).count() == 2
