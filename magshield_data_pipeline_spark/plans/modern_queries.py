@@ -5315,3 +5315,139 @@ def snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "payload")))
         .unionByName(audit)
     )
+
+
+_SNAP_MERGE_EVOLVE_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS payload
+    FROM documents
+),
+v2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN payload * 5
+                ELSE payload END AS payload,
+           CASE WHEN doc_id % 10 = 0 THEN doc_id % 3
+                ELSE NULL END AS grade
+    FROM base
+),
+v3 AS (
+    SELECT v2.doc_id,
+           CASE WHEN v2.doc_id % 9 = 1 THEN b.payload + 7
+                ELSE v2.payload END AS payload,
+           CASE WHEN v2.doc_id % 9 = 1 THEN -1
+                ELSE v2.grade END AS grade,
+           CASE WHEN v2.doc_id % 9 = 1 THEN v2.doc_id % 2
+                ELSE NULL END AS wx
+    FROM v2 JOIN base b ON v2.doc_id = b.doc_id
+)
+SELECT 'v2_cow_evolve' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(payload) AS BIGINT) AS payload_sum,
+       CAST(sum(grade) AS BIGINT) AS grade_sum,
+       CAST(count(grade) AS BIGINT) AS grade_present,
+       CAST(NULL AS BIGINT) AS wx_sum
+FROM v2
+UNION ALL
+SELECT 'v3_mor_evolve', CAST(count(*) AS BIGINT),
+       CAST(sum(payload) AS BIGINT), CAST(sum(grade) AS BIGINT),
+       CAST(count(grade) AS BIGINT), CAST(sum(wx) AS BIGINT)
+FROM v3
+UNION ALL
+SELECT 'audit', 3, 11, NULL, NULL, NULL
+"""
+
+
+@register(
+    "snapshot_merge_evolve",
+    sql=_SNAP_MERGE_EVOLVE_SQL,
+    description="MERGE with schema evolution (r12): "
+    "merge(evolve_schema=True) — the Delta mergeSchema contract — "
+    "applies an upsert whose source carries NEW columns in ONE "
+    "commit: the evolved schema (new fields appended) publishes "
+    "atomically with the row changes, carried rows and untouched "
+    "files null-fill, and both modes work (copy-on-write rewrite "
+    "null-fills the kept rows; merge-on-read appends post-images at "
+    "the new sequence number and old files null-fill through the "
+    "manifest schema); the default stays the loud refusal (ADVICE "
+    "r10 — silent extra columns once split behavior by stats "
+    "pruning), and re-introducing a DROPPED name refuses (the "
+    "resurrection handshake); at 100 TB this folds the evolve-append "
+    "+ merge two-step into one atomic commit — no window where "
+    "downstream readers see the schema without the rows ([EXT] "
+    "lakehouse tier)",
+)
+def snapshot_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: evolution is a schema-dict merge on the driver; the data
+    # cost is the merge itself (stats-pruned rewrite or zero-rewrite
+    # MOR) — no extra pass for the new columns.
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("payload")
+    )
+    src2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", (F.col("payload") * 5).alias("payload"),
+        (F.col("doc_id") % 3).alias("grade"),
+    )
+    src3 = docs.filter(F.col("doc_id") % 9 == 1).select(
+        "doc_id", (F.col("payload") + 7).alias("payload"),
+        F.lit(-1).cast("long").alias("grade"),
+        (F.col("doc_id") % 2).alias("wx"),
+    )
+    base = scratch_path(
+        "snap_merge_evolve", sf_dir,
+        "v1=docs v2=cow merge evolve grade(%10=0, x5, doc_id%3) "
+        "v3=mor merge evolve wx(%9=1, +7, grade=-1, doc_id%2)",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(docs, tmp, n_files=2)
+        try:
+            SN.merge(src2, tmp, key="doc_id")  # default must refuse
+            refused = False
+        except ValueError:
+            refused = True
+        SN.merge(src2, tmp, key="doc_id", evolve_schema=True)
+        SN.merge(src3, tmp, key="doc_id", mode="merge-on-read",
+                 evolve_schema=True)
+        order_ok = [f["name"] for f in SN.read_manifest(tmp, 3)
+                    ["schema"]["fields"]] == [
+                        "doc_id", "payload", "grade", "wx"]
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": 10 * int(refused) + int(order_ok)}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        flag = _json.load(f)["flag"]
+
+    def row(stage: str, df: DataFrame, with_wx: bool) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("payload").cast("long").alias("payload_sum"),
+            F.sum("grade").cast("long").alias("grade_sum"),
+            F.count("grade").alias("grade_present"),
+            (F.sum("wx").cast("long") if with_wx
+             else F.lit(None).cast("long")).alias("wx_sum"),
+        )
+
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(len(SN.versions(base))).cast("long").alias("n_docs"),
+        F.lit(flag).cast("long").alias("payload_sum"),
+        F.lit(None).cast("long").alias("grade_sum"),
+        F.lit(None).cast("long").alias("grade_present"),
+        F.lit(None).cast("long").alias("wx_sum"),
+    )
+    return (
+        row("v2_cow_evolve", SN.read(spark, base, 2), with_wx=False)
+        .unionByName(row("v3_mor_evolve", SN.read(spark, base, 3),
+                         with_wx=True))
+        .unionByName(audit)
+    )

@@ -908,7 +908,8 @@ def _write_data_files(df, table_path: str, n_files: int,
     entries = []
     for name in files:
         got = by_file.get(name)
-        entry = {"path": os.path.join(sub, name), "rows": 0, "stats": {}}
+        entry = {"path": os.path.join(sub, name), "rows": 0, "stats": {},
+                 "bytes": os.path.getsize(os.path.join(abs_target, name))}
         if got is not None:
             row = got.asDict()
             row.pop("_f")
@@ -2311,7 +2312,8 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
           txn: tuple[str, int] | None = None,
           mode: str = "copy-on-write",
           isolation: str = "serializable",
-          race_inject=None) -> int | None:
+          race_inject=None,
+          evolve_schema: bool = False) -> int | None:
     """MERGE INTO: upsert *source_df* into the latest snapshot by
     *key* — matched rows are replaced by the source row, unmatched
     source rows insert, everything else passes through.  Two modes,
@@ -2401,23 +2403,41 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
                 "append first if the source genuinely adds columns"
             )
         extra = [c for c in source_df.columns if c not in table_cols]
-        if extra:
+        if extra and not evolve_schema:
             # ADVICE r10 (medium): silently accepting extra columns split
             # behavior by stats pruning — the touched-file branch selected
             # only existing.columns (dropping the values) while the
             # pure-insert branch kept them, and _merge_schema still
             # published the column, so readers saw null where the source
             # supplied data.  Fail loudly instead, matching the missing-
-            # column guard: schema evolution is an explicit append.
+            # column guard: schema evolution is opt-in
+            # (``evolve_schema=True``, the Delta mergeSchema contract).
             raise ValueError(
                 f"merge: source has columns {extra} the table lacks — "
-                "MERGE never evolves the schema; evolve with an append "
-                "first, then merge"
+                "MERGE does not evolve the schema by default; pass "
+                "evolve_schema=True (or append first)"
             )
+        if extra:
+            # opt-in evolution: re-introducing a DROPPED name would
+            # resurrect old files' stale bytes — same handshake as
+            # append's implicit add-column path
+            revived = [c for c in extra
+                       for d in (manifest.get("drops") or [])
+                       if d["col"] == c]
+            if revived:
+                raise ValueError(
+                    f"merge: column(s) {sorted(set(revived))} were "
+                    "previously DROPPED — re-add via "
+                    "snapshots.add_column first"
+                )
         # same-name type conflicts still fail loudly (raises ValueError);
-        # with the extra-column guard above, a passing merge publishes the
-        # table schema unchanged
-        _merge_schema(schema_json, source_df.schema.jsonValue())
+        # without evolution a passing merge publishes the table schema
+        # unchanged, with it the NEW columns append (old files and
+        # carried rows null-fill — the add-column contract applied
+        # atomically with the upsert)
+        evolved = _merge_schema(schema_json, source_df.schema.jsonValue())
+        if evolve_schema and extra:
+            schema_json = evolved
     # rewrites and post-images land under the table's ACTIVE partition
     # spec (when one is declared): an upsert-maintained table keeps its
     # declared layout instead of gradually shedding partition metadata
@@ -2511,7 +2531,16 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
             defaults=manifest.get("defaults"), widens=manifest.get("widens"),
         )
         kept = existing.join(source_df.select(key), [key], "left_anti")
-        result = kept.unionByName(source_df.select(*existing.columns))
+        # under evolve_schema the source carries NEW columns: carried
+        # rows null-fill them (allowMissingColumns), matching what the
+        # manifest schema does for untouched files
+        result = kept.unionByName(
+            source_df.select(*[
+                c for c in source_df.columns
+                if c in set(existing.columns) or evolve_schema
+            ]),
+            allowMissingColumns=True,
+        )
     else:
         result = source_df  # pure insert: no file can hold a match
     entries = _write_data_files(result, table_path, n_files,
@@ -3486,7 +3515,9 @@ def rollback(table_path: str, to_version: int) -> int:
 # Maintenance planning: bin-pack OPTIMIZE + metadata tables (r11)
 
 def optimize(spark, table_path: str, small_file_rows: int,
-             target_rows: int | None = None) -> int | None:
+             target_rows: int | None = None,
+             small_file_bytes: int | None = None,
+             target_bytes: int | None = None) -> int | None:
     """Bin-pack OPTIMIZE: rewrite ONLY the latest snapshot's
     UNDERSIZED data files (``rows < small_file_rows``) into
     consolidated files of ~*target_rows* rows (default: one file),
@@ -3513,15 +3544,30 @@ def optimize(spark, table_path: str, small_file_rows: int,
             "compact() to materialize them first (bin-packing a subset "
             "of files cannot reconcile sequence-numbered deletes)"
         )
-    small = [e for e in manifest["files"] if e["rows"] < small_file_rows]
+    def _is_small(e: dict) -> bool:
+        # byte mode when the caller gives a byte threshold AND the
+        # entry recorded its size (r12: _write_data_files stamps
+        # ``bytes``; pre-r12 entries fall back to the row threshold) —
+        # bytes are what actually size scan tasks and shuffle spill,
+        # rows are only a proxy
+        if small_file_bytes is not None and e.get("bytes") is not None:
+            return e["bytes"] < small_file_bytes
+        return e["rows"] < small_file_rows
+
+    small = [e for e in manifest["files"] if _is_small(e)]
     if len(small) < 2:
         return None
-    big = [e for e in manifest["files"] if e["rows"] >= small_file_rows]
-    total = sum(e["rows"] for e in small)
-    n_out = (
-        1 if target_rows is None
-        else max(1, -(-total // max(1, target_rows)))
-    )
+    big = [e for e in manifest["files"] if not _is_small(e)]
+    if target_bytes is not None and all(
+            e.get("bytes") is not None for e in small):
+        total_b = sum(e["bytes"] for e in small)
+        n_out = max(1, -(-total_b // max(1, target_bytes)))
+    else:
+        total = sum(e["rows"] for e in small)
+        n_out = (
+            1 if target_rows is None
+            else max(1, -(-total // max(1, target_rows)))
+        )
     content = _scan(spark, table_path, small, manifest.get("schema"),
                     renames=manifest.get("renames"),
                     defaults=manifest.get("defaults"), widens=manifest.get("widens"))
@@ -3827,6 +3873,7 @@ def files_table(spark, table_path: str, version: int | None = None):
         rows.append((
             e["path"],
             e["rows"],
+            e.get("bytes"),
             e.get("seq"),
             json.dumps(part, sort_keys=True) if part else None,
             ",".join(sorted(e.get("bloom") or {})) or None,
@@ -3834,6 +3881,7 @@ def files_table(spark, table_path: str, version: int | None = None):
     schema = StructType([
         StructField("path", StringType()),
         StructField("rows", LongType()),
+        StructField("bytes", LongType()),
         StructField("seq", LongType()),
         StructField("partition", StringType()),
         StructField("bloom_cols", StringType()),
