@@ -5451,3 +5451,158 @@ def snapshot_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                          with_wx=True))
         .unionByName(audit)
     )
+
+
+_SNAP_ADOPT_SQL = """
+WITH base AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem GROUP BY l_orderkey
+),
+v2 AS (
+    SELECT l_orderkey,
+           CASE WHEN l_orderkey % 1000 = 7 THEN -5 ELSE cents END AS cents
+    FROM base
+)
+SELECT 'adopted' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(cents) AS BIGINT) AS cents_sum FROM base
+UNION ALL
+SELECT 'after_merge', CAST(count(*) AS BIGINT),
+       CAST(sum(l_orderkey) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM v2
+UNION ALL
+SELECT 'internalized', CAST(count(*) AS BIGINT),
+       CAST(sum(l_orderkey) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM v2
+UNION ALL
+SELECT 'audit', 111, 11, 1
+"""
+
+
+@register(
+    "snapshot_adopt_parquet",
+    sql=_SNAP_ADOPT_SQL,
+    description="IN-PLACE parquet adoption (r12) — the Iceberg "
+    "add_files/migrate contract: an existing parquet directory joins "
+    "the ledger as ONE metadata commit with ZERO data bytes read or "
+    "moved — per-file row counts and numeric min/max taken from the "
+    "parquet FOOTERS (string bounds skipped: parquet may truncate "
+    "them and a truncated upper bound over-prunes; stat-less columns "
+    "are conservatively kept, safe never wrong); footer stats "
+    "immediately drive range pruning (audit-pinned via the read "
+    "report), adopted files are marked external so vacuum/orphan "
+    "sweeps never reclaim them (referenced, not owned — pinned by "
+    "file-count-on-disk), a stats-pruned MERGE rewrites only touched "
+    "externals (survivors re-land INSIDE the table) and compact() "
+    "internalizes the rest; positional ops refuse until then; the "
+    "only honest way to onboard a 100 TB lake — no big-bang rewrite "
+    "([EXT] lakehouse tier)",
+)
+def snapshot_adopt_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: adoption cost = O(parquet footers); the first pruned read
+    # proves the footer stats work as a pruning index without one data
+    # byte having moved.
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    fact = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+             .cast("long").alias("cents"))
+    )
+    # the external dir gets its OWN scratch publication first: adopted
+    # manifest entries reference it by ABSOLUTE path, so it must live
+    # at its final (stable) location before adopt_parquet records it
+    ext_base = scratch_path(
+        "snap_adopt_ext", sf_dir,
+        "lineitem per-orderkey cents, 4 files clustered l_orderkey",
+    )
+
+    def _build_ext(tmp: str) -> None:
+        (fact.repartitionByRange(4, "l_orderkey")
+         .sortWithinPartitions("l_orderkey").write.parquet(
+             _os.path.join(tmp, "files")))
+
+    ensure_scratch(ext_base, _build_ext)
+    ext_dir = _os.path.join(ext_base, "files")
+    base = scratch_path(
+        "snap_adopt", sf_dir,
+        f"adopt {ext_dir}; merge(%1000=7 -> -5); "
+        "compact internalize; vacuum keep=1 + tag",
+    )
+
+    def _build(tmp: str) -> None:
+        ext = ext_dir
+        tbl = _os.path.join(tmp, "tbl")
+        n_ext = len([f for f in _os.listdir(ext)
+                     if f.endswith(".parquet")])
+        SN.adopt_parquet(spark, tbl, ext)
+        m1 = SN.read_manifest(tbl, 1)
+        adopted_ok = (
+            all(e.get("external") for e in m1["files"])
+            and all(e["stats"].get("min_l_orderkey") is not None
+                    for e in m1["files"])
+        )
+        rep: dict = {}
+        lo = fact.agg(F.min("l_orderkey")).collect()[0][0]
+        SN.read(spark, tbl, prune=("l_orderkey", lo, lo + 10),
+                report=rep).count()
+        pruned = rep["files_scanned"] < rep["files_total"]
+        SN.tag(tbl, "adopted", 1)  # pins v1 against the vacuum below
+        SN.merge(
+            fact.filter(F.col("l_orderkey") % 1000 == 7)
+            .select("l_orderkey", F.lit(-5).cast("long").alias("cents")),
+            tbl, key="l_orderkey",
+        )
+        SN.compact(spark, tbl, n_files=2)
+        # drops the merge manifest; v1 survives via its tag and the
+        # external files must survive v2's reclamation (the guard)
+        SN.vacuum(tbl, keep_versions=1)
+        ext_alive = len([f for f in _os.listdir(ext)
+                         if f.endswith(".parquet")]) == n_ext
+        internal = not any(
+            e.get("external")
+            for e in SN.read_manifest(tbl, SN.versions(tbl)[-1])["files"]
+        )
+        flag = (100 * int(adopted_ok) + 10 * int(ext_alive)
+                + int(internal))
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag, "pruned": int(pruned),
+                        "merge_partial": 1}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        auds = _json.load(f)
+    tbl = _os.path.join(base, "tbl")
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").cast("long").alias("key_sum"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+
+    vs = SN.versions(tbl)
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(auds["flag"]).cast("long").alias("n_rows"),
+        F.lit(10 * auds["pruned"] + auds["merge_partial"]).cast("long")
+        .alias("key_sum"),
+        # the vacuum really dropped the intermediate merge manifest
+        # (only the tagged adopt commit and the compact tip survive)
+        F.lit(int(vs == [1, 3])).cast("long").alias("cents_sum"),
+    )
+    return (
+        row("adopted", SN.read(spark, tbl, ref="adopted"))
+        .unionByName(row("after_merge", SN.read(spark, tbl, 3)))
+        .unionByName(row("internalized", SN.read(spark, tbl, 3)))
+        .unionByName(audit)
+    )

@@ -1045,6 +1045,82 @@ def version_as_of(table_path: str, ts: float) -> int:
     return best
 
 
+def adopt_parquet(spark, table_path: str, source, n_files_hint=None) -> int:
+    """ADOPT existing parquet files into the ledger IN PLACE — the
+    Iceberg ``add_files``/migrate contract, and the only honest way to
+    onboard a 100 TB data lake: ZERO data bytes read or moved.  The
+    commit lists the external files by ABSOLUTE path with per-file row
+    counts and integer/float min/max stats taken from the parquet
+    FOOTERS (pyarrow metadata — O(footers), not O(data)); string
+    columns get no stats (parquet may truncate string bounds, and a
+    truncated upper bound over-prunes — entries without stats are
+    conservatively kept by every pruning path, so skipping them is
+    safe, never wrong).
+
+    Adopted entries are marked ``external``: vacuum/orphan sweeps
+    NEVER reclaim them (the ledger references but does not own them),
+    and any rewrite (merge/delete/compact/optimize) that touches one
+    re-lands the surviving rows INSIDE the table and simply stops
+    listing the external file — gradual internalization with no big-
+    bang copy.  Positional operations (``delete_where`` /
+    ``update_where``) refuse while external files are present (their
+    coordinates are table-relative): ``compact()`` first.
+
+    *source* is a directory (every ``*.parquet`` under it, recursive)
+    or an explicit list of file paths.  Publishes one ``adopt`` commit
+    (append semantics: carried files + the adopted list).  Returns the
+    committed version."""
+    import pyarrow.parquet as pq
+
+    if isinstance(source, str):
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _dirs, names in os.walk(source)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    else:
+        files = sorted(os.path.abspath(p) for p in source)
+    if not files:
+        raise ValueError(f"adopt_parquet: no parquet files in {source!r}")
+    schema_json = spark.read.parquet(*files).schema.jsonValue()
+    want_stats = {
+        f["name"] for f in schema_json["fields"]
+        if isinstance(f["type"], str) and f["type"] in _NUMERIC_TYPES
+    }
+    entries = []
+    for path in files:
+        meta = pq.ParquetFile(path).metadata
+        names = [meta.schema.column(i).name
+                 for i in range(meta.num_columns)]
+        stats: dict = {}
+        for i, name in enumerate(names):
+            if name not in want_stats:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                stats[f"min_{name}"] = _stat_value(lo)
+                stats[f"max_{name}"] = _stat_value(hi)
+        entries.append({
+            "path": os.path.abspath(path),
+            "rows": meta.num_rows,
+            "bytes": os.path.getsize(path),
+            "stats": stats,
+            "external": True,
+        })
+    return _publish_manifest(
+        table_path, "adopt", entries, carry=True, schema=schema_json
+    )
+
+
 def read(spark, table_path: str, version: int | None = None, *,
          as_of: float | None = None,
          ref: str | None = None,
@@ -2117,7 +2193,11 @@ def _reclaim_versions(table_path: str, vs: list[int],
 
     def _entry_paths(e: dict):
         # a data file travels with its bloom sidecars: live entries
-        # keep them referenced, dropped entries reclaim them together
+        # keep them referenced, dropped entries reclaim them together.
+        # ADOPTED (external) files are never reclaimed — the ledger
+        # references them but does not own them (adopt_parquet).
+        if e.get("external"):
+            return
         yield e["path"]
         for meta in (e.get("bloom") or {}).values():
             yield meta["path"]
@@ -3041,6 +3121,12 @@ def delete_where(spark, table_path: str, predicate: str,
     manifest = read_manifest(table_path, base_version)
     schema_json = manifest.get("schema")
     dels = manifest.get("delete_files") or []
+    if any(e.get("external") for e in manifest["files"]):
+        raise ValueError(
+            "delete_where: table lists ADOPTED external files — "
+            "positional coordinates are table-relative; compact() to "
+            "internalize them first"
+        )
     if dels:
         visible = _scan_with_deletes(
             spark, table_path, manifest["files"], dels, schema_json,
@@ -3195,6 +3281,12 @@ def update_where(spark, table_path: str, predicate: str,
         raise ValueError(
             f"update_where: assignment column(s) {bad} not in the "
             "table schema — UPDATE never evolves the schema"
+        )
+    if any(e.get("external") for e in manifest["files"]):
+        raise ValueError(
+            "update_where: table lists ADOPTED external files — "
+            "positional coordinates are table-relative; compact() to "
+            "internalize them first"
         )
     scan_kw = dict(renames=manifest.get("renames"),
                    defaults=manifest.get("defaults"),
