@@ -5606,3 +5606,138 @@ def snapshot_adopt_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("internalized", SN.read(spark, tbl, 3)))
         .unionByName(audit)
     )
+
+
+_SNAP_DPO_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS payload,
+           doc_id % 5 AS p
+    FROM documents
+),
+v3 AS (
+    SELECT doc_id,
+           CASE WHEN p IN (1, 4) THEN payload * 2 ELSE payload END
+           AS payload,
+           p
+    FROM base
+),
+repl AS (SELECT * FROM base WHERE p IN (1, 4))
+SELECT 'v1_base' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(payload) AS BIGINT) AS payload_sum FROM base
+UNION ALL
+SELECT 'v3_replaced', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT) FROM v3
+UNION ALL
+SELECT 'cdc_deleted', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) AS BIGINT)
+FROM repl
+UNION ALL
+SELECT 'cdc_inserted', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(payload) * 2 AS BIGINT)
+FROM repl
+UNION ALL
+SELECT 'audit', 4, 111, 1
+"""
+
+
+@register(
+    "snapshot_partition_overwrite",
+    sql=_SNAP_DPO_SQL,
+    description="DYNAMIC partition overwrite (r12) — Spark's "
+    "partitionOverwriteMode=dynamic / Iceberg overwritePartitions as "
+    "a ledger commit: exactly the partitions PRESENT in the source "
+    "are replaced (computed engine-side by mapping the source "
+    "through the table's active partition transform — one distinct "
+    "over the DERIVED value, bounded by partition count), every "
+    "other partition's files carried by reference byte-identically "
+    "(audit-pinned), old snapshots time-travel intact; the CDC feeds "
+    "classify it as a per-partition delete+insert diff and an "
+    "IDENTICAL re-ingest emits zero rows (multiset cancellation — "
+    "re-landing the same day is maintenance-silent); the "
+    "daily-reingest idiom at 100 TB: recompute one day of a "
+    "date-partitioned table and commit it without listing the other "
+    "days ([EXT] lakehouse tier)",
+)
+def snapshot_partition_overwrite(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    # Scale: the replaced set is one distinct over the derived
+    # partition value; the commit writes only the incoming
+    # partitions' files; carried files are never listed from disk
+    # (manifest metadata, not directory walks).
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("payload"),
+        (F.col("doc_id") % 5).alias("p"),
+    )
+    base = scratch_path(
+        "snap_dpo", sf_dir,
+        "v1=docs part p=doc_id%5 v2=spec v3=dpo(p in 1,4 -> payload x2) "
+        "v4=identical reingest p=2",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(docs, tmp, n_files=1, partition_by="p")
+        SN.set_partition_spec(tmp, "p")
+        SN.overwrite_partitions(
+            docs.filter(F.col("p").isin(1, 4)).select(
+                "doc_id", (F.col("payload") * 2).alias("payload"), "p"),
+            tmp, n_files=1,
+        )
+        SN.overwrite_partitions(docs.filter(F.col("p") == 2), tmp)
+        m1, m3 = SN.read_manifest(tmp, 1), SN.read_manifest(tmp, 3)
+        carried = {e["path"] for e in m3["files"]} & {
+            e["path"] for e in m1["files"]}
+        carried_ok = carried == {
+            e["path"] for e in m1["files"]
+            if e["partition"]["p"] in ("0", "2", "3")}
+        replaced_ok = m3["replaced_partitions"] == ["1", "4"]
+        silent = SN.read_row_changes(spark, tmp, 3, 4).count() == 0
+        rep: dict = {}
+        SN.read(spark, tmp, partitions={"p": ["0"]}, report=rep)
+        pruned = rep["files_scanned"] < rep["files_total"]
+        flag = (100 * int(carried_ok) + 10 * int(replaced_ok)
+                + int(silent))
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag, "pruned": int(pruned)}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        auds = _json.load(f)
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("payload").cast("long").alias("payload_sum"),
+        )
+
+    cdc = SN.read_row_changes(spark, base, 2, 3)
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(len(SN.versions(base))).cast("long").alias("n_docs"),
+        F.lit(auds["flag"]).cast("long").alias("id_sum"),
+        F.lit(auds["pruned"]).cast("long").alias("payload_sum"),
+    )
+    return (
+        row("v1_base", SN.read(spark, base, 1))
+        .unionByName(row("v3_replaced", SN.read(spark, base, 3)))
+        .unionByName(row(
+            "cdc_deleted",
+            cdc.filter("_change_type = 'delete'")
+            .select("doc_id", "payload")))
+        .unionByName(row(
+            "cdc_inserted",
+            cdc.filter("_change_type = 'insert'")
+            .select("doc_id", "payload")))
+        .unionByName(audit)
+    )

@@ -987,6 +987,108 @@ def overwrite(df, table_path: str, n_files: int = 2,
     )
 
 
+def overwrite_partitions(df, table_path: str, n_files: int = 1) -> int:
+    """DYNAMIC partition overwrite — Spark's
+    ``partitionOverwriteMode=dynamic`` / Iceberg's
+    ``overwritePartitions`` as a ledger commit: exactly the partitions
+    PRESENT in *df* are replaced (their old files stop being listed),
+    every other partition's files are carried by reference,
+    byte-untouched.  The idiom behind daily re-ingestion: recompute
+    one day of a date-partitioned 100 TB table and commit it without
+    touching — or even listing — the other days' data.
+
+    The replaced set is computed engine-side by mapping *df* through
+    the table's ACTIVE partition transform (identity, bucket,
+    truncate, month — one distinct over the derived value, bounded by
+    the partition count, never the rows) and matched against each
+    file's manifest-recorded partition VALUE — the same
+    metadata-not-directories contract as partition pruning.
+
+    Refusals (loud, table unchanged): no active partition spec; a
+    file written under a DIFFERENT spec generation or with no
+    recorded partition value (its membership is unknowable without
+    reading it — re-cluster via compact first); pending delete files
+    (replacement under deletes is ambiguous — purge first).
+
+    CDC: the feeds classify the commit as a per-partition
+    delete+insert diff (the key-less multiset path — identical
+    restatements cancel).  Serializable: publishes at exactly
+    base+1."""
+    from pyspark.sql import functions as F
+
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(
+            f"overwrite_partitions: {table_path} has no versions — use "
+            "overwrite/append with partition_by for the first commit"
+        )
+    base_version = vs[-1]
+    manifest = read_manifest(table_path, base_version)
+    if manifest.get("delete_files"):
+        raise ValueError(
+            "overwrite_partitions: pending delete files — compact()/"
+            "purge_deletes() first (partition replacement under "
+            "deletes is ambiguous)"
+        )
+    active_pb = active_partition_spec(table_path)
+    spec = _partition_spec(active_pb)
+    if spec is None:
+        raise ValueError(
+            "overwrite_partitions: table has no active partition spec "
+            "— set_partition_spec first (dynamic overwrite is defined "
+            "by the declared layout)"
+        )
+    p_name, p_source, p_transform, _param = spec
+    dtype_name = dict(
+        (f.name, f.dataType.typeName()) for f in df.schema.fields
+    ).get(p_source)
+    if dtype_name is None:
+        raise ValueError(
+            f"overwrite_partitions: source lacks the partition source "
+            f"column {p_source!r}"
+        )
+    for e in manifest["files"]:
+        esp = e.get("partition_spec")
+        if not e.get("partition") or p_name not in e["partition"] or (
+                esp and esp.get("name") != p_name):
+            raise ValueError(
+                f"overwrite_partitions: file {e['path']!r} carries no "
+                f"partition value under the active spec {p_name!r} — "
+                "its membership is unknowable without reading it; "
+                "compact() under the current spec first"
+            )
+    pv = (F.col(p_name) if p_transform == "identity"
+          else _transform_expr(spec, dtype_name))
+    replaced = {
+        str(r["_pv"])
+        for r in df.select(pv.alias("_pv")).distinct().collect()
+    }  # one distinct over the DERIVED value — bounded by partitions
+    if not replaced:
+        raise ValueError("overwrite_partitions: source has no rows")
+    _validate_constraints(df, table_path)
+    kept = [e for e in manifest["files"]
+            if e["partition"][p_name] not in replaced]
+    entries = [
+        {**e, "seq": base_version + 1}
+        for e in _write_data_files(df, table_path, n_files,
+                                   partition_by=active_pb)
+    ]
+    new_manifest = {
+        "operation": "overwrite-partitions",
+        "version": base_version + 1,
+        "committed_at": time.time(),
+        "replaced_partitions": sorted(replaced),
+        "files": kept + entries,
+        "schema": (manifest.get("schema")
+                   if manifest.get("schema") is not None
+                   else df.schema.jsonValue()),
+    }
+    _carry_table_meta(new_manifest, manifest)
+    _publish_at_exactly(table_path, base_version + 1, new_manifest,
+                        entries, op="overwrite_partitions")
+    return base_version + 1
+
+
 def compact(spark, table_path: str, n_files: int = 1,
             cluster_by: list[str] | None = None,
             bloom_for: dict[str, int] | None = None,
