@@ -4166,3 +4166,189 @@ def curation_retraction_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "stage", "n_docs", F.col("id_sum").cast("long").alias("id_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction epoch: positional UPDATE + CDC-incremental index (r12 s4)
+
+_REDACT_PAT = "555-0[0-9]+"
+
+_REDACTION_SQL = f"""
+WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 3
+                THEN text || ' contact: 555-0' || CAST(doc_id AS VARCHAR)
+                ELSE text END AS text
+    FROM documents
+),
+redacted AS (
+    SELECT doc_id,
+           regexp_replace(text, '{_REDACT_PAT}', '[REDACTED]', 'g')
+           AS text
+    FROM planted
+),
+hits AS (SELECT * FROM planted WHERE doc_id % 11 = 3),
+idx AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_extract_all(text, '{_REDACT_PAT}'))
+                AS BIGINT) AS n_pii
+    FROM redacted
+)
+SELECT 'corpus_v1' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars_sum,
+       CAST(sum(CASE WHEN regexp_matches(text, '{_REDACT_PAT}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs
+FROM planted
+UNION ALL
+SELECT 'corpus_v2', CAST(count(*) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT),
+       CAST(sum(CASE WHEN regexp_matches(text, '{_REDACT_PAT}')
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM redacted
+UNION ALL
+SELECT 'cdc_preimages', CAST(count(*) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM hits
+UNION ALL
+SELECT 'index_incremental', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT), CAST(sum(n_pii) AS BIGINT)
+FROM idx
+UNION ALL
+SELECT 'index_rebuild', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT), CAST(sum(n_pii) AS BIGINT)
+FROM idx
+UNION ALL
+SELECT 'audit', 111, CAST((SELECT count(*) FROM hits) AS BIGINT), 0
+"""
+
+
+@register(
+    "curation_redaction_epoch",
+    sql=_REDACTION_SQL,
+    description="PII REDACTION epoch (r12): the in-place corpus "
+    "rewrite a governed training pipeline must support — planted "
+    "phone-style tokens are redacted with ONE update_where commit "
+    "(positional coordinates + post-images, zero untouched files "
+    "rewritten — audit-pinned), and the per-doc feature index is "
+    "maintained INCREMENTALLY from the update CDC feed: only the "
+    "update_postimage docs are re-featurized and merged, cost "
+    "O(redacted docs) not O(corpus), with the incremental index "
+    "hash-pinned equal to a from-scratch rebuild of the final "
+    "corpus; zero PII matches survive (content-pinned) and replay "
+    "of the epoch is a durable no-op (app-txn); at 100 TB this is "
+    "a right-to-be-forgotten pass priced by the matches, with every "
+    "downstream consumer repaired through the same CDC feed that "
+    "repaired the index ([EXT] curation tier)",
+)
+def curation_redaction_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: detection pushes the rlike into the scan; the UPDATE
+    # commits coordinates + post-images only; the index repair reads
+    # the CDC feed (touched files), never rescans the corpus.
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 3,
+               F.concat(F.col("text"), F.lit(" contact: 555-0"),
+                        F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    base = scratch_path(
+        "curation_redaction", sf_dir,
+        f"v1=planted(%11=3, 555-0<id>) v2=update_where redact "
+        f"pat={_REDACT_PAT}; idx ledger v1=full v2=cdc-merge",
+    )
+
+    def _feats(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.size(F.regexp_extract_all(
+                "text", F.lit(_REDACT_PAT), 0)).cast("long")
+            .alias("n_pii"),
+        )
+
+    def _build(tmp: str) -> None:
+        corpus = _os.path.join(tmp, "corpus")
+        idx = _os.path.join(tmp, "idx")
+        SN.overwrite(docs, corpus, n_files=3)
+        SN.overwrite(_feats(SN.read(spark, corpus)), idx, n_files=1)
+        SN.update_where(
+            spark, corpus, f"text rlike '{_REDACT_PAT}'",
+            {"text": f"regexp_replace(text, '{_REDACT_PAT}', "
+                     "'[REDACTED]')"},
+            txn=("redaction", 1),
+        )
+        # index repair: ONLY the update feed's post-images re-featurize
+        post = SN.read_row_changes(spark, corpus, 1, 2).filter(
+            "_change_type = 'update_postimage'"
+        ).select("doc_id", "text")
+        SN.merge(_feats(post), idx, key="doc_id",
+                 txn=("redaction-idx", 1))
+        # epoch replay: both commits durable no-ops
+        replay_a = SN.update_where(
+            spark, corpus, f"text rlike '{_REDACT_PAT}'", {"text": "text"},
+            txn=("redaction", 1)) is None
+        replay_b = SN.merge(_feats(post), idx, key="doc_id",
+                            txn=("redaction-idx", 1)) is None
+        m1 = SN.read_manifest(corpus, 1)
+        m2 = SN.read_manifest(corpus, 2)
+        zero_rewrite = {e["path"] for e in m1["files"]} <= {
+            e["path"] for e in m2["files"]}
+        flag = (100 * int(zero_rewrite)
+                + 10 * int(replay_a and replay_b)
+                + int(len(SN.versions(idx)) == 2))
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        flag = _json.load(f)["flag"]
+    corpus = _os.path.join(base, "corpus")
+    idx = _os.path.join(base, "idx")
+
+    def corpus_row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("chars_sum"),
+            F.sum(F.col("text").rlike(_REDACT_PAT).cast("long"))
+            .cast("long").alias("pii_docs"),
+        )
+
+    def idx_row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum("n_pii").cast("long").alias("pii_docs"),
+        )
+
+    cdc_pre = SN.read_row_changes(spark, corpus, 1, 2).filter(
+        "_change_type = 'update_preimage'").select("doc_id", "text")
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(flag).cast("long").alias("n_docs"),
+        F.lit(cdc_pre.count()).cast("long").alias("chars_sum"),
+        F.lit(SN.read(spark, corpus).filter(
+            F.col("text").rlike(_REDACT_PAT)).count()).cast("long")
+        .alias("pii_docs"),
+    )
+    return (
+        corpus_row("corpus_v1", SN.read(spark, corpus, 1))
+        .unionByName(corpus_row("corpus_v2", SN.read(spark, corpus, 2)))
+        .unionByName(corpus_row("cdc_preimages", cdc_pre)
+                     .withColumn("pii_docs",
+                                 F.col("n_docs").cast("long")))
+        .unionByName(idx_row("index_incremental", SN.read(spark, idx)))
+        .unionByName(idx_row("index_rebuild",
+                             _feats(SN.read(spark, corpus))))
+        .unionByName(audit)
+    )

@@ -3959,7 +3959,9 @@ def maintain(spark, table_path: str, *, small_file_rows: int,
              cluster_by: list[str] | None = None,
              orphan_grace_seconds: float = 86400.0,
              expire_older_than: float | None = None,
-             keep_last: int = 1) -> list[dict]:
+             keep_last: int = 1,
+             small_file_bytes: int | None = None,
+             target_bytes: int | None = None) -> list[dict]:
     """One-call MAINTENANCE POLICY loop — what a 100 TB operator runs
     nightly: every decision is made from the latest manifest (zero
     data I/O to decide), every data action is a compact-variant commit
@@ -3988,7 +3990,9 @@ def maintain(spark, table_path: str, *, small_file_rows: int,
     v = purge_deletes(spark, table_path)
     if v is not None:
         report.append({"action": "purge_deletes", "version": v})
-    v = optimize(spark, table_path, small_file_rows)
+    v = optimize(spark, table_path, small_file_rows,
+                 small_file_bytes=small_file_bytes,
+                 target_bytes=target_bytes)
     if v is not None:
         report.append({"action": "optimize", "version": v})
     if cluster_by:

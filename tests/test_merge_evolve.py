@@ -109,3 +109,17 @@ def test_files_table_bytes_and_byte_binpack(spark, tmp_path):
                     target_bytes=max(1, small_b // 2))
     assert v2 is not None
     assert len(S.read_manifest(t2, v2)["files"]) == 2
+
+
+def test_maintain_passes_byte_thresholds(spark, tmp_path):
+    t = str(tmp_path / "mb")
+    S.overwrite(spark.range(0, 20000).select(F.col("id").alias("k")),
+                t, n_files=1)
+    for i in range(3):
+        S.append(spark.range(i, i + 5).select(F.col("id").alias("k")),
+                 t, n_files=1)
+    thr = max(r.bytes for r in S.files_table(spark, t).collect())
+    report = S.maintain(spark, t, small_file_rows=10**9,
+                        small_file_bytes=thr)
+    assert [r["action"] for r in report] == ["optimize"]
+    assert len(S.read_manifest(t, S.versions(t)[-1])["files"]) == 2
