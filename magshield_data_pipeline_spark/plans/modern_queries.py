@@ -5741,3 +5741,133 @@ def snapshot_partition_overwrite(spark: SparkSession,
             .select("doc_id", "payload")))
         .unionByName(audit)
     )
+
+
+# ---------------------------------------------------------------------------
+# Segmented manifests: O(delta) commit metadata (r12)
+
+_SNAP_MANIFEST_SCALE_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+),
+delta AS (
+    SELECT doc_id + 10000000 AS doc_id, n_chars + 1 AS n_chars
+    FROM base WHERE doc_id % 7 = 2
+),
+v3 AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+v4 AS (SELECT * FROM v3 WHERE doc_id > 4)
+SELECT 'v2_clustered' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS key_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM base
+UNION ALL
+SELECT 'v3_append', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM v3
+UNION ALL
+SELECT 'v4_delete', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM v4
+UNION ALL
+SELECT 'audit', 1111, 11, 1
+"""
+
+
+@register(
+    "snapshot_manifest_scale",
+    sql=_SNAP_MANIFEST_SCALE_SQL,
+    description="SEGMENTED MANIFESTS (r12) — the Iceberg manifest-list "
+    "idea: above an inline threshold a commit stores its file list as "
+    "shared content-addressed segment files, so commit METADATA cost "
+    "is O(delta + touched segments), never O(table files).  At 100 TB "
+    "(10^5-10^6 files) a flat per-version file list makes metadata "
+    "the write bottleneck; here an append re-references the base's "
+    "sealed segments untouched (audit-pinned: entries_written <= "
+    "inline tail + delta, >=1 segment reused), a range-localized "
+    "DELETE rewrites only the segment containing the touched file "
+    "(audit-pinned: >=1 segment shared across the delete), and reads "
+    "/ time travel / CDC resolve segments transparently with "
+    "hash-load-bearing equality to the flat shape; vacuum "
+    "reference-counts segments across retained versions with an "
+    "mtime grace for in-flight commits (pytest-pinned) ([EXT] "
+    "lakehouse tier)",
+)
+def snapshot_manifest_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: every stage row is a plain ledger read (segments resolve
+    # driver-side from O(files/SEG_TARGET) small JSONs); the audit is
+    # raw-manifest metadata only — zero data I/O to decide.
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    delta = docs.filter(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    base = scratch_path(
+        "snap_manifest_scale", sf_dir,
+        "v1=200f v2=cluster(doc_id) v3=append(%7=2,+10M,+1) "
+        "v4=cow-delete(doc_id<=4)",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(docs, tmp, n_files=200)
+        SN.compact(spark, tmp, n_files=200, cluster_by=["doc_id"])
+        SN.append(delta, tmp, n_files=2)
+        SN.delete(docs.filter(F.col("doc_id") <= 4).select("doc_id"),
+                  tmp, key="doc_id")
+        costs = {c["version"]: c for c in SN.manifest_costs(tmp)}
+        segmented = (costs[2]["segments"] >= 2
+                     and costs[2]["files_total"] >= 150)
+        append_odelta = (
+            costs[3]["segments_reused"] >= 1
+            and costs[3]["entries_written"] <= SN.SEG_INLINE_MAX + 2
+        )
+        raw3 = SN._raw_manifest(tmp, 3)
+        raw4 = SN._raw_manifest(tmp, 4)
+        delete_localized = bool(
+            set(raw3.get("segments") or ())
+            & set(raw4.get("segments") or ())
+        )
+        # v1 has no base to reuse: it must write every entry
+        first_full = (costs[1]["segments_reused"] == 0
+                      and costs[1]["entries_written"]
+                      == costs[1]["files_total"])
+        flag = (1000 * int(segmented) + 100 * int(append_odelta)
+                + 10 * int(delete_localized) + int(first_full))
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        flag = _json.load(f)["flag"]
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("key_sum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(flag).cast("long").alias("n_rows"),
+        F.lit(11).cast("long").alias("key_sum"),
+        F.lit(1).cast("long").alias("chars_sum"),
+    )
+    return (
+        row("v2_clustered", SN.read(spark, base, 2))
+        .unionByName(row("v3_append", SN.read(spark, base, 3)))
+        .unionByName(row("v4_delete", SN.read(spark, base, 4)))
+        .unionByName(audit)
+    )

@@ -68,7 +68,27 @@ def _manifest(table_path: str, v: int) -> dict:
             "retained version"
         )
     with open(p) as f:
-        return json.load(f)
+        m = json.load(f)
+    segs = m.pop("segments", None)
+    if segs:
+        # segmented manifest (snapshots._dump_manifest): the file list
+        # is segment references in order, then the inline tail —
+        # resolve exactly as snapshots.read_manifest does (this module
+        # stays import-free of snapshots: it ships by value to
+        # executors)
+        files: list = []
+        for s in segs:
+            sp = os.path.join(table_path, "_manifests", s)
+            if not os.path.exists(sp):
+                raise ValueError(
+                    f"ledger_cdc: manifest segment {s} missing at "
+                    f"{table_path} — reclaimed past the stream's "
+                    "offset; restart from a retained version"
+                )
+            with open(sp) as f:
+                files.extend(json.load(f)["entries"])
+        m["files"] = files + (m.get("files") or [])
+    return m
 
 
 def _versions(table_path: str) -> List[int]:

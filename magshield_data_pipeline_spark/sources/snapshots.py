@@ -81,9 +81,185 @@ def versions(table_path: str) -> list[int]:
     return sorted(out)
 
 
-def read_manifest(table_path: str, version: int) -> dict:
+#: manifests with at most this many file entries inline their whole
+#: list in ``vN.json`` (the pre-r12 shape, byte-compatible); above it
+#: the list is stored as shared SEGMENT files (see ``_dump_manifest``)
+SEG_INLINE_MAX = 64
+#: entries per sealed segment file — the reuse granularity
+SEG_TARGET = 64
+
+
+def _raw_manifest(table_path: str, version: int) -> dict:
+    """The manifest EXACTLY as stored — ``segments`` references left
+    unresolved.  Internal: vacuum's reference counting and the
+    metadata-cost audit need the physical shape; everything else wants
+    :func:`read_manifest`."""
     with open(os.path.join(_manifest_dir(table_path), f"v{version}.json")) as f:
         return json.load(f)
+
+
+def _resolve_segments(mdir: str, m: dict) -> dict:
+    """Materialize a raw manifest's file list: segment references (in
+    order) followed by the inline tail.  Mutates and returns *m*; the
+    resolved dict carries no ``segments`` key, so re-publishing a
+    loaded manifest (rollback) re-segments cleanly."""
+    segs = m.pop("segments", None)
+    if segs:
+        files: list[dict] = []
+        for s in segs:
+            p = os.path.join(mdir, s)
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"manifest segment {s} missing under {mdir} — "
+                    "reclaimed past this version's retention; read a "
+                    "retained version"
+                )
+            with open(p) as f:
+                files.extend(json.load(f)["entries"])
+        m["files"] = files + (m.get("files") or [])
+    return m
+
+
+def read_manifest(table_path: str, version: int) -> dict:
+    return _resolve_segments(_manifest_dir(table_path),
+                             _raw_manifest(table_path, version))
+
+
+def _write_segment(table_path: str, entries: list[dict]) -> str:
+    """Persist one immutable, CONTENT-ADDRESSED segment file and
+    return its name.  Content addressing makes segment publication
+    idempotent (a commit-retry or rebase that re-derives the same
+    entries reuses the file) and race-free (two writers producing the
+    same content link the same bytes).  An existing segment gets its
+    mtime bumped — the liveness signal vacuum's grace window reads, so
+    a segment reused by an IN-FLIGHT commit is never swept between
+    segment write and manifest link."""
+    import hashlib
+
+    payload = json.dumps({"entries": entries}, sort_keys=True)
+    name = (f"seg-{hashlib.sha1(payload.encode()).hexdigest()[:16]}"
+            f"-{len(entries)}.json")
+    full = os.path.join(_manifest_dir(table_path), name)
+    if os.path.exists(full):
+        os.utime(full)
+        return name
+    tmp = f"{full}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    try:
+        os.link(tmp, full)
+    except FileExistsError:
+        pass  # concurrent writer published identical content — reuse
+    os.unlink(tmp)
+    return name
+
+
+def _dump_manifest(table_path: str, v: int, manifest: dict,
+                   fileobj) -> None:
+    """Serialize *manifest* as version *v*, storing large file lists
+    as shared SEGMENTS — the Iceberg manifest-list idea: commit
+    metadata cost is O(delta + touched segments), never O(table
+    files).  At 100 TB a table holds ~10^5-10^6 data files; rewriting
+    the full list into every commit's manifest would make METADATA the
+    write bottleneck and the manifest store a multi-GB hot spot.  Here
+    an append re-references the base version's sealed segments
+    untouched and writes only its own entries; a delete/merge rewrites
+    only the segments containing touched entries.
+
+    Shape: ``{"segments": [seg-<sha>-<n>.json, ...], "files":
+    [inline tail]}``; resolution order is segments-then-inline, which
+    preserves the writer's carried-then-new construction order.
+    Manifests with <= SEG_INLINE_MAX entries keep the flat pre-r12
+    shape — small tables and every existing test are byte-compatible.
+    The caller's dict is never mutated (publish retry loops reuse it).
+    """
+    files = manifest.get("files") or []
+    if len(files) <= SEG_INLINE_MAX:
+        json.dump(manifest, fileobj, sort_keys=True)
+        return
+    mdir = _manifest_dir(table_path)
+    base_groups: list[tuple[str | None, list[dict]]] = []
+    if v > 1:
+        try:
+            base = _raw_manifest(table_path, v - 1)
+        except FileNotFoundError:
+            base = None
+        if base:
+            for s in base.get("segments") or []:
+                with open(os.path.join(mdir, s)) as f:
+                    base_groups.append((s, json.load(f)["entries"]))
+            if base.get("files"):
+                base_groups.append((None, base["files"]))
+    # one pass over the base's groups in order: a group whose entries
+    # ALL survive unchanged is reused by name; any run of changed /
+    # new entries seals into fresh segments of SEG_TARGET (order
+    # preserved: pending runs flush before the next reused segment)
+    remaining: dict[str, dict] = {e["path"]: e for e in files}
+    seg_names: list[str] = []
+    pending: list[dict] = []
+
+    def _flush(final: bool) -> None:
+        nonlocal pending
+        keep_inline = SEG_INLINE_MAX if final else 0
+        while len(pending) > keep_inline:
+            take = pending[:SEG_TARGET]
+            seg_names.append(_write_segment(table_path, take))
+            pending = pending[len(take):]
+
+    for name, entries in base_groups:
+        surv = [remaining.pop(e["path"]) for e in entries
+                if e["path"] in remaining]
+        if not surv:
+            continue
+        if name is not None and surv == entries:
+            _flush(final=False)
+            seg_names.append(name)
+            os.utime(os.path.join(mdir, name))
+        else:
+            pending.extend(surv)
+    # entries not present in the base (this commit's additions), in
+    # the writer's list order
+    pending.extend(remaining.values())
+    _flush(final=True)
+    out = dict(manifest)
+    out["segments"] = seg_names
+    out["files"] = pending
+    json.dump(out, fileobj, sort_keys=True)
+
+
+def manifest_costs(table_path: str) -> list[dict]:
+    """Per-version commit-METADATA cost audit, from raw manifests
+    only (zero data I/O): how many file entries each commit actually
+    wrote (inline tail + entries inside segments the previous version
+    didn't reference) vs how many it carried by segment reuse.  The
+    O(delta) claim of ``_dump_manifest``, made measurable."""
+    out = []
+    mdir = _manifest_dir(table_path)
+    prev_segs: set[str] = set()
+    for v in versions(table_path):
+        m = _raw_manifest(table_path, v)
+        segs = m.get("segments") or []
+        inline = len(m.get("files") or [])
+        written = inline
+        total = inline
+        reused = 0
+        for s in segs:
+            n = int(s.rsplit("-", 1)[1].split(".")[0])
+            total += n
+            if s in prev_segs:
+                reused += 1
+            else:
+                written += n
+        out.append({
+            "version": v,
+            "operation": m.get("operation"),
+            "files_total": total,
+            "segments": len(segs),
+            "segments_reused": reused,
+            "entries_written": written,
+        })
+        prev_segs = set(segs)
+    return out
 
 
 def _merge_schema(carried: dict | None, new: dict) -> dict:
@@ -307,7 +483,7 @@ def _publish_manifest(
         if committed_widens:
             manifest["widens"] = committed_widens
         with open(staged, "w") as f:
-            json.dump(manifest, f, sort_keys=True)
+            _dump_manifest(table_path, v, manifest, f)
         try:
             os.link(staged, os.path.join(d, f"v{v}.json"))
         except FileExistsError:
@@ -2329,6 +2505,25 @@ def _reclaim_versions(table_path: str, vs: list[int],
                         os.remove(full)
                     deleted.append(p)
         os.remove(os.path.join(_manifest_dir(table_path), f"v{v}.json"))
+    # reclaim manifest SEGMENTS referenced by no retained version.
+    # Shared segments stay live as long as ANY retained manifest lists
+    # them (the whole point of reuse); a 300 s mtime grace protects a
+    # segment an in-flight commit just wrote or touched (reuse bumps
+    # mtime in _write_segment) but hasn't linked a manifest for yet.
+    mdir = _manifest_dir(table_path)
+    seg_live = {
+        s for v in keep
+        for s in (_raw_manifest(table_path, v).get("segments") or [])
+    }
+    grace = time.time() - 300.0
+    for name in os.listdir(mdir):
+        if not (name.startswith("seg-") and name.endswith(".json")):
+            continue
+        if name in seg_live:
+            continue
+        full = os.path.join(mdir, name)
+        if os.path.getmtime(full) < grace:
+            os.remove(full)
     return sorted(set(deleted))
 
 
@@ -2480,7 +2675,7 @@ def append_stream_batch(df, table_path: str, batch_id: int,
         if (prior_manifest or {}).get("partition_spec"):
             manifest["partition_spec"] = prior_manifest["partition_spec"]
         with open(staged, "w") as f:
-            json.dump(manifest, f, sort_keys=True)
+            _dump_manifest(table_path, v, manifest, f)
         try:
             os.link(staged, os.path.join(d, f"v{v}.json"))
         except FileExistsError:
@@ -2809,7 +3004,7 @@ def _publish_at_exactly(table_path: str, v: int, manifest: dict,
     d = _manifest_dir(table_path)
     staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
     with open(staged, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+        _dump_manifest(table_path, v, manifest, f)
     try:
         os.link(staged, os.path.join(d, f"v{v}.json"))
     except FileExistsError:
@@ -2832,7 +3027,7 @@ def _try_link(table_path: str, v: int, manifest: dict) -> bool:
     d = _manifest_dir(table_path)
     staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
     with open(staged, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+        _dump_manifest(table_path, v, manifest, f)
     try:
         os.link(staged, os.path.join(d, f"v{v}.json"))
     except FileExistsError:
@@ -3695,7 +3890,7 @@ def rollback(table_path: str, to_version: int) -> int:
         )
         staged = os.path.join(d, f".staged-{uuid.uuid4().hex}.json")
         with open(staged, "w") as f:
-            json.dump(manifest, f, sort_keys=True)
+            _dump_manifest(table_path, latest + 1, manifest, f)
         try:
             os.link(staged, os.path.join(d, f"v{latest + 1}.json"))
         except FileExistsError:
