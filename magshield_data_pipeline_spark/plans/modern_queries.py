@@ -5871,3 +5871,171 @@ def snapshot_manifest_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("v4_delete", SN.read(spark, base, 4)))
         .unionByName(audit)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC across schema-evolution history (r12 session 5)
+
+_SNAP_CDC_EVOLVE_SQL = """
+WITH corpus AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS chars
+    FROM documents
+),
+upd_pre AS (SELECT doc_id, chars FROM corpus WHERE doc_id % 9 = 4),
+upd_post AS (SELECT doc_id, chars + 5 AS chars FROM upd_pre),
+ins_v2 AS (
+    SELECT doc_id + 700000 AS doc_id, chars + 3 AS chars
+    FROM corpus WHERE doc_id % 9 = 6
+),
+ins_v5 AS (
+    SELECT doc_id + 900000 AS doc_id, chars + 9 AS chars
+    FROM corpus WHERE doc_id % 9 = 8
+),
+ins_all AS (
+    SELECT doc_id, chars, CAST(2 AS BIGINT) AS flag FROM ins_v2
+    UNION ALL
+    SELECT doc_id, chars, CAST(1 AS BIGINT) AS flag FROM ins_v5
+),
+pre_f AS (SELECT doc_id, chars, CAST(2 AS BIGINT) AS flag FROM upd_pre),
+post_f AS (SELECT doc_id, chars, CAST(2 AS BIGINT) AS flag FROM upd_post),
+total AS (
+    SELECT * FROM ins_all UNION ALL SELECT * FROM pre_f
+    UNION ALL SELECT * FROM post_f
+)
+SELECT 'stream_total' AS change, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(chars) AS BIGINT) AS chars_sum,
+       CAST(sum(flag) AS BIGINT) AS flag_sum
+FROM total
+UNION ALL
+SELECT 'insert', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(chars) AS BIGINT), CAST(sum(flag) AS BIGINT) FROM ins_all
+UNION ALL
+SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(chars) AS BIGINT),
+       CAST(sum(flag) AS BIGINT) FROM pre_f
+UNION ALL
+SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(chars) AS BIGINT),
+       CAST(sum(flag) AS BIGINT) FROM post_f
+UNION ALL
+SELECT 'delete', 0, NULL, NULL, NULL
+"""
+
+
+@register(
+    "snapshot_cdc_stream_evolve",
+    sql=_SNAP_CDC_EVOLVE_SQL,
+    description="STREAMING CDC ACROSS SCHEMA EVOLUTION (r12): a "
+    "ledger whose history contains a column RENAME and an add-column "
+    "WITH DEFAULT streams end-to-end through the real "
+    "readStream.format('ledger_cdc') path — pre-rename commits' "
+    "update pairs and inserts materialize from old-name footers "
+    "under the stream's CURRENT schema (per-file era mapping, the "
+    "stream twin of the batch scan's rename eras), pre-add files "
+    "carry the declared initial default (hash-load-bearing: a "
+    "mis-mapped era loses or mislabels rows), evolution commits "
+    "themselves emit zero rows, and an evolution NEWER than the "
+    "stream's inferred schema fails for a restart (Delta-CDF "
+    "contract, pytest-pinned); cost per trigger stays the touched "
+    "files of each commit — the subscription survives the schema "
+    "lifecycle a years-lived 100 TB table actually has ([EXT] "
+    "lakehouse tier)",
+)
+def snapshot_cdc_stream_evolve(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    # Scale: per-trigger cost = the commits' touched files; the
+    # ~2 s/batch simple-reader floor dominates wall here, so the
+    # drain covers every commit in one micro-batch (batch count, not
+    # data, sets the cost — same adjudication as snapshot_cdc_stream).
+    import ast as _ast
+    import tempfile as _tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from magshield_data_pipeline_spark.sources import cdc_stream as C
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("nc")
+    )
+    base = scratch_path(
+        "snap_cdc_evolve", sf_dir,
+        "v1=docs(nc) v2=merge(%9=4:+5, %9=6:+700k,+3) v3=rename nc- "
+        ">chars v4=add flag default 2 v5=append(%9=8,+900k,+9,flag=1)",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(docs, tmp, n_files=3)
+        upd = docs.filter(F.col("doc_id") % 9 == 4).select(
+            "doc_id", (F.col("nc") + 5).alias("nc"))
+        ins = docs.filter(F.col("doc_id") % 9 == 6).select(
+            (F.col("doc_id") + 700000).alias("doc_id"),
+            (F.col("nc") + 3).alias("nc"))
+        SN.merge(upd.unionByName(ins), tmp, key="doc_id", n_files=1)
+        SN.rename_column(tmp, "nc", "chars")
+        SN.add_column(tmp, "flag", "long", default=2)
+        SN.append(
+            docs.filter(F.col("doc_id") % 9 == 8).select(
+                (F.col("doc_id") + 900000).alias("doc_id"),
+                (F.col("nc") + 9).alias("chars"),
+                F.lit(1).cast("long").alias("flag")),
+            tmp, n_files=1)
+
+    ensure_scratch(base, _build)
+    C.register(spark)
+    stream = (
+        spark.readStream.format("ledger_cdc")
+        .option("path", base)
+        .option("startversion", 1)
+        .option("maxversionsperbatch", 4)
+        .load()
+    )
+    name = f"cdc_evolve_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+                _tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            prog = q.lastProgress
+            if prog and prog["sources"]:
+                end = prog["sources"][0]["endOffset"]
+                end = _ast.literal_eval(end) if isinstance(end, str) else end
+                if end and int(end.get("version", 0)) >= 5:
+                    break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                "snapshot_cdc_stream_evolve: offset never reached v5"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    ch = spark.table(name).persist()
+
+    def crow(label, df: DataFrame) -> DataFrame:
+        return df.agg(
+            label.alias("change"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("chars").cast("long").alias("chars_sum"),
+            F.sum("flag").cast("long").alias("flag_sum"),
+        )
+
+    out = crow(F.lit("stream_total"), ch)
+    for t in ("insert", "update_preimage", "update_postimage", "delete"):
+        out = out.unionByName(
+            crow(F.lit(t), ch.filter(F.col("_change_type") == t))
+        )
+    return out

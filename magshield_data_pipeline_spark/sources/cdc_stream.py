@@ -35,6 +35,17 @@ zero rows, stream advances), and unknown key-less ops all fall out
 of the same diff; ops that record a merge key classify the diff into
 update pre/post pairs exactly as the batch feed does.
 
+Schema-evolution HISTORY is covered too (r12 session 5): each file is
+read under its ERA's stored column names — renames undone per file
+sequence number, initial defaults masking pre-add files and the stale
+bytes of dropped-then-re-added names, era-mapped merge keys and
+equality-delete keys — the stream-side twin of the batch scan's era
+mapping (snapshots._scan).  Only an evolution commit NEWER than the
+stream's inferred schema fails (the Delta-CDF restart contract: a
+running query's schema is fixed); a restarted reader re-infers and
+then serves the whole chain, old commits included, under the new
+schema.
+
 Reference analog: the reference's refresh loop re-fetches the ENTIRE
 endpoint per trigger (callable.py:118-156); this is the incremental
 subscription that replaces it once the corpus is a ledger table.
@@ -131,26 +142,86 @@ def _cast_part(raw, dtype) -> object:
     )
 
 
+def _stored_name(name: str, renames: list[dict] | None, seq: int) -> str:
+    """The footer name column *name* (current) is STORED under in a
+    file committed at *seq*: undo every rename newer than the file,
+    newest first — the stream-side twin of ``_scan._stored_names``
+    (snapshots.py)."""
+    for r in sorted(renames or [], key=lambda r: r["v"], reverse=True):
+        if r["v"] > seq and r.get("new") == name:
+            name = r["old"]
+    return name
+
+
+def _current_name(name: str, renames: list[dict] | None,
+                  seq: int) -> str:
+    """The CURRENT name of a column recorded as *name* at era *seq*
+    (e.g. an equality-delete file's key column): apply every rename
+    newer than *seq* forward, oldest first."""
+    for r in sorted(renames or [], key=lambda r: r["v"]):
+        if r["v"] > seq and r.get("old") == name:
+            name = r["new"]
+    return name
+
+
+def _fills_of(defaults: list[dict] | None, seq: int) -> dict:
+    """Initial-default overrides for a file committed at *seq*: every
+    ``add_column(default=...)`` event newer than the file masks the
+    column (covering both pre-add files and the stale stored bytes of
+    a dropped-then-re-added name — the same rule as ``_scan._fills``).
+    Later events for the same column win, matching the batch scan's
+    sequential ``withColumn`` application."""
+    out: dict = {}
+    for d in defaults or []:
+        if d["v"] > seq:
+            out[d["col"]] = d["value"]
+    return out
+
+
+def _typed_fill(v, dtype):
+    """A default value from manifest JSON, typed like the batch path's
+    ``F.lit(value).cast(dataType)`` (dates/timestamps arrive as ISO
+    strings)."""
+    if v is None or dtype is None:
+        return v
+    if isinstance(v, str) and dtype.typeName() != "string":
+        return _cast_part(v, dtype)
+    return v
+
+
 def _rows_of(table_path: str, entries: list[dict], fields: list[str],
-             types: dict | None = None) -> list[dict]:
+             types: dict | None = None,
+             renames: list[dict] | None = None,
+             defaults: list[dict] | None = None) -> list[dict]:
     """Materialize the rows of *entries* as dicts under the stream's
     field set: only the REQUESTED columns are read from each file
     (column pruning — a projected CDC subscriber never pays for the
-    table's width), missing columns null-fill (schema evolution /
-    projection), partition values restore from manifest metadata
-    (identity spec, TYPED via the stream schema), and file order is
+    table's width), each file read under its ERA's stored column
+    names (rename history undone per file, exactly the batch scan's
+    per-era mapping), initial defaults masking pre-add / re-added
+    columns, missing columns null-filling (schema evolution /
+    projection), partition values restoring from manifest metadata
+    (identity spec, TYPED via the stream schema), and file order
     path-sorted so replays are byte-deterministic."""
     import pyarrow.parquet as pq
 
     out: list[dict] = []
     for e in sorted(entries, key=lambda x: x["path"]):
         full = os.path.join(table_path, e["path"])
+        seq = e.get("seq", 0)
+        stored = {c: _stored_name(c, renames, seq) for c in fields}
+        fills = {
+            c: _typed_fill(v, types.get(c) if types else None)
+            for c, v in _fills_of(defaults, seq).items() if c in fields
+        }
         have = set(pq.read_schema(full).names)
-        cols = [c for c in fields if c in have]
+        cols = sorted({stored[c] for c in fields
+                       if c not in fills and stored[c] in have})
         tbl = pq.read_table(full, columns=cols)
         part = e.get("partition") or {}
         for d in tbl.to_pylist():
-            row = {f: d.get(f) for f in fields}
+            row = {f: (fills[f] if f in fills else d.get(stored[f]))
+                   for f in fields}
             for c, v in part.items():
                 if c in row:
                     row[c] = (_cast_part(v, types[c])
@@ -276,12 +347,16 @@ def _may_hit(e: dict, d: dict) -> bool:
 
 def _visible_rows(table_path: str, entries: list[dict],
                   delete_files: list[dict], fields: list[str],
-                  types: dict | None, keysets: dict) -> list[dict]:
+                  types: dict | None, keysets: dict,
+                  renames: list[dict] | None = None,
+                  defaults: list[dict] | None = None) -> list[dict]:
     """The VISIBLE rows of *entries* under *delete_files*: each
     entry's rows minus the keys of every delete file with a newer
     sequence number — the driver-side twin of ``_scan_with_deletes``
     (snapshots.py:972).  *keysets* caches delete-file key sets across
-    calls within one commit diff."""
+    calls within one commit diff.  An equality delete's recorded key
+    is era-mapped to its CURRENT name for the row lookup (the delete
+    FILE itself is read under the name it was written with)."""
     import pyarrow.parquet as pq
 
     out: list[dict] = []
@@ -292,8 +367,14 @@ def _visible_rows(table_path: str, entries: list[dict],
         pos = [d for d in dels if d.get("kind") == "positional"]
         # a projected field set may exclude a delete key: read it as a
         # working column for the anti-join, then strip it
-        extras = sorted({d["key"] for d in eq} - set(fields))
-        rows = _rows_of(table_path, [e], list(fields) + extras, types)
+        key_cur = {
+            d["path"]: _current_name(d["key"], renames,
+                                     d.get("seq", 0))
+            for d in eq
+        }
+        extras = sorted(set(key_cur.values()) - set(fields))
+        rows = _rows_of(table_path, [e], list(fields) + extras, types,
+                        renames, defaults)
         # positional deletes FIRST: ordinals are physical file-row
         # indices, and _rows_of reads one file in order, so enumerate()
         # IS the coordinate (apply before any row is dropped)
@@ -321,16 +402,42 @@ def _visible_rows(table_path: str, entries: list[dict],
                 )[d["key"]].to_pylist()
                 keysets[d["path"]] = frozenset(col)
             ks = keysets[d["path"]]
-            rows = [r for r in rows if r[d["key"]] not in ks]
+            kc = key_cur[d["path"]]
+            rows = [r for r in rows if r[kc] not in ks]
         if extras:
             rows = [{f: r[f] for f in fields} for r in rows]
         out.extend(rows)
     return out
 
 
+def _schema_boundary(man: dict, schema_v: int, who: str) -> None:
+    """The Delta-CDF schema-evolution contract for streams: rename /
+    drop / type-widen events NEWER than the stream's inferred schema
+    version can't be represented under the running query's fixed
+    schema — fail THAT commit loudly; a restart re-infers the schema
+    and the per-file era mapping then serves every older commit
+    correctly.  add-column (+default) events stay silent: the stream
+    keeps emitting its inferred projection (projection-CDC
+    semantics)."""
+    for kind in ("renames", "drops", "widens"):
+        newer = [ev for ev in (man.get(kind) or [])
+                 if ev.get("v", 0) > schema_v]
+        if newer:
+            raise ValueError(
+                f"{who}: column {kind[:-1]} committed at "
+                f"v{newer[0]['v']}, newer than the stream's inferred "
+                f"schema (v{schema_v}) — restart the stream to pick "
+                "up the evolved schema; older commits replay "
+                "correctly under per-file era mapping"
+            )
+
+
 def _commit_changes(table_path: str, v: int, fields: list[str],
                     types: dict | None = None,
-                    filters: list[tuple] | None = None) -> list[tuple]:
+                    filters: list[tuple] | None = None,
+                    renames: list[dict] | None = None,
+                    defaults: list[dict] | None = None,
+                    schema_v: int | None = None) -> list[tuple]:
     """Classify commit *v*'s net row changes — the pure-Python,
     driver-side twin of snapshots.read_row_changes, covering EVERY
     commit type (pinned against the batch feed in tests).  The
@@ -354,19 +461,8 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
     instead of wedging (ADVICE r11 high)."""
     cur = _manifest(table_path, v)
     prev = _manifest(table_path, v - 1)
-    if (cur.get("renames") or cur.get("defaults")
-            or cur.get("drops")):
-        # the stream readers materialize rows from file footers by
-        # NAME; a table with rename history needs the per-file era
-        # mapping only the batch feed implements (read_row_changes /
-        # _scan) — refuse loudly rather than mis-map columns (r12
-        # honest scope edge, same pattern as the former MOR refusal)
-        raise ValueError(
-            "ledger_cdc: table has column rename/default/drop history — the "
-            "streaming reader does not map per-file stored names; "
-            "consume via snapshots.read_row_changes (split windows at "
-            "the rename commit)"
-        )
+    if schema_v is not None:
+        _schema_boundary(cur, schema_v, "ledger_cdc")
     op = cur.get("operation")
     if op == "compact":
         return []  # same rows, new layout: zero changes by contract
@@ -397,7 +493,8 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
         # no pending delete (all older) can apply — pure inserts;
         # filter pushdown prunes whole files by manifest stats first
         kept = [e for e in added if _file_may_match(e, filters)]
-        rows = _rows_of(table_path, kept, list(fields) + f_extras, types)
+        rows = _rows_of(table_path, kept, list(fields) + f_extras, types,
+                        renames, defaults)
         if pred is not None:
             rows = [r for r in rows if pred(r)]
         return [tup(d, "insert") for d in rows]
@@ -421,6 +518,10 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
     # UNSELECTED column cancels — projection-CDC semantics: the feed
     # of the projected view.)
     key = cur.get("key")
+    if key is not None:
+        # the key was recorded under the names current AT commit v; a
+        # later rename moves the column — map to the stream's era
+        key = _current_name(key, renames, v)
     int_fields = list(fields)
     for extra in f_extras:
         int_fields.append(extra)
@@ -442,9 +543,9 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
                         if _file_may_match(e, filters)]
     keysets: dict = {}
     before = _visible_rows(table_path, affected_prev, prev_dels,
-                           int_fields, types, keysets)
+                           int_fields, types, keysets, renames, defaults)
     after = _visible_rows(table_path, affected_cur, cur_dels,
-                          int_fields, types, keysets)
+                          int_fields, types, keysets, renames, defaults)
     if pred is not None:
         before = [r for r in before if pred(r)]
         after = [r for r in after if pred(r)]
@@ -520,6 +621,14 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
         self.types = _table_types(self.path, schema)
         self.filters = _parse_filters(options.get("filters", ""),
                                       self.types)
+        # the schema-inference point: per-file era mapping serves all
+        # rename/default/widen history AT OR BEFORE this version;
+        # events beyond it fail the stream for a restart (_schema_boundary)
+        vs = _versions(self.path)
+        self.schema_v = vs[-1] if vs else 0
+        man = _manifest(self.path, self.schema_v) if vs else {}
+        self.renames = man.get("renames") or []
+        self.defaults = man.get("defaults") or []
 
     def initialOffset(self) -> dict:
         return {"version": self.start,
@@ -537,7 +646,8 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
                         - set(self.fields))
         rows = _visible_rows(self.path, files,
                              man.get("delete_files") or [],
-                             list(self.fields) + extras, self.types, {})
+                             list(self.fields) + extras, self.types, {},
+                             self.renames, self.defaults)
         if self.filters:
             pred = _row_pred(self.filters)
             rows = [r for r in rows if pred(r)]
@@ -553,20 +663,13 @@ class LedgerCdcStreamReader(SimpleDataSourceStreamReader):
         for v in range(from_v + 1, to_v + 1):
             out.extend(
                 _commit_changes(self.path, v, self.fields, self.types,
-                                self.filters)
+                                self.filters, self.renames,
+                                self.defaults, self.schema_v)
             )
         return out
 
     def read(self, start: dict) -> tuple:
         v0 = int(start["version"])
-        if (_manifest(self.path, v0).get("renames")
-                or _manifest(self.path, v0).get("defaults")
-                or _manifest(self.path, v0).get("drops")):
-            raise ValueError(
-                "ledger_cdc: table has column rename/default/drop history — the "
-                "streaming reader does not map per-file stored names; "
-                "consume via snapshots.read_row_changes"
-            )
         if not start.get("snap", 1):
             # bootstrap batch: the full snapshot at startVersion
             return iter(self._snapshot_rows()), {"version": v0, "snap": 1}
@@ -635,6 +738,11 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
         self.types = _table_types(self.path, schema)
         self.filters = _parse_filters(options.get("filters", ""),
                                       self.types)
+        vs = _versions(self.path)
+        self.schema_v = vs[-1] if vs else 0
+        man = _manifest(self.path, self.schema_v) if vs else {}
+        self.renames = man.get("renames") or []
+        self.defaults = man.get("defaults") or []
 
     def initialOffset(self) -> dict:
         return {"version": self.start,
@@ -647,14 +755,6 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         parts: list[LedgerCdcPartition] = []
         v0 = int(start["version"])
-        if (_manifest(self.path, v0).get("renames")
-                or _manifest(self.path, v0).get("defaults")
-                or _manifest(self.path, v0).get("drops")):
-            raise ValueError(
-                "ledger_cdc_dist: table has column rename/default/drop history — "
-                "the streaming reader does not map per-file stored "
-                "names; consume via snapshots.read_row_changes"
-            )
         if not start.get("snap", 1):
             man = _manifest(self.path, v0)
             dels = man.get("delete_files") or []
@@ -670,14 +770,7 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
         for v in range(v0 + 1, int(end["version"]) + 1):
             cur = _manifest(self.path, v)
             prev = _manifest(self.path, v - 1)
-            if (cur.get("renames") or cur.get("defaults")
-            or cur.get("drops")):
-                raise ValueError(
-                    "ledger_cdc_dist: table has column rename/default/drop history "
-                    "— the streaming reader does not map per-file "
-                    "stored names; consume via "
-                    "snapshots.read_row_changes"
-                )
+            _schema_boundary(cur, self.schema_v, "ledger_cdc_dist")
             if cur.get("operation") == "compact":
                 continue
             prev_paths = {e["path"] for e in prev["files"]}
@@ -714,7 +807,8 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
         if partition.kind == "snapshot_file":
             rows = _visible_rows(self.path, [p["entry"]], p["deletes"],
                                  list(self.fields) + extras,
-                                 self.types, {})
+                                 self.types, {}, self.renames,
+                                 self.defaults)
             if pred is not None:
                 rows = [r for r in rows if pred(r)]
             v = p["version"]
@@ -724,7 +818,8 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
             )
         if partition.kind == "insert_file":
             rows = _rows_of(self.path, [p["entry"]],
-                            list(self.fields) + extras, self.types)
+                            list(self.fields) + extras, self.types,
+                            self.renames, self.defaults)
             if pred is not None:
                 rows = [r for r in rows if pred(r)]
             v = p["version"]
@@ -734,7 +829,8 @@ class LedgerCdcDistStreamReader(DataSourceStreamReader):
             )
         return iter(_commit_changes(self.path, p["version"],
                                     self.fields, self.types,
-                                    self.filters))
+                                    self.filters, self.renames,
+                                    self.defaults, self.schema_v))
 
     def commit(self, end: dict) -> None:
         pass  # offsets are ledger versions; nothing external to ack
