@@ -6039,3 +6039,153 @@ def snapshot_cdc_stream_evolve(spark: SparkSession,
             crow(F.lit(t), ch.filter(F.col("_change_type") == t))
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone (r12 session 5)
+
+_SNAP_CLONE_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS nc FROM documents
+),
+v2 AS (
+    SELECT doc_id, CASE WHEN doc_id % 8 = 1 THEN nc * 2 ELSE nc END AS nc
+    FROM base
+    UNION ALL
+    SELECT doc_id + 800000 AS doc_id, nc + 3 AS nc
+    FROM base WHERE doc_id % 8 = 6
+),
+dst AS (
+    SELECT doc_id,
+           CASE WHEN doc_id < 800000 AND doc_id % 8 = 5
+                THEN nc + 7 ELSE nc END AS nc
+    FROM v2
+),
+src AS (
+    SELECT doc_id, nc FROM v2
+    UNION ALL
+    SELECT doc_id + 850000 AS doc_id, nc + 1 AS nc
+    FROM base WHERE doc_id % 8 = 3
+)
+SELECT 'clone_point' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(nc) AS BIGINT) AS nc_sum
+FROM v2
+UNION ALL
+SELECT 'dst_diverged', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(nc) AS BIGINT) FROM dst
+UNION ALL
+SELECT 'src_diverged', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(nc) AS BIGINT) FROM src
+UNION ALL
+SELECT 'audit', 1111, 11, 1
+"""
+
+
+@register(
+    "snapshot_shallow_clone",
+    sql=_SNAP_CLONE_SQL,
+    description="SHALLOW CLONE (r12) — the Delta CLONE contract: a "
+    "new ledger references the source snapshot's files ZERO-COPY as "
+    "one metadata commit (audit-pinned: no data directory exists at "
+    "the clone, every entry marked external, version numbering "
+    "continues from the source so seq==version contracts survive "
+    "verbatim); both tables then diverge independently (hash-load-"
+    "bearing: dst's merge-on-read update and src's append are each "
+    "visible only on their own side), the clone's vacuum never "
+    "reclaims source files (external guard, audit-pinned by on-disk "
+    "file count), and compact() internalizes to full independence — "
+    "at 100 TB this is how a team forks a production corpus for an "
+    "experiment in O(metadata), pays storage only for its own "
+    "changes, and graduates via compaction ([EXT] lakehouse tier)",
+)
+def snapshot_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the clone commit is O(manifest) — zero data I/O; each
+    # stage row is a plain ledger read; divergence costs only the
+    # diverging commits' files (MOR on the clone side).
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("nc")
+    )
+    base = scratch_path(
+        "snap_shallow_clone", sf_dir,
+        "src v1=docs v2=merge(%8=1:x2; %8=6:+800k,+3); clone@v2 "
+        "relative; dst+=mor-merge(%8=5:+7); src+=append(%8=3,+850k,+1)",
+    )
+
+    def _build(tmp: str) -> None:
+        src = _os.path.join(tmp, "src")
+        dst = _os.path.join(tmp, "dst")
+        SN.overwrite(docs, src, n_files=2)
+        upd = docs.filter(F.col("doc_id") % 8 == 1).select(
+            "doc_id", (F.col("nc") * 2).alias("nc"))
+        ins = docs.filter(F.col("doc_id") % 8 == 6).select(
+            (F.col("doc_id") + 800000).alias("doc_id"),
+            (F.col("nc") + 3).alias("nc"))
+        SN.merge(upd.unionByName(ins), src, key="doc_id", n_files=1)
+        # relative=True: the src/dst pair lives under ONE scratch root
+        # that the builder publishes by rename — dest-relative
+        # references keep the pair valid wherever the root lands (the
+        # co-located-warehouse contract; absolute is for independent
+        # roots)
+        v = SN.clone_table(spark, src, dst, relative=True)
+        zero_copy = not _os.path.isdir(_os.path.join(dst, "data"))
+        continues = (v == 2 and SN.versions(dst) == [2])
+        all_ext = all(e.get("external")
+                      for e in SN.read_manifest(dst, v)["files"])
+        SN.merge(
+            docs.filter(F.col("doc_id") % 8 == 5).select(
+                "doc_id", (F.col("nc") + 7).alias("nc")),
+            dst, key="doc_id", mode="merge-on-read", n_files=1)
+        SN.append(
+            docs.filter(F.col("doc_id") % 8 == 3).select(
+                (F.col("doc_id") + 850000).alias("doc_id"),
+                (F.col("nc") + 1).alias("nc")),
+            src, n_files=1)
+
+        def _n_src_files() -> int:
+            return sum(len(fs) for _, _, fs in
+                       _os.walk(_os.path.join(src, "data")))
+
+        before = _n_src_files()
+        SN.vacuum(dst, keep_versions=1)
+        src_untouched = _n_src_files() == before
+        flag = (1000 * int(zero_copy) + 100 * int(continues)
+                + 10 * int(all_ext) + int(src_untouched))
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag, "clone_v": v}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        audit_rec = _json.load(f)
+    src = _os.path.join(base, "src")
+    dst = _os.path.join(base, "dst")
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("nc").cast("long").alias("nc_sum"),
+        )
+
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(audit_rec["flag"]).cast("long").alias("n_rows"),
+        F.lit(11).cast("long").alias("id_sum"),
+        F.lit(1).cast("long").alias("nc_sum"),
+    )
+    return (
+        row("clone_point", SN.read(spark, src, audit_rec["clone_v"]))
+        .unionByName(row("dst_diverged", SN.read(spark, dst)))
+        .unionByName(row("src_diverged", SN.read(spark, src)))
+        .unionByName(audit)
+    )

@@ -1399,6 +1399,110 @@ def adopt_parquet(spark, table_path: str, source, n_files_hint=None) -> int:
     )
 
 
+def clone_table(spark, source_path: str, dest_path: str,
+                version: int | None = None, ref: str | None = None,
+                relative: bool = False) -> int:
+    """SHALLOW CLONE — the Delta ``CLONE`` contract: *dest_path*
+    becomes an independent ledger whose first commit REFERENCES the
+    source snapshot's data (and pending equality-delete) files
+    zero-copy, as one metadata commit with zero data bytes read or
+    moved.  Writes to either table never affect the other (immutable
+    files + separate manifest chains); the clone starts with the
+    source's schema, constraints, partition spec, and full
+    rename/default/drop/widen history.
+
+    The clone's first manifest publishes AT THE SOURCE'S VERSION
+    NUMBER, not v1 — sequence numbers equal commit versions
+    throughout this module, so continuing the numbering preserves
+    every seq-relative contract verbatim: pending equality deletes
+    keep applying only to older files, the era mapping keeps reading
+    each file under its stored names/types, and the clone's own next
+    commit (source_version + 1) outranks everything it inherited.
+    Time travel below the clone point fails loudly on the missing
+    manifest — exactly the post-vacuum contract; consume CDC from the
+    clone version forward.
+
+    Cloned entries are marked ``external`` (referenced, not owned):
+    the clone's vacuum/orphan sweeps never reclaim source files, and
+    rewrites internalize survivors gradually — the adopt_parquet
+    machinery, pointed at a ledger instead of a raw directory.  As
+    with Delta, a VACUUM ON THE SOURCE can reclaim files a shallow
+    clone still references — tag the source version (``tag()``, a
+    retention pin) for as long as the clone must stay shallow, or
+    ``compact()`` the clone to internalize.
+
+    Pending POSITIONAL deletes refuse (their (file, ordinal)
+    coordinates are table-relative and cannot follow the files to an
+    external root): ``purge_deletes()`` or ``compact()`` the source
+    first.  Returns the clone's first committed version.
+
+    ``relative=True`` records the references as DEST-RELATIVE paths
+    (``../src/data/...``) instead of absolute ones — for co-located
+    tables under one warehouse root that move (or mount) together,
+    the clone pair stays valid wherever the root lands; absolute
+    (the default) is right when source and dest live on independent
+    roots."""
+    vs = versions(source_path)
+    if not vs:
+        raise ValueError(f"clone_table: {source_path} has no versions")
+    if ref is not None:
+        version = resolve_ref(source_path, ref)
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"clone_table: version {v} not in {vs}")
+    if versions(dest_path):
+        raise ValueError(
+            f"clone_table: {dest_path} already has versions — clone "
+            "targets a fresh path"
+        )
+    m = read_manifest(source_path, v)
+    if any(d.get("kind") == "positional"
+           for d in m.get("delete_files") or []):
+        raise ValueError(
+            "clone_table: source has pending POSITIONAL deletes — "
+            "their (file, ordinal) coordinates are table-relative; "
+            "purge_deletes() or compact() the source first"
+        )
+    abs_src = os.path.abspath(source_path)
+    abs_dst = os.path.abspath(dest_path)
+
+    def _repath(p: str) -> str:
+        full = p if os.path.isabs(p) else os.path.join(abs_src, p)
+        return os.path.relpath(full, abs_dst) if relative else full
+
+    def _ext(e: dict) -> dict:
+        out = dict(e)
+        out["path"] = _repath(e["path"])
+        out["external"] = True
+        if e.get("bloom"):
+            out["bloom"] = {
+                c: {**bm, "path": _repath(bm["path"])}
+                for c, bm in e["bloom"].items()
+            }
+        return out
+
+    skip = {"files", "delete_files", "version", "committed_at",
+            "operation", "batch_id", "txn", "key", "mode", "segments",
+            "rollback_of", "cloned_from"}
+    manifest = {k: val for k, val in m.items() if k not in skip}
+    manifest.update(
+        operation="clone",
+        version=v,
+        committed_at=time.time(),
+        files=[_ext(e) for e in m["files"]],
+        cloned_from={"table": abs_src, "version": v},
+    )
+    if m.get("delete_files"):
+        manifest["delete_files"] = [_ext(d) for d in m["delete_files"]]
+    os.makedirs(_manifest_dir(dest_path), exist_ok=True)
+    if not _try_link(dest_path, v, manifest):
+        raise ValueError(
+            f"clone_table: {dest_path} gained a version concurrently — "
+            "clone targets a fresh path"
+        )
+    return v
+
+
 def read(spark, table_path: str, version: int | None = None, *,
          as_of: float | None = None,
          ref: str | None = None,
