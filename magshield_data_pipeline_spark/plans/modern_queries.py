@@ -6189,3 +6189,181 @@ def snapshot_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("src_diverged", SN.read(spark, src)))
         .unionByName(audit)
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite merge/delete keys (r12 session 5)
+
+_SNAP_COMPOSITE_SQL = """
+WITH base AS (
+    SELECT CAST(doc_id % 40 AS BIGINT) AS grp,
+           CAST(doc_id // 40 AS BIGINT) AS sub,
+           CAST(length(text) AS BIGINT) AS nc,
+           doc_id
+    FROM documents
+),
+v2 AS (
+    SELECT grp, sub,
+           CASE WHEN doc_id % 13 = 2 THEN nc + 100 ELSE nc END AS nc,
+           doc_id
+    FROM base
+    UNION ALL
+    SELECT grp + 100 AS grp, sub, nc, doc_id
+    FROM base WHERE doc_id % 13 = 7
+),
+final AS (
+    SELECT grp, sub, nc FROM v2
+    WHERE NOT (grp < 100 AND doc_id % 17 = 3)
+    UNION ALL
+    SELECT grp, sub, CAST(5 AS BIGINT) AS nc FROM base
+    WHERE doc_id % 17 = 3 AND doc_id % 2 = 0
+),
+cdc_ins AS (
+    SELECT grp, sub, nc FROM v2
+    WHERE grp >= 100 AND doc_id % 13 = 7
+    UNION ALL
+    SELECT grp, sub, CAST(5 AS BIGINT) AS nc FROM base
+    WHERE doc_id % 17 = 3 AND doc_id % 2 = 0
+),
+cdc_pre AS (
+    SELECT grp, sub, nc FROM base WHERE doc_id % 13 = 2
+),
+cdc_post AS (
+    SELECT grp, sub, nc + 100 AS nc FROM base WHERE doc_id % 13 = 2
+),
+cdc_del AS (
+    SELECT grp, sub,
+           CASE WHEN doc_id % 13 = 2 THEN nc + 100 ELSE nc END AS nc
+    FROM base WHERE doc_id % 17 = 3
+)
+SELECT 'v2' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(grp) AS BIGINT) AS grp_sum,
+       CAST(sum(sub) AS BIGINT) AS sub_sum,
+       CAST(sum(nc) AS BIGINT) AS nc_sum
+FROM v2
+UNION ALL
+SELECT 'final', CAST(count(*) AS BIGINT), CAST(sum(grp) AS BIGINT),
+       CAST(sum(sub) AS BIGINT), CAST(sum(nc) AS BIGINT) FROM final
+UNION ALL
+SELECT 'cdc_insert', CAST(count(*) AS BIGINT), CAST(sum(grp) AS BIGINT),
+       CAST(sum(sub) AS BIGINT), CAST(sum(nc) AS BIGINT) FROM cdc_ins
+UNION ALL
+SELECT 'cdc_update_pre', CAST(count(*) AS BIGINT),
+       CAST(sum(grp) AS BIGINT), CAST(sum(sub) AS BIGINT),
+       CAST(sum(nc) AS BIGINT) FROM cdc_pre
+UNION ALL
+SELECT 'cdc_update_post', CAST(count(*) AS BIGINT),
+       CAST(sum(grp) AS BIGINT), CAST(sum(sub) AS BIGINT),
+       CAST(sum(nc) AS BIGINT) FROM cdc_post
+UNION ALL
+SELECT 'cdc_delete', CAST(count(*) AS BIGINT), CAST(sum(grp) AS BIGINT),
+       CAST(sum(sub) AS BIGINT), CAST(sum(nc) AS BIGINT) FROM cdc_del
+UNION ALL
+SELECT 'audit', 11, 11, 11, 1
+"""
+
+
+@register(
+    "snapshot_composite_key",
+    sql=_SNAP_COMPOSITE_SQL,
+    description="COMPOSITE MERGE/DELETE KEYS (r12) — the natural-key "
+    "contract: MERGE and row-level DELETE key on a COLUMN LIST "
+    "(rows match when every key column is equal — hash-load-bearing: "
+    "a single-column match would clobber sibling subkeys and break "
+    "every sum), with stats pruning and conflict validation "
+    "intersecting per-column bounding boxes, equality-delete files "
+    "recording and anti-joining the full column set under the "
+    "sequence-number contract (a re-inserted composite key survives, "
+    "content-pinned at nc=5), and BOTH CDC feeds classifying "
+    "update pairs on the full tuple; manifests record composite "
+    "keys as lists while single columns stay bare strings "
+    "(audit-pinned) — at 100 TB this is upserting by (tenant, id) "
+    "or (date, key) without packing hacks, priced by the same "
+    "per-column stats pruning as single keys ([EXT] lakehouse tier)",
+)
+def snapshot_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the COW merge rewrites only files whose per-column boxes
+    # intersect the source's; the MOR delete/merge write no data
+    # files beyond post-images; CDC costs the touched files.
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    base_df = read_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 40).alias("grp"),
+        (F.col("doc_id") / F.lit(40)).cast("long").alias("sub"),
+        F.length("text").cast("long").alias("nc"),
+        "doc_id",
+    )
+    base = scratch_path(
+        "snap_composite_key", sf_dir,
+        "key=(grp,sub) v2=cow-merge(%13=2:+100; %13=7:grp+100) "
+        "v3=mor-delete(%17=3) v4=mor-merge(%17=3&%2=0: nc=5)",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(base_df.drop("doc_id"), tmp, n_files=3)
+        upd = base_df.filter(F.col("doc_id") % 13 == 2).select(
+            "grp", "sub", (F.col("nc") + 100).alias("nc"))
+        ins = base_df.filter(F.col("doc_id") % 13 == 7).select(
+            (F.col("grp") + 100).alias("grp"), "sub", "nc")
+        SN.merge(upd.unionByName(ins), tmp, key=["grp", "sub"],
+                 n_files=2)
+        SN.delete(
+            base_df.filter(F.col("doc_id") % 17 == 3)
+            .select("grp", "sub"),
+            tmp, key=["grp", "sub"], mode="merge-on-read")
+        SN.merge(
+            base_df.filter((F.col("doc_id") % 17 == 3)
+                           & (F.col("doc_id") % 2 == 0))
+            .select("grp", "sub", F.lit(5).cast("long").alias("nc")),
+            tmp, key=["grp", "sub"], mode="merge-on-read", n_files=1)
+        mkey_ok = SN.read_manifest(tmp, 2)["key"] == ["grp", "sub"]
+        dkey_ok = (SN.read_manifest(tmp, 3)["delete_files"][0]["key"]
+                   == ["grp", "sub"])
+        flag = 10 * int(mkey_ok) + int(dkey_ok)
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        flag = _json.load(f)["flag"]
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("grp").cast("long").alias("grp_sum"),
+            F.sum("sub").cast("long").alias("sub_sum"),
+            F.sum("nc").cast("long").alias("nc_sum"),
+        )
+
+    cdc = SN.read_row_changes(spark, base, 1, 4).persist()
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(flag).cast("long").alias("n_rows"),
+        F.lit(11).cast("long").alias("grp_sum"),
+        F.lit(11).cast("long").alias("sub_sum"),
+        F.lit(1).cast("long").alias("nc_sum"),
+    )
+    out = (
+        row("v2", SN.read(spark, base, 2))
+        .unionByName(row("final", SN.read(spark, base)))
+        .unionByName(row(
+            "cdc_insert", cdc.filter("_change_type = 'insert'")))
+        .unionByName(row(
+            "cdc_update_pre",
+            cdc.filter("_change_type = 'update_preimage'")))
+        .unionByName(row(
+            "cdc_update_post",
+            cdc.filter("_change_type = 'update_postimage'")))
+        .unionByName(row(
+            "cdc_delete", cdc.filter("_change_type = 'delete'")))
+        .unionByName(audit)
+    )
+    return out

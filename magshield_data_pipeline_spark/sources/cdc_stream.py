@@ -320,6 +320,13 @@ def _row_pred(filters: list[tuple]):
     return pred
 
 
+def _key_cols(key) -> list:
+    """A manifest key record — bare string (single) or list
+    (composite, r12) — as a column list (snapshots._key_cols twin;
+    this module stays import-free of snapshots)."""
+    return [key] if isinstance(key, str) else list(key)
+
+
 def _applicable(delete_files: list[dict], e: dict) -> list[dict]:
     """The delete files that apply to data entry *e*: strictly NEWER
     sequence numbers only (Iceberg v2 — re-inserts survive)."""
@@ -335,14 +342,16 @@ def _may_hit(e: dict, d: dict) -> bool:
     shrinks the affected-file set, never the answer."""
     if d.get("kind") == "positional":
         return e["path"] in (d.get("targets") or ())
-    k = d["key"]
-    mn = e.get("stats", {}).get(f"min_{k}")
-    mx = e.get("stats", {}).get(f"max_{k}")
-    dlo = d.get("stats", {}).get(f"min_{k}")
-    dhi = d.get("stats", {}).get(f"max_{k}")
-    if mn is None or mx is None or dlo is None or dhi is None:
-        return True
-    return mn <= dhi and mx >= dlo
+    for k in _key_cols(d["key"]):
+        mn = e.get("stats", {}).get(f"min_{k}")
+        mx = e.get("stats", {}).get(f"max_{k}")
+        dlo = d.get("stats", {}).get(f"min_{k}")
+        dhi = d.get("stats", {}).get(f"max_{k}")
+        if mn is None or mx is None or dlo is None or dhi is None:
+            continue
+        if mn > dhi or mx < dlo:
+            return False  # disjoint on ANY key column: no hit
+    return True
 
 
 def _visible_rows(table_path: str, entries: list[dict],
@@ -368,11 +377,16 @@ def _visible_rows(table_path: str, entries: list[dict],
         # a projected field set may exclude a delete key: read it as a
         # working column for the anti-join, then strip it
         key_cur = {
-            d["path"]: _current_name(d["key"], renames,
-                                     d.get("seq", 0))
+            d["path"]: tuple(
+                _current_name(k, renames, d.get("seq", 0))
+                for k in _key_cols(d["key"])
+            )
             for d in eq
         }
-        extras = sorted(set(key_cur.values()) - set(fields))
+        extras = sorted(
+            {c for cols in key_cur.values() for c in cols}
+            - set(fields)
+        )
         rows = _rows_of(table_path, [e], list(fields) + extras, types,
                         renames, defaults)
         # positional deletes FIRST: ordinals are physical file-row
@@ -395,15 +409,19 @@ def _visible_rows(table_path: str, entries: list[dict],
                 dead |= keysets[ck].get(e["path"], set())
             rows = [r for i, r in enumerate(rows) if i not in dead]
         for d in eq:
+            dcols = _key_cols(d["key"])
             if d["path"] not in keysets:
-                col = pq.read_table(
+                t = pq.read_table(
                     os.path.join(table_path, d["path"]),
-                    columns=[d["key"]],
-                )[d["key"]].to_pylist()
-                keysets[d["path"]] = frozenset(col)
+                    columns=dcols,
+                )
+                keysets[d["path"]] = frozenset(
+                    zip(*(t[c].to_pylist() for c in dcols))
+                )
             ks = keysets[d["path"]]
             kc = key_cur[d["path"]]
-            rows = [r for r in rows if r[kc] not in ks]
+            rows = [r for r in rows
+                    if tuple(r[c] for c in kc) not in ks]
         if extras:
             rows = [{f: r[f] for f in fields} for r in rows]
         out.extend(rows)
@@ -518,15 +536,18 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
     # UNSELECTED column cancels — projection-CDC semantics: the feed
     # of the projected view.)
     key = cur.get("key")
+    kcols = None
     if key is not None:
-        # the key was recorded under the names current AT commit v; a
+        # keys were recorded under the names current AT commit v; a
         # later rename moves the column — map to the stream's era
-        key = _current_name(key, renames, v)
+        kcols = [_current_name(k, renames, v)
+                 for k in _key_cols(key)]
     int_fields = list(fields)
     for extra in f_extras:
         int_fields.append(extra)
-    if key is not None and key not in int_fields:
-        int_fields.append(key)
+    for kc in kcols or ():
+        if kc not in int_fields:
+            int_fields.append(kc)
     n_out = len(fields)
 
     def proj(t: tuple) -> tuple:
@@ -571,14 +592,17 @@ def _commit_changes(table_path: str, v: int, fields: list[str],
 
     # keyed classification: a key with both a retracted and an emitted
     # row is an update (pre/post pair); one-sided keys are pure
-    # deletes/inserts — the batch feed's merge contract
-    ki = int_fields.index(key)
+    # deletes/inserts — the batch feed's merge contract (composite
+    # keys classify on the full column tuple)
+    kis = [int_fields.index(kc) for kc in kcols]
     del_by_key: dict = {}
     ins_by_key: dict = {}
     for t in sorted(dels, key=repr):
-        del_by_key.setdefault(t[ki], []).extend([t] * dels[t])
+        del_by_key.setdefault(tuple(t[i] for i in kis),
+                              []).extend([t] * dels[t])
     for t in sorted(ins, key=repr):
-        ins_by_key.setdefault(t[ki], []).extend([t] * ins[t])
+        ins_by_key.setdefault(tuple(t[i] for i in kis),
+                              []).extend([t] * ins[t])
     out = []
     for k in sorted(del_by_key.keys() | ins_by_key.keys(), key=repr):
         dl = del_by_key.get(k, [])

@@ -495,6 +495,44 @@ def _publish_manifest(
 _NUMERIC_TYPES = ("long", "integer", "double", "float", "short", "decimal")
 
 
+def _key_cols(key) -> list[str]:
+    """Normalize a merge/delete key spec — one column name or a
+    COMPOSITE list of them (r12: the natural-key contract; Iceberg's
+    equality-delete field lists) — to a non-empty, duplicate-free
+    column list."""
+    cols = [key] if isinstance(key, str) else list(key)
+    if not cols or len(set(cols)) != len(cols) or not all(
+            isinstance(c, str) and c for c in cols):
+        raise ValueError(
+            f"key must be a column name or a list of distinct column "
+            f"names, got {key!r}"
+        )
+    return cols
+
+
+def _key_store(key):
+    """The manifest form of a key spec: the bare string for a single
+    column (byte-compatible with every pre-composite manifest), the
+    list for composites."""
+    cols = _key_cols(key)
+    return cols[0] if len(cols) == 1 else cols
+
+
+def _entry_overlaps(e: dict, kbounds: dict) -> bool:
+    """Can manifest entry *e* hold a row inside the per-column
+    bounding box *kbounds* ({col: (lo, hi)})?  Disjoint on ANY
+    stats-backed column rules the file out; columns without recorded
+    stats can't rule anything out (conservative, safe never wrong)."""
+    for c, (lo, hi) in kbounds.items():
+        mn = e.get("stats", {}).get(f"min_{c}")
+        mx = e.get("stats", {}).get(f"max_{c}")
+        if mn is None or mx is None:
+            continue
+        if mn > hi or mx < lo:
+            return False
+    return True
+
+
 def _stat_value(v):
     """JSON-safe manifest stat: integers stay EXACT Python ints (JSON
     has arbitrary-precision integers), floats/decimals coerce to float,
@@ -1744,14 +1782,16 @@ def _delete_may_hit(e: dict, d: dict) -> bool:
     for CDC image computation and purge_deletes."""
     if d.get("kind") == "positional":
         return e["path"] in (d.get("targets") or ())
-    k = d["key"]
-    mn = e.get("stats", {}).get(f"min_{k}")
-    mx = e.get("stats", {}).get(f"max_{k}")
-    dlo = d.get("stats", {}).get(f"min_{k}")
-    dhi = d.get("stats", {}).get(f"max_{k}")
-    if mn is None or mx is None or dlo is None or dhi is None:
-        return True
-    return mn <= dhi and mx >= dlo
+    for k in _key_cols(d["key"]):
+        mn = e.get("stats", {}).get(f"min_{k}")
+        mx = e.get("stats", {}).get(f"max_{k}")
+        dlo = d.get("stats", {}).get(f"min_{k}")
+        dhi = d.get("stats", {}).get(f"max_{k}")
+        if mn is None or mx is None or dlo is None or dhi is None:
+            continue  # no stats on this column: can't rule it out
+        if mn > dhi or mx < dlo:
+            return False  # disjoint on ANY key column: no hit possible
+    return True
 
 
 def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
@@ -1788,7 +1828,7 @@ def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
     for e in data_entries:
         eq_app = tuple(
             sorted(
-                (d["path"], d["key"]) for d in eq_dels
+                (d["path"], tuple(_key_cols(d["key"]))) for d in eq_dels
                 if d.get("seq", 0) > e.get("seq", 0)
             )
         )
@@ -1814,14 +1854,14 @@ def _scan_with_deletes(spark, table_path: str, data_entries: list[dict],
             df = df.join(dels, ["_file_rel", "_pos"], "left_anti")
         if bool(pos_app) and not with_pos:
             df = df.drop("_file_rel", "_pos")
-        by_key: dict[str, list[str]] = {}
-        for path, key in eq_app:
-            by_key.setdefault(key, []).append(path)
-        for key, paths in sorted(by_key.items()):
+        by_key: dict[tuple, list[str]] = {}
+        for path, kcols in eq_app:
+            by_key.setdefault(kcols, []).append(path)
+        for kcols, paths in sorted(by_key.items()):
             keys = spark.read.parquet(
                 *[os.path.join(table_path, p) for p in paths]
-            ).select(key).distinct()
-            df = df.join(keys, [key], "left_anti")
+            ).select(*kcols).distinct()
+            df = df.join(keys, list(kcols), "left_anti")
         frames.append(df)
     out = frames[0]
     for f in frames[1:]:
@@ -2215,21 +2255,27 @@ def read_row_changes(spark, table_path: str, from_version: int,
             new_dels = [d for d in cur.get("delete_files", [])
                         if d["path"] not in prev_del_paths]
             for d in new_dels:
-                dkey = d["key"]
+                dcols = _key_cols(d["key"])
                 keys = spark.read.parquet(
                     os.path.join(table_path, d["path"])
-                ).select(dkey).distinct()
-                b = keys.agg(F.min(dkey).alias("lo"),
-                             F.max(dkey).alias("hi")
-                             ).collect()[0]  # single-row probe — bounded
+                ).select(*dcols).distinct()
+                b = keys.agg(*[a for c in dcols for a in (
+                    F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")
+                )]).collect()[0]  # single-row probe — bounded
                 cands = []
                 for e in cur["files"]:
                     if e.get("seq", 0) >= d.get("seq", 0):
                         continue  # delete applies only to older data
-                    mn = e["stats"].get(f"min_{dkey}")
-                    mx = e["stats"].get(f"max_{dkey}")
-                    if mn is None or mx is None or (
-                            mn <= b["hi"] and mx >= b["lo"]):
+                    overlaps = True
+                    for c in dcols:
+                        mn = e["stats"].get(f"min_{c}")
+                        mx = e["stats"].get(f"max_{c}")
+                        if mn is None or mx is None:
+                            continue
+                        if mn > b[f"hi_{c}"] or mx < b[f"lo_{c}"]:
+                            overlaps = False
+                            break
+                    if overlaps:
                         cands.append(e)
                 if not cands:
                     continue
@@ -2243,7 +2289,7 @@ def read_row_changes(spark, table_path: str, from_version: int,
                     renames=cur.get("renames"),
                     defaults=cur.get("defaults"), widens=cur.get("widens"))
                 pieces.append(
-                    tagged(img.join(keys, [dkey], "left_semi"), "delete", v)
+                    tagged(img.join(keys, dcols, "left_semi"), "delete", v)
                 )
             continue
         if op == "merge" and cur.get("mode") == "merge-on-read":
@@ -2254,7 +2300,7 @@ def read_row_changes(spark, table_path: str, from_version: int,
             # merge: keys absent before are inserts, present keys with
             # any differing column emit pre+post, identical restatements
             # emit nothing.
-            mkey = cur["key"]
+            mcols = _key_cols(cur["key"])
             after = _scan(spark, table_path, added, cur.get("schema"),
                           renames=cur.get("renames"),
                           defaults=cur.get("defaults"), widens=cur.get("widens"))
@@ -2263,16 +2309,22 @@ def read_row_changes(spark, table_path: str, from_version: int,
                        if d["path"] not in prev_del_paths]
             keys = spark.read.parquet(*[
                 os.path.join(table_path, d["path"]) for d in new_del
-            ]).select(mkey).distinct()
-            b = keys.agg(F.min(mkey).alias("lo"),
-                         F.max(mkey).alias("hi")
-                         ).collect()[0]  # single-row probe — bounded
+            ]).select(*mcols).distinct()
+            b = keys.agg(*[a for c in mcols for a in (
+                F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")
+            )]).collect()[0]  # single-row probe — bounded
             cands = []
             for e in prev["files"]:
-                mn = e["stats"].get(f"min_{mkey}")
-                mx = e["stats"].get(f"max_{mkey}")
-                if mn is None or mx is None or (
-                        mn <= b["hi"] and mx >= b["lo"]):
+                overlaps = True
+                for c in mcols:
+                    mn = e["stats"].get(f"min_{c}")
+                    mx = e["stats"].get(f"max_{c}")
+                    if mn is None or mx is None:
+                        continue
+                    if mn > b[f"hi_{c}"] or mx < b[f"lo_{c}"]:
+                        overlaps = False
+                        break
+                if overlaps:
                     cands.append(e)
             before = None
             if cands:
@@ -2285,18 +2337,22 @@ def read_row_changes(spark, table_path: str, from_version: int,
                     spark, table_path, cands, prev.get("schema"),
                     renames=prev.get("renames"),
                     defaults=prev.get("defaults"), widens=prev.get("widens"))
-                before = img.join(keys, [mkey], "left_semi")
+                before = img.join(keys, mcols, "left_semi")
             if before is None:
                 pieces.append(tagged(after, "insert", v))
                 continue
             pieces.append(tagged(
-                after.join(before.select(mkey), [mkey], "left_anti"),
+                after.join(before.select(*mcols), mcols, "left_anti"),
                 "insert", v))
             common = [c for c in after.columns if c in set(before.columns)]
-            non_key = [c for c in common if c != mkey]
+            non_key = [c for c in common if c not in mcols]
             a2, b2 = after.alias("a"), before.alias("b")
+            mcond = None
+            for c in mcols:
+                eqc = F.col(f"a.{c}") == F.col(f"b.{c}")
+                mcond = eqc if mcond is None else (mcond & eqc)
             changed = a2.join(
-                b2, F.col(f"a.{mkey}") == F.col(f"b.{mkey}"), "inner"
+                b2, mcond, "inner"
             ).filter(~F.struct(
                 *[F.col(f"a.{c}") for c in non_key]).eqNullSafe(
                 F.struct(*[F.col(f"b.{c}") for c in non_key])))
@@ -2369,6 +2425,7 @@ def read_row_changes(spark, table_path: str, from_version: int,
                 pieces.append(tagged(before, "delete", v))
             continue
         key = cur.get("key")
+        kcols = _key_cols(key) if key is not None else None
         if key is None or (before is None and after is None):
             # unknown copy-on-write op without a recorded key: row-level
             # diff degrades to the overwrite treatment over the images
@@ -2384,7 +2441,8 @@ def read_row_changes(spark, table_path: str, from_version: int,
             continue
         if op == "delete":
             if before is not None:
-                gone = (before.join(after.select(key), [key], "left_anti")
+                gone = (before.join(after.select(*kcols), kcols,
+                                    "left_anti")
                         if after is not None else before)
                 pieces.append(tagged(gone, "delete", v))
             continue
@@ -2394,12 +2452,16 @@ def read_row_changes(spark, table_path: str, from_version: int,
                 pieces.append(tagged(after, "insert", v))
             continue
         pieces.append(tagged(
-            after.join(before.select(key), [key], "left_anti"),
+            after.join(before.select(*kcols), kcols, "left_anti"),
             "insert", v))
         common = [c for c in after.columns if c in set(before.columns)]
-        non_key = [c for c in common if c != key]
+        non_key = [c for c in common if c not in kcols]
         b, a = before.alias("b"), after.alias("a")
-        changed = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "inner") \
+        kcond = None
+        for c in kcols:
+            eqc = F.col(f"a.{c}") == F.col(f"b.{c}")
+            kcond = eqc if kcond is None else (kcond & eqc)
+        changed = a.join(b, kcond, "inner") \
             .filter(~F.struct(*[F.col(f"a.{c}") for c in non_key]).eqNullSafe(
                 F.struct(*[F.col(f"b.{c}") for c in non_key])))
         pieces.append(tagged(
@@ -2789,15 +2851,19 @@ def append_stream_batch(df, table_path: str, batch_id: int,
         return v
 
 
-def merge(source_df, table_path: str, key: str, n_files: int = 1,
+def merge(source_df, table_path: str, key, n_files: int = 1,
           txn: tuple[str, int] | None = None,
           mode: str = "copy-on-write",
           isolation: str = "serializable",
           race_inject=None,
           evolve_schema: bool = False) -> int | None:
     """MERGE INTO: upsert *source_df* into the latest snapshot by
-    *key* — matched rows are replaced by the source row, unmatched
-    source rows insert, everything else passes through.  Two modes,
+    *key* — one column name or a COMPOSITE list of them (the
+    natural-key contract, r12; rows match when EVERY key column is
+    equal, and stats pruning / conflict validation intersect
+    per-column bounding boxes) — matched rows are replaced by the
+    source row, unmatched source rows insert, everything else passes
+    through.  Two modes,
     the Iceberg v2 pair:
 
     - ``copy-on-write`` (default): publish a new version that REWRITES
@@ -2932,15 +2998,16 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
                                        partition_by=active_pb)
         ]
         del_entries = [
-            {**e, "key": key, "seq": v}
+            {**e, "key": _key_store(key), "seq": v}
             for e in _write_data_files(
-                source_df.select(key).distinct(), table_path, 1
+                source_df.select(*_key_cols(key)).distinct(),
+                table_path, 1
             )
         ]
         new_manifest = {
             "operation": "merge",
             "mode": "merge-on-read",
-            "key": key,
+            "key": _key_store(key),
             "version": v,
             "committed_at": time.time(),
             "files": manifest["files"] + data_entries,
@@ -2968,7 +3035,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
             m2 = {
                 "operation": "merge",
                 "mode": "merge-on-read",
-                "key": key,
+                "key": _key_store(key),
                 "version": new_v,
                 "committed_at": time.time(),
                 "rebased_from": v,
@@ -2990,17 +3057,16 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
         if txn is not None:
             _advance_txn(table_path, txn[0], txn[1])
         return committed
-    bounds = source_df.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
-    ).collect()[0]
-    if bounds["lo"] is None:
+    kcols = _key_cols(key)
+    brow = source_df.agg(*[a for c in kcols for a in (
+        F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")
+    )]).collect()[0]
+    if brow[f"lo_{kcols[0]}"] is None:
         raise ValueError("merge: source has no rows (or all-null keys)")
-    lo, hi = bounds["lo"], bounds["hi"]
+    kbounds = {c: (brow[f"lo_{c}"], brow[f"hi_{c}"]) for c in kcols}
     touched, untouched = [], []
     for e in manifest["files"]:
-        mn = e["stats"].get(f"min_{key}")
-        mx = e["stats"].get(f"max_{key}")
-        if mn is None or mx is None or (mn <= hi and mx >= lo):
+        if _entry_overlaps(e, kbounds):
             touched.append(e)
         else:
             untouched.append(e)
@@ -3011,7 +3077,8 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
             renames=manifest.get("renames"),
             defaults=manifest.get("defaults"), widens=manifest.get("widens"),
         )
-        kept = existing.join(source_df.select(key), [key], "left_anti")
+        kept = existing.join(source_df.select(*kcols), kcols,
+                             "left_anti")
         # under evolve_schema the source carries NEW columns: carried
         # rows null-fill them (allowMissingColumns), matching what the
         # manifest schema does for untouched files
@@ -3031,7 +3098,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
                         else source_df.schema.jsonValue())
     new_manifest = {
         "operation": "merge",
-        "key": key,
+        "key": _key_store(key),
         "version": base_version + 1,
         "committed_at": time.time(),
         "files": untouched + entries,
@@ -3043,7 +3110,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
     read_paths = {e["path"] for e in touched}
 
     def _cow_rebase(latest: dict, new_v: int):
-        why = _cow_rebase_conflict(manifest, latest, key, lo, hi,
+        why = _cow_rebase_conflict(manifest, latest, kbounds,
                                    read_paths)
         if why:
             return why
@@ -3052,7 +3119,7 @@ def merge(source_df, table_path: str, key: str, n_files: int = 1,
                    if e["path"] not in read_paths]
         m2 = {
             "operation": "merge",
-            "key": key,
+            "key": _key_store(key),
             "version": new_v,
             "committed_at": time.time(),
             "rebased_from": base_version + 1,
@@ -3164,8 +3231,8 @@ def _meta_drift(base_m: dict, latest_m: dict) -> str | None:
     return None
 
 
-def _cow_rebase_conflict(base_m: dict, latest_m: dict, key: str,
-                         lo, hi, read_paths: set) -> str | None:
+def _cow_rebase_conflict(base_m: dict, latest_m: dict,
+                         kbounds: dict, read_paths: set) -> str | None:
     """Can a copy-on-write rewrite computed against *base_m* be
     republished on top of *latest_m* unchanged?  The Iceberg
     snapshot-isolation validation, file-level:
@@ -3201,11 +3268,9 @@ def _cow_rebase_conflict(base_m: dict, latest_m: dict, key: str,
     for p, e in latest_by.items():
         if p in base_paths:
             continue
-        mn = e.get("stats", {}).get(f"min_{key}")
-        mx = e.get("stats", {}).get(f"max_{key}")
-        if mn is None or mx is None or (mn <= hi and mx >= lo):
+        if _entry_overlaps(e, kbounds):
             return ("a concurrent commit added file(s) overlapping "
-                    f"this operation's key range [{lo!r}, {hi!r}]")
+                    f"this operation's key range {kbounds!r}")
     return None
 
 
@@ -3259,7 +3324,7 @@ def _publish_optimistic(table_path: str, base_version: int,
         v = latest_v + 1
 
 
-def delete(keys_df, table_path: str, key: str, n_files: int = 1,
+def delete(keys_df, table_path: str, key, n_files: int = 1,
            txn: tuple[str, int] | None = None,
            mode: str = "copy-on-write",
            isolation: str = "serializable",
@@ -3321,17 +3386,19 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     schema_json = manifest.get("schema")
     if mode == "merge-on-read":
         entries = _write_data_files(
-            keys_df.select(key).distinct(), table_path, n_files
+            keys_df.select(*_key_cols(key)).distinct(), table_path,
+            n_files
         )
         new_manifest = {
             "operation": "delete",
             "mode": "merge-on-read",
-            "key": key,
+            "key": _key_store(key),
             "version": base_version + 1,
             "committed_at": time.time(),
             "files": manifest["files"],  # untouched, carried whole
             "delete_files": manifest.get("delete_files", []) + [
-                {**e, "key": key, "seq": base_version + 1} for e in entries
+                {**e, "key": _key_store(key), "seq": base_version + 1}
+                for e in entries
             ],
         }
         if schema_json is not None:
@@ -3355,7 +3422,7 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
             m2 = {
                 "operation": "delete",
                 "mode": "merge-on-read",
-                "key": key,
+                "key": _key_store(key),
                 "version": new_v,
                 "committed_at": time.time(),
                 "rebased_from": base_version + 1,
@@ -3383,17 +3450,17 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
             "compact() to materialize them before a copy-on-write "
             "delete (rewritten files would resurrect deleted rows)"
         )
-    keys = keys_df.select(key).distinct()
-    bounds = keys.agg(F.min(key).alias("lo"), F.max(key).alias("hi")
-                      ).collect()[0]  # single-row agg probe — bounded
-    if bounds["lo"] is None:
+    kcols = _key_cols(key)
+    keys = keys_df.select(*kcols).distinct()
+    brow = keys.agg(*[a for c in kcols for a in (
+        F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")
+    )]).collect()[0]  # single-row agg probe — bounded
+    if brow[f"lo_{kcols[0]}"] is None:
         raise ValueError("delete: keys_df has no rows (or all-null keys)")
-    lo, hi = bounds["lo"], bounds["hi"]
+    kbounds = {c: (brow[f"lo_{c}"], brow[f"hi_{c}"]) for c in kcols}
     touched, untouched = [], []
     for e in manifest["files"]:
-        mn = e["stats"].get(f"min_{key}")
-        mx = e["stats"].get(f"max_{key}")
-        if mn is None or mx is None or (mn <= hi and mx >= lo):
+        if _entry_overlaps(e, kbounds):
             touched.append(e)
         else:
             untouched.append(e)
@@ -3405,7 +3472,7 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
             renames=manifest.get("renames"),
             defaults=manifest.get("defaults"), widens=manifest.get("widens"),
         )
-        kept = existing.join(keys, [key], "left_anti")
+        kept = existing.join(keys, kcols, "left_anti")
         entries = [
             {**e, "seq": base_version + 1}
             for e in _write_data_files(
@@ -3419,7 +3486,7 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     # the commit is observable (a no-op delete is still a commit)
     new_manifest = {
         "operation": "delete",
-        "key": key,
+        "key": _key_store(key),
         "version": base_version + 1,
         "committed_at": time.time(),
         "files": untouched + entries,
@@ -3432,7 +3499,7 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
     read_paths = {e["path"] for e in touched}
 
     def _cow_del_rebase(latest: dict, new_v: int):
-        why = _cow_rebase_conflict(manifest, latest, key, lo, hi,
+        why = _cow_rebase_conflict(manifest, latest, kbounds,
                                    read_paths)
         if why:
             return why
@@ -3441,7 +3508,7 @@ def delete(keys_df, table_path: str, key: str, n_files: int = 1,
                    if e["path"] not in read_paths]
         m2 = {
             "operation": "delete",
-            "key": key,
+            "key": _key_store(key),
             "version": new_v,
             "committed_at": time.time(),
             "rebased_from": base_version + 1,
@@ -4332,7 +4399,7 @@ def history(spark, table_path: str):
             len(m.get("delete_files") or []),
             sum(e["rows"] for e in m["files"]),
             float(m["committed_at"]) if m.get("committed_at") else None,
-            m.get("key"),
+            ",".join(_key_cols(m["key"])) if m.get("key") else None,
             m.get("rollback_of"),
         ))
     schema = StructType([
@@ -4411,7 +4478,7 @@ def delete_files_table(spark, table_path: str,
         rows.append((
             d["path"],
             kind,
-            d.get("key"),
+            ",".join(_key_cols(d["key"])) if d.get("key") else None,
             len(d.get("targets") or []) if kind == "positional" else None,
             d["rows"],
             d.get("seq"),
@@ -4629,7 +4696,7 @@ def drop_column(table_path: str, name: str) -> int:
     if len(names) == 1:
         raise ValueError("drop_column: cannot drop the last column")
     for d in m.get("delete_files") or []:
-        if d.get("key") == name:
+        if name in _key_cols(d["key"]):
             raise ValueError(
                 f"drop_column: pending merge-on-read delete files are "
                 f"keyed on {name!r} — compact()/purge_deletes() first"
@@ -5151,7 +5218,7 @@ def _branch_commit(table_path: str, name: str, payload: dict) -> int:
         return k
 
 
-def branch_merge(source_df, table_path: str, name: str, key: str,
+def branch_merge(source_df, table_path: str, name: str, key,
                  n_files: int = 1) -> int:
     """MERGE INTO the branch tip by *key* — the same stats-pruned
     copy-on-write rewrite as :func:`merge`, landed as a branch commit
@@ -5182,16 +5249,14 @@ def branch_merge(source_df, table_path: str, name: str, key: str,
         _merge_schema(schema_json, source_df.schema.jsonValue())
     _validate_constraints(source_df, table_path,
                           base.get("constraints") or {})
-    bounds = source_df.agg(F.min(key).alias("lo"),
-                           F.max(key).alias("hi")).collect()[0]
-    if bounds["lo"] is None:
+    kcols = _key_cols(key)
+    brow = source_df.agg(*[a for c in kcols for a in (
+        F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")
+    )]).collect()[0]
+    if brow[f"lo_{kcols[0]}"] is None:
         raise ValueError("branch_merge: source has no rows")
-    lo, hi = bounds["lo"], bounds["hi"]
-    touched = [e for e in files
-               if e["stats"].get(f"min_{key}") is None
-               or e["stats"].get(f"max_{key}") is None
-               or (e["stats"][f"min_{key}"] <= hi
-                   and e["stats"][f"max_{key}"] >= lo)]
+    kbounds = {c: (brow[f"lo_{c}"], brow[f"hi_{c}"]) for c in kcols}
+    touched = [e for e in files if _entry_overlaps(e, kbounds)]
     untouched = [e for e in files if e not in touched]
     spark = source_df.sparkSession
     if touched:
@@ -5204,14 +5269,15 @@ def branch_merge(source_df, table_path: str, name: str, key: str,
             widens=read_manifest(
                 table_path, base["base_version"]).get("widens"),
         )
-        kept = existing.join(source_df.select(key), [key], "left_anti")
+        kept = existing.join(source_df.select(*kcols), kcols,
+                             "left_anti")
         result = kept.unionByName(source_df.select(*existing.columns))
     else:
         result = source_df
     entries = _write_data_files(result, table_path, n_files)
     return _branch_commit(table_path, name, {
         "operation": "branch-merge",
-        "key": key,
+        "key": _key_store(key),
         "entries": entries,
         "files": untouched + entries,
         "schema": (schema_json if schema_json is not None
@@ -5219,7 +5285,7 @@ def branch_merge(source_df, table_path: str, name: str, key: str,
     })
 
 
-def branch_delete_rows(keys_df, table_path: str, name: str, key: str,
+def branch_delete_rows(keys_df, table_path: str, name: str, key,
                        n_files: int = 1) -> int:
     """Row-level DELETE on the branch tip by *key* (stats-pruned
     copy-on-write rewrite, full post-state recorded) — main sees
@@ -5232,17 +5298,15 @@ def branch_delete_rows(keys_df, table_path: str, name: str, key: str,
             "branch_delete_rows: the branch base has pending "
             "merge-on-read delete files — compact() main first"
         )
-    keys = keys_df.select(key).distinct()
-    bounds = keys.agg(F.min(key).alias("lo"),
-                      F.max(key).alias("hi")).collect()[0]
-    if bounds["lo"] is None:
+    kcols = _key_cols(key)
+    keys = keys_df.select(*kcols).distinct()
+    brow = keys.agg(*[a for c in kcols for a in (
+        F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")
+    )]).collect()[0]
+    if brow[f"lo_{kcols[0]}"] is None:
         raise ValueError("branch_delete_rows: keys_df has no rows")
-    lo, hi = bounds["lo"], bounds["hi"]
-    touched = [e for e in files
-               if e["stats"].get(f"min_{key}") is None
-               or e["stats"].get(f"max_{key}") is None
-               or (e["stats"][f"min_{key}"] <= hi
-                   and e["stats"][f"max_{key}"] >= lo)]
+    kbounds = {c: (brow[f"lo_{c}"], brow[f"hi_{c}"]) for c in kcols}
+    touched = [e for e in files if _entry_overlaps(e, kbounds)]
     untouched = [e for e in files if e not in touched]
     entries: list[dict] = []
     if touched:
@@ -5256,11 +5320,11 @@ def branch_delete_rows(keys_df, table_path: str, name: str, key: str,
             widens=read_manifest(
                 table_path, base["base_version"]).get("widens"),
         )
-        kept = existing.join(keys, [key], "left_anti")
+        kept = existing.join(keys, kcols, "left_anti")
         entries = _write_data_files(kept, table_path, n_files)
     payload = {
         "operation": "branch-delete",
-        "key": key,
+        "key": _key_store(key),
         "entries": entries,
         "files": untouched + entries,
     }
