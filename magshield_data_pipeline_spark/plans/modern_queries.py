@@ -6367,3 +6367,140 @@ def snapshot_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# MERGE matrix: atomic CDC-batch apply (r12 session 5)
+
+_SNAP_MERGE_MATRIX_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS nc FROM documents
+),
+upd AS (SELECT doc_id, nc + 40 AS nc FROM base WHERE doc_id % 11 = 2),
+dels AS (SELECT doc_id, nc FROM base WHERE doc_id % 11 = 5),
+ins AS (
+    SELECT doc_id + 600000 AS doc_id, nc + 6 AS nc
+    FROM base WHERE doc_id % 11 = 8
+),
+final AS (
+    SELECT doc_id, CASE WHEN doc_id % 11 = 2 THEN nc + 40 ELSE nc END AS nc
+    FROM base WHERE doc_id % 11 <> 5
+    UNION ALL SELECT doc_id, nc FROM ins
+)
+SELECT 'final' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(nc) AS BIGINT) AS nc_sum
+FROM final
+UNION ALL
+SELECT 'cdc_update_pre', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(nc) AS BIGINT)
+FROM base WHERE doc_id % 11 = 2
+UNION ALL
+SELECT 'cdc_update_post', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(nc) AS BIGINT) FROM upd
+UNION ALL
+SELECT 'cdc_delete', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(nc) AS BIGINT) FROM dels
+UNION ALL
+SELECT 'cdc_insert', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(nc) AS BIGINT) FROM ins
+UNION ALL
+SELECT 'audit', 111, 11, 1
+"""
+
+
+@register(
+    "snapshot_merge_matrix",
+    sql=_SNAP_MERGE_MATRIX_SQL,
+    description="MERGE MATRIX — atomic CDC-batch apply (r12): "
+    "merge(matched_delete_where=\"op = 'delete'\") is the Delta "
+    "whenMatchedDelete clause — a feed carrying updates, inserts, "
+    "AND delete intents lands in ONE merge-on-read commit "
+    "(audit-pinned: exactly one version advance, no window where "
+    "deletes landed but updates didn't), the predicate-only op "
+    "column is dropped after evaluation (not schema evolution, "
+    "audit-pinned), unmatched delete intents are no-ops, and BOTH "
+    "CDC feeds classify the batch exactly (update pairs / inserts / "
+    "pure deletes — hash-load-bearing per change type); at 100 TB "
+    "this is replicating an upstream CDC stream into the lakehouse "
+    "at one commit per batch with zero data files rewritten "
+    "([EXT] lakehouse tier)",
+)
+def snapshot_merge_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: merge-on-read writes post-images + one key file, rewrites
+    # nothing; CDC costs the commit's touched files.
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("nc")
+    )
+    base = scratch_path(
+        "snap_merge_matrix", sf_dir,
+        "v1=docs v2=ONE mor merge: upd %11=2 (+40), del %11=5, "
+        "ins %11=8 (+600k,+6), matched_delete_where op='delete'",
+    )
+
+    def _build(tmp: str) -> None:
+        SN.overwrite(docs, tmp, n_files=3)
+        feed = (
+            docs.filter(F.col("doc_id") % 11 == 2).select(
+                "doc_id", (F.col("nc") + 40).alias("nc"),
+                F.lit("update").alias("op"))
+            .unionByName(docs.filter(F.col("doc_id") % 11 == 5).select(
+                "doc_id", "nc", F.lit("delete").alias("op")))
+            .unionByName(docs.filter(F.col("doc_id") % 11 == 8).select(
+                (F.col("doc_id") + 600000).alias("doc_id"),
+                (F.col("nc") + 6).alias("nc"),
+                F.lit("insert").alias("op")))
+        )
+        SN.merge(feed, tmp, key="doc_id",
+                 matched_delete_where="op = 'delete'",
+                 mode="merge-on-read", n_files=2)
+        one_commit = SN.versions(tmp) == [1, 2]
+        no_op_col = "op" not in [
+            f["name"] for f in SN.read_manifest(tmp, 2)["schema"]["fields"]
+        ]
+        flag = 100 + 10 * int(one_commit) + int(no_op_col)
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        flag = _json.load(f)["flag"]
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("nc").cast("long").alias("nc_sum"),
+        )
+
+    cdc = SN.read_row_changes(spark, base, 1, 2).persist()
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(flag).cast("long").alias("n_rows"),
+        F.lit(11).cast("long").alias("id_sum"),
+        F.lit(1).cast("long").alias("nc_sum"),
+    )
+    return (
+        row("final", SN.read(spark, base))
+        .unionByName(row(
+            "cdc_update_pre",
+            cdc.filter("_change_type = 'update_preimage'")))
+        .unionByName(row(
+            "cdc_update_post",
+            cdc.filter("_change_type = 'update_postimage'")))
+        .unionByName(row(
+            "cdc_delete", cdc.filter("_change_type = 'delete'")))
+        .unionByName(row(
+            "cdc_insert", cdc.filter("_change_type = 'insert'")))
+        .unionByName(audit)
+    )

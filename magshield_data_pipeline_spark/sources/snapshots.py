@@ -2362,6 +2362,12 @@ def read_row_changes(spark, table_path: str, from_version: int,
             pieces.append(tagged(
                 changed.select(*[F.col(f"a.{c}").alias(c) for c in common]),
                 "update_postimage", v))
+            # matched-DELETE intents (merge matrix): keys the commit's
+            # delete file retracts with NO re-inserted post-image are
+            # pure deletes — their pre-image rows emit as such
+            pieces.append(tagged(
+                before.join(after.select(*mcols), mcols, "left_anti"),
+                "delete", v))
             continue
         prev_dels = prev.get("delete_files") or []
         cur_dels = cur.get("delete_files") or []
@@ -2470,6 +2476,12 @@ def read_row_changes(spark, table_path: str, from_version: int,
         pieces.append(tagged(
             changed.select(*[F.col(f"a.{c}").alias(c) for c in common]),
             "update_postimage", v))
+        # matched-DELETE intents (merge matrix): keys present in the
+        # before-image that the rewrite kept out of the after-image
+        # are pure deletes (empty for plain upserts — kept rows carry)
+        pieces.append(tagged(
+            before.join(after.select(*kcols), kcols, "left_anti"),
+            "delete", v))
 
     if not pieces:
         # zero changes (e.g. only compact commits in range): an EMPTY
@@ -2856,7 +2868,8 @@ def merge(source_df, table_path: str, key, n_files: int = 1,
           mode: str = "copy-on-write",
           isolation: str = "serializable",
           race_inject=None,
-          evolve_schema: bool = False) -> int | None:
+          evolve_schema: bool = False,
+          matched_delete_where: str | None = None) -> int | None:
     """MERGE INTO: upsert *source_df* into the latest snapshot by
     *key* — one column name or a COMPOSITE list of them (the
     natural-key contract, r12; rows match when EVERY key column is
@@ -2900,6 +2913,20 @@ def merge(source_df, table_path: str, key, n_files: int = 1,
     epoch fold additive statistics (e.g. df += delta) without a replay
     double-applying the delta.
 
+    ``matched_delete_where`` completes the MERGE matrix (r12 — the
+    Delta ``whenMatchedDelete`` clause): a SQL predicate over the
+    SOURCE row's columns; source rows satisfying it are DELETE
+    intents — a matched target row is removed instead of replaced,
+    an unmatched delete intent is a no-op — while the remaining
+    source rows upsert as before, ALL IN ONE COMMIT.  This is the
+    atomic CDC-batch apply: a feed with an op column lands as
+    ``merge(feed, t, key, matched_delete_where="op = 'delete'")`` —
+    updates, inserts, and deletes in a single snapshot, no window
+    where deletes landed but updates didn't.  Under merge-on-read
+    the single equality-delete file covers every source key and only
+    the upsert rows re-insert; under copy-on-write the rewrite keeps
+    neither.
+
     ``isolation`` picks the multi-writer conflict contract (r12):
     ``"serializable"`` (default, unchanged) fails loudly on ANY
     concurrent commit; ``"snapshot"`` REBASES over concurrent commits
@@ -2932,6 +2959,25 @@ def merge(source_df, table_path: str, key, n_files: int = 1,
         )
     base_version = vs[-1]
     manifest = read_manifest(table_path, base_version)
+    # MERGE-matrix split (matched_delete_where): evaluate the intent
+    # predicate FIRST, then drop source columns the table lacks —
+    # they are predicate-only metadata (a CDC feed's op column), not
+    # schema evolution.  The delete-file / anti-join key range keeps
+    # the FULL source (delete keys prune and rewrite files exactly
+    # like update keys).
+    upsert_df = source_df
+    if matched_delete_where is not None:
+        upsert_df = source_df.filter(
+            ~F.coalesce(F.expr(matched_delete_where), F.lit(False))
+        )
+        mschema = manifest.get("schema")
+        if mschema is not None and not evolve_schema:
+            tcols = {f["name"] for f in mschema["fields"]}
+            meta_cols = [c for c in source_df.columns
+                         if c not in tcols]
+            if meta_cols:
+                source_df = source_df.drop(*meta_cols)
+                upsert_df = upsert_df.drop(*meta_cols)
     _validate_constraints(source_df, table_path)
     if mode == "copy-on-write" and manifest.get("delete_files"):
         raise ValueError(
@@ -2994,7 +3040,7 @@ def merge(source_df, table_path: str, key, n_files: int = 1,
         v = base_version + 1
         data_entries = [
             {**e, "seq": v}
-            for e in _write_data_files(source_df, table_path, n_files,
+            for e in _write_data_files(upsert_df, table_path, n_files,
                                        partition_by=active_pb)
         ]
         del_entries = [
@@ -3083,14 +3129,14 @@ def merge(source_df, table_path: str, key, n_files: int = 1,
         # rows null-fill them (allowMissingColumns), matching what the
         # manifest schema does for untouched files
         result = kept.unionByName(
-            source_df.select(*[
-                c for c in source_df.columns
+            upsert_df.select(*[
+                c for c in upsert_df.columns
                 if c in set(existing.columns) or evolve_schema
             ]),
             allowMissingColumns=True,
         )
     else:
-        result = source_df  # pure insert: no file can hold a match
+        result = upsert_df  # pure insert: no file can hold a match
     entries = _write_data_files(result, table_path, n_files,
                                 partition_by=active_pb)
     entries = [{**e, "seq": base_version + 1} for e in entries]
