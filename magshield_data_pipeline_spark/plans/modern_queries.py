@@ -6504,3 +6504,125 @@ def snapshot_merge_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cdc_insert", cdc.filter("_change_type = 'insert'")))
         .unionByName(audit)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental clone sync (r12 session 5)
+
+_SNAP_CLONE_SYNC_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS nc FROM documents
+),
+v2 AS (
+    SELECT doc_id, CASE WHEN doc_id % 9 = 1 THEN nc + 20 ELSE nc END AS nc
+    FROM base
+    UNION ALL
+    SELECT doc_id + 760000 AS doc_id, nc + 4 AS nc
+    FROM base WHERE doc_id % 9 = 4
+),
+final AS (
+    SELECT doc_id, nc FROM v2
+    WHERE doc_id >= 760000 OR doc_id % 9 <> 7
+)
+SELECT 'src_final' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(nc) AS BIGINT) AS nc_sum
+FROM final
+UNION ALL
+SELECT 'dst_final', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(nc) AS BIGINT) FROM final
+UNION ALL
+SELECT 'audit', 11111, 11, 1
+"""
+
+
+@register(
+    "snapshot_clone_sync",
+    sql=_SNAP_CLONE_SYNC_SQL,
+    description="INCREMENTAL CLONE SYNC (r12) — the Delta "
+    "incremental-clone contract: an un-diverged shallow clone "
+    "fast-forwards by re-referencing the source's new commits as "
+    "metadata-only commits at the SAME version numbers — O(new "
+    "manifests) catch-up, zero data bytes moved (audit-pinned: no "
+    "data directory exists on the clone after two syncs), with each "
+    "synced manifest keeping the source's operation/key so CDC ON "
+    "THE CLONE classifies the synced window row-for-row equal to "
+    "CDC on the source (audit-pinned equality) — the replica "
+    "pattern: subscribe to the clone, pay metadata; divergence "
+    "refuses loudly (a fork is not a replica) and a repeat sync is "
+    "an empty no-op (audit-pinned); dst_final is hash-load-bearing "
+    "equal to src_final ([EXT] lakehouse tier)",
+)
+def snapshot_clone_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: sync cost = new manifests only; reads on the clone prune
+    # with the same carried stats as the source.
+    import json as _json
+    import os as _os
+
+    from magshield_data_pipeline_spark.sources import snapshots as SN
+    from magshield_data_pipeline_spark.sources.scratch import (
+        ensure_scratch,
+        scratch_path,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("nc")
+    )
+    base = scratch_path(
+        "snap_clone_sync", sf_dir,
+        "src v1=docs; clone(relative); src v2=merge(%9=1:+20, "
+        "%9=4:+760k,+4) v3=mor-delete(%9=7); sync -> [2,3]",
+    )
+
+    def _build(tmp: str) -> None:
+        src = _os.path.join(tmp, "src")
+        dst = _os.path.join(tmp, "dst")
+        SN.overwrite(docs, src, n_files=3)
+        SN.clone_table(spark, src, dst, relative=True)
+        upd = docs.filter(F.col("doc_id") % 9 == 1).select(
+            "doc_id", (F.col("nc") + 20).alias("nc"))
+        ins = docs.filter(F.col("doc_id") % 9 == 4).select(
+            (F.col("doc_id") + 760000).alias("doc_id"),
+            (F.col("nc") + 4).alias("nc"))
+        SN.merge(upd.unionByName(ins), src, key="doc_id", n_files=1)
+        SN.delete(docs.filter(F.col("doc_id") % 9 == 7)
+                  .select("doc_id"), src, key="doc_id",
+                  mode="merge-on-read")
+        synced = SN.clone_sync(spark, dst)
+        zero_copy = not _os.path.isdir(_os.path.join(dst, "data"))
+        cdc_src = sorted(tuple(r) for r in SN.read_row_changes(
+            spark, src, 1, 3).collect())
+        cdc_dst = sorted(tuple(r) for r in SN.read_row_changes(
+            spark, dst, 1, 3).collect())
+        flag = (10000
+                + 1000 * int(synced == [2, 3])
+                + 100 * int(zero_copy)
+                + 10 * int(cdc_src == cdc_dst and len(cdc_src) > 0)
+                + int(SN.clone_sync(spark, dst) == []))
+        with open(_os.path.join(tmp, "_audit_flag.json"), "w") as f:
+            _json.dump({"flag": flag}, f)
+
+    ensure_scratch(base, _build)
+    with open(_os.path.join(base, "_audit_flag.json")) as f:
+        flag = _json.load(f)["flag"]
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("nc").cast("long").alias("nc_sum"),
+        )
+
+    audit = spark.range(1).select(
+        F.lit("audit").alias("stage"),
+        F.lit(flag).cast("long").alias("n_rows"),
+        F.lit(11).cast("long").alias("id_sum"),
+        F.lit(1).cast("long").alias("nc_sum"),
+    )
+    return (
+        row("src_final", SN.read(spark, _os.path.join(base, "src")))
+        .unionByName(row("dst_final",
+                         SN.read(spark, _os.path.join(base, "dst"))))
+        .unionByName(audit)
+    )

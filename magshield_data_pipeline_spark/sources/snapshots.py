@@ -1528,7 +1528,14 @@ def clone_table(spark, source_path: str, dest_path: str,
         version=v,
         committed_at=time.time(),
         files=[_ext(e) for e in m["files"]],
-        cloned_from={"table": abs_src, "version": v},
+        cloned_from={
+            "table": abs_src,
+            # dest-relative source root too, so clone_sync can find a
+            # RELATIVE clone pair after the warehouse root moved
+            "table_rel": os.path.relpath(abs_src, abs_dst),
+            "version": v,
+            "mode": "relative" if relative else "absolute",
+        },
     )
     if m.get("delete_files"):
         manifest["delete_files"] = [_ext(d) for d in m["delete_files"]]
@@ -1539,6 +1546,90 @@ def clone_table(spark, source_path: str, dest_path: str,
             "clone targets a fresh path"
         )
     return v
+
+
+def clone_sync(spark, dest_path: str) -> list[int]:
+    """FAST-FORWARD an UN-DIVERGED shallow clone (the Delta
+    incremental-clone contract): re-reference every source commit
+    newer than the clone's tip, as metadata-only commits at the SAME
+    version numbers — an O(new manifests) catch-up, zero data bytes
+    moved.  Each synced manifest keeps the source commit's operation
+    / key / mode, so CDC on the clone classifies the synced window
+    EXACTLY as CDC on the source does (test-pinned) — a replica you
+    can subscribe to.
+
+    Divergence check: every dest version must carry a ``cloned_from``
+    record (the clone commit plus previous syncs).  A dest with its
+    own commits is a FORK, not a replica — sync refuses; compact()
+    it to independence instead.  Source commits with pending
+    POSITIONAL deletes refuse as in ``clone_table``.  Returns the
+    list of synced versions (empty when already current)."""
+    dvs = versions(dest_path)
+    if not dvs:
+        raise ValueError(f"clone_sync: {dest_path} has no versions")
+    tip_m = read_manifest(dest_path, dvs[-1])
+    info = tip_m.get("cloned_from")
+    if info is None or any(
+            read_manifest(dest_path, v).get("cloned_from") is None
+            for v in dvs):
+        raise ValueError(
+            f"clone_sync: {dest_path} has diverged from its source "
+            "(commits of its own) — it is a fork now; compact() it to "
+            "independence instead of syncing"
+        )
+    abs_dst = os.path.abspath(dest_path)
+    src = info["table"]
+    if not os.path.isdir(src) and info.get("table_rel"):
+        src = os.path.join(abs_dst, info["table_rel"])
+    if not versions(src):
+        raise ValueError(
+            f"clone_sync: source {info['table']!r} is unreachable "
+            "from the clone"
+        )
+    relative = info.get("mode") == "relative"
+    abs_src = os.path.abspath(src)
+
+    def _repath(p: str) -> str:
+        full = p if os.path.isabs(p) else os.path.join(abs_src, p)
+        return os.path.relpath(full, abs_dst) if relative else full
+
+    def _ext(e: dict) -> dict:
+        out = dict(e)
+        out["path"] = _repath(e["path"])
+        out["external"] = True
+        if e.get("bloom"):
+            out["bloom"] = {
+                c: {**bm, "path": _repath(bm["path"])}
+                for c, bm in e["bloom"].items()
+            }
+        return out
+
+    synced: list[int] = []
+    for v in versions(src):
+        if v <= dvs[-1]:
+            continue
+        m = read_manifest(src, v)
+        if any(d.get("kind") == "positional"
+               for d in m.get("delete_files") or []):
+            raise ValueError(
+                f"clone_sync: source commit v{v} carries positional "
+                "deletes — purge_deletes() the source first"
+            )
+        manifest = {k: val for k, val in m.items()
+                    if k not in ("files", "delete_files", "segments",
+                                 "cloned_from")}
+        manifest["files"] = [_ext(e) for e in m["files"]]
+        if m.get("delete_files"):
+            manifest["delete_files"] = [_ext(d)
+                                        for d in m["delete_files"]]
+        manifest["cloned_from"] = {**info, "version": v}
+        if not _try_link(dest_path, v, manifest):
+            raise ValueError(
+                f"clone_sync: {dest_path} gained v{v} concurrently — "
+                "one syncer at a time"
+            )
+        synced.append(v)
+    return synced
 
 
 def read(spark, table_path: str, version: int | None = None, *,

@@ -169,3 +169,56 @@ def test_relative_clone_survives_root_relocation(spark, tmp_path):
     shutil.move(root, moved)
     rows = _rows(spark, os.path.join(moved, "dst"))
     assert len(rows) == 29  # the pair stayed valid after the move
+
+
+def test_clone_sync_fast_forwards_undiverged_clone(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    S.purge_deletes(spark, src)
+    dst = os.path.join(str(tmp_path), "dst")
+    S.clone_table(spark, src, dst)
+    # source advances: merge + append + rename
+    S.merge(spark.createDataFrame([(2, -2), (300, 3000)],
+                                  "k long, score long"), src, key="k")
+    S.append(spark.createDataFrame([(400, 4000)],
+                                   "k long, score long"), src, n_files=1)
+    synced = S.clone_sync(spark, dst)
+    assert synced == S.versions(src)[-2:]
+    assert _rows(spark, dst) == _rows(spark, src)
+    assert not os.path.isdir(os.path.join(dst, "data"))  # still 0-copy
+    # CDC on the clone classifies the synced window EXACTLY like the
+    # source (operation/key carried through the sync)
+    a = sorted(tuple(r) for r in S.read_row_changes(
+        spark, dst, synced[0] - 1, synced[-1]).collect())
+    b = sorted(tuple(r) for r in S.read_row_changes(
+        spark, src, synced[0] - 1, synced[-1]).collect())
+    assert a == b and len(a) > 0
+    assert S.clone_sync(spark, dst) == []  # already current: no-op
+
+
+def test_clone_sync_refuses_diverged_fork(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    dst = os.path.join(str(tmp_path), "dst")
+    S.clone_table(spark, src, dst)
+    S.append(spark.createDataFrame([(500, 5000)],
+                                   "k long, score long"), dst, n_files=1)
+    S.append(spark.createDataFrame([(600, 6000)],
+                                   "k long, score long"), src, n_files=1)
+    with pytest.raises(ValueError, match="diverged"):
+        S.clone_sync(spark, dst)
+
+
+def test_clone_sync_relative_pair_after_move(spark, tmp_path):
+    root = os.path.join(str(tmp_path), "wh")
+    src = os.path.join(root, "src")
+    S.overwrite(spark.range(1, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")),
+        src, n_files=2)
+    dst = os.path.join(root, "dst")
+    S.clone_table(spark, src, dst, relative=True)
+    S.append(spark.createDataFrame([(99, 990)], "k long, val long"),
+             src, n_files=1)
+    moved = os.path.join(str(tmp_path), "wh2")
+    shutil.move(root, moved)
+    synced = S.clone_sync(spark, os.path.join(moved, "dst"))
+    assert synced == [2]
+    assert len(_rows(spark, os.path.join(moved, "dst"))) == 20
