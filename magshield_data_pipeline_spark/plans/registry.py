@@ -216,7 +216,13 @@ _WINDOW_PINS: list[tuple[str, int]] = [
     ("snapshot_merge_upsert", 12),
     ("snapshot_mor_delete", 12),
     ("snapshot_maintenance_plan", 12),
-    ("snapshot_cdc_stream", 12),
+    # (snapshot_cdc_stream's r12 pin PRUNED in session 5: the window
+    # holds exactly 50 and tiers 1+3 reached 51 when the six session-5
+    # queries entered; cdc_stream.py's touched surface is re-proven
+    # this round by three MANDATORY tier-3 entries exercising the same
+    # readers — snapshot_cdc_stream_evolve (new, era mapping),
+    # snapshot_cdc_stream_mor, snapshot_cdc_stream_dist — plus the
+    # all-registry local parity suite; the least marginal slot.)
     ("snapshot_ivm_view", 12),
     ("snapshot_ivm_stream", 12),
     ("snapshot_row_cdc", 12),
