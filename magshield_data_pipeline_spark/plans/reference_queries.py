@@ -1723,15 +1723,25 @@ def paged_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
     )
     name = f"paged_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", _tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
+    # state-partition sizing (r12, the same knob streaming/windows.py's
+    # run_available_now exposes): the complete-mode rollup keys on
+    # |segments| = 5 groups, so 8 state partitions — frozen from
+    # shuffle.partitions at first checkpoint — replace 32 near-empty
+    # state files + tasks per micro-batch; partitioning never changes
+    # results, and the fresh per-run checkpoint makes the override safe
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = None
     try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation",
+                    _tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
         import ast as _ast
 
         deadline = _time.time() + 120
@@ -1750,8 +1760,10 @@ def paged_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"paged_stream_scan: offset never reached {total} rows"
             )
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        if q is not None:
+            q.stop()
+            q.awaitTermination(30)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.table(name)
 
 

@@ -996,6 +996,107 @@ def _resolve_partition_by(table_path: str, partition_by):
     return partition_by
 
 
+#: Footer string bounds at or beyond this many UTF-8 bytes are treated
+#: as potentially TRUNCATED by the parquet writer (parquet-mr caps and
+#: trims large binary statistics) and fall back to the engine agg job —
+#: a trimmed bound is still a sound pruning bound but is not the exact
+#: engine min/max, and manifest stats are hash-load-bearing here.
+_STAT_STR_GUARD = 64
+
+
+def _footer_file_stats(abs_target: str, rel_files: list[str], schema,
+                       stat_cols: list[str]):
+    """Per-file (row count, min/max) straight from the parquet footers
+    the commit's write just produced — O(footers) driver-side metadata,
+    zero data re-read (the Iceberg/Delta stats contract; guide §6).
+
+    Returns ``(by_file, unsafe_cols)``: ``by_file[rel] = {"_n": rows,
+    "min_c": v, "max_c": v, ...}`` for every column whose footer bounds
+    are PROVABLY identical to what the engine's own min/max would
+    compute, and ``unsafe_cols`` — columns where that proof fails and
+    the caller must run the one-job grouped agg instead:
+
+    - decimals (physical encoding varies; the agg job is authoritative);
+    - float/double bounds that are 0.0/NaN (writers may normalize ±0.0
+      and NaN ordering differs between engines);
+    - string bounds at/over ``_STAT_STR_GUARD`` UTF-8 bytes (possible
+      writer truncation).  Shorter strings are exact: Spark 4's default
+      UTF8_BINARY collation orders by UTF-8 bytes, the same total order
+      parquet statistics use;
+    - any chunk with rows but no usable min/max statistics.
+
+    All-null columns yield ``None`` bounds, matching the engine agg.
+    Row counts come from footer metadata and are always exact."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    dtype_of = {f.name: f.dataType.typeName() for f in schema.fields}
+    unsafe: set[str] = {c for c in stat_cols
+                        if dtype_of.get(c) == "decimal"}
+    by_file: dict[str, dict] = {}
+    per_file_bounds: dict[str, dict[str, tuple]] = {}
+    for rel in rel_files:
+        md = pq.read_metadata(os.path.join(abs_target, rel))
+        by_file[rel] = {"_n": md.num_rows}
+        if md.num_rows == 0:
+            continue
+        idx_of = {
+            # dotted path, so a struct leaf can never shadow a
+            # same-named TOP-LEVEL stat column
+            getattr(md.schema.column(i), "path", md.schema.column(i).name): i
+            for i in range(md.num_columns)
+        }
+        bounds = per_file_bounds.setdefault(rel, {})
+        for c in stat_cols:
+            if c in unsafe:
+                continue
+            i = idx_of.get(c)
+            if i is None:
+                unsafe.add(c)
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                cc = md.row_group(rg).column(i)
+                st = cc.statistics
+                n_rg = md.row_group(rg).num_rows
+                if (st is not None and st.has_null_count
+                        and st.null_count == n_rg):
+                    continue  # all-null chunk: contributes no bounds
+                if st is None or not st.has_min_max:
+                    unsafe.add(c)
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    unsafe.add(c)  # undecoded binary: not provably str
+                    break
+                if isinstance(mn, float) and (
+                    mn == 0.0 or mx == 0.0
+                    or math.isnan(mn) or math.isnan(mx)
+                ):
+                    unsafe.add(c)
+                    break
+                if isinstance(mn, str) and (
+                    len(mn.encode()) >= _STAT_STR_GUARD
+                    or len(mx.encode()) >= _STAT_STR_GUARD
+                ):
+                    unsafe.add(c)
+                    break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            else:
+                bounds[c] = (lo, hi)
+    for rel, bounds in per_file_bounds.items():
+        got = by_file[rel]
+        for c in stat_cols:
+            if c in unsafe:
+                continue
+            lo, hi = bounds.get(c, (None, None))
+            got[f"min_{c}"] = lo
+            got[f"max_{c}"] = hi
+    return by_file, sorted(unsafe)
+
+
 def _write_data_files(df, table_path: str, n_files: int,
                       cluster_by: list[str] | None = None,
                       partition_by: str | tuple | None = None,
@@ -1079,31 +1180,41 @@ def _write_data_files(df, table_path: str, n_files: int,
         if f.dataType.typeName() in _NUMERIC_TYPES + ("string",)
         and f.name != (spec[0] if spec else None)  # exact value recorded
     ]
-    # per-file stats in ONE job keyed by input_file_name() — never a
-    # Spark job per file (a real table format reads them straight from
-    # the parquet footers; one grouped scan is the engine-level
-    # equivalent and stays O(1) jobs however many files the commit has).
-    # Keyed by path RELATIVE to the commit dir, not basename: a
-    # partitioned write reuses one task's part-file name across its
-    # col=value subdirectories, so basenames collide.
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in stat_cols:
-        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     abs_target = os.path.abspath(target)
+    # per-file stats from the parquet FOOTERS the write just produced —
+    # O(footers) driver-side metadata reads, ZERO data re-read (r12
+    # optimization, guide §1.2/§6: the previous implementation re-read
+    # every committed byte in a second Spark job to recompute what the
+    # writer already recorded; a real table format trusts its footers).
+    # Columns whose footer bounds cannot be PROVEN exact (see
+    # _footer_file_stats) fall back to one column-pruned grouped-agg
+    # Spark job — exactness of manifest stats is hash-load-bearing
+    # (pruning audits count files_scanned), so the fast path is taken
+    # only where footer == engine semantics is guaranteed.
+    by_file, unsafe_cols = _footer_file_stats(
+        abs_target, files, df.schema, stat_cols
+    )
+    if unsafe_cols:
+        # Keyed by path RELATIVE to the commit dir, not basename: a
+        # partitioned write reuses one task's part-file name across its
+        # col=value subdirectories, so basenames collide.
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in unsafe_cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
 
-    def _rel(file_uri: str) -> str:
-        p = file_uri.replace("file:", "")
-        return os.path.relpath(p, abs_target)
+        def _rel(file_uri: str) -> str:
+            p = file_uri.replace("file:", "")
+            return os.path.relpath(p, abs_target)
 
-    by_file = {
-        _rel(r["_f"]): r
         for r in (
             spark.read.parquet(target)
             .groupBy(F.input_file_name().alias("_f"))
             .agg(*aggs)
             .collect()
-        )
-    }
+        ):
+            row = r.asDict()
+            got = by_file.setdefault(_rel(row.pop("_f")), {"_n": row["_n"]})
+            got.update(row)
 
     def _partition_of(rel_name: str) -> dict | None:
         if not spec:
@@ -1124,9 +1235,8 @@ def _write_data_files(df, table_path: str, n_files: int,
         got = by_file.get(name)
         entry = {"path": os.path.join(sub, name), "rows": 0, "stats": {},
                  "bytes": os.path.getsize(os.path.join(abs_target, name))}
-        if got is not None:
-            row = got.asDict()
-            row.pop("_f")
+        if got is not None and got.get("_n"):
+            row = dict(got)
             entry["rows"] = row.pop("_n")
             entry["stats"] = {k: _stat_value(v) for k, v in row.items()}
         part = _partition_of(name)
