@@ -660,17 +660,38 @@ def cdc_chunks(
 
         import pandas as pd
 
+        md5 = hashlib.md5
         for pdf in batches:
             ids, idxs, starts, lens, hashes = [], [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 t = text if isinstance(text, str) else ""
                 n = len(t)
+                if t.isascii():
+                    # ASCII fast path (r12, guide §4.2 per-task work):
+                    # byte offsets == char offsets, so encode ONCE and
+                    # hash zero-copy memoryview windows; the boundary
+                    # test digest()[0] == 0 is hexdigest().startswith
+                    # ("00") without building the hex string.  Bounds
+                    # and hashes are bit-identical to the slow path.
+                    mv = memoryview(t.encode("utf-8"))
+                    bs = [
+                        p
+                        for p in range(width, n)
+                        if md5(mv[p - width : p]).digest()[0] == 0
+                    ]
+                    edges = [0] + bs + [n]
+                    for i, (s, e) in enumerate(zip(edges, edges[1:])):
+                        ids.append(did)
+                        idxs.append(i)
+                        starts.append(s)
+                        lens.append(e - s)
+                        hashes.append(md5(mv[s:e]).hexdigest())
+                    continue
                 bs = [
                     p
                     for p in range(width, n)
-                    if hashlib.md5(t[p - width : p].encode("utf-8"))
-                    .hexdigest()
-                    .startswith("00")
+                    if md5(t[p - width : p].encode("utf-8")).digest()[0]
+                    == 0
                 ]
                 edges = [0] + bs + [n]
                 for i, (s, e) in enumerate(zip(edges, edges[1:])):
@@ -679,7 +700,7 @@ def cdc_chunks(
                     starts.append(s)
                     lens.append(e - s)
                     hashes.append(
-                        hashlib.md5(t[s:e].encode("utf-8")).hexdigest()
+                        md5(t[s:e].encode("utf-8")).hexdigest()
                     )
             yield pd.DataFrame(
                 {
@@ -805,12 +826,19 @@ def unicode_canonicalize(
     def gen(batches):
         import unicodedata
 
+        # ASCII fast path (r12, guide §4.2): ASCII is a fixed point of
+        # NFC and NFD and contains no category-Mn code points, so
+        # isascii() (a C-level flag check) makes both normalize passes
+        # identity — exact, not approximate, for the common case of an
+        # overwhelmingly-ASCII corpus.
         def nfc(t):
-            return None if t is None else unicodedata.normalize("NFC", t)
+            if t is None or t.isascii():
+                return t
+            return unicodedata.normalize("NFC", t)
 
         def strip(t):
-            if t is None:
-                return None
+            if t is None or t.isascii():
+                return t
             return "".join(
                 ch
                 for ch in unicodedata.normalize("NFD", t)

@@ -105,9 +105,15 @@ def read_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     real multi-file corpus the condition is false and this is a NO-OP —
     no extra exchange at scale. (Same rule as export_queries'
     ``_read_spread``; results are partitioning-invariant for every
-    consumer, which each query's oracle hash re-proves.)"""
+    consumer, which each query's oracle hash re-proves.)
+
+    The target is the session's FULL parallelism (r12: the old
+    ``min(cores, 16)`` cap idled half of local[32] through every
+    downstream Python/shingle stage — a constant tuned for neither
+    local mode nor a cluster; deriving it from defaultParallelism is
+    the scale-adaptive form, guide §2)."""
     df = read_table(spark, sf_dir, name)
-    target = min(spark.sparkContext.defaultParallelism, 16)
+    target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
