@@ -384,6 +384,24 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _materialize_observed(
+    df: DataFrame, checkpoint_dir: str | None, *metrics
+) -> tuple[DataFrame, dict]:
+    """:func:`_materialize` fused with a convergence probe (r12, guide
+    §1.2 "don't compute things twice"): ``df.observe(...)`` collects
+    *metrics* (CollectMetricsExec accumulators) DURING the eager
+    checkpoint's materialization job, so each iteration pays ONE Spark
+    job instead of checkpoint + a second full aggregate pass. The
+    metrics see exactly the materialized rows — same values the
+    separate ``agg`` read, verified by the loop's unchanged fixpoint
+    (every CC/BFS/paths oracle hash is invariant to this fusion)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = _materialize(df.observe(obs, *metrics), checkpoint_dir)
+    return out, obs.get
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "doc_a",
@@ -434,9 +452,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        # one pass computes the stepped label AND carries the old one,
-        # so the convergence probe is a filter-count over the
-        # checkpointed step — no extra old-vs-new join per round
+        # one pass computes the stepped label AND carries the old one;
+        # the changed-count rides the checkpoint job as an observed
+        # metric (r12) — one Spark job per round, not two
         stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -447,8 +465,14 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        stepped = _materialize(stepped, checkpoint_dir)
-        changed = stepped.filter(F.col("label") != F.col("_old")).count()
+        stepped, probe = _materialize_observed(
+            stepped,
+            checkpoint_dir,
+            F.sum(
+                (F.col("label") != F.col("_old")).cast("long")
+            ).alias("changed"),
+        )
+        changed = int(probe["changed"] or 0)
         labels = stepped.select("id", "label")
         if changed == 0:
             converged = True
@@ -502,22 +526,26 @@ def connected_components_star(
     propagation variant; same output schema, verified equal by tests.
     """
 
-    def _stats(df: DataFrame) -> tuple[int, int]:
-        # bit_xor, not sum: order-insensitive like sum but cannot
-        # overflow (sum of hashes trips ANSI long-overflow checks)
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("sig"),
-        ).collect()[0]
-        return int(row["n"]), int(row["sig"])
+    # bit_xor, not sum: order-insensitive like sum but cannot
+    # overflow (sum of hashes trips ANSI long-overflow checks); the
+    # (count, checksum) pair rides each round's checkpoint job as
+    # observed metrics (r12) — one Spark job per round, not two
+    _STAT_METRICS = (
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("sig"),
+    )
 
-    e = _materialize(
+    def _observed_stats(probe: dict) -> tuple[int, int]:
+        return int(probe["n"]), int(probe["sig"])
+
+    e, probe = _materialize_observed(
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct(),  # don't re-run the pair pipeline per round
         checkpoint_dir,
+        *_STAT_METRICS,
     )
-    e_stats = _stats(e)
+    e_stats = _observed_stats(probe)
     converged = False
     for _ in range(max_iter):
         # -- large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m)
@@ -537,16 +565,17 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).filter(F.col("u") != F.col("v"))
         omins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        small = _materialize(
+        small, probe = _materialize_observed(
             oriented.join(omins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(omins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct(),
             checkpoint_dir,
+            *_STAT_METRICS,
         )
-        # cheap fixpoint probe: one aggregate pass over the new edge set
-        small_stats = _stats(small)
+        # fixpoint probe: rides the checkpoint job, no extra pass
+        small_stats = _observed_stats(probe)
         if small_stats == e_stats:
             # stats agree — confirm exact set equality once (both
             # frames are distinct, so exceptAll is set difference)

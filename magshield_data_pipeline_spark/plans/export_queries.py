@@ -43,9 +43,12 @@ def _fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scale.
     """
     df = read_table(spark, sf_dir, name)
+    # full session parallelism (r12): the old min(target, 16) cap idled
+    # half of local[32] through the expression-heavy projection — same
+    # scale-adaptive rule as sources/parquet.py::read_table_spread
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 16):
-        return df.repartition(min(target, 16))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 
