@@ -3959,14 +3959,18 @@ FROM bfs GROUP BY node
 )
 def nation_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: the fact-table edge rollup is the ONE data-proportional
-    # stage (same shuffle PageRank pays); every BFS level is a join of
-    # the ≤25-row frontier against the persisted top-k edge frame
-    # (broadcast both sides — iterations add no exchange), with a
-    # visited anti-join so a node enters exactly one level (first seen
-    # = min hops; the recursive oracle takes min over all levels —
-    # identical result, and the pruned form is the one that scales:
-    # frontier size is bounded by the unvisited set, never by path
-    # count, which in a cyclic graph grows without bound).
+    # stage (same shuffle PageRank pays).  The graph itself is bounded
+    # by the 25-row nation dimension at ANY corpus size, so the BFS
+    # runs in the EXPRESSION domain (r12, guide §8 "decide with small
+    # rows"): the top-k edge set folds into a single array row and the
+    # six fixed levels unroll as chained array projections (the
+    # Hilbert-recurrence pattern) — the whole query is ONE lazy plan /
+    # one action, where the r8-r11 relational loop paid an eager
+    # localCheckpoint job + two broadcast builds PER LEVEL (37 Spark
+    # jobs/run measured, ~0.55 s/level of pure job-floor at sf0.1).
+    # First-seen level == min hops, exactly the recursive oracle's
+    # min-over-all-levels; set semantics are order-independent, so the
+    # nondeterministic collect_list order cannot shift the result.
     from pyspark.sql.window import Window
 
     flows = (
@@ -3974,55 +3978,85 @@ def nation_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist()  # consumed by the edge ranking AND the start pick
     )
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    # one window exchange (by src) serves BOTH the top-k edge rank and
+    # the outflow sum — the old code paid a second aggregate pass (and
+    # a persist) for the start pick
+    wspec = Window.partitionBy("src")
+    flows2 = flows.select(
+        "src",
+        "dst",
+        F.row_number()
+        .over(wspec.orderBy(F.desc("w"), "dst"))
+        .alias("rn"),
+        F.sum("w").over(wspec).alias("wout"),
     )
-    # localCheckpoint truncates the 5-join edge lineage ONCE — without
-    # it every BFS level re-embeds the whole fact-scan subtree and the
-    # plan (and its task binary) grows multiplicatively per level
-    # (same rule as dedup.connected_components' per-round materialize;
-    # a real cluster run would pass a reliable checkpoint dir instead)
-    edges = (
-        flows.withColumn("rn", rn)
-        .filter(F.col("rn") <= _BFS_FANOUT)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
-    start = (
-        flows.groupBy("src")
-        .agg(F.sum("w").alias("wout"))
-        .orderBy(F.desc("wout"), "src")
-        .limit(1)
-        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("hops"))
-        .localCheckpoint(eager=True)
-    )
-    # both consumers are now EAGERLY materialized (checkpointed), so
-    # the shared rollup can be released immediately — no cache entry
-    # outlives the build (the bm25 lifecycle rule, applied at source)
-    flows.unpersist()
-    visited = start
-    frontier = start
-    for i in range(1, _BFS_MAX_HOPS + 1):
-        nxt = (
-            frontier.join(
-                F.broadcast(edges), frontier.node == edges.src
+    # fold the bounded graph into ONE row: E = kept edges (collect_list
+    # drops the nulls of rank-pruned rows), node = highest-outflow src
+    # (min_by on (-wout, src) == ORDER BY wout DESC, src LIMIT 1)
+    g = flows2.agg(
+        F.collect_list(
+            F.when(
+                F.col("rn") <= _BFS_FANOUT, F.struct("src", "dst")
             )
-            .select(
-                F.col("dst").alias("node"),
-                F.lit(i).cast("long").alias("hops"),
-            )
-            .distinct()
-            # visited is bounded by the 25-node dimension: broadcast
-            # the anti-join so levels never shuffle
-            .join(F.broadcast(visited.select("node")), "node", "left_anti")
-            # per-level truncation keeps level plans CONSTANT-size
-            .localCheckpoint(eager=True)
+        ).alias("E"),
+        F.min_by(
+            "src",
+            F.struct(
+                (-F.col("wout")).alias("a"), F.col("src").alias("b")
+            ),
+        ).alias("node"),
+    )
+    # The six levels run inside ONE F.aggregate over sequence(1..6):
+    # the step lambda is authored once, so the expression (and the
+    # analyzed plan) stays constant-size — a chained per-level
+    # projection variant measured 21 s of analysis + 60 s of optimizer
+    # time at sf0.001 from transitive lambda inlining.  acc carries
+    # (v = visited (node, hops) structs, f = current frontier nodes);
+    # each step's new-node set is frontier-expansion → dedup →
+    # visited-pruning, all membership ops, so array element order (and
+    # the nondeterministic collect_list order) cannot shift the set.
+    def _new_nodes(acc):
+        return F.filter(
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        F.col("E"),
+                        lambda e: F.array_contains(acc["f"], e["src"]),
+                    ),
+                    lambda e: e["dst"],
+                )
+            ),
+            lambda n: ~F.exists(acc["v"], lambda v: v["node"] == n),
         )
-        visited = visited.union(nxt)
-        frontier = nxt
-    return visited.select(F.col("node").alias("nation"), "hops")
+
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_BFS_MAX_HOPS)),
+        F.struct(
+            F.array(
+                F.struct(
+                    F.col("node").alias("node"),
+                    F.lit(0).cast("long").alias("hops"),
+                )
+            ).alias("v"),
+            F.array("node").alias("f"),
+        ),
+        lambda acc, i: F.struct(
+            F.concat(
+                acc["v"],
+                F.transform(
+                    _new_nodes(acc),
+                    lambda n: F.struct(
+                        n.alias("node"), i.cast("long").alias("hops")
+                    ),
+                ),
+            ).alias("v"),
+            _new_nodes(acc).alias("f"),
+        ),
+    )
+    return g.select(F.explode(st["v"]).alias("x")).select(
+        F.col("x.node").alias("nation"), F.col("x.hops").alias("hops")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4104,64 +4138,124 @@ def nation_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist()  # consumed by the edge ranking AND the start pick
     )
     # md5-ranked pick (see the oracle comment): deterministic pseudo-
     # random edges keep the cost spread wide enough that min-relaxation
-    # genuinely fires, unlike a top-by-weight pick
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(
-            F.md5(F.concat(F.col("src"), F.lit("|"), F.col("dst"))), "dst"
+    # genuinely fires, unlike a top-by-weight pick.  One window
+    # exchange (by src) serves the edge rank AND the outflow sum
+    # (r12 — the old code paid a second aggregate pass + persist for
+    # the start pick).
+    wspec = Window.partitionBy("src")
+    flows2 = flows.select(
+        "src",
+        "dst",
+        "w",
+        F.row_number()
+        .over(
+            wspec.orderBy(
+                F.md5(F.concat(F.col("src"), F.lit("|"), F.col("dst"))),
+                "dst",
+            )
         )
+        .alias("rn"),
+        F.sum("w").over(wspec).alias("wout"),
     )
-    edges = (
-        flows.withColumn("rn", rn)
-        .filter(F.col("rn") <= _WSP_FANOUT)
-        .select(
+    # Bounded-graph fold (r12, guide §8 "decide with small rows"): the
+    # ≤25-node / ≤3-fanout edge set becomes ONE array row and the six
+    # fixed Bellman-Ford rounds unroll as chained array projections —
+    # one lazy plan / one action where the relational loop paid TWO
+    # eager localCheckpoint jobs + broadcast builds per round (46
+    # Spark jobs/run measured at sf0.1).  cost is computed in the same
+    # floor(NUM / w) engine expression as before, and every dist fold
+    # is exact integer arithmetic, so the relaxation values are
+    # bit-identical to the relational loop's.
+    g = flows2.agg(
+        F.collect_list(
+            F.when(
+                F.col("rn") <= _WSP_FANOUT,
+                F.struct(
+                    "src",
+                    "dst",
+                    F.floor(
+                        F.lit(_WSP_COST_NUM) / F.col("w")
+                    ).alias("cost"),
+                ),
+            )
+        ).alias("E"),
+        F.min_by(
             "src",
-            "dst",
-            F.floor(F.lit(_WSP_COST_NUM) / F.col("w")).alias("cost"),
-        )
-        .localCheckpoint(eager=True)
+            F.struct(
+                (-F.col("wout")).alias("a"), F.col("src").alias("b")
+            ),
+        ).alias("node"),
     )
-    start = (
-        flows.groupBy("src")
-        .agg(F.sum("w").alias("wout"))
-        .orderBy(F.desc("wout"), "src")
-        .limit(1)
-        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=True)
+    # The six relaxation rounds run inside ONE F.aggregate over
+    # sequence(1..6) (same constant-size-expression rationale as
+    # nation_hops_bfs — chained per-level projections blow up analyzer
+    # and optimizer time through transitive lambda inlining).  acc
+    # carries (b = best (node, dist) structs, f = last-improved
+    # frontier).  Each round: relax every frontier node's out-edges
+    # (nested transform keeps the matched source dist in scope), fold
+    # min-per-node over best ∪ candidates, and keep the strictly-
+    # improved set as the next frontier — the exact hop-bounded
+    # Bellman-Ford the relational loop ran, in membership/min ops
+    # whose results are independent of array element order.
+    def _merged(acc):
+        # min dist per node over best ∪ relaxed candidates
+        both = F.concat(
+            acc["b"],
+            F.flatten(
+                F.transform(
+                    acc["f"],
+                    lambda fr: F.transform(
+                        F.filter(
+                            F.col("E"), lambda e: e["src"] == fr["node"]
+                        ),
+                        lambda e: F.struct(
+                            e["dst"].alias("node"),
+                            (fr["dist"] + e["cost"]).alias("dist"),
+                        ),
+                    ),
+                )
+            ),
+        )
+        return F.transform(
+            F.array_distinct(F.transform(both, lambda x: x["node"])),
+            lambda n: F.struct(
+                n.alias("node"),
+                F.array_min(
+                    F.transform(
+                        F.filter(both, lambda x: x["node"] == n),
+                        lambda x: x["dist"],
+                    )
+                ).alias("dist"),
+            ),
+        )
+
+    start_arr = F.array(
+        F.struct(
+            F.col("node").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
     )
-    flows.unpersist()  # both consumers materialized (bm25 lifecycle rule)
-    best = start
-    frontier = start
-    for _ in range(_WSP_MAX_HOPS):
-        cand = (
-            frontier.join(F.broadcast(edges), frontier.node == edges.src)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + F.col("cost")).alias("dist"),
-            )
-        )
-        merged = (
-            best.unionByName(cand)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)  # constant-size level plans
-        )
-        improved = (
-            merged.join(
-                F.broadcast(best.withColumnRenamed("dist", "old")),
-                "node",
-                "left",
-            )
-            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .select("node", "dist")
-            .localCheckpoint(eager=True)
-        )
-        best = merged
-        frontier = improved
-    return best.select(F.col("node").alias("nation"), "dist")
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_WSP_MAX_HOPS)),
+        F.struct(start_arr.alias("b"), start_arr.alias("f")),
+        lambda acc, i: F.struct(
+            _merged(acc).alias("b"),
+            F.filter(
+                _merged(acc),
+                lambda x: ~F.exists(
+                    acc["b"],
+                    lambda y: (y["node"] == x["node"])
+                    & (y["dist"] <= x["dist"]),
+                ),
+            ).alias("f"),
+        ),
+    )
+    return g.select(F.explode(st["b"]).alias("x")).select(
+        F.col("x.node").alias("nation"), F.col("x.dist").alias("dist")
+    )
 
 
 # ---------------------------------------------------------------------------
