@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 
 from magshield_data_pipeline_spark import exports as X
 from magshield_data_pipeline_spark.plans.registry import register
-from magshield_data_pipeline_spark.sources.parquet import read_table
+from magshield_data_pipeline_spark.sources.parquet import (
+    read_table,
+    scan_partitions,
+)
 
 # ---------------------------------------------------------------------------
 # organisation export (P1 map build, P5 truthiness, F1 clean_text,
@@ -47,7 +50,7 @@ def _fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # half of local[32] through the expression-heavy projection — same
     # scale-adaptive rule as sources/parquet.py::read_table_spread
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if scan_partitions(spark, sf_dir, name, df) < target:
         return df.repartition(target)
     return df
 

@@ -85,12 +85,44 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def _session_plan_cache(spark: SparkSession) -> dict:
+    """Session-scoped memo of base-table READ PLANS (r12, guide §6).
+
+    ``spark.read.parquet`` pays a py4j round trip plus JVM file
+    listing + footer schema inference on EVERY call (~0.1 s per
+    table); a query touching 7 tables spent ~0.9 s of its build in
+    re-inferring schemas that cannot change (the fixture dirs are
+    immutable for a session's lifetime). This memo plays the role a
+    table catalog's metadata cache plays in production (Iceberg/Hive
+    avoid per-query listing the same way — the strongest practical
+    argument for manifest-backed formats at scale, guide §6.3).
+
+    It stores LAZY DataFrames (logical scan plans) only — never rows,
+    never materialized results: every action still computes from the
+    parquet inputs, and `release_caches` / data-cache hygiene is
+    unaffected. Keyed on the session object itself so the memo dies
+    with the session (the bench's chunked fresh sessions each start
+    cold). DataFrames are immutable, so sharing one plan object
+    across queries is safe.
+    """
+    cache = getattr(spark, "_magshield_plan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._magshield_plan_cache = cache
+    return cache
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        return normalize_event_ts(df)
+    cache = _session_plan_cache(spark)
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = normalize_event_ts(df)
+        cache[key] = df
     return df
 
 
@@ -114,9 +146,28 @@ def read_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the scale-adaptive form, guide §2)."""
     df = read_table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if scan_partitions(spark, sf_dir, name, df) < target:
         return df.repartition(target)
     return df
+
+
+def scan_partitions(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame
+) -> int:
+    """Split count of a base-table scan, memoized per session (r12).
+
+    ``df.rdd.getNumPartitions()`` converts the plan to an RDD on the
+    JVM (analysis + physical planning, ~0.1-0.3 s) on every call; the
+    split count of an immutable fixture file under fixed reader confs
+    is a constant per session, so probe it once.
+    """
+    cache = _session_plan_cache(spark)
+    key = (sf_dir, name, "nsplits")
+    n = cache.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        cache[key] = n
+    return n
 
 
 def load_star_schema(

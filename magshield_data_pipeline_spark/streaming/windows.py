@@ -107,6 +107,7 @@ def run_available_now(
     name: str | None = None,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into an
     in-memory table and return the materialized result: process every
@@ -123,6 +124,18 @@ def run_available_now(
     Structured Streaming ops knob. Safe here because every run gets a
     fresh checkpoint dir; the session conf is restored afterwards.
 
+    ``no_data_batch=False`` disables the trailing no-data micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``) for the run
+    (r12, guide §1/§2: the advance batch re-runs every stateful
+    operator — for the stream-stream inner interval join it was ~half
+    the query's addBatch time). ONLY safe for queries whose output is
+    fully emitted by the data batches themselves: an inner join emits
+    matches as they are seen, and a complete-mode aggregate's final
+    emission is identical with no new data. Queries whose EMISSION
+    depends on the watermark advancing past event time — outer-join
+    null rows, append-mode window finalization, EventTimeTimeout
+    flushes (sessionizer, funnel) — MUST keep the default.
+
     NOTE the memory sink does NOT support checkpoint recovery (Spark
     refuses at start) — this runner is for parity checks and
     backfills, always from a fresh checkpoint. The production
@@ -133,9 +146,16 @@ def run_available_now(
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     try:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if not no_data_batch:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+            )
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -147,6 +167,9 @@ def run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
     return df.sparkSession.table(name)
 
 
