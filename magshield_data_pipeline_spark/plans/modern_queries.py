@@ -1577,6 +1577,50 @@ def snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(flag("pruned_price_only", price_files < total))
 
 
+_CDC_CHANGE_TYPES = (
+    "insert", "update_preimage", "update_postimage", "delete"
+)
+
+
+def _cdc_change_rollup(ch: DataFrame, count_alias: str,
+                       measures: dict) -> DataFrame:
+    """The stream_total + per-change-type breakdown of a CDC drain in
+    ONE aggregate pass (r12 optimization, guide §1.2/§2.4): the
+    previous form unioned five filtered ``df.agg`` branches, i.e. five
+    scans of the memory-sink table and five single-partition exchanges
+    per query.  Conditional aggregation computes all five slices in
+    one scan/one exchange and ``stack()`` unpivots the wide row back
+    to the exact five-row shape — bit-identical to the branch form:
+    ``count(when(cond, 1))`` matches the filtered ``count(*)`` and
+    ``sum(when(cond, x))`` is NULL on absent types exactly like a
+    filtered-empty ``sum``.
+
+    *measures*: ordered ``{output_col: source Column}``; each is
+    summed per slice and cast to long (the branch form's contract).
+    """
+    labels = ("stream_total",) + _CDC_CHANGE_TYPES
+    aggs = []
+    for i, lab in enumerate(labels):
+        cond = (None if lab == "stream_total"
+                else F.col("_change_type") == lab)
+        cnt = (F.count(F.lit(1)) if cond is None
+               else F.count(F.when(cond, F.lit(1))))
+        aggs.append(cnt.alias(f"_c{i}"))
+        for j, src in enumerate(measures.values()):
+            s = F.sum(src if cond is None else F.when(cond, src))
+            aggs.append(s.cast("long").alias(f"_m{i}_{j}"))
+    wide = ch.agg(*aggs)
+    parts = []
+    for i, lab in enumerate(labels):
+        parts.append(f"'{lab}'")
+        parts.append(f"_c{i}")
+        parts.extend(f"_m{i}_{j}" for j in range(len(measures)))
+    out_cols = ", ".join(["change", count_alias] + list(measures))
+    return wide.selectExpr(
+        f"stack({len(labels)}, {', '.join(parts)}) as ({out_cols})"
+    )
+
+
 _SNAP_CDC_STREAM_SQL = """
 WITH corpus AS (SELECT doc_id, text FROM documents),
 upd AS (
@@ -1669,7 +1713,7 @@ def snapshot_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 end = _ast.literal_eval(end) if isinstance(end, str) else end
                 if end and int(end.get("version", 0)) >= 4:
                     break
-            _time.sleep(0.2)
+            _time.sleep(0.05)
         else:
             raise TimeoutError(
                 "snapshot_cdc_stream: offset never reached v4"
@@ -1677,22 +1721,13 @@ def snapshot_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
-    ch = spark.table(name).persist()
-
-    def crow(label, df: DataFrame) -> DataFrame:
-        return df.agg(
-            label.alias("change"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_id").cast("long").alias("id_sum"),
-            F.sum(F.length("text")).cast("long").alias("text_chars"),
-        )
-
-    out = crow(F.lit("stream_total"), ch)
-    for t in ("insert", "update_preimage", "update_postimage", "delete"):
-        out = out.unionByName(
-            crow(F.lit(t), ch.filter(F.col("_change_type") == t))
-        )
-    return out
+    # one-pass rollup over the drained memory table (was: five
+    # filtered agg branches over a persisted scan — see
+    # _cdc_change_rollup; persist dropped, the table is scanned once)
+    return _cdc_change_rollup(
+        spark.table(name), "n_docs",
+        {"id_sum": F.col("doc_id"), "text_chars": F.length("text")},
+    )
 
 
 _SNAP_IVM_STREAM_SQL = """
@@ -1812,7 +1847,7 @@ def snapshot_ivm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 end = _ast.literal_eval(end) if isinstance(end, str) else end
                 if end and int(end.get("version", 0)) >= 4:
                     break
-            _time.sleep(0.2)
+            _time.sleep(0.05)
         else:
             raise TimeoutError(
                 "snapshot_ivm_stream: offset never reached v4"
@@ -2594,7 +2629,7 @@ def snapshot_cdc_stream_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 end = _ast.literal_eval(end) if isinstance(end, str) else end
                 if end and int(end.get("version", 0)) >= 6:
                     break
-            _time.sleep(0.2)
+            _time.sleep(0.05)
         else:
             raise TimeoutError(
                 "snapshot_cdc_stream_mor: offset never reached v6"
@@ -2602,26 +2637,22 @@ def snapshot_cdc_stream_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
-    ch = spark.table(name).persist()
-
-    def crow(label, df: DataFrame) -> DataFrame:
-        return df.agg(
-            label.alias("change"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_id").cast("long").alias("id_sum"),
-            F.sum(F.length("text")).cast("long").alias("text_chars"),
-        )
-
-    out = crow(F.lit("stream_total"), ch)
-    for t in ("insert", "update_preimage", "update_postimage", "delete"):
-        out = out.unionByName(
-            crow(F.lit(t), ch.filter(F.col("_change_type") == t))
-        )
+    # one-pass rollup over the drained memory table (was: five
+    # filtered agg branches over a persisted scan — _cdc_change_rollup)
+    out = _cdc_change_rollup(
+        spark.table(name), "n_docs",
+        {"id_sum": F.col("doc_id"), "text_chars": F.length("text")},
+    )
     # the post-compact visible state: revived keys present, deleted
     # keys (minus revivals) absent — the read-side half of the
     # sequence-number contract the stream just delivered
     out = out.unionByName(
-        crow(F.lit("final_state"), SN.read(spark, base))
+        SN.read(spark, base).agg(
+            F.lit("final_state").alias("change"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(F.length("text")).cast("long").alias("text_chars"),
+        )
     )
     return out
 
@@ -3333,23 +3364,19 @@ def snapshot_cdc_stream_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
-    ch = spark.table(name).persist()
-
-    def crow(label, df: DataFrame) -> DataFrame:
-        return df.agg(
-            label.alias("change"),
+    # one-pass rollup over the drained memory table (was: five
+    # filtered agg branches over a persisted scan — _cdc_change_rollup)
+    out = _cdc_change_rollup(
+        spark.table(name), "n_docs",
+        {"id_sum": F.col("doc_id"), "text_chars": F.length("text")},
+    )
+    out = out.unionByName(
+        SN.read(spark, base).agg(
+            F.lit("final_state").alias("change"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_id").cast("long").alias("id_sum"),
             F.sum(F.length("text")).cast("long").alias("text_chars"),
         )
-
-    out = crow(F.lit("stream_total"), ch)
-    for t in ("insert", "update_preimage", "update_postimage", "delete"):
-        out = out.unionByName(
-            crow(F.lit(t), ch.filter(F.col("_change_type") == t))
-        )
-    out = out.unionByName(
-        crow(F.lit("final_state"), SN.read(spark, base))
     )
     return out
 
@@ -4400,7 +4427,7 @@ def snapshot_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 end = _ast.literal_eval(end) if isinstance(end, str) else end
                 if end and int(end.get("version", 0)) >= 4:
                     break
-            _time.sleep(0.2)
+            _time.sleep(0.05)
         else:
             raise TimeoutError(
                 "snapshot_scd2_stream: offset never reached v4"
@@ -6014,7 +6041,7 @@ def snapshot_cdc_stream_evolve(spark: SparkSession,
                 end = _ast.literal_eval(end) if isinstance(end, str) else end
                 if end and int(end.get("version", 0)) >= 5:
                     break
-            _time.sleep(0.2)
+            _time.sleep(0.05)
         else:
             raise TimeoutError(
                 "snapshot_cdc_stream_evolve: offset never reached v5"
@@ -6022,23 +6049,13 @@ def snapshot_cdc_stream_evolve(spark: SparkSession,
     finally:
         q.stop()
         q.awaitTermination(30)
-    ch = spark.table(name).persist()
-
-    def crow(label, df: DataFrame) -> DataFrame:
-        return df.agg(
-            label.alias("change"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("doc_id").cast("long").alias("id_sum"),
-            F.sum("chars").cast("long").alias("chars_sum"),
-            F.sum("flag").cast("long").alias("flag_sum"),
-        )
-
-    out = crow(F.lit("stream_total"), ch)
-    for t in ("insert", "update_preimage", "update_postimage", "delete"):
-        out = out.unionByName(
-            crow(F.lit(t), ch.filter(F.col("_change_type") == t))
-        )
-    return out
+    # one-pass rollup over the drained memory table (was: five
+    # filtered agg branches over a persisted scan — _cdc_change_rollup)
+    return _cdc_change_rollup(
+        spark.table(name), "n_rows",
+        {"id_sum": F.col("doc_id"), "chars_sum": F.col("chars"),
+         "flag_sum": F.col("flag")},
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1754,7 +1754,7 @@ def paged_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 end = _ast.literal_eval(end) if isinstance(end, str) else end
                 if end and int(end.get("row", 0)) >= total:
                     break
-            _time.sleep(0.2)
+            _time.sleep(0.05)
         else:
             raise TimeoutError(
                 f"paged_stream_scan: offset never reached {total} rows"
@@ -2021,7 +2021,7 @@ def snapshot_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     if end and int(end.get("row", 0)) >= total:
                         break
-                _time.sleep(0.2)
+                _time.sleep(0.05)
             else:
                 raise TimeoutError(
                     f"snapshot_stream_append: offset never reached {total}"
@@ -2036,7 +2036,7 @@ def snapshot_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for e in SN.read_manifest(tmp, vs[-1])["files"]
                 ) >= total:
                     break
-                _time.sleep(0.2)
+                _time.sleep(0.05)
         finally:
             q.stop()
             q.awaitTermination(30)
