@@ -1792,6 +1792,28 @@ def read(spark, table_path: str, version: int | None = None, *,
     v = vs[-1] if version is None else version
     if v not in vs:
         raise ValueError(f"version {v} not in {vs} at {table_path}")
+    # Session-scoped memo of PLAIN pinned-scan plans (r12, guide §6.3 —
+    # the ledger twin of parquet._session_plan_cache): a published
+    # (table, version) manifest and its file set are IMMUTABLE (commits
+    # only append versions; vacuum invalidates the version itself,
+    # which the `v in vs` check above still catches fresh each call),
+    # so the ~50 ms of manifest JSON + py4j scan construction per
+    # re-read of a pinned snapshot is a session constant.  Plans only —
+    # never rows; pruned/projected/coordinate reads (prune, partitions,
+    # key_in, report, with_coords) bypass the memo, as does anything
+    # whose plan could differ per call.
+    plain = (prune is None and partitions is None and key_in is None
+             and report is None and not with_coords)
+    memo = None
+    if plain:
+        memo = getattr(spark, "_magshield_ledger_plan_cache", None)
+        if memo is None:
+            memo = {}
+            spark._magshield_ledger_plan_cache = memo
+        ck = (os.path.abspath(table_path), v)
+        got = memo.get(ck)
+        if got is not None:
+            return got
     manifest = read_manifest(table_path, v)
     entries = manifest["files"]
     if report is not None:
@@ -1901,17 +1923,21 @@ def read(spark, table_path: str, version: int | None = None, *,
         )
     deletes = manifest.get("delete_files")
     if deletes:
-        return _scan_with_deletes(spark, table_path, entries, deletes,
-                                  manifest.get("schema"),
-                                  renames=manifest.get("renames"),
-                                  defaults=manifest.get("defaults"),
-                                  widens=manifest.get("widens"),
-                                  with_pos=with_coords)
-    return _scan(spark, table_path, entries, manifest.get("schema"),
-                 renames=manifest.get("renames"),
-                 defaults=manifest.get("defaults"),
-                 widens=manifest.get("widens"),
-                 with_pos=with_coords)
+        out = _scan_with_deletes(spark, table_path, entries, deletes,
+                                 manifest.get("schema"),
+                                 renames=manifest.get("renames"),
+                                 defaults=manifest.get("defaults"),
+                                 widens=manifest.get("widens"),
+                                 with_pos=with_coords)
+    else:
+        out = _scan(spark, table_path, entries, manifest.get("schema"),
+                    renames=manifest.get("renames"),
+                    defaults=manifest.get("defaults"),
+                    widens=manifest.get("widens"),
+                    with_pos=with_coords)
+    if memo is not None:
+        memo[ck] = out
+    return out
 
 
 def read_join_pruned(spark, table_path: str, dim_df, key: str, *,
