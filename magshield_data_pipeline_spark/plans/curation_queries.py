@@ -2902,6 +2902,7 @@ def inc_cur_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
         corpus_buckets=spark.read.parquet(p["lsh_idx"]),
         model_df=spark.read.parquet(p["model"]),
         stats_df=spark.read.parquet(p["stats"]),
+        delta_files=SN.changed_file_count(p["raw"], 1, 2),
     )
     frames["paths"] = p
     return frames
@@ -2909,7 +2910,8 @@ def inc_cur_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
 
 def curate_epoch(spark: SparkSession, delta: DataFrame, *,
                  fp_idx: DataFrame, corpus_buckets: DataFrame,
-                 model_df: DataFrame, stats_df: DataFrame) -> dict:
+                 model_df: DataFrame, stats_df: DataFrame,
+                 delta_files: int | None = None) -> dict:
     """ONE curation epoch over a CDC *delta*, probing materialized
     indexes: NFC -> Gopher gate -> LM fluency gate (corpus model +
     1-row totals) -> exact dedup vs *fp_idx* (+ intra-batch) -> LSH
@@ -2924,9 +2926,13 @@ def curate_epoch(spark: SparkSession, delta: DataFrame, *,
     # mapInPandas + gram explode on 2 of 32 cores (measured 7.2 ->
     # ~4-5 s median at sf0.1; the residue is Python-worker warmup on
     # the first mapInPandas pass plus the persist materializations);
-    # a real epoch has many files and this is a no-op
+    # a real epoch has many files and this is a no-op.  Callers that
+    # know the delta's manifest file count pass it (r12: deciding from
+    # metadata skips a per-invocation plan-analysis probe, guide §8)
     target = min(spark.sparkContext.defaultParallelism, 16)
-    if delta.rdd.getNumPartitions() < target:
+    n_splits = (delta_files if delta_files is not None
+                else delta.rdd.getNumPartitions())
+    if n_splits < target:
         delta = delta.repartition(target)
     canon = T.unicode_canonicalize(
         delta, text_col="text", nfc_col="t", stripped_col=None
@@ -3194,6 +3200,7 @@ def inc_cur2_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
         corpus_buckets=SN.read(spark, p["lsh_tbl"], 2),
         model_df=spark.read.parquet(p["model"]),
         stats_df=spark.read.parquet(p["stats"]),
+        delta_files=SN.changed_file_count(p["raw"], 2, 3),
     )
     frames["paths"] = p
     return frames
@@ -3692,7 +3699,9 @@ def curation_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup stages this audit doesn't need
     delta2 = SN.read_changes(spark, p2["raw"], 2, 3)
     target = min(spark.sparkContext.defaultParallelism, 16)
-    if delta2.rdd.getNumPartitions() < target:
+    # spread decision from manifest metadata (r12, guide §8): the
+    # delta's file count is known without planning the frame
+    if SN.changed_file_count(p2["raw"], 2, 3) < target:
         delta2 = delta2.repartition(target)
     canon = T.unicode_canonicalize(
         delta2, text_col="text", nfc_col="t", stripped_col=None
@@ -3978,6 +3987,20 @@ def _retract_paths(sf_dir: str) -> dict[str, str]:
     return {"root": root, "curated_tbl": os.path.join(root, "curated_tbl")}
 
 
+_SIZE_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _advisory_bytes(spark: SparkSession) -> int:
+    """``spark.sql.adaptive.advisoryPartitionSizeInBytes`` as an int
+    (accepts Spark's byte-suffix forms: '64m', '256k', plain bytes)."""
+    raw = str(spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
+    )).strip().lower()
+    if raw and raw[-1] in _SIZE_UNITS:
+        return int(raw[:-1]) * _SIZE_UNITS[raw[-1]]
+    return int(raw)
+
+
 def retraction_frames(spark: SparkSession, sf_dir: str) -> dict:
     """Compute the retraction epoch's frames (retract set, admit set,
     verdicts) WITHOUT committing — shared by the registered query, the
@@ -4042,7 +4065,17 @@ def retraction_frames(spark: SparkSession, sf_dir: str) -> dict:
     curated_ids = SN.read(spark, p2["curated"], 2)
     raw2 = SN.read(spark, p2["raw"], 2).select("doc_id", "text")
     cur_docs = raw2.join(curated_ids, "doc_id", "left_semi")
-    if cur_docs.rdd.getNumPartitions() < target:
+    # spread decision from manifest metadata (r12): probing the JOIN
+    # frame's partition count EXECUTED the semi-join's child stages
+    # under AQE — throwaway jobs re-paid every invocation, twice the
+    # scan at any scale.  The engine-mirroring rule instead: AQE
+    # coalesces the join output below `target` partitions exactly when
+    # its bytes sit under target x advisoryPartitionSizeInBytes, and
+    # the scan side's manifest bytes bound the join output — so
+    # repartition for the gram-explode fan-out iff the table is
+    # metadata-small (at 100 TB the condition is false: no extra
+    # exchange, and AQE keeps the join output wide on its own).
+    if SN.table_bytes(p2["raw"], 2) < target * _advisory_bytes(spark):
         cur_docs = cur_docs.repartition(target)
     cv = dual_verdicts(cur_docs, "text")
     retract = cv.filter(
@@ -4052,7 +4085,7 @@ def retraction_frames(spark: SparkSession, sf_dir: str) -> dict:
     # --- admit: flip-to-pass among epoch 2's gated delta, then the
     # full dedup chain vs the EVOLVED index at its pinned version
     delta2 = SN.read_changes(spark, p2["raw"], 2, 3)
-    if delta2.rdd.getNumPartitions() < target:
+    if SN.changed_file_count(p2["raw"], 2, 3) < target:
         delta2 = delta2.repartition(target)
     canon = T.unicode_canonicalize(
         delta2, text_col="text", nfc_col="t", stripped_col=None

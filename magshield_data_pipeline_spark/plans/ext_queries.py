@@ -4640,7 +4640,9 @@ def rag_inc_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
 
     delta = SN2.read_changes(spark, p["raw"], 1, 2)
     target = min(spark.sparkContext.defaultParallelism, 16)
-    if delta.rdd.getNumPartitions() < target:
+    # spread decision from manifest metadata (r12, guide §8): the
+    # delta's file count is known without planning the frame
+    if SN2.changed_file_count(p["raw"], 1, 2) < target:
         delta = delta.repartition(target)
     dsv = rag_survivor_chunks(delta.select("doc_id", F.col("text").alias("t")))
     # the dedup probe: anti-join the delta's chunk fingerprints against

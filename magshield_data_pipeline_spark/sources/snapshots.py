@@ -4938,6 +4938,36 @@ def table_rows(table_path: str, version: int | None = None) -> int:
     return sum(e["rows"] for e in m["files"])
 
 
+def table_bytes(table_path: str, version: int | None = None) -> int:
+    """Total data bytes of a snapshot from manifest metadata — zero
+    data I/O (r12, guide §8 "decide with small rows"): the spread
+    guards that decide whether a downstream fan-out needs an explicit
+    repartition should read the SIZE from the manifest, not probe the
+    plan — ``df.rdd.getNumPartitions()`` on a frame containing a join
+    EXECUTES the join's child stages under AQE (throwaway jobs, twice
+    the work at any scale).  Entries written before ``bytes`` was
+    recorded count 0 — conservative for small-table decisions."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"table_bytes: {table_path} has no versions")
+    v = vs[-1] if version is None else version
+    return sum(e.get("bytes", 0) for e in read_manifest(table_path, v)["files"])
+
+
+def changed_file_count(table_path: str, from_version: int,
+                       to_version: int) -> int:
+    """Number of data files ``read_changes`` would scan between two
+    versions — the manifest-metadata twin of probing that frame's
+    partition count (r12): a scan of k tiny files yields ~k splits,
+    so spread decisions for delta consumers can be made without
+    planning the frame."""
+    old = {e["path"] for e in read_manifest(table_path, from_version)["files"]}
+    return sum(
+        1 for e in read_manifest(table_path, to_version)["files"]
+        if e["path"] not in old
+    )
+
+
 def drop_column(table_path: str, name: str) -> int:
     """DROP a column as a METADATA-ONLY commit — zero files rewritten:
     the manifest schema loses the field and every scan's projection
