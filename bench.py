@@ -172,6 +172,17 @@ def main() -> int:
 
     # compact single line (≤ ~1.9 KB) → stdout for the driver's tail capture
     compact = {abbrev[n]: round(v, 2) for n, v in timings.items()}
+    print(_compact_line(total, conditions, compact, sf))
+    return 0
+
+
+def _compact_line(total: float, conditions: str, compact: dict[str, float],
+                  sf: float) -> str:
+    """The one-line stdout JSON (unchanged driver contract); truncation
+    to the slowest queries when the registry outgrows the ~1.9 KB tail
+    capture is SELF-DESCRIBING: queries_total / queries_omitted /
+    omitted_sum_sec let a reader reconcile the printed entries against
+    the total without opening BENCH_local.json."""
     line = json.dumps(
         {
             "metric": "total_query_wall_seconds",
@@ -209,6 +220,8 @@ def main() -> int:
                     "queries": {},
                     "queries_truncated_to_slowest": 999,
                     "queries_total": len(compact),
+                    "queries_omitted": 999,
+                    "omitted_sum_sec": 99999.99,
                     "full_record": "BENCH_local.json",
                     "sf": sf,
                 },
@@ -224,6 +237,11 @@ def main() -> int:
                 break
             budget -= cost
             slowest[k] = v
+        # reconcilers need the truncation to be self-describing
+        # (VERDICT r12 item 3: 22 sub-second queries were misread as
+        # DROPPED because the printed line only carried the slowest):
+        # how many entries were omitted and how much wall they sum to,
+        # so printed + omitted == value without opening the full record
         line = json.dumps(
             {
                 "metric": "total_query_wall_seconds",
@@ -233,14 +251,17 @@ def main() -> int:
                 "queries": slowest,
                 "queries_truncated_to_slowest": len(slowest),
                 "queries_total": len(compact),
+                "queries_omitted": len(compact) - len(slowest),
+                "omitted_sum_sec": round(
+                    sum(v for k, v in compact.items() if k not in slowest), 2
+                ),
                 "full_record": "BENCH_local.json",
                 "sf": sf,
             },
             separators=(",", ":"),
         )
         assert len(line) < 1900, "bench line still over cap after truncation"
-    print(line)
-    return 0
+    return line
 
 
 if __name__ == "__main__":

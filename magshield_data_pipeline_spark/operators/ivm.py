@@ -173,6 +173,38 @@ def apply_changes(
     _measure_cols(measures)
     ch = changes
     to_version = txn_version
+    if SN._txn_committed(view_path, f"{app}:m", to_version):
+        # Replay fast path (r13, guide §1.2 — the Delta txnAppId/
+        # txnVersion idempotent-writes pattern): the MERGE for this
+        # (app, txn) already landed durably, so recomputing the delta
+        # and fold just so SN.merge can no-op on the same marker wastes
+        # a CDC-batch scan + view join + three count jobs per replayed
+        # batch.  Only the RETRACT can be unfinished (a crash between
+        # the two commits); the ``:d`` marker — advanced when the
+        # retract phase COMPLETES, deads or none — proves even that
+        # half done, making a clean replay zero Spark jobs.  Without
+        # the marker, committed count-zero view rows are exactly the
+        # leftover retract set — "every completed refresh leaves none"
+        # (invariant above) — so the view itself, not the re-fold,
+        # identifies them: one bounded scan of the (per-group) view.
+        if SN._txn_committed(view_path, f"{app}:d", to_version):
+            return {"applied": False, "groups_upserted": 0,
+                    "groups_deleted": 0}
+        dead = (
+            SN.read(spark, view_path)
+            .filter(F.col(COUNT_COL) == 0)
+            .select(group_name)
+        )
+        n_dead = dead.count()
+        if n_dead:
+            if SN.delete(
+                dead, view_path, key=group_name, n_files=n_files,
+                txn=(f"{app}:d", to_version),
+            ) is None:
+                n_dead = 0
+        SN._advance_txn(view_path, f"{app}:d", to_version)
+        return {"applied": bool(n_dead), "groups_upserted": 0,
+                "groups_deleted": n_dead}
     sign = F.when(
         F.col("_change_type").isin(*_POS_CHANGES), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -237,6 +269,11 @@ def apply_changes(
                     txn=(f"{app}:d", to_version),
                 ) is None:
                     n_dead = 0  # replay — the retract already landed
+            # mark the retract phase complete even when it found no
+            # zeros (SN.delete only advances the marker on a commit):
+            # a replay of a fully-completed refresh is then detected
+            # from the two txn markers alone — zero Spark jobs
+            SN._advance_txn(view_path, f"{app}:d", to_version)
             return {
                 "applied": bool(n_up or n_dead),
                 "groups_upserted": n_up,

@@ -2903,6 +2903,7 @@ def inc_cur_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
         model_df=spark.read.parquet(p["model"]),
         stats_df=spark.read.parquet(p["stats"]),
         delta_files=SN.changed_file_count(p["raw"], 1, 2),
+        delta_bytes=SN.changed_bytes(p["raw"], 1, 2),
     )
     frames["paths"] = p
     return frames
@@ -2911,7 +2912,8 @@ def inc_cur_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
 def curate_epoch(spark: SparkSession, delta: DataFrame, *,
                  fp_idx: DataFrame, corpus_buckets: DataFrame,
                  model_df: DataFrame, stats_df: DataFrame,
-                 delta_files: int | None = None) -> dict:
+                 delta_files: int | None = None,
+                 delta_bytes: int | None = None) -> dict:
     """ONE curation epoch over a CDC *delta*, probing materialized
     indexes: NFC -> Gopher gate -> LM fluency gate (corpus model +
     1-row totals) -> exact dedup vs *fp_idx* (+ intra-batch) -> LSH
@@ -2920,6 +2922,7 @@ def curate_epoch(spark: SparkSession, delta: DataFrame, *,
     (SNAPSHOT-TABLE indexes that evolve per epoch) — the same plan
     probes whatever index version the caller resolves."""
     from magshield_data_pipeline_spark.operators import lm as L
+    from magshield_data_pipeline_spark.session import conf_bytes
 
     # conditional spread (read_table_spread's rule): the fixture delta
     # lands as 2 files -> 2 scan splits, which would serialize the NFC
@@ -2928,11 +2931,19 @@ def curate_epoch(spark: SparkSession, delta: DataFrame, *,
     # the first mapInPandas pass plus the persist materializations);
     # a real epoch has many files and this is a no-op.  Callers that
     # know the delta's manifest file count pass it (r12: deciding from
-    # metadata skips a per-invocation plan-analysis probe, guide §8)
+    # metadata skips a per-invocation plan-analysis probe, guide §8).
+    # *delta_bytes* covers the packing caveat (ADVICE r12): k files
+    # only yield ~k splits when they are not bin-packed together, so a
+    # byte volume under target × maxPartitionBytes also spreads.
     target = min(spark.sparkContext.defaultParallelism, 16)
     n_splits = (delta_files if delta_files is not None
                 else delta.rdd.getNumPartitions())
-    if n_splits < target:
+    narrow = n_splits < target
+    if not narrow and delta_bytes is not None:
+        narrow = delta_bytes < target * conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", "128m"
+        )
+    if narrow:
         delta = delta.repartition(target)
     canon = T.unicode_canonicalize(
         delta, text_col="text", nfc_col="t", stripped_col=None
@@ -3201,6 +3212,7 @@ def inc_cur2_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
         model_df=spark.read.parquet(p["model"]),
         stats_df=spark.read.parquet(p["stats"]),
         delta_files=SN.changed_file_count(p["raw"], 2, 3),
+        delta_bytes=SN.changed_bytes(p["raw"], 2, 3),
     )
     frames["paths"] = p
     return frames
@@ -3700,8 +3712,10 @@ def curation_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta2 = SN.read_changes(spark, p2["raw"], 2, 3)
     target = min(spark.sparkContext.defaultParallelism, 16)
     # spread decision from manifest metadata (r12, guide §8): the
-    # delta's file count is known without planning the frame
-    if SN.changed_file_count(p2["raw"], 2, 3) < target:
+    # delta's file count AND byte volume are known without planning
+    # the frame (ADVICE r12: file count alone misses FilePartition
+    # bin-packing — many small files can coalesce into few splits)
+    if _delta_is_narrow(spark, p2["raw"], 2, 3, target):
         delta2 = delta2.repartition(target)
     canon = T.unicode_canonicalize(
         delta2, text_col="text", nfc_col="t", stripped_col=None
@@ -3710,21 +3724,51 @@ def curation_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon, text_col="t", id_col="doc_id", keep_cols=("t",)
     ).filter("keep").select("doc_id", "t").persist()
 
-    def verdicts(model_df, tot):
-        return (
-            L.fluency_score(gated, model_df, "t", "doc_id", n=3)
-            .crossJoin(F.broadcast(tot))  # 1-row committed totals
-            .select(
-                "doc_id",
-                (F.col("lm_score") * F.col("tg")
-                 >= F.col("ts") * F.col("lm_grams")).alias("keep"),
-            )
+    # ONE gram-explode pass scoring BOTH model versions (r13, guide
+    # §1.2/§2.4 — previously two full fluency_score passes over the
+    # gated delta joined back on doc_id: twice the explode, twice the
+    # per-doc aggregation exchange, plus a doc_id join exchange).  Both
+    # models broadcast; per-gram bit-scores fold in the same aggregate,
+    # so both verdicts land on one row and the flip test is a plain
+    # column comparison — bit-identical to the two-pass form
+    # (lm_grams is the same count either way; each s_i matches
+    # fluency_score's lm_score exactly: sum of bit_length(cnt_i)-1
+    # over non-null joins, 0 otherwise).
+    grams = gated.select(
+        "doc_id",
+        F.explode_outer(L.char_ngrams(F.lower(F.col("t")), 3)).alias("gram"),
+    )
+
+    def bits(c: str):
+        return F.when(
+            F.col(c).isNotNull(),
+            F.length(F.bin(F.col(c))) - F.lit(1),
+        ).otherwise(F.lit(0))
+
+    scored = (
+        grams
+        .join(F.broadcast(m1.withColumnRenamed("cnt", "c1")), "gram", "left")
+        .join(F.broadcast(m2.withColumnRenamed("cnt", "c2")), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("lm_grams"),
+            F.sum(bits("c1")).cast("long").alias("s1"),
+            F.sum(bits("c2")).cast("long").alias("s2"),
         )
-    v1 = verdicts(m1, t1)
-    v2 = verdicts(m2, t2)
+    )
     flips = (
-        v1.withColumnRenamed("keep", "keep1")
-        .join(v2.withColumnRenamed("keep", "keep2"), "doc_id")
+        scored
+        .crossJoin(F.broadcast(t1.select(
+            F.col("ts").alias("ts1"), F.col("tg").alias("tg1"))))
+        .crossJoin(F.broadcast(t2.select(
+            F.col("ts").alias("ts2"), F.col("tg").alias("tg2"))))
+        .select(
+            "doc_id",
+            (F.col("s1") * F.col("tg1")
+             >= F.col("ts1") * F.col("lm_grams")).alias("keep1"),
+            (F.col("s2") * F.col("tg2")
+             >= F.col("ts2") * F.col("lm_grams")).alias("keep2"),
+        )
         .filter(F.col("keep1") != F.col("keep2"))
     )
 
@@ -3987,18 +4031,27 @@ def _retract_paths(sf_dir: str) -> dict[str, str]:
     return {"root": root, "curated_tbl": os.path.join(root, "curated_tbl")}
 
 
-_SIZE_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+def _delta_is_narrow(spark: SparkSession, table_path: str, from_v: int,
+                     to_v: int, target: int) -> bool:
+    """Metadata-only spread decision for a delta consumer — see
+    ``snapshots.delta_is_narrow`` (file count OR byte volume under the
+    fan-out target; ADVICE r12: count alone misses split packing)."""
+    from magshield_data_pipeline_spark.sources import snapshots as _SN
+
+    return _SN.delta_is_narrow(spark, table_path, from_v, to_v, target)
 
 
 def _advisory_bytes(spark: SparkSession) -> int:
-    """``spark.sql.adaptive.advisoryPartitionSizeInBytes`` as an int
-    (accepts Spark's byte-suffix forms: '64m', '256k', plain bytes)."""
-    raw = str(spark.conf.get(
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
-    )).strip().lower()
-    if raw and raw[-1] in _SIZE_UNITS:
-        return int(raw[:-1]) * _SIZE_UNITS[raw[-1]]
-    return int(raw)
+    """``spark.sql.adaptive.advisoryPartitionSizeInBytes`` as an int.
+    Delegates to :func:`session.conf_bytes`, which accepts every byte-
+    suffix form Spark itself accepts — the previous single-letter unit
+    lookup crashed on two-letter forms like '16KB' (ADVICE r12
+    medium)."""
+    from magshield_data_pipeline_spark.session import conf_bytes
+
+    return conf_bytes(
+        spark, "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
+    )
 
 
 def retraction_frames(spark: SparkSession, sf_dir: str) -> dict:
@@ -4085,7 +4138,7 @@ def retraction_frames(spark: SparkSession, sf_dir: str) -> dict:
     # --- admit: flip-to-pass among epoch 2's gated delta, then the
     # full dedup chain vs the EVOLVED index at its pinned version
     delta2 = SN.read_changes(spark, p2["raw"], 2, 3)
-    if SN.changed_file_count(p2["raw"], 2, 3) < target:
+    if _delta_is_narrow(spark, p2["raw"], 2, 3, target):
         delta2 = delta2.repartition(target)
     canon = T.unicode_canonicalize(
         delta2, text_col="text", nfc_col="t", stripped_col=None

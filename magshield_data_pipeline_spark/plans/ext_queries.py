@@ -4641,8 +4641,9 @@ def rag_inc_epoch_frames(spark: SparkSession, sf_dir: str) -> dict:
     delta = SN2.read_changes(spark, p["raw"], 1, 2)
     target = min(spark.sparkContext.defaultParallelism, 16)
     # spread decision from manifest metadata (r12, guide §8): the
-    # delta's file count is known without planning the frame
-    if SN2.changed_file_count(p["raw"], 1, 2) < target:
+    # delta's file count AND byte volume are known without planning
+    # the frame (ADVICE r12: count alone misses split bin-packing)
+    if SN2.delta_is_narrow(spark, p["raw"], 1, 2, target):
         delta = delta.repartition(target)
     dsv = rag_survivor_chunks(delta.select("doc_id", F.col("text").alias("t")))
     # the dedup probe: anti-join the delta's chunk fingerprints against

@@ -12,10 +12,29 @@ reference dim joins broadcast, Arrow on for the pandas bridges.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+_SIZE_UNITS = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+               "t": 1 << 40, "p": 1 << 50}
+# Spark's JavaUtils.byteStringAsBytes grammar: digits, optional
+# single-letter unit, optional trailing 'b' ('128m', '16KB', plain
+# bytes) — a naive last-char unit lookup crashes on the two-letter
+# forms (ADVICE r12 medium).
+_SIZE_RE = re.compile(r"^(\d+)\s*([kmgtp]?)b?$")
+
+
+def conf_bytes(spark: SparkSession, key: str, default: str) -> int:
+    """A byte-sized Spark conf value as an int, accepting every suffix
+    form Spark itself accepts."""
+    raw = str(spark.conf.get(key, default)).strip().lower()
+    m = _SIZE_RE.match(raw)
+    if not m:
+        raise ValueError(f"cannot parse byte size {raw!r} for {key}")
+    return int(m.group(1)) * _SIZE_UNITS[m.group(2)]
 
 
 def get_spark(

@@ -4968,6 +4968,44 @@ def changed_file_count(table_path: str, from_version: int,
     )
 
 
+def delta_is_narrow(spark, table_path: str, from_version: int,
+                    to_version: int, target: int) -> bool:
+    """Spread decision for a delta-scan consumer, from manifest
+    metadata only (zero jobs, zero planning): True when the scan of
+    ``read_changes(from, to)`` cannot be relied on to produce at least
+    *target* partitions — EITHER fewer changed files than *target*, OR
+    changed bytes under target × maxPartitionBytes (FilePartition
+    bin-packing can coalesce many small files into few splits — ADVICE
+    r12).  At 100 TB both conditions go false and callers add no
+    exchange."""
+    from magshield_data_pipeline_spark.session import conf_bytes
+
+    if changed_file_count(table_path, from_version, to_version) < target:
+        return True
+    return changed_bytes(table_path, from_version, to_version) < (
+        target * conf_bytes(spark, "spark.sql.files.maxPartitionBytes",
+                            "128m")
+    )
+
+
+def changed_bytes(table_path: str, from_version: int,
+                  to_version: int) -> int:
+    """Total data bytes of the files ``read_changes`` would scan
+    between two versions — the size half of the spread decision
+    (ADVICE r12 low: ``changed_file_count`` alone assumes k files ≈ k
+    scan splits, but FilePartition bin-packing can coalesce many
+    small-but-not-tiny files into fewer splits; callers should
+    repartition when EITHER the file count or the byte volume is under
+    the fan-out target).  Entries written before ``bytes`` was
+    recorded count 0 — conservative for small-delta decisions."""
+    old = {e["path"] for e in read_manifest(table_path, from_version)["files"]}
+    return sum(
+        e.get("bytes", 0)
+        for e in read_manifest(table_path, to_version)["files"]
+        if e["path"] not in old
+    )
+
+
 def drop_column(table_path: str, name: str) -> int:
     """DROP a column as a METADATA-ONLY commit — zero files rewritten:
     the manifest schema loses the field and every scan's projection

@@ -28,7 +28,9 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("magshield-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    plan_dir = os.path.join(REPO, "plans", "r12")
+    plan_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
+    )
     os.makedirs(plan_dir, exist_ok=True)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"

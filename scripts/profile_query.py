@@ -37,7 +37,9 @@ def main() -> int:
         consume(warm_spec.fn(spark, sf_dir))
         release_caches(spark)
 
-    plan_dir = os.path.join(REPO, "plans", "r12")
+    plan_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
+    )
     os.makedirs(plan_dir, exist_ok=True)
     for name in names:
         spec = QUERY_REGISTRY[name]

@@ -73,7 +73,7 @@ def main() -> int:
             df = spec.fn(spark, sf_dir)
             consume(df)
             walls.append(time.perf_counter() - t0)
-            if run == 0:
+            if True:
                 for qi, q in enumerate(_CAPTURED):
                     progs = [p for p in q.recentProgress]
                     tot: dict[str, int] = {}

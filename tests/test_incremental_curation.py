@@ -214,3 +214,28 @@ def test_retraction_epoch_acts_and_replays_exactly_once(spark):
     retracted_ids = _ids(fr["retract"])
     assert retracted_ids <= _ids(SN.read(spark, rt, 1))
     assert not (_ids(fr["admit"]) & _ids(SN.read(spark, rt, 1)))
+
+
+def test_advisory_bytes_parses_spark_suffix_forms(spark):
+    """ADVICE r12 (medium): '16KB'-style two-letter suffixes crashed
+    _advisory_bytes with ValueError (the trailing 'b' matched the unit
+    table, leaving int('16k')).  Pin every form Spark itself accepts."""
+    from magshield_data_pipeline_spark.plans.curation_queries import (
+        _advisory_bytes,
+    )
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved = spark.conf.get(key, None)
+    try:
+        for raw, want in [
+            ("64m", 64 << 20), ("16KB", 16 << 10), ("256k", 256 << 10),
+            ("1g", 1 << 30), ("2GB", 2 << 30), ("1048576", 1 << 20),
+            ("512b", 512), ("1t", 1 << 40),
+        ]:
+            spark.conf.set(key, raw)
+            assert _advisory_bytes(spark) == want, raw
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)

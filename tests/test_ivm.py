@@ -553,3 +553,29 @@ def test_chain_view_unchanged_tables_contribute_no_terms(spark, tmp_path):
         spark, [(a, 1, 2), (b, 1, 1), (c, 1, 1)], view, _ONS,
         F.col("nation"), "nation", _cmeasures(), txn_version=1)
     assert r2["applied"] is False
+
+
+def test_completed_refresh_marks_both_txn_halves(spark, tmp_path):
+    # r13 replay fast path: a COMPLETED refresh leaves both the merge
+    # (":m", via SN.merge) and retract (":d", advanced even when no
+    # group died) markers at its txn version, so a clean replay is
+    # detected from the markers alone — no delta recompute, no view
+    # scan, zero Spark jobs
+    src = _src(spark, tmp_path)
+    view = os.path.join(str(tmp_path), "view_fast")
+    _maintain(spark, src, view, 2)  # v2 merge: no group dies
+    assert S._txn_committed(view, "ivm:m", 2)
+    assert S._txn_committed(view, "ivm:d", 2)  # marked despite 0 deads
+    state = sorted(map(tuple, S.read(spark, view).collect()))
+    vs = S.versions(view)
+    sc = spark.sparkContext
+    sc.setJobGroup("ivm_replay_probe", "replay")
+    res = ivm.refresh_agg_view(spark, src, view, _grp(), "grp",
+                               _measures(), from_version=1, to_version=2)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("ivm_replay_probe"))
+    sc.setJobGroup(None, None)
+    assert res == {"applied": False, "groups_upserted": 0,
+                   "groups_deleted": 0}
+    assert n_jobs == 0, f"clean replay ran {n_jobs} Spark jobs"
+    assert S.versions(view) == vs
+    assert sorted(map(tuple, S.read(spark, view).collect())) == state
