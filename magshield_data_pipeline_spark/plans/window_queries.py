@@ -246,11 +246,16 @@ def stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = W.read_events_stream(spark, sf_dir)
     sessions = ST.sessionize_stateful(stream, gap_minutes=30, watermark="3650 days")
     # state store sized to the keyspace (~3k users → ~375/partition),
-    # like every other streaming row. The old "8 is 2x slower than 32"
-    # note predates the vectorized per-key fold: re-measured r12
-    # (paired A/B, 3 interleaved trials), 8 partitions wins 5.3 vs
-    # 8.1 s median — per-partition Python worker + state-commit rounds
-    # dominate once the fold is numpy.
+    # like every other streaming row; run_available_now additionally
+    # caps it at the session's parallelism.  The contested r12 pin was
+    # re-adjudicated r13 (VERDICT item 3) with a fresh-PROCESS
+    # interleaved A/B, 5 trials per value per core count: at 32 cores
+    # 8-vs-32 partitions is a tie (warm med 4.1 vs 3.9 s, cold 12.4 vs
+    # 12.0 — neither the r12 builder's "8 wins 5.3 vs 8.1" nor the
+    # driver's implied regression reproduces cold); at 8 cores 8
+    # partitions wins ~1.8x (warm 3.5 vs 6.5 s) — per-partition state
+    # files + Python worker rounds dominate once partitions outnumber
+    # cores.  Keyspace-sized 8 stands; full table in OPTIMIZATION_r13.md.
     out = W.run_available_now(sessions, output_mode="append", state_partitions=8)
     return out.select(
         "user_id",

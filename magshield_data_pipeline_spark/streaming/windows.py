@@ -151,6 +151,16 @@ def run_available_now(
     )
     try:
         if state_partitions is not None:
+            # never more state partitions than cores: each one costs
+            # state files + a Python worker round PER MICRO-BATCH, so
+            # partitions beyond the session's parallelism are pure
+            # overhead waves (r13 fresh-process A/B on the sessionizer:
+            # 32 partitions on 8 cores ran ~1.8x slower than 8; on 32
+            # cores 8-vs-32 is a tie — the keyspace-sized caller value
+            # stands, this cap only protects smaller sessions)
+            state_partitions = min(
+                state_partitions, spark.sparkContext.defaultParallelism
+            )
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         if not no_data_batch:
             spark.conf.set(
