@@ -698,7 +698,14 @@ def streaming_funnel_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = W.read_events_stream(spark, sf_dir)
     feed = ST.funnel_stateful(stream, watermark="10 minutes")
-    out = W.run_available_now(feed, output_mode="append", state_partitions=8)
+    # no_data_batch=False (r13): the funnel's EventTimeTimeout path
+    # EVICTS buffer-only users without yielding a row (see
+    # funnel_stateful — timeout means "no signup can ever unlock these
+    # buffers"), so the trailing watermark-advance batch can never add
+    # to the emitted set at ANY watermark; it only re-ran the stateful
+    # plan over 3k state rows.  Progress rows emit in the data batch.
+    out = W.run_available_now(feed, output_mode="append",
+                              state_partitions=8, no_data_batch=False)
     return out.select(
         "user_id",
         F.date_format("t0", _TSFMT_SPARK).alias("signup_ts"),

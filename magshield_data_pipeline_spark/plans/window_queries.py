@@ -182,8 +182,13 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over readStream must produce the batch answer once every available
     # file is processed.
     stream = W.read_events_stream(spark, sf_dir)
+    # no_data_batch=False (r13): complete-mode output REPLACES the
+    # memory table each batch and the advance batch re-emits the
+    # identical aggregate (no new data, windows never finalize in
+    # complete mode) — skipping it cannot change the table
     return W.run_available_now(
-        W.tumbling_counts(stream, "1 hour"), state_partitions=8
+        W.tumbling_counts(stream, "1 hour"), state_partitions=8,
+        no_data_batch=False,
     )
 
 
@@ -256,7 +261,19 @@ def stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions wins ~1.8x (warm 3.5 vs 6.5 s) — per-partition state
     # files + Python worker rounds dominate once partitions outnumber
     # cores.  Keyspace-sized 8 stands; full table in OPTIMIZATION_r13.md.
-    out = W.run_available_now(sessions, output_mode="append", state_partitions=8)
+    #
+    # no_data_batch=False (r13): THIS query's emission cannot depend on
+    # the trailing watermark-advance batch — the 3650-day watermark
+    # delay puts the post-drain watermark ~10 years before every
+    # session end, so the EventTimeTimeout flush can never fire within
+    # the drain (that suppression is the query's documented contract:
+    # only same-user-proven closures emit, open tails are excluded by
+    # the oracle).  The advance batch only re-ran the stateful plan
+    # over all 3k state rows and emitted nothing.  The production
+    # 10-minute-delay configuration keeps the default — the knob is
+    # per-call.
+    out = W.run_available_now(sessions, output_mode="append",
+                              state_partitions=8, no_data_batch=False)
     return out.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
@@ -645,7 +662,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
     )
-    return W.run_available_now(agg, state_partitions=8)
+    # no_data_batch=False (r13): complete-mode re-emission is
+    # identical with no new data — same rationale as tumbling counts
+    return W.run_available_now(agg, state_partitions=8,
+                               no_data_batch=False)
 
 
 # ---------------------------------------------------------------------------
@@ -801,7 +821,11 @@ def streaming_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     # bounds it with dropDuplicatesWithinWatermark on an ingest-time
     # column.
     pairs = sndc_pairs_stream(spark, sf_dir)
-    return W.run_available_now(pairs, output_mode="append", state_partitions=8)
+    # no_data_batch=False (r13): dropDuplicates emits each pair on
+    # FIRST sight within the data batch (no watermark in this plan) —
+    # the advance batch re-ran the stateful plan and emitted nothing
+    return W.run_available_now(pairs, output_mode="append",
+                               state_partitions=8, no_data_batch=False)
 
 
 
@@ -912,6 +936,9 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.col("keep"), F.lit(1))).alias("n_kept"),
     )
+    # no_data_batch=False (r13): complete-mode re-emission is
+    # identical with no new data — same rationale as tumbling counts
     return W.run_available_now(
-        rollup, output_mode="complete", state_partitions=8
+        rollup, output_mode="complete", state_partitions=8,
+        no_data_batch=False,
     )
