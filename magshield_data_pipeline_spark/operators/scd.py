@@ -105,6 +105,14 @@ def apply_scd2_changes(spark, mirror_path: str, feed, key: str,
     lead() window (the timeline handles update→update→delete chains
     regardless of how commits batch)."""
     app = app_id or f"scd2:{mirror_path}"
+    if SN._txn_committed(mirror_path, app, txn_version):
+        # replay fast path (r13 — the same Delta txnAppId/txnVersion
+        # idempotent-writes pattern as ivm.apply_changes): the fold is
+        # ONE commit, so a committed (app, txn) means the whole window
+        # already landed; recomputing the envelope probe + timeline
+        # just so SN.merge can no-op on the same marker wastes a
+        # CDC-batch scan per replayed batch
+        return None
     opens = feed.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).select(

@@ -2082,12 +2082,21 @@ def snapshot_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("orderkey_sum"),
         )
 
-    pre_files = SN.files_table(spark, base, version=6)
-    post_files = SN.files_table(spark, base, version=7)
-    large_path = (
-        pre_files.orderBy(F.col("rows").desc()).head().path
-    )  # the one adequate file
-    carried = post_files.filter(F.col("path") == large_path).count()
+    # audit counts straight from manifest metadata (r13, guide §8
+    # "decide with small rows" — the same rule as the r12 spread-guard
+    # change): files_table/history are createDataFrame renderings of
+    # the manifest, so .count()/.head() on them spun five driver-side
+    # Spark jobs per invocation to learn numbers the manifest states.
+    # Values are identical by construction (files_table rows == the
+    # manifest file list; history rows == the version list; the
+    # largest file is unique — one full-table file vs five tiny
+    # slices).  The CDC-silence probe stays a real row-level count:
+    # zero emitted changes across the optimize commit is the claim
+    # under test.
+    m6 = SN.read_manifest(base, 6)
+    m7 = SN.read_manifest(base, 7)
+    large_path = max(m6["files"], key=lambda e: e["rows"])["path"]
+    carried = sum(1 for e in m7["files"] if e["path"] == large_path)
     silent = SN.read_row_changes(spark, base, 6, 7).count()
     rollup = SN.read(spark, base).agg(
         F.lit("rows_intact").alias("stage"),
@@ -2096,11 +2105,11 @@ def snapshot_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rollup
-        .unionByName(flag("files_before", pre_files.count()))
-        .unionByName(flag("files_after", post_files.count()))
+        .unionByName(flag("files_before", len(m6["files"])))
+        .unionByName(flag("files_after", len(m7["files"])))
         .unionByName(flag("large_carried", carried))
         .unionByName(flag("cdc_silent", silent))
-        .unionByName(flag("commits", SN.history(spark, base).count()))
+        .unionByName(flag("commits", len(SN.versions(base))))
     )
 
 
@@ -3179,12 +3188,15 @@ def snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_sum"),
         F.sum(F.length("text")).cast("long").alias("text_chars"),
     )
-    hist = SN.history(spark, t)
+    # operation counts straight from the manifests (r13, guide §8):
+    # history() is a createDataFrame rendering of manifest metadata,
+    # so filter().count() on it spun a Spark job per audit value
+    ops = [SN.read_manifest(t, v).get("operation")
+           for v in SN.versions(t)]
     history_row = spark.range(1).select(
         F.lit("history").alias("stage"),
-        F.lit(int(hist.filter(F.col("operation") == "append").count()))
-        .cast("long").alias("n_docs"),
-        F.lit(len(SN.versions(t))).cast("long").alias("id_sum"),
+        F.lit(ops.count("append")).cast("long").alias("n_docs"),
+        F.lit(len(ops)).cast("long").alias("id_sum"),
         F.lit(None).cast("long").alias("text_chars"),
     )
     return (
@@ -3637,14 +3649,15 @@ def snapshot_branch_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_sum"),
         F.sum(F.length("text")).cast("long").alias("text_chars"),
     )
-    hist = SN.history(spark, t)
+    # operation counts straight from the manifests (r13, guide §8) —
+    # same rationale as snapshot_branch_publish
+    ops = [SN.read_manifest(t, v).get("operation")
+           for v in SN.versions(t)]
     history_row = spark.range(1).select(
         F.lit("history").alias("stage"),
-        F.lit(int(hist.filter(F.col("operation") == "merge").count()))
-        .cast("long").alias("n_docs"),
-        F.lit(int(hist.filter(F.col("operation") == "delete").count()))
-        .cast("long").alias("id_sum"),
-        F.lit(len(SN.versions(t))).cast("long").alias("text_chars"),
+        F.lit(ops.count("merge")).cast("long").alias("n_docs"),
+        F.lit(ops.count("delete")).cast("long").alias("id_sum"),
+        F.lit(len(ops)).cast("long").alias("text_chars"),
     )
     return (
         spark.read.parquet(audit_t)

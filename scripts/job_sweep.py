@@ -51,13 +51,20 @@ def main() -> int:
         sc = spark.sparkContext
         group = f"sweep_{name}"
         sc.setJobGroup(group, name)
+        # setJobGroup is thread-local, so jobs launched from streaming
+        # execution threads (micro-batches) never land in the group
+        # (ADVICE r12): ALSO diff the scheduler's next job id, which
+        # counts every submitted job regardless of thread
+        j0 = sc._jsc.sc().dagScheduler().nextJobId()
         t0 = time.perf_counter()
         consume(spec.fn(spark, sf_dir))
         wall = time.perf_counter() - t0
         jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        jobs_all = sc._jsc.sc().dagScheduler().nextJobId() - j0
         sc.setJobGroup(None, None)
         release_caches(spark)
-        out[name] = {"wall": round(wall, 3), "jobs": jobs}
+        out[name] = {"wall": round(wall, 3), "jobs": jobs,
+                     "jobs_all": jobs_all}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {out_path}: {len(out)} queries, "

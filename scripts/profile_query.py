@@ -46,9 +46,13 @@ def main() -> int:
         sc = spark.sparkContext
         runs = []
         jobs_per_run = []
+        jobs_all_per_run = []
         for i in range(3):
             group = f"prof_{name}_{i}"
             sc.setJobGroup(group, name)
+            # total-submitted diff catches streaming-thread jobs the
+            # thread-local group misses (ADVICE r12)
+            j0 = sc._jsc.sc().dagScheduler().nextJobId()
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             t_build = time.perf_counter() - t0
@@ -56,6 +60,7 @@ def main() -> int:
             dt = time.perf_counter() - t0
             runs.append((dt, t_build))
             jobs_per_run.append(len(sc.statusTracker().getJobIdsForGroup(group)))
+            jobs_all_per_run.append(sc._jsc.sc().dagScheduler().nextJobId() - j0)
             sc.setJobGroup(None, None)
             release_caches(spark)
         runs_sorted = sorted(r[0] for r in runs)
@@ -64,7 +69,8 @@ def main() -> int:
             f"{name}: total min/med/max = "
             f"{runs_sorted[0]:.2f}/{runs_sorted[1]:.2f}/{runs_sorted[2]:.2f} s; "
             f"fn() build med = {build_sorted[1]:.2f} s; "
-            f"spark jobs/run = {jobs_per_run}"
+            f"spark jobs/run = {jobs_per_run}; all-thread jobs/run = "
+            f"{jobs_all_per_run}"
         )
         try:
             plan = spec.fn(spark, sf_dir)._jdf.queryExecution().explainString(
