@@ -219,6 +219,16 @@ def _rows_of(table_path: str, entries: list[dict], fields: list[str],
                        if c not in fills and stored[c] in have})
         tbl = pq.read_table(full, columns=cols)
         part = e.get("partition") or {}
+        if (not part and not fills and len(cols) == len(fields)
+                and all(stored[c] == c for c in fields)):
+            # identity fast path (r13, guide §4.2): no rename era, no
+            # default masks, no partition restore, every field stored
+            # under its own name — the arrow table's row dicts ARE the
+            # requested rows, so skip the per-row re-keying dictcomp
+            # (the diff loop below runs once per drained commit on the
+            # driver; ~60 ms of per-row Python per drain at sf0.1)
+            out.extend(tbl.to_pylist())
+            continue
         for d in tbl.to_pylist():
             row = {f: (fills[f] if f in fills else d.get(stored[f]))
                    for f in fields}
